@@ -1,13 +1,339 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Events, Gold, Relational, Scd2}
+import graft.util.Portable.Sql._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a DuckDB-equivalent in [[oracleSql]]
+  * (the driver's correctness gate) unless the operator is not
+  * SQL-expressible, in which case the driver records a rows-only check.
+  * Column naming and float-determinism rules are documented in
+  * [[graft.util.Portable]]: money flows through scaled integers so the
+  * Spark and DuckDB results are bit-identical.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the Gold star-schema fact build (SURVEY §7.2's end-to-end spine). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Gold.factOrderItems(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (Relational.pricingSummary _),
+    "q02_filter_topk" -> (Relational.filterTopkOrders _),
+    "q03_revenue_by_nation" -> (Relational.revenueByNation _),
+    "q04_brand_performance" -> (Relational.brandPerformance _),
+    "q05_top_customers" -> (Relational.topCustomers _),
+    "q06_distinct_users" -> (Relational.distinctUsers _),
+    "q07_late_shipments" -> (Relational.lateShipments _),
+    "q08_monthly_revenue" -> (Relational.monthlyRevenue _),
+    "q09_funnel" -> (Events.funnel _),
+    "q10_last_event_per_user" -> (Events.lastEventPerUser _),
+    "q11_first_item_per_order" -> (Relational.firstItemPerOrder _),
+    "q12_dedup_exact" -> (Relational.dedupExactDocs _),
+    "q13_union_tagged" -> (Relational.unionTagged _),
+    "q14_mode_brand" -> (Relational.modeBrand _),
+    "q15_quantiles" -> (Relational.quantiles _),
+    "q16_event_gaps" -> (Events.eventGaps _),
+    "q17_sessionize" -> (Events.sessionize _),
+    "q18_conversion_rates" -> (Events.conversionRates _),
+    "q19_anti_join" -> (Relational.customersWithoutOrders _),
+    "q20_dq_metrics" -> (Relational.dqMetrics _),
+    "q21_customer_sk" -> (Relational.customerSk _),
+    "q22_rollup_revenue" -> (Relational.rollupRevenue _),
+    "q23_scd2_merge" -> (Scd2.ordersScenario _),
+    "q24_gold_fact" -> (Gold.factOrderItems _),
+    "q25_silver_events" -> (Events.silverEventsCleanse _),
+    "q26_product_performance" -> (Gold.productPerformance _),
+  )
+
+  // ---- DuckDB oracle SQL ------------------------------------------------
+  // Money mirrors graft.util.Portable: floor(x*scale+0.5) scaled-integer
+  // sums, divided back to double only at the output boundary. Every
+  // multi-row result carries a total ORDER BY.
+
+  private val netExpr = "l_extendedprice * (1.0 - l_discount)"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sum2("l_quantity")} AS sum_qty,
+         |  ${sum2("l_extendedprice")} AS sum_base_price,
+         |  ${sum4(netExpr)} AS sum_disc_price,
+         |  ${sum4(s"$netExpr * (1.0 + l_tax)")} AS sum_charge,
+         |  ${avg2("l_quantity")} AS avg_qty,
+         |  COUNT(*) AS count_order
+         |FROM lineitem
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  substr(o_orderpriority, 1, 1) AS priority_class
+        |FROM orders
+        |WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |LIMIT 25""".stripMargin,
+
+    "q03_revenue_by_nation" ->
+      s"""SELECT n_name, ${sum4(netExpr)} AS revenue, COUNT(*) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |GROUP BY n_name
+         |ORDER BY n_name""".stripMargin,
+
+    "q04_brand_performance" ->
+      s"""SELECT p_brand, ${sum4(netExpr)} AS revenue,
+         |  ${sum2("l_quantity")} AS total_qty,
+         |  COUNT(DISTINCT l_orderkey) AS n_orders
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand
+         |ORDER BY p_brand""".stripMargin,
+
+    "q05_top_customers" ->
+      s"""SELECT c_custkey, c_name, revenue, n_orders
+         |FROM (
+         |  SELECT o_custkey, ${sum2("o_totalprice")} AS revenue,
+         |    COUNT(*) AS n_orders
+         |  FROM orders GROUP BY o_custkey
+         |) JOIN customer ON o_custkey = c_custkey
+         |ORDER BY revenue DESC, c_custkey ASC
+         |LIMIT 10""".stripMargin,
+
+    "q06_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q07_late_shipments" ->
+      """SELECT o_orderpriority,
+        |  SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |      THEN 1 ELSE 0 END) AS late_items,
+        |  COUNT(*) AS total_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    "q08_monthly_revenue" ->
+      s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         |  ${sum2("o_totalprice")} AS revenue,
+         |  COUNT(*) AS n_orders
+         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q09_funnel" ->
+      """WITH stages(stage, stage_rank) AS
+        |  (VALUES ('signup', 1), ('view', 2), ('click', 3), ('purchase', 4)),
+        |counts AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
+        |SELECT stage, stage_rank, COALESCE(n, 0) AS n_events
+        |FROM stages LEFT JOIN counts ON stage = event_type
+        |ORDER BY stage_rank""".stripMargin,
+
+    "q10_last_event_per_user" ->
+      """SELECT user_id, last_ts, last_event FROM (
+        |  SELECT user_id, ts AS last_ts, event_type AS last_event,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q11_first_item_per_order" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_extendedprice ASC, l_linenumber ASC) AS rn
+        |  FROM lineitem) WHERE rn = 1
+        |ORDER BY l_orderkey""".stripMargin,
+
+    "q12_dedup_exact" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q13_union_tagged" ->
+      """SELECT 'customer' AS source_table, c_name AS name, c_acctbal AS acctbal
+        |FROM customer
+        |UNION ALL
+        |SELECT 'supplier', s_name, s_acctbal FROM supplier
+        |ORDER BY source_table, name""".stripMargin,
+
+    "q14_mode_brand" ->
+      """SELECT p_brand, COUNT(*) AS n FROM part
+        |GROUP BY p_brand ORDER BY n DESC, p_brand ASC LIMIT 1""".stripMargin,
+
+    "q15_quantiles" ->
+      """SELECT l_returnflag,
+        |  median(l_quantity) AS median_qty,
+        |  quantile_cont(l_quantity, 0.9) AS p90_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q16_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, COUNT(*) AS n_gaps,
+        |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_gap_s,
+        |  CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q17_sessionize" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id, value,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM flagged)
+         |SELECT user_id, session_id, COUNT(*) AS n_events,
+         |  MIN(ts) AS session_start,
+         |  CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS DOUBLE) / 1000000.0
+         |    AS duration_s,
+         |  ${sum2("value")} AS session_value
+         |FROM sess GROUP BY user_id, session_id
+         |ORDER BY user_id, session_id""".stripMargin,
+
+    "q18_conversion_rates" ->
+      """WITH stages(stage, stage_rank) AS
+        |  (VALUES ('signup', 1), ('view', 2), ('click', 3), ('purchase', 4)),
+        |counts AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+        |f AS (
+        |  SELECT stage, stage_rank, COALESCE(n, 0) AS n_events
+        |  FROM stages LEFT JOIN counts ON stage = event_type)
+        |SELECT stage, stage_rank, n_events,
+        |  CASE WHEN lag(n_events) OVER (ORDER BY stage_rank) > 0
+        |    THEN ROUND(CAST(n_events AS DOUBLE)
+        |      / lag(n_events) OVER (ORDER BY stage_rank) * 100.0, 4)
+        |  END AS conversion_pct
+        |FROM f ORDER BY stage_rank""".stripMargin,
+
+    "q19_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q20_dq_metrics" ->
+      """SELECT COUNT(*) AS total_rows,
+        |  COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_keys,
+        |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
+        |  SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate
+        |FROM lineitem""".stripMargin,
+
+    "q21_customer_sk" ->
+      """SELECT c_custkey,
+        |  ROW_NUMBER() OVER (ORDER BY c_custkey) + 1000 AS customer_sk,
+        |  c_mktsegment
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q22_rollup_revenue" ->
+      s"""SELECT c_mktsegment, o_orderstatus,
+         |  ${sum2("o_totalprice")} AS revenue,
+         |  COUNT(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+         |ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q23_scd2_merge" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS order_id, o_orderstatus AS order_status,
+        |    o_totalprice AS total_price, o_orderpriority AS priority
+        |  FROM orders),
+        |dim0 AS (
+        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY order_id) AS BIGINT)
+        |    AS order_sk
+        |  FROM base WHERE order_id % 10 < 8),
+        |staging AS (
+        |  SELECT order_id,
+        |    CASE WHEN order_id % 5 = 0 THEN 'D' ELSE order_status END
+        |      AS order_status,
+        |    total_price, priority
+        |  FROM base),
+        |changed AS (
+        |  SELECT s.* FROM staging s JOIN dim0 d USING (order_id)
+        |  WHERE s.order_status <> d.order_status
+        |     OR s.total_price <> d.total_price OR s.priority <> d.priority),
+        |fresh AS (
+        |  SELECT s.* FROM staging s
+        |  WHERE NOT EXISTS (SELECT 1 FROM dim0 d WHERE d.order_id = s.order_id)),
+        |inserts AS (
+        |  SELECT i.*, (SELECT COUNT(*) FROM dim0)
+        |      + ROW_NUMBER() OVER (ORDER BY order_id) AS order_sk
+        |  FROM (SELECT * FROM changed UNION ALL SELECT * FROM fresh) i)
+        |SELECT order_id, order_status, total_price, priority, order_sk,
+        |  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |  TIMESTAMP '2024-06-01 00:00:00' AS valid_to, FALSE AS is_current
+        |FROM dim0 WHERE EXISTS (SELECT 1 FROM changed c
+        |                        WHERE c.order_id = dim0.order_id)
+        |UNION ALL
+        |SELECT order_id, order_status, total_price, priority, order_sk,
+        |  TIMESTAMP '2024-01-01 00:00:00',
+        |  TIMESTAMP '9999-12-31 23:59:59', TRUE
+        |FROM dim0 WHERE NOT EXISTS (SELECT 1 FROM changed c
+        |                            WHERE c.order_id = dim0.order_id)
+        |UNION ALL
+        |SELECT order_id, order_status, total_price, priority, order_sk,
+        |  TIMESTAMP '2024-06-01 00:00:00',
+        |  TIMESTAMP '9999-12-31 23:59:59', TRUE
+        |FROM inserts
+        |ORDER BY order_id, valid_from""".stripMargin,
+
+    "q24_gold_fact" ->
+      s"""SELECT l_orderkey AS order_id, l_linenumber AS line_number,
+         |  o_custkey AS customer_id, l_partkey AS product_id,
+         |  l_suppkey AS seller_id, c_mktsegment AS customer_segment,
+         |  p_brand AS product_brand, s_name AS seller_name,
+         |  o_orderstatus AS order_status,
+         |  CAST(o_orderdate AS DATE) AS order_date,
+         |  CAST(strftime(o_orderdate, '%Y%m%d') AS INT) AS date_sk,
+         |  CAST(strftime(l_shipdate, '%Y%m%d') AS INT) AS ship_date_sk,
+         |  ${val2("l_quantity")} AS quantity,
+         |  ${val2("l_extendedprice")} AS gross_amount,
+         |  ${val4(netExpr)} AS net_amount,
+         |  ${val4(s"$netExpr * (1.0 + l_tax)")} AS charged_amount,
+         |  ${val4("l_extendedprice * l_discount")} AS discount_amount
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN part ON l_partkey = p_partkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |ORDER BY order_id, line_number""".stripMargin,
+
+    "q25_silver_events" ->
+      s"""SELECT event_id, user_id, event_type, ts,
+         |  CAST(ts AS DATE) AS event_date,
+         |  CAST(strftime(ts, '%Y%m%d') AS INT) AS date_sk,
+         |  ${val2("value")} AS value_amt,
+         |  CAST(json_extract_string(props, '$$.k') AS INT) AS prop_k
+         |FROM (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+         |  FROM events) WHERE rn = 1
+         |  AND ts IS NOT NULL AND event_type IS NOT NULL
+         |ORDER BY event_id""".stripMargin,
+
+    "q26_product_performance" ->
+      s"""WITH fact AS (
+         |  SELECT p_brand AS product_brand, l_orderkey AS order_id,
+         |    ${val2("l_quantity")} AS quantity,
+         |    ${val4(netExpr)} AS net_amount
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN part ON l_partkey = p_partkey
+         |  JOIN supplier ON l_suppkey = s_suppkey)
+         |SELECT product_brand,
+         |  ${sum4("net_amount")} AS revenue,
+         |  ${sum2("quantity")} AS units,
+         |  COUNT(DISTINCT order_id) AS n_orders
+         |FROM fact GROUP BY product_brand ORDER BY product_brand""".stripMargin,
+  )
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.util.Portable._
+
+/** Event-stream lifecycle analytics (SURVEY §2.10): the reference's
+  * synthetic order-lifecycle funnel (app.py:237–242), last-event-per-key
+  * status (app.py:102–106), and the lag/sessionization semantics the
+  * event data implies. Batch forms here; the streaming forms live in
+  * [[graft.streaming.StreamingFunnel]].
+  */
+object Events {
+
+  /** The fixed funnel stage domain for the TESTDATA `events` table
+    * (the reference's 4 lifecycle stages, app.py:239, mapped onto the
+    * event types present here). */
+  val stages: Seq[(String, Int)] =
+    Seq("signup" -> 1, "view" -> 2, "click" -> 3, "purchase" -> 4)
+
+  /** Funnel stage counts over a fixed domain with zero-fill (SURVEY A12;
+    * reference app.py:238–241 value_counts().reindex(stages, fill 0)).
+    * The 4-row stage domain is the broadcast side; events aggregate
+    * map-side first so the shuffle carries 4 keys. */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stageDf = stages.toDF("stage", "stage_rank")
+    val counts = Tables.events(spark, dir)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    broadcast(stageDf)
+      .join(counts, stageDf("stage") === counts("event_type"), "left")
+      .select(col("stage"), col("stage_rank"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("stage_rank")
+  }
+
+  /** Stage-to-stage conversion rates — the reference's
+    * gold_conversion_rates mart reconstructed from its funnel
+    * (SURVEY §2.4 note; README.md:83). Ratio of each stage count to the
+    * previous stage via a lag window over the 4-row funnel result
+    * (trivially small — windows over the *aggregate*, not the events). */
+  def conversionRates(spark: SparkSession, dir: String): DataFrame = {
+    val f = funnel(spark, dir)
+    val w = Window.orderBy("stage_rank")
+    f.withColumn("prev_n", lag(col("n_events"), 1).over(w))
+      .withColumn("conversion_pct",
+        when(col("prev_n").isNotNull && col("prev_n") > 0,
+          round(col("n_events").cast("double") / col("prev_n") * 100.0, 4)))
+      .select("stage", "stage_rank", "n_events", "conversion_pct")
+      .orderBy("stage_rank")
+  }
+
+  /** Last event per user = current status (SURVEY A1/W3; reference
+    * app.py:102–106 groupby max ts + last event_type). `max_by` over a
+    * (ts, event_id) struct gives a deterministic total order and
+    * aggregates map-side — no window shuffle over raw events. */
+  def lastEventPerUser(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(max(col("ts")).as("last_ts"),
+        max_by(col("event_type"), struct(col("ts"), col("event_id")))
+          .as("last_event"))
+      .orderBy("user_id")
+
+  /** Inter-event gaps per user (lag window — SURVEY §2.5 notes the
+    * reference implicitly needs lag for stage durations). Gap math in
+    * integer microseconds so the oracle compare is exact. */
+  def eventGaps(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .withColumn("gap_us",
+        unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w))
+      .filter(col("gap_us").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        (sum(col("gap_us")).cast("double") / count(lit(1)) / lit(1e6))
+          .as("avg_gap_s"),
+        (max(col("gap_us")).cast("double") / lit(1e6)).as("max_gap_s"))
+      .orderBy("user_id")
+  }
+
+  /** Sessionization: split each user's stream at >30-min gaps, then per
+    * session count events and span (classic lag + running-sum session
+    * id). This is the batch twin of the streaming session-window path.
+    * Two window passes over the same (user_id, ts) partitioning — Spark
+    * reuses one shuffle for both. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1)
+          .over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        ((unix_micros(max(col("ts"))) - unix_micros(min(col("ts"))))
+          .cast("double") / lit(1e6)).as("duration_s"),
+        sumMoney2(col("value")).as("session_value"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** Silver cleanse of the event stream (SURVEY §2.2/§2.8, reference
+    * ecom_Silver_Layer.ipynb:191–289): key dedup keeping the earliest
+    * row (W2 semantics), JSON property extraction, typed/derived
+    * columns. Emitted row-per-event; at scale this is a pure map stage
+    * after one dedup shuffle on event_id. */
+  def silverEventsCleanse(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_id").orderBy("ts")
+    Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(
+        col("event_id"), col("user_id"), col("event_type"), col("ts"),
+        to_date(col("ts")).as("event_date"),
+        date_format(col("ts"), "yyyyMMdd").cast("int").as("date_sk"),
+        val2(col("value")).as("value_amt"),
+        get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
+      .orderBy("event_id")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Portable._
+
+/** Gold-layer star-schema fact build (SURVEY §2 J1–J4, F7, F16, P2;
+  * reference ecom_Gold_Layer.ipynb:62–125).
+  *
+  * The reference builds `fact_order_items` by joining orders⋈customers⋈
+  * payments in the warehouse, then enriching with driver-side dict
+  * lookups for surrogate keys and a demo `ON TRUE` cross join for
+  * products/sellers (ecom_Gold_Layer.ipynb:81–82). Here the same star
+  * comes out of real equi-joins on the TESTDATA schema: lineitem is the
+  * fact spine; orders co-shuffles with it on the order key; part and
+  * supplier are broadcast dimension lookups (the Spark form of the
+  * reference's SK dicts, ecom_Gold_Layer.ipynb:37–48); the date SK is
+  * computed, not joined (F7).
+  *
+  * Scale: one fact↔fact shuffle (lineitem⋈orders on orderkey) + one on
+  * custkey for the customer attrs; both AQE-managed. All dimension joins
+  * broadcast. Derived money metrics stay in decimal until the boundary.
+  * Written out this would be `partitionBy(order_date)` parquet, bucketed
+  * by order_sk for downstream mart co-location.
+  */
+object Gold {
+
+  /** Full typed fact row set, deterministic order. Derived metrics
+    * follow the reference's patterns (ecom_Gold_Layer.ipynb:109–111
+    * total_amount = price*qty + freight; app.py:256–260 fee/margin
+    * arithmetic) re-based on real lineitem columns. */
+  def factOrderItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir)
+    val p = Tables.part(spark, dir)
+    val s = Tables.supplier(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .select(
+        col("l_orderkey").as("order_id"),
+        col("l_linenumber").as("line_number"),
+        col("o_custkey").as("customer_id"),
+        col("l_partkey").as("product_id"),
+        col("l_suppkey").as("seller_id"),
+        col("c_mktsegment").as("customer_segment"),
+        col("p_brand").as("product_brand"),
+        col("s_name").as("seller_name"),
+        col("o_orderstatus").as("order_status"),
+        to_date(col("o_orderdate")).as("order_date"),
+        date_format(col("o_orderdate"), "yyyyMMdd").cast("int").as("date_sk"),
+        date_format(col("l_shipdate"), "yyyyMMdd").cast("int").as("ship_date_sk"),
+        val2(col("l_quantity")).as("quantity"),
+        val2(col("l_extendedprice")).as("gross_amount"),
+        val4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("net_amount"),
+        val4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("charged_amount"),
+        val4(col("l_extendedprice") * col("l_discount"))
+          .as("discount_amount"))
+      .orderBy("order_id", "line_number")
+  }
+
+  /** Mart: product performance (reference gold_product_performance,
+    * README.md:83; consumed by app.py:371–445) over the fact. */
+  def productPerformance(spark: SparkSession, dir: String): DataFrame =
+    factOrderItems(spark, dir)
+      .groupBy("product_brand")
+      .agg(
+        sumMoney4(col("net_amount")).as("revenue"),
+        sumMoney2(col("quantity")).as("units"),
+        countDistinct(col("order_id")).as("n_orders"))
+      .orderBy("product_brand")
+}

@@ -1,0 +1,252 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.util.Portable._
+
+/** Core batch relational operators from SURVEY.md §2 (aggregations,
+  * joins, windows, top-k, set ops), re-expressed Spark-first over the
+  * TESTDATA star schema.
+  *
+  * Scale notes (100 TB): every query here keeps the plan fully
+  * declarative so Catalyst pushes filters/projections into the parquet
+  * scan; dimension joins (`nation`, `region`, `part`, stage domains) are
+  * explicit `broadcast()` so the fact table never shuffles for them;
+  * fact↔fact joins (orders⋈lineitem) shuffle on the join key once and
+  * AQE handles skew. Top-k uses `orderBy(...).limit(k)` which Spark
+  * plans as TakeOrderedAndProject (per-partition heaps, no full sort).
+  */
+object Relational {
+
+  /** Pricing summary per return flag / line status — the reference's
+    * grouped-mean/sum dashboard aggregations (SURVEY A3/A5/A6/A7;
+    * reference app.py:188, 210–216, 281). Map-side partial aggregation
+    * then a 4-group final: the shuffle carries only the group keys. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sumMoney2(col("l_quantity")).as("sum_qty"),
+        sumMoney2(col("l_extendedprice")).as("sum_base_price"),
+        sumMoney4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("sum_disc_price"),
+        sumMoney4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        avgExact2(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** Equality filter + projection + top-k (SURVEY P2/P3/T2; reference
+    * app.py:253, 400). Filter and 4-column projection reach the parquet
+    * scan (PushedFilters / ReadSchema); limit plans as
+    * TakeOrderedAndProject. */
+  def filterTopkOrders(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        substring(col("o_orderpriority"), 1, 1).as("priority_class"))
+      .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      .limit(25)
+  }
+
+  /** Revenue by nation: the dashboard's "revenue by region" rolled over
+    * the star schema (SURVEY J1/J2/A7; reference app.py:347,
+    * ecom_Gold_Layer.ipynb:79–83). customer⋈orders⋈lineitem shuffle on
+    * their keys; 25-row nation dim is broadcast. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val n = Tables.nation(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg(
+        sumMoney4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
+  /** Product performance by brand via broadcast dimension join
+    * (SURVEY J4, T2; reference ecom_Gold_Layer.ipynb:94–104 SK lookup
+    * maps → proper broadcast hash joins, app.py:400 top products). */
+  def brandPerformance(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val p = Tables.part(spark, dir)
+    li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        sumMoney4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"),
+        sumMoney2(col("l_quantity")).as("total_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("p_brand")
+  }
+
+  /** Top-10 customers by revenue (SURVEY T2/A10; reference app.py:563
+    * top customers by profit). Deterministic tiebreak on the key. */
+  def topCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    o.groupBy("o_custkey")
+      .agg(sumMoney2(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .join(c, col("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("n_orders"))
+      .orderBy(desc("revenue"), asc("c_custkey"))
+      .limit(10)
+  }
+
+  /** Distinct counts per event type (SURVEY A9; reference app.py:502–504
+    * `nunique()`): exact countDistinct — at 100 TB swap for
+    * approx_count_distinct (HLL) where exactness isn't contractual. */
+  def distinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy("event_type")
+
+  /** Conditional count: late shipments per order priority (SURVEY P7/A4;
+    * reference app.py:195–197 late orders = delivered > estimated). */
+  def lateShipments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        sum(when(col("l_shipdate") >
+          col("o_orderdate") + expr("INTERVAL 30 DAYS"), 1).otherwise(0))
+          .as("late_items"),
+        count(lit(1)).as("total_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Monthly revenue trend (SURVEY F5/A7; reference app.py:280–281
+    * groups on a "YYYY-MM" month string). */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sumMoney2(col("o_totalprice")).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("month")
+
+  /** First row per group by sort order — the reference's "first payment
+    * per order, sorted by installments" (SURVEY W2/J7; app.py:114–119).
+    * One shuffle on the partition key; rn=1 filter happens before any
+    * further join. */
+  def firstItemPerOrder(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy(asc("l_extendedprice"), asc("l_linenumber"))
+    Tables.lineitem(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_extendedprice"), col("l_quantity"))
+      .orderBy("l_orderkey")
+  }
+
+  /** Exact deduplication survivors (SURVEY U2/U3; reference
+    * ecom_Silver_Layer.ipynb:198–199 drop_duplicates): group on the
+    * dedup key, keep min id — the scalable hash-groupBy form. */
+  def dedupExactDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("text")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+      .orderBy("keep_id")
+
+  /** Union-all with source tagging (SURVEY U1/S2; reference
+    * ecom_Bronze_Layer.ipynb:40–44 stacks heterogeneous CSVs with a
+    * source_table discriminator). */
+  def unionTagged(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(lit("customer").as("source_table"), col("c_name").as("name"),
+        col("c_acctbal").as("acctbal"))
+    val s = Tables.supplier(spark, dir)
+      .select(lit("supplier").as("source_table"), col("s_name").as("name"),
+        col("s_acctbal").as("acctbal"))
+    c.unionByName(s).orderBy("source_table", "name")
+  }
+
+  /** Mode: most common brand (SURVEY A11; reference app.py:374) with a
+    * deterministic tiebreak — groupBy-count + TakeOrdered, no full sort. */
+  def modeBrand(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir)
+      .groupBy("p_brand").agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("p_brand"))
+      .limit(1)
+
+  /** Exact median + p90 per group (SURVEY A14; reference
+    * ecom_Silver_Layer.ipynb:214 median null-fill values). Exact
+    * percentiles need a per-group sort; at 100 TB prefer
+    * percentile_approx (t-digest-style sketch, map-side combinable). */
+  def quantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(expr("median(l_quantity)").as("median_qty"),
+        expr("percentile(l_quantity, 0.9d)").as("p90_qty"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** Anti join: customers with no orders before 1996 (left_anti ≡ NOT
+    * EXISTS). Not in the reference surface (SURVEY §2.3 notes its
+    * absence) — added as the idiomatic Spark form. The date filter is
+    * pushed into the orders scan before the anti-join shuffles; at scale
+    * a small distinct key set broadcasts, else shuffled hash anti-join. */
+  def customersWithoutOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** Data-quality counters (SURVEY A13/S9; reference
+    * ecom_Silver_Layer.ipynb:196–246 prints dup/null counters per
+    * table): one pass over lineitem, no joins. */
+  def dqMetrics(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).agg(
+      count(lit(1)).as("total_rows"),
+      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+        .as("dup_keys"),
+      sum(col("l_quantity").isNull.cast("long")).as("null_qty"),
+      sum(col("l_shipdate").isNull.cast("long")).as("null_shipdate"))
+
+  /** Dense surrogate-key assignment (SURVEY W1; reference
+    * Scd_Type2.sql:33–34 ROW_NUMBER + MAX offset). Global row_number is
+    * a single-partition sort — fine for dimension tables (≤100k rows in
+    * the reference); at fact scale use monotonically_increasing_id or
+    * zipWithIndex (documented divergence, SURVEY §4). */
+  def customerSk(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .withColumn("customer_sk",
+        row_number().over(Window.orderBy("c_custkey")) + lit(1000))
+      .select("c_custkey", "customer_sk", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** Rollup: revenue by (mktsegment, orderstatus) with subtotals —
+    * grouping-sets form of the dashboard's segment revenue
+    * (reference app.py:545); not in the reference surface, added as the
+    * idiomatic warehouse operator. Partial aggregation still applies. */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("rr_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("rr_orders")
+    spark.sql(
+      """SELECT c_mktsegment, o_orderstatus,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM rr_orders JOIN rr_customer ON o_custkey = c_custkey
+        |GROUP BY ROLLUP(c_mktsegment, o_orderstatus)
+        |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+        |""".stripMargin)
+  }
+}

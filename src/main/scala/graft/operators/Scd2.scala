@@ -1,0 +1,137 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** SCD Type 2 dimension history — the reference's one genuinely stateful
+  * batch operator (SURVEY §2.9; reference Scd_Type2.sql:13–53, 94–140).
+  *
+  * Semantics preserved from the reference MERGE:
+  *   - match on business key where `is_current`
+  *   - changed row (row-hash differs) → close old version
+  *     (`valid_to = load_ts`, `is_current = false`) and insert the new
+  *     current version
+  *   - unmatched source key → insert new current version
+  *   - surrogate keys continue from MAX(existing) via ROW_NUMBER
+  *     (Scd_Type2.sql:33–34)
+  *
+  * Two deliberate fixes over the reference (documented divergences):
+  *   1. The reference's MATCHED branch overwrites the closed row's own
+  *      row_hash with the source hash (Scd_Type2.sql:43) — a bug; we
+  *      keep the closed row intact.
+  *   2. BigQuery MERGE cannot insert and update from the same source row,
+  *      so the reference only materializes a changed row's new version on
+  *      the *next* run; we do the standard close-AND-insert in one pass.
+  *
+  * Spark-first shape (no Delta in this environment): one shuffle joining
+  * staging↔current on the business key, a window for SK assignment, and
+  * a union — then an atomic `overwrite` of the dimension. At 100 TB the
+  * same plan holds: the join shuffles on the key (AQE skew-handled), and
+  * the history table is partitioned by `DATE(valid_from)` / bucketed by
+  * key on write (reference Scd_Type2.sql:91–92) so point-in-time reads
+  * prune.
+  */
+object Scd2 {
+  val FarFuture = "9999-12-31 23:59:59"
+
+  case class Config(
+      keyCol: String,
+      trackedCols: Seq[String],
+      skCol: String = "sk",
+      denseSk: Boolean = true)
+
+  /** Row hash over tracked attributes (reference Scd_Type2.sql:25–32
+    * MD5(CONCAT(COALESCE(...)))) — we insert a  separator because
+    * the reference's plain CONCAT is collision-prone across column
+    * boundaries (SURVEY §1.4). */
+  def rowHash(cfg: Config): Column =
+    md5(concat_ws("\u0001",
+      cfg.trackedCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+
+  /** Initial dimension load: every staging row becomes the current
+    * version. Dense SKs via a global ROW_NUMBER (dimension-scale only;
+    * `denseSk = false` switches to monotonically_increasing_id for
+    * fact-scale tables — SURVEY §4 divergence note). */
+  def initialLoad(staging: DataFrame, cfg: Config, loadTs: Column): DataFrame = {
+    val sk =
+      if (cfg.denseSk) row_number().over(Window.orderBy(cfg.keyCol)).cast("long")
+      else monotonically_increasing_id() + 1
+    staging
+      .withColumn(cfg.skCol, sk)
+      .withColumn("valid_from", loadTs)
+      .withColumn("valid_to", to_timestamp(lit(FarFuture)))
+      .withColumn("is_current", lit(true))
+  }
+
+  /** One merge pass: `dim` is the full history table (current + closed
+    * rows), `staging` carries the key + tracked columns. Returns the new
+    * full history. */
+  def merge(dim: DataFrame, staging: DataFrame, cfg: Config,
+      loadTs: Column): DataFrame = {
+    val k = cfg.keyCol
+    val attrs = cfg.trackedCols
+    val dimCols = (Seq(k) ++ attrs ++ Seq(cfg.skCol, "valid_from",
+      "valid_to", "is_current")).map(col)
+
+    val current = dim.filter(col("is_current")).withColumn("__h", rowHash(cfg))
+    val history = dim.filter(!col("is_current"))
+    val src = staging.select(k, attrs: _*).withColumn("__h", rowHash(cfg))
+
+    // staging ⟕ current on the business key: classify each source row
+    val curKeyed = current.select(col(k).as("__ck"), col("__h").as("__ch"))
+    val classified = src.join(curKeyed, col(k) === col("__ck"), "left")
+    val changed = classified.filter(col("__ck").isNotNull && col("__h") =!= col("__ch"))
+    val fresh = classified.filter(col("__ck").isNull)
+
+    // inserts = changed ∪ fresh, SKs continuing from MAX(existing)
+    // (Scd_Type2.sql:34's scalar subquery → one driver scalar; at scale
+    // this is a metadata-sized agg, not a data motion)
+    val maxSk = dim.agg(coalesce(max(col(cfg.skCol)), lit(0L))).first().getLong(0)
+    val skAssign =
+      if (cfg.denseSk) row_number().over(Window.orderBy(k)).cast("long") + maxSk
+      else monotonically_increasing_id() + maxSk + 1
+    val inserts = changed.unionByName(fresh)
+      .select(col(k) +: attrs.map(col): _*)
+      .withColumn(cfg.skCol, skAssign)
+      .withColumn("valid_from", loadTs)
+      .withColumn("valid_to", to_timestamp(lit(FarFuture)))
+      .withColumn("is_current", lit(true))
+
+    // close changed current rows; keep unchanged current rows
+    val changedKeys = changed.select(col(k).as("__k")).distinct()
+    val closed = current.join(changedKeys, col(k) === col("__k"), "left_semi")
+      .withColumn("valid_to", loadTs)
+      .withColumn("is_current", lit(false))
+    val unchanged = current.join(changedKeys, col(k) === col("__k"), "left_anti")
+
+    Seq(history, closed, unchanged, inserts)
+      .map(_.select(dimCols: _*))
+      .reduce(_.unionByName(_))
+  }
+
+  /** Deterministic verify scenario over TESTDATA `orders`: initial load
+    * of 80% of keys at T1, then a staging batch where every key
+    * divisible by 5 flips its status (simulated CDC update à la
+    * Scd_Type2.sql:7–11) plus the remaining 20% as new keys, merged at
+    * T2. Output = full history. */
+  def ordersScenario(spark: SparkSession, dir: String): DataFrame = {
+    val cfg = Config("order_id",
+      Seq("order_status", "total_price", "priority"), "order_sk")
+    val t1 = to_timestamp(lit("2024-01-01 00:00:00"))
+    val t2 = to_timestamp(lit("2024-06-01 00:00:00"))
+    val o = Tables.orders(spark, dir).select(
+      col("o_orderkey").as("order_id"),
+      col("o_orderstatus").as("order_status"),
+      col("o_totalprice").as("total_price"),
+      col("o_orderpriority").as("priority"))
+    val initial = o.filter(col("order_id") % 10 < 8)
+    val staging = o.withColumn("order_status",
+      when(col("order_id") % 5 === 0, lit("D")).otherwise(col("order_status")))
+    val dim0 = initialLoad(initial, cfg, t1)
+    merge(dim0, staging, cfg, t2)
+      .orderBy("order_id", "valid_from")
+  }
+}
