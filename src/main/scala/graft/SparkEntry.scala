@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Events, Gold, Relational, Scd2}
+import graft.operators.{Events, Gold, Relational, Scd2, TextOps, VectorOps}
+import graft.streaming.StreamingFunnel
 import graft.util.Portable.Sql._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -48,6 +49,18 @@ object SparkEntry {
     "q24_gold_fact" -> (Gold.factOrderItems _),
     "q25_silver_events" -> (Events.silverEventsCleanse _),
     "q26_product_performance" -> (Gold.productPerformance _),
+    "q27_token_stats" -> (TextOps.tokenStats _),
+    "q28_quality_score" -> (TextOps.qualityScore _),
+    "q29_lang_id" -> (TextOps.langId _),
+    "q30_fingerprint" -> (TextOps.fingerprint _),
+    "q31_simhash" -> (TextOps.simhash _),
+    "q32_minhash_signature" -> (TextOps.minhashSignature _),
+    "q33_minhash_near_dups" -> ((s, d) => TextOps.minhashNearDups(s, d)),
+    "q34_ngram_jaccard" -> ((s, d) => TextOps.ngramJaccardPairs(s, d)),
+    "q35_knn_cosine" -> ((s, d) => VectorOps.knnCosine(s, d)),
+    "q36_embedding_pairs" -> ((s, d) => VectorOps.embeddingPairs(s, d)),
+    "q37_streaming_funnel" -> (StreamingFunnel.funnel _),
+    "q38_streaming_last_event" -> (StreamingFunnel.lastEventPerUser _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -56,6 +69,97 @@ object SparkEntry {
   // multi-row result carries a total ORDER BY.
 
   private val netExpr = "l_extendedprice * (1.0 - l_discount)"
+
+  /** DuckDB mirror of [[graft.util.Portable.portable32]]. */
+  private def h32(x: String) = s"CAST('0x' || substr(md5($x), 1, 8) AS BIGINT)"
+
+  /** DuckDB mirror of TextOps.shingles over `text` and `ws` columns. */
+  private val shingleExpr =
+    "CASE WHEN len(ws) < 3 THEN [text] ELSE " +
+      "list_transform(range(1, len(ws) - 1), " +
+      "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END"
+
+  /** DuckDB mirror of TextOps.simhash: 32 bit-majority terms. */
+  private val simhashSql: String = {
+    val terms = (0 until TextOps.SimhashBits).map { b =>
+      s"CASE WHEN 2 * len(list_filter(hs, x -> ((x >> $b) & 1) = 1)) " +
+        s">= len(hs) THEN ${1L << b} ELSE 0 END"
+    }
+    s"""WITH h AS (SELECT doc_id,
+       |  list_transform(string_split(text, ' '), t -> ${h32("t")}) AS hs
+       |  FROM documents)
+       |SELECT doc_id, CAST(${terms.mkString("\n  + ")} AS BIGINT) AS simhash
+       |FROM h ORDER BY doc_id""".stripMargin
+  }
+
+  private def minhashCols: String =
+    (0 until TextOps.MinhashSeeds).map(i =>
+      s"list_min(list_transform(sh, x -> ${h32(s"(x || '#$i')")})) AS mh$i")
+      .mkString(",\n  ")
+
+  private val minhashSigSql: String =
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |s AS (SELECT doc_id, $shingleExpr AS sh FROM d)
+       |SELECT doc_id,
+       |  $minhashCols
+       |FROM s ORDER BY doc_id""".stripMargin
+
+  private val jaccardExpr =
+    "CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) " +
+      "/ len(list_distinct(list_concat(a.shs, b.shs)))"
+
+  private val minhashNearDupSql: String = {
+    val bands = (0 until TextOps.MinhashSeeds / 2).map(b =>
+      s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |s AS (SELECT doc_id, $shingleExpr AS sh FROM d),
+       |sig AS (SELECT doc_id,
+       |  $minhashCols
+       |  FROM s),
+       |bands AS (
+       |  $bands),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+       |  FROM bands x JOIN bands y
+       |    ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
+       |   AND x.doc_id < y.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM s)
+       |SELECT ida, idb, ${val6(jaccardExpr)} AS jaccard
+       |FROM cand JOIN sets a ON ida = a.doc_id JOIN sets b ON idb = b.doc_id
+       |WHERE $jaccardExpr >= 0.7
+       |ORDER BY ida, idb""".stripMargin
+  }
+
+  /** DuckDB mirror of VectorOps.dot/norm/cosine: left folds match
+    * Spark's `aggregate` order, so the doubles are bit-identical. */
+  private def cosExpr(a: String, b: String) =
+    s"""list_reduce(list_transform(range(1, len($a.embedding) + 1),
+       |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)),
+       |      (x, y) -> x + y)
+       |  / (sqrt(list_reduce(list_transform($a.embedding,
+       |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+       |   * sqrt(list_reduce(list_transform($b.embedding,
+       |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))"""
+      .stripMargin
+
+  private val funnelSql =
+    """WITH stages(stage, stage_rank) AS
+      |  (VALUES ('signup', 1), ('view', 2), ('click', 3), ('purchase', 4)),
+      |counts AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
+      |SELECT stage, stage_rank, COALESCE(n, 0) AS n_events
+      |FROM stages LEFT JOIN counts ON stage = event_type
+      |ORDER BY stage_rank""".stripMargin
+
+  private val lastEventSql =
+    """SELECT user_id, last_ts, last_event FROM (
+      |  SELECT user_id, ts AS last_ts, event_type AS last_event,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id
+      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -125,21 +229,9 @@ object SparkEntry {
          |  COUNT(*) AS n_orders
          |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q09_funnel" ->
-      """WITH stages(stage, stage_rank) AS
-        |  (VALUES ('signup', 1), ('view', 2), ('click', 3), ('purchase', 4)),
-        |counts AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
-        |SELECT stage, stage_rank, COALESCE(n, 0) AS n_events
-        |FROM stages LEFT JOIN counts ON stage = event_type
-        |ORDER BY stage_rank""".stripMargin,
+    "q09_funnel" -> funnelSql,
 
-    "q10_last_event_per_user" ->
-      """SELECT user_id, last_ts, last_event FROM (
-        |  SELECT user_id, ts AS last_ts, event_type AS last_event,
-        |    ROW_NUMBER() OVER (PARTITION BY user_id
-        |      ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM events) WHERE rn = 1
-        |ORDER BY user_id""".stripMargin,
+    "q10_last_event_per_user" -> lastEventSql,
 
     "q11_first_item_per_order" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity FROM (
@@ -335,5 +427,80 @@ object SparkEntry {
          |  ${sum2("quantity")} AS units,
          |  COUNT(DISTINCT order_id) AS n_orders
          |FROM fact GROUP BY product_brand ORDER BY product_brand""".stripMargin,
+
+    "q27_token_stats" ->
+      """SELECT lang, COUNT(*) AS n_docs,
+        |  SUM(len(string_split(text, ' '))) AS total_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q28_quality_score" ->
+      """SELECT doc_id, len(w) AS n_tokens,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS type_token_ratio,
+        |  CAST(len(list_filter(w, t -> t IN ('the','a','of','and','to')))
+        |    AS DOUBLE) / len(w) AS stopword_ratio,
+        |  CAST(n_chars AS DOUBLE) / len(w) AS mean_token_len
+        |FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q29_lang_id" ->
+      """SELECT doc_id, lang, score_en, score_es, score_de,
+        |  CASE WHEN score_en >= score_es AND score_en >= score_de THEN 'en'
+        |       WHEN score_es >= score_de THEN 'es'
+        |       ELSE 'de' END AS predicted
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(w, t -> t IN ('the','a','of','and','to'))) AS score_en,
+        |    len(list_filter(w, t -> t IN ('el','la','los','de','y'))) AS score_es,
+        |    len(list_filter(w, t -> t IN ('der','die','das','und','zu'))) AS score_de
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
+        |ORDER BY doc_id""".stripMargin,
+
+    "q30_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_simhash" -> simhashSql,
+
+    "q32_minhash_signature" -> minhashSigSql,
+
+    "q33_minhash_near_dups" -> minhashNearDupSql,
+
+    "q34_ngram_jaccard" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |  FROM documents WHERE doc_id < 200),
+         |s AS (SELECT doc_id, list_distinct($shingleExpr) AS shs FROM d)
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |  ${val6(jaccardExpr)} AS jaccard
+         |FROM s a JOIN s b ON a.doc_id < b.doc_id
+         |WHERE $jaccardExpr >= 0.2
+         |ORDER BY ida, idb""".stripMargin,
+
+    "q35_knn_cosine" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    ${cosExpr("q", "c")} AS cos
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cos,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC, neighbor_id) AS rn FROM p)
+         |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
+         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+
+    "q36_embedding_pairs" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < 500),
+         |p AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb, ${cosExpr("a", "b")} AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT ida, idb, ${val6("cos")} AS cos_sim
+         |FROM p WHERE cos >= 0.4 ORDER BY ida, idb""".stripMargin,
+
+    "q37_streaming_funnel" -> funnelSql,
+
+    "q38_streaming_last_event" -> lastEventSql,
   )
 }

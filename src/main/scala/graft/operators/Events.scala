@@ -48,7 +48,7 @@ object Events {
     f.withColumn("prev_n", lag(col("n_events"), 1).over(w))
       .withColumn("conversion_pct",
         when(col("prev_n").isNotNull && col("prev_n") > 0,
-          round(col("n_events").cast("double") / col("prev_n") * 100.0, 4)))
+          val4(col("n_events").cast("double") / col("prev_n") * 100.0)))
       .select("stage", "stage_rank", "n_events", "conversion_pct")
       .orderBy("stage_rank")
   }

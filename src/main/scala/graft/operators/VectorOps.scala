@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Similarity search over embedding columns (`Array[Float]`) — the
+  * ANN surface a training-data pipeline needs (north-star extensions,
+  * SURVEY §7.1.8).
+  *
+  * Math is pure `zip_with` + left-fold `aggregate` over the arrays:
+  * codegen-friendly, no UDFs, and fold order matches DuckDB's
+  * `list_reduce`, so cosine values are bit-reproducible in the oracle.
+  *
+  * Scale shapes:
+  *  - brute-force top-k = broadcast the (small) query set against the
+  *    corpus → per-partition partial top-k → global top-k (Spark's
+  *    window-filter plans as shuffle of only candidate rows; with a
+  *    `limit` it's TakeOrderedAndProject's heap pattern);
+  *  - the LSH variant buckets by hyperplane sign bits so candidate
+  *    generation is an equi-join on band keys — the 100 TB path where
+  *    all-pairs is impossible.
+  */
+object VectorOps {
+
+  /** Left-fold dot product over two equal-length arrays, in doubles. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force cosine top-k: query vectors (vec_id < nQueries)
+    * against the whole corpus. The query set is broadcast; ranking uses
+    * a per-query window with a deterministic tiebreak. */
+  def knnCosine(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val pairs = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        graft.util.Portable.val6(col("cos")).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Bounded all-pairs similarity (exact baseline for the LSH path). */
+  def embeddingPairs(spark: SparkSession, dir: String,
+      maxId: Long = 500, threshold: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < maxId)
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    a.join(b, col("ida") < col("idb"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("ida"), col("idb"), graft.util.Portable.val6(col("cos")).as("cos_sim"))
+      .orderBy("ida", "idb")
+  }
+
+  /** Random-hyperplane LSH bucketing: `nBits` sign bits per band from
+    * deterministic pseudo-random hyperplanes (plane component (p, i) =
+    * portable-hashed integer mapped to [-1, 1]). Near-identical vectors
+    * agree on all sign bits with high probability, so candidate pairs
+    * come from an equi-join on (band, signature) — never all-pairs. */
+  def lshNearDups(spark: SparkSession, embeddings: DataFrame,
+      dim: Int, nBands: Int = 4, nBits: Int = 8,
+      threshold: Double = 0.95): DataFrame = {
+    // deterministic hyperplanes on the driver (tiny: nBands*nBits*dim)
+    val planes: Array[Array[Double]] =
+      Array.tabulate(nBands * nBits, dim) { (p, i) =>
+        val h = scala.util.hashing.MurmurHash3.stringHash(s"plane:$p:$i")
+        (h.toDouble / Int.MaxValue) // [-1, 1], deterministic
+      }
+    def sign(p: Int): Column = {
+      val plane = planes(p)
+      val prod = aggregate(
+        zip_with(col("embedding"),
+          array(plane.map(lit(_)): _*), (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, x) => acc + x)
+      when(prod >= 0, 1L).otherwise(0L)
+    }
+    val sigs = (0 until nBands).map { band =>
+      val bits = (0 until nBits).map(bit =>
+        sign(band * nBits + bit) * (1L << bit))
+      struct(lit(band).as("band"), bits.reduce(_ + _).as("sig"))
+    }
+    val keyed = embeddings
+      .select(col("vec_id"), col("embedding"),
+        explode(array(sigs: _*)).as("bk"))
+    val l = keyed.select(col("vec_id").as("ida"), col("embedding").as("va"),
+      col("bk").as("bka"))
+    val r = keyed.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+      col("bk").as("bkb"))
+    l.join(r, col("bka") === col("bkb") && col("ida") < col("idb"))
+      .select("ida", "idb", "va", "vb").distinct()
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("ida"), col("idb"), graft.util.Portable.val6(col("cos")).as("cos_sim"))
+      .orderBy("ida", "idb")
+  }
+}

@@ -37,6 +37,13 @@ object Portable {
 
   def val4(c: Column): Column = cents4(c).cast(DoubleType) / lit(10000.0)
 
+  /** Portable 6-decimal rounding for ratios/similarities (round(x, n)
+    * is NOT portable: Spark rounds the shortest decimal repr, DuckDB
+    * the binary value). */
+  def val6(c: Column): Column =
+    floor(c * lit(1000000.0) + lit(0.5)).cast(LongType)
+      .cast(DoubleType) / lit(1000000.0)
+
   /** Exact sum of a double money column, emitted as double. */
   def sumMoney2(c: Column): Column =
     sum(cents2(c)).cast(DoubleType) / lit(100.0)
@@ -68,6 +75,8 @@ object Portable {
       s"CAST(CAST(FLOOR($x * 100.0 + 0.5) AS BIGINT) AS DOUBLE) / 100.0"
     def val4(x: String): String =
       s"CAST(CAST(FLOOR($x * 10000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0"
+    def val6(x: String): String =
+      s"CAST(CAST(FLOOR($x * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0"
     def avg2(x: String): String =
       s"CAST(SUM(CAST(FLOOR($x * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT($x)"
     val hash32: String => String =

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{TextOps, VectorOps}
+import graft.streaming.StreamingFunnel
+
+/** North-star extension specs: dedup family, ANN, streaming parity. */
+class ExtensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("minhash LSH finds planted near-duplicates (and exact dups)") {
+    // sf0.001 has exact dups planted? verify behavior on a crafted frame
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = "the quick brown fox jumps over the lazy dog again and once"
+    val far = "completely different words with nothing shared at all here now"
+    val docs = Seq((0L, base), (1L, base), (2L, near), (3L, far))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("mh").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = TextOps.minhashNearDups(spark, tmp, threshold = 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L))) // exact dup always caught
+    assert(pairs.contains((0L, 2L)) || pairs.contains((1L, 2L))) // near dup
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L)) // far doc excluded
+  }
+
+  test("simhash: identical docs share signature; near docs are close") {
+    val got = TextOps.simhash(spark, sf("sf0.001"))
+    assert(got.count() == 500)
+    // deterministic across runs
+    val a = got.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = TextOps.simhash(spark, sf("sf0.001")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+  }
+
+  test("vector LSH near-dup finds planted near-identical embeddings") {
+    val v = Array.tabulate(16)(i => 0.1f * (i + 1))
+    val vNear = v.clone(); vNear(0) = v(0) + 1e-4f
+    val vFar = Array.tabulate(16)(i => if (i % 2 == 0) -1.0f else 1.0f)
+    val emb = Seq((0L, v.toSeq), (1L, vNear.toSeq), (2L, vFar.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = VectorOps.lshNearDups(spark, emb, dim = 16, threshold = 0.99)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
+  test("knn self-consistency: neighbors ranked by descending similarity") {
+    val knn = VectorOps.knnCosine(spark, sf("sf0.001"), nQueries = 3, k = 4)
+      .collect()
+    assert(knn.length == 12)
+    knn.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.sameElements(sims.sorted.reverse))
+    }
+  }
+
+  test("streaming funnel equals batch funnel") {
+    val streamed = StreamingFunnel.funnel(spark, sf("sf0.001")).collect()
+    val batch = graft.operators.Events.funnel(spark, sf("sf0.001")).collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
+
+  test("language id predicts en on english stopwords") {
+    val out = TextOps.langId(spark, sf("sf0.001"))
+    // vocabulary is english-ish; at least docs containing 'the'/'a' → en
+    assert(out.filter($"predicted" === "en" && $"score_en" > 0).count() > 0)
+    assert(out.filter($"score_en" > 0 && $"predicted" =!= "en").count() == 0)
+  }
+}
