@@ -94,13 +94,15 @@ object SparkEntry {
 
   private def minhashCols: String =
     (0 until TextOps.MinhashSeeds).map(i =>
-      s"list_min(list_transform(sh, x -> ${h32(s"(x || '#$i')")})) AS mh$i")
+      s"list_min(list_transform(hs, h -> (h * ${TextOps.MinhashA(i)} " +
+        s"+ ${TextOps.MinhashB(i)}) % ${TextOps.MinhashP})) AS mh$i")
       .mkString(",\n  ")
 
   private val minhashSigSql: String =
     s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
        |  FROM documents),
-       |s AS (SELECT doc_id, $shingleExpr AS sh FROM d)
+       |s AS (SELECT doc_id,
+       |  list_transform($shingleExpr, x -> ${h32("x")}) AS hs FROM d)
        |SELECT doc_id,
        |  $minhashCols
        |FROM s ORDER BY doc_id""".stripMargin
@@ -116,9 +118,11 @@ object SparkEntry {
     s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
        |  FROM documents),
        |s AS (SELECT doc_id, $shingleExpr AS sh FROM d),
+       |sh AS (SELECT doc_id,
+       |  list_transform(sh, x -> ${h32("x")}) AS hs FROM s),
        |sig AS (SELECT doc_id,
        |  $minhashCols
-       |  FROM s),
+       |  FROM sh),
        |bands AS (
        |  $bands),
        |cand AS (

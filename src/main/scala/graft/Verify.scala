@@ -2,7 +2,14 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Queries run on a small thread pool — Spark's scheduler is
+  * thread-safe and the jobs are mostly independent scans, so wall time
+  * is dominated by the slowest few queries, not the sum of all 38.
+  * Streaming queries (memory sinks, global temp view names) run on the
+  * main thread afterwards to avoid sink-name races.
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
@@ -16,13 +23,26 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+
+    val (streaming, batch) =
+      SparkEntry.queries.toSeq.partition(_._1.contains("streaming"))
+
+    def runOne(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    val futures = batch.map { case (name, fn) =>
+      pool.submit(new Runnable { def run(): Unit = runOne(name, fn) })
     }
+    futures.foreach(_.get())
+    pool.shutdown()
+    streaming.foreach { case (name, fn) => runOne(name, fn) }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

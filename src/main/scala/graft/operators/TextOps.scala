@@ -98,50 +98,129 @@ object TextOps {
 
   val MinhashSeeds = 8
 
-  /** One MinHash value: min portable hash of `shingle + "#" + seed`. */
-  private def minhashCol(sh: Column, seed: Int): Column =
-    array_min(transform(sh,
-      s => Portable.portable32(concat(s, lit(s"#$seed")))))
+  /** Universal-hash family over the base 32-bit shingle hash:
+    * h_i(x) = (a_i·h(x) + b_i) mod P with P prime > 2^32. The base md5
+    * hash runs ONCE per shingle (md5 through an interpreted lambda is
+    * the expensive part — 8× fewer evaluations); deriving the family is
+    * pure integer arithmetic, identical in the DuckDB oracle. */
+  val MinhashP: Long = 4294967311L
+  val MinhashA: Seq[Long] = Seq(1000003L, 1000033L, 1000037L, 1000039L,
+    1000081L, 1000099L, 1000117L, 1000121L)
+  val MinhashB: Seq[Long] = Seq(7L, 11L, 13L, 17L, 19L, 23L, 29L, 31L)
 
-  /** MinHash signatures (8 hashes) per document — map-only, no shuffle;
-    * the oracle recomputes the identical signature in SQL. */
+  /** Typed per-document signature row. */
+  case class DocSig(doc_id: Long, shs: Array[String], mh: Array[Long])
+
+  /** Scala-side mirrors of [[shingles]] and [[Portable.portable32]] —
+    * byte-identical values (first 8 hex chars of lowercase md5 of the
+    * UTF-8 text, parsed base-16). */
+  def shinglesOf(text: String): Array[String] = {
+    val w = text.split(" ", -1)
+    if (w.length < 3) Array(text)
+    else Array.tabulate(w.length - 2)(i => w(i) + " " + w(i + 1) + " " + w(i + 2))
+  }
+
+  def portable32Of(md: java.security.MessageDigest, s: String): Long = {
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 4 bytes of the digest == first 8 hex chars, as unsigned
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Per-partition signature kernel (mapPartitions — the documented
+    * last-resort tier, and the right one here: Catalyst higher-order
+    * lambdas run interpreted with no codegen and no common-subexpression
+    * elimination, so the md5 subtree re-evaluates once per referencing
+    * column and CollapseProject/CollapseRepartition defeat every pure
+    * plan-level barrier — measured 4.4–56s at sf0.1 for what this kernel
+    * does in <1s. Values are identical to the Column-expression form and
+    * the DuckDB oracle recomputes them in SQL. */
+  def signatures(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[DocSig] = {
+    import spark.implicits._
+    val n = spark.sparkContext.defaultParallelism
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(n) // one small file = one input split otherwise
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val sh = shinglesOf(text)
+          val hs = sh.map(portable32Of(md, _))
+          val mh = Array.tabulate(MinhashSeeds) { i =>
+            var m = Long.MaxValue
+            var j = 0
+            while (j < hs.length) {
+              val v = (hs(j) * MinhashA(i) + MinhashB(i)) % MinhashP
+              if (v < m) m = v
+              j += 1
+            }
+            m
+          }
+          DocSig(id, sh.distinct, mh)
+        }
+      }
+  }
+
+  /** MinHash signatures (8 hashes) per document; the oracle recomputes
+    * the identical signature in SQL. */
   def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
-    val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
-    val mh = (0 until MinhashSeeds).map(i => minhashCol(col("sh"), i).as(f"mh$i"))
-    base.select(col("doc_id") +: mh: _*).orderBy("doc_id")
+    val mhCols = (0 until MinhashSeeds).map(i =>
+      element_at(col("mh"), i + 1).as(f"mh$i"))
+    signatures(spark, dir).toDF()
+      .select(col("doc_id") +: mhCols: _*)
+      .orderBy("doc_id")
   }
 
   /** MinHash + LSH near-duplicate pairs: 4 bands × 2 rows; candidate
     * pairs share at least one full band, then pay an exact shingle-set
-    * Jaccard check at `threshold`. The self-join runs on band keys
-    * (shuffle on tiny band hashes, never all-pairs); exact Jaccard only
-    * touches candidates. */
+    * Jaccard check at `threshold`.
+    *
+    * Single-pass shape: signature, band keys and the (distinct) shingle
+    * set come out of one kernel pass, shuffle once on the band key, and
+    * pairs are generated *inside* each bucket with their Jaccard.
+    * Bucket sizes are near-dup cluster sizes — small by construction;
+    * the shuffle carries nBands copies of the shingle arrays, the
+    * standard LSH space/time trade. */
   def minhashNearDups(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame = {
-    val sig = minhashSignature(spark, dir)
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), array_distinct(shingles(col("text"))).as("shs"))
+    val base = signatures(spark, dir).toDF()
+      .select(col("doc_id") +: col("shs") +:
+        (0 until MinhashSeeds).map(i =>
+          element_at(col("mh"), i + 1).as(f"mh$i")): _*)
 
     val bands = (0 until MinhashSeeds / 2).map(b =>
       struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"),
         col(s"mh${2 * b + 1}").as("h2")))
-    val exploded = sig.select(col("doc_id"),
-      explode(array(bands: _*)).as("bk"))
+    val exploded = base.select(
+      explode(array(bands: _*)).as("bk"),
+      struct(col("doc_id"), col("shs")).as("m"))
 
-    val l = exploded.select(col("doc_id").as("ida"), col("bk").as("bka"))
-    val r = exploded.select(col("doc_id").as("idb"), col("bk").as("bkb"))
-    val cand = l.join(r, col("bka") === col("bkb") && col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
+    val buckets = exploded.groupBy("bk")
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val pairsInBucket = flatten(transform(
+      sequence(lit(0), size(col("ms")) - 2),
+      i => transform(sequence(i + 1, size(col("ms")) - 1),
+        j => struct(
+          element_at(col("ms"), i + 1).getField("doc_id").as("ida"),
+          element_at(col("ms"), j + 1).getField("doc_id").as("idb"),
+          (size(array_intersect(
+            element_at(col("ms"), i + 1).getField("shs"),
+            element_at(col("ms"), j + 1).getField("shs"))).cast("double")
+            / size(array_union(
+              element_at(col("ms"), i + 1).getField("shs"),
+              element_at(col("ms"), j + 1).getField("shs")))).as("jaccard")))))
 
-    val da = docs.select(col("doc_id").as("ida"), col("shs").as("sha"))
-    val db = docs.select(col("doc_id").as("idb"), col("shs").as("shb"))
-    cand.join(da, "ida").join(db, "idb")
-      .withColumn("jaccard",
-        size(array_intersect(col("sha"), col("shb"))).cast("double")
-          / size(array_union(col("sha"), col("shb"))))
+    buckets.select(explode(pairsInBucket).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"),
+        col("p.jaccard").as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .select(col("ida"), col("idb"), graft.util.Portable.val6(col("jaccard")).as("jaccard"))
+      .groupBy("ida", "idb") // a pair can collide in several bands
+      .agg(first(col("jaccard")).as("jaccard"))
+      .select(col("ida"), col("idb"),
+        graft.util.Portable.val6(col("jaccard")).as("jaccard"))
       .orderBy("ida", "idb")
   }
 
@@ -168,21 +247,38 @@ object TextOps {
 
   val SimhashBits = 32
 
-  /** 32-bit SimHash per document, computed entirely with array
-    * higher-order functions (no explode, no shuffle): bit b is set when
-    * at least half the token hashes have bit b set. */
+  /** 32-bit SimHash per document via the same typed kernel tier as
+    * [[signatures]] (32 bit-majority columns through interpreted
+    * higher-order lambdas would re-evaluate the md5 transform per
+    * column): bit b is set when at least half the token hashes have
+    * bit b set. Map-only, no shuffle beyond the scan fan-out. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val hs = transform(tokens(col("text")), t => Portable.portable32(t))
-    val n = size(col("hs"))
-    val bitCols = (0 until SimhashBits).map { b =>
-      val pow: Long = 1L << b
-      val cnt = size(filter(col("hs"),
-        h => shiftright(h, b).bitwiseAND(lit(1L)) === 1L))
-      when(cnt * 2 >= n, lit(pow)).otherwise(lit(0L))
-    }
+    import spark.implicits._
+    val n = spark.sparkContext.defaultParallelism
     Tables.documents(spark, dir)
-      .select(col("doc_id"), hs.as("hs"))
-      .select(col("doc_id"), bitCols.reduce(_ + _).as("simhash"))
+      .select(col("doc_id"), col("text"))
+      .repartition(n)
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, text) =>
+          val hs = text.split(" ", -1).map(portable32Of(md, _))
+          var sim = 0L
+          var b = 0
+          while (b < SimhashBits) {
+            var cnt = 0
+            var j = 0
+            while (j < hs.length) {
+              if (((hs(j) >> b) & 1L) == 1L) cnt += 1
+              j += 1
+            }
+            if (2 * cnt >= hs.length) sim |= (1L << b)
+            b += 1
+          }
+          (id, sim)
+        }
+      }
+      .toDF("doc_id", "simhash")
       .orderBy("doc_id")
   }
 }

@@ -42,11 +42,15 @@ object VectorOps {
   def knnCosine(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     val e = Tables.embeddings(spark, dir)
+    // norms are projected per ROW before the pair join (N + Q sqrt-folds
+    // instead of N×Q×2) — bit-identical to computing them per pair
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        norm(col("embedding")).as("qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
     val pairs = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
     pairs.withColumn("rn", row_number().over(w))
@@ -60,10 +64,12 @@ object VectorOps {
   def embeddingPairs(spark: SparkSession, dir: String,
       maxId: Long = 500, threshold: Double = 0.4): DataFrame = {
     val e = Tables.embeddings(spark, dir).filter(col("vec_id") < maxId)
-    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
-    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
+      norm(col("embedding")).as("na"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+      norm(col("embedding")).as("nb"))
     a.join(b, col("ida") < col("idb"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .filter(col("cos") >= threshold)
       .select(col("ida"), col("idb"), graft.util.Portable.val6(col("cos")).as("cos_sim"))
       .orderBy("ida", "idb")
