@@ -61,6 +61,8 @@ object SparkEntry {
     "q36_embedding_pairs" -> ((s, d) => VectorOps.embeddingPairs(s, d)),
     "q37_streaming_funnel" -> (StreamingFunnel.funnel _),
     "q38_streaming_last_event" -> (StreamingFunnel.lastEventPerUser _),
+    "q39_kpis" -> (Gold.kpis _),
+    "q40_date_dim" -> (Gold.dateDim _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -506,5 +508,21 @@ object SparkEntry {
     "q37_streaming_funnel" -> funnelSql,
 
     "q38_streaming_last_event" -> lastEventSql,
+
+    "q39_kpis" ->
+      s"""SELECT COUNT(*) AS total_orders,
+         |  ${sum2("o_totalprice")} AS total_revenue,
+         |  ${sum2("o_totalprice")} / COUNT(*) AS avg_order_value,
+         |  ${val4("CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) * 100.0 / COUNT(*)")} AS open_pct
+         |FROM orders""".stripMargin,
+
+    "q40_date_dim" ->
+      """SELECT CAST(d AS DATE) AS full_date,
+        |  CAST(strftime(d, '%Y%m%d') AS INT) AS date_sk,
+        |  year(d) AS year, quarter(d) AS quarter, month(d) AS month,
+        |  isodow(d) AS iso_dow
+        |FROM (SELECT unnest(generate_series(
+        |  DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY)) AS d)
+        |ORDER BY full_date""".stripMargin,
   )
 }

@@ -65,6 +65,35 @@ object Gold {
       .orderBy("order_id", "line_number")
   }
 
+  /** Generated date dimension (reference builds dim_date and a
+    * full_date → date_sk lookup, ecom_Gold_Layer.ipynb:53–57; F7):
+    * one sequence-explode over the order-date range, no input scan.
+    * iso_dow = 1 (Monday) … 7 — portable across engines. */
+  def dateDim(spark: SparkSession, dir: String): DataFrame =
+    spark.range(1)
+      .select(explode(sequence(
+        lit("1995-01-01").cast("date"), lit("2001-12-31").cast("date")))
+        .as("full_date"))
+      .select(
+        col("full_date"),
+        date_format(col("full_date"), "yyyyMMdd").cast("int").as("date_sk"),
+        year(col("full_date")).as("year"),
+        quarter(col("full_date")).as("quarter"),
+        month(col("full_date")).as("month"),
+        (weekday(col("full_date")) + 1).as("iso_dow"))
+      .orderBy("full_date")
+
+  /** Dashboard KPI scalars in one pass (reference app.py:179–205,
+    * 253–261 — F19/A2/A6/A8: totals, average order value, status
+    * share). One row out; everything derived from exact sums. */
+  def kpis(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).agg(
+      count(lit(1)).as("total_orders"),
+      sumMoney2(col("o_totalprice")).as("total_revenue"),
+      (sumMoney2(col("o_totalprice")) / count(lit(1))).as("avg_order_value"),
+      val4(sum(when(col("o_orderstatus") === "O", 1).otherwise(0))
+        .cast("double") * 100.0 / count(lit(1))).as("open_pct"))
+
   /** Mart: product performance (reference gold_product_performance,
     * README.md:83; consumed by app.py:371–445) over the fact. */
   def productPerformance(spark: SparkSession, dir: String): DataFrame =
