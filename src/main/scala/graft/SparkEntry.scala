@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Events, Gold, Relational, Scd2, TextOps, VectorOps}
-import graft.streaming.StreamingFunnel
+import graft.streaming.{StatefulFunnel, StreamingFunnel}
 import graft.util.Portable.Sql._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -63,6 +63,8 @@ object SparkEntry {
     "q38_streaming_last_event" -> (StreamingFunnel.lastEventPerUser _),
     "q39_kpis" -> (Gold.kpis _),
     "q40_date_dim" -> (Gold.dateDim _),
+    "q41_simhash_pairs" -> ((s, d) => TextOps.simhashNearDups(s, d)),
+    "q42_streaming_stateful_funnel" -> (StatefulFunnel.progress _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -82,17 +84,21 @@ object SparkEntry {
       "i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) END"
 
   /** DuckDB mirror of TextOps.simhash: 32 bit-majority terms. */
-  private val simhashSql: String = {
+  private val simhashCore: String = {
     val terms = (0 until TextOps.SimhashBits).map { b =>
       s"CASE WHEN 2 * len(list_filter(hs, x -> ((x >> $b) & 1) = 1)) " +
         s">= len(hs) THEN ${1L << b} ELSE 0 END"
     }
-    s"""WITH h AS (SELECT doc_id,
+    s"""h AS (SELECT doc_id,
        |  list_transform(string_split(text, ' '), t -> ${h32("t")}) AS hs
-       |  FROM documents)
-       |SELECT doc_id, CAST(${terms.mkString("\n  + ")} AS BIGINT) AS simhash
-       |FROM h ORDER BY doc_id""".stripMargin
+       |  FROM documents),
+       |sim AS (
+       |  SELECT doc_id, CAST(${terms.mkString("\n  + ")} AS BIGINT) AS simhash
+       |  FROM h)""".stripMargin
   }
+
+  private val simhashSql: String =
+    s"WITH $simhashCore\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"
 
   private def minhashCols: String =
     (0 until TextOps.MinhashSeeds).map(i =>
@@ -524,5 +530,25 @@ object SparkEntry {
         |FROM (SELECT unnest(generate_series(
         |  DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY)) AS d)
         |ORDER BY full_date""".stripMargin,
+
+    "q41_simhash_pairs" ->
+      s"""WITH $simhashCore
+         |SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY ida, idb""".stripMargin,
+
+    "q42_streaming_stateful_funnel" ->
+      """SELECT user_id,
+        |  MAX(CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+        |      WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END)
+        |    AS max_stage,
+        |  SUM(CASE WHEN event_type IN ('signup','view','click','purchase')
+        |      THEN 1 ELSE 0 END) AS n_funnel_events,
+        |  MAX(CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+        |      WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END) = 4
+        |    AS completed
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
   )
 }

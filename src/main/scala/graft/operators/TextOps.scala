@@ -281,4 +281,39 @@ object TextOps {
       .toDF("doc_id", "simhash")
       .orderBy("doc_id")
   }
+
+  /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHamming`,
+    * found by byte-banding: a pair differing in ≤3 of 32 bits must agree
+    * on at least one of the 4 bytes (pigeonhole), so bucketing on
+    * (band, byte) has GUARANTEED recall — the oracle checks this against
+    * a literal all-pairs `bit_count(xor(...))` scan. The Hamming filter
+    * itself is the custom codegen'd Catalyst expression
+    * [[graft.functions.HammingDistance]]. */
+  def simhashNearDups(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    import graft.functions.HammingDistance.hamming
+    val sig = simhash(spark, dir)
+    val bands = (0 until 4).map(b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xffL)).as("byte")))
+    val exploded = sig.select(explode(array(bands: _*)).as("bk"),
+      struct(col("doc_id"), col("simhash")).as("m"))
+    val buckets = exploded.groupBy("bk")
+      .agg(array_sort(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val pairsInBucket = flatten(transform(
+      sequence(lit(0), size(col("ms")) - 2),
+      i => transform(sequence(i + 1, size(col("ms")) - 1),
+        j => struct(
+          element_at(col("ms"), i + 1).getField("doc_id").as("ida"),
+          element_at(col("ms"), i + 1).getField("simhash").as("sa"),
+          element_at(col("ms"), j + 1).getField("doc_id").as("idb"),
+          element_at(col("ms"), j + 1).getField("simhash").as("sb")))))
+    buckets.select(explode(pairsInBucket).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb"),
+        hamming(col("p.sa"), col("p.sb")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("ida", "idb").agg(first(col("hamming")).as("hamming"))
+      .orderBy("ida", "idb")
+  }
 }
