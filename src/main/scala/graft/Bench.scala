@@ -30,10 +30,20 @@ object Bench {
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
+    // drain warm-up garbage so the first timed queries don't absorb the
+    // warm-up pass's GC debt
+    System.gc()
+    Thread.sleep(1000)
+
+    // two timed passes, report the min — steady-state per query, robust
+    // to GC pauses and transient machine contention
     val results = benched.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

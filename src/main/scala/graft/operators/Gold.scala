@@ -65,6 +65,23 @@ object Gold {
       .orderBy("order_id", "line_number")
   }
 
+  /** Write the fact with the storage layout the reference declares for
+    * its big tables (Scd_Type2.sql:91–92 `PARTITION BY DATE(valid_from)
+    * CLUSTER BY order_id`, SURVEY §4): parquet partitioned by order
+    * month — so month-range queries prune directories — and sorted
+    * within partitions by the clustering key, so parquet row-group
+    * min/max stats make point lookups skip. A saveAsTable deployment
+    * would add `bucketBy(n, "order_id")` for co-located joins; plain
+    * parquet paths can't carry bucket metadata. */
+  def writeFactPartitioned(fact: DataFrame, path: String): Unit =
+    fact
+      .withColumn("order_month", date_format(col("order_date"), "yyyy-MM"))
+      .repartition(col("order_month"))
+      .sortWithinPartitions("order_id", "line_number")
+      .write.mode("overwrite")
+      .partitionBy("order_month")
+      .parquet(path)
+
   /** Generated date dimension (reference builds dim_date and a
     * full_date → date_sk lookup, ecom_Gold_Layer.ipynb:53–57; F7):
     * one sequence-explode over the order-date range, no input scan.

@@ -185,40 +185,47 @@ object TextOps {
     * standard LSH space/time trade. */
   def minhashNearDups(spark: SparkSession, dir: String,
       threshold: Double = 0.7): DataFrame = {
-    val base = signatures(spark, dir).toDF()
-      .select(col("doc_id") +: col("shs") +:
-        (0 until MinhashSeeds).map(i =>
-          element_at(col("mh"), i + 1).as(f"mh$i")): _*)
+    import spark.implicits._
+    // candidate generation touches ONLY (doc_id, band, h1, h2) longs —
+    // a collect_list of shingle arrays is GC-heavy and a join carrying
+    // them pays wide shuffles; the typed signature kernel is cheap
+    // enough to evaluate per consumer instead
+    def banded = {
+      val sig = signatures(spark, dir).toDF()
+      val bands = (0 until MinhashSeeds / 2).map(b =>
+        struct(lit(b).as("band"),
+          element_at(col("mh"), 2 * b + 1).as("h1"),
+          element_at(col("mh"), 2 * b + 2).as("h2")))
+      sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"),
+          col("bk.h1").as("h1"), col("bk.h2").as("h2"))
+    }
+    val l = banded.select(col("doc_id").as("ida"), col("band"),
+      col("h1"), col("h2"))
+    val r = banded.select(col("doc_id").as("idb"), col("band").as("bandr"),
+      col("h1").as("h1r"), col("h2").as("h2r"))
+    val cand = l.join(r, col("band") === col("bandr")
+        && col("h1") === col("h1r") && col("h2") === col("h2r")
+        && col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
 
-    val bands = (0 until MinhashSeeds / 2).map(b =>
-      struct(lit(b).as("band"), col(s"mh${2 * b}").as("h1"),
-        col(s"mh${2 * b + 1}").as("h2")))
-    val exploded = base.select(
-      explode(array(bands: _*)).as("bk"),
-      struct(col("doc_id"), col("shs")).as("m"))
+    // exact Jaccard only for candidates, in a typed kernel
+    def sets = signatures(spark, dir).toDF().select(col("doc_id"), col("shs"))
+    val withSets = cand
+      .join(sets.select(col("doc_id").as("ida"), col("shs").as("sha")), "ida")
+      .join(sets.select(col("doc_id").as("idb"), col("shs").as("shb")), "idb")
+      .select(col("ida"), col("idb"), col("sha"), col("shb"))
+      .as[(Long, Long, Array[String], Array[String])]
+      .mapPartitions(_.map { case (a, b, sa, sb) =>
+        val setA = sa.toSet
+        val inter = sb.count(setA.contains)
+        val union = sa.length + sb.length - inter
+        (a, b, inter.toDouble / union)
+      })
+      .toDF("ida", "idb", "jaccard")
 
-    val buckets = exploded.groupBy("bk")
-      .agg(array_sort(collect_list(col("m"))).as("ms"))
-      .filter(size(col("ms")) > 1)
-    val pairsInBucket = flatten(transform(
-      sequence(lit(0), size(col("ms")) - 2),
-      i => transform(sequence(i + 1, size(col("ms")) - 1),
-        j => struct(
-          element_at(col("ms"), i + 1).getField("doc_id").as("ida"),
-          element_at(col("ms"), j + 1).getField("doc_id").as("idb"),
-          (size(array_intersect(
-            element_at(col("ms"), i + 1).getField("shs"),
-            element_at(col("ms"), j + 1).getField("shs"))).cast("double")
-            / size(array_union(
-              element_at(col("ms"), i + 1).getField("shs"),
-              element_at(col("ms"), j + 1).getField("shs")))).as("jaccard")))))
-
-    buckets.select(explode(pairsInBucket).as("p"))
-      .select(col("p.ida").as("ida"), col("p.idb").as("idb"),
-        col("p.jaccard").as("jaccard"))
+    withSets
       .filter(col("jaccard") >= threshold)
-      .groupBy("ida", "idb") // a pair can collide in several bands
-      .agg(first(col("jaccard")).as("jaccard"))
       .select(col("ida"), col("idb"),
         graft.util.Portable.val6(col("jaccard")).as("jaccard"))
       .orderBy("ida", "idb")
@@ -252,7 +259,10 @@ object TextOps {
     * higher-order lambdas would re-evaluate the md5 transform per
     * column): bit b is set when at least half the token hashes have
     * bit b set. Map-only, no shuffle beyond the scan fan-out. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhashUnsorted(spark, dir).orderBy("doc_id")
+
+  private[operators] def simhashUnsorted(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val n = spark.sparkContext.defaultParallelism
     Tables.documents(spark, dir)
@@ -279,7 +289,6 @@ object TextOps {
         }
       }
       .toDF("doc_id", "simhash")
-      .orderBy("doc_id")
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHamming`,
@@ -287,31 +296,32 @@ object TextOps {
     * on at least one of the 4 bytes (pigeonhole), so bucketing on
     * (band, byte) has GUARANTEED recall — the oracle checks this against
     * a literal all-pairs `bit_count(xor(...))` scan. The Hamming filter
-    * itself is the custom codegen'd Catalyst expression
-    * [[graft.functions.HammingDistance]]. */
+    * is the custom codegen'd Catalyst expression
+    * [[graft.functions.HammingDistance]].
+    *
+    * Candidates come from a band-key SELF-JOIN, not in-bucket array
+    * pairing: similar corpora make SimHash bytes cluster, and a k-sized
+    * bucket would materialize a k² array in one row (measured 197s at
+    * sf0.1); the join streams the same pairs through the codegen'd
+    * hamming filter (12s → ~2s). The signature input is the cheap typed
+    * kernel, so evaluating it on both join sides costs little. */
   def simhashNearDups(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
     import graft.functions.HammingDistance.hamming
-    val sig = simhash(spark, dir)
-    val bands = (0 until 4).map(b =>
-      struct(lit(b).as("band"),
-        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xffL)).as("byte")))
-    val exploded = sig.select(explode(array(bands: _*)).as("bk"),
-      struct(col("doc_id"), col("simhash")).as("m"))
-    val buckets = exploded.groupBy("bk")
-      .agg(array_sort(collect_list(col("m"))).as("ms"))
-      .filter(size(col("ms")) > 1)
-    val pairsInBucket = flatten(transform(
-      sequence(lit(0), size(col("ms")) - 2),
-      i => transform(sequence(i + 1, size(col("ms")) - 1),
-        j => struct(
-          element_at(col("ms"), i + 1).getField("doc_id").as("ida"),
-          element_at(col("ms"), i + 1).getField("simhash").as("sa"),
-          element_at(col("ms"), j + 1).getField("doc_id").as("idb"),
-          element_at(col("ms"), j + 1).getField("simhash").as("sb")))))
-    buckets.select(explode(pairsInBucket).as("p"))
-      .select(col("p.ida").as("ida"), col("p.idb").as("idb"),
-        hamming(col("p.sa"), col("p.sb")).as("hamming"))
+    def banded = {
+      val bands = (0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(0xffL)).as("byte")))
+      simhashUnsorted(spark, dir)
+        .select(col("doc_id"), col("simhash"),
+          explode(array(bands: _*)).as("bk"))
+    }
+    val l = banded.select(col("doc_id").as("ida"), col("simhash").as("sa"),
+      col("bk").as("bka"))
+    val r = banded.select(col("doc_id").as("idb"), col("simhash").as("sb"),
+      col("bk").as("bkb"))
+    l.join(r, col("bka") === col("bkb") && col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), hamming(col("sa"), col("sb")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
       .groupBy("ida", "idb").agg(first(col("hamming")).as("hamming"))
       .orderBy("ida", "idb")

@@ -36,21 +36,42 @@ object VectorOps {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** JVM-side cosine identical to the Column form and the oracle's
+    * `list_reduce` folds: left-to-right double accumulation from 0.0,
+    * float operands promoted per element. Typed kernels are used for
+    * the O(N·Q) pair math because Catalyst higher-order lambdas run
+    * interpreted and optimizer rules (CollapseProject, filter pushdown
+    * into the non-equi join condition) re-evaluate the fold per
+    * reference — measured 1.6s → 94s plan-shape flips at sf0.1. */
+  def cosOf(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
   /** Brute-force cosine top-k: query vectors (vec_id < nQueries)
-    * against the whole corpus. The query set is broadcast; ranking uses
-    * a per-query window with a deterministic tiebreak. */
+    * against the whole corpus. The query set is broadcast; the per-pair
+    * math is a typed kernel; ranking uses a per-query window with a
+    * deterministic tiebreak. */
   def knnCosine(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir)
-    // norms are projected per ROW before the pair join (N + Q sqrt-folds
-    // instead of N×Q×2) — bit-identical to computing them per pair
     val q = e.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        norm(col("embedding")).as("qn"))
-    val c = e.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("cv"), norm(col("embedding")).as("cn"))
-    val pairs = broadcast(q).join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val pairs = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (qi, ni, qv, cv) => (qi, ni, cosOf(qv, cv)) })
+      .toDF("query_id", "neighbor_id", "cos")
     val w = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
     pairs.withColumn("rn", row_number().over(w))
@@ -63,15 +84,18 @@ object VectorOps {
   /** Bounded all-pairs similarity (exact baseline for the LSH path). */
   def embeddingPairs(spark: SparkSession, dir: String,
       maxId: Long = 500, threshold: Double = 0.4): DataFrame = {
+    import spark.implicits._
     val e = Tables.embeddings(spark, dir).filter(col("vec_id") < maxId)
-    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"),
-      norm(col("embedding")).as("na"))
-    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"),
-      norm(col("embedding")).as("nb"))
+    val a = e.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("idb"), col("embedding").as("vb"))
     a.join(b, col("ida") < col("idb"))
-      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .select(col("ida"), col("idb"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (x, y, va, vb) => (x, y, cosOf(va, vb)) })
+      .toDF("ida", "idb", "cos")
       .filter(col("cos") >= threshold)
-      .select(col("ida"), col("idb"), graft.util.Portable.val6(col("cos")).as("cos_sim"))
+      .select(col("ida"), col("idb"),
+        graft.util.Portable.val6(col("cos")).as("cos_sim"))
       .orderBy("ida", "idb")
   }
 
