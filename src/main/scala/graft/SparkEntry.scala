@@ -228,8 +228,8 @@ object SparkEntry {
 
     "q07_late_shipments" ->
       """SELECT o_orderpriority,
-        |  SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
-        |      THEN 1 ELSE 0 END) AS late_items,
+        |  CAST(SUM(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS late_items,
         |  COUNT(*) AS total_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
@@ -294,8 +294,9 @@ object SparkEntry {
          |  FROM events
          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
          |sess AS (
-         |  SELECT *, SUM(new_session) OVER (PARTITION BY user_id
-         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+         |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    AS session_id
          |  FROM flagged)
          |SELECT user_id, session_id, COUNT(*) AS n_events,
          |  MIN(ts) AS session_start,
@@ -306,18 +307,17 @@ object SparkEntry {
          |ORDER BY user_id, session_id""".stripMargin,
 
     "q18_conversion_rates" ->
-      """WITH stages(stage, stage_rank) AS
-        |  (VALUES ('signup', 1), ('view', 2), ('click', 3), ('purchase', 4)),
-        |counts AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
-        |f AS (
-        |  SELECT stage, stage_rank, COALESCE(n, 0) AS n_events
-        |  FROM stages LEFT JOIN counts ON stage = event_type)
-        |SELECT stage, stage_rank, n_events,
-        |  CASE WHEN lag(n_events) OVER (ORDER BY stage_rank) > 0
-        |    THEN ROUND(CAST(n_events AS DOUBLE)
-        |      / lag(n_events) OVER (ORDER BY stage_rank) * 100.0, 4)
-        |  END AS conversion_pct
-        |FROM f ORDER BY stage_rank""".stripMargin,
+      s"""WITH stages(stage, stage_rank) AS
+         |  (VALUES ('signup', 1), ('view', 2), ('click', 3), ('purchase', 4)),
+         |counts AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1),
+         |f AS (
+         |  SELECT stage, stage_rank, COALESCE(n, 0) AS n_events
+         |  FROM stages LEFT JOIN counts ON stage = event_type)
+         |SELECT stage, stage_rank, n_events,
+         |  CASE WHEN lag(n_events) OVER (ORDER BY stage_rank) > 0
+         |    THEN ${val4("CAST(n_events AS DOUBLE) / lag(n_events) OVER (ORDER BY stage_rank) * 100.0")}
+         |  END AS conversion_pct
+         |FROM f ORDER BY stage_rank""".stripMargin,
 
     "q19_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
@@ -328,9 +328,13 @@ object SparkEntry {
 
     "q20_dq_metrics" ->
       """SELECT COUNT(*) AS total_rows,
-        |  COUNT(*) - COUNT(DISTINCT (l_orderkey, l_linenumber)) AS dup_keys,
-        |  SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS null_qty,
-        |  SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS null_shipdate
+        |  COUNT(*) - COUNT(DISTINCT
+        |    CAST(l_orderkey AS VARCHAR) || '|' || CAST(l_linenumber AS VARCHAR))
+        |    AS dup_keys,
+        |  CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_qty,
+        |  CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS null_shipdate
         |FROM lineitem""".stripMargin,
 
     "q21_customer_sk" ->
@@ -381,13 +385,13 @@ object SparkEntry {
         |UNION ALL
         |SELECT order_id, order_status, total_price, priority, order_sk,
         |  TIMESTAMP '2024-01-01 00:00:00',
-        |  TIMESTAMP '9999-12-31 23:59:59', TRUE
+        |  TIMESTAMP '2261-12-31 23:59:59', TRUE
         |FROM dim0 WHERE NOT EXISTS (SELECT 1 FROM changed c
         |                            WHERE c.order_id = dim0.order_id)
         |UNION ALL
         |SELECT order_id, order_status, total_price, priority, order_sk,
         |  TIMESTAMP '2024-06-01 00:00:00',
-        |  TIMESTAMP '9999-12-31 23:59:59', TRUE
+        |  TIMESTAMP '2261-12-31 23:59:59', TRUE
         |FROM inserts
         |ORDER BY order_id, valid_from""".stripMargin,
 
@@ -442,7 +446,7 @@ object SparkEntry {
 
     "q27_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
-        |  SUM(len(string_split(text, ' '))) AS total_tokens,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
 
@@ -544,8 +548,8 @@ object SparkEntry {
         |  MAX(CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
         |      WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END)
         |    AS max_stage,
-        |  SUM(CASE WHEN event_type IN ('signup','view','click','purchase')
-        |      THEN 1 ELSE 0 END) AS n_funnel_events,
+        |  CAST(SUM(CASE WHEN event_type IN ('signup','view','click','purchase')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel_events,
         |  MAX(CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
         |      WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END) = 4
         |    AS completed

@@ -18,6 +18,12 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // NOTE: parquet timestamps stay on the default INT96, which pyarrow
+      // reads as NAIVE datetime64[ns] — matching the DuckDB oracle's naive
+      // timestamps. TIMESTAMP_MICROS would read back tz-aware (UTC) and
+      // diverge from the oracle under exact hashing. The ns range limit
+      // (max 2262-04-11) is handled by keeping all emitted timestamps in
+      // range (see Scd2.FarFuture).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -216,7 +216,13 @@ object Relational {
   def dqMetrics(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).agg(
       count(lit(1)).as("total_rows"),
-      (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber")))
+      // distinct over an explicit delimited concat, not countDistinct(a, b):
+      // multi-column COUNT(DISTINCT) drops rows where ANY column is null in
+      // Spark but not in DuckDB's row-tuple form; the concat (null if any
+      // part is null) has identical null semantics in both engines.
+      (count(lit(1)) - countDistinct(concat(
+        col("l_orderkey").cast("string"), lit("|"),
+        col("l_linenumber").cast("string"))))
         .as("dup_keys"),
       sum(col("l_quantity").isNull.cast("long")).as("null_qty"),
       sum(col("l_shipdate").isNull.cast("long")).as("null_shipdate"))

@@ -35,7 +35,12 @@ import graft.sources.Tables
   * prune.
   */
 object Scd2 {
-  val FarFuture = "9999-12-31 23:59:59"
+  /** Open-ended `valid_to` sentinel. Deliberately NOT 9999-12-31: ns-based
+    * parquet readers (pandas/pyarrow coerce timestamps to datetime64[ns],
+    * whose max is 2262-04-11) silently wrap 9999-12-31 to 1816-03-30,
+    * which breaks any downstream exact compare. 2261-12-31 is the same
+    * "forever" semantically and survives every reader. */
+  val FarFuture = "2261-12-31 23:59:59"
 
   case class Config(
       keyCol: String,

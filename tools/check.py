@@ -3,9 +3,16 @@
 
 Runs each oracle SQL from <outDir>/oracle_sql.json in DuckDB against the
 parquet tables in <sfDir>, loads the Spark result parquet from
-<outDir>/<name>/, sorts columns by name and rows by all columns, and
-compares cell-by-cell (exact for non-floats, 1e-9 rel tolerance for
-floats, reporting the max float divergence so we know our margin).
+<outDir>/<name>/ **via pyarrow/pandas (the driver's read path — DuckDB's
+own parquet reader papers over INT96/ns issues pyarrow does not)**,
+sorts columns by name and rows by all columns, and compares:
+
+  - column *types* first (kind-level: int vs float vs bool vs object vs
+    datetime) — a DuckDB HUGEINT (SUM over ints) materializes as
+    float64 while Spark emits int64; the driver's hash gate fails on
+    that even when the values are numerically equal, so we fail too.
+  - then cell values: exact for non-floats, 1e-9 rel tolerance for
+    floats (reporting the max float divergence so we know our margin).
 
 Usage: python3 tools/check.py /root/testdata/sf0.01 /tmp/verify_out [query ...]
 """
@@ -19,11 +26,32 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        # parquet DATE reads back as object(datetime.date) via pyarrow but
+        # as datetime64 via DuckDB; tz-aware reads drop to naive. The
+        # driver's gate treats both as equal — normalize the same way.
+        if df[c].dtype.kind == "O":
+            nn = df[c].dropna()
+            if len(nn) and type(nn.iloc[0]).__name__ == "date":
+                df[c] = pd.to_datetime(df[c])
+        if df[c].dtype.kind == "M" and getattr(df[c].dtype, "tz", None):
+            df[c] = df[c].dt.tz_localize(None)
     if len(df) == 0:
         return df.reset_index(drop=True)
     # stringify for a stable multi-column sort (mixed types sort fine)
     key = df.astype(str).apply(lambda r: "\x01".join(r), axis=1)
     return df.iloc[key.argsort(kind="mergesort").values].reset_index(drop=True)
+
+
+def kind(dtype) -> str:
+    """Dtype equivalence class for the driver's hash: int/uint collapse,
+    datetime units (ns vs us) collapse, everything else by kind."""
+    k = dtype.kind
+    if k in ("i", "u"):
+        return "int"
+    if k == "M":
+        return "datetime"
+    return k  # f=float, b=bool, O=object
 
 
 def cmp_cell(a, b):
@@ -58,8 +86,9 @@ def main():
             n_fail += 1
             continue
         try:
-            got = norm(con.sql(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df())
+            # pyarrow read = the driver's path; ns coercion bugs surface here
+            got = norm(pd.concat([pd.read_parquet(f) for f in files],
+                                 ignore_index=True))
             exp = norm(con.sql(sql).df())
         except Exception as e:
             print(f"FAIL {name}: {e}")
@@ -72,6 +101,15 @@ def main():
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows spark={len(got)} oracle={len(exp)}")
+            n_fail += 1
+            continue
+        dtype_bad = [
+            (c, got[c].dtype, exp[c].dtype) for c in got.columns
+            if kind(got[c].dtype) != kind(exp[c].dtype)]
+        if dtype_bad:
+            c, gd, ed = dtype_bad[0]
+            more = f" (+{len(dtype_bad) - 1} more)" if len(dtype_bad) > 1 else ""
+            print(f"FAIL {name}: dtype col {c}: spark={gd} oracle={ed}{more}")
             n_fail += 1
             continue
         bad, maxd = None, 0.0
