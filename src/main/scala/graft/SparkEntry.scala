@@ -98,7 +98,7 @@ object SparkEntry {
   }
 
   private val simhashSql: String =
-    s"WITH $simhashCore\nSELECT doc_id, simhash FROM sim ORDER BY doc_id"
+    s"WITH $simhashCore\nSELECT doc_id, simhash FROM sim ORDER BY doc_id NULLS FIRST"
 
   private def minhashCols: String =
     (0 until TextOps.MinhashSeeds).map(i =>
@@ -113,7 +113,7 @@ object SparkEntry {
        |  list_transform($shingleExpr, x -> ${h32("x")}) AS hs FROM d)
        |SELECT doc_id,
        |  $minhashCols
-       |FROM s ORDER BY doc_id""".stripMargin
+       |FROM s ORDER BY doc_id NULLS FIRST""".stripMargin
 
   private val jaccardExpr =
     "CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) " +
@@ -142,7 +142,7 @@ object SparkEntry {
        |SELECT ida, idb, ${val6(jaccardExpr)} AS jaccard
        |FROM cand JOIN sets a ON ida = a.doc_id JOIN sets b ON idb = b.doc_id
        |WHERE $jaccardExpr >= 0.7
-       |ORDER BY ida, idb""".stripMargin
+       |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin
   }
 
   /** DuckDB mirror of VectorOps.dot/norm/cosine: left folds match
@@ -163,15 +163,15 @@ object SparkEntry {
       |counts AS (SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1)
       |SELECT stage, stage_rank, COALESCE(n, 0) AS n_events
       |FROM stages LEFT JOIN counts ON stage = event_type
-      |ORDER BY stage_rank""".stripMargin
+      |ORDER BY stage_rank NULLS FIRST""".stripMargin
 
   private val lastEventSql =
     """SELECT user_id, last_ts, last_event FROM (
       |  SELECT user_id, ts AS last_ts, event_type AS last_event,
       |    ROW_NUMBER() OVER (PARTITION BY user_id
-      |      ORDER BY ts DESC, event_id DESC) AS rn
+      |      ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) AS rn
       |  FROM events) WHERE rn = 1
-      |ORDER BY user_id""".stripMargin
+      |ORDER BY user_id NULLS FIRST""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -184,14 +184,14 @@ object SparkEntry {
          |  COUNT(*) AS count_order
          |FROM lineitem
          |GROUP BY l_returnflag, l_linestatus
-         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q02_filter_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice,
         |  substr(o_orderpriority, 1, 1) AS priority_class
         |FROM orders
         |WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
-        |ORDER BY o_totalprice DESC, o_orderkey ASC
+        |ORDER BY o_totalprice DESC NULLS LAST, o_orderkey ASC NULLS FIRST
         |LIMIT 25""".stripMargin,
 
     "q03_revenue_by_nation" ->
@@ -201,7 +201,7 @@ object SparkEntry {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN nation ON c_nationkey = n_nationkey
          |GROUP BY n_name
-         |ORDER BY n_name""".stripMargin,
+         |ORDER BY n_name NULLS FIRST""".stripMargin,
 
     "q04_brand_performance" ->
       s"""SELECT p_brand, ${sum4(netExpr)} AS revenue,
@@ -209,7 +209,7 @@ object SparkEntry {
          |  COUNT(DISTINCT l_orderkey) AS n_orders
          |FROM lineitem JOIN part ON l_partkey = p_partkey
          |GROUP BY p_brand
-         |ORDER BY p_brand""".stripMargin,
+         |ORDER BY p_brand NULLS FIRST""".stripMargin,
 
     "q05_top_customers" ->
       s"""SELECT c_custkey, c_name, revenue, n_orders
@@ -218,13 +218,13 @@ object SparkEntry {
          |    COUNT(*) AS n_orders
          |  FROM orders GROUP BY o_custkey
          |) JOIN customer ON o_custkey = c_custkey
-         |ORDER BY revenue DESC, c_custkey ASC
+         |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS FIRST
          |LIMIT 10""".stripMargin,
 
     "q06_distinct_users" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
         |  COUNT(*) AS n_events
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events GROUP BY event_type ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q07_late_shipments" ->
       """SELECT o_orderpriority,
@@ -233,13 +233,13 @@ object SparkEntry {
         |  COUNT(*) AS total_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority
-        |ORDER BY o_orderpriority""".stripMargin,
+        |ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
 
     "q08_monthly_revenue" ->
       s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
          |  ${sum2("o_totalprice")} AS revenue,
          |  COUNT(*) AS n_orders
-         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+         |FROM orders GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
 
     "q09_funnel" -> funnelSql,
 
@@ -248,43 +248,43 @@ object SparkEntry {
     "q11_first_item_per_order" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
-        |    ORDER BY l_extendedprice ASC, l_linenumber ASC) AS rn
+        |    ORDER BY l_extendedprice ASC NULLS FIRST, l_linenumber ASC NULLS FIRST) AS rn
         |  FROM lineitem) WHERE rn = 1
-        |ORDER BY l_orderkey""".stripMargin,
+        |ORDER BY l_orderkey NULLS FIRST""".stripMargin,
 
     "q12_dedup_exact" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
-        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+        |FROM documents GROUP BY text ORDER BY keep_id NULLS FIRST""".stripMargin,
 
     "q13_union_tagged" ->
       """SELECT 'customer' AS source_table, c_name AS name, c_acctbal AS acctbal
         |FROM customer
         |UNION ALL
         |SELECT 'supplier', s_name, s_acctbal FROM supplier
-        |ORDER BY source_table, name""".stripMargin,
+        |ORDER BY source_table NULLS FIRST, name NULLS FIRST""".stripMargin,
 
     "q14_mode_brand" ->
       """SELECT p_brand, COUNT(*) AS n FROM part
-        |GROUP BY p_brand ORDER BY n DESC, p_brand ASC LIMIT 1""".stripMargin,
+        |GROUP BY p_brand ORDER BY n DESC NULLS LAST, p_brand ASC NULLS FIRST LIMIT 1""".stripMargin,
 
     "q15_quantiles" ->
       """SELECT l_returnflag,
         |  median(l_quantity) AS median_qty,
         |  quantile_cont(l_quantity, 0.9) AS p90_qty,
         |  COUNT(*) AS n
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag NULLS FIRST""".stripMargin,
 
     "q16_event_gaps" ->
       """WITH g AS (
         |  SELECT user_id,
         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
-        |      PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |      PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS gap_us
         |  FROM events)
         |SELECT user_id, COUNT(*) AS n_gaps,
         |  CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_gap_s,
         |  CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
         |FROM g WHERE gap_us IS NOT NULL
-        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
 
     "q17_sessionize" ->
       s"""WITH flagged AS (
@@ -292,10 +292,10 @@ object SparkEntry {
          |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
          |         THEN 1 ELSE 0 END AS new_session
          |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
          |sess AS (
          |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
-         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST ROWS UNBOUNDED PRECEDING) AS BIGINT)
          |    AS session_id
          |  FROM flagged)
          |SELECT user_id, session_id, COUNT(*) AS n_events,
@@ -304,7 +304,7 @@ object SparkEntry {
          |    AS duration_s,
          |  ${sum2("value")} AS session_value
          |FROM sess GROUP BY user_id, session_id
-         |ORDER BY user_id, session_id""".stripMargin,
+         |ORDER BY user_id NULLS FIRST, session_id NULLS FIRST""".stripMargin,
 
     "q18_conversion_rates" ->
       s"""WITH stages(stage, stage_rank) AS
@@ -314,17 +314,17 @@ object SparkEntry {
          |  SELECT stage, stage_rank, COALESCE(n, 0) AS n_events
          |  FROM stages LEFT JOIN counts ON stage = event_type)
          |SELECT stage, stage_rank, n_events,
-         |  CASE WHEN lag(n_events) OVER (ORDER BY stage_rank) > 0
-         |    THEN ${val4("CAST(n_events AS DOUBLE) / lag(n_events) OVER (ORDER BY stage_rank) * 100.0")}
+         |  CASE WHEN lag(n_events) OVER (ORDER BY stage_rank NULLS FIRST) > 0
+         |    THEN ${val4("CAST(n_events AS DOUBLE) / lag(n_events) OVER (ORDER BY stage_rank NULLS FIRST) * 100.0")}
          |  END AS conversion_pct
-         |FROM f ORDER BY stage_rank""".stripMargin,
+         |FROM f ORDER BY stage_rank NULLS FIRST""".stripMargin,
 
     "q19_anti_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders
         |  WHERE o_custkey = c_custkey
         |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
-        |ORDER BY c_custkey""".stripMargin,
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
 
     "q20_dq_metrics" ->
       """SELECT COUNT(*) AS total_rows,
@@ -339,9 +339,9 @@ object SparkEntry {
 
     "q21_customer_sk" ->
       """SELECT c_custkey,
-        |  ROW_NUMBER() OVER (ORDER BY c_custkey) + 1000 AS customer_sk,
+        |  ROW_NUMBER() OVER (ORDER BY c_custkey NULLS FIRST) + 1000 AS customer_sk,
         |  c_mktsegment
-        |FROM customer ORDER BY c_custkey""".stripMargin,
+        |FROM customer ORDER BY c_custkey NULLS FIRST""".stripMargin,
 
     "q22_rollup_revenue" ->
       s"""SELECT c_mktsegment, o_orderstatus,
@@ -357,7 +357,7 @@ object SparkEntry {
         |    o_totalprice AS total_price, o_orderpriority AS priority
         |  FROM orders),
         |dim0 AS (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY order_id) AS BIGINT)
+        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY order_id NULLS FIRST) AS BIGINT)
         |    AS order_sk
         |  FROM base WHERE order_id % 10 < 8),
         |staging AS (
@@ -375,7 +375,7 @@ object SparkEntry {
         |  WHERE NOT EXISTS (SELECT 1 FROM dim0 d WHERE d.order_id = s.order_id)),
         |inserts AS (
         |  SELECT i.*, (SELECT COUNT(*) FROM dim0)
-        |      + ROW_NUMBER() OVER (ORDER BY order_id) AS order_sk
+        |      + ROW_NUMBER() OVER (ORDER BY order_id NULLS FIRST) AS order_sk
         |  FROM (SELECT * FROM changed UNION ALL SELECT * FROM fresh) i)
         |SELECT order_id, order_status, total_price, priority, order_sk,
         |  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
@@ -393,7 +393,7 @@ object SparkEntry {
         |  TIMESTAMP '2024-06-01 00:00:00',
         |  TIMESTAMP '2261-12-31 23:59:59', TRUE
         |FROM inserts
-        |ORDER BY order_id, valid_from""".stripMargin,
+        |ORDER BY order_id NULLS FIRST, valid_from NULLS FIRST""".stripMargin,
 
     "q24_gold_fact" ->
       s"""SELECT l_orderkey AS order_id, l_linenumber AS line_number,
@@ -414,7 +414,7 @@ object SparkEntry {
          |JOIN customer ON o_custkey = c_custkey
          |JOIN part ON l_partkey = p_partkey
          |JOIN supplier ON l_suppkey = s_suppkey
-         |ORDER BY order_id, line_number""".stripMargin,
+         |ORDER BY order_id NULLS FIRST, line_number NULLS FIRST""".stripMargin,
 
     "q25_silver_events" ->
       s"""SELECT event_id, user_id, event_type, ts,
@@ -423,10 +423,10 @@ object SparkEntry {
          |  ${val2("value")} AS value_amt,
          |  CAST(json_extract_string(props, '$$.k') AS INT) AS prop_k
          |FROM (
-         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts NULLS FIRST) AS rn
          |  FROM events) WHERE rn = 1
          |  AND ts IS NOT NULL AND event_type IS NOT NULL
-         |ORDER BY event_id""".stripMargin,
+         |ORDER BY event_id NULLS FIRST""".stripMargin,
 
     "q26_product_performance" ->
       s"""WITH fact AS (
@@ -442,13 +442,13 @@ object SparkEntry {
          |  ${sum4("net_amount")} AS revenue,
          |  ${sum2("quantity")} AS units,
          |  COUNT(DISTINCT order_id) AS n_orders
-         |FROM fact GROUP BY product_brand ORDER BY product_brand""".stripMargin,
+         |FROM fact GROUP BY product_brand ORDER BY product_brand NULLS FIRST""".stripMargin,
 
     "q27_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
         |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
         |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+        |FROM documents GROUP BY lang ORDER BY lang NULLS FIRST""".stripMargin,
 
     "q28_quality_score" ->
       """SELECT doc_id, len(w) AS n_tokens,
@@ -458,7 +458,7 @@ object SparkEntry {
         |  CAST(n_chars AS DOUBLE) / len(w) AS mean_token_len
         |FROM (SELECT doc_id, n_chars, string_split(text, ' ') AS w
         |      FROM documents)
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q29_lang_id" ->
       """SELECT doc_id, lang, score_en, score_es, score_de,
@@ -471,12 +471,12 @@ object SparkEntry {
         |    len(list_filter(w, t -> t IN ('el','la','los','de','y'))) AS score_es,
         |    len(list_filter(w, t -> t IN ('der','die','das','und','zu'))) AS score_de
         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents))
-        |ORDER BY doc_id""".stripMargin,
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q30_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q31_simhash" -> simhashSql,
 
@@ -492,7 +492,7 @@ object SparkEntry {
          |  ${val6(jaccardExpr)} AS jaccard
          |FROM s a JOIN s b ON a.doc_id < b.doc_id
          |WHERE $jaccardExpr >= 0.2
-         |ORDER BY ida, idb""".stripMargin,
+         |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin,
 
     "q35_knn_cosine" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
@@ -502,9 +502,9 @@ object SparkEntry {
          |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
          |r AS (SELECT query_id, neighbor_id, cos,
          |  ROW_NUMBER() OVER (PARTITION BY query_id
-         |    ORDER BY cos DESC, neighbor_id) AS rn FROM p)
+         |    ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST) AS rn FROM p)
          |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
-         |FROM r WHERE rn <= 5 ORDER BY query_id, rn""".stripMargin,
+         |FROM r WHERE rn <= 5 ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
 
     "q36_embedding_pairs" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings
@@ -513,7 +513,7 @@ object SparkEntry {
          |  SELECT a.vec_id AS ida, b.vec_id AS idb, ${cosExpr("a", "b")} AS cos
          |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
          |SELECT ida, idb, ${val6("cos")} AS cos_sim
-         |FROM p WHERE cos >= 0.4 ORDER BY ida, idb""".stripMargin,
+         |FROM p WHERE cos >= 0.4 ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin,
 
     "q37_streaming_funnel" -> funnelSql,
 
@@ -533,7 +533,7 @@ object SparkEntry {
         |  isodow(d) AS iso_dow
         |FROM (SELECT unnest(generate_series(
         |  DATE '1995-01-01', DATE '2001-12-31', INTERVAL 1 DAY)) AS d)
-        |ORDER BY full_date""".stripMargin,
+        |ORDER BY full_date NULLS FIRST""".stripMargin,
 
     "q41_simhash_pairs" ->
       s"""WITH $simhashCore
@@ -541,7 +541,7 @@ object SparkEntry {
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-         |ORDER BY ida, idb""".stripMargin,
+         |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin,
 
     "q42_streaming_stateful_funnel" ->
       """SELECT user_id,
@@ -553,6 +553,6 @@ object SparkEntry {
         |  MAX(CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
         |      WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END) = 4
         |    AS completed
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+        |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
   )
 }
