@@ -65,6 +65,12 @@ object SparkEntry {
     "q40_date_dim" -> (Gold.dateDim _),
     "q41_simhash_pairs" -> ((s, d) => TextOps.simhashNearDups(s, d)),
     "q42_streaming_stateful_funnel" -> (StatefulFunnel.progress _),
+    "q43_scd2_asof_lookup" -> (Scd2.asOfLookup _),
+    "q44_streaming_windowed_counts" -> (StreamingFunnel.windowedCounts _),
+    "q45_pivot_events" -> (Events.pivotEventCounts _),
+    "q46_cube_revenue" -> (Relational.cubeRevenue _),
+    "q47_moving_avg" -> (Relational.movingAvgRevenue _),
+    "q48_hash_sample" -> (Relational.hashSample _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -156,6 +162,54 @@ object SparkEntry {
        |   * sqrt(list_reduce(list_transform($b.embedding,
        |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))"""
       .stripMargin
+
+  /** DuckDB mirror of [[graft.operators.Scd2.ordersHistory]]: the WITH
+    * body (shared by q23 and the q43 as-of lookup) … */
+  private val scd2Ctes: String =
+    """base AS (
+      |  SELECT o_orderkey AS order_id, o_orderstatus AS order_status,
+      |    o_totalprice AS total_price, o_orderpriority AS priority
+      |  FROM orders),
+      |dim0 AS (
+      |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY order_id NULLS FIRST) AS BIGINT)
+      |    AS order_sk
+      |  FROM base WHERE order_id % 10 < 8),
+      |staging AS (
+      |  SELECT order_id,
+      |    CASE WHEN order_id % 5 = 0 THEN 'D' ELSE order_status END
+      |      AS order_status,
+      |    total_price, priority
+      |  FROM base),
+      |changed AS (
+      |  SELECT s.* FROM staging s JOIN dim0 d USING (order_id)
+      |  WHERE s.order_status <> d.order_status
+      |     OR s.total_price <> d.total_price OR s.priority <> d.priority),
+      |fresh AS (
+      |  SELECT s.* FROM staging s
+      |  WHERE NOT EXISTS (SELECT 1 FROM dim0 d WHERE d.order_id = s.order_id)),
+      |inserts AS (
+      |  SELECT i.*, (SELECT COUNT(*) FROM dim0)
+      |      + ROW_NUMBER() OVER (ORDER BY order_id NULLS FIRST) AS order_sk
+      |  FROM (SELECT * FROM changed UNION ALL SELECT * FROM fresh) i)""".stripMargin
+
+  /** … and the full-history union select (no ORDER BY). */
+  private val scd2HistSelect: String =
+    """SELECT order_id, order_status, total_price, priority, order_sk,
+      |  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+      |  TIMESTAMP '2024-06-01 00:00:00' AS valid_to, FALSE AS is_current
+      |FROM dim0 WHERE EXISTS (SELECT 1 FROM changed c
+      |                        WHERE c.order_id = dim0.order_id)
+      |UNION ALL
+      |SELECT order_id, order_status, total_price, priority, order_sk,
+      |  TIMESTAMP '2024-01-01 00:00:00',
+      |  TIMESTAMP '2261-12-31 23:59:59', TRUE
+      |FROM dim0 WHERE NOT EXISTS (SELECT 1 FROM changed c
+      |                            WHERE c.order_id = dim0.order_id)
+      |UNION ALL
+      |SELECT order_id, order_status, total_price, priority, order_sk,
+      |  TIMESTAMP '2024-06-01 00:00:00',
+      |  TIMESTAMP '2261-12-31 23:59:59', TRUE
+      |FROM inserts""".stripMargin
 
   private val funnelSql =
     """WITH stages(stage, stage_rank) AS
@@ -352,48 +406,9 @@ object SparkEntry {
          |ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
 
     "q23_scd2_merge" ->
-      """WITH base AS (
-        |  SELECT o_orderkey AS order_id, o_orderstatus AS order_status,
-        |    o_totalprice AS total_price, o_orderpriority AS priority
-        |  FROM orders),
-        |dim0 AS (
-        |  SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY order_id NULLS FIRST) AS BIGINT)
-        |    AS order_sk
-        |  FROM base WHERE order_id % 10 < 8),
-        |staging AS (
-        |  SELECT order_id,
-        |    CASE WHEN order_id % 5 = 0 THEN 'D' ELSE order_status END
-        |      AS order_status,
-        |    total_price, priority
-        |  FROM base),
-        |changed AS (
-        |  SELECT s.* FROM staging s JOIN dim0 d USING (order_id)
-        |  WHERE s.order_status <> d.order_status
-        |     OR s.total_price <> d.total_price OR s.priority <> d.priority),
-        |fresh AS (
-        |  SELECT s.* FROM staging s
-        |  WHERE NOT EXISTS (SELECT 1 FROM dim0 d WHERE d.order_id = s.order_id)),
-        |inserts AS (
-        |  SELECT i.*, (SELECT COUNT(*) FROM dim0)
-        |      + ROW_NUMBER() OVER (ORDER BY order_id NULLS FIRST) AS order_sk
-        |  FROM (SELECT * FROM changed UNION ALL SELECT * FROM fresh) i)
-        |SELECT order_id, order_status, total_price, priority, order_sk,
-        |  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
-        |  TIMESTAMP '2024-06-01 00:00:00' AS valid_to, FALSE AS is_current
-        |FROM dim0 WHERE EXISTS (SELECT 1 FROM changed c
-        |                        WHERE c.order_id = dim0.order_id)
-        |UNION ALL
-        |SELECT order_id, order_status, total_price, priority, order_sk,
-        |  TIMESTAMP '2024-01-01 00:00:00',
-        |  TIMESTAMP '2261-12-31 23:59:59', TRUE
-        |FROM dim0 WHERE NOT EXISTS (SELECT 1 FROM changed c
-        |                            WHERE c.order_id = dim0.order_id)
-        |UNION ALL
-        |SELECT order_id, order_status, total_price, priority, order_sk,
-        |  TIMESTAMP '2024-06-01 00:00:00',
-        |  TIMESTAMP '2261-12-31 23:59:59', TRUE
-        |FROM inserts
-        |ORDER BY order_id NULLS FIRST, valid_from NULLS FIRST""".stripMargin,
+      s"""WITH $scd2Ctes
+         |$scd2HistSelect
+         |ORDER BY order_id NULLS FIRST, valid_from NULLS FIRST""".stripMargin,
 
     "q24_gold_fact" ->
       s"""SELECT l_orderkey AS order_id, l_linenumber AS line_number,
@@ -554,5 +569,72 @@ object SparkEntry {
         |      WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END) = 4
         |    AS completed
         |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q43_scd2_asof_lookup" ->
+      s"""WITH $scd2Ctes,
+         |hist AS (
+         |$scd2HistSelect),
+         |probes AS (
+         |  SELECT o_orderkey AS order_id,
+         |    unnest([TIMESTAMP '2024-03-01 00:00:00',
+         |            TIMESTAMP '2024-07-01 00:00:00']) AS probe_ts
+         |  FROM orders)
+         |SELECT p.order_id, p.probe_ts, h.order_status, h.order_sk
+         |FROM probes p JOIN hist h ON p.order_id = h.order_id
+         |  AND h.valid_from <= p.probe_ts AND p.probe_ts < h.valid_to
+         |ORDER BY p.order_id NULLS FIRST, p.probe_ts NULLS FIRST""".stripMargin,
+
+    // 6h tumbling windows, epoch-aligned exactly like Spark's window():
+    // floor-divide event-time micros by the window span.
+    "q44_streaming_windowed_counts" ->
+      s"""SELECT
+         |  make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+         |    AS window_start,
+         |  make_timestamp(((epoch_us(ts) // 21600000000) + 1) * 21600000000)
+         |    AS window_end,
+         |  COUNT(*) AS n_events,
+         |  ${sum2("value")} AS window_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY 1 NULLS FIRST""".stripMargin,
+
+    "q45_pivot_events" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase
+        |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q46_cube_revenue" ->
+      """SELECT c_mktsegment, o_orderstatus,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+        |ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+
+    "q47_moving_avg" ->
+      """WITH m AS (
+        |  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT month,
+        |  CAST(rev_cents AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(CAST(SUM(rev_cents) OVER w3 AS BIGINT) AS DOUBLE)
+        |    / COUNT(*) OVER w3 / 100.0 AS revenue_ma3,
+        |  CAST(CAST(SUM(rev_cents) OVER wc AS BIGINT) AS DOUBLE) / 100.0
+        |    AS revenue_cum
+        |FROM m
+        |WINDOW w3 AS (ORDER BY month NULLS FIRST
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |       wc AS (ORDER BY month NULLS FIRST ROWS UNBOUNDED PRECEDING)
+        |ORDER BY month NULLS FIRST""".stripMargin,
+
+    "q48_hash_sample" ->
+      s"""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |FROM orders
+         |WHERE ${h32("CAST(o_orderkey AS VARCHAR)")} % 20 = 0
+         |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
   )
 }

@@ -105,6 +105,25 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Per-user event counts pivoted to one column per funnel stage
+    * (SURVEY §2.4 crosstab note; the reference's dashboard reshapes
+    * value_counts into wide form, app.py:238–241). The pivot domain is
+    * the FIXED stage list — passing explicit values skips the extra
+    * distinct-collection job Spark otherwise runs, keeps the column
+    * order deterministic, and makes the plan a single groupBy(user_id)
+    * shuffle with map-side partial counts. */
+  def pivotEventCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", stages.map(_._1))
+      .agg(count(lit(1)))
+      .select(col("user_id"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("view"), lit(0L)).as("n_view"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"))
+      .orderBy("user_id")
+
   /** Silver cleanse of the event stream (SURVEY §2.2/§2.8, reference
     * ecom_Silver_Layer.ipynb:191–289): key dedup keeping the earliest
     * row (W2 semantics), JSON property extraction, typed/derived

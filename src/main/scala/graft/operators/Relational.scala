@@ -255,4 +255,59 @@ object Relational {
         |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
         |""".stripMargin)
   }
+
+  /** Cube: all 2^2 grouping sets over (segment, status) — rollup's big
+    * sibling (SURVEY §2.4). Same analyzer workaround as [[rollupRevenue]]
+    * (DataFrame-API cube after a join trips a spurious ambiguous-self-join
+    * error in Spark 4.1.2). Grouping-set expansion happens AFTER the
+    * map-side partial agg on the full key, so the extra sets cost one
+    * expand + re-agg on already-reduced data, not extra fact passes. */
+  def cubeRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("cr_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("cr_orders")
+    spark.sql(
+      """SELECT c_mktsegment, o_orderstatus,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM cr_orders JOIN cr_customer ON o_custkey = c_custkey
+        |GROUP BY CUBE(c_mktsegment, o_orderstatus)
+        |ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** Trailing 3-month moving average + running total of monthly revenue
+    * (SURVEY §2.5 window-frame gap; the reference's dashboard draws the
+    * monthly trend, app.py:280–281, but has no frame windows at all).
+    * All math runs over integer cents inside the frames so the doubles
+    * at the boundary are engine-exact. The unpartitioned window is over
+    * the MONTHLY aggregate (≤ hundreds of rows at any scale) — the fact
+    * table was already reduced by the groupBy, so single-partition
+    * window execution is free. */
+  def movingAvgRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(spark, dir)
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+      .agg(sum(cents2(col("o_totalprice"))).as("rev_cents"))
+    val w3 = Window.orderBy("month").rowsBetween(-2, 0)
+    val wc = Window.orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    monthly.select(
+        col("month"),
+        (col("rev_cents").cast("double") / 100.0).as("revenue"),
+        (sum(col("rev_cents")).over(w3).cast("double")
+          / count(lit(1)).over(w3) / 100.0).as("revenue_ma3"),
+        (sum(col("rev_cents")).over(wc).cast("double") / 100.0)
+          .as("revenue_cum"))
+      .orderBy("month")
+  }
+
+  /** Deterministic hash sample: keep rows where a portable key hash lands
+    * in 1 of 20 buckets (~5%). Unlike TABLESAMPLE this is reproducible
+    * across engines, runs, AND cluster layouts — it's a scan-local
+    * filter (no shuffle, no RNG state), the property a 100 TB pipeline
+    * needs for stable eval/holdout splits. */
+  def hashSample(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .filter(portable32(col("o_orderkey").cast("string")) % 20 === 0)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      .orderBy("o_orderkey")
 }

@@ -122,7 +122,12 @@ object Scd2 {
     * divisible by 5 flips its status (simulated CDC update à la
     * Scd_Type2.sql:7–11) plus the remaining 20% as new keys, merged at
     * T2. Output = full history. */
-  def ordersScenario(spark: SparkSession, dir: String): DataFrame = {
+  def ordersScenario(spark: SparkSession, dir: String): DataFrame =
+    ordersHistory(spark, dir).orderBy("order_id", "valid_from")
+
+  /** The scenario's full history, unordered — shared by the merge query
+    * (q23) and the as-of lookup (q43). */
+  def ordersHistory(spark: SparkSession, dir: String): DataFrame = {
     val cfg = Config("order_id",
       Seq("order_status", "total_price", "priority"), "order_sk")
     val t1 = to_timestamp(lit("2024-01-01 00:00:00"))
@@ -137,6 +142,37 @@ object Scd2 {
       when(col("order_id") % 5 === 0, lit("D")).otherwise(col("order_status")))
     val dim0 = initialLoad(initial, cfg, t1)
     merge(dim0, staging, cfg, t2)
-      .orderBy("order_id", "valid_from")
+  }
+
+  /** Point-in-time (as-of) lookup: each probe (key, ts) resolves to the
+    * dimension version whose `[valid_from, valid_to)` interval covers the
+    * probe timestamp — the query every SCD2 table exists to answer
+    * (reference Scd_Type2.sql:91–92 partitions/clusters the history for
+    * exactly this read). Probes before a key's first version drop out
+    * (inner join), which the scenario exercises via the 20% of keys born
+    * at T2.
+    *
+    * Scale shape: equi-join on the business key carries the work — the
+    * validity-range predicate is a residual filter on the joined row, so
+    * this is a plain broadcast/shuffled hash join, never a nested-loop
+    * range join. A 100 TB deployment joins fact-sized probes against a
+    * dimension-sized history: broadcast when the history fits, else both
+    * sides shuffle on the key (history rows per key are the version
+    * count, so no skew beyond the fact's own key skew). */
+  def asOfLookup(spark: SparkSession, dir: String): DataFrame = {
+    val hist = ordersHistory(spark, dir)
+    val probes = Tables.orders(spark, dir)
+      .select(col("o_orderkey").as("order_id"))
+      .withColumn("probe_ts", explode(array(
+        to_timestamp(lit("2024-03-01 00:00:00")),
+        to_timestamp(lit("2024-07-01 00:00:00")))))
+    probes.join(broadcast(hist).as("h"),
+        probes("order_id") === col("h.order_id") &&
+        col("h.valid_from") <= col("probe_ts") &&
+        col("probe_ts") < col("h.valid_to"))
+      .select(probes("order_id"), col("probe_ts"),
+        col("h.order_status").as("order_status"),
+        col("h.order_sk").as("order_sk"))
+      .orderBy("order_id", "probe_ts")
   }
 }

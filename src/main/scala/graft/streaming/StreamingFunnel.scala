@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
 
 import graft.operators.Events
+import graft.util.Portable._
 
 /** Structured Streaming surface (SURVEY §2.10): the reference claims
   * near-real-time event processing but implements batch over an event
@@ -78,6 +79,40 @@ object StreamingFunnel {
       .select(col("stage"), col("stage_rank"),
         coalesce(col("n"), lit(0L)).as("n_events"))
       .orderBy("stage_rank")
+  }
+
+  /** Watermarked tumbling-window aggregation — the canonical Structured
+    * Streaming operator (event-time windows + watermark-bounded state).
+    * 6-hour tumbling windows over event time, counting events and
+    * summing the portable money value per window.
+    *
+    * Spark aligns tumbling windows to the unix epoch; the oracle mirrors
+    * that with integer floor-division of epoch microseconds, so the
+    * window boundaries are bit-identical. Complete mode + AvailableNow
+    * drains the bounded input; in production the same query in update
+    * mode emits per-trigger deltas and the 1-hour watermark lets state
+    * for closed windows be dropped — window state scales with the number
+    * of OPEN windows per key-space, not with history. */
+  def windowedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        sumMoney2(col("value")).as("window_value"))
+
+    val name = "streaming_windowed_counts_sink"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("window_value"))
+      .orderBy("window_start")
   }
 
   /** Streaming last-event-per-user (the reference's "current order

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Events, Relational, Scd2}
+
+/** Specs for the round-2 relational extensions: as-of lookup, pivot,
+  * cube, frame windows, deterministic sampling.
+  */
+class RelationalExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("asOfLookup: probe resolves to the interval covering it") {
+    val rows = Scd2.asOfLookup(spark, dir)
+    // keys born at T2 (order_id % 10 >= 8, the 'fresh' 20%) must have no
+    // version at the 2024-03-01 probe but exactly one at 2024-07-01
+    val fresh = rows.filter($"order_id" % 10 >= 8)
+    assert(fresh.filter($"probe_ts" < lit("2024-06-01")).count() == 0)
+    val freshLater = fresh.filter($"probe_ts" > lit("2024-06-01"))
+      .groupBy("order_id").count().select("count").distinct().as[Long].collect()
+    assert(freshLater.sameElements(Array(1L)))
+    // changed keys (order_id % 5 == 0 with a real status flip) see the OLD
+    // status at probe 1 and 'D' at probe 2
+    val flipped = rows.filter($"order_id" % 5 === 0 && $"order_id" % 10 < 8)
+    assert(flipped.filter($"probe_ts" > lit("2024-06-01"))
+      .filter($"order_status" =!= "D").count() == 0)
+    // no probe ever matches more than one version (intervals don't overlap)
+    assert(rows.groupBy("order_id", "probe_ts").count()
+      .filter($"count" > 1).count() == 0)
+  }
+
+  test("pivotEventCounts: wide counts match the long-form groupBy") {
+    val wide = Events.pivotEventCounts(spark, dir)
+    val long = graft.sources.Tables.events(spark, dir)
+      .groupBy("user_id", "event_type").count()
+    val purchases = long.filter($"event_type" === "purchase")
+      .select($"user_id", $"count".as("n"))
+    val joined = wide.join(purchases, Seq("user_id"), "left")
+      .select($"user_id", $"n_purchase", coalesce($"n", lit(0L)).as("n"))
+    assert(joined.filter($"n_purchase" =!= $"n").count() == 0)
+  }
+
+  test("cubeRevenue: grand total row equals full-table aggregate") {
+    val cube = Relational.cubeRevenue(spark, dir)
+    val grand = cube.filter($"c_mktsegment".isNull && $"o_orderstatus".isNull)
+      .select("n_orders").as[Long].collect()
+    val expected = graft.sources.Tables.orders(spark, dir).count()
+    assert(grand.sameElements(Array(expected)))
+    // cube ⊃ rollup: status-only subtotal rows exist
+    assert(cube.filter($"c_mktsegment".isNull && $"o_orderstatus".isNotNull)
+      .count() > 0)
+  }
+
+  test("movingAvgRevenue: ma3 is the mean of the trailing window") {
+    val rows = Relational.movingAvgRevenue(spark, dir)
+      .orderBy("month").collect()
+    assert(rows.length > 3)
+    val r = rows(3)
+    val trailing = Seq(rows(1), rows(2), rows(3))
+      .map(x => math.round(x.getAs[Double]("revenue") * 100))
+    val expected = trailing.sum.toDouble / 3 / 100.0
+    assert(math.abs(r.getAs[Double]("revenue_ma3") - expected) < 1e-9)
+    // cumulative is monotone for positive revenue
+    val cums = rows.map(_.getAs[Double]("revenue_cum"))
+    assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("hashSample: deterministic, ~5% rate, stable across runs") {
+    val s1 = Relational.hashSample(spark, dir).select("o_orderkey")
+      .as[Long].collect()
+    val s2 = Relational.hashSample(spark, dir).select("o_orderkey")
+      .as[Long].collect()
+    assert(s1.sameElements(s2))
+    val total = graft.sources.Tables.orders(spark, dir).count()
+    assert(s1.length > total * 0.02 && s1.length < total * 0.09)
+  }
+}
