@@ -71,6 +71,7 @@ object SparkEntry {
     "q46_cube_revenue" -> (Relational.cubeRevenue _),
     "q47_moving_avg" -> (Relational.movingAvgRevenue _),
     "q48_hash_sample" -> (Relational.hashSample _),
+    "q49_kmv_distinct" -> (Events.approxDistinctUsers _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -636,5 +637,25 @@ object SparkEntry {
          |FROM orders
          |WHERE ${h32("CAST(o_orderkey AS VARCHAR)")} % 20 = 0
          |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
+
+    // KMV sketch mirror: the k-th smallest distinct portable hash per
+    // group reproduces KmvDistinct.estimate exactly (integer math only).
+    "q49_kmv_distinct" ->
+      s"""WITH h AS (
+         |  SELECT DISTINCT event_type,
+         |    ${h32("CAST(user_id AS VARCHAR)")} AS hv
+         |  FROM events),
+         |r AS (
+         |  SELECT event_type, hv,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY hv NULLS FIRST) AS rn,
+         |    COUNT(*) OVER (PARTITION BY event_type) AS nd
+         |  FROM h)
+         |SELECT event_type, CAST(nd AS BIGINT) AS exact_users,
+         |  CAST(CASE WHEN nd < 64 THEN nd
+         |       ELSE (63 * 4294967296) // GREATEST(hv, 1) END AS BIGINT)
+         |    AS approx_users
+         |FROM r WHERE rn = LEAST(nd, 64)
+         |ORDER BY event_type NULLS FIRST""".stripMargin,
   )
 }

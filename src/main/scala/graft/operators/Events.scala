@@ -105,6 +105,23 @@ object Events {
       .orderBy("user_id", "session_id")
   }
 
+  /** Distinct users per event type, exact AND sketched (SURVEY A9; the
+    * scale path for the reference's `nunique()` dashboards,
+    * app.py:502–504). The KMV sketch ([[graft.functions.KmvDistinct]])
+    * ships k=64 longs per group across the shuffle instead of every
+    * distinct key — at 100 TB the exact countDistinct's per-key shuffle
+    * is the bottleneck, the sketch's isn't. Both run over the portable
+    * hash so the oracle reproduces the estimate exactly. */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        portable32(col("user_id").cast("string")).as("hv"))
+      .groupBy("event_type")
+      .agg(countDistinct(col("hv")).as("exact_users"),
+        graft.functions.KmvDistinct.kmvDistinct(col("hv"), 64)
+          .as("approx_users"))
+      .orderBy("event_type")
+
   /** Per-user event counts pivoted to one column per funnel stage
     * (SURVEY §2.4 crosstab note; the reference's dashboard reshapes
     * value_counts into wide form, app.py:238–241). The pivot domain is
