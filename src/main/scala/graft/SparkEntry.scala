@@ -72,6 +72,7 @@ object SparkEntry {
     "q47_moving_avg" -> (Relational.movingAvgRevenue _),
     "q48_hash_sample" -> (Relational.hashSample _),
     "q49_kmv_distinct" -> (Events.approxDistinctUsers _),
+    "q50_ivf_knn" -> ((s, d) => VectorOps.ivfKnn(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -153,16 +154,21 @@ object SparkEntry {
   }
 
   /** DuckDB mirror of VectorOps.dot/norm/cosine: left folds match
-    * Spark's `aggregate` order, so the doubles are bit-identical. */
-  private def cosExpr(a: String, b: String) =
-    s"""list_reduce(list_transform(range(1, len($a.embedding) + 1),
-       |      i -> CAST($a.embedding[i] AS DOUBLE) * CAST($b.embedding[i] AS DOUBLE)),
+    * Spark's `aggregate` order (and the typed kernel's independent
+    * accumulators), so the doubles are bit-identical. `a`/`b` are any
+    * list-typed SQL expressions. */
+  private def cosCols(a: String, b: String) =
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
        |      (x, y) -> x + y)
-       |  / (sqrt(list_reduce(list_transform($a.embedding,
+       |  / (sqrt(list_reduce(list_transform($a,
        |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
-       |   * sqrt(list_reduce(list_transform($b.embedding,
+       |   * sqrt(list_reduce(list_transform($b,
        |       v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y)))"""
       .stripMargin
+
+  private def cosExpr(a: String, b: String) =
+    cosCols(s"$a.embedding", s"$b.embedding")
 
   /** DuckDB mirror of [[graft.operators.Scd2.ordersHistory]]: the WITH
     * body (shared by q23 and the q43 as-of lookup) … */
@@ -657,5 +663,43 @@ object SparkEntry {
          |    AS approx_users
          |FROM r WHERE rn = LEAST(nd, 64)
          |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // IVF ANN mirror: same deterministic centroids (vec_id < 16), same
+    // nearest-centroid assignment, same top-4 probe list, same in-bucket
+    // ranking — reproduces the approximation (recall loss included).
+    "q50_ivf_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 16),
+         |ac AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosCols("e.embedding", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+         |    FROM ac) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+         |      WHERE vec_id < 10),
+         |qc AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT q.query_id, q.qv, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosCols("q.qv", "c.cv")} DESC NULLS LAST,
+         |                 c.cid NULLS FIRST) AS rn
+         |    FROM q CROSS JOIN c) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id,
+         |    ${cosCols("qc.qv", "a.embedding")} AS cos
+         |  FROM qc JOIN assign a USING (cid)
+         |  WHERE a.vec_id <> qc.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST) AS rn
+         |  FROM cand)
+         |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
+         |FROM r WHERE rn <= 5
+         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
   )
 }

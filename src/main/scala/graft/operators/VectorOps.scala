@@ -99,6 +99,90 @@ object VectorOps {
       .orderBy("ida", "idb")
   }
 
+  /** IVF (inverted-file) approximate nearest neighbor — the third
+    * similarity tier between brute force ([[knnCosine]]) and LSH
+    * ([[lshNearDups]]), and the standard billion-vector scale shape:
+    *
+    *  1. choose K coarse centroids (here: a deterministic sample — the
+    *     first K corpus vectors; a production run uses k-means output,
+    *     which is likewise a driver-side constant at query time);
+    *  2. assign every vector to its nearest centroid — ONE map-side
+    *     pass with the K×dim centroid table in the task closure, argmax
+    *     inline, no shuffle and no per-vector window;
+    *  3. per query, probe only the nProbe nearest centroids' buckets —
+    *     an equi-join on centroid id against the (tiny, broadcast)
+    *     probe list, so the scan touches ~nProbe/K of the corpus.
+    *
+    * At 100 TB the assignment is written once as a cid-bucketed table
+    * and queries read only their probed buckets (partition pruning on
+    * cid); recall/cost tunes with nProbe exactly like FAISS IVF.
+    * Everything is deterministic (cosine kernel + fixed tiebreaks), so
+    * the DuckDB oracle reproduces the result bit-for-bit, recall loss
+    * included. */
+  def ivfKnn(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame =
+    ivfKnnOn(spark, Tables.embeddings(spark, dir), nQueries, k,
+      nCentroids, nProbe)
+
+  def ivfKnnOn(spark: SparkSession, embeddings: DataFrame,
+      nQueries: Int, k: Int, nCentroids: Int, nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    val cents: Array[(Long, Array[Float])] =
+      e.filter(col("vec_id") < nCentroids)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    // (2) nearest-centroid assignment, argmax inline (ties → lowest cid)
+    val assigned = e.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var bestC = -1L
+          var best = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            val s = cosOf(v, cs(i)._2)
+            if (s > best) { best = s; bestC = cs(i)._1 }
+            i += 1
+          }
+          (id, bestC, v)
+        }
+      }.toDF("vec_id", "cid", "embedding")
+
+    // (3) probe list: each query's nProbe nearest centroids
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(desc("pcos"), asc("cid"))
+    val probes = e.filter(col("vec_id") < nQueries)
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        bc.value.map { case (cid, cv) => (qid, cid, cosOf(qv, cv), qv) }
+      }
+      .toDF("query_id", "cid", "pcos", "qv")
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "cid", "qv")
+
+    // candidates: only vectors in probed buckets (each vector lives in
+    // exactly one bucket, so no dedup needed)
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(probes)
+      .join(assigned, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (qi, ni, qv, cv) => (qi, ni, cosOf(qv, cv)) })
+      .toDF("query_id", "neighbor_id", "cos")
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        graft.util.Portable.val6(col("cos")).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Random-hyperplane LSH bucketing: `nBits` sign bits per band from
     * deterministic pseudo-random hyperplanes (plane component (p, i) =
     * portable-hashed integer mapped to [-1, 1]). Near-identical vectors

@@ -45,6 +45,39 @@ class ExtensionSpec extends SparkSpec {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("ivf: planted clusters are recovered through their own bucket") {
+    // 4 tight clusters of 8 vectors each; cluster seeds are the first 4
+    // ids so they double as IVF centroids. A query from cluster 0 must
+    // find its cluster-mates (they share its probed bucket).
+    val dim = 16
+    def vecOf(cluster: Int, jitter: Int): Seq[Float] =
+      Array.tabulate(dim)(i =>
+        (if (i % 4 == cluster) 1.0f else 0.05f) + jitter * 1e-3f).toSeq
+    val rows = for (c <- 0 until 4; j <- 0 until 8)
+      yield ((c + 4L * j), vecOf(c, j)) // ids 0..3 are the 4 seeds
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = graft.operators.VectorOps
+      .ivfKnnOn(spark, emb, nQueries = 4, k = 5, nCentroids = 4, nProbe = 1)
+    val byQuery = got.collect().groupBy(_.getLong(0))
+    assert(byQuery.keySet == Set(0L, 1L, 2L, 3L))
+    byQuery.foreach { case (q, ns) =>
+      // with nProbe=1 every neighbor comes from the query's own cluster:
+      // ids ≡ cluster (mod 4)
+      assert(ns.forall(r => r.getLong(2) % 4 == q % 4), s"query $q: ${ns.toSeq}")
+      assert(ns.map(_.getInt(1)).sorted.sameElements(1 to ns.length))
+    }
+  }
+
+  test("ivf on testdata: deterministic and structurally sound") {
+    val a = graft.operators.VectorOps.ivfKnn(spark, sf("sf0.001")).collect()
+    val b = graft.operators.VectorOps.ivfKnn(spark, sf("sf0.001")).collect()
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq)
+    a.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sims = rows.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(sims.sameElements(sims.sorted.reverse))
+    }
+  }
+
   test("knn self-consistency: neighbors ranked by descending similarity") {
     val knn = VectorOps.knnCosine(spark, sf("sf0.001"), nQueries = 3, k = 4)
       .collect()
