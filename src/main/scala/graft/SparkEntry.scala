@@ -73,6 +73,9 @@ object SparkEntry {
     "q48_hash_sample" -> (Relational.hashSample _),
     "q49_kmv_distinct" -> (Events.approxDistinctUsers _),
     "q50_ivf_knn" -> ((s, d) => VectorOps.ivfKnn(s, d)),
+    "q51_semi_join" -> (Relational.customersWithOrders _),
+    "q52_except_users" -> (Relational.viewedNeverPurchased _),
+    "q53_streaming_enriched" -> (StreamingFunnel.enrichedStageCounts _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -701,5 +704,29 @@ object SparkEntry {
          |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
          |FROM r WHERE rn <= 5
          |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    "q51_semi_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey
+        |    AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    "q52_except_users" ->
+      """SELECT user_id, CAST(ts AS DATE) AS view_date
+        |FROM events WHERE event_type = 'view'
+        |EXCEPT
+        |SELECT user_id, CAST(ts AS DATE)
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id NULLS FIRST, view_date NULLS FIRST""".stripMargin,
+
+    "q53_streaming_enriched" ->
+      s"""WITH stages(stage, stage_rank) AS
+         |  (VALUES ('signup', 1), ('view', 2), ('click', 3), ('purchase', 4))
+         |SELECT stage, stage_rank, COUNT(*) AS n_events,
+         |  ${sum2("value")} AS stage_value
+         |FROM events JOIN stages ON event_type = stage
+         |GROUP BY stage, stage_rank
+         |ORDER BY stage_rank NULLS FIRST""".stripMargin,
   )
 }

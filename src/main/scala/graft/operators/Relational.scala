@@ -210,6 +210,36 @@ object Relational {
       .orderBy("c_custkey")
   }
 
+  /** Semi join: customers with at least one order before 1996 —
+    * left_semi ≡ EXISTS, the complement of [[customersWithoutOrders]]
+    * (SURVEY §2.3). Same scale shape as the anti join: the date filter
+    * is pushed into the orders scan, only the distinct key set crosses
+    * the shuffle (or broadcasts when small). */
+  def customersWithOrders(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select("o_custkey")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+  }
+
+  /** EXCEPT (distinct set difference, SURVEY §2.7): user-days with a
+    * view but no purchase — the dashboard's "browsed, didn't buy"
+    * cohort at day granularity (user-level EXCEPT is degenerate in the
+    * dense synthetic data: every user eventually does everything).
+    * Spark plans except() as a left-anti join over pre-aggregated
+    * distinct keys, so the shuffle carries distinct (user, day) pairs
+    * only. */
+  def viewedNeverPurchased(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def days(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), to_date(col("ts")).as("view_date"))
+    days("view").except(days("purchase"))
+      .orderBy("user_id", "view_date")
+  }
+
   /** Data-quality counters (SURVEY A13/S9; reference
     * ecom_Silver_Layer.ipynb:196–246 prints dup/null counters per
     * table): one pass over lineitem, no joins. */

@@ -115,6 +115,34 @@ object StreamingFunnel {
       .orderBy("window_start")
   }
 
+  /** Stream-static join: the event stream enriched against a static
+    * dimension (the funnel stage domain) BEFORE aggregating — the
+    * pattern every production pipeline uses to attach dimension
+    * attributes at ingest (SURVEY §2.10). The static side is broadcast
+    * to every micro-batch task; no stream-side shuffle is added by the
+    * join, only by the aggregation that follows. Inner join doubles as
+    * the stage filter (non-funnel event types drop out). */
+  def enrichedStageCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stageDf = Events.stages.toDF("stage", "stage_rank")
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .join(broadcast(stageDf), col("event_type") === col("stage"))
+      .groupBy(col("stage"), col("stage_rank"))
+      .agg(count(lit(1)).as("n_events"),
+        sumMoney2(col("value")).as("stage_value"))
+
+    val name = "streaming_enriched_sink"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("stage_rank")
+  }
+
   /** Streaming last-event-per-user (the reference's "current order
     * status" mart, app.py:102–106, in update mode): flatMapGroupsWithState
     * would carry richer state; max_by aggregation is sufficient here and
