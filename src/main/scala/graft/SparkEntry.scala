@@ -76,6 +76,7 @@ object SparkEntry {
     "q51_semi_join" -> (Relational.customersWithOrders _),
     "q52_except_users" -> (Relational.viewedNeverPurchased _),
     "q53_streaming_enriched" -> (StreamingFunnel.enrichedStageCounts _),
+    "q54_string_funcs" -> (Relational.stringFuncs _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -728,5 +729,13 @@ object SparkEntry {
          |FROM events JOIN stages ON event_type = stage
          |GROUP BY stage, stage_rank
          |ORDER BY stage_rank NULLS FIRST""".stripMargin,
+
+    "q54_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(trim(c_name)) AS name_upper,
+        |  substr(c_mktsegment, 1, 3) AS seg_prefix,
+        |  regexp_extract(c_name, '([0-9]+)', 1) AS name_num,
+        |  c_mktsegment LIKE '%ING%' AS seg_ing
+        |FROM customer ORDER BY c_custkey NULLS FIRST""".stripMargin,
   )
 }

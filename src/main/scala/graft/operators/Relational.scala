@@ -330,6 +330,20 @@ object Relational {
       .orderBy("month")
   }
 
+  /** String-function sweep (SURVEY §2.8 F12/F13/F21 + silver cleanse
+    * string ops): case fold, trim+substring, regexp extraction, LIKE
+    * predicate — all codegen'd built-ins evaluated in one projection
+    * over the scan (no shuffle until the output sort). */
+  def stringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        upper(trim(col("c_name"))).as("name_upper"),
+        substring(col("c_mktsegment"), 1, 3).as("seg_prefix"),
+        regexp_extract(col("c_name"), "([0-9]+)", 1).as("name_num"),
+        col("c_mktsegment").like("%ING%").as("seg_ing"))
+      .orderBy("c_custkey")
+
   /** Deterministic hash sample: keep rows where a portable key hash lands
     * in 1 of 20 buckets (~5%). Unlike TABLESAMPLE this is reproducible
     * across engines, runs, AND cluster layouts — it's a scan-local

@@ -75,7 +75,7 @@ object Scd2 {
     * rows), `staging` carries the key + tracked columns. Returns the new
     * full history. */
   def merge(dim: DataFrame, staging: DataFrame, cfg: Config,
-      loadTs: Column): DataFrame = {
+      loadTs: Column, knownMaxSk: Option[Long] = None): DataFrame = {
     val k = cfg.keyCol
     val attrs = cfg.trackedCols
     val dimCols = (Seq(k) ++ attrs ++ Seq(cfg.skCol, "valid_from",
@@ -93,8 +93,13 @@ object Scd2 {
 
     // inserts = changed ∪ fresh, SKs continuing from MAX(existing)
     // (Scd_Type2.sql:34's scalar subquery → one driver scalar; at scale
-    // this is a metadata-sized agg, not a data motion)
-    val maxSk = dim.agg(coalesce(max(col(cfg.skCol)), lit(0L))).first().getLong(0)
+    // this is a metadata-sized agg, not a data motion). Callers that
+    // know the max structurally (e.g. right after a dense initial load,
+    // where it equals the row count) pass it in and skip the extra
+    // action — which otherwise re-evaluates the dimension lineage,
+    // including the SK-assignment sort, once per merge.
+    val maxSk = knownMaxSk.getOrElse(
+      dim.agg(coalesce(max(col(cfg.skCol)), lit(0L))).first().getLong(0))
     val skAssign =
       if (cfg.denseSk) row_number().over(Window.orderBy(k)).cast("long") + maxSk
       else monotonically_increasing_id() + maxSk + 1
@@ -141,7 +146,9 @@ object Scd2 {
     val staging = o.withColumn("order_status",
       when(col("order_id") % 5 === 0, lit("D")).otherwise(col("order_status")))
     val dim0 = initialLoad(initial, cfg, t1)
-    merge(dim0, staging, cfg, t2)
+    // dense initial load → max SK == row count; a column-pruned count on
+    // the filtered scan is far cheaper than evaluating dim0's window
+    merge(dim0, staging, cfg, t2, knownMaxSk = Some(initial.count()))
   }
 
   /** Point-in-time (as-of) lookup: each probe (key, ts) resolves to the
