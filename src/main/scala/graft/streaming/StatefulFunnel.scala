@@ -45,6 +45,63 @@ object StatefulFunnel {
       FunnelProgress(userId, s.maxStage, s.nFunnelEvents, s.maxStage == 4))
   }
 
+  // ---- abandoned-funnel detection (EventTimeTimeout) -----------------
+
+  case class TimedEv(user_id: Long, event_type: String,
+      ts: java.sql.Timestamp)
+  case class Outcome(user_id: Long, max_stage: Int, abandoned: Boolean)
+
+  /** Abandonment window: a key with no funnel activity for this long
+    * (in event time, i.e. watermark time) is declared abandoned. */
+  val AbandonAfterMs: Long = 2 * 3600 * 1000L
+
+  /** State function with a real event-time timeout: each batch folds
+    * events and re-arms the timeout at (latest event time + window);
+    * when the WATERMARK passes that point with no new events, Spark
+    * calls back with `hasTimedOut` and we emit the abandonment tombstone
+    * and drop the state — the "hard part (e)" semantics SURVEY §7.3
+    * flags: the reference recomputes snapshots and has no concept of a
+    * key going quiet. Completed funnels (purchase seen) emit immediately
+    * and clear state — no timeout needed, state stays minimal. */
+  def updateWithTimeout(userId: Long, events: Iterator[TimedEv],
+      state: GroupState[FunnelState]): Iterator[Outcome] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(Outcome(userId, s.maxStage, abandoned = true))
+    } else {
+      var s = state.getOption.getOrElse(FunnelState(0, 0L))
+      var latest = Long.MinValue
+      events.foreach { e =>
+        stageRank.get(e.event_type).foreach { r =>
+          s = FunnelState(math.max(s.maxStage, r), s.nFunnelEvents + 1)
+        }
+        latest = math.max(latest, e.ts.getTime)
+      }
+      if (s.maxStage >= 4) {
+        state.remove()
+        Iterator.single(Outcome(userId, s.maxStage, abandoned = false))
+      } else {
+        state.update(s)
+        if (latest != Long.MinValue)
+          state.setTimeoutTimestamp(latest + AbandonAfterMs)
+        Iterator.empty
+      }
+    }
+  }
+
+  /** Wire [[updateWithTimeout]] over any watermarked [[TimedEv]] stream
+    * (production: the events source; specs: a MemoryStream driving the
+    * watermark through multiple batches). */
+  def outcomes(evs: org.apache.spark.sql.Dataset[TimedEv])
+      : org.apache.spark.sql.Dataset[Outcome] = {
+    import evs.sparkSession.implicits._
+    evs.withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateWithTimeout)
+  }
+
   /** Drain the events stream once (AvailableNow) and return the final
     * per-user funnel progress. */
   def progress(spark: SparkSession, dir: String): DataFrame = {
