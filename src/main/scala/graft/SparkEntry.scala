@@ -77,6 +77,7 @@ object SparkEntry {
     "q52_except_users" -> (Relational.viewedNeverPurchased _),
     "q53_streaming_enriched" -> (StreamingFunnel.enrichedStageCounts _),
     "q54_string_funcs" -> (Relational.stringFuncs _),
+    "q55_streaming_scd2" -> (graft.streaming.StreamingScd2.ordersScenarioStream _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -737,5 +738,16 @@ object SparkEntry {
         |  regexp_extract(c_name, '([0-9]+)', 1) AS name_num,
         |  c_mktsegment LIKE '%ING%' AS seg_ing
         |FROM customer ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    // Streaming SCD2 = the batch history minus surrogate keys (sink-time
+    // global assignment by design).
+    "q55_streaming_scd2" ->
+      s"""WITH $scd2Ctes,
+         |hist AS (
+         |$scd2HistSelect)
+         |SELECT order_id, order_status, total_price, priority,
+         |  valid_from, valid_to, is_current
+         |FROM hist
+         |ORDER BY order_id NULLS FIRST, valid_from NULLS FIRST""".stripMargin,
   )
 }
