@@ -78,6 +78,7 @@ object SparkEntry {
     "q53_streaming_enriched" -> (StreamingFunnel.enrichedStageCounts _),
     "q54_string_funcs" -> (Relational.stringFuncs _),
     "q55_streaming_scd2" -> (graft.streaming.StreamingScd2.ordersScenarioStream _),
+    "q56_regex_tokens" -> (TextOps.regexTokens _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -749,5 +750,14 @@ object SparkEntry {
          |  valid_from, valid_to, is_current
          |FROM hist
          |ORDER BY order_id NULLS FIRST, valid_from NULLS FIRST""".stripMargin,
+
+    "q56_regex_tokens" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+        |    AS n_regex_tokens,
+        |  len(regexp_extract_all(text, '[0-9]+')) AS n_numeric,
+        |  len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct
+        |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
   )
 }

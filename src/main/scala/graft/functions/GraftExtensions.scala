@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension installer for graft's custom Catalyst functions —
+  * the deployment-grade registration path (SURVEY §7.3 tier (c)
+  * machinery): `spark.sql.extensions=graft.functions.GraftExtensions`
+  * (or `.withExtensions(new GraftExtensions)`) makes `hamming` and
+  * `kmv_distinct` available in EVERY session of the application,
+  * including pure-SQL contexts (thriftserver, SQL files), without
+  * per-session `register` calls.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("hamming"),
+      info("hamming", "hamming(a, b) - bit distance between two int64 signatures"),
+      (exprs: Seq[Expression]) => HammingDistance(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      info("kmv_distinct", "kmv_distinct(hash) - KMV distinct-count sketch over portable32 hashes"),
+      (exprs: Seq[Expression]) => KmvDistinct(exprs.head)))
+  }
+}

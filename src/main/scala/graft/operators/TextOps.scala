@@ -42,6 +42,25 @@ object TextOps {
         (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"))
       .orderBy("lang")
 
+  /** Regex tokenization à la BPE pre-tokenizers: split into letter
+    * runs, digit runs, and single punctuation marks (the class structure
+    * GPT-2-style pre-tokenizers use before merges). The pattern sticks
+    * to constructs with identical semantics in Java regex (Spark,
+    * codegen'd) and RE2 (DuckDB), so counts are oracle-exact. All
+    * scan-local projection — no shuffle until the output sort. */
+  def regexTokens(spark: SparkSession, dir: String): DataFrame = {
+    def n(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        n("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]").as("n_regex_tokens"),
+        n("[0-9]+").as("n_numeric"),
+        n("[^a-zA-Z0-9\\s]").as("n_punct"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document quality scoring: token count, type-token ratio,
     * stopword ratio, mean token length — the length/stopword heuristics
     * of LLM corpus filtering. Pure integer ratios → deterministic. */
