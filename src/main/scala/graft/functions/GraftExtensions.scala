@@ -26,5 +26,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_distinct"),
       info("kmv_distinct", "kmv_distinct(hash) - KMV distinct-count sketch over portable32 hashes"),
       (exprs: Seq[Expression]) => KmvDistinct(exprs.head)))
+    ext.injectOptimizerRule(_ => RewriteRegexCount)
   }
 }
