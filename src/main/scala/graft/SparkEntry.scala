@@ -79,6 +79,8 @@ object SparkEntry {
     "q54_string_funcs" -> (Relational.stringFuncs _),
     "q55_streaming_scd2" -> (graft.streaming.StreamingScd2.ordersScenarioStream _),
     "q56_regex_tokens" -> (TextOps.regexTokens _),
+    "q57_intersect_days" -> (Relational.viewedAndPurchasedDays _),
+    "q58_explode_tokens" -> (TextOps.explodeTokens _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -759,5 +761,22 @@ object SparkEntry {
         |  len(regexp_extract_all(text, '[0-9]+')) AS n_numeric,
         |  len(regexp_extract_all(text, '[^a-zA-Z0-9\s]')) AS n_punct
         |FROM documents ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q57_intersect_days" ->
+      """SELECT user_id, CAST(ts AS DATE) AS day
+        |FROM events WHERE event_type = 'view'
+        |INTERSECT
+        |SELECT user_id, CAST(ts AS DATE)
+        |FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    // zip-style set-returning functions: generate_subscripts + unnest
+    // advance in lockstep, mirroring posexplode's (pos, token) pairs.
+    "q58_explode_tokens" ->
+      """SELECT doc_id, CAST(generate_subscripts(w, 1) - 1 AS INT) AS pos,
+        |  unnest(w) AS token
+        |FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |      FROM documents WHERE doc_id < 20)
+        |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin,
   )
 }

@@ -240,6 +240,18 @@ object Relational {
       .orderBy("user_id", "view_date")
   }
 
+  /** INTERSECT (distinct set intersection, SURVEY §2.7): user-days with
+    * BOTH a view and a purchase — the converted-browse cohort, the
+    * complement of [[viewedNeverPurchased]]. Same plan family: left-semi
+    * over pre-aggregated distinct keys. */
+  def viewedAndPurchasedDays(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def days(t: String) = e.filter(col("event_type") === t)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    days("view").intersect(days("purchase"))
+      .orderBy("user_id", "day")
+  }
+
   /** Data-quality counters (SURVEY A13/S9; reference
     * ecom_Silver_Layer.ipynb:196–246 prints dup/null counters per
     * table): one pass over lineitem, no joins. */

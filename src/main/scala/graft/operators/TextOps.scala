@@ -61,6 +61,18 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Generator/UDTF surface: one row per (document, position, token)
+    * via `posexplode` — the lateral-view shape every tokenize-then-
+    * process pipeline starts with. Bounded to a doc subset here purely
+    * to keep the oracle result small; the operator itself is a
+    * scan-local generate (rows fan out in place, no shuffle). */
+  def explodeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 20)
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .withColumnRenamed("col", "token")
+      .orderBy("doc_id", "pos")
+
   /** Per-document quality scoring: token count, type-token ratio,
     * stopword ratio, mean token length — the length/stopword heuristics
     * of LLM corpus filtering. Pure integer ratios → deterministic. */
