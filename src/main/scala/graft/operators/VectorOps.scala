@@ -183,6 +183,24 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Recall@k of the IVF tier against the exact brute-force ranking —
+    * the evaluation loop an ANN deployment tunes nProbe with. Probing
+    * every bucket (nProbe = nCentroids) must give recall 1.0 exactly:
+    * the candidate set becomes the full corpus and the ranking math/
+    * tiebreaks are shared with [[knnCosine]]. */
+  def ivfRecallAtK(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4): Double = {
+    val exact = knnCosine(spark, dir, nQueries, k)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ivfKnn(spark, dir, nQueries, k, nCentroids, nProbe)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.isEmpty) 1.0
+    else (exact intersect approx).size.toDouble / exact.size
+  }
+
   /** Random-hyperplane LSH bucketing: `nBits` sign bits per band from
     * deterministic pseudo-random hyperplanes (plane component (p, i) =
     * portable-hashed integer mapped to [-1, 1]). Near-identical vectors

@@ -68,6 +68,15 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("ivf recall: full probe equals brute force exactly; partial probe trades") {
+    val full = graft.operators.VectorOps
+      .ivfRecallAtK(spark, sf("sf0.001"), nProbe = 16)
+    assert(full == 1.0, s"full-probe recall $full != 1.0")
+    val partial = graft.operators.VectorOps
+      .ivfRecallAtK(spark, sf("sf0.001"), nProbe = 4)
+    assert(partial > 0.2 && partial <= 1.0, s"partial-probe recall $partial")
+  }
+
   test("ivf on testdata: deterministic and structurally sound") {
     val a = graft.operators.VectorOps.ivfKnn(spark, sf("sf0.001")).collect()
     val b = graft.operators.VectorOps.ivfKnn(spark, sf("sf0.001")).collect()

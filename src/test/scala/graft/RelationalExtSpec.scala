@@ -66,6 +66,27 @@ class RelationalExtSpec extends SparkSpec {
     assert(cums.zip(cums.tail).forall { case (a, b) => b >= a })
   }
 
+  test("plan shapes: broadcast as-of join, pushed filters, scan-local sample") {
+    // q43: the point-in-time lookup must be a broadcast hash join with
+    // the range predicate as a residual — never a nested-loop range join
+    val asOf = Scd2.asOfLookup(spark, dir).queryExecution.executedPlan.toString
+    assert(asOf.contains("BroadcastHashJoin"), s"as-of not broadcast:\n$asOf")
+    assert(!asOf.contains("BroadcastNestedLoopJoin"),
+      "as-of degenerated to nested-loop")
+    // q51: the date filter must reach the orders parquet scan
+    val semi = Relational.customersWithOrders(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(semi.contains("LessThan(o_orderdate"), s"filter not pushed:\n$semi")
+    // q48: the hash sample is a scan-side filter — no Exchange before it
+    val sampPlan = Relational.hashSample(spark, dir)
+      .queryExecution.executedPlan.toString
+    val filterIdx = sampPlan.indexOf("Filter")
+    val exchangeIdx = sampPlan.indexOf("Exchange")
+    assert(filterIdx >= 0 &&
+      (exchangeIdx < 0 || exchangeIdx < filterIdx),
+      s"sample filter runs above a shuffle:\n$sampPlan")
+  }
+
   test("hashSample: deterministic, ~5% rate, stable across runs") {
     val s1 = Relational.hashSample(spark, dir).select("o_orderkey")
       .as[Long].collect()
