@@ -81,6 +81,7 @@ object SparkEntry {
     "q56_regex_tokens" -> (TextOps.regexTokens _),
     "q57_intersect_days" -> (Relational.viewedAndPurchasedDays _),
     "q58_explode_tokens" -> (TextOps.explodeTokens _),
+    "q59_salted_agg" -> ((s, d) => Relational.saltedRevenueByStatus(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -778,5 +779,13 @@ object SparkEntry {
         |FROM (SELECT doc_id, string_split(text, ' ') AS w
         |      FROM documents WHERE doc_id < 20)
         |ORDER BY doc_id NULLS FIRST, pos NULLS FIRST""".stripMargin,
+
+    // The salted two-phase plan must equal the PLAIN aggregate — that
+    // equivalence is the whole point, so the oracle is the plain form.
+    "q59_salted_agg" ->
+      s"""SELECT o_orderstatus, ${sum2("o_totalprice")} AS revenue,
+         |  COUNT(*) AS n_orders
+         |FROM orders GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
   )
 }

@@ -342,6 +342,28 @@ object Relational {
       .orderBy("month")
   }
 
+  /** Two-phase SALTED aggregation — the skew-mitigation pattern
+    * SCALE.md prescribes, as a first-class operator: phase 1 groups on
+    * (key, salt) so a hot key's rows spread across `salt` reducers;
+    * phase 2 merges the partials per key. The salt is a deterministic
+    * function of another column (not rand()) so the result is
+    * reproducible and the oracle can check the invariant that matters:
+    * the salted plan computes EXACTLY the plain groupBy's answer. Here
+    * the grouping key is o_orderstatus — 3 values over the whole fact
+    * table, the canonical pathological-skew shape where a plain groupBy
+    * funnels everything through 3 reducers. */
+  def saltedRevenueByStatus(spark: SparkSession, dir: String,
+      salt: Int = 16): DataFrame =
+    Tables.orders(spark, dir)
+      .withColumn("__salt", pmod(col("o_custkey"), lit(salt)))
+      .groupBy("o_orderstatus", "__salt")
+      .agg(sum(cents2(col("o_totalprice"))).as("cents"),
+        count(lit(1)).as("n"))
+      .groupBy("o_orderstatus")
+      .agg((sum(col("cents")).cast("double") / 100.0).as("revenue"),
+        sum(col("n")).as("n_orders"))
+      .orderBy("o_orderstatus")
+
   /** String-function sweep (SURVEY §2.8 F12/F13/F21 + silver cleanse
     * string ops): case fold, trim+substring, regexp extraction, LIKE
     * predicate — all codegen'd built-ins evaluated in one projection

@@ -28,4 +28,24 @@ class GoldWriteSpec extends SparkSpec {
     // row content round-trips (modulo the added partition column)
     assert(spark.read.parquet(out).count() == fact.count())
   }
+
+  test("gold rebuild is idempotent: rerun + overwrite reproduce content") {
+    // the engine has no rand()/monotonic ids in the fact path, so a
+    // rerun computes the identical table — the property that makes
+    // full-reload (the reference's WRITE_TRUNCATE) and retry-on-failure
+    // safe at any scale
+    val dir = sf("sf0.001")
+    val a = Gold.factOrderItems(spark, dir)
+    val b = Gold.factOrderItems(spark, dir)
+    assert(a.collect().map(_.toSeq).toSeq == b.collect().map(_.toSeq).toSeq)
+
+    val out = java.nio.file.Files.createTempDirectory("goldi").toString
+    Gold.writeFactPartitioned(Gold.factOrderItems(spark, dir), out)
+    val first = spark.read.parquet(out).orderBy("order_id", "line_number")
+      .collect().map(_.toSeq).toSeq
+    Gold.writeFactPartitioned(Gold.factOrderItems(spark, dir), out)
+    val second = spark.read.parquet(out).orderBy("order_id", "line_number")
+      .collect().map(_.toSeq).toSeq
+    assert(first == second)
+  }
 }
