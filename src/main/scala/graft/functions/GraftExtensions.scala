@@ -27,5 +27,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("kmv_distinct", "kmv_distinct(hash) - KMV distinct-count sketch over portable32 hashes"),
       (exprs: Seq[Expression]) => KmvDistinct(exprs.head)))
     ext.injectOptimizerRule(_ => RewriteRegexCount)
+    ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }
 }
