@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Events, Gold, Relational, Scd2, TextOps, VectorOps}
+import graft.operators.{Events, Gold, Graphs, Relational, Scd2, TextOps, VectorOps}
 import graft.streaming.{StatefulFunnel, StreamingFunnel}
 import graft.util.Portable.Sql._
 
@@ -82,6 +82,12 @@ object SparkEntry {
     "q57_intersect_days" -> (Relational.viewedAndPurchasedDays _),
     "q58_explode_tokens" -> (TextOps.explodeTokens _),
     "q59_salted_agg" -> ((s, d) => Relational.saltedRevenueByStatus(s, d)),
+    "q60_gapfill_daily" -> (Relational.gapfillDailyRevenue _),
+    "q61_grouping_sets" -> (Relational.groupingSetsRevenue _),
+    "q62_ntile_ranks" -> (Relational.ntileRanks _),
+    "q63_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    "q64_stratified_sample" -> (TextOps.stratifiedSample _),
+    "q65_dedup_clusters" -> (Graphs.dedupClusters _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -136,11 +142,14 @@ object SparkEntry {
     "CAST(len(list_intersect(a.shs, b.shs)) AS DOUBLE) " +
       "/ len(list_distinct(list_concat(a.shs, b.shs)))"
 
-  private val minhashNearDupSql: String = {
+  /** CTE chain ending in `pairs(ida, idb, jaccard)` — the verified
+    * MinHash near-dup pairs. Shared by q33 (the pair list itself) and
+    * q65 (connected components over the pair graph). */
+  private val minhashPairsCtes: String = {
     val bands = (0 until TextOps.MinhashSeeds / 2).map(b =>
       s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig")
       .mkString("\n  UNION ALL ")
-    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+    s"""d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
        |  FROM documents),
        |s AS (SELECT doc_id, $shingleExpr AS sh FROM d),
        |sh AS (SELECT doc_id,
@@ -155,12 +164,17 @@ object SparkEntry {
        |  FROM bands x JOIN bands y
        |    ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
        |   AND x.doc_id < y.doc_id),
-       |sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM s)
-       |SELECT ida, idb, ${val6(jaccardExpr)} AS jaccard
-       |FROM cand JOIN sets a ON ida = a.doc_id JOIN sets b ON idb = b.doc_id
-       |WHERE $jaccardExpr >= 0.7
-       |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin
+       |sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM s),
+       |pairs AS (
+       |  SELECT ida, idb, ${val6(jaccardExpr)} AS jaccard
+       |  FROM cand JOIN sets a ON ida = a.doc_id JOIN sets b ON idb = b.doc_id
+       |  WHERE $jaccardExpr >= 0.7)""".stripMargin
   }
+
+  private val minhashNearDupSql: String =
+    s"""WITH $minhashPairsCtes
+       |SELECT ida, idb, jaccard FROM pairs
+       |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin
 
   /** DuckDB mirror of VectorOps.dot/norm/cosine: left folds match
     * Spark's `aggregate` order (and the typed kernel's independent
@@ -787,5 +801,102 @@ object SparkEntry {
          |  COUNT(*) AS n_orders
          |FROM orders GROUP BY o_orderstatus
          |ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+
+    // Dense date axis is GENERATED (generate_series), mirroring Spark's
+    // sequence(min,max) explode; actuals left-join onto the grid.
+    "q60_gapfill_daily" ->
+      s"""WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    o_orderpriority AS priority, o_totalprice FROM orders),
+         |b AS (SELECT min(day) AS lo, max(day) AS hi FROM o),
+         |days AS (SELECT CAST(unnest(generate_series(lo, hi,
+         |    INTERVAL 1 DAY)) AS DATE) AS day FROM b),
+         |prios AS (SELECT DISTINCT priority FROM o),
+         |actual AS (SELECT priority, day,
+         |    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents,
+         |    COUNT(*) AS n FROM o GROUP BY 1, 2)
+         |SELECT p.priority, d.day,
+         |  COALESCE(CAST(cents AS DOUBLE) / 100.0, 0.0) AS revenue,
+         |  COALESCE(n, 0) AS n_orders
+         |FROM days d CROSS JOIN prios p
+         |LEFT JOIN actual a ON a.priority = p.priority AND a.day = d.day
+         |ORDER BY p.priority NULLS FIRST, d.day NULLS FIRST""".stripMargin,
+
+    "q61_grouping_sets" ->
+      s"""SELECT c_mktsegment, o_orderstatus,
+         |  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+         |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+         |  ${sum2("o_totalprice")} AS revenue,
+         |  COUNT(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+         |ORDER BY g_seg ASC, g_status ASC,
+         |  c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    // percent_rank/cume_dist are single exact rational divisions of rank
+    // integers — bit-identical across engines; ntile is BIGINT in DuckDB
+    // vs INT in Spark, hence the cast.
+    "q62_ntile_ranks" ->
+      s"""WITH rev AS (SELECT o_custkey,
+         |    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+         |  FROM orders GROUP BY 1)
+         |SELECT o_custkey, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+         |  CAST(ntile(10) OVER w AS INT) AS decile,
+         |  percent_rank() OVER w AS pct_rank,
+         |  cume_dist() OVER w AS cume
+         |FROM rev
+         |WINDOW w AS (ORDER BY cents DESC, o_custkey ASC)
+         |ORDER BY o_custkey NULLS FIRST""".stripMargin,
+
+    // Rank key is the floor-scaled integer score (micro-units), term as
+    // tiebreak — identical to the Spark side, so 1-ulp ln() divergence
+    // cannot flip the ordering of mathematically-equal scores.
+    "q63_tfidf" ->
+      s"""WITH tf AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |  FROM documents),
+         |tfc AS (SELECT doc_id, term, COUNT(*) AS tf FROM tf GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |scored AS (
+         |  SELECT doc_id, term, tf, df,
+         |    CAST(FLOOR(tf * ln(CAST(n_docs AS DOUBLE) / df)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS tfidf_i
+         |  FROM tfc JOIN df USING (term) CROSS JOIN n
+         |  WHERE doc_id < 100),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY tfidf_i DESC, term ASC) AS rank
+         |  FROM scored)
+         |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+         |  CAST(tfidf_i AS DOUBLE) / 1000000.0 AS tfidf
+         |FROM r WHERE rank <= 5
+         |ORDER BY doc_id NULLS FIRST, rank ASC""".stripMargin,
+
+    "q64_stratified_sample" ->
+      s"""SELECT doc_id, lang, n_chars FROM documents
+         |WHERE ${h32("CAST(doc_id AS VARCHAR)")} % 20 <
+         |  CASE WHEN lang = 'en' THEN 1 WHEN lang = 'es' THEN 2
+         |       WHEN lang = 'de' THEN 4 ELSE 1 END
+         |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // Connected components over the MinHash near-dup graph: the oracle
+    // recomputes the closure with a recursive CTE (reach = transitive
+    // neighbors; component = min reachable id). Near-dup clusters have
+    // tiny diameters, keeping the recursion shallow.
+    "q65_dedup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT ida AS s, idb AS d FROM pairs
+         |  UNION SELECT idb, ida FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.id, e.d FROM reach w JOIN edges e ON w.r = e.s),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+         |  FROM reach GROUP BY id)
+         |SELECT doc.doc_id,
+         |  COALESCE(c.component, doc.doc_id) AS component,
+         |  COUNT(*) OVER (PARTITION BY COALESCE(c.component, doc.doc_id))
+         |    AS cluster_size,
+         |  doc.doc_id = COALESCE(c.component, doc.doc_id) AS is_canonical
+         |FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
+         |ORDER BY doc.doc_id NULLS FIRST""".stripMargin,
   )
 }

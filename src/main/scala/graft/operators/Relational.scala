@@ -378,6 +378,80 @@ object Relational {
         col("c_mktsegment").like("%ING%").as("seg_ing"))
       .orderBy("c_custkey")
 
+  /** Time-series gap fill (resample): the daily revenue grid per order
+    * priority with missing days materialized as zero rows — the
+    * dashboard's trend charts need a dense axis, and gap-filled frames
+    * are what downstream forecasting consumes. The dense grid is
+    * GENERATED, not scanned: `sequence(min_day, max_day)` explodes
+    * scan-locally from a 1-row aggregate, the 5-row priority dim
+    * cross-joins it (both sides broadcast), and the actuals left-join
+    * onto the grid. The grid's size is (days × priorities), independent
+    * of fact cardinality, so this shape is constant-cost at any scale
+    * factor while the actuals aggregation stays one map-side-combined
+    * shuffle over the fact table. */
+  def gapfillDailyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_orderpriority").as("priority"), col("o_totalprice"))
+    val days = o.agg(min("day").as("lo"), max("day").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"))).as("day"))
+    val prios = o.select("priority").distinct()
+    val actual = o.groupBy("priority", "day")
+      .agg(sum(cents2(col("o_totalprice"))).as("cents"),
+        count(lit(1)).as("n"))
+    days.crossJoin(prios)
+      .join(actual, Seq("priority", "day"), "left")
+      .select(col("priority"), col("day"),
+        coalesce(col("cents").cast("double") / 100.0, lit(0.0)).as("revenue"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("priority", "day")
+  }
+
+  /** Explicit GROUPING SETS with grouping flags — the general form under
+    * rollup (q22) and cube (q46): exactly the requested marginals, here
+    * the two one-dimensional ones plus the grand total, with
+    * `GROUPING()` disambiguating "NULL because subtotal" from a NULL
+    * key value. Same SQL-over-temp-view workaround and the same
+    * expand-after-partial-agg execution shape as [[rollupRevenue]]. */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("gs_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("gs_orders")
+    spark.sql(
+      """SELECT c_mktsegment, o_orderstatus,
+        |  CAST(GROUPING(c_mktsegment) AS INT) AS g_seg,
+        |  CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        |  CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue,
+        |  COUNT(*) AS n_orders
+        |FROM gs_orders JOIN gs_customer ON o_custkey = c_custkey
+        |GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus), ())
+        |ORDER BY g_seg ASC, g_status ASC,
+        |  c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST
+        |""".stripMargin)
+  }
+
+  /** Rank-family windows over customer revenue: decile bucketing
+    * (`ntile`), `percent_rank`, and `cume_dist` — the distribution
+    * views a dashboard derives cohorts from (SURVEY §2.5 extension).
+    * The window's ORDER BY carries the key tiebreak so every rank
+    * function sees a total order (ntile assignment under ties is
+    * otherwise row-order-dependent). percent_rank/cume_dist are exact
+    * rational divisions of rank integers — engine-portable doubles.
+    * The window input is the pre-aggregated customer grain, not the
+    * fact table; at 100 TB the global sort is over |customers| rows,
+    * and a percentile_approx sketch replaces it when grain explodes. */
+  def ntileRanks(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(sum(cents2(col("o_totalprice"))).as("cents"))
+    val w = Window.orderBy(desc("cents"), asc("o_custkey"))
+    rev.select(col("o_custkey"),
+        (col("cents").cast("double") / 100.0).as("revenue"),
+        ntile(10).over(w).as("decile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"))
+      .orderBy("o_custkey")
+  }
+
   /** Deterministic hash sample: keep rows where a portable key hash lands
     * in 1 of 20 buckets (~5%). Unlike TABLESAMPLE this is reproducible
     * across engines, runs, AND cluster layouts — it's a scan-local

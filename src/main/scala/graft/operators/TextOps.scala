@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -320,6 +321,62 @@ object TextOps {
         }
       }
       .toDF("doc_id", "simhash")
+  }
+
+  /** TF-IDF scoring — the inverted-index build every retrieval /
+    * data-curation pipeline runs over its corpus. Three aggregations:
+    * term frequency per (doc, term) (shuffle on the compound key with
+    * map-side combine), document frequency per term (a second reduce over
+    * the already-distinct tf pairs), and the corpus size N. The df
+    * vocabulary and the 1-row N are broadcast back onto tf, so the big
+    * (doc,term) side never shuffles again; top-k per doc runs as one
+    * window over the doc partition.
+    *
+    * Determinism: idf = ln(N/df) is transcendental, so ranking directly
+    * by the double invites cross-engine 1-ulp order flips on
+    * mathematically-equal scores (e.g. 2·ln5 ≡ ln25). The rank key is
+    * therefore the FLOOR-SCALED integer score (micro-units) with the term
+    * as tiebreak — bit-stable in both engines; the reported tfidf is that
+    * integer divided back out. Scoring is restricted to a doc shard
+    * (doc_id < 100) to bound the gate's result size; df/N statistics are
+    * corpus-wide, as they must be. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.filter(col("doc_id") < 100)
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf_i",
+        floor(col("tf") * log(col("n_docs").cast("double") / col("df"))
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(desc("tfidf_i"), asc("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        (col("tfidf_i").cast("double") / 1000000.0).as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
+
+  /** Stratified deterministic sampling: per-language keep rates via a
+    * portable hash of the key — `sampleBy` semantics without RNG state,
+    * reproducible across engines, runs, and cluster layouts (same
+    * rationale as Relational.hashSample, which this generalizes to
+    * per-stratum rates). Scan-local filter; no shuffle. */
+  def stratifiedSample(spark: SparkSession, dir: String): DataFrame = {
+    val rate20 = when(col("lang") === "en", 1)
+      .when(col("lang") === "es", 2)
+      .when(col("lang") === "de", 4)
+      .otherwise(1)
+    Tables.documents(spark, dir)
+      .filter(Portable.portable32(col("doc_id").cast("string")) % 20 < rate20)
+      .select("doc_id", "lang", "n_chars")
+      .orderBy("doc_id")
   }
 
   /** SimHash near-duplicate pairs at Hamming distance ≤ `maxHamming`,
