@@ -22,8 +22,11 @@ object Bench {
 
     // Streaming queries are excluded from the bench line: their cost is
     // sink management, not query execution (they share the batch plans).
+    // Optional args restrict to matching query names (substring) for
+    // local iteration on one operator.
     val benched = SparkEntry.queries.toSeq
       .filterNot(_._1.contains("streaming")).sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.exists(n.contains) }
 
     // warm-up: footer reads, code paths, broadcast machinery
     benched.foreach { case (_, fn) =>

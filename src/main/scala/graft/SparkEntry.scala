@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Events, Gold, Graphs, Relational, Scd2, TextOps, VectorOps}
+import graft.operators.{Analytics, Events, Gold, Graphs, Relational, Scd2, TextOps, VectorOps}
 import graft.streaming.{StatefulFunnel, StreamingFunnel}
 import graft.util.Portable.Sql._
 
@@ -88,6 +88,10 @@ object SparkEntry {
     "q63_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
     "q64_stratified_sample" -> (TextOps.stratifiedSample _),
     "q65_dedup_clusters" -> (Graphs.dedupClusters _),
+    "q66_retention_cohorts" -> (Analytics.retentionCohorts _),
+    "q67_rfm_segments" -> (Analytics.rfmSegments _),
+    "q68_brand_pairs" -> ((s, d) => Analytics.brandPairs(s, d)),
+    "q69_campaign_attr" -> (Analytics.campaignAttribution _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -898,5 +902,68 @@ object SparkEntry {
          |  doc.doc_id = COALESCE(c.component, doc.doc_id) AS is_canonical
          |FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
          |ORDER BY doc.doc_id NULLS FIRST""".stripMargin,
+
+    // weeks-since is an exact day-diff / 7 on both sides (both engines
+    // truncate weeks to Monday) — months_between/date_diff('month')
+    // fractional semantics differ across engines.
+    "q66_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, CAST(date_trunc('week', min(day)) AS DATE)
+        |    AS cohort_week FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(date_trunc('week', day) AS DATE)
+        |    AS w FROM e)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, w) / 7 AS INT) AS weeks_since,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2
+        |ORDER BY cohort_week NULLS FIRST, weeks_since NULLS FIRST""".stripMargin,
+
+    "q67_rfm_segments" ->
+      """WITH o AS (SELECT o_custkey, CAST(o_orderdate AS DATE) AS day,
+        |    o_totalprice FROM orders),
+        |g AS (SELECT o_custkey, max(day) AS last_day,
+        |    COUNT(*) AS frequency,
+        |    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+        |  FROM o GROUP BY 1),
+        |r AS (SELECT o_custkey,
+        |    CAST(date_diff('day', last_day, (SELECT max(day) FROM o)) AS INT)
+        |      AS recency_days,
+        |    frequency, cents FROM g),
+        |s AS (SELECT o_custkey, recency_days, frequency,
+        |    CAST(cents AS DOUBLE) / 100.0 AS monetary,
+        |    CAST(ntile(4) OVER (ORDER BY recency_days ASC, o_custkey ASC) AS INT)
+        |      AS r_score,
+        |    CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey ASC) AS INT)
+        |      AS f_score,
+        |    CAST(ntile(4) OVER (ORDER BY cents DESC, o_custkey ASC) AS INT)
+        |      AS m_score
+        |  FROM r)
+        |SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+        |  || CAST(m_score AS VARCHAR) AS segment
+        |FROM s ORDER BY o_custkey NULLS FIRST""".stripMargin,
+
+    "q68_brand_pairs" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT a.brand AS brand_a, b.brand AS brand_b, COUNT(*) AS support
+        |FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 8
+        |ORDER BY brand_a NULLS FIRST, brand_b NULLS FIRST""".stripMargin,
+
+    // Oracle uses the naive point-in-interval join; Spark's binned
+    // equi-join + residual must produce the identical attribution.
+    "q69_campaign_attr" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |lo AS (SELECT min(day) AS lo FROM e),
+        |c AS (SELECT CAST(i AS INT) AS campaign_id,
+        |    lo + CAST(i * 7 AS INT) AS start_day,
+        |    lo + CAST(i * 7 + 14 AS INT) AS end_day
+        |  FROM lo, range(0, 10) t(i))
+        |SELECT campaign_id, start_day, end_day, COUNT(*) AS n_events,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM e JOIN c ON start_day <= day AND day < end_day
+        |GROUP BY 1, 2, 3
+        |ORDER BY campaign_id NULLS FIRST""".stripMargin,
   )
 }

@@ -1,0 +1,145 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Portable._
+
+/** Customer-behavior analytics the reference's dashboard family implies
+  * (app.py's KPI/funnel/segment views) but never ships: cohort
+  * retention, RFM segmentation, market-basket co-occurrence, and
+  * campaign-window attribution. Each is shaped for the 100 TB posture:
+  * aggregate-to-grain first, window over the reduced grain, broadcast
+  * the small side, and keep range predicates as residuals on equi-joins.
+  */
+object Analytics {
+
+  /** Cohort retention matrix over `events`: users bucketed by first-seen
+    * WEEK (the table spans ~30 days), then counted distinct per
+    * (cohort week, weeks since). Both engines truncate weeks to Monday,
+    * and weeks-since is an exact day-difference divided by 7 — integer
+    * arithmetic, engine-portable (unlike months_between's fractional
+    * double).
+    *
+    * Scale shape: the per-user min reduces the fact table in one
+    * map-side-combined shuffle to user grain; activity weeks are a
+    * second distinct at (user, week) grain; the join back is user⋈user
+    * (co-partitioned by the same key, so AQE plans it shuffle-free off
+    * the first aggregation's exchange). Nothing here is
+    * cardinality-fragile: the output is |cohorts| × |weeks|. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohort = e.groupBy("user_id")
+      .agg(min("day").as("first_day"))
+      .select(col("user_id"), trunc(col("first_day"), "week").as("cohort_week"))
+    val active = e.select(col("user_id"), trunc(col("day"), "week").as("w"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("w"), col("cohort_week")) / 7).cast("int").as("weeks_since"))
+      .agg(countDistinct("user_id").as("n_users"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  /** RFM segmentation at customer grain: recency (days from last order
+    * to the dataset's max order date), frequency (order count), monetary
+    * (exact cents). Quartile scores via ntile(4) with the key as
+    * tiebreak so tied metric values rank deterministically.
+    *
+    * The three windows share one partitioning (none — customer grain is
+    * already the reduced grain, |customers| rows after a single
+    * aggregation of orders); at 100 TB grain the global ntile sorts
+    * would become percentile-sketch cutpoints + a scan-local score
+    * lookup, same output contract. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+      col("o_totalprice"))
+    val anchor = o.agg(max("day").as("anchor"))
+    val grain = o.groupBy("o_custkey")
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("frequency"),
+        sum(cents2(col("o_totalprice"))).as("cents"))
+      .crossJoin(broadcast(anchor))
+      .select(col("o_custkey"),
+        datediff(col("anchor"), col("last_day")).as("recency_days"),
+        col("frequency"), col("cents"))
+    val rW = Window.orderBy(asc("recency_days"), asc("o_custkey"))
+    val fW = Window.orderBy(desc("frequency"), asc("o_custkey"))
+    val mW = Window.orderBy(desc("cents"), asc("o_custkey"))
+    grain.select(col("o_custkey"), col("recency_days"), col("frequency"),
+        (col("cents").cast("double") / 100.0).as("monetary"),
+        ntile(4).over(rW).as("r_score"),
+        ntile(4).over(fW).as("f_score"),
+        ntile(4).over(mW).as("m_score"))
+      .withColumn("segment",
+        concat(col("r_score"), col("f_score"), col("m_score")))
+      .orderBy("o_custkey")
+  }
+
+  /** Market-basket co-occurrence: brand pairs bought together in one
+    * order, with support counts — the apriori first pass every
+    * recommender bootstrap runs. Distinct (order, brand) first bounds
+    * the self-join blow-up at basket-size², independent of order count;
+    * the part dim is broadcast so the fact table never reshuffles for
+    * the enrichment.
+    *
+    * Skew note for 100 TB: ubiquitous brands make popular pairs heavy in
+    * the AGGREGATION (handled by partial aggregation) — the self-join
+    * itself stays bounded because it is per-order. */
+  def brandPairs(spark: SparkSession, dir: String, minSupport: Long = 8): DataFrame = {
+    val ob = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val a = ob.as("a")
+    val b = ob.withColumnRenamed("brand", "brand_b").as("b")
+    a.join(b, col("a.okey") === col("b.okey") && col("a.brand") < col("b.brand_b"))
+      .groupBy(col("a.brand").as("brand_a"), col("brand_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy("brand_a", "brand_b")
+  }
+
+  /** Campaign-window attribution — a POINT-IN-INTERVAL range join.
+    * Campaign windows are derived deterministically from the event-time
+    * extent: 10 overlapping 14-day campaigns starting every 7 days, so
+    * each event can attribute to 0–2 campaigns.
+    *
+    * Spark-first scale shape: a naive `start <= ts < end` join is a
+    * nested loop. Here both sides are BINNED to 7-day buckets — a
+    * campaign spans ⌈14/7⌉+1 bins, an event has exactly one bin — and
+    * the join becomes an EQUI-join on the bin with the range predicate
+    * as a residual. Equi-joins hash-partition, so this survives a
+    * big-big range join (interval dim too large to broadcast) without a
+    * cartesian; with the 10-row campaign dim it degenerates to a cheap
+    * broadcast either way. The bin width must be ≥ the max interval
+    * width divided into its covering bins; 7 days ≡ the campaign grid. */
+  def campaignAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val binDays = 7L
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), to_date(col("ts")).as("day"))
+    val ext = e.agg(min("day").as("lo")).select(col("lo"))
+    val campaigns = ext.select(explode(sequence(lit(0), lit(9))).as("campaign_id"),
+        col("lo"))
+      .select(col("campaign_id"),
+        date_add(col("lo"), (col("campaign_id") * 7).cast("int")).as("start_day"),
+        date_add(col("lo"), (col("campaign_id") * 7 + 14).cast("int")).as("end_day"))
+    // bin each campaign into every 7-day bucket it covers, keyed off the
+    // same epoch so event bins and campaign bins align
+    val binned = campaigns
+      .withColumn("bin", explode(sequence(
+        floor(unix_date(col("start_day")) / binDays),
+        floor((unix_date(col("end_day")) - 1) / binDays))))
+    val eb = e.withColumn("bin", floor(unix_date(col("day")) / binDays))
+    eb.join(broadcast(binned), Seq("bin"))
+      .filter(col("start_day") <= col("day") && col("day") < col("end_day"))
+      .groupBy("campaign_id", "start_day", "end_day")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"))
+      .orderBy("campaign_id")
+  }
+}

@@ -145,6 +145,11 @@ object Scd2 {
     val initial = o.filter(col("order_id") % 10 < 8)
     val staging = o.withColumn("order_status",
       when(col("order_id") % 5 === 0, lit("D")).otherwise(col("order_status")))
+    // merge() references dim0 from four branches (current, history,
+    // closed, unchanged); measured head-to-head, an eager
+    // localCheckpoint cut does NOT beat recomputation here — AQE's
+    // ReusedExchange already dedups the window-sort exchange across the
+    // branches, so the extra materialization only adds serialization.
     val dim0 = initialLoad(initial, cfg, t1)
     // dense initial load → max SK == row count; a column-pruned count on
     // the filtered scan is far cheaper than evaluating dim0's window
