@@ -92,6 +92,8 @@ object SparkEntry {
     "q67_rfm_segments" -> (Analytics.rfmSegments _),
     "q68_brand_pairs" -> ((s, d) => Analytics.brandPairs(s, d)),
     "q69_campaign_attr" -> (Analytics.campaignAttribution _),
+    "q70_streaming_dedup" -> (graft.streaming.StreamingDedup.dedupedCounts _),
+    "q71_eventgen_agg" -> (graft.sources.v2.EventGen.typeSummary _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -965,5 +967,34 @@ object SparkEntry {
         |FROM e JOIN c ON start_day <= day AND day < end_day
         |GROUP BY 1, 2, 3
         |ORDER BY campaign_id NULLS FIRST""".stripMargin,
+
+    // The stream ingests every event TWICE (simulated redelivery);
+    // exactly-once dedup must land on the batch distinct counts.
+    "q70_streaming_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+        |FROM events GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // The oracle REGENERATES the custom source's rows from range() with
+    // the identical md5 arithmetic — the connector's output is
+    // hash-verified end-to-end, not just row-counted.
+    "q71_eventgen_agg" ->
+      s"""WITH g AS (SELECT i AS event_id,
+         |    ${h32("CAST(i AS VARCHAR)")} AS h
+         |  FROM range(20000, 80000) t(i)),
+         |e AS (SELECT event_id,
+         |    TIMESTAMP '2024-01-01 00:00:00'
+         |      + event_id * INTERVAL 1 SECOND AS ts,
+         |    h % 500 AS user_id,
+         |    ['view','cart','purchase','refund','support']
+         |      [CAST((h // 500) % 5 AS INT) + 1] AS event_type,
+         |    CAST(h % 10000 AS DOUBLE) / 100.0 AS value
+         |  FROM g)
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  ${sum2("value")} AS total_value,
+         |  min(ts) AS first_ts
+         |FROM e GROUP BY 1
+         |ORDER BY event_type NULLS FIRST""".stripMargin,
   )
 }

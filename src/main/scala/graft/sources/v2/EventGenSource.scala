@@ -1,0 +1,217 @@
+package graft.sources.v2
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** A DataSource V2 connector: deterministic synthetic event stream.
+  *
+  * The reference *claims* Kafka/PubSub-ready event ingestion but
+  * simulates it with Faker in the driver (reference README.md:27, 53;
+  * requirements.txt:7) — non-reproducible, single-process. This is the
+  * Spark-native version of that claim: a first-class connector whose
+  * "topic" is a pure function of the row id, so it scales to any
+  * parallelism and every read is bit-reproducible.
+  *
+  * Engine surface demonstrated (all three DSv2 optimization hooks):
+  *   - **column pruning** (`SupportsPushDownRequiredColumns`): the
+  *     reader materializes only requested fields — `select(count(*))`
+  *     never computes an md5;
+  *   - **filter pushdown** (`SupportsPushDownFilters`): range/equality
+  *     predicates on `event_id` narrow the generated id interval and are
+  *     fully absorbed (not re-evaluated by Spark);
+  *   - **partition pruning**: `planInputPartitions` intersects each
+  *     id-chunk with the pushed range and drops empty chunks, so a
+  *     narrow filter schedules fewer tasks — the generator's analogue of
+  *     parquet row-group/partition skipping.
+  *
+  * Determinism contract (mirrors [[graft.util.Portable.portable32]]):
+  * `h = first-8-hex-chars(md5(id)) as u32`; `user_id = h % users`;
+  * `event_type = types[(h / users) % 5]`; `value = (h % 10000)/100.0`;
+  * `ts = start + id seconds`. The DuckDB oracle replays the identical
+  * arithmetic from `range()`, making a custom SOURCE hash-verifiable —
+  * see SparkEntry q71.
+  *
+  * Options: `rows` (default 100000), `partitions` (default 8),
+  * `users` (default 500), `start` (epoch seconds, default 2024-01-01).
+  */
+class EventGenSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "graft-eventgen"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    EventGen.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new EventGenTable(new CaseInsensitiveStringMap(properties))
+}
+
+object EventGen {
+
+  /** q71: aggregate a filtered window of the generated stream. The
+    * event_id range predicate is absorbed by the source (filter
+    * pushdown) and prunes 4 of the 10 generated partitions before any
+    * task launches; the DuckDB oracle regenerates the identical rows
+    * from `range()` with the same md5 arithmetic — a custom source whose
+    * OUTPUT is hash-verified, not just row-counted. */
+  def typeSummary(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.util.Portable._
+    spark.read.format("graft-eventgen")
+      .option("rows", 100000L).option("partitions", 10)
+      .option("users", 500L).load()
+      .filter(col("event_id") >= 20000L && col("event_id") < 80000L)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sumMoney2(col("value")).as("total_value"),
+        min("ts").as("first_ts"))
+      .orderBy("event_type")
+  }
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("ts", TimestampType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("event_type", StringType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  val types: Array[String] = Array("view", "cart", "purchase", "refund", "support")
+
+  /** First 8 hex chars of md5(decimal string of id), as an unsigned int
+    * in a long — byte-identical to Portable.portable32 / the DuckDB
+    * `CAST('0x'||substr(md5(x),1,8) AS BIGINT)` macro. */
+  def hash32(id: Long): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(java.lang.Long.toString(id).getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+}
+
+class EventGenTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = "graft_eventgen"
+  override def schema(): StructType = EventGen.schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
+    new EventGenScanBuilder(
+      rows = options.getLong("rows", 100000L),
+      numPartitions = options.getInt("partitions", 8),
+      users = options.getLong("users", 500L),
+      startSec = options.getLong("start", 1704067200L)) // 2024-01-01 UTC
+}
+
+class EventGenScanBuilder(rows: Long, numPartitions: Int, users: Long, startSec: Long)
+    extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var lo: Long = 0L
+  private var hi: Long = rows // exclusive
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = EventGen.schema
+
+  /** Absorb event_id range/equality predicates into the generated
+    * interval; everything else stays with Spark. An absorbed filter is
+    * NOT re-evaluated post-scan, so the interval math must be exact. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (absorbed, residual) = filters.partition {
+      case GreaterThan("event_id", _: Number) => true
+      case GreaterThanOrEqual("event_id", _: Number) => true
+      case LessThan("event_id", _: Number) => true
+      case LessThanOrEqual("event_id", _: Number) => true
+      case EqualTo("event_id", _: Number) => true
+      case _ => false
+    }
+    absorbed.foreach {
+      case GreaterThan("event_id", v: Number) => lo = math.max(lo, v.longValue() + 1)
+      case GreaterThanOrEqual("event_id", v: Number) => lo = math.max(lo, v.longValue())
+      case LessThan("event_id", v: Number) => hi = math.min(hi, v.longValue())
+      case LessThanOrEqual("event_id", v: Number) => hi = math.min(hi, v.longValue() + 1)
+      case EqualTo("event_id", v: Number) =>
+        lo = math.max(lo, v.longValue()); hi = math.min(hi, v.longValue() + 1)
+      case _ => ()
+    }
+    pushed = absorbed
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new EventGenScan(lo, math.max(lo, hi), numPartitions, users, startSec,
+      required, rows)
+}
+
+case class EventGenPartition(start: Long, end: Long) extends InputPartition
+
+class EventGenScan(lo: Long, hi: Long, numPartitions: Int, users: Long,
+    startSec: Long, required: StructType, totalRows: Long) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"EventGen[range=[$lo,$hi), partitions<=$numPartitions, pruned=${required.fieldNames.mkString(",")}]"
+
+  /** Chunk the FULL id space evenly, then intersect each chunk with the
+    * pushed range — empty chunks are never scheduled (partition
+    * pruning), and surviving chunk boundaries are independent of the
+    * filter so task splits stay stable across queries. */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val per = math.max(1L, (totalRows + numPartitions - 1) / numPartitions)
+    (0 until numPartitions).iterator
+      .map(i => (i * per, math.min(totalRows, (i + 1) * per)))
+      .map { case (s, e) => (math.max(s, lo), math.min(e, hi)) }
+      .filter { case (s, e) => s < e }
+      .map { case (s, e) => EventGenPartition(s, e): InputPartition }
+      .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventGenReaderFactory(users, startSec, required)
+}
+
+class EventGenReaderFactory(users: Long, startSec: Long, required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[EventGenPartition]
+    new EventGenReader(p.start, p.end, users, startSec, required)
+  }
+}
+
+/** Generates only the pruned columns; md5 is skipped entirely when no
+  * hash-derived column is requested. */
+class EventGenReader(start: Long, end: Long, users: Long, startSec: Long,
+    required: StructType) extends PartitionReader[InternalRow] {
+  private var id = start - 1
+  private val fields = required.fieldNames
+  private val needsHash = fields.exists(f =>
+    f == "user_id" || f == "event_type" || f == "value")
+
+  override def next(): Boolean = { id += 1; id < end }
+
+  override def get(): InternalRow = {
+    val h = if (needsHash) EventGen.hash32(id) else 0L
+    InternalRow.fromSeq(fields.toSeq.map {
+      case "event_id" => id
+      case "ts" => (startSec + id) * 1000000L // TimestampType micros
+      case "user_id" => h % users
+      case "event_type" =>
+        UTF8String.fromString(EventGen.types(((h / users) % 5).toInt))
+      case "value" => (h % 10000L).toDouble / 100.0
+      case other => throw new IllegalArgumentException(s"unknown column $other")
+    })
+  }
+
+  override def close(): Unit = ()
+}
