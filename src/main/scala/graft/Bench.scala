@@ -17,6 +17,13 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // The testdata tables are SINGLE small parquet files; at the
+      // default 128 MB split size every scan (and everything fused into
+      // its stage — broadcast joins, explodes, partial aggs) runs as ONE
+      // task. A 100 TB deployment reads thousands of splits; a 2 MB
+      // split size reproduces that parallelism honestly at local scale.
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", (2 * 1024 * 1024).toString))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

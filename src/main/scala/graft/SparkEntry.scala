@@ -94,6 +94,8 @@ object SparkEntry {
     "q69_campaign_attr" -> (Analytics.campaignAttribution _),
     "q70_streaming_dedup" -> (graft.streaming.StreamingDedup.dedupedCounts _),
     "q71_eventgen_agg" -> (graft.sources.v2.EventGen.typeSummary _),
+    "q72_asof_union" -> (Events.asofLastViewBeforePurchase _),
+    "q73_incremental_agg" -> (Relational.incrementalRevenue _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -996,5 +998,23 @@ object SparkEntry {
          |  min(ts) AS first_ts
          |FROM e GROUP BY 1
          |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // The oracle is DuckDB's NATIVE ASOF JOIN (inclusive >=); the Spark
+    // side's union-sort with the probe-flag tiebreak must match it.
+    "q72_asof_union" ->
+      """WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.ts AS purchase_ts, v.ts AS last_view_ts,
+        |  epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM p ASOF JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.user_id NULLS FIRST, purchase_ts NULLS FIRST""".stripMargin,
+
+    // Incremental refresh must be indistinguishable from full
+    // recompute — the oracle is the from-scratch aggregate.
+    "q73_incremental_agg" ->
+      s"""SELECT c_mktsegment, ${sum2("o_totalprice")} AS revenue,
+         |  COUNT(*) AS n_orders
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY 1 ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
   )
 }

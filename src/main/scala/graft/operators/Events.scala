@@ -160,4 +160,39 @@ object Events {
         get_json_object(col("props"), "$.k").cast("int").as("prop_k"))
       .orderBy("event_id")
   }
+
+  /** AS-OF join by UNION-SORT — for each purchase, the same user's
+    * latest view at or before it. The classic time-series as-of
+    * (DuckDB/kdb `ASOF JOIN`, Pandas `merge_asof`), which Spark has no
+    * native operator for.
+    *
+    * Spark-first shape: instead of a join at all, both event classes
+    * UNION into one stream, one window per user ordered by (ts,
+    * probe-flag) carries the last-seen view forward
+    * (`last(..., ignoreNulls)` over unbounded-preceding), and probe rows
+    * are filtered out at the end. One shuffle on the key, no join
+    * multiplicity, no range explosion — each row is touched exactly
+    * once regardless of how many views precede a purchase. At 100 TB
+    * this is the only shape that survives: a range-join formulation
+    * multiplies probes × candidate versions before filtering, while the
+    * union-sort carries O(1) state per key through a single sort that
+    * AQE sizes like any other shuffle. The probe-flag tiebreak makes
+    * equal-timestamp matches inclusive, exactly `ASOF JOIN`'s `>=` —
+    * which is the oracle (native DuckDB ASOF JOIN). */
+  def asofLastViewBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val tagged = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts"),
+        (col("event_type") === "purchase").cast("int").as("is_probe"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_probe").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("last_view_ts",
+        last(when(col("is_probe") === 0, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("is_probe") === 1 && col("last_view_ts").isNotNull)
+      .select(col("user_id"), col("ts").as("purchase_ts"), col("last_view_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("last_view_ts"))).as("gap_us"))
+      .orderBy("user_id", "purchase_ts")
+  }
 }

@@ -462,4 +462,40 @@ object Relational {
       .filter(portable32(col("o_orderkey").cast("string")) % 20 === 0)
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       .orderBy("o_orderkey")
+
+  /** Incremental aggregate maintenance — materialized-view refresh
+    * without full recompute. The running state is a PARTIAL aggregate
+    * (sum-cents, count per group); a new batch aggregates alone and the
+    * two partials re-aggregate by group key. Associativity of the
+    * integer partial state makes this exact — the same algebra Spark's
+    * own map-side combine exploits within one job, applied ACROSS jobs.
+    *
+    * The scenario splits orders at 1996-01-01 into a "materialized"
+    * base and a "newly arrived" delta, maintains segment-level revenue
+    * incrementally, and the oracle recomputes from scratch over
+    * everything — the refresh must be indistinguishable from full
+    * recompute. At 100 TB the base state is a stored table at GROUP
+    * grain (tiny), so a refresh touches only the delta partition plus a
+    * group-grain merge: cost scales with the delta, not history. Only
+    * algebraic aggregates (sum/count/min/max, sketch merges) maintain
+    * this way; holistic ones (exact median) need their inputs and are
+    * the reason sketches exist. */
+  def incrementalRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_orderdate"), col("o_totalprice"))
+    val split = lit("1996-01-01").cast("timestamp")
+    def partial(df: DataFrame): DataFrame = df
+      .groupBy("c_mktsegment")
+      .agg(sum(cents2(col("o_totalprice"))).as("cents"),
+        count(lit(1)).as("n"))
+    val base = partial(o.filter(col("o_orderdate") < split))
+    val delta = partial(o.filter(col("o_orderdate") >= split))
+    base.unionByName(delta)
+      .groupBy("c_mktsegment")
+      .agg((sum("cents").cast("double") / 100.0).as("revenue"),
+        sum("n").as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
 }
