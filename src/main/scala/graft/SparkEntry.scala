@@ -96,6 +96,8 @@ object SparkEntry {
     "q71_eventgen_agg" -> (graft.sources.v2.EventGen.typeSummary _),
     "q72_asof_union" -> (Events.asofLastViewBeforePurchase _),
     "q73_incremental_agg" -> (Relational.incrementalRevenue _),
+    "q74_streaming_eventgen" -> (graft.sources.v2.EventGen.streamTypeCounts _),
+    "q75_salted_join" -> ((s, d) => Analytics.saltedWeightedValue(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1016,5 +1018,33 @@ object SparkEntry {
          |  COUNT(*) AS n_orders
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY 1 ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
+
+    // Stream-drain of the DSv2 micro-batch surface must equal batch
+    // generation over the full id range (5 admission-controlled
+    // triggers x 10k ids).
+    "q74_streaming_eventgen" ->
+      s"""WITH g AS (SELECT i AS event_id,
+         |    ${h32("CAST(i AS VARCHAR)")} AS h
+         |  FROM range(0, 50000) t(i)),
+         |e AS (SELECT
+         |    ['view','cart','purchase','refund','support']
+         |      [CAST((h // 500) % 5 AS INT) + 1] AS event_type,
+         |    CAST(h % 10000 AS DOUBLE) / 100.0 AS value
+         |  FROM g)
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  ${sum2("value")} AS total_value
+         |FROM e GROUP BY 1
+         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // Salted join must equal the PLAIN join — the salt never escapes.
+    "q75_salted_join" ->
+      s"""WITH w(event_type, weight) AS (VALUES
+         |  ('view', CAST(1.0 AS DOUBLE)), ('click', CAST(2.0 AS DOUBLE)),
+         |  ('signup', CAST(5.0 AS DOUBLE)), ('purchase', CAST(10.0 AS DOUBLE)),
+         |  ('error', CAST(0.5 AS DOUBLE)))
+         |SELECT e.event_type, COUNT(*) AS n_events,
+         |  ${sum2("value * weight")} AS weighted_value
+         |FROM events e JOIN w USING (event_type)
+         |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin,
   )
 }

@@ -111,6 +111,38 @@ object Analytics {
       .orderBy("brand_a", "brand_b")
   }
 
+  /** Skew-mitigated JOIN by salting — the join-side twin of q59's
+    * salted aggregation. The events fact has 5 join-key values
+    * (event_type), the canonical pathological join skew: a plain
+    * shuffled join funnels the whole fact through 5 reducers. Salting
+    * REPLICATES the small side across `salt` shards (5 rows → 5×salt)
+    * and scatters the fact by a salt derived from a high-cardinality
+    * column; the join key becomes (event_type, salt), spreading each hot
+    * key over `salt` reducers. The salt never escapes: the aggregate is
+    * keyed on the original column, and the oracle is the PLAIN join —
+    * proving the rewrite exact, as with q59.
+    *
+    * The shuffle_hash hint models the big-big case where the dim does
+    * NOT fit in a broadcast (when it does, broadcast IS the skew fix).
+    * AQE's skew-join handles sort-merge spills adaptively; explicit
+    * salting is the shape that also works for stateful/streaming joins
+    * where AQE cannot re-plan. */
+  def saltedWeightedValue(spark: SparkSession, dir: String, salt: Int = 16): DataFrame = {
+    import spark.implicits._
+    val weights = Seq(("view", 1.0), ("click", 2.0), ("signup", 5.0),
+      ("purchase", 10.0), ("error", 0.5)).toDF("event_type", "weight")
+    val dim = weights.crossJoin(
+      spark.range(salt).select(col("id").cast("int").as("__salt")))
+    val fact = Tables.events(spark, dir)
+      .select(col("event_type"), col("value"), col("event_id"))
+      .withColumn("__salt", pmod(col("event_id"), lit(salt)).cast("int"))
+    fact.join(dim.hint("shuffle_hash"), Seq("event_type", "__salt"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sumMoney2(col("value") * col("weight")).as("weighted_value"))
+      .orderBy("event_type")
+  }
+
   /** Campaign-window attribution — a POINT-IN-INTERVAL range join.
     * Campaign windows are derived deterministically from the event-time
     * extent: 10 overlapping 14-day campaigns starting every 7 days, so

@@ -78,6 +78,32 @@ object EventGen {
       .orderBy("event_type")
   }
 
+  /** q74: the SAME connector read as a rate-limited micro-batch stream
+    * (5 triggers × 10k ids via admission control), aggregated and
+    * drained with AvailableNow. The oracle regenerates the full id
+    * range — stream-drain must equal batch generation, the
+    * batch≡stream contract the connector's two capabilities promise. */
+  def streamTypeCounts(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.util.Portable._
+    val counts = spark.readStream.format("graft-eventgen")
+      .option("rows", 50000L).option("batchRows", 10000L)
+      .option("users", 500L).load()
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sumMoney2(col("value")).as("total_value"))
+    val name = "eventgen_stream_sink"
+    val q = counts.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("event_type")
+  }
+
   val schema: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = false),
     StructField("ts", TimestampType, nullable = false),
@@ -102,16 +128,18 @@ class EventGenTable(options: CaseInsensitiveStringMap) extends Table with Suppor
   override def name(): String = "graft_eventgen"
   override def schema(): StructType = EventGen.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder =
     new EventGenScanBuilder(
       rows = options.getLong("rows", 100000L),
       numPartitions = options.getInt("partitions", 8),
       users = options.getLong("users", 500L),
-      startSec = options.getLong("start", 1704067200L)) // 2024-01-01 UTC
+      startSec = options.getLong("start", 1704067200L), // 2024-01-01 UTC
+      batchRows = options.getLong("batchRows", 10000L))
 }
 
-class EventGenScanBuilder(rows: Long, numPartitions: Int, users: Long, startSec: Long)
+class EventGenScanBuilder(rows: Long, numPartitions: Int, users: Long,
+    startSec: Long, batchRows: Long = 10000L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
@@ -151,15 +179,20 @@ class EventGenScanBuilder(rows: Long, numPartitions: Int, users: Long, startSec:
 
   override def build(): Scan =
     new EventGenScan(lo, math.max(lo, hi), numPartitions, users, startSec,
-      required, rows)
+      required, rows, batchRows)
 }
 
 case class EventGenPartition(start: Long, end: Long) extends InputPartition
 
 class EventGenScan(lo: Long, hi: Long, numPartitions: Int, users: Long,
-    startSec: Long, required: StructType, totalRows: Long) extends Scan with Batch {
+    startSec: Long, required: StructType, totalRows: Long,
+    batchRows: Long = 10000L) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new EventGenMicroBatchStream(lo, hi, numPartitions, users, startSec,
+      required, batchRows)
   override def description(): String =
     s"EventGen[range=[$lo,$hi), partitions<=$numPartitions, pruned=${required.fieldNames.mkString(",")}]"
 
@@ -175,6 +208,69 @@ class EventGenScan(lo: Long, hi: Long, numPartitions: Int, users: Long,
       .filter { case (s, e) => s < e }
       .map { case (s, e) => EventGenPartition(s, e): InputPartition }
       .toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EventGenReaderFactory(users, startSec, required)
+}
+
+/** Streaming offset = position in the id space (a Kafka-offset
+  * analogue: totally ordered, serialized as its JSON long). */
+case class EventGenOffset(pos: Long)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = pos.toString
+}
+
+/** The DSv2 MICRO-BATCH surface on the same generator: each trigger
+  * admits the next `batchRows` ids, so the stream delivers the
+  * identical rows the batch scan would — the claim the reference makes
+  * for its Kafka path ("same pipeline, streaming or batch") realized as
+  * one connector with two read capabilities. `latestOffset` caps the
+  * admitted range (rate limiting à la Kafka's maxOffsetsPerTrigger);
+  * `planInputPartitions(start, end)` re-chunks each admitted slice, and
+  * the same PartitionReaderFactory serves both paths. Spark wraps this
+  * in AvailableNowDataStreamWrapper for Trigger.AvailableNow, draining
+  * to the fixed end then stopping — used by q74's verify scenario. */
+class EventGenMicroBatchStream(lo: Long, hi: Long, numPartitions: Int,
+    users: Long, startSec: Long, required: StructType, batchRows: Long)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  /** Implementing SupportsTriggerAvailableNow (not just
+    * SupportsAdmissionControl) is what keeps AvailableNow rate-limited:
+    * otherwise Spark wraps the stream in AvailableNowDataStreamWrapper,
+    * which snapshots reportLatestOffset and drains to it in ONE batch,
+    * bypassing latestOffset(start, limit). The end target here is the
+    * fixed id-space bound, so there is nothing to snapshot. */
+  override def prepareForTriggerAvailableNow(): Unit = ()
+
+  override def initialOffset(): Offset = EventGenOffset(lo)
+  /** Admission control: each trigger admits at most `batchRows` ids —
+    * the Kafka `maxOffsetsPerTrigger` analogue. */
+  override def latestOffset(startOffset: Offset, limit: ReadLimit): Offset =
+    EventGenOffset(math.min(hi,
+      startOffset.asInstanceOf[EventGenOffset].pos + batchRows))
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit)")
+  override def reportLatestOffset(): Offset = EventGenOffset(hi)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(batchRows)
+  override def deserializeOffset(json: String): Offset =
+    EventGenOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[EventGenOffset].pos
+    val e = end.asInstanceOf[EventGenOffset].pos
+    if (s >= e) Array.empty
+    else {
+      val per = math.max(1L, math.min(batchRows, (e - s + numPartitions - 1) / numPartitions))
+      Iterator.iterate(s)(_ + per).takeWhile(_ < e)
+        .map(b => EventGenPartition(b, math.min(e, b + per)): InputPartition)
+        .toArray
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -56,6 +56,25 @@ class EventGenSourceSpec extends SparkSpec {
     assert(ids.getLong(0) == 500 && ids.getLong(1) == 749)
   }
 
+  test("micro-batch stream drains in rate-limited triggers and equals batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val stream = spark.readStream.format("graft-eventgen")
+      .option("rows", 5000).option("batchRows", 1000).load()
+      .groupBy("event_type").count()
+    val q = stream.writeStream.outputMode("complete").format("memory")
+      .queryName("eventgen_spec_sink").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // admission control: 5000 ids / 1000 per trigger => at least 5 batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 5)
+    assert(q.recentProgress.filter(_.numInputRows > 0)
+      .forall(_.numInputRows <= 1000))
+    val streamed = spark.table("eventgen_spec_sink")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batch = gen(rows = 5000).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("residual filters still apply on top of absorbed ones") {
     val df = gen(rows = 1000, parts = 4)
       .filter(col("event_id") < 100L && col("event_type") === "view")
