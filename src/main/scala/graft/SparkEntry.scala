@@ -98,6 +98,7 @@ object SparkEntry {
     "q73_incremental_agg" -> (Relational.incrementalRevenue _),
     "q74_streaming_eventgen" -> (graft.sources.v2.EventGen.streamTypeCounts _),
     "q75_salted_join" -> ((s, d) => Analytics.saltedWeightedValue(s, d)),
+    "q76_kmeans_vq" -> ((s, d) => VectorOps.kmeansQuantize(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -185,6 +186,48 @@ object SparkEntry {
     s"""WITH $minhashPairsCtes
        |SELECT ida, idb, jaccard FROM pairs
        |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin
+
+  /** DuckDB replay of VectorOps.kmeansQuantize: same init (first K
+    * vectors), same strict-argmin tiebreak, and the same floor-scaled
+    * INTEGER dimension sums — which is what makes an iterative float
+    * algorithm bit-reproducible across engines. */
+  private val kmeansSql: String = {
+    val (k, dim) = (8, 64)
+    def distExpr(e: String, c: String) =
+      s"""list_reduce(list_transform(range(1, ${dim + 1}),
+         |      i -> (CAST($e[i] AS DOUBLE) - $c[i])
+         |         * (CAST($e[i] AS DOUBLE) - $c[i])), (x, y) -> x + y)""".stripMargin
+    def assign(src: String, cents: String, out: String) =
+      s"""$out AS (
+         |  SELECT vec_id, cid, embedding, d FROM (
+         |    SELECT vec_id, cid, embedding, d, row_number() OVER (
+         |        PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+         |    FROM (SELECT e.vec_id, c.cid, e.embedding,
+         |        ${distExpr("e.embedding", "c.c")} AS d
+         |      FROM $src e CROSS JOIN $cents c))
+         |  WHERE rn = 1)""".stripMargin
+    def update(src: String, out: String) =
+      s"""$out AS (
+         |  SELECT cid, list(m ORDER BY pos) AS c FROM (
+         |    SELECT cid, pos,
+         |      CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+         |        AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS m
+         |    FROM (SELECT cid, generate_subscripts(embedding, 1) AS pos,
+         |        unnest(embedding) AS x FROM $src)
+         |    GROUP BY 1, 2)
+         |  GROUP BY cid)""".stripMargin
+    s"""WITH c0 AS (SELECT vec_id AS cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
+       |  FROM embeddings WHERE vec_id < $k),
+       |${assign("embeddings", "c0", "a0")},
+       |${update("a0", "c1")},
+       |${assign("embeddings", "c1", "a1")},
+       |${update("a1", "c2")},
+       |${assign("embeddings", "c2", "a2")}
+       |SELECT vec_id, cid, ${val6("d")} AS dist2,
+       |  COUNT(*) OVER (PARTITION BY cid) AS cluster_size
+       |FROM a2 ORDER BY vec_id NULLS FIRST""".stripMargin
+  }
 
   /** DuckDB mirror of VectorOps.dot/norm/cosine: left folds match
     * Spark's `aggregate` order (and the typed kernel's independent
@@ -1046,5 +1089,7 @@ object SparkEntry {
          |  ${sum2("value * weight")} AS weighted_value
          |FROM events e JOIN w USING (event_type)
          |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q76_kmeans_vq" -> kmeansSql,
   )
 }

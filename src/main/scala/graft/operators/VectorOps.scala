@@ -242,4 +242,78 @@ object VectorOps {
       .select(col("ida"), col("idb"), graft.util.Portable.val6(col("cos")).as("cos_sim"))
       .orderBy("ida", "idb")
   }
+
+  /** Deterministic Lloyd's k-means — the vector-quantization trainer
+    * that produces [[ivfKnn]]'s coarse centroids (its Scaladoc defers to
+    * exactly this). Classic big-data k-means dataflow:
+    *
+    *  - centroids live in the TASK CLOSURE (K×dim doubles), assignment
+    *    is a map-only pass with a strict-< argmin (ties → lowest cid);
+    *  - the update step is ONE map-side-combined shuffle at (cid, dim)
+    *    grain — per-dimension sums as floor-scaled integers, so the
+    *    accumulation is exact and ORDER-INDEPENDENT (float sums would be
+    *    partition-order-dependent and break both determinism and the
+    *    oracle);
+    *  - per round: one collect of K×dim scaled longs to the driver (the
+    *    same metadata-sized motion every distributed k-means pays).
+    *
+    * The integer-sum trick is what makes an ITERATIVE float algorithm
+    * hash-verifiable: the DuckDB oracle replays both Lloyd rounds from
+    * the same init (first K vectors) and must land on bit-identical
+    * centroids, assignments, and distances. At 100 TB: same loop,
+    * centroids broadcast instead of closure-captured, assignment output
+    * written cid-bucketed so the IVF index build is the free by-product
+    * of the final pass. */
+  def kmeansQuantize(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+
+    def distSq(v: Array[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < c.length) { val d = v(i).toDouble - c(i); s += d * d; i += 1 }
+      s
+    }
+    def assignTo(cents: Array[(Long, Array[Double])]) = {
+      val bc = spark.sparkContext.broadcast(cents)
+      ds.mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var bestC = Long.MaxValue; var best = Double.PositiveInfinity
+          var i = 0
+          while (i < cs.length) {
+            val s = distSq(v, cs(i)._2)
+            if (s < best) { best = s; bestC = cs(i)._1 }
+            i += 1
+          }
+          (id, bestC, best, v)
+        }
+      }.toDF("vec_id", "cid", "dist2", "embedding")
+    }
+
+    var cents: Array[(Long, Array[Double])] = ds.filter(_._1 < k)
+      .collect().sortBy(_._1).map { case (id, v) => (id, v.map(_.toDouble)) }
+    for (_ <- 1 to iters) {
+      val sums = assignTo(cents)
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("cid", "pos")
+        .agg(sum(floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      cents = sums.groupBy(_.getLong(0)).toArray.map { case (cid, rows) =>
+        val c = new Array[Double](rows.length)
+        rows.foreach(r => c(r.getInt(1)) =
+          r.getLong(2).toDouble / 1000000.0 / r.getLong(3))
+        (cid, c)
+      }.sortBy(_._1)
+    }
+
+    val sizeW = Window.partitionBy("cid")
+    assignTo(cents)
+      .select(col("vec_id"), col("cid"),
+        graft.util.Portable.val6(col("dist2")).as("dist2"),
+        count(lit(1)).over(sizeW).as("cluster_size"))
+      .orderBy("vec_id")
+  }
 }
