@@ -99,6 +99,8 @@ object SparkEntry {
     "q74_streaming_eventgen" -> (graft.sources.v2.EventGen.streamTypeCounts _),
     "q75_salted_join" -> ((s, d) => Analytics.saltedWeightedValue(s, d)),
     "q76_kmeans_vq" -> ((s, d) => VectorOps.kmeansQuantize(s, d)),
+    "q77_session_window" -> (Events.sessionWindows _),
+    "q78_doc_histogram" -> ((s, d) => TextOps.docLengthHistogram(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1091,5 +1093,34 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q76_kmeans_vq" -> kmeansSql,
+
+    // Spark session_window semantics: an event exactly `gap` after the
+    // previous STARTS a new session (strict containment in [ts, ts+gap)),
+    // and window end = last_ts + gap. Integer epoch-µs gap test.
+    "q77_session_window" ->
+      s"""WITH e AS (SELECT user_id, ts, value FROM events),
+         |g AS (SELECT user_id, ts, value,
+         |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+         |        PARTITION BY user_id ORDER BY ts ASC)) >= 1800000000
+         |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM e),
+         |s AS (SELECT user_id, ts, value,
+         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+         |      ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM g)
+         |SELECT user_id, min(ts) AS session_start,
+         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |  COUNT(*) AS n_events,
+         |  ${sum2("value")} AS session_value
+         |FROM s GROUP BY user_id, session_id
+         |ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""".stripMargin,
+
+    "q78_doc_histogram" ->
+      """SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,
+        |  COUNT(*) AS n_docs, min(n_chars) AS min_chars,
+        |  max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1
+        |ORDER BY bucket_lo NULLS FIRST""".stripMargin,
   )
 }

@@ -161,6 +161,28 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Native session windows (`session_window`) — the engine-level form
+    * of q17's manual lag/cumsum sessionization. Spark's semantics: a
+    * session is extended while the next event lands STRICTLY inside
+    * [ts, ts+gap); an event exactly `gap` after the previous one starts
+    * a new session, and the reported window end is last_ts + gap. The
+    * oracle replays exactly that with an integer epoch-µs gap test.
+    *
+    * This is also the batch twin of the streaming session-window
+    * aggregation (same operator merges session state under a watermark);
+    * state per key is bounded by OPEN sessions, not history. One shuffle
+    * on the session key; the merge itself is Spark's
+    * UpdatingSessionsExec, not a window sort. */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), sumMoney2(col("value")).as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
+
   /** AS-OF join by UNION-SORT — for each purchase, the same user's
     * latest view at or before it. The classic time-series as-of
     * (DuckDB/kdb `ASOF JOIN`, Pandas `merge_asof`), which Spark has no

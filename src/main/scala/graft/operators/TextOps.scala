@@ -363,6 +363,17 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Fixed-width histogram of document lengths — the distribution
+    * profile every corpus-curation pass starts with. Bucketing is a
+    * scan-local integer floor-divide; the aggregate is an ordinary
+    * map-side-combined groupBy over ≤ (max/width) buckets. */
+  def docLengthHistogram(spark: SparkSession, dir: String, width: Int = 100): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy((floor(col("n_chars") / width) * width).cast("long").as("bucket_lo"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+      .orderBy("bucket_lo")
+
   /** Stratified deterministic sampling: per-language keep rates via a
     * portable hash of the key — `sampleBy` semantics without RNG state,
     * reproducible across engines, runs, and cluster layouts (same
