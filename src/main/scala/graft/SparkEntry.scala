@@ -101,6 +101,8 @@ object SparkEntry {
     "q76_kmeans_vq" -> ((s, d) => VectorOps.kmeansQuantize(s, d)),
     "q77_session_window" -> (Events.sessionWindows _),
     "q78_doc_histogram" -> ((s, d) => TextOps.docLengthHistogram(s, d)),
+    "q79_unpivot" -> (Events.unpivotEventCounts _),
+    "q80_percentile_disc" -> (Relational.percentileDiscPrices _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1122,5 +1124,34 @@ object SparkEntry {
         |  max(n_chars) AS max_chars
         |FROM documents GROUP BY 1
         |ORDER BY bucket_lo NULLS FIRST""".stripMargin,
+
+    // Long-form melt of the q45 matrix: one UNION ALL arm per value
+    // column, zero cells dropped — semantically UNPIVOT.
+    "q79_unpivot" ->
+      """WITH w AS (
+        |  SELECT user_id,
+        |    COUNT(*) FILTER (event_type = 'signup') AS n_signup,
+        |    COUNT(*) FILTER (event_type = 'view') AS n_view,
+        |    COUNT(*) FILTER (event_type = 'click') AS n_click,
+        |    COUNT(*) FILTER (event_type = 'purchase') AS n_purchase
+        |  FROM events GROUP BY user_id),
+        |l AS (
+        |  SELECT user_id, 'signup' AS stage, n_signup AS n_events FROM w
+        |  UNION ALL SELECT user_id, 'view', n_view FROM w
+        |  UNION ALL SELECT user_id, 'click', n_click FROM w
+        |  UNION ALL SELECT user_id, 'purchase', n_purchase FROM w)
+        |SELECT user_id, stage, n_events FROM l WHERE n_events > 0
+        |ORDER BY user_id NULLS FIRST, stage NULLS FIRST""".stripMargin,
+
+    // percentile_disc returns ACTUAL data values — exact quantiles with
+    // no cross-engine interpolation hazard.
+    "q80_percentile_disc" ->
+      """SELECT p_brand,
+        |  quantile_disc(p_retailprice, 0.25) AS p25,
+        |  quantile_disc(p_retailprice, 0.5) AS p50,
+        |  quantile_disc(p_retailprice, 0.9) AS p90,
+        |  COUNT(*) AS n
+        |FROM part GROUP BY p_brand
+        |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -141,6 +141,21 @@ object Events {
         coalesce(col("purchase"), lit(0L)).as("n_purchase"))
       .orderBy("user_id")
 
+  /** UNPIVOT (melt) — the inverse of [[pivotEventCounts]]: the wide
+    * per-user counts matrix back to (user, stage, n) long form, zero
+    * cells dropped. Spark's `unpivot` plans as an Expand (each input row
+    * emits one output row per value column) — a pure map-side reshape,
+    * no shuffle beyond what produced the input. Long form is what
+    * groupBy-able downstreams (and every BI melt) want. */
+  def unpivotEventCounts(spark: SparkSession, dir: String): DataFrame =
+    pivotEventCounts(spark, dir)
+      .unpivot(Array(col("user_id")),
+        Array(col("n_signup"), col("n_view"), col("n_click"), col("n_purchase")),
+        "stage", "n_events")
+      .filter(col("n_events") > 0)
+      .withColumn("stage", expr("substring(stage, 3)"))
+      .orderBy("user_id", "stage")
+
   /** Silver cleanse of the event stream (SURVEY §2.2/§2.8, reference
     * ecom_Silver_Layer.ipynb:191–289): key dedup keeping the earliest
     * row (W2 semantics), JSON property extraction, typed/derived

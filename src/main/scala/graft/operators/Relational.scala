@@ -463,6 +463,25 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
       .orderBy("o_orderkey")
 
+  /** Grouped DISCRETE percentiles — `percentile_disc` returns an actual
+    * data value (no interpolation), which makes exact quantiles fully
+    * engine-portable where `percentile_cont`'s lo+frac·(hi−lo) float
+    * interpolation is a cross-engine hazard (q15's continuous forms work
+    * here only because the inputs are small integers). At 100 TB the
+    * exact per-group sort becomes a groupBy + percentile sketch with
+    * discrete rank lookup — same output contract. */
+  def percentileDiscPrices(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).createOrReplaceTempView("pd_part")
+    spark.sql(
+      """SELECT p_brand,
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY p_retailprice) AS p25,
+        |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY p_retailprice) AS p50,
+        |  percentile_disc(0.9)  WITHIN GROUP (ORDER BY p_retailprice) AS p90,
+        |  COUNT(*) AS n
+        |FROM pd_part GROUP BY p_brand
+        |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Incremental aggregate maintenance — materialized-view refresh
     * without full recompute. The running state is a PARTIAL aggregate
     * (sum-cents, count per group); a new batch aggregates alone and the
