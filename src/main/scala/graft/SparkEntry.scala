@@ -103,6 +103,7 @@ object SparkEntry {
     "q78_doc_histogram" -> ((s, d) => TextOps.docLengthHistogram(s, d)),
     "q79_unpivot" -> (Events.unpivotEventCounts _),
     "q80_percentile_disc" -> (Relational.percentileDiscPrices _),
+    "q81_bloom_prune" -> (Relational.bloomPrunedRevenue _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1142,6 +1143,20 @@ object SparkEntry {
         |  UNION ALL SELECT user_id, 'purchase', n_purchase FROM w)
         |SELECT user_id, stage, n_events FROM l WHERE n_events > 0
         |ORDER BY user_id NULLS FIRST, stage NULLS FIRST""".stripMargin,
+
+    // The bloom prefilter is result-transparent (exact IN-join removes
+    // false positives), so the oracle is the plain semi join.
+    "q81_bloom_prune" ->
+      s"""WITH keys AS (
+         |  SELECT s_suppkey FROM supplier
+         |  JOIN nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_3')
+         |SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         |  ${sum4("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |WHERE l_suppkey IN (SELECT s_suppkey FROM keys)
+         |GROUP BY 1 ORDER BY 1 ASC NULLS FIRST""".stripMargin,
 
     // percentile_disc returns ACTUAL data values — exact quantiles with
     // no cross-engine interpolation hazard.

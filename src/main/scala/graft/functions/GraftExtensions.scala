@@ -26,6 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_distinct"),
       info("kmv_distinct", "kmv_distinct(hash) - KMV distinct-count sketch over portable32 hashes"),
       (exprs: Seq[Expression]) => KmvDistinct(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_agg"),
+      info("bloom_agg", "bloom_agg(key[, estItems[, numBits]]) - bloom-filter sketch of a key set"),
+      (exprs: Seq[Expression]) => BloomFuncs.bloomAggBuilder(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_might_contain"),
+      info("bloom_might_contain", "bloom_might_contain(bloom, key) - probabilistic membership probe"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => RewriteRegexCount)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }

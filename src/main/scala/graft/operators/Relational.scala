@@ -482,6 +482,38 @@ object Relational {
         |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Bloom-pruned semi join (SURVEY §2.3 J1 hardened for 100 TB): the
+    * dim-side key set (suppliers of one nation) is sketched into a
+    * bloom filter by `bloom_agg` in a scalar subquery — one ~100 KB
+    * binary broadcast to every fact scan task — and
+    * `bloom_might_contain` drops non-qualifying lineitem rows AT THE
+    * SCAN, before any exchange. The exact `IN` semi join afterwards
+    * removes the ε false positives, so the result is exactly the plain
+    * semi join (which is the oracle). This is the manual form of
+    * Spark's runtime row-level filtering, for when the key set comes
+    * from a source the optimizer can't see through. */
+  def bloomPrunedRevenue(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.BloomFuncs.register(spark)
+    Tables.lineitem(spark, dir).createOrReplaceTempView("bp_lineitem")
+    Tables.supplier(spark, dir).createOrReplaceTempView("bp_supplier")
+    Tables.nation(spark, dir).createOrReplaceTempView("bp_nation")
+    import graft.util.Portable.Sql
+    spark.sql(
+      s"""WITH keys AS (
+         |  SELECT s_suppkey FROM bp_supplier
+         |  JOIN bp_nation ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_3')
+         |SELECT date_format(l_shipdate, 'yyyy-MM') AS ship_month,
+         |  ${Sql.sum4("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM bp_lineitem
+         |WHERE bloom_might_contain(
+         |    (SELECT bloom_agg(CAST(s_suppkey AS BIGINT), CAST(100000 AS BIGINT)) FROM keys),
+         |    CAST(l_suppkey AS BIGINT))
+         |  AND l_suppkey IN (SELECT s_suppkey FROM keys)
+         |GROUP BY 1 ORDER BY 1 ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Incremental aggregate maintenance — materialized-view refresh
     * without full recompute. The running state is a PARTIAL aggregate
     * (sum-cents, count per group); a new batch aggregates alone and the

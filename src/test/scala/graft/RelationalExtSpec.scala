@@ -87,6 +87,52 @@ class RelationalExtSpec extends SparkSpec {
       s"sample filter runs above a shuffle:\n$sampPlan")
   }
 
+  test("unpivotEventCounts: melt is the exact inverse of the pivot") {
+    val wide = Events.pivotEventCounts(spark, dir)
+    val long = Events.unpivotEventCounts(spark, dir)
+    // every positive cell round-trips; zero cells are dropped
+    val cells = wide.count() * 4
+    val zeros = Seq("n_signup", "n_view", "n_click", "n_purchase")
+      .map(c => wide.filter(col(c) === 0).count()).sum
+    assert(long.count() == cells - zeros)
+    val back = long.groupBy("user_id").pivot("stage").sum("n_events")
+    val views = back.select($"user_id", coalesce($"view", lit(0L)).as("v"))
+      .join(wide.select($"user_id", $"n_view"), "user_id")
+    assert(views.filter($"v" =!= $"n_view").count() == 0)
+  }
+
+  test("percentileDiscPrices: quantiles are actual data values, ordered") {
+    val rows = Relational.percentileDiscPrices(spark, dir)
+    val prices = graft.sources.Tables.part(spark, dir)
+      .select($"p_brand", $"p_retailprice").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).toSet)
+    rows.collect().foreach { r =>
+      val vals = prices(r.getString(0))
+      Seq(1, 2, 3).foreach(i => assert(vals.contains(r.getDouble(i)),
+        s"p${i} of ${r.getString(0)} not a data value"))
+      assert(r.getDouble(1) <= r.getDouble(2) && r.getDouble(2) <= r.getDouble(3))
+    }
+  }
+
+  test("bloomPrunedRevenue: equals the exact semi join; bloom probe in plan") {
+    val pruned = Relational.bloomPrunedRevenue(spark, dir)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"no bloom probe in plan:\n$plan")
+    import graft.sources.Tables
+    val keys = Tables.supplier(spark, dir)
+      .join(Tables.nation(spark, dir).filter($"n_name" === "NATION_3"),
+        $"s_nationkey" === $"n_nationkey")
+      .select($"s_suppkey")
+    val exact = Tables.lineitem(spark, dir)
+      .join(keys, $"l_suppkey" === $"s_suppkey", "left_semi")
+      .groupBy(date_format($"l_shipdate", "yyyy-MM").as("ship_month"))
+      .agg(graft.util.Portable.sumMoney4(
+        $"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+    assert(pruned.except(exact).count() == 0 && exact.except(pruned).count() == 0)
+    assert(pruned.count() > 0)
+  }
+
   test("hashSample: deterministic, ~5% rate, stable across runs") {
     val s1 = Relational.hashSample(spark, dir).select("o_orderkey")
       .as[Long].collect()
