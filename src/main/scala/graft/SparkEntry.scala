@@ -104,6 +104,11 @@ object SparkEntry {
     "q79_unpivot" -> (Events.unpivotEventCounts _),
     "q80_percentile_disc" -> (Relational.percentileDiscPrices _),
     "q81_bloom_prune" -> (Relational.bloomPrunedRevenue _),
+    "q82_moments" -> (Relational.groupedMoments _),
+    "q83_fuzzy_names" -> (Relational.fuzzyNamePairs _),
+    "q84_range_frame" -> (Relational.rangeFrameRevenue _),
+    "q85_bag_ops" -> (Events.bagOpsDays _),
+    "q86_array_funcs" -> (Events.arrayFuncs _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1168,5 +1173,88 @@ object SparkEntry {
         |  COUNT(*) AS n
         |FROM part GROUP BY p_brand
         |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
+
+    // Second moments from exact integer power sums: the float formula
+    // runs once per group on exactly-known operands, so the IEEE op
+    // sequence (and the result) is identical in both engines.
+    "q82_moments" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val varx = s"$nD * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+      val vary = s"$nD * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+      val covNum = s"$nD * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+      s"""WITH s AS (
+         |  SELECT l_linestatus, COUNT(*) AS n,
+         |    SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS sx,
+         |    SUM(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS sy,
+         |    SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)
+         |      * CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)) AS sxx,
+         |    SUM(CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)
+         |      * CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS syy,
+         |    SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT)
+         |      * CAST(FLOOR(l_extendedprice + 0.5) AS BIGINT)) AS sxy
+         |  FROM lineitem GROUP BY 1)
+         |SELECT l_linestatus, n,
+         |  ${val6(s"SQRT($varx) / $nD / 100.0")} AS stddev_qty,
+         |  ${val6(s"SQRT($vary) / $nD")} AS stddev_price,
+         |  ${val6(s"($covNum) / (SQRT($varx) * SQRT($vary))")} AS corr_qty_price
+         |FROM s ORDER BY l_linestatus ASC NULLS FIRST""".stripMargin
+    },
+
+    // Dedup-first + brand blocking: the quadratic runs over DISTINCT
+    // names per brand. levenshtein is integer DP — exact in any engine.
+    "q83_fuzzy_names" ->
+      """WITH names AS (SELECT DISTINCT p_brand, p_name FROM part)
+        |SELECT a.p_brand, a.p_name AS name_a, b.p_name AS name_b,
+        |  levenshtein(a.p_name, b.p_name) AS edit_dist
+        |FROM names a JOIN names b
+        |  ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a.p_brand ASC NULLS FIRST, name_a ASC NULLS FIRST,
+        |  name_b ASC NULLS FIRST""".stripMargin,
+
+    // RANGE frame over an integer epoch-day key: identical frame
+    // boundaries in both engines; windowed sum over integer cents.
+    "q84_range_frame" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS order_date,
+        |    SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS day_cents,
+        |    DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_num
+        |  FROM orders GROUP BY 1, 2, 4)
+        |SELECT o_orderpriority, order_date,
+        |  CAST(day_cents AS DOUBLE) / 100.0 AS revenue,
+        |  CAST(SUM(day_cents) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY day_num ASC
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE) / 100.0
+        |    AS revenue_7d
+        |FROM daily
+        |ORDER BY o_orderpriority ASC NULLS FIRST,
+        |  order_date ASC NULLS FIRST""".stripMargin,
+
+    // Bag semantics: EXCEPT ALL / INTERSECT ALL preserve multiplicity.
+    "q85_bag_ops" ->
+      """WITH v AS (SELECT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (SELECT user_id, CAST(ts AS DATE) AS day
+        |  FROM events WHERE event_type = 'purchase'),
+        |exc AS (SELECT * FROM v EXCEPT ALL SELECT * FROM p),
+        |ovl AS (SELECT * FROM v INTERSECT ALL SELECT * FROM p)
+        |SELECT 'except_all' AS op, user_id, COUNT(*) AS n_rows
+        |FROM exc GROUP BY 2
+        |UNION ALL
+        |SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n_rows
+        |FROM ovl GROUP BY 2
+        |ORDER BY op ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin,
+
+    // Array sweep emitted as scalars (csv/counts/flags) — exercises the
+    // list pipeline without parquet list-hashing concerns.
+    "q86_array_funcs" ->
+      """WITH t AS (
+        |  SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+        |  FROM events WHERE event_type IS NOT NULL GROUP BY 1)
+        |SELECT user_id, array_to_string(types, ',') AS types_csv,
+        |  CAST(len(types) AS BIGINT) AS n_types,
+        |  types[1] AS first_type,
+        |  list_contains(types, 'purchase') AS has_purchase
+        |FROM t ORDER BY user_id ASC NULLS FIRST""".stripMargin,
   )
 }

@@ -232,4 +232,45 @@ object Events {
         (unix_micros(col("ts")) - unix_micros(col("last_view_ts"))).as("gap_us"))
       .orderBy("user_id", "purchase_ts")
   }
+
+  /** Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL
+    * (SURVEY §2.7 beyond-ref). q52/q57 are the DISTINCT set forms; the
+    * ALL forms preserve multiplicity: a user with 3 view-days and 1
+    * purchase-day on the same date keeps 2 surplus rows. Spark plans
+    * these as a count-difference aggregation + generate (no sort), the
+    * same shape DuckDB executes — multiplicities travel as one count
+    * per distinct row, so the shuffle is at distinct-row grain, not raw
+    * rows. Output re-aggregates to per-user surplus/overlap counts. */
+  def bagOpsDays(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def days(t: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+    val views = days("view")
+    val purchases = days("purchase")
+    def roll(df: DataFrame, tag: String) = df.groupBy("user_id")
+      .agg(count(lit(1)).as("n_rows"))
+      .select(lit(tag).as("op"), col("user_id"), col("n_rows"))
+    roll(views.exceptAll(purchases), "except_all")
+      .unionByName(roll(views.intersectAll(purchases), "intersect_all"))
+      .orderBy("op", "user_id")
+  }
+
+  /** Array-function sweep over per-user event-type sets (SURVEY §2.8
+    * array family): collect_set → array_sort → join/size/element_at/
+    * contains. The array stays inside one aggregation — collect_set is
+    * map-side combinable on the deduped per-partition sets, so the
+    * shuffle carries small distinct-type arrays (≤5 elements), not
+    * events. Emitted as scalars (csv string, counts, flags) so the
+    * result is engine-comparable without parquet list-hashing concerns. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .groupBy("user_id")
+      .agg(array_sort(collect_set(col("event_type"))).as("types"))
+      .select(col("user_id"),
+        array_join(col("types"), ",").as("types_csv"),
+        size(col("types")).cast("long").as("n_types"),
+        element_at(col("types"), 1).as("first_type"),
+        array_contains(col("types"), "purchase").as("has_purchase"))
+      .orderBy("user_id")
 }

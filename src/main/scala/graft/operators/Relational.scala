@@ -549,4 +549,92 @@ object Relational {
         sum("n").as("n_orders"))
       .orderBy("c_mktsegment")
   }
+
+  /** Grouped second moments — stddev and correlation — via exact
+    * integer power sums (SURVEY §2.4 beyond-ref; the dashboard's
+    * dispersion/association stats). Built-in `stddev`/`corr` sum raw
+    * doubles across rows, so partial-aggregation order changes the
+    * result bit-for-bit run to run (and engine to engine). Here each
+    * row contributes scaled INTEGERS (quantity in cents, price in
+    * whole dollars) and the shuffle carries six exact BIGINT power
+    * sums (n, Σx, Σy, Σx², Σy², Σxy) — order-independent,
+    * map-side-combinable, one tiny row per group. The float formula
+    * then runs ONCE per group on exact inputs: a fixed IEEE op
+    * sequence both engines evaluate identically. Same algebra at any
+    * scale: the 100 TB shuffle still carries 6 longs per group. */
+  def groupedMoments(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val sums = li
+      .select(col("l_linestatus"),
+        cents2(col("l_quantity")).as("qx"),
+        floor(col("l_extendedprice") + lit(0.5)).cast("long").as("py"))
+      .groupBy("l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        sum("qx").as("sx"), sum("py").as("sy"),
+        sum(col("qx") * col("qx")).as("sxx"),
+        sum(col("py") * col("py")).as("syy"),
+        sum(col("qx") * col("py")).as("sxy"))
+    // doubles only from here: every operand is an exactly-known integer
+    val nD = col("n").cast("double")
+    val (dsx, dsy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (dsxx, dsyy, dsxy) =
+      (col("sxx").cast("double"), col("syy").cast("double"),
+        col("sxy").cast("double"))
+    val varxNum = nD * dsxx - dsx * dsx
+    val varyNum = nD * dsyy - dsy * dsy
+    sums.select(col("l_linestatus"), col("n"),
+        val6(sqrt(varxNum) / nD / lit(100.0)).as("stddev_qty"),
+        val6(sqrt(varyNum) / nD).as("stddev_price"),
+        val6((nD * dsxy - dsx * dsy) / (sqrt(varxNum) * sqrt(varyNum)))
+          .as("corr_qty_price"))
+      .orderBy("l_linestatus")
+  }
+
+  /** Fuzzy entity matching by edit distance with key blocking (SURVEY
+    * §8.10 dedup family): near-identical part names within a brand.
+    * The scale shape is dedup-first — project to DISTINCT (brand,
+    * name), a grain that is bounded by the real-world vocabulary, not
+    * the fact cardinality (64 names here; low millions at 100 TB) —
+    * then a blocked self-join so the quadratic runs per brand over the
+    * deduped set, never over raw rows. `levenshtein` is exact integer
+    * DP, portable across engines. */
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_name")).distinct()
+    val right = names
+      .select(col("p_brand").as("brand_r"), col("p_name").as("name_b"))
+    names.select(col("p_brand"), col("p_name").as("name_a"))
+      .join(right, col("p_brand") === col("brand_r")
+        && col("name_a") < col("name_b"))
+      .select(col("p_brand"), col("name_a"), col("name_b"),
+        levenshtein(col("name_a"), col("name_b")).cast("long")
+          .as("edit_dist"))
+      .filter(col("edit_dist") <= 2)
+      .orderBy("p_brand", "name_a", "name_b")
+  }
+
+  /** Time-based RANGE window frame (SURVEY §2.5 beyond-ref): trailing
+    * 7-day revenue per order priority. Unlike the ROWS frame of q47, a
+    * RANGE frame is defined over the VALUE of the order key — days with
+    * no orders still age out of the window, so the trailing sum is
+    * correct over sparse dates without gap-filling first. The frame key
+    * is an integer day number (epoch days) so both engines share exact
+    * frame-boundary arithmetic; the windowed sum runs over integer
+    * cents. Partitioned by priority: the window shuffles once on the
+    * partition key and each partition sorts locally — no global sort,
+    * no single-partition WindowExec. */
+  def rangeFrameRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("order_date"))
+      .agg(sum(cents2(col("o_totalprice"))).as("day_cents"))
+      .withColumn("day_num", datediff(col("order_date"), lit("1970-01-01")))
+    val w = Window.partitionBy("o_orderpriority").orderBy("day_num")
+      .rangeBetween(-6, Window.currentRow)
+    daily
+      .select(col("o_orderpriority"), col("order_date"),
+        (col("day_cents").cast("double") / 100.0).as("revenue"),
+        (sum("day_cents").over(w).cast("double") / 100.0).as("revenue_7d"))
+      .orderBy("o_orderpriority", "order_date")
+  }
 }

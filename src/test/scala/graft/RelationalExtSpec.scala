@@ -133,6 +133,100 @@ class RelationalExtSpec extends SparkSpec {
     assert(pruned.count() > 0)
   }
 
+  test("groupedMoments: matches driver-side exact moments to 1e-6") {
+    val li = graft.sources.Tables.lineitem(spark, dir)
+      .select($"l_linestatus", $"l_quantity", $"l_extendedprice").collect()
+    val byStatus = li.groupBy(_.getString(0))
+    Relational.groupedMoments(spark, dir).collect().foreach { r =>
+      val rows = byStatus(r.getString(0))
+      val xs = rows.map(x => math.floor(x.getDouble(1) * 100.0 + 0.5))
+      val ys = rows.map(x => math.floor(x.getDouble(2) + 0.5))
+      val n = rows.length.toDouble
+      def m(v: Array[Double]) = v.sum / n
+      val sdx = math.sqrt(xs.map(x => (x - m(xs)) * (x - m(xs))).sum / n) / 100.0
+      val sdy = math.sqrt(ys.map(y => (y - m(ys)) * (y - m(ys))).sum / n)
+      val cov = xs.zip(ys).map { case (x, y) => (x - m(xs)) * (y - m(ys)) }.sum
+      val corr = cov / math.sqrt(xs.map(x => (x - m(xs)) * (x - m(xs))).sum *
+        ys.map(y => (y - m(ys)) * (y - m(ys))).sum)
+      assert(r.getLong(1) == rows.length)
+      assert(math.abs(r.getDouble(2) - sdx) < 1e-6, s"stddev_qty ${r.getString(0)}")
+      assert(math.abs(r.getDouble(3) - sdy) < 1e-6, s"stddev_price ${r.getString(0)}")
+      assert(math.abs(r.getDouble(4) - corr) < 1e-6, s"corr ${r.getString(0)}")
+    }
+  }
+
+  test("fuzzyNamePairs: complete and minimal vs brute force") {
+    val names = graft.sources.Tables.part(spark, dir)
+      .select($"p_brand", $"p_name").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val expected = (for {
+      (ba, na) <- names; (bb, nb) <- names
+      if ba == bb && na < nb && lev(na, nb) <= 2
+    } yield (ba, na, nb, lev(na, nb).toLong)).toSet
+    val got = Relational.fuzzyNamePairs(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+  }
+
+  test("rangeFrameRevenue: trailing window is value-based, not row-based") {
+    val rows = Relational.rangeFrameRevenue(spark, dir).collect()
+      .map(r => (r.getString(0), r.getDate(1).toLocalDate.toEpochDay,
+        r.getDouble(2), r.getDouble(3)))
+    val byPrio = rows.groupBy(_._1)
+    rows.foreach { case (prio, day, _, rev7) =>
+      val expect = byPrio(prio)
+        .filter(x => x._2 >= day - 6 && x._2 <= day)
+        .map(x => math.round(x._3 * 100)).sum / 100.0
+      assert(math.abs(rev7 - expect) < 1e-9, s"$prio day=$day")
+    }
+    // at least one sparse gap must exist for RANGE to differ from ROWS
+    val anyGap = byPrio.values.exists { v =>
+      val ds = v.map(_._2).sorted
+      ds.zip(ds.tail).exists { case (a, b) => b - a > 1 }
+    }
+    assert(anyGap, "test data has no date gaps; RANGE≡ROWS here")
+  }
+
+  test("bagOpsDays: multiplicities are max(0,v-p) and min(v,p) per day") {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .filter($"event_type".isin("view", "purchase"))
+      .select($"user_id", to_date($"ts").as("day"), $"event_type").collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getString(2)))
+    val counts = ev.groupBy(x => (x._1, x._2)).view.mapValues { g =>
+      (g.count(_._3 == "view").toLong, g.count(_._3 == "purchase").toLong)
+    }.toMap
+    val expExc = counts.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map { case (_, (v, p)) => math.max(0L, v - p) }.sum)
+      .filter(_._2 > 0).toMap
+    val expInt = counts.toSeq.groupBy(_._1._1).view
+      .mapValues(_.map { case (_, (v, p)) => math.min(v, p) }.sum)
+      .filter(_._2 > 0).toMap
+    val got = Events.bagOpsDays(spark, dir).collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).toMap).toMap
+    assert(got("except_all") == expExc)
+    assert(got("intersect_all") == expInt)
+  }
+
+  test("arrayFuncs: csv is sorted-distinct; flags consistent") {
+    Events.arrayFuncs(spark, dir).collect().foreach { r =>
+      val types = r.getString(1).split(",").toSeq
+      assert(types == types.sorted && types.distinct == types)
+      assert(r.getLong(2) == types.length)
+      assert(r.getString(3) == types.head)
+      assert(r.getBoolean(4) == types.contains("purchase"))
+    }
+  }
+
   test("hashSample: deterministic, ~5% rate, stable across runs") {
     val s1 = Relational.hashSample(spark, dir).select("o_orderkey")
       .as[Long].collect()
