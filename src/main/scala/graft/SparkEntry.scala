@@ -109,6 +109,7 @@ object SparkEntry {
     "q84_range_frame" -> (Relational.rangeFrameRevenue _),
     "q85_bag_ops" -> (Events.bagOpsDays _),
     "q86_array_funcs" -> (Events.arrayFuncs _),
+    "q87_jaro_winkler" -> (Relational.jaroNamePairs _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1244,6 +1245,21 @@ object SparkEntry {
         |SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n_rows
         |FROM ovl GROUP BY 2
         |ORDER BY op ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin,
+
+    // Our native jaro_winkler expression is pinned bit-exact to
+    // DuckDB's jaro_winkler_similarity; both sides cut on the
+    // val6-rounded score so the threshold can't flip on a boundary.
+    "q87_jaro_winkler" -> {
+      val jw = val6("jaro_winkler_similarity(a.p_name, b.p_name)")
+      s"""WITH names AS (SELECT DISTINCT p_brand, p_name FROM part)
+         |SELECT a.p_brand, a.p_name AS name_a, b.p_name AS name_b,
+         |  $jw AS jw
+         |FROM names a JOIN names b
+         |  ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+         |WHERE $jw >= 0.9
+         |ORDER BY a.p_brand ASC NULLS FIRST, name_a ASC NULLS FIRST,
+         |  name_b ASC NULLS FIRST""".stripMargin
+    },
 
     // Array sweep emitted as scalars (csv/counts/flags) — exercises the
     // list pipeline without parquet list-hashing concerns.

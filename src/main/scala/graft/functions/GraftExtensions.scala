@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("bloom_might_contain", "bloom_might_contain(bloom, key) - probabilistic membership probe"),
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-pinned semantics)"),
+      (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => RewriteRegexCount)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }

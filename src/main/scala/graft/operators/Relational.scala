@@ -613,6 +613,29 @@ object Relational {
       .orderBy("p_brand", "name_a", "name_b")
   }
 
+  /** Prefix-weighted fuzzy matching with the native [[graft.functions
+    * .JaroWinklerSimilarity]] expression — the codegen'd custom-scalar
+    * companion to [[fuzzyNamePairs]] (edit distance counts whole-string
+    * edits; Jaro-Winkler favors shared prefixes, the usual choice for
+    * names/identifiers). Same dedup-first + brand-blocked shape; the
+    * expression inlines into whole-stage codegen so the per-pair cost
+    * is the raw comparison, no UDF boxing. Threshold applies to the
+    * val6-rounded score so both engines cut on the identical value. */
+  def jaroNamePairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.JaroWinkler.jaroWinkler
+    val names = Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_name")).distinct()
+    val right = names
+      .select(col("p_brand").as("brand_r"), col("p_name").as("name_b"))
+    names.select(col("p_brand"), col("p_name").as("name_a"))
+      .join(right, col("p_brand") === col("brand_r")
+        && col("name_a") < col("name_b"))
+      .select(col("p_brand"), col("name_a"), col("name_b"),
+        val6(jaroWinkler(col("name_a"), col("name_b"))).as("jw"))
+      .filter(col("jw") >= 0.9)
+      .orderBy("p_brand", "name_a", "name_b")
+  }
+
   /** Time-based RANGE window frame (SURVEY §2.5 beyond-ref): trailing
     * 7-day revenue per order priority. Unlike the ROWS frame of q47, a
     * RANGE frame is defined over the VALUE of the order key — days with
