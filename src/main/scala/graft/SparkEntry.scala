@@ -110,6 +110,9 @@ object SparkEntry {
     "q85_bag_ops" -> (Events.bagOpsDays _),
     "q86_array_funcs" -> (Events.arrayFuncs _),
     "q87_jaro_winkler" -> (Relational.jaroNamePairs _),
+    "q88_streaming_join" -> (graft.streaming.StreamingJoin.viewsBeforePurchases _),
+    "q89_date_funcs" -> (Relational.dateFuncs _),
+    "q90_cond_bitwise" -> (Relational.condBitwise _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1245,6 +1248,42 @@ object SparkEntry {
         |SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n_rows
         |FROM ovl GROUP BY 2
         |ORDER BY op ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin,
+
+    // Spark dayofweek is 1-based from Sunday; DuckDB 0-based (+1 here).
+    // Month-add clamps to month-end identically in both engines.
+    "q89_date_funcs" ->
+      """WITH d AS (SELECT DISTINCT CAST(o_orderdate AS DATE) AS d FROM orders)
+        |SELECT d, quarter(d) AS qtr, dayofweek(d) + 1 AS dow,
+        |  dayofyear(d) AS doy, weekofyear(d) AS iso_week,
+        |  last_day(d) AS month_end,
+        |  CAST(d + INTERVAL 1 MONTH AS DATE) AS next_month,
+        |  CAST(date_trunc('month', d) AS DATE) AS month_start,
+        |  d + 7 AS plus_week
+        |FROM d ORDER BY d ASC NULLS FIRST""".stripMargin,
+
+    "q90_cond_bitwise" ->
+      s"""SELECT l_returnflag,
+         |  ${sum2("GREATEST(l_extendedprice, l_quantity * 1000.0)")} AS sum_greatest,
+         |  ${sum2("LEAST(l_extendedprice, l_quantity * 1000.0)")} AS sum_least,
+         |  CAST(COUNT(NULLIF(l_linestatus, 'O')) AS BIGINT) AS n_not_open,
+         |  bit_and(CAST(l_linenumber AS BIGINT)) AS mask_and,
+         |  bit_or(CAST(l_linenumber AS BIGINT)) AS mask_or,
+         |  bit_xor(CAST(l_linenumber AS BIGINT)) AS mask_xor,
+         |  MAX(CASE WHEN l_discount > 0.05 THEN l_discount ELSE 0.0 END)
+         |    AS max_hi_disc
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    // AvailableNow drains the bounded input, so the stream-stream join
+    // must equal the batch range self-join.
+    "q88_streaming_join" ->
+      """SELECT p.user_id, p.ts AS purchase_ts, v.ts AS view_ts
+        |FROM events p JOIN events v
+        |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND p.user_id = v.user_id
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |ORDER BY p.user_id ASC NULLS FIRST, purchase_ts ASC NULLS FIRST,
+        |  view_ts ASC NULLS FIRST""".stripMargin,
 
     // Our native jaro_winkler expression is pinned bit-exact to
     // DuckDB's jaro_winkler_similarity; both sides cut on the

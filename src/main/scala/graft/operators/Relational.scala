@@ -378,6 +378,51 @@ object Relational {
         col("c_mktsegment").like("%ING%").as("seg_ing"))
       .orderBy("c_custkey")
 
+  /** Date-function sweep (SURVEY §2.8 F5–F9 family, widened): quarter /
+    * day-of-week / day-of-year / ISO week / month-end / month-add /
+    * month-trunc / day-add, at DISTINCT order-date grain — the
+    * calendar-attribute derivation every date dimension build performs
+    * (q40 generates the dim; this derives the attributes). Dedup-first:
+    * the distinct-date grain is bounded by the calendar (~2.4k dates),
+    * not fact cardinality. Engine-portability pins: Spark dayofweek is
+    * 1-based Sunday, DuckDB 0-based (oracle adds 1); month-add clamps
+    * to month-end identically in both. */
+  def dateFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("d")).distinct()
+      .select(col("d"),
+        quarter(col("d")).cast("long").as("qtr"),
+        dayofweek(col("d")).cast("long").as("dow"),
+        dayofyear(col("d")).cast("long").as("doy"),
+        weekofyear(col("d")).cast("long").as("iso_week"),
+        last_day(col("d")).as("month_end"),
+        add_months(col("d"), 1).as("next_month"),
+        trunc(col("d"), "month").as("month_start"),
+        date_add(col("d"), 7).as("plus_week"))
+      .orderBy("d")
+
+  /** Conditional + bitwise aggregate sweep (SURVEY §2.8/§2.4 widened):
+    * greatest/least, NULLIF-driven conditional counting, CASE-guarded
+    * max, and the bit_and/bit_or/bit_xor aggregate family — the
+    * flag-mask rollups monitoring pipelines use. All inputs are exact
+    * (integers, or raw column values compared without arithmetic), so
+    * no portability scaffolding is needed beyond the money sums. */
+  def condBitwise(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val alt = col("l_quantity") * lit(1000.0)
+    li.groupBy("l_returnflag")
+      .agg(
+        sumMoney2(greatest(col("l_extendedprice"), alt)).as("sum_greatest"),
+        sumMoney2(least(col("l_extendedprice"), alt)).as("sum_least"),
+        count(nullif(col("l_linestatus"), lit("O"))).as("n_not_open"),
+        bit_and(col("l_linenumber").cast("long")).as("mask_and"),
+        bit_or(col("l_linenumber").cast("long")).as("mask_or"),
+        bit_xor(col("l_linenumber").cast("long")).as("mask_xor"),
+        max(when(col("l_discount") > 0.05, col("l_discount"))
+          .otherwise(lit(0.0))).as("max_hi_disc"))
+      .orderBy("l_returnflag")
+  }
+
   /** Time-series gap fill (resample): the daily revenue grid per order
     * priority with missing days materialized as zero rows — the
     * dashboard's trend charts need a dense axis, and gap-filled frames

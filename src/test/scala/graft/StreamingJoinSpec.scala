@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.streaming.StreamingJoin
+
+/** Stream-stream join: drained AvailableNow result must equal the batch
+  * range self-join (exactly-once append semantics), and the state must
+  * be expirable (watermarks on both sides + a two-sided time bound).
+  */
+class StreamingJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("drained stream-stream join equals the batch range self-join") {
+    val dir = sf("sf0.001")
+    val got = StreamingJoin.viewsBeforePurchases(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+
+    val ev = graft.sources.Tables.events(spark, dir)
+    val v = ev.filter($"event_type" === "view")
+      .select($"user_id".as("vu"), $"ts".as("view_ts"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("purchase_ts"))
+    val expected = p.join(v, $"user_id" === $"vu"
+        && $"view_ts" >= $"purchase_ts" - expr("INTERVAL 1 HOUR")
+        && $"view_ts" <= $"purchase_ts")
+      .select($"user_id", $"purchase_ts", $"view_ts")
+      .orderBy("user_id", "purchase_ts", "view_ts")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2)))
+
+    assert(got.sameElements(expected))
+    assert(got.nonEmpty)
+  }
+}
