@@ -113,6 +113,9 @@ object SparkEntry {
     "q88_streaming_join" -> (graft.streaming.StreamingJoin.viewsBeforePurchases _),
     "q89_date_funcs" -> (Relational.dateFuncs _),
     "q90_cond_bitwise" -> (Relational.condBitwise _),
+    "q91_full_outer" -> (Relational.fullOuterDays _),
+    "q92_correlated" -> (Relational.correlatedSubqueries _),
+    "q93_chunk_docs" -> ((s, d) => TextOps.chunkDocs(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1248,6 +1251,50 @@ object SparkEntry {
         |SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n_rows
         |FROM ovl GROUP BY 2
         |ORDER BY op ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin,
+
+    "q91_full_outer" ->
+      """WITH v AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n_views
+        |  FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |    COUNT(*) AS n_purchases
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT COALESCE(v.user_id, p.user_id) AS user_id,
+        |  COALESCE(v.day, p.day) AS day,
+        |  COALESCE(v.n_views, 0) AS n_views,
+        |  COALESCE(p.n_purchases, 0) AS n_purchases,
+        |  CASE WHEN v.user_id IS NULL THEN 'purchase_only'
+        |       WHEN p.user_id IS NULL THEN 'view_only'
+        |       ELSE 'both' END AS presence
+        |FROM v FULL OUTER JOIN p
+        |  ON v.user_id = p.user_id AND v.day = p.day
+        |ORDER BY user_id ASC NULLS FIRST, day ASC NULLS FIRST""".stripMargin,
+
+    // Correlated scalar + EXISTS; both engines decorrelate to joins.
+    // acctbal flows through raw (comparisons only — no arithmetic).
+    "q92_correlated" ->
+      """SELECT c_custkey, c_acctbal,
+        |  (SELECT MAX(c2.c_acctbal) FROM customer c2
+        |   WHERE c2.c_nationkey = c.c_nationkey) AS nation_max
+        |FROM customer c
+        |WHERE c_acctbal > 9000.0
+        |  AND EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    // Spark sequence(0, n-1, 40) ≡ DuckDB range(0, n, 40) for n ≥ 1
+    // (split always yields ≥1 token); slice ends clamp identically.
+    "q93_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |o AS (SELECT doc_id, ws,
+        |  UNNEST(range(0, GREATEST(len(ws), 1), 40)) AS off FROM t)
+        |SELECT doc_id, CAST(off // 40 AS BIGINT) AS chunk_idx,
+        |  CAST(LEAST(50, len(ws) - off) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(ws, off + 1, off + 50), ' ')
+        |    AS chunk_text
+        |FROM o
+        |ORDER BY doc_id ASC NULLS FIRST, chunk_idx ASC NULLS FIRST""".stripMargin,
 
     // Spark dayofweek is 1-based from Sunday; DuckDB 0-based (+1 here).
     // Month-add clamps to month-end identically in both engines.

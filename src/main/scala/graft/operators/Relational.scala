@@ -423,6 +423,55 @@ object Relational {
       .orderBy("l_returnflag")
   }
 
+  /** FULL OUTER join (SURVEY §2.3 widened — the one outer-join shape
+    * the surface was missing): per-user-day view counts against
+    * purchase counts, keeping days present on either side only. The
+    * classic reconciliation shape (left-only = browsed-not-bought,
+    * right-only = bought-without-browsing — attribution leakage). Both
+    * sides pre-aggregate to (user, day) grain BEFORE the join, so the
+    * full-outer shuffle carries group rows, not raw events. */
+  def fullOuterDays(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def daily(t: String, n: String) = ev.filter(col("event_type") === t)
+      .groupBy(col("user_id").as(s"${n}_user"),
+        to_date(col("ts")).as(s"${n}_day"))
+      .agg(count(lit(1)).as(s"n_${n}s"))
+    daily("view", "view")
+      .join(daily("purchase", "purchase"),
+        col("view_user") === col("purchase_user")
+          && col("view_day") === col("purchase_day"), "full_outer")
+      .select(
+        coalesce(col("view_user"), col("purchase_user")).as("user_id"),
+        coalesce(col("view_day"), col("purchase_day")).as("day"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"),
+        when(col("view_user").isNull, "purchase_only")
+          .when(col("purchase_user").isNull, "view_only")
+          .otherwise("both").as("presence"))
+      .orderBy("user_id", "day")
+  }
+
+  /** Correlated subqueries (SURVEY §2.4 A15 generalized): a correlated
+    * SCALAR subquery (each customer against their nation's max balance)
+    * plus a correlated EXISTS (has at least one order). Spark de-
+    * correlates both — the scalar becomes an aggregate + left outer
+    * join, EXISTS a left-semi join — so the "per-row subquery" never
+    * executes per row; it's the same shuffled-join plan a hand-written
+    * version would produce, at any scale. */
+  def correlatedSubqueries(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("cs_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("cs_orders")
+    spark.sql(
+      """SELECT c_custkey, c_acctbal,
+        |  (SELECT MAX(c2.c_acctbal) FROM cs_customer c2
+        |   WHERE c2.c_nationkey = c.c_nationkey) AS nation_max
+        |FROM cs_customer c
+        |WHERE c_acctbal > 9000.0
+        |  AND EXISTS (SELECT 1 FROM cs_orders o
+        |              WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
   /** Time-series gap fill (resample): the daily revenue grid per order
     * priority with missing days materialized as zero rows — the
     * dashboard's trend charts need a dense axis, and gap-filled frames

@@ -374,6 +374,32 @@ object TextOps {
         min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
       .orderBy("bucket_lo")
 
+  /** Fixed-size overlapping token chunking (SURVEY §8.10 — the
+    * context-window prep step of every LLM training/RAG pipeline:
+    * long documents become size-N token windows advancing by a
+    * stride, trailing overlap preserving cross-chunk context). The
+    * offsets GENERATE scan-locally (`sequence(0, n-1, stride)` +
+    * explode — rows fan out in place, no shuffle, no driver loop) and
+    * `slice` re-materializes each window from the one tokenized array,
+    * so cost is O(chunks) per doc and the operator is embarrassingly
+    * parallel at any corpus size. */
+  def chunkDocs(spark: SparkSession, dir: String,
+      chunkSize: Int = 50, stride: Int = 40): DataFrame = {
+    val ws = split(col("text"), " ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0),
+          greatest(size(col("ws")) - 1, lit(0)), lit(stride))).as("off"))
+      .select(col("doc_id"),
+        (col("off") / stride).cast("long").as("chunk_idx"),
+        least(lit(chunkSize), size(col("ws")) - col("off"))
+          .cast("long").as("n_tokens"),
+        concat_ws(" ", slice(col("ws"), col("off") + 1, lit(chunkSize)))
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Stratified deterministic sampling: per-language keep rates via a
     * portable hash of the key — `sampleBy` semantics without RNG state,
     * reproducible across engines, runs, and cluster layouts (same
