@@ -116,6 +116,8 @@ object SparkEntry {
     "q91_full_outer" -> (Relational.fullOuterDays _),
     "q92_correlated" -> (Relational.correlatedSubqueries _),
     "q93_chunk_docs" -> ((s, d) => TextOps.chunkDocs(s, d)),
+    "q94_heavy_hitters" -> ((s, d) => Events.heavyHitters(s, d)),
+    "q95_window_nav" -> (Events.windowNav _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1251,6 +1253,41 @@ object SparkEntry {
         |SELECT 'intersect_all' AS op, user_id, COUNT(*) AS n_rows
         |FROM ovl GROUP BY 2
         |ORDER BY op ASC NULLS FIRST, user_id ASC NULLS FIRST""".stripMargin,
+
+    // The Misra-Gries candidate phase is result-transparent (phase 2
+    // recounts exactly), so the oracle is the plain group-filter.
+    "q94_heavy_hitters" ->
+      s"""WITH t AS (SELECT user_id, COUNT(*) AS c FROM events GROUP BY 1),
+         |s AS (SELECT CAST(SUM(c) AS BIGINT) AS total, COUNT(*) AS nd FROM t)
+         |SELECT user_id, c AS n_events,
+         |  ${val6("CAST(c AS DOUBLE) / total")} AS share
+         |FROM t, s
+         |WHERE CAST(c AS DOUBLE) * nd > 1.25 * total
+         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    // Frames pinned explicitly: last_value's default frame stops at
+    // CURRENT ROW in both engines — the full-frame form is spelled out.
+    "q95_window_nav" ->
+      """SELECT user_id, ts, event_id, value,
+        |  lag(value, 1, -1.0) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS prev_value,
+        |  lead(value, 1, -1.0) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC) AS next_value,
+        |  first_value(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS first_value,
+        |  nth_value(value, 2) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS second_value,
+        |  last_value(value) OVER (PARTITION BY user_id
+        |    ORDER BY ts ASC, event_id ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |    AS final_value
+        |FROM events WHERE user_id < 50
+        |ORDER BY user_id ASC NULLS FIRST, ts ASC NULLS FIRST,
+        |  event_id ASC NULLS FIRST""".stripMargin,
 
     "q91_full_outer" ->
       """WITH v AS (SELECT user_id, CAST(ts AS DATE) AS day,

@@ -255,6 +255,75 @@ object Events {
       .orderBy("op", "user_id")
   }
 
+  /** Exact heavy hitters by two-phase Misra-Gries candidate pruning
+    * (SURVEY §2.4 sketch family, the frequency twin of q49's KMV):
+    * users holding more than 1.25× the uniform share of events.
+    *
+    * Phase 1 runs a k-counter Misra-Gries summary PER PARTITION
+    * (`mapPartitions` — bounded memory, one pass, no shuffle): any key
+    * with global share > n/k must exceed its share in at least one
+    * partition (pigeonhole), so the union of local candidates is a
+    * SUPERSET of every true heavy hitter. Phase 2 broadcast-semi-joins
+    * the small candidate set against the fact and counts exactly, so
+    * the emitted counts carry no sketch error — the output is
+    * identical to the full groupBy (the oracle), but the shuffle
+    * only ever carries candidate keys. At 100 TB with billions of
+    * distinct users that is the difference between shuffling the full
+    * key space and shuffling k×partitions rows. Requires k ≥ 1/φ
+    * (φ = 1.25/n_distinct here; k = 4096 covers the testdata range). */
+  def heavyHitters(spark: SparkSession, dir: String, k: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val candidates = ev.as[Long].mapPartitions { it =>
+      val counts = scala.collection.mutable.LongMap.empty[Long]
+      it.foreach { key =>
+        if (counts.contains(key)) counts(key) += 1
+        else if (counts.size < k) counts(key) = 1
+        else {
+          // decrement-all step; drop zeroed counters
+          val dead = List.newBuilder[Long]
+          counts.foreachEntry((c, n) =>
+            if (n == 1) dead += c else counts(c) = n - 1)
+          dead.result().foreach(counts.remove)
+        }
+      }
+      counts.keysIterator
+    }.toDF("user_id").distinct()
+    val totals = ev.agg(count(lit(1)).as("total"),
+      countDistinct(col("user_id")).as("nd"))
+    ev.join(broadcast(candidates), Seq("user_id"), "left_semi")
+      .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(totals))
+      .filter(col("n_events").cast("double") * col("nd")
+        > lit(1.25) * col("total"))
+      .select(col("user_id"), col("n_events"),
+        val6(col("n_events").cast("double") / col("total")).as("share"))
+      .orderBy("user_id")
+  }
+
+  /** Window navigation-function sweep (SURVEY §2.5 widened): lag/lead
+    * with defaults, first/nth/last value under explicit ROWS frames —
+    * the per-key sequence-context functions every event-history feature
+    * build uses. Frames are pinned explicitly (the last_value default
+    * frame ends at CURRENT ROW — a classic cross-engine trap) and the
+    * (ts, event_id) order key is unique, so results are total-order
+    * deterministic. One shuffle on user_id; each partition sorts
+    * locally. */
+  def windowNav(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(spark, dir)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+        lag(col("value"), 1, -1.0).over(w).as("prev_value"),
+        lead(col("value"), 1, -1.0).over(w).as("next_value"),
+        first(col("value")).over(wRun).as("first_value"),
+        nth_value(col("value"), 2).over(wRun).as("second_value"),
+        last(col("value")).over(wAll).as("final_value"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   /** Array-function sweep over per-user event-type sets (SURVEY §2.8
     * array family): collect_set → array_sort → join/size/element_at/
     * contains. The array stays inside one aggregation — collect_set is
