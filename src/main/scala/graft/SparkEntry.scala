@@ -118,6 +118,7 @@ object SparkEntry {
     "q93_chunk_docs" -> ((s, d) => TextOps.chunkDocs(s, d)),
     "q94_heavy_hitters" -> ((s, d) => Events.heavyHitters(s, d)),
     "q95_window_nav" -> (Events.windowNav _),
+    "q96_kmv_setops" -> ((s, d) => Events.kmvSetOps(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1264,6 +1265,51 @@ object SparkEntry {
          |FROM t, s
          |WHERE CAST(c AS DOUBLE) * nd > 1.25 * total
          |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    // Replays the same two 64-hash sketches and the same integer
+    // estimators; exact counts ride along. Single row — no ORDER BY.
+    "q96_kmv_setops" -> {
+      val est = (n: String, kth: String) =>
+        s"CAST(CASE WHEN $n < 64 THEN $n ELSE " +
+          s"(63 * 4294967296) // GREATEST($kth, 1) END AS BIGINT)"
+      s"""WITH a AS (SELECT DISTINCT ${h32("CAST(user_id AS VARCHAR)")} AS hv
+         |  FROM events WHERE event_type = 'view'),
+         |b AS (SELECT DISTINCT ${h32("CAST(user_id AS VARCHAR)")} AS hv
+         |  FROM events WHERE event_type = 'purchase'),
+         |ska AS (SELECT hv FROM a ORDER BY hv LIMIT 64),
+         |skb AS (SELECT hv FROM b ORDER BY hv LIMIT 64),
+         |sku AS (SELECT hv FROM (SELECT hv FROM ska UNION
+         |  SELECT hv FROM skb) ORDER BY hv LIMIT 64),
+         |raw AS (SELECT
+         |  (SELECT COUNT(*) FROM a) AS nda,
+         |  (SELECT COUNT(*) FROM b) AS ndb,
+         |  (SELECT COUNT(*) FROM (SELECT hv FROM a UNION SELECT hv FROM b))
+         |    AS ndu,
+         |  (SELECT COUNT(*) FROM a JOIN b USING (hv)) AS ndi,
+         |  (SELECT MAX(hv) FROM ska) AS ka_kth,
+         |  (SELECT COUNT(*) FROM ska) AS ka_n,
+         |  (SELECT MAX(hv) FROM skb) AS kb_kth,
+         |  (SELECT COUNT(*) FROM skb) AS kb_n,
+         |  (SELECT MAX(hv) FROM sku) AS ku_kth,
+         |  (SELECT COUNT(*) FROM sku) AS ku_n,
+         |  (SELECT COUNT(*) FROM sku WHERE hv IN (SELECT hv FROM ska)
+         |     AND hv IN (SELECT hv FROM skb)) AS shared),
+         |l1 AS (SELECT CAST(nda AS BIGINT) AS exact_view,
+         |  ${est("ka_n", "ka_kth")} AS est_view,
+         |  CAST(ndb AS BIGINT) AS exact_purchase,
+         |  ${est("kb_n", "kb_kth")} AS est_purchase,
+         |  CAST(ndu AS BIGINT) AS exact_union,
+         |  ${est("ku_n", "ku_kth")} AS est_union,
+         |  CAST(ndi AS BIGINT) AS exact_intersection,
+         |  CAST(shared AS BIGINT) AS n_shared, ku_n FROM raw)
+         |SELECT exact_view, est_view, exact_purchase, est_purchase,
+         |  exact_union, est_union, exact_intersection,
+         |  CAST((n_shared * est_union) // ku_n AS BIGINT)
+         |    AS est_intersection,
+         |  CAST(CAST(FLOOR(CAST(n_shared AS DOUBLE) / ku_n * 1000000.0
+         |    + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0 AS jaccard_est
+         |FROM l1""".stripMargin
+    },
 
     // Frames pinned explicitly: last_value's default frame stops at
     // CURRENT ROW in both engines — the full-frame form is spelled out.

@@ -301,6 +301,61 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** KMV sketch SET ALGEBRA (SURVEY §2.4 sketch family, extending
+    * q49's single-set estimator): union / intersection / Jaccard
+    * estimates for view-users vs purchase-users from two mergeable
+    * 64-hash sketches.
+    *
+    * The property that matters at 100 TB is MERGEABILITY: the union
+    * sketch is computed from the two k-hash sketches alone (k smallest
+    * of the union of two k-smallest sets ≡ k smallest of the full
+    * union), never from the raw sets — so per-segment sketches can be
+    * stored at kilobytes and combined across any slice without
+    * re-scanning facts. Each sketch is `orderBy(hv).limit(k)` —
+    * TakeOrderedAndProject, per-partition bounded heaps, no full sort.
+    * Estimators are pure integer arithmetic over the portable md5 hash
+    * (bit-identical in the oracle, which replays the same sketches in
+    * SQL); exact counts ride along for error inspection. */
+  def kmvSetOps(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def hashes(t: String) = ev.filter(col("event_type") === t)
+      .select(portable32(col("user_id").cast("string")).as("hv")).distinct()
+    val a = hashes("view")
+    val b = hashes("purchase")
+    val skA = a.orderBy("hv").limit(k)
+    val skB = b.orderBy("hv").limit(k)
+    val skU = skA.unionByName(skB).distinct().orderBy("hv").limit(k)
+
+    val raw = a.agg(count(lit(1)).as("nda"))
+      .crossJoin(b.agg(count(lit(1)).as("ndb")))
+      .crossJoin(a.unionByName(b).distinct().agg(count(lit(1)).as("ndu")))
+      .crossJoin(a.join(b, Seq("hv")).agg(count(lit(1)).as("ndi")))
+      .crossJoin(skA.agg(max("hv").as("ka_kth"), count(lit(1)).as("ka_n")))
+      .crossJoin(skB.agg(max("hv").as("kb_kth"), count(lit(1)).as("kb_n")))
+      .crossJoin(skU.agg(max("hv").as("ku_kth"), count(lit(1)).as("ku_n")))
+      .crossJoin(skU.join(skA, Seq("hv"), "left_semi")
+        .join(skB, Seq("hv"), "left_semi")
+        .agg(count(lit(1)).as("shared")))
+    // identical CASE/DIV text as the DuckDB oracle → identical integers
+    def est(n: String, kth: String) =
+      s"CAST(CASE WHEN $n < $k THEN $n ELSE " +
+        s"(${k - 1} * 4294967296) DIV GREATEST($kth, 1) END AS BIGINT)"
+    raw.selectExpr(
+        "CAST(nda AS BIGINT) AS exact_view",
+        s"${est("ka_n", "ka_kth")} AS est_view",
+        "CAST(ndb AS BIGINT) AS exact_purchase",
+        s"${est("kb_n", "kb_kth")} AS est_purchase",
+        "CAST(ndu AS BIGINT) AS exact_union",
+        s"${est("ku_n", "ku_kth")} AS est_union",
+        "CAST(ndi AS BIGINT) AS exact_intersection",
+        "CAST(shared AS BIGINT) AS n_shared", "ku_n")
+      .selectExpr("exact_view", "est_view", "exact_purchase",
+        "est_purchase", "exact_union", "est_union", "exact_intersection",
+        "CAST((n_shared * est_union) DIV ku_n AS BIGINT) AS est_intersection",
+        "CAST(CAST(FLOOR(CAST(n_shared AS DOUBLE) / ku_n * 1000000.0 + 0.5)" +
+          " AS BIGINT) AS DOUBLE) / 1000000.0 AS jaccard_est")
+  }
+
   /** Window navigation-function sweep (SURVEY §2.5 widened): lag/lead
     * with defaults, first/nth/last value under explicit ROWS frames —
     * the per-key sequence-context functions every event-history feature

@@ -227,6 +227,26 @@ class RelationalExtSpec extends SparkSpec {
     }
   }
 
+  test("kmvSetOps: estimates within KMV error; sketches use bounded heaps") {
+    val df = Events.kmvSetOps(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"sketch not a bounded top-k:\n$plan")
+    assert(!plan.contains("GlobalSort"), "sketch fell back to a full sort")
+    val r = df.collect().head
+    def chk(exact: String, est: String): Unit = {
+      val (e, a) = (r.getAs[Long](exact).toDouble, r.getAs[Long](est).toDouble)
+      // standard KMV relative error ~1/sqrt(k) = 12.5%; allow 3 sigma
+      assert(math.abs(a - e) <= math.max(3.0, 0.375 * e), s"$est=$a vs $exact=$e")
+    }
+    chk("exact_view", "est_view")
+    chk("exact_purchase", "est_purchase")
+    chk("exact_union", "est_union")
+    chk("exact_intersection", "est_intersection")
+    val j = r.getAs[Double]("jaccard_est")
+    assert(j >= 0.0 && j <= 1.0)
+  }
+
   test("hashSample: deterministic, ~5% rate, stable across runs") {
     val s1 = Relational.hashSample(spark, dir).select("o_orderkey")
       .as[Long].collect()
