@@ -119,6 +119,7 @@ object SparkEntry {
     "q94_heavy_hitters" -> ((s, d) => Events.heavyHitters(s, d)),
     "q95_window_nav" -> (Events.windowNav _),
     "q96_kmv_setops" -> ((s, d) => Events.kmvSetOps(s, d)),
+    "q97_media_meta" -> (graft.operators.Multimodal.mediaMeta _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1265,6 +1266,25 @@ object SparkEntry {
          |FROM t, s
          |WHERE CAST(c AS DOUBLE) * nd > 1.25 * total
          |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    // Regenerates the synthetic media payloads (md5 chains) as hex
+    // strings; Spark's binary ops land on the same values via
+    // lower(hex(bytes)). First 2 bytes == first 4 hex chars.
+    "q97_media_meta" -> {
+      val hexstr = (0 until 32)
+        .map(i => s"md5(id || ':$i')").mkString("concat(", ", ", ")")
+      s"""WITH m AS (
+         |  SELECT id,
+         |    (['image', 'audio', 'video'])[CAST(id % 3 AS INT) + 1] AS kind,
+         |    $hexstr AS hexstr
+         |  FROM range(500) t(id))
+         |SELECT kind, COUNT(*) AS n_media,
+         |  CAST(SUM(len(hexstr) // 2) AS BIGINT) AS total_bytes,
+         |  COUNT(DISTINCT substring(hexstr, 1, 4)) AS n_prefixes,
+         |  MIN(md5(hexstr)) AS min_fp,
+         |  MAX(md5(hexstr)) AS max_fp
+         |FROM m GROUP BY kind ORDER BY kind ASC NULLS FIRST""".stripMargin
+    },
 
     // Replays the same two 64-hash sketches and the same integer
     // estimators; exact counts ride along. Single row — no ORDER BY.

@@ -61,6 +61,27 @@ object Multimodal {
         lit(16000).as("sample_rate")).as("meta"))
   }
 
+  /** Binary-column metadata profile, oracle-gated (q97): per media
+    * kind, byte totals, leading-magic-byte cardinality, and a
+    * fingerprint range over the OPAQUE payload — the corpus-profiling
+    * pass a media lake runs before any decode. Every operation is on
+    * the binary column itself (`length`, `substring`, `hex`, `md5` —
+    * codegen'd, scan-local); the group-by shuffles only per-kind
+    * aggregate rows, never blobs. DuckDB has no BLOB md5/substring, so
+    * the oracle hashes the lowercase-hex form — which Spark reproduces
+    * with `lower(hex(bytes))`, pinning the binary path end to end. */
+  def mediaMeta(spark: SparkSession, dir: String): DataFrame =
+    syntheticMedia(spark, 500)
+      .select(col("kind"), col("bytes"))
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n_media"),
+        sum(length(col("bytes")).cast("long")).as("total_bytes"),
+        countDistinct(lower(hex(substring(col("bytes"), 1, 2))))
+          .as("n_prefixes"),
+        min(md5(lower(hex(col("bytes"))))).as("min_fp"),
+        max(md5(lower(hex(col("bytes"))))).as("max_fp"))
+      .orderBy("kind")
+
   /** The real decoder — environment-dependent (libjpeg/ffmpeg et al are
     * not in this container). Deliberately unimplemented. */
   def decodeReal(kind: String, bytes: Array[Byte]): Array[Float] = ???

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -73,7 +74,8 @@ private class AuditTable(schema: StructType,
     s"graft-audit(${options.getOrDefault("name", "default")})"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    util.EnumSet.of(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new AuditWriteBuilder(info.schema(),
@@ -88,7 +90,35 @@ private class AuditWriteBuilder(schema: StructType, name: String,
 
   override def build(): Write = new Write {
     override def toBatch: BatchWrite = new AuditBatchWrite(schema, name, truncate)
+    override def toStreaming: StreamingWrite =
+      new AuditStreamingWrite(schema, name)
   }
+}
+
+/** Streaming flavor: one metrics merge per committed epoch — the same
+  * two-phase shape, with the epoch id playing the transaction id. A
+  * replayed epoch (failure recovery) re-commits the same messages, so
+  * an exactly-once downstream would key dedup on (name, epochId);
+  * metrics here accumulate per committed epoch like any append sink. */
+private class AuditStreamingWrite(schema: StructType, name: String)
+    extends StreamingWrite {
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : StreamingDataWriterFactory = new AuditStreamingWriterFactory(schema.size)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    var rows = 0L
+    val nulls = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    messages.foreach { case AuditTaskMetrics(r, counts) =>
+      rows += r
+      schema.fieldNames.zip(counts).foreach { case (f, c) => nulls(f) += c }
+    }
+    AuditSink.merge(name, rows, nulls.toMap, reset = false)
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = ()
 }
 
 private class AuditBatchWrite(schema: StructType, name: String,
@@ -113,6 +143,12 @@ private class AuditBatchWrite(schema: StructType, name: String,
 /** Per-task metrics — the commit message shape. */
 private case class AuditTaskMetrics(rows: Long, nullCounts: Array[Long])
     extends WriterCommitMessage
+
+private class AuditStreamingWriterFactory(nFields: Int)
+    extends StreamingDataWriterFactory with Serializable {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : DataWriter[InternalRow] = new AuditWriter(nFields)
+}
 
 private class AuditWriterFactory(schema: StructType)
     extends DataWriterFactory {

@@ -39,4 +39,20 @@ class AuditSinkSpec extends SparkSpec {
     assert(r3.rows == 10L)
     assert(r3.commits == 1L)
   }
+
+  test("streaming write: drained stream metrics equal the batch counts") {
+    val ev = graft.sources.Tables.events(spark, dir)
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("audit-stream-ckpt").toString
+    val q = graft.streaming.StreamingFunnel.eventsStream(spark, dir)
+      .writeStream.format("graft-audit").option("name", "specStream")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val r = AuditSink.report("specStream").get
+    assert(r.rows == ev.count())
+    assert(r.nullCounts("event_type") ==
+      ev.filter(col("event_type").isNull).count())
+  }
 }
