@@ -24,6 +24,9 @@ object Bench {
       // split size reproduces that parallelism honestly at local scale.
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAXPART", (2 * 1024 * 1024).toString))
+      // bench what ships: custom functions, optimizer rule, and the
+      // TopKPerKey strategy are active exactly as in Verify
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -120,6 +120,9 @@ object SparkEntry {
     "q95_window_nav" -> (Events.windowNav _),
     "q96_kmv_setops" -> ((s, d) => Events.kmvSetOps(s, d)),
     "q97_media_meta" -> (graft.operators.Multimodal.mediaMeta _),
+    "q98_ri_audit" -> (Relational.riAudit _),
+    "q99_time_to_convert" -> (Analytics.timeToConvert _),
+    "q100_topk_per_group" -> ((s, d) => Relational.topPartsPerBrand(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1266,6 +1269,62 @@ object SparkEntry {
          |FROM t, s
          |WHERE CAST(c AS DOUBLE) * nd > 1.25 * total
          |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    // NULL FKs are orphans in both engines (null never equals a key).
+    "q98_ri_audit" -> {
+      def e(name: String, child: String, fk: String,
+          parent: String, pk: String) =
+        s"""SELECT '$name' AS fk_edge,
+           |  (SELECT COUNT(*) FROM $child) AS n_child,
+           |  (SELECT COUNT(*) FROM $child c WHERE NOT EXISTS
+           |    (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) AS n_orphans""".stripMargin
+      Seq(
+        e("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        e("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        e("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        e("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        e("nation->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        e("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        e("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY fk_edge ASC NULLS FIRST")
+    },
+
+    // Exact integer-µs gaps until the final division; median/percentile
+    // interpolate identically on integers (the q15-proven path).
+    "q99_time_to_convert" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+        |      AS first_purchase
+        |  FROM events WHERE event_type IN ('view', 'purchase')
+        |  GROUP BY 1),
+        |g AS (
+        |  SELECT CAST(first_view AS DATE) AS cohort_day,
+        |    CASE WHEN first_purchase >= first_view
+        |      THEN epoch_us(first_purchase) - epoch_us(first_view)
+        |    END AS gap_us
+        |  FROM f WHERE first_view IS NOT NULL)
+        |SELECT cohort_day, COUNT(*) AS n_users,
+        |  COUNT(gap_us) AS n_converted,
+        |  median(gap_us) / 1000000.0 AS median_s,
+        |  quantile_cont(gap_us, 0.9) / 1000000.0 AS p90_s
+        |FROM g GROUP BY 1
+        |ORDER BY cohort_day ASC NULLS FIRST""".stripMargin,
+
+    // The custom TopKPerKey physical operator must emit exactly what
+    // the plain ROW_NUMBER form does.
+    "q100_topk_per_group" ->
+      """SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM (
+        |  SELECT p_brand, p_partkey, p_name, p_retailprice,
+        |    ROW_NUMBER() OVER (PARTITION BY p_brand
+        |      ORDER BY p_retailprice DESC NULLS LAST, p_partkey ASC
+        |        NULLS FIRST) AS rank
+        |  FROM part)
+        |WHERE rank <= 3
+        |ORDER BY p_brand ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
 
     // Regenerates the synthetic media payloads (md5 chains) as hex
     // strings; Spark's binary ops land on the same values via

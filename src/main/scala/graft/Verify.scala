@@ -26,6 +26,10 @@ object Verify {
       // range (see Scd2.FarFuture).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // the library's session extensions (custom functions, the
+      // RewriteRegexCount optimizer rule, the TopKPerKey strategy) are
+      // part of the product surface — verify WITH them active
+      .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -180,5 +180,35 @@ object Analytics {
       .agg(count(lit(1)).as("n_events"),
         countDistinct("user_id").as("n_users"))
       .orderBy("campaign_id")
+  }
+
+  /** Time-to-convert distribution per acquisition cohort (SURVEY §8.10
+    * analytics family): first-view → first-purchase latency, rolled to
+    * the first-view day. One aggregation collapses events to per-user
+    * firsts (conditional min — map-side combinable, the shuffle
+    * carries two timestamps per user), a second rolls user latencies
+    * into cohort quantiles. Gaps stay exact integer microseconds until
+    * the final division; median/percentile interpolate identically on
+    * those integers in both engines (the q15-proven path). Conversions
+    * only count when the purchase is at or after the first view. */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "purchase"))
+    def firstOf(t: String): Column =
+      min(when(col("event_type") === t, col("ts")))
+    ev.groupBy("user_id")
+      .agg(firstOf("view").as("first_view"),
+        firstOf("purchase").as("first_purchase"))
+      .filter(col("first_view").isNotNull)
+      .select(to_date(col("first_view")).as("cohort_day"),
+        when(col("first_purchase") >= col("first_view"),
+          unix_micros(col("first_purchase")) - unix_micros(col("first_view")))
+          .as("gap_us"))
+      .groupBy("cohort_day")
+      .agg(count(lit(1)).as("n_users"),
+        count(col("gap_us")).as("n_converted"),
+        (expr("median(gap_us)") / 1000000.0).as("median_s"),
+        (expr("percentile(gap_us, 0.9d)") / 1000000.0).as("p90_s"))
+      .orderBy("cohort_day")
   }
 }

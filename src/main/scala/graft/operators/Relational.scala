@@ -472,6 +472,61 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Referential-integrity audit across every FK edge of the star
+    * schema (SURVEY A13 generalized — the DQ pass a warehouse runs
+    * after each load): per edge, child cardinality and orphan count
+    * via left-anti join. NULL FKs count as orphans in both engines
+    * (null never equals a key). Each edge is one anti-join whose
+    * parent side broadcasts when small; the 7 single-row aggregates
+    * union into one report. At 100 TB this is the shape that replaces
+    * per-row assertions: set-level reconciliation, one number per
+    * constraint. */
+  def riAudit(spark: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame =
+      child.agg(count(lit(1)).as("n_child"))
+        .crossJoin(child.join(parent, child(fk) === parent(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans")))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"))
+    val (c, o, li) = (Tables.customer(spark, dir), Tables.orders(spark, dir),
+      Tables.lineitem(spark, dir))
+    val (n, r, p, s) = (Tables.nation(spark, dir), Tables.region(spark, dir),
+      Tables.part(spark, dir), Tables.supplier(spark, dir))
+    Seq(
+      edge("customer->nation", c, "c_nationkey", n, "n_nationkey"),
+      edge("lineitem->orders", li, "l_orderkey", o, "o_orderkey"),
+      edge("lineitem->part", li, "l_partkey", p, "p_partkey"),
+      edge("lineitem->supplier", li, "l_suppkey", s, "s_suppkey"),
+      edge("nation->region", n, "n_regionkey", r, "r_regionkey"),
+      edge("orders->customer", o, "o_custkey", c, "c_custkey"),
+      edge("supplier->nation", s, "s_nationkey", n, "n_nationkey"))
+      .reduce(_.unionByName(_))
+      .orderBy("fk_edge")
+  }
+
+  /** Per-key top-k through the CUSTOM physical operator
+    * (`plans/TopKPerKey`): the `row_number() <= k` pattern that
+    * `TopKPerKeyStrategy` replaces with bounded per-key heaps —
+    * absorbing the window's sort AND its exchange-wide buffering, the
+    * difference between O(rows log k) heap work and a full per-
+    * partition sort at 100 TB. This query exists so the custom
+    * operator itself sits behind the hash gate, not only its spec:
+    * the oracle is the plain ROW_NUMBER form. */
+  def topPartsPerBrand(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("p_brand")
+      .orderBy(desc("p_retailprice"), asc("p_partkey"))
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_name"),
+        col("p_retailprice"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      // cast above the filter so TopKPerKeyStrategy still sees the raw
+      // Filter(rank <= k, Window(row_number)) pattern underneath
+      .select(col("p_brand"), col("p_partkey"), col("p_name"),
+        col("p_retailprice"), col("rank").cast("long").as("rank"))
+      .orderBy("p_brand", "rank")
+  }
+
   /** Time-series gap fill (resample): the daily revenue grid per order
     * priority with missing days materialized as zero rows — the
     * dashboard's trend charts need a dense axis, and gap-filled frames

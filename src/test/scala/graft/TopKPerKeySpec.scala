@@ -48,6 +48,17 @@ class TopKPerKeySpec extends AnyFunSuite {
     }
   }
 
+  test("q100 shape (cast above the filter) still fires the strategy") {
+    withExtSession { spark =>
+      val df = graft.operators.Relational
+        .topPartsPerBrand(spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("TopKPerKey"), s"strategy did not fire:\n$plan")
+      assert(!plan.contains("WindowExec"), s"window survived:\n$plan")
+      assert(df.count() > 0)
+    }
+  }
+
   test("exact equality vs WindowExec across k=1 and k=5 shapes") {
     // reference results from the DEFAULT session (no extensions)
     val plainSpark = SparkSession.builder()
