@@ -274,21 +274,9 @@ object Events {
   def heavyHitters(spark: SparkSession, dir: String, k: Int = 4096): DataFrame = {
     import spark.implicits._
     val ev = Tables.events(spark, dir).select(col("user_id"))
-    val candidates = ev.as[Long].mapPartitions { it =>
-      val counts = scala.collection.mutable.LongMap.empty[Long]
-      it.foreach { key =>
-        if (counts.contains(key)) counts(key) += 1
-        else if (counts.size < k) counts(key) = 1
-        else {
-          // decrement-all step; drop zeroed counters
-          val dead = List.newBuilder[Long]
-          counts.foreachEntry((c, n) =>
-            if (n == 1) dead += c else counts(c) = n - 1)
-          dead.result().foreach(counts.remove)
-        }
-      }
-      counts.keysIterator
-    }.toDF("user_id").distinct()
+    val candidates = ev.as[Long]
+      .mapPartitions(it => misraGries(it, k))
+      .toDF("user_id").distinct()
     val totals = ev.agg(count(lit(1)).as("total"),
       countDistinct(col("user_id")).as("nd"))
     ev.join(broadcast(candidates), Seq("user_id"), "left_semi")
@@ -299,6 +287,27 @@ object Events {
       .select(col("user_id"), col("n_events"),
         val6(col("n_events").cast("double") / col("total")).as("share"))
       .orderBy("user_id")
+  }
+
+  /** The Misra-Gries k-counter summary over one stream: returns every
+    * key that survives the decrement process — a SUPERSET of all keys
+    * with frequency > streamLength/k, in O(k) memory, one pass.
+    * Exposed for direct property testing; [[heavyHitters]] runs it per
+    * partition. */
+  def misraGries(it: Iterator[Long], k: Int): Iterator[Long] = {
+    val counts = scala.collection.mutable.LongMap.empty[Long]
+    it.foreach { key =>
+      if (counts.contains(key)) counts(key) += 1
+      else if (counts.size < k) counts(key) = 1
+      else {
+        // decrement-all step; drop zeroed counters
+        val dead = List.newBuilder[Long]
+        counts.foreachEntry((c, n) =>
+          if (n == 1) dead += c else counts(c) = n - 1)
+        dead.result().foreach(counts.remove)
+      }
+    }
+    counts.keysIterator
   }
 
   /** KMV sketch SET ALGEBRA (SURVEY §2.4 sketch family, extending

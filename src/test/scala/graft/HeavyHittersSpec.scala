@@ -36,4 +36,24 @@ class HeavyHittersSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(gotSmall == exp, s"not exact at k=$minimalK")
   }
+
+  test("Misra-Gries property: candidates ⊇ every key above n/k, any stream") {
+    val rnd = new scala.util.Random(42)
+    (1 to 50).foreach { trial =>
+      val k = 2 + rnd.nextInt(30)
+      val nKeys = 1 + rnd.nextInt(200)
+      // zipf-ish skew: key i drawn with weight ~ 1/(i+1)
+      val n = 500 + rnd.nextInt(5000)
+      val stream = Array.fill(n) {
+        val u = rnd.nextDouble()
+        (nKeys * math.pow(u, 3)).toLong // cube biases toward small ids
+      }
+      val exact = stream.groupBy(identity).view.mapValues(_.length.toLong)
+      val heavy = exact.filter(_._2 * k > n).keySet
+      val candidates = Events.misraGries(stream.iterator, k).toSet
+      assert(heavy.subsetOf(candidates),
+        s"trial $trial (k=$k n=$n): missing ${heavy.diff(candidates)}")
+      assert(candidates.size <= k, s"trial $trial: memory bound broken")
+    }
+  }
 }
