@@ -123,6 +123,9 @@ object SparkEntry {
     "q98_ri_audit" -> (Relational.riAudit _),
     "q99_time_to_convert" -> (Analytics.timeToConvert _),
     "q100_topk_per_group" -> ((s, d) => Relational.topPartsPerBrand(s, d)),
+    "q101_string_funcs2" -> (Relational.stringFuncs2 _),
+    "q102_regression" -> (Relational.groupedRegression _),
+    "q103_pivot_multi" -> (Events.pivotMultiAgg _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1268,6 +1271,60 @@ object SparkEntry {
          |  ${val6("CAST(c AS DOUBLE) / total")} AS share
          |FROM t, s
          |WHERE CAST(c AS DOUBLE) * nd > 1.25 * total
+         |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    "q101_string_funcs2" ->
+      """SELECT c_custkey,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS seg_translated,
+        |  lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+        |  rpad(c_mktsegment, 12, '.') AS seg_padded,
+        |  split_part(c_name, '#', 2) AS name_num,
+        |  repeat(left(c_mktsegment, 1), 3) AS seg_echo,
+        |  reverse(c_name) AS name_rev,
+        |  CAST(ascii(c_mktsegment) AS BIGINT) AS seg_ascii,
+        |  CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+        |  right(c_name, 4) AS key_tail,
+        |  concat_ws('|', c_mktsegment, c_name) AS joined
+        |FROM customer ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    // Same exact-integer-power-sums machinery as q82; the closed-form
+    // slope/intercept evaluate once per group on exact operands.
+    "q102_regression" -> {
+      val nD = "CAST(n AS DOUBLE)"
+      val slope = s"($nD * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))" +
+        s" / ($nD * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+      s"""WITH s AS (
+         |  SELECT o_orderpriority, COUNT(*) AS n,
+         |    SUM(DATEDIFF('day', DATE '1970-01-01',
+         |      CAST(o_orderdate AS DATE))) AS sx,
+         |    SUM(CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS sy,
+         |    SUM(DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |      * DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)))
+         |      AS sxx,
+         |    SUM(DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |      * CAST(FLOOR(o_totalprice + 0.5) AS BIGINT)) AS sxy
+         |  FROM orders GROUP BY 1)
+         |SELECT o_orderpriority, n,
+         |  ${val6(slope)} AS slope_per_day,
+         |  ${val6(s"(CAST(sy AS DOUBLE) - ($slope) * CAST(sx AS DOUBLE)) / $nD")}
+         |    AS intercept
+         |FROM s ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin
+    },
+
+    // Missing pivot cells coalesce to zero on both sides.
+    "q103_pivot_multi" ->
+      s"""SELECT user_id,
+         |  CAST(COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS BIGINT)
+         |    AS view_n,
+         |  COALESCE(CAST(SUM(CASE WHEN event_type = 'view'
+         |    THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END)
+         |    AS DOUBLE) / 100.0, 0.0) AS view_value,
+         |  CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+         |    AS purchase_n,
+         |  COALESCE(CAST(SUM(CASE WHEN event_type = 'purchase'
+         |    THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END)
+         |    AS DOUBLE) / 100.0, 0.0) AS purchase_value
+         |FROM events GROUP BY user_id
          |ORDER BY user_id ASC NULLS FIRST""".stripMargin,
 
     // NULL FKs are orphans in both engines (null never equals a key).

@@ -289,6 +289,23 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Pivot with MULTIPLE aggregates per cell (SURVEY §2.4 crosstab
+    * widened from q45): count AND portable money sum per (user, stage)
+    * cell, wide-formed. The explicit value list keeps the plan a
+    * single groupBy (no distinct-collection job) and pins column order;
+    * missing cells coalesce to zero so the frame is dense. */
+  def pivotMultiAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("view", "purchase"))
+      .agg(count(lit(1)).as("n"), sumMoney2(col("value")).as("value"))
+      .select(col("user_id"),
+        coalesce(col("view_n"), lit(0L)).as("view_n"),
+        coalesce(col("view_value"), lit(0.0)).as("view_value"),
+        coalesce(col("purchase_n"), lit(0L)).as("purchase_n"),
+        coalesce(col("purchase_value"), lit(0.0)).as("purchase_value"))
+      .orderBy("user_id")
+
   /** The Misra-Gries k-counter summary over one stream: returns every
     * key that survives the decrement process — a SUPERSET of all keys
     * with frequency > streamLength/k, in O(k) memory, one pass.

@@ -527,6 +527,57 @@ object Relational {
       .orderBy("p_brand", "rank")
   }
 
+  /** Second string-function sweep (SURVEY §2.8 F12/F13 widened):
+    * translate / pad / split_part / repeat / reverse / ascii / instr /
+    * left / right / concat_ws — the remaining scalar string surface
+    * with engine-identical semantics (initcap is excluded: DuckDB has
+    * no equivalent). Scan-local projection; no shuffle until the
+    * output sort. */
+  def stringFuncs2(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        translate(col("c_mktsegment"), "AEIOU", "aeiou").as("seg_translated"),
+        lpad(col("c_custkey").cast("string"), 10, "0").as("key_padded"),
+        rpad(col("c_mktsegment"), 12, ".").as("seg_padded"),
+        split_part(col("c_name"), lit("#"), lit(2)).as("name_num"),
+        repeat(expr("left(c_mktsegment, 1)"), 3).as("seg_echo"),
+        reverse(col("c_name")).as("name_rev"),
+        ascii(col("c_mktsegment")).cast("long").as("seg_ascii"),
+        instr(col("c_name"), "#").cast("long").as("hash_pos"),
+        expr("right(c_name, 4)").as("key_tail"),
+        concat_ws("|", col("c_mktsegment"), col("c_name")).as("joined"))
+      .orderBy("c_custkey")
+
+  /** Grouped ordinary-least-squares regression (SURVEY §2.4 widened —
+    * the regr_slope/regr_intercept family): revenue trend per order
+    * priority, fitted over (epoch-day, whole-dollar price) pairs.
+    * Same exact-integer-power-sums machinery as [[groupedMoments]]:
+    * the shuffle carries five BIGINTs per group and the closed-form
+    * slope/intercept run once per group on exact operands — built-in
+    * regr_* would sum raw doubles and drift per partial-agg order. */
+  def groupedRegression(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val sums = o
+      .select(col("o_orderpriority"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("x"),
+        floor(col("o_totalprice") + lit(0.5)).cast("long").as("y"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"))
+    val nD = col("n").cast("double")
+    val (dsx, dsy) = (col("sx").cast("double"), col("sy").cast("double"))
+    val (dsxx, dsxy) = (col("sxx").cast("double"), col("sxy").cast("double"))
+    val slope = (nD * dsxy - dsx * dsy) / (nD * dsxx - dsx * dsx)
+    sums.select(col("o_orderpriority"), col("n"),
+        val6(slope).as("slope_per_day"),
+        val6((dsy - slope * dsx) / nD).as("intercept"))
+      .orderBy("o_orderpriority")
+  }
+
   /** Time-series gap fill (resample): the daily revenue grid per order
     * priority with missing days materialized as zero rows — the
     * dashboard's trend charts need a dense axis, and gap-filled frames
