@@ -36,6 +36,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - fused one-pass cosine over float arrays"),
+      (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-pinned semantics)"),
       (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs(0), exprs(1))))

@@ -237,7 +237,8 @@ object VectorOps {
       col("bk").as("bkb"))
     l.join(r, col("bka") === col("bkb") && col("ida") < col("idb"))
       .select("ida", "idb", "va", "vb").distinct()
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      .withColumn("cos",
+        graft.functions.CosineSim.cosineSim(col("va"), col("vb")))
       .filter(col("cos") >= threshold)
       .select(col("ida"), col("idb"), graft.util.Portable.val6(col("cos")).as("cos_sim"))
       .orderBy("ida", "idb")
