@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("cosine_sim", "cosine_sim(a, b) - fused one-pass cosine over float arrays"),
       (exprs: Seq[Expression]) => CosineSim(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("dot_d"),
+      info("dot_d", "dot_d(a_float_arr, b_double_arr) - codegen'd left-fold dot product"),
+      (exprs: Seq[Expression]) => DotProductD(exprs(0), exprs(1))))
+    ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-pinned semantics)"),
       (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs(0), exprs(1))))

@@ -217,10 +217,13 @@ object VectorOps {
       }
     def sign(p: Int): Column = {
       val plane = planes(p)
-      val prod = aggregate(
-        zip_with(col("embedding"),
-          array(plane.map(lit(_)): _*), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
+      // codegen'd one-pass dot (DotProductD); the literal plane array
+      // constant-folds to a single Literal — loaded per task, not per
+      // row. Same left-fold arithmetic as the interpreted form it
+      // replaced (32 interpreted folds per row was the measured HOF
+      // hazard).
+      val prod = graft.functions.DotProductD.dotD(
+        col("embedding"), array(plane.map(lit(_)): _*))
       when(prod >= 0, 1L).otherwise(0L)
     }
     val sigs = (0 until nBands).map { band =>
