@@ -126,6 +126,8 @@ object SparkEntry {
     "q101_string_funcs2" -> (Relational.stringFuncs2 _),
     "q102_regression" -> (Relational.groupedRegression _),
     "q103_pivot_multi" -> (Events.pivotMultiAgg _),
+    "q104_dedup_star" -> (Graphs.dedupClustersStar _),
+    "q105_top_bigrams" -> ((s, d) => TextOps.topBigrams(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -213,6 +215,26 @@ object SparkEntry {
     s"""WITH $minhashPairsCtes
        |SELECT ida, idb, jaccard FROM pairs
        |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin
+
+  /** Shared by q65 (min-label propagation) and q104 (large-star/small-
+    * star): two algorithms, one contract, one oracle closure. */
+  private val dedupClustersOracle: String =
+    s"""WITH RECURSIVE $minhashPairsCtes,
+       |edges AS (SELECT ida AS s, idb AS d FROM pairs
+       |  UNION SELECT idb, ida FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT w.id, e.d FROM reach w JOIN edges e ON w.r = e.s),
+       |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+       |  FROM reach GROUP BY id)
+       |SELECT doc.doc_id,
+       |  COALESCE(c.component, doc.doc_id) AS component,
+       |  COUNT(*) OVER (PARTITION BY COALESCE(c.component, doc.doc_id))
+       |    AS cluster_size,
+       |  doc.doc_id = COALESCE(c.component, doc.doc_id) AS is_canonical
+       |FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
+       |ORDER BY doc.doc_id NULLS FIRST""".stripMargin
 
   /** DuckDB replay of VectorOps.kmeansQuantize: same init (first K
     * vectors), same strict-argmin tiebreak, and the same floor-scaled
@@ -961,23 +983,11 @@ object SparkEntry {
     // recomputes the closure with a recursive CTE (reach = transitive
     // neighbors; component = min reachable id). Near-dup clusters have
     // tiny diameters, keeping the recursion shallow.
-    "q65_dedup_clusters" ->
-      s"""WITH RECURSIVE $minhashPairsCtes,
-         |edges AS (SELECT ida AS s, idb AS d FROM pairs
-         |  UNION SELECT idb, ida FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT s, d FROM edges
-         |  UNION
-         |  SELECT w.id, e.d FROM reach w JOIN edges e ON w.r = e.s),
-         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
-         |  FROM reach GROUP BY id)
-         |SELECT doc.doc_id,
-         |  COALESCE(c.component, doc.doc_id) AS component,
-         |  COUNT(*) OVER (PARTITION BY COALESCE(c.component, doc.doc_id))
-         |    AS cluster_size,
-         |  doc.doc_id = COALESCE(c.component, doc.doc_id) AS is_canonical
-         |FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
-         |ORDER BY doc.doc_id NULLS FIRST""".stripMargin,
+    "q65_dedup_clusters" -> dedupClustersOracle,
+
+    // q104 resolves the SAME closure with large-star/small-star —
+    // algorithm swap, identical contract, identical oracle.
+    "q104_dedup_star" -> dedupClustersOracle,
 
     // weeks-since is an exact day-diff / 7 on both sides (both engines
     // truncate weeks to Monday) — months_between/date_diff('month')
@@ -1310,6 +1320,22 @@ object SparkEntry {
          |    AS intercept
          |FROM s ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin
     },
+
+    // Adjacent-pair generation: Spark sequence(0, n-2) over 1-based
+    // element_at ≡ DuckDB range(1, len) over 1-based list index.
+    "q105_top_bigrams" ->
+      """WITH b AS (
+        |  SELECT lang, UNNEST(list_transform(range(1, len(ws)),
+        |    i -> ws[i] || ' ' || ws[i+1])) AS bigram
+        |  FROM (SELECT lang, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 2),
+        |c AS (SELECT lang, bigram, COUNT(*) AS n FROM b GROUP BY 1, 2),
+        |r AS (SELECT lang, bigram, n,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY n DESC NULLS LAST, bigram ASC NULLS FIRST) AS rank
+        |  FROM c)
+        |SELECT lang, rank, bigram, n FROM r WHERE rank <= 5
+        |ORDER BY lang ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
 
     // Missing pivot cells coalesce to zero on both sides.
     "q103_pivot_multi" ->

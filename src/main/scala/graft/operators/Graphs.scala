@@ -61,6 +61,62 @@ object Graphs {
     labels
   }
 
+  /** Alternating large-star/small-star connected components (the
+    * MapReduce CC of Kiveris et al., "Connected Components in MapReduce
+    * and Beyond") — the scale path [[components]]' Scaladoc promises:
+    * converges in O(log n) ROUNDS REGARDLESS OF GRAPH DIAMETER, where
+    * min-label propagation needs O(diameter) rounds (a 10M-hop chain —
+    * pathological but real in web-crawl link graphs — means 10M shuffles
+    * for propagation, ~24 for this).
+    *
+    * Each round: large-star points every neighbor LARGER than u at u's
+    * neighborhood minimum (safe in parallel for all u), then small-star
+    * re-hangs the small neighbors and u itself off that minimum. Both
+    * are one groupBy (neighborhood min) + one join (re-emit) over the
+    * edge list; the fixpoint is a forest of stars rooted at component
+    * minima. Same per-round shuffle count as propagation — the win is
+    * the ROUND count.
+    */
+  def componentsStar(edges: DataFrame, src: String, dst: String): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    // star ops share one shape: group both-direction neighborhoods,
+    // take m = min(Γ(u) ∪ {u}), re-emit a subset of Γ(u) against m
+    def star(cur: DataFrame, large: Boolean): DataFrame = {
+      val nbrs = cur.union(cur.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy("u")
+        .agg(least(min("v"), first(col("u"))).as("m"))
+      val joined = nbrs.join(mins, "u")
+      val emitted =
+        if (large) joined.filter(col("v") > col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+        else joined.filter(col("v") <= col("u"))
+          .select(col("v").as("u"), col("m").as("v"))
+          .union(mins.select(col("u"), col("m").as("v")))
+      canon(emitted)
+    }
+    var e = canon(edges.select(col(src).cast("long").as("u"),
+      col(dst).cast("long").as("v"))).localCheckpoint()
+    var prevSig: (Long, Long) = (-1L, -1L)
+    var sig: (Long, Long) = (0L, 0L)
+    while (sig != prevSig) {
+      prevSig = sig
+      e = star(star(e, large = true), large = false).localCheckpoint()
+      // xor-fold checksum: order-independent and overflow-free (ANSI
+      // mode makes a sum of 64-bit hashes throw on overflow)
+      val row = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      sig = (row.getLong(0), if (row.isNullAt(1)) 0L else row.getLong(1))
+    }
+    // fixpoint edges are (member, root): root = component min
+    val members = e.select(col("u").as("id"), col("v").as("comp"))
+    val roots = e.select(col("v").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+    members.union(roots).groupBy("id").agg(min("comp").as("comp"))
+  }
+
   /** Dedup-cluster assignment over the MinHash near-duplicate graph:
     * every document labeled with its cluster representative (min doc_id
     * in the connected component; singletons are their own cluster), the
@@ -69,9 +125,19 @@ object Graphs {
     * the recursion shallow in DuckDB exactly as they keep the round
     * count low here.
     */
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersBy(spark, dir, components)
+
+  /** q104: identical contract, resolved with [[componentsStar]] — the
+    * diameter-independent algorithm behind the same hash gate as q65
+    * (the oracle is the identical recursive-CTE closure). */
+  def dedupClustersStar(spark: SparkSession, dir: String): DataFrame =
+    dedupClustersBy(spark, dir, componentsStar)
+
+  private def dedupClustersBy(spark: SparkSession, dir: String,
+      cc: (DataFrame, String, String) => DataFrame): DataFrame = {
     val pairs = TextOps.minhashNearDups(spark, dir).select("ida", "idb")
-    val comp = components(pairs, "ida", "idb")
+    val comp = cc(pairs, "ida", "idb")
       .withColumnRenamed("id", "doc_id")
     val out = Tables.documents(spark, dir).select("doc_id")
       .join(comp, Seq("doc_id"), "left")

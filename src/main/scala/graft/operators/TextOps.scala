@@ -400,6 +400,29 @@ object TextOps {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Top bigrams (collocations) per language (SURVEY §8.10 corpus
+    * profiling): adjacent-token pairs generated scan-locally (the
+    * shingle machinery at n=2), counted with a map-side-combined
+    * groupBy at (lang, bigram) grain, then per-language top-5 via the
+    * row_number pattern (TopKPerKey under extensions). Pure integer
+    * counts — no portability scaffolding. */
+  def topBigrams(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val w = tokens(col("text"))
+    val bigrams = Tables.documents(spark, dir)
+      .select(col("lang"), w.as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(col("lang"), explode(transform(sequence(lit(0), size(col("w")) - 2),
+        i => concat_ws(" ", element_at(col("w"), i + 1),
+          element_at(col("w"), i + 2)))).as("bigram"))
+      .groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+    val rw = Window.partitionBy("lang").orderBy(desc("n"), asc("bigram"))
+    bigrams.withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("lang"), col("rank").cast("long").as("rank"),
+        col("bigram"), col("n"))
+      .orderBy("lang", "rank")
+  }
+
   /** Stratified deterministic sampling: per-language keep rates via a
     * portable hash of the key — `sampleBy` semantics without RNG state,
     * reproducible across engines, runs, and cluster layouts (same
