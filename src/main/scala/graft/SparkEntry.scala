@@ -128,6 +128,7 @@ object SparkEntry {
     "q103_pivot_multi" -> (Events.pivotMultiAgg _),
     "q104_dedup_star" -> (Graphs.dedupClustersStar _),
     "q105_top_bigrams" -> ((s, d) => TextOps.topBigrams(s, d)),
+    "q106_streaming_session" -> (StreamingFunnel.sessionWindows _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -235,6 +236,27 @@ object SparkEntry {
        |  doc.doc_id = COALESCE(c.component, doc.doc_id) AS is_canonical
        |FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
        |ORDER BY doc.doc_id NULLS FIRST""".stripMargin
+
+  /** Shared by q77 (batch session_window) and q106 (streaming session
+    * windows, append mode): identical session semantics, one oracle. */
+  private val sessionWindowOracle: String =
+    s"""WITH e AS (SELECT user_id, ts, value FROM events),
+       |g AS (SELECT user_id, ts, value,
+       |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+       |        PARTITION BY user_id ORDER BY ts ASC)) >= 1800000000
+       |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
+       |      THEN 1 ELSE 0 END AS new_session
+       |  FROM e),
+       |s AS (SELECT user_id, ts, value,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
+       |      ROWS UNBOUNDED PRECEDING) AS session_id
+       |  FROM g)
+       |SELECT user_id, min(ts) AS session_start,
+       |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+       |  COUNT(*) AS n_events,
+       |  ${sum2("value")} AS session_value
+       |FROM s GROUP BY user_id, session_id
+       |ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""".stripMargin
 
   /** DuckDB replay of VectorOps.kmeansQuantize: same init (first K
     * vectors), same strict-argmin tiebreak, and the same floor-scaled
@@ -1132,24 +1154,11 @@ object SparkEntry {
     // Spark session_window semantics: an event exactly `gap` after the
     // previous STARTS a new session (strict containment in [ts, ts+gap)),
     // and window end = last_ts + gap. Integer epoch-µs gap test.
-    "q77_session_window" ->
-      s"""WITH e AS (SELECT user_id, ts, value FROM events),
-         |g AS (SELECT user_id, ts, value,
-         |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
-         |        PARTITION BY user_id ORDER BY ts ASC)) >= 1800000000
-         |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts ASC) IS NULL
-         |      THEN 1 ELSE 0 END AS new_session
-         |  FROM e),
-         |s AS (SELECT user_id, ts, value,
-         |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC
-         |      ROWS UNBOUNDED PRECEDING) AS session_id
-         |  FROM g)
-         |SELECT user_id, min(ts) AS session_start,
-         |  max(ts) + INTERVAL 30 MINUTE AS session_end,
-         |  COUNT(*) AS n_events,
-         |  ${sum2("value")} AS session_value
-         |FROM s GROUP BY user_id, session_id
-         |ORDER BY user_id NULLS FIRST, session_start NULLS FIRST""".stripMargin,
+    "q77_session_window" -> sessionWindowOracle,
+
+    // q106: the SAME sessions, computed by the streaming engine in
+    // append mode (sentinel-flushed bounded replay) — one oracle.
+    "q106_streaming_session" -> sessionWindowOracle,
 
     "q78_doc_histogram" ->
       """SELECT CAST(FLOOR(n_chars / 100) * 100 AS BIGINT) AS bucket_lo,

@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -141,6 +143,72 @@ object StreamingFunnel {
       .start()
     q.awaitTermination()
     spark.table(name).orderBy("stage_rank")
+  }
+
+  /** Streaming SESSION windows in append mode (SURVEY §2.10 — the
+    * stateful-window shape q77 runs in batch): per-user 30-minute-gap
+    * sessions, emitted exactly once each when the event-time watermark
+    * passes their end (sessions MERGE as events arrive, so only
+    * watermark-final emission is correct — update-mode sinks would
+    * retain stale pre-merge fragments).
+    *
+    * Append mode only emits a session once the watermark clears it, so
+    * a bounded replay would otherwise never flush the trailing session
+    * of every user. The staging dir therefore adds one SENTINEL event
+    * (user −1) far past the real data; its event time drags the
+    * watermark over every real session's end, the real sessions all
+    * emit, and the sentinel's own (never-closed) session is filtered
+    * out. In production there is no sentinel — the stream simply keeps
+    * running and time itself closes sessions; the sentinel is the
+    * bounded-replay stand-in for "time passes". */
+  def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val key = java.util.UUID.nameUUIDFromBytes(s"$dir-sess".getBytes)
+      .toString.take(8)
+    val d = Paths.get(s"/tmp/graft-stream-sess-$key")
+    if (!Files.exists(d)) {
+      Files.createDirectories(d)
+      Files.createSymbolicLink(d.resolve("events.parquet"),
+        Paths.get(s"$dir/events.parquet"))
+      // sentinel: one far-future row (raw schema: ts is ns-long)
+      val maxNs = spark.read.parquet(s"$dir/events.parquet")
+        .agg(max("ts")).head().getLong(0)
+      import spark.implicits._
+      val tmp = Files.createTempDirectory("graft-sentinel").toString
+      Seq((-1L, maxNs + 10L * 86400 * 1000000000L, -1L, "view", 0.0,
+          null.asInstanceOf[String]))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = Files.list(Paths.get(tmp)).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, d.resolve("zz-sentinel.parquet"))
+    }
+    val raw = spark.readStream.schema(rawSchema)
+      .parquet(d.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+    val agg = raw
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        sumMoney2(col("value")).as("session_value"))
+
+    val name = "streaming_session_sink"
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+      .orderBy("user_id", "session_start")
   }
 
   /** Streaming last-event-per-user (the reference's "current order
