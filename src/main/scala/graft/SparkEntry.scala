@@ -129,6 +129,7 @@ object SparkEntry {
     "q104_dedup_star" -> (Graphs.dedupClustersStar _),
     "q105_top_bigrams" -> ((s, d) => TextOps.topBigrams(s, d)),
     "q106_streaming_session" -> (StreamingFunnel.sessionWindows _),
+    "q107_zorder" -> (Relational.zorderProfile _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1328,6 +1329,23 @@ object SparkEntry {
          |  ${val6(s"(CAST(sy AS DOUBLE) - ($slope) * CAST(sx AS DOUBLE)) / $nD")}
          |    AS intercept
          |FROM s ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin
+    },
+
+    // The Morton ladder is five exact integer ops per dimension —
+    // identical bit arithmetic in both engines.
+    "q107_zorder" -> {
+      import graft.util.ZOrder
+      val z = ZOrder.Sql.morton("x", "y")
+      s"""WITH d AS (
+         |  SELECT o_custkey % 65536 AS x,
+         |    DATEDIFF('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+         |      % 65536 AS y
+         |  FROM orders)
+         |SELECT ($z >> 16) AS z_bucket, COUNT(*) AS n_rows,
+         |  MIN(x) AS min_cust, MAX(x) AS max_cust,
+         |  MIN(y) AS min_day, MAX(y) AS max_day
+         |FROM d GROUP BY 1
+         |ORDER BY z_bucket ASC NULLS FIRST""".stripMargin
     },
 
     // Adjacent-pair generation: Spark sequence(0, n-2) over 1-based

@@ -578,6 +578,30 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Z-order clustering-key profile (SURVEY §2.1 write-layout family —
+    * the Delta/Iceberg Z-ORDER BY primitive, computed in-engine): a
+    * 32-bit Morton key over (customer, order-day), rolled up to coarse
+    * z-buckets (256x256 rectangles). Each bucket's min/max per DIMENSION stay tight — the
+    * locality that lets min/max file statistics prune scans on either
+    * predicate column after a z-sorted write. The key is five exact
+    * mask-and-shift integer ops per dimension ([[graft.util.ZOrder]]),
+    * scan-local; writing `.sortWithinPartitions(z)` is then an ordinary
+    * sorted write. */
+  def zorderProfile(spark: SparkSession, dir: String): DataFrame = {
+    import graft.util.ZOrder
+    val o = Tables.orders(spark, dir)
+      .select(pmod(col("o_custkey"), lit(65536L)).as("x"),
+        pmod(datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long"), lit(65536L)).as("y"))
+    o.select(col("x"), col("y"),
+        shiftright(ZOrder.morton(col("x"), col("y")), 16).as("z_bucket"))
+      .groupBy("z_bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min("x").as("min_cust"), max("x").as("max_cust"),
+        min("y").as("min_day"), max("y").as("max_day"))
+      .orderBy("z_bucket")
+  }
+
   /** Time-series gap fill (resample): the daily revenue grid per order
     * priority with missing days materialized as zero rows — the
     * dashboard's trend charts need a dense axis, and gap-filled frames
