@@ -130,6 +130,7 @@ object SparkEntry {
     "q105_top_bigrams" -> ((s, d) => TextOps.topBigrams(s, d)),
     "q106_streaming_session" -> (StreamingFunnel.sessionWindows _),
     "q107_zorder" -> (Relational.zorderProfile _),
+    "q108_pagination" -> (Relational.paginationPage3 _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1330,6 +1331,22 @@ object SparkEntry {
          |    AS intercept
          |FROM s ORDER BY o_orderpriority ASC NULLS FIRST""".stripMargin
     },
+
+    // Offset and keyset pagination must agree on the page contents.
+    "q108_pagination" ->
+      """WITH ranked AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer
+        |  ORDER BY c_custkey LIMIT 20 OFFSET 40),
+        |boundary AS (
+        |  SELECT MAX(c_custkey) AS b FROM (
+        |    SELECT c_custkey FROM customer ORDER BY c_custkey LIMIT 40)),
+        |keyset AS (
+        |  SELECT c_custkey, c_name, c_acctbal FROM customer, boundary
+        |  WHERE c_custkey > b ORDER BY c_custkey LIMIT 20)
+        |SELECT 'offset' AS method, c_custkey, c_name, c_acctbal FROM ranked
+        |UNION ALL
+        |SELECT 'keyset', c_custkey, c_name, c_acctbal FROM keyset
+        |ORDER BY method ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin,
 
     // The Morton ladder is five exact integer ops per dimension —
     // identical bit arithmetic in both engines.

@@ -578,6 +578,30 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Keyset + offset pagination (SURVEY §2.6 T-family completed):
+    * page 3 of the customer ranking, both ways. OFFSET pagination
+    * (`offset(40).limit(20)`) is the API surface dashboards ask for —
+    * Spark plans it as CollectLimit(60) and drops 40, so cost grows
+    * with page DEPTH; the keyset variant (`WHERE key > last-seen`)
+    * carries the same page at constant cost and is what the 100 TB
+    * deployment should use. Both emitted here, proven identical. */
+  def paginationPage3(spark: SparkSession, dir: String): DataFrame = {
+    val ranked = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey")
+    // keyset form: the page-2 boundary key is a scalar lookup (cheap,
+    // index-like at scale), then one range scan
+    val boundary = ranked.limit(40).agg(max("c_custkey")).head().getLong(0)
+    val keyset = Tables.customer(spark, dir)
+      .filter(col("c_custkey") > boundary)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("c_custkey").limit(20)
+    val offsetForm = ranked.offset(40).limit(20)
+    offsetForm.withColumn("method", lit("offset"))
+      .unionByName(keyset.withColumn("method", lit("keyset")))
+      .orderBy("method", "c_custkey")
+  }
+
   /** Z-order clustering-key profile (SURVEY §2.1 write-layout family —
     * the Delta/Iceberg Z-ORDER BY primitive, computed in-engine): a
     * 32-bit Morton key over (customer, order-day), rolled up to coarse
