@@ -131,6 +131,12 @@ object SparkEntry {
     "q106_streaming_session" -> (StreamingFunnel.sessionWindows _),
     "q107_zorder" -> (Relational.zorderProfile _),
     "q108_pagination" -> (Relational.paginationPage3 _),
+    "q109_rolling_distinct" -> (Events.rollingDistinctUsers _),
+    "q110_token_entropy" -> (TextOps.tokenEntropy _),
+    "q111_brand_pagerank" -> ((s, d) => Graphs.brandPageRank(s, d)),
+    "q112_hof_sweep" -> (TextOps.hofSweep _),
+    "q113_label_centroids" -> (VectorOps.labelCentroids _),
+    "q114_dpp_revenue" -> (Relational.dppRevenue _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1647,5 +1653,116 @@ object SparkEntry {
         |  types[1] AS first_type,
         |  list_contains(types, 'purchase') AS has_purchase
         |FROM t ORDER BY user_id ASC NULLS FIRST""".stripMargin,
+
+    // Rolling 7-day distinct users: the oracle materializes the same
+    // contribution fan-out (pair visible in 7 window-end days) — the
+    // only scalable form of sliding-window COUNT(DISTINCT).
+    "q109_rolling_distinct" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM pairs),
+        |contrib AS (
+        |  SELECT p.d, p.user_id, p.d + CAST(i.i AS INT) AS day
+        |  FROM pairs p CROSS JOIN (SELECT unnest(range(0, 7)) AS i) i)
+        |SELECT c.day, COUNT(DISTINCT c.user_id) AS wau,
+        |  COUNT(DISTINCT CASE WHEN c.day = c.d THEN c.user_id END) AS dau
+        |FROM contrib c JOIN days USING (day)
+        |GROUP BY c.day ORDER BY day NULLS FIRST""".stripMargin,
+
+    // Entropy via H = ln N − (Σ c·ln c)/N: one ln per distinct term,
+    // floor-scaled to integer millionths before the (exact, BIGINT)
+    // cross-row sum — float ops happen in identical order in both
+    // engines regardless of parallelism.
+    "q110_token_entropy" ->
+      s"""WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok
+         |  FROM documents),
+         |c AS (SELECT lang, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+         |g AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  COUNT(*) AS n_types,
+         |  CAST(SUM(CAST(FLOOR(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+         |    * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s_clnc
+         |  FROM c GROUP BY lang)
+         |SELECT lang, n_tokens, n_types,
+         |  ${val6("(ln(CAST(n_tokens AS DOUBLE)) - " +
+           "(CAST(s_clnc AS DOUBLE) / 1000000.0) / CAST(n_tokens AS DOUBLE))")}
+         |    AS entropy_nats
+         |FROM g ORDER BY lang NULLS FIRST""".stripMargin,
+
+    // PageRank unrolled: ranks are BIGINT trillionths, every iteration
+    // pure integer arithmetic (// division, * , +) — bit-identical in
+    // both engines with zero float-order hazard.
+    "q111_brand_pagerank" -> {
+      def iter(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT nd.brand, tele.t + (85 * COALESCE(c.inflow, 0)) // 100
+           |    AS rank_i
+           |  FROM nodes nd
+           |  CROSS JOIN (SELECT (1000000000000 * 15 // 100) // n AS t
+           |              FROM nn) tele
+           |  LEFT JOIN (
+           |    SELECT e.dst AS brand,
+           |      CAST(SUM(r.rank_i // e.outdeg) AS BIGINT) AS inflow
+           |    FROM e JOIN $prev r ON r.brand = e.src
+           |    GROUP BY e.dst) c ON c.brand = nd.brand)""".stripMargin
+      s"""WITH nodes AS (SELECT DISTINCT p_brand AS brand FROM part),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |bo AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+         |       FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |edges AS (SELECT DISTINCT a.brand AS src, b.brand AS dst
+         |          FROM bo a JOIN bo b
+         |          ON a.okey = b.okey AND a.brand <> b.brand),
+         |degs AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+         |e AS (SELECT edges.src, edges.dst, degs.outdeg
+         |      FROM edges JOIN degs USING (src)),
+         |r0 AS (SELECT brand, 1000000000000 // n AS rank_i FROM nodes, nn),
+         |${iter("r0", "r1")},
+         |${iter("r1", "r2")},
+         |${iter("r2", "r3")}
+         |SELECT brand, rank_i,
+         |  CAST(rank_i AS DOUBLE) / 1000000000000.0 AS rank
+         |FROM r3
+         |ORDER BY rank_i DESC NULLS LAST, brand ASC NULLS FIRST""".stripMargin
+    },
+
+    // HOF sweep: the oracle's total_token_chars uses the split identity
+    // len(text) = Σ len(tok) + (count-1) — same value as Spark's
+    // aggregate() fold, no list_reduce dependency.
+    "q112_hof_sweep" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(ws, t -> len(t) > 5)) AS BIGINT)
+        |    AS n_long_tokens,
+        |  array_to_string(list_transform(ws[1:3], t -> upper(t)), '_')
+        |    AS head3_upper,
+        |  CAST(len(text) - (len(ws) - 1) AS BIGINT) AS total_token_chars,
+        |  len(list_filter(ws, t -> t = 'the')) > 0 AS has_the,
+        |  len(list_filter(ws, t -> len(t) = 0)) = 0 AS all_nonempty,
+        |  CAST(list_max(list_transform(ws, t -> len(t))) AS BIGINT)
+        |    AS longest_token
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS ws
+        |      FROM documents WHERE doc_id < 150)
+        |ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // Per-label centroids: element values floor-scaled to integer
+    // millionths before the sum; the mean divides back once per
+    // (label, pos) in the same left-assoc order as the Spark side.
+    "q113_label_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(i.i - 1 AS BIGINT) AS pos, COUNT(*) AS n_vecs,
+        |  CAST(CAST(SUM(CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS DOUBLE)
+        |    / 1000000.0 / CAST(COUNT(*) AS DOUBLE) AS centroid
+        |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
+        |GROUP BY label, i.i
+        |ORDER BY label NULLS FIRST, pos NULLS FIRST""".stripMargin,
+
+    // DPP query: the oracle is the plain predicate form — partition
+    // pruning must not change results, only the partitions scanned.
+    "q114_dpp_revenue" ->
+      s"""SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+         |  ${sum4(netExpr)} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem
+         |WHERE year(l_shipdate) = 1996 AND quarter(l_shipdate) = 1
+         |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
   )
 }

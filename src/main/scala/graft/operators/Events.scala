@@ -423,4 +423,33 @@ object Events {
         element_at(col("types"), 1).as("first_type"),
         array_contains(col("types"), "purchase").as("has_purchase"))
       .orderBy("user_id")
+
+  /** Rolling 7-day distinct users per day (the DAU/WAU roll-up every
+    * product-analytics pipeline maintains). Distinct-over-a-sliding-
+    * window has no streaming-friendly window-function form — COUNT
+    * (DISTINCT) OVER RANGE re-scans each frame. The scalable shape is
+    * CONTRIBUTION FAN-OUT: reduce events to distinct (user, day) pairs
+    * (one shuffle, map-side combinable), then each pair contributes to
+    * the 7 window-end days it is visible in — a scan-local `sequence`/
+    * `explode` ×7 — and one distinct-agg per contribution day finishes
+    * it. Work is O(pairs × window), independent of per-day event volume,
+    * and every stage partitions on its key; no per-frame rescans, no
+    * cross-partition frames. Reported days are restricted to days that
+    * actually observed events (the window would otherwise trail 6 empty
+    * days past the last day). */
+  def rollingDistinctUsers(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .distinct()
+    val days = pairs.select(col("d").as("day")).distinct()
+    val contrib = pairs.select(col("d"), col("user_id"),
+      explode(sequence(col("d"), date_add(col("d"), 6))).as("day"))
+    contrib
+      .join(days, "day") // only observed days
+      .groupBy("day")
+      .agg(
+        countDistinct(col("user_id")).as("wau"),
+        countDistinct(when(col("day") === col("d"), col("user_id"))).as("dau"))
+      .orderBy("day")
+  }
 }

@@ -149,4 +149,67 @@ object Graphs {
       .withColumn("is_canonical", col("doc_id") === col("component"))
       .orderBy("doc_id")
   }
+
+  /** PageRank scale for fixed-point arithmetic: ranks live as BIGINT
+    * trillionths, so every iteration is pure integer math (`div`, `*`,
+    * `+`) — bit-identical in any engine and exactly order-independent
+    * under Spark's nondeterministic partial-agg order, where a float
+    * PageRank diverges run-to-run in the last ulps. */
+  val PrScale = 1000000000000L
+
+  /** Fixed-iteration PageRank over the brand co-occurrence graph
+    * (nodes = part brands, undirected edges = brands bought together in
+    * an order — the q68 basket graph). Complements connected components
+    * (q65/q104) with the other canonical iterative graph kernel: a
+    * centrality measure over the product graph ("which brands anchor
+    * baskets"), damping 0.85, k synchronous iterations.
+    *
+    * Shape per iteration: ranks ⋈ edges on src (edges carry out-degree,
+    * so a contribution is `rank div outdeg` — exact integer division),
+    * then one groupBy(dst) integer sum. Two shuffles × k, both keyed and
+    * map-side combinable; ranks stay (node, BIGINT) — at web scale the
+    * rank table partitions like any keyed agg and the edge list is the
+    * only big operand, exactly the GraphX/Pregel dataflow without the
+    * RDD layer. Isolated brands (no edges) keep the teleport mass only.
+    * The oracle unrolls the same k iterations as CTEs over the identical
+    * integer arithmetic. */
+  def brandPageRank(spark: SparkSession, dir: String,
+      iterations: Int = 3): DataFrame = {
+    val nodes = Tables.part(spark, dir)
+      .select(col("p_brand").as("brand")).distinct()
+    val byOrder = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
+      .distinct()
+    val edges = byOrder.as("a")
+      .join(byOrder.as("b"), Seq("okey"))
+      .select(col("a.brand").as("src"), col("b.brand").as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val degs = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    // edges annotated with src out-degree; tiny here, broadcast either
+    // way — at scale this is the static big operand every round reuses
+    val eFull = edges.join(degs, "src").localCheckpoint()
+
+    val n = nodes.count() // driver scalar: node count fixes the teleport term
+    val teleport = PrScale * 15L / 100L / n
+    var ranks = nodes.select(col("brand"),
+      lit(PrScale / n).as("rank_i"))
+    for (_ <- 1 to iterations) {
+      val contribs = eFull
+        .join(ranks.withColumnRenamed("brand", "src"), "src")
+        .groupBy(col("dst").as("brand"))
+        .agg(sum(expr("rank_i div outdeg")).as("inflow"))
+      ranks = nodes
+        .join(contribs, Seq("brand"), "left")
+        .select(col("brand"),
+          (lit(teleport) +
+            expr(s"(85 * coalesce(inflow, 0L)) div 100")).as("rank_i"))
+    }
+    ranks
+      .select(col("brand"), col("rank_i"),
+        (col("rank_i").cast("double") / lit(PrScale.toDouble)).as("rank"))
+      .orderBy(desc("rank_i"), col("brand"))
+  }
 }

@@ -626,6 +626,41 @@ object Relational {
       .orderBy("z_bucket")
   }
 
+  /** Dynamic partition pruning through the storage layout (the runtime
+    * twin of q107's z-order file-stat locality): the fact is written
+    * ONCE, partitioned by ship month (≈84 directories — the reference's
+    * own `PARTITION BY DATE(valid_from)` layout, Scd_Type2.sql:91), and
+    * the query joins it to a GENERATED month dimension filtered to one
+    * quarter. The filter is on the dim side only — Catalyst plants a
+    * DynamicPruningSubquery on the fact scan, so at execution the scan
+    * reads exactly the 3 matching partitions out of 84. On 100 TB this
+    * is the difference between scanning 7 years and 3 months; the plan
+    * shape (broadcast dim reused as the pruning filter) is asserted in
+    * DppSpec. The write is idempotent and cached across invocations via
+    * its _SUCCESS marker. */
+  def dppRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_dpp_$tag"
+    if (!new java.io.File(path, "_SUCCESS").exists())
+      Tables.lineitem(spark, dir)
+        .withColumn("ship_month", date_format(col("l_shipdate"), "yyyy-MM"))
+        .write.partitionBy("ship_month").mode("overwrite").parquet(path)
+    val fact = spark.read.parquet(path)
+    val monthDim = spark.range(1)
+      .select(explode(sequence(
+        to_date(lit("1992-01-01")), to_date(lit("1998-12-01")),
+        expr("interval 1 month"))).as("m"))
+      .select(date_format(col("m"), "yyyy-MM").as("ship_month"),
+        concat(year(col("m")), lit("Q"), quarter(col("m"))).as("qtr"))
+    fact
+      .join(broadcast(monthDim.filter(col("qtr") === "1996Q1")), "ship_month")
+      .groupBy("ship_month")
+      .agg(sumMoney4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("ship_month")
+  }
+
   /** Time-series gap fill (resample): the daily revenue grid per order
     * priority with missing days materialized as zero rows — the
     * dashboard's trend charts need a dense axis, and gap-filled frames

@@ -474,4 +474,57 @@ object TextOps {
       .groupBy("ida", "idb").agg(first(col("hamming")).as("hamming"))
       .orderBy("ida", "idb")
   }
+
+  /** Per-language token Shannon entropy — the vocabulary-diversity
+    * signal corpus-quality scoring uses next to q28's per-doc ratios
+    * (low entropy ⇒ templated/boilerplate text). Identity used:
+    * H = ln(N) − (Σ c·ln c)/N over per-language token counts c, so the
+    * float work is ONE ln per distinct (lang, token) — not per token —
+    * and the cross-row float sum that would be order-dependent is
+    * replaced by an exact BIGINT sum of floor-scaled terms
+    * (Portable.scala discipline; same trick as q63's tf·idf). Two
+    * shuffles, both map-side combinable: tokens→(lang,token) counts,
+    * counts→per-lang moments. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+    val cD = col("c").cast("double")
+    counts
+      .groupBy("lang")
+      .agg(
+        sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(floor(cD * log(cD) * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("s_clnc"))
+      .select(col("lang"), col("n_tokens"), col("n_types"),
+        Portable.val6(log(col("n_tokens").cast("double")) -
+          (col("s_clnc").cast("double") / lit(1000000.0)) /
+            col("n_tokens").cast("double")).as("entropy_nats"))
+      .orderBy("lang")
+  }
+
+  /** Higher-order-function sweep over tokenized documents (SURVEY §8.10
+    * extensions; the array-lambda family q28/q29 use in anger, isolated
+    * as a surface test): `filter`, `transform`, `aggregate` (fold),
+    * `exists`, `forall`, plus array_max over a transform. All lambdas
+    * run scan-local inside whole-stage codegen — zero shuffles before
+    * the output sort. */
+  def hofSweep(spark: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    Tables.documents(spark, dir)
+      .filter(col("doc_id") < 150)
+      .select(
+        col("doc_id"),
+        size(filter(ws, t => length(t) > 5)).cast("long").as("n_long_tokens"),
+        array_join(transform(slice(ws, 1, 3), t => upper(t)), "_")
+          .as("head3_upper"),
+        aggregate(ws, lit(0L), (acc, t) => acc + length(t))
+          .as("total_token_chars"),
+        exists(ws, t => t === "the").as("has_the"),
+        forall(ws, t => length(t) > 0).as("all_nonempty"),
+        array_max(transform(ws, t => length(t))).cast("long")
+          .as("longest_token"))
+      .orderBy("doc_id")
+  }
 }

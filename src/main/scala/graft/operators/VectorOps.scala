@@ -320,4 +320,28 @@ object VectorOps {
         count(lit(1)).over(sizeW).as("cluster_size"))
       .orderBy("vec_id")
   }
+
+  /** Per-label embedding centroids — mean pooling by class, the
+    * prototype/centroid step of every embedding-space workflow
+    * (class prototypes, centroid init for IVF, cluster drift checks).
+    * Element-wise float means are order-dependent under parallel
+    * summation, so each component is floor-scaled to integer millionths
+    * BEFORE the sum (Portable discipline): `posexplode` fans the vector
+    * to (label, pos) grain scan-locally, one map-side-combinable groupBy
+    * carries BIGINT partial sums, and the mean divides back to double
+    * once per (label, pos) — bit-stable at any partitioning. Shuffle
+    * volume is labels × dim rows, independent of vector count. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))
+          .cast("long")).as("s"))
+      .select(col("label").cast("long").as("label"),
+        col("pos").cast("long").as("pos"), col("n_vecs"),
+        (col("s").cast("double") / lit(1000000.0) /
+          col("n_vecs").cast("double")).as("centroid"))
+      .orderBy("label", "pos")
 }
