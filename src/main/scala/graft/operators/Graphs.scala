@@ -176,20 +176,22 @@ object Graphs {
   def brandPageRank(spark: SparkSession, dir: String,
       iterations: Int = 3): DataFrame = {
     val nodes = Tables.part(spark, dir)
-      .select(col("p_brand").as("brand")).distinct()
-    val byOrder = Tables.lineitem(spark, dir)
+      .select(col("p_brand").as("brand")).distinct().localCheckpoint()
+    // edge derivation = ONE shuffle at order grain (collect_set dedups
+    // map-side, q68's basket shape), then scan-local pair fan-out and a
+    // distinct over the tiny vocabulary-pair space
+    val edges = Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("okey"), col("p_brand").as("brand"))
-      .distinct()
-    val edges = byOrder.as("a")
-      .join(byOrder.as("b"), Seq("okey"))
-      .select(col("a.brand").as("src"), col("b.brand").as("dst"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("p_brand")).as("brands"))
+      .select(explode(col("brands")).as("src"), col("brands"))
+      .select(col("src"), explode(col("brands")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
     val degs = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
-    // edges annotated with src out-degree; tiny here, broadcast either
-    // way — at scale this is the static big operand every round reuses
+    // edges annotated with src out-degree — the static operand every
+    // round reuses, checkpointed once so no round replays the basket agg
     val eFull = edges.join(degs, "src").localCheckpoint()
 
     val n = nodes.count() // driver scalar: node count fixes the teleport term
@@ -197,11 +199,15 @@ object Graphs {
     var ranks = nodes.select(col("brand"),
       lit(PrScale / n).as("rank_i"))
     for (_ <- 1 to iterations) {
+      // rank table broadcast: the brand graph's |V| is tiny, so each
+      // round is a map-side join over the static edge list + one small
+      // keyed agg. At web scale flip the broadcast off and this is the
+      // standard shuffled rank⋈edges Pregel round — same dataflow.
       val contribs = eFull
-        .join(ranks.withColumnRenamed("brand", "src"), "src")
+        .join(broadcast(ranks.withColumnRenamed("brand", "src")), "src")
         .groupBy(col("dst").as("brand"))
         .agg(sum(expr("rank_i div outdeg")).as("inflow"))
-      ranks = nodes
+      ranks = broadcast(nodes)
         .join(contribs, Seq("brand"), "left")
         .select(col("brand"),
           (lit(teleport) +
