@@ -137,6 +137,9 @@ object SparkEntry {
     "q112_hof_sweep" -> (TextOps.hofSweep _),
     "q113_label_centroids" -> (VectorOps.labelCentroids _),
     "q114_dpp_revenue" -> (Relational.dppRevenue _),
+    "q115_lateral_topk" -> (Relational.lateralTopOrders _),
+    "q116_map_funcs" -> (Events.mapFuncs _),
+    "q117_json_roundtrip" -> (Relational.jsonRoundTrip _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1754,6 +1757,52 @@ object SparkEntry {
         |FROM embeddings CROSS JOIN (SELECT unnest(range(1, 65)) AS i) i
         |GROUP BY label, i.i
         |ORDER BY label NULLS FIRST, pos NULLS FIRST""".stripMargin,
+
+    // LATERAL with ORDER BY + LIMIT: DuckDB executes the lateral
+    // directly; Spark decorrelates it to a per-key window limit.
+    "q115_lateral_topk" ->
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.top_price
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice AS top_price
+        |  FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC
+        |  LIMIT 2) t ON TRUE
+        |ORDER BY c.c_custkey NULLS FIRST, top_price DESC NULLS LAST,
+        |  o_orderkey NULLS FIRST""".stripMargin,
+
+    // Map surface emitted as scalars/JSON text; the sorted entry array
+    // pins Spark's map iteration order so counts_json is canonical.
+    "q116_map_funcs" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type, COUNT(*) AS n FROM events
+        |  WHERE event_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT user_id, COUNT(*) AS n_keys,
+        |  string_agg(event_type, ',' ORDER BY event_type) AS keys_csv,
+        |  CAST(SUM(n) AS BIGINT) AS total_events,
+        |  CAST(COALESCE(MAX(CASE WHEN event_type = 'purchase' THEN n END), 0)
+        |    AS BIGINT) AS n_purchase,
+        |  '{' || string_agg('"' || event_type || '":' || n, ','
+        |    ORDER BY event_type) || '}' AS counts_json
+        |FROM c GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    // JSON round trip: the oracle REBUILDS Spark's canonical to_json
+    // text by string aggregation (integer fields only — float text
+    // rendering is not engine-portable), then derives the aggregates
+    // from the raw columns.
+    "q117_json_roundtrip" ->
+      """WITH it AS (
+        |  SELECT l_orderkey AS order_id, l_linenumber AS ln,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem WHERE l_orderkey < 500)
+        |SELECT order_id,
+        |  '{"order_id":' || order_id || ',"items":[' ||
+        |    string_agg('{"ln":' || ln || ',"qty":' || qty || '}', ','
+        |      ORDER BY ln, qty) || ']}' AS doc,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |FROM it GROUP BY order_id ORDER BY order_id NULLS FIRST""".stripMargin,
 
     // DPP query: the oracle is the plain predicate form — partition
     // pruning must not change results, only the partitions scanned.

@@ -424,6 +424,33 @@ object Events {
         array_contains(col("types"), "purchase").as("has_purchase"))
       .orderBy("user_id")
 
+  /** MapType surface sweep: per user, the event-type histogram lives as
+    * a `map<string,long>` built with `map_from_entries` over the SORTED
+    * entry array (deterministic key order → deterministic `to_json`
+    * text), then `map_keys` / `map_values` / `element_at` / a
+    * `transform_values` share-of-total read it back out as scalars. The
+    * map is assembled AFTER a (user, type) count agg, so collect_list
+    * gathers ≤5 tiny entries per user — the shuffles carry counts, not
+    * events. Maps can't hit parquet in the gate output (no canonical
+    * hash), so everything exits as csv/JSON strings and numbers. */
+  def mapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .filter(col("event_type").isNotNull)
+      .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+    counts
+      .groupBy("user_id")
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("event_type"), col("n"))))).as("m"))
+      .select(col("user_id"),
+        size(col("m")).cast("long").as("n_keys"),
+        array_join(map_keys(col("m")), ",").as("keys_csv"),
+        aggregate(map_values(col("m")), lit(0L), (a, v) => a + v)
+          .as("total_events"),
+        coalesce(element_at(col("m"), "purchase"), lit(0L)).as("n_purchase"),
+        to_json(col("m")).as("counts_json"))
+      .orderBy("user_id")
+  }
+
   /** Rolling 7-day distinct users per day (the DAU/WAU roll-up every
     * product-analytics pipeline maintains). Distinct-over-a-sliding-
     * window has no streaming-friendly window-function form — COUNT

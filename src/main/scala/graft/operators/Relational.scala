@@ -472,6 +472,62 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — "top 2 orders
+    * per customer" in its declarative SQL form (SURVEY §8.3 extensions).
+    * Catalyst DECORRELATES the per-row subquery: the plan is one join +
+    * per-key window limit, not a subquery execution per customer row —
+    * the transformation that makes lateral SQL viable at 100 TB (a
+    * naive nested-loop lateral is O(customers × orders)). Same result
+    * contract as q100's TopKPerKey strategy, expressed from the SQL
+    * side. */
+  def lateralTopOrders(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("lt_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("lt_orders")
+    spark.sql(
+      """SELECT c.c_custkey, c.c_mktsegment, t.o_orderkey, t.top_price
+        |FROM lt_customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice AS top_price
+        |  FROM lt_orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC
+        |  LIMIT 2) t
+        |ORDER BY c.c_custkey, top_price DESC, o_orderkey""".stripMargin)
+  }
+
+  /** Nested-type JSON round trip: per order, the line items collect into
+    * an array-of-structs, serialize with `to_json`, parse back with
+    * `from_json` under an explicit schema, and the parsed tree answers
+    * the aggregates — proving serialize ∘ parse = identity on the
+    * engine's own canonical JSON. The oracle reconstructs the identical
+    * text by string aggregation, so the emitted JSON is pinned
+    * cross-engine (integer-valued fields only: float text rendering is
+    * not portable). Shape: one order-grain shuffle for the collect_list;
+    * everything after is scan-local JSON codec work. */
+  def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("order_id", LongType),
+      StructField("items", ArrayType(StructType(Seq(
+        StructField("ln", LongType), StructField("qty", LongType)))))))
+    val nested = Tables.lineitem(spark, dir)
+      .filter(col("l_orderkey") < 500)
+      .select(col("l_orderkey"), struct(
+        col("l_linenumber").cast("long").as("ln"),
+        col("l_quantity").cast("long").as("qty")).as("item"))
+      .groupBy(col("l_orderkey").as("order_id"))
+      .agg(array_sort(collect_list(col("item"))).as("items"))
+      .select(to_json(struct(col("order_id"), col("items"))).as("doc"),
+        col("order_id"))
+    val parsed = from_json(col("doc"), schema)
+    nested
+      .select(col("order_id"), col("doc"),
+        size(parsed.getField("items")).cast("long").as("n_items"),
+        aggregate(parsed.getField("items"), lit(0L),
+          (acc, it) => acc + it.getField("qty")).as("qty_sum"))
+      .orderBy("order_id")
+  }
+
   /** Referential-integrity audit across every FK edge of the star
     * schema (SURVEY A13 generalized — the DQ pass a warehouse runs
     * after each load): per edge, child cardinality and orphan count
