@@ -140,6 +140,12 @@ object SparkEntry {
     "q115_lateral_topk" -> (Relational.lateralTopOrders _),
     "q116_map_funcs" -> (Events.mapFuncs _),
     "q117_json_roundtrip" -> (Relational.jsonRoundTrip _),
+    // q118/q119 have NO oracleSql on purpose: sketch estimates are not
+    // bit-portable across engines (DataSketches HLL / GK vs t-digest).
+    // The driver records rows-only checks; accuracy is bound in
+    // Round6Spec against the exact values computed alongside.
+    "q118_hll_distinct" -> (Events.hllDistinct _),
+    "q119_approx_quantiles" -> (Relational.approxQuantiles _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------

@@ -424,6 +424,30 @@ object Events {
         array_contains(col("types"), "purchase").as("has_purchase"))
       .orderBy("user_id")
 
+  /** HyperLogLog distinct-count estimation per event type, shown in its
+    * MERGEABLE form — the property that makes sketches the scale answer
+    * to COUNT(DISTINCT): per-day HLL sketches (`hll_sketch_agg`, the
+    * Apache DataSketches HllSketch) union into the per-type estimate
+    * (`hll_union_agg`) WITHOUT touching row data again, exactly how a
+    * 100 TB deployment maintains distincts incrementally over stored
+    * per-segment sketches. `approx_count_distinct` (HLL++) and the
+    * exact count ride alongside for calibration; estimates are not
+    * bit-portable across engines, so this query is rows-only at the
+    * gate and its error envelope is spec-bound (HllSpec ≤ 5%). */
+  def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+    val merged = daily.groupBy("event_type")
+      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("hll_merged"))
+    val direct = Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        approx_count_distinct(col("user_id")).as("hll_direct"))
+    direct.join(merged, Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   /** MapType surface sweep: per user, the event-type histogram lives as
     * a `map<string,long>` built with `map_from_entries` over the SORTED
     * entry array (deterministic key order → deterministic `to_json`

@@ -472,6 +472,26 @@ object Relational {
         |ORDER BY c_custkey""".stripMargin)
   }
 
+  /** Approximate quantiles (Greenwald-Khanna `percentile_approx`) next
+    * to their exact twins — the sketch that replaces q15's exact
+    * medians when the group is fact-sized: GK summaries are bounded
+    * (O(1/ε log εN) per group), mergeable map-side, and never hold the
+    * group's values. Approximations are engine-specific (DuckDB uses
+    * t-digest), so the gate checks rows-only and the accuracy contract
+    * lives in the spec: with accuracy 10⁴ the approx rank error is
+    * ≤ N/10⁴, tiny against these group sizes. */
+  def approxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+          .as("p50_approx"),
+        percentile_approx(col("l_extendedprice"), lit(0.99), lit(10000))
+          .as("p99_approx"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50_exact"),
+        expr("percentile(l_extendedprice, 0.99)").as("p99_exact"))
+      .orderBy("l_returnflag")
+
   /** Correlated LATERAL subquery with ORDER BY + LIMIT — "top 2 orders
     * per customer" in its declarative SQL form (SURVEY §8.3 extensions).
     * Catalyst DECORRELATES the per-row subquery: the plan is one join +
