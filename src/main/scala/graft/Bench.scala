@@ -16,6 +16,8 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
       // The testdata tables are SINGLE small parquet files; at the
       // default 128 MB split size every scan (and everything fused into

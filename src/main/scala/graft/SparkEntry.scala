@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, Events, Gold, Graphs, Relational, Scd2, TextOps, VectorOps}
+import graft.sources.Bucketing
 import graft.streaming.{StatefulFunnel, StreamingFunnel}
 import graft.util.Portable.Sql._
 
@@ -146,6 +147,12 @@ object SparkEntry {
     // Round6Spec against the exact values computed alongside.
     "q118_hll_distinct" -> (Events.hllDistinct _),
     "q119_approx_quantiles" -> (Relational.approxQuantiles _),
+    "q120_streaks" -> (Events.streaks _),
+    "q121_brand_reach" -> ((s, d) => Graphs.brandReach(s, d)),
+    "q122_activity_bitmap" -> (Events.activityBitmap _),
+    "q123_markov_transitions" -> (Events.markovTransitions _),
+    "q124_skyline" -> (Relational.skylineParts _),
+    "q125_bucketed_join" -> (Bucketing.bucketedRevenue _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1819,5 +1826,86 @@ object SparkEntry {
          |FROM lineitem
          |WHERE year(l_shipdate) = 1996 AND quarter(l_shipdate) = 1
          |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+
+    "q120_streaks" ->
+      """WITH days AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |anch AS (
+        |  SELECT user_id, d,
+        |    d - CAST(ROW_NUMBER() OVER (
+        |      PARTITION BY user_id ORDER BY d NULLS FIRST) AS INT) AS anchor
+        |  FROM days),
+        |runs AS (
+        |  SELECT user_id, anchor, COUNT(*) AS len, MIN(d) AS run_start
+        |  FROM anch GROUP BY user_id, anchor)
+        |SELECT user_id, MAX(len) AS max_streak, COUNT(*) AS n_streaks,
+        |  MIN(run_start) AS first_active
+        |FROM runs GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    // BFS over the basket co-occurrence graph, recursive-CTE form on
+    // BOTH engines; bounded at 3 hops with MIN(hop) folding the walk
+    // multiplicity back to exact distances.
+    "q121_brand_reach" ->
+      """WITH RECURSIVE ob AS (
+        |  SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |edges AS (
+        |  SELECT DISTINCT a.p_brand AS src, b.p_brand AS dst
+        |  FROM ob a JOIN ob b
+        |    ON a.l_orderkey = b.l_orderkey AND a.p_brand <> b.p_brand),
+        |origin AS (SELECT MIN(p_brand) AS o FROM part),
+        |walk(brand, hop) AS (
+        |  SELECT o, 0 FROM origin
+        |  UNION ALL
+        |  SELECT e.dst, w.hop + 1
+        |  FROM walk w JOIN edges e ON e.src = w.brand
+        |  WHERE w.hop < 3)
+        |SELECT brand, MIN(hop) AS hops, CAST(COUNT(*) AS BIGINT) AS n_paths
+        |FROM walk GROUP BY brand
+        |ORDER BY hops NULLS FIRST, brand NULLS FIRST""".stripMargin,
+
+    "q122_activity_bitmap" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |    bit_or(1::BIGINT <<
+        |      (CAST(CAST(ts AS DATE) - DATE '1995-01-01' AS INT) % 64))
+        |      AS bitmap
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, bitmap, CAST(bit_count(bitmap) AS INT) AS active_slots
+        |FROM b ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q123_markov_transitions" ->
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type, lead(event_type) OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS next_type
+         |  FROM events),
+         |c AS (
+         |  SELECT event_type AS from_type, next_type AS to_type,
+         |    COUNT(*) AS n
+         |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         |SELECT from_type, to_type, n,
+         |  ${val4("CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type)")} AS p
+         |FROM c ORDER BY from_type NULLS FIRST, to_type NULLS FIRST""".stripMargin,
+
+    // The oracle states the SEMANTICS (quadratic NOT EXISTS dominance);
+    // the engine runs the O(n log n) running-max frontier form.
+    "q124_skyline" ->
+      """SELECT p_partkey, p_brand, p_retailprice, p_size FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice
+        |    AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY p_retailprice NULLS FIRST, p_partkey NULLS FIRST""".stripMargin,
+
+    // Bucketed-layout join: results must equal the plain-table join —
+    // the layout only removes the exchanges.
+    "q125_bucketed_join" ->
+      s"""SELECT o_orderpriority,
+         |  ${sum4(netExpr)} AS revenue,
+         |  COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
   )
 }

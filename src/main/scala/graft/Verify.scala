@@ -25,6 +25,8 @@ object Verify {
       // (max 2262-04-11) is handled by keeping all emitted timestamps in
       // range (see Scd2.FarFuture).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.warehouse.dir",
+        s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       .config("spark.ui.enabled", "false")
       // the library's session extensions (custom functions, the
       // RewriteRegexCount optimizer rule, the TopKPerKey strategy) are

@@ -503,4 +503,72 @@ object Events {
         countDistinct(when(col("day") === col("d"), col("user_id"))).as("dau"))
       .orderBy("day")
   }
+
+  /** Gaps-and-islands: longest run of CONSECUTIVE active days per user —
+    * the classic engagement-streak metric (the reference's dashboard
+    * tracks per-day activity, app.py:237; streaks are its standard
+    * extension). The island anchor `day - row_number()` is constant
+    * within a consecutive run, so two keyed aggregations (both map-side
+    * combinable) finish it. All windows and shuffles partition by
+    * user_id — per-user day counts are small and bounded (≤ a few
+    * thousand), so the plan holds unchanged at 100 TB where the user
+    * dimension is what grows. */
+  def streaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    val anchored = days.withColumn("anchor",
+      date_sub(col("d"), row_number().over(
+        Window.partitionBy("user_id").orderBy("d"))))
+    val runs = anchored.groupBy("user_id", "anchor")
+      .agg(count(lit(1)).as("len"), min(col("d")).as("run_start"))
+    runs.groupBy("user_id")
+      .agg(
+        max(col("len")).as("max_streak"),
+        count(lit(1)).as("n_streaks"),
+        min(col("run_start")).as("first_active"))
+      .orderBy("user_id")
+  }
+
+  /** Per-user 64-day activity bitmap: each active day sets bit
+    * `datediff(day, epoch) mod 64` and `bit_or` folds them — the
+    * roaring-bitmap-style presence encoding warehouses use for cheap
+    * audience intersection (a set-AND becomes one integer AND). The
+    * aggregation is a plain map-side-combinable `bit_or` keyed on
+    * user_id: one shuffle of one long per user regardless of event
+    * volume — the whole point of the encoding at 100 TB. */
+  def activityBitmap(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        // shiftleft's Column API takes a literal shift; the SQL form
+        // accepts the computed per-row slot
+        expr("shiftleft(1L, CAST(pmod(datediff(to_date(ts), " +
+          "date'1995-01-01'), 64) AS INT))").as("bit"))
+      .groupBy("user_id")
+      .agg(bit_or(col("bit")).as("bitmap"))
+      .select(col("user_id"), col("bitmap"),
+        bit_count(col("bitmap")).as("active_slots"))
+      .orderBy("user_id")
+  }
+
+  /** First-order Markov transition matrix over the event-type sequence:
+    * `lead` pairs each event with its successor per user, then one
+    * aggregation counts (from, to) and a tiny window normalizes rows
+    * into transition probabilities. The lead window and the count
+    * shuffle both key on user_id / the 5×5 type pairs — the second
+    * aggregation's key domain is constant-size, so the normalizing
+    * window is over ≤25 rows no matter the scale. */
+  def markovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val seq = Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("next_type").isNotNull)
+    val counts = seq.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("p", val4(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy("from_type"))))
+      .orderBy("from_type", "to_type")
+  }
 }

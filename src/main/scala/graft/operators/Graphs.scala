@@ -218,4 +218,46 @@ object Graphs {
         (col("rank_i").cast("double") / lit(PrScale.toDouble)).as("rank"))
       .orderBy(desc("rank_i"), col("brand"))
   }
+
+  /** Breadth-first hop distance from an origin brand over the basket
+    * co-occurrence graph, written as a RECURSIVE CTE (Spark 4's
+    * `WITH RECURSIVE`, the declarative alternative to q111's driver-side
+    * iteration loop). Cycles are handled without a visited-set (which
+    * recursive UNION ALL cannot express) by bounding the walk at
+    * `maxHops` and taking MIN(hop) per node afterwards — exact BFS
+    * distance for every node within the bound.
+    *
+    * Scale shape: each recursion level is frontier ⋈ edges on the node
+    * key + the final MIN-per-node agg; Catalyst plans the levels as the
+    * same keyed joins the manual loop would issue. Path multiplicity is
+    * bounded by degree^maxHops — this form fits small-diameter /
+    * bounded-hop reachability (the warehouse case: "within 3 hops of X"),
+    * while unbounded closure stays on the q104 star algorithm. */
+  def brandReach(spark: SparkSession, dir: String,
+      maxHops: Int = 3): DataFrame = {
+    val edges = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(collect_set(col("p_brand")).as("brands"))
+      .select(explode(col("brands")).as("src"), col("brands"))
+      .select(col("src"), explode(col("brands")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    edges.createOrReplaceTempView("reach_edges")
+    val origin = Tables.part(spark, dir)
+      .agg(min(col("p_brand"))).head().getString(0)
+    spark.sql(
+      s"""WITH RECURSIVE walk(brand, hop) AS (
+         |  SELECT '$origin', 0
+         |  UNION ALL
+         |  SELECT e.dst, w.hop + 1
+         |  FROM walk w JOIN reach_edges e ON e.src = w.brand
+         |  WHERE w.hop < $maxHops
+         |)
+         |SELECT brand, MIN(hop) AS hops,
+         |  CAST(COUNT(*) AS BIGINT) AS n_paths
+         |FROM walk GROUP BY brand
+         |ORDER BY hops, brand""".stripMargin)
+  }
 }

@@ -270,14 +270,40 @@ object Relational {
       sum(col("l_shipdate").isNull.cast("long")).as("null_shipdate"))
 
   /** Dense surrogate-key assignment (SURVEY W1; reference
-    * Scd_Type2.sql:33–34 ROW_NUMBER + MAX offset). Global row_number is
-    * a single-partition sort — fine for dimension tables (≤100k rows in
-    * the reference); at fact scale use monotonically_increasing_id or
-    * zipWithIndex (documented divergence, SURVEY §4). */
+    * Scd_Type2.sql:33–34 ROW_NUMBER + MAX offset) — WITHOUT the
+    * single-partition global sort `row_number() OVER (ORDER BY …)`
+    * plans. Two-phase shape: range-repartition on the order key (so
+    * partition i holds strictly smaller keys than partition i+1), rank
+    * locally per partition, then add per-partition offsets computed
+    * from a tiny count-per-partition aggregate. Every stage is fully
+    * parallel; the only driver-side data is one long per partition.
+    * Result is bit-identical to the global ROW_NUMBER because the order
+    * key is unique and range partitioning preserves global order. */
+  def denseGlobalRank(df: DataFrame, orderCol: String, skName: String,
+      base: Long): DataFrame = {
+    val spark = df.sparkSession
+    // materialized once: the counts job and the rank job must see the
+    // SAME range boundaries (re-evaluation would re-sample them)
+    val parted = df.repartitionByRange(col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft(0 -> 0L) {
+      case ((_, acc), (pid, cnt)) => pid -> (acc + cnt)
+    }.tail.zip(counts).map { case ((pid, end), (_, cnt)) => (pid, end - cnt) }
+    val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off")
+    parted
+      .withColumn("_lrn", row_number().over(
+        Window.partitionBy("_pid").orderBy(orderCol)))
+      .join(broadcast(offsetDf), "_pid")
+      .withColumn(skName, col("_lrn") + col("_off") + lit(base))
+      .drop("_pid", "_lrn", "_off")
+  }
+
   def customerSk(spark: SparkSession, dir: String): DataFrame =
-    Tables.customer(spark, dir)
-      .withColumn("customer_sk",
-        row_number().over(Window.orderBy("c_custkey")) + lit(1000))
+    denseGlobalRank(Tables.customer(spark, dir), "c_custkey",
+        "customer_sk", base = 1000L)
       .select("c_custkey", "customer_sk", "c_mktsegment")
       .orderBy("c_custkey")
 
@@ -1018,5 +1044,36 @@ object Relational {
         (col("day_cents").cast("double") / 100.0).as("revenue"),
         (sum("day_cents").over(w).cast("double") / 100.0).as("revenue_7d"))
       .orderBy("o_orderpriority", "order_date")
+  }
+
+  /** 2-D skyline (Pareto frontier): parts not dominated on
+    * (minimize p_retailprice, maximize p_size) — "no other part is both
+    * cheaper-or-equal and larger-or-equal with one strict". The naive
+    * form is a quadratic NOT EXISTS self-join (the oracle states it
+    * that way); the engine form is O(n log n): collapse to the distinct
+    * price domain, running-max the size over strictly-cheaper prices
+    * (a lag of the cumulative max per distinct price), and a part
+    * survives iff it beats that running max AND tops its own price
+    * group. The frontier window runs over the compressed distinct-price
+    * domain; at 100 TB the same two-phase offset trick as
+    * [[denseGlobalRank]] replaces the single-partition ordered window —
+    * the per-part work stays one broadcast-joined filter pass. */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+    val perPrice = parts.groupBy("p_retailprice")
+      .agg(max(col("p_size")).as("price_max_size"))
+    val frontier = perPrice.withColumn("cheaper_max_size",
+      max(col("price_max_size")).over(
+        Window.orderBy("p_retailprice")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+    parts
+      .join(broadcast(frontier), "p_retailprice")
+      .filter(
+        (col("cheaper_max_size").isNull ||
+          col("cheaper_max_size") < col("p_size")) &&
+        col("p_size") === col("price_max_size"))
+      .select("p_partkey", "p_brand", "p_retailprice", "p_size")
+      .orderBy("p_retailprice", "p_partkey")
   }
 }
