@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.operators.{Analytics, Events, Gold, Graphs, Relational, Scd2, TextOps, VectorOps}
 import graft.sources.Bucketing
-import graft.streaming.{StatefulFunnel, StreamingFunnel}
+import graft.streaming.{StatefulFunnel, StreamingFunnel, TwsUserStats}
 import graft.util.Portable.Sql._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -153,6 +153,10 @@ object SparkEntry {
     "q123_markov_transitions" -> (Events.markovTransitions _),
     "q124_skyline" -> (Relational.skylineParts _),
     "q125_bucketed_join" -> (Bucketing.bucketedRevenue _),
+    "q126_streaming_tws_stats" -> (TwsUserStats.userStats _),
+    "q127_cosine_tf_pairs" -> ((s, d) => TextOps.cosineTfPairs(s, d)),
+    "q128_cdc_apply" -> (Relational.cdcApply _),
+    "q129_recent_views" -> (Events.recentViewsBeforePurchase _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1907,5 +1911,73 @@ object SparkEntry {
          |  COUNT(*) AS n_items
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY o_orderpriority ORDER BY o_orderpriority NULLS FIRST""".stripMargin,
+
+    // transformWithState drain: the last per-key snapshot equals the
+    // batch aggregate (state folds exact integer cents).
+    "q126_streaming_tws_stats" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  ${sum2("value")} AS total_value,
+         |  CAST(MAX(CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+         |    WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END) AS INT)
+         |    AS max_stage
+         |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    // Inverted-index cosine: integer tf dot products; cosine is three
+    // correctly-rounded IEEE ops on exact integers, then floor-scaled.
+    "q127_cosine_tf_pairs" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, term, COUNT(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS term
+         |    FROM documents WHERE doc_id < 60)
+         |  GROUP BY doc_id, term),
+         |norms AS (SELECT doc_id, SUM(tf * tf) AS q FROM tf GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |    CAST(SUM(a.tf * b.tf) AS BIGINT) AS dot
+         |  FROM tf a JOIN tf b ON a.term = b.term AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT ida, idb, dot,
+         |  ${val6("dot / (sqrt(CAST(na.q AS DOUBLE)) * sqrt(CAST(nb.q AS DOUBLE)))")}
+         |    AS cos_sim
+         |FROM pairs
+         |JOIN norms na ON na.doc_id = ida
+         |JOIN norms nb ON nb.doc_id = idb
+         |WHERE dot >= 3
+         |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin,
+
+    "q128_cdc_apply" ->
+      s"""WITH o AS (SELECT * FROM orders WHERE o_orderkey < 2000),
+         |log AS (
+         |  SELECT o_orderkey AS order_id, 'I' AS op, o_orderdate AS op_ts,
+         |    o_totalprice AS price, o_orderstatus AS status FROM o
+         |  UNION ALL
+         |  SELECT o_orderkey, 'U', o_orderdate + INTERVAL 30 DAY,
+         |    ${val2("o_totalprice * CAST(1.1 AS DOUBLE)")}, o_orderstatus
+         |  FROM o WHERE o_orderstatus = 'F'
+         |  UNION ALL
+         |  SELECT o_orderkey, 'D', o_orderdate + INTERVAL 60 DAY,
+         |    NULL, NULL FROM o WHERE o_custkey % 97 = 0),
+         |r AS (
+         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY order_id
+         |    ORDER BY op_ts DESC,
+         |      CASE op WHEN 'D' THEN 3 WHEN 'U' THEN 2 ELSE 1 END DESC)
+         |    AS rn
+         |  FROM log)
+         |SELECT order_id, op AS last_op, ${val2("price")} AS final_price,
+         |  status
+         |FROM r WHERE rn = 1 AND op <> 'D'
+         |ORDER BY order_id NULLS FIRST""".stripMargin,
+
+    "q129_recent_views" ->
+      """SELECT user_id, event_id, ts, recent_views FROM (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts)
+        |      RANGE BETWEEN 1800000000 PRECEDING AND 1 PRECEDING),
+        |      0) AS BIGINT) AS recent_views
+        |  FROM events)
+        |WHERE event_type = 'purchase'
+        |ORDER BY user_id NULLS FIRST, ts NULLS FIRST,
+        |  event_id NULLS FIRST""".stripMargin,
   )
 }

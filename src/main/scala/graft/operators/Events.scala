@@ -551,6 +551,30 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Per-purchase trailing attribution window: how many views the user
+    * made in the 30 minutes strictly before each purchase — the
+    * range-frame form of "recent context before conversion" (the
+    * event-time twin of q69's campaign attribution). The frame is a
+    * RANGE window on event-time micros with a conditional count inside,
+    * computed over ALL events (the frame must see views) and filtered
+    * to purchases after. One shuffle, partitioned by user; frames never
+    * cross users, so the plan is skew-bounded by per-user event counts
+    * at any scale. */
+  def recentViewsBeforePurchase(spark: SparkSession, dir: String): DataFrame = {
+    val halfHourUs = 30L * 60 * 1000000
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-halfHourUs, -1)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("recent_views",
+        coalesce(sum(when(col("event_type") === "view", 1L)).over(w),
+          lit(0L)))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        col("recent_views"))
+      .orderBy("user_id", "ts", "event_id")
+  }
+
   /** First-order Markov transition matrix over the event-type sequence:
     * `lead` pairs each event with its successor per user, then one
     * aggregation counts (from, to) and a tiny window normalizes rows

@@ -1046,6 +1046,47 @@ object Relational {
       .orderBy("o_orderpriority", "order_date")
   }
 
+  /** CDC changelog apply — fold an ordered INSERT/UPDATE/DELETE op log
+    * into the final table state, the batch core of every
+    * change-data-capture ingest (Debezium→warehouse; the reference's
+    * full-reload Silver notebooks are exactly what CDC replaces). The
+    * log here derives deterministically from orders: every order
+    * INSERTs at its order date; 'F'-status orders UPDATE (+10% price)
+    * 30 days later; every 97th customer's orders DELETE 60 days later.
+    *
+    * Apply = keep the LATEST op per key (one window, partitioned by the
+    * key — shuffles once on the key like any keyed agg, no global
+    * state), then drop keys whose latest op is DELETE. Op-rank breaks
+    * same-timestamp ties (I < U < D at equal ts can't happen here; the
+    * rank guards the general contract). */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).filter(col("o_orderkey") < 2000)
+    val ins = o.select(col("o_orderkey").as("order_id"),
+      lit("I").as("op"), col("o_orderdate").as("op_ts"),
+      col("o_totalprice").as("price"), col("o_orderstatus").as("status"))
+    val upd = o.filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("order_id"), lit("U").as("op"),
+        (col("o_orderdate") + expr("INTERVAL 30 DAYS")).as("op_ts"),
+        val2(col("o_totalprice") * lit(1.1)).as("price"),
+        col("o_orderstatus").as("status"))
+    val del = o.filter(col("o_custkey") % 97 === 0)
+      .select(col("o_orderkey").as("order_id"), lit("D").as("op"),
+        (col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("op_ts"),
+        lit(null).cast("double").as("price"),
+        lit(null).cast("string").as("status"))
+    val log = ins.unionByName(upd).unionByName(del)
+    val opRank = when(col("op") === "D", 3)
+      .when(col("op") === "U", 2).otherwise(1)
+    log
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("order_id")
+          .orderBy(col("op_ts").desc, opRank.desc)))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("order_id"), col("op").as("last_op"),
+        val2(col("price")).as("final_price"), col("status"))
+      .orderBy("order_id")
+  }
+
   /** 2-D skyline (Pareto frontier): parts not dominated on
     * (minimize p_retailprice, maximize p_size) — "no other part is both
     * cheaper-or-equal and larger-or-equal with one strict". The naive

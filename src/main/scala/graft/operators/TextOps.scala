@@ -363,6 +363,48 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** Pairwise document cosine similarity through an INVERTED INDEX —
+    * the scalable sparse-vector form of all-pairs similarity: instead
+    * of a doc×doc cross join, the term-frequency table self-joins on
+    * the TERM (docs sharing no term never meet), partial products sum
+    * per pair, and norms join in at the end. At corpus scale this is
+    * the standard shape (plus a df-cutoff dropping ubiquitous terms,
+    * which would otherwise dominate the fan-out; the shard here bounds
+    * the gate's output instead).
+    *
+    * Determinism: tf vectors are integers, so dot products and squared
+    * norms are exact; cosine = dot / (sqrt(qa)·sqrt(qb)) is three
+    * correctly-rounded IEEE ops on exact inputs — bit-identical in any
+    * engine — and the emitted value is floor-scaled to 6dp. The pair
+    * filter is on the INTEGER dot product, never on the float. */
+  def cosineTfPairs(spark: SparkSession, dir: String, shard: Long = 60,
+      minDot: Long = 3): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .filter(col("doc_id") < shard)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy("doc_id")
+      .agg(sum(col("tf") * col("tf")).as("q"))
+    val a = tf.select(col("doc_id").as("ida"), col("term"),
+      col("tf").as("tfa"))
+    val b = tf.select(col("doc_id").as("idb"), col("term"),
+      col("tf").as("tfb"))
+    a.join(b, Seq("term"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb")
+      .agg(sum(col("tfa") * col("tfb")).as("dot"))
+      .filter(col("dot") >= minDot)
+      .join(broadcast(norms.select(col("doc_id").as("ida"),
+        col("q").as("qa"))), "ida")
+      .join(broadcast(norms.select(col("doc_id").as("idb"),
+        col("q").as("qb"))), "idb")
+      .select(col("ida"), col("idb"), col("dot"),
+        Portable.val6(col("dot") /
+          (sqrt(col("qa").cast("double")) * sqrt(col("qb").cast("double"))))
+          .as("cos_sim"))
+      .orderBy("ida", "idb")
+  }
+
   /** Fixed-width histogram of document lengths — the distribution
     * profile every corpus-curation pass starts with. Bucketing is a
     * scan-local integer floor-divide; the aggregate is an ordinary
