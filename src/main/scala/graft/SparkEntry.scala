@@ -157,6 +157,13 @@ object SparkEntry {
     "q127_cosine_tf_pairs" -> ((s, d) => TextOps.cosineTfPairs(s, d)),
     "q128_cdc_apply" -> (Relational.cdcApply _),
     "q129_recent_views" -> (Events.recentViewsBeforePurchase _),
+    "q130_sql_udf" -> (Relational.sqlUdfRevenue _),
+    "q131_listagg" -> (Relational.listaggNations _),
+    "q132_variant_props" -> (Events.variantProps _),
+    "q133_try_arith" -> (Relational.tryArithStats _),
+    "q134_decimal_money" -> (Relational.decimalMoney _),
+    "q135_streaming_foreachbatch" ->
+      (graft.streaming.ForeachBatchMerge.mergedTypeCounts _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1979,5 +1986,64 @@ object SparkEntry {
         |WHERE event_type = 'purchase'
         |ORDER BY user_id NULLS FIRST, ts NULLS FIRST,
         |  event_id NULLS FIRST""".stripMargin,
+
+    // SQL UDFs inline at analysis time — the oracle states the math.
+    "q130_sql_udf" ->
+      s"""SELECT l_returnflag,
+         |  ${sum4(netExpr)} AS net_revenue,
+         |  ${val4("AVG(l_quantity)")} AS avg_qty,
+         |  COUNT(*) AS n
+         |FROM lineitem GROUP BY l_returnflag
+         |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
+
+    "q131_listagg" ->
+      """SELECT r_name AS region,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_nations
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name NULLS FIRST""".stripMargin,
+
+    "q132_variant_props" ->
+      """SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  COUNT(*) AS n
+        |FROM events GROUP BY 1, 2
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin,
+
+    "q133_try_arith" ->
+      s"""WITH s AS (
+         |  SELECT user_id, COUNT(*) AS n_events,
+         |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_purchases,
+         |    SUM(CASE WHEN event_type = 'purchase'
+         |      THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)
+         |      ELSE 0 END) AS cents
+         |  FROM events GROUP BY user_id)
+         |SELECT user_id, n_events, n_purchases,
+         |  CAST(cents AS DOUBLE) / 100.0 AS purchase_value,
+         |  ${val4("CASE WHEN n_purchases = 0 THEN NULL " +
+             "ELSE CAST(cents AS DOUBLE) / 100.0 / n_purchases END")}
+         |    AS avg_purchase
+         |FROM s ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q134_decimal_money" ->
+      s"""WITH c AS (
+         |  SELECT o_orderstatus,
+         |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM orders)
+         |SELECT o_orderstatus,
+         |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_revenue,
+         |  ${val4("CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*)")}
+         |    AS avg_revenue,
+         |  COUNT(*) AS n_orders
+         |FROM c GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus NULLS FIRST""".stripMargin,
+
+    // foreachBatch merge: the accumulated target must equal the batch
+    // aggregate.
+    "q135_streaming_foreachbatch" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sum2("value")} AS total_value
+         |FROM events GROUP BY event_type
+         |ORDER BY event_type NULLS FIRST""".stripMargin,
   )
 }

@@ -551,6 +551,22 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Semi-structured props through Spark 4's VARIANT type: `parse_json`
+    * once into the binary variant encoding, then typed `variant_get`
+    * extraction — the schema-on-read path for event properties that
+    * vary by event type, replacing per-query string re-parsing. Variant
+    * decode is scan-local and codegen'd; the aggregate below groups by
+    * the extracted value, proving the extraction (the oracle re-states
+    * it as plain JSON extraction). */
+  def variantProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'int')").as("k"))
+      .groupBy("event_type", "k")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type", "k")
+
   /** Per-purchase trailing attribution window: how many views the user
     * made in the 30 minutes strictly before each purchase — the
     * range-frame form of "recent context before conversion" (the

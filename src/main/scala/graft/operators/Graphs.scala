@@ -244,6 +244,10 @@ object Graphs {
       .select(col("src"), explode(col("brands")).as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
+      // materialized: the CTE body referencing `reach_edges` re-executes
+      // once PER recursion level — without this the whole basket
+      // aggregation replays maxHops+1 times
+      .localCheckpoint()
     edges.createOrReplaceTempView("reach_edges")
     val origin = Tables.part(spark, dir)
       .agg(min(col("p_brand"))).head().getString(0)

@@ -1046,6 +1046,92 @@ object Relational {
       .orderBy("o_orderpriority", "order_date")
   }
 
+  /** SQL-defined function (Spark 4 `CREATE FUNCTION … RETURN expr`) —
+    * the engine-native macro layer a warehouse exposes so business
+    * definitions (net price, charge) live ONCE in the catalog instead
+    * of copy-pasted into every query. The body inlines into the plan at
+    * analysis time: zero call overhead, full codegen, pushdown through
+    * the function boundary — the oracle simply states the inlined math. */
+  def sqlUdfRevenue(spark: SparkSession, dir: String): DataFrame = {
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_net" +
+      "(price DOUBLE, disc DOUBLE) RETURNS DOUBLE RETURN price * (1.0 - disc)")
+    spark.sql("CREATE OR REPLACE TEMPORARY FUNCTION graft_val4(x DOUBLE) " +
+      "RETURNS DOUBLE RETURN CAST(CAST(FLOOR(x * 10000.0 + 0.5) AS BIGINT) " +
+      "AS DOUBLE) / 10000.0")
+    Tables.lineitem(spark, dir).createOrReplaceTempView("udf_lineitem")
+    spark.sql(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(FLOOR(graft_net(l_extendedprice, l_discount)
+        |    * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS net_revenue,
+        |  graft_val4(AVG(l_quantity)) AS avg_qty,
+        |  COUNT(*) AS n
+        |FROM udf_lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
+  /** Ordered string aggregation (`listagg` / `string_agg`) — the
+    * canonical "collapse a group to a delimited label" reporting op.
+    * WITHIN GROUP ordering makes the text deterministic; grouping keys
+    * keep the shuffle keyed and partial-aggregable. */
+  def listaggNations(spark: SparkSession, dir: String): DataFrame = {
+    Tables.nation(spark, dir).createOrReplaceTempView("la_nation")
+    Tables.region(spark, dir).createOrReplaceTempView("la_region")
+    spark.sql(
+      """SELECT r_name AS region,
+        |  listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS nations,
+        |  COUNT(*) AS n_nations
+        |FROM la_nation JOIN la_region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin)
+  }
+
+  /** Error-safe (TRY) arithmetic: per-user purchase stats where the
+    * denominator can be zero — `try_divide` yields NULL instead of the
+    * ANSI error, the engine-level form of defensive metric math. All
+    * inputs are exact integers (counts, cents), so the one emitted
+    * division is deterministic. */
+  def tryArithStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("n_purchases"),
+        sum(when(col("event_type") === "purchase", cents2(col("value")))
+          .otherwise(0L)).as("purchase_cents"))
+      .select(col("user_id"), col("n_events"), col("n_purchases"),
+        (col("purchase_cents").cast("double") / 100.0).as("purchase_value"),
+        val4(expr("try_divide(CAST(purchase_cents AS DOUBLE) / 100.0, " +
+          "n_purchases)")).as("avg_purchase"))
+      .orderBy("user_id")
+
+  /** Exact DECIMAL money pipeline: cents enter as integers, become
+    * DECIMAL(18,2) (an exact base-10 representation — no binary-float
+    * hazard), aggregate in decimal arithmetic, and only the OUTPUT
+    * boundary casts to double (one deterministic IEEE conversion per
+    * emitted value). This is the 100 TB money discipline when the
+    * storage schema is decimal end-to-end, complementing the
+    * floor-scaled-BIGINT discipline of [[graft.util.Portable]] used
+    * where inputs arrive as doubles. */
+  def decimalMoney(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), cents2(col("o_totalprice")).as("cents_i"),
+        (cents2(col("o_totalprice")).cast("decimal(18,0)") /
+          lit(100).cast("decimal(4,0)")).cast("decimal(18,2)").as("price_dec"))
+      .groupBy("o_orderstatus")
+      .agg(sum(col("price_dec")).as("total_dec"),
+        sum(col("cents_i")).as("cents"),
+        count(lit(1)).as("n"))
+      .select(col("o_orderstatus"),
+        // exact decimal sum, one double conversion at the boundary —
+        // equals the floor-scaled BIGINT route bit-for-bit
+        col("total_dec").cast("double").as("total_revenue"),
+        // decimal DIVISION scale/round rules differ across engines, so
+        // the average goes through exact integer cents instead
+        val4(col("cents").cast("double") / lit(100.0) / col("n"))
+          .as("avg_revenue"),
+        col("n").as("n_orders"))
+      .orderBy("o_orderstatus")
+
   /** CDC changelog apply — fold an ordered INSERT/UPDATE/DELETE op log
     * into the final table state, the batch core of every
     * change-data-capture ingest (Debezium→warehouse; the reference's
