@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.sources.Tables
 
@@ -57,15 +56,19 @@ object Scd2 {
       cfg.trackedCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
 
   /** Initial dimension load: every staging row becomes the current
-    * version. Dense SKs via a global ROW_NUMBER (dimension-scale only;
+    * version. Dense SKs via [[Relational.denseGlobalRank]] — a two-phase
+    * range-partition + broadcast-offset rank that is bit-identical to the
+    * single-partition `ROW_NUMBER() OVER (ORDER BY key)` (proven in
+    * Round7Spec) but never serializes the dimension through one task;
     * `denseSk = false` switches to monotonically_increasing_id for
-    * fact-scale tables — SURVEY §4 divergence note). */
+    * fact-scale tables — SURVEY §4 divergence note. */
   def initialLoad(staging: DataFrame, cfg: Config, loadTs: Column): DataFrame = {
-    val sk =
-      if (cfg.denseSk) row_number().over(Window.orderBy(cfg.keyCol)).cast("long")
-      else monotonically_increasing_id() + 1
-    staging
-      .withColumn(cfg.skCol, sk)
+    val withSk =
+      if (cfg.denseSk)
+        Relational.denseGlobalRank(staging, cfg.keyCol, cfg.skCol, 0L)
+          .withColumn(cfg.skCol, col(cfg.skCol).cast("long"))
+      else staging.withColumn(cfg.skCol, monotonically_increasing_id() + 1)
+    withSk
       .withColumn("valid_from", loadTs)
       .withColumn("valid_to", to_timestamp(lit(FarFuture)))
       .withColumn("is_current", lit(true))
@@ -100,12 +103,19 @@ object Scd2 {
     // including the SK-assignment sort, once per merge.
     val maxSk = knownMaxSk.getOrElse(
       dim.agg(coalesce(max(col(cfg.skCol)), lit(0L))).first().getLong(0))
-    val skAssign =
-      if (cfg.denseSk) row_number().over(Window.orderBy(k)).cast("long") + maxSk
-      else monotonically_increasing_id() + maxSk + 1
-    val inserts = changed.unionByName(fresh)
+    val insertRows = changed.unionByName(fresh)
       .select(col(k) +: attrs.map(col): _*)
-      .withColumn(cfg.skCol, skAssign)
+    // SK continuation via the same two-phase global rank as initialLoad
+    // (base = MAX(existing)): no single-partition WindowExec anywhere in
+    // the merge, so a wide dimension merge parallelizes across the range
+    // partitions instead of serializing through one task.
+    val withSk =
+      if (cfg.denseSk)
+        Relational.denseGlobalRank(insertRows, k, cfg.skCol, maxSk)
+          .withColumn(cfg.skCol, col(cfg.skCol).cast("long"))
+      else insertRows.withColumn(cfg.skCol,
+        monotonically_increasing_id() + maxSk + 1)
+    val inserts = withSk
       .withColumn("valid_from", loadTs)
       .withColumn("valid_to", to_timestamp(lit(FarFuture)))
       .withColumn("is_current", lit(true))
@@ -168,9 +178,12 @@ object Scd2 {
     * validity-range predicate is a residual filter on the joined row, so
     * this is a plain broadcast/shuffled hash join, never a nested-loop
     * range join. A 100 TB deployment joins fact-sized probes against a
-    * dimension-sized history: broadcast when the history fits, else both
-    * sides shuffle on the key (history rows per key are the version
-    * count, so no skew beyond the fact's own key skew). */
+    * dimension-sized history: NO broadcast hint here on purpose — AQE
+    * picks broadcast when the history's runtime size fits
+    * `autoBroadcastJoinThreshold` and falls back to a key-shuffled join
+    * when it doesn't (history rows per key are the version count, so no
+    * skew beyond the fact's own key skew). A hard `broadcast()` hint
+    * would OOM the driver the day the dimension outgrows it. */
   def asOfLookup(spark: SparkSession, dir: String): DataFrame = {
     val hist = ordersHistory(spark, dir)
     val probes = Tables.orders(spark, dir)
@@ -178,7 +191,7 @@ object Scd2 {
       .withColumn("probe_ts", explode(array(
         to_timestamp(lit("2024-03-01 00:00:00")),
         to_timestamp(lit("2024-07-01 00:00:00")))))
-    probes.join(broadcast(hist).as("h"),
+    probes.join(hist.as("h"),
         probes("order_id") === col("h.order_id") &&
         col("h.valid_from") <= col("probe_ts") &&
         col("probe_ts") < col("h.valid_to"))

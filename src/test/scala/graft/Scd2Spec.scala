@@ -76,6 +76,37 @@ class Scd2Spec extends SparkSpec {
       .toString.startsWith("2024-01-01"))
   }
 
+  test("as-of lookup join is NOT hard-broadcast: forced-large history " +
+      "falls back to a shuffled join") {
+    // With broadcast disabled entirely (static + adaptive thresholds),
+    // a hard broadcast() hint would still force BroadcastHashJoin; the
+    // as-of lookup must instead degrade to a key-shuffled join — the
+    // shape that survives a dimension history too big for the driver.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => conf.set(k, "-1") }
+      val df = Scd2.asOfLookup(spark, sf("sf0.001"))
+      df.collect() // execute so AQE finalizes the physical plan
+      val plan = df.queryExecution.executedPlan.toString
+      // The probe⋈history join is the line carrying the validity-range
+      // residual (valid_from <= ts < valid_to). denseGlobalRank's
+      // metadata-sized offset broadcast elsewhere in the lineage is
+      // expected and fine — only the history join must degrade.
+      val asOfJoinLines = plan.linesIterator
+        .filter(l => l.contains("Join") && l.contains("valid_from")).toSeq
+      assert(asOfJoinLines.nonEmpty, s"as-of join not found in plan:\n$plan")
+      assert(asOfJoinLines.forall(!_.contains("BroadcastHashJoin")),
+        s"as-of lookup must not broadcast when disabled:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("second merge after a change keeps full history") {
     val s1 = Seq((1L, "shipped", 10.0)).toDF("id", "status", "amount")
     val m1 = Scd2.merge(dim0, s1, cfg, ts("2024-02-01 00:00:00"))
