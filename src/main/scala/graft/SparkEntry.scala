@@ -141,10 +141,10 @@ object SparkEntry {
     "q115_lateral_topk" -> (Relational.lateralTopOrders _),
     "q116_map_funcs" -> (Events.mapFuncs _),
     "q117_json_roundtrip" -> (Relational.jsonRoundTrip _),
-    // q118/q119 have NO oracleSql on purpose: sketch estimates are not
-    // bit-portable across engines (DataSketches HLL / GK vs t-digest).
-    // The driver records rows-only checks; accuracy is bound in
-    // Round6Spec against the exact values computed alongside.
+    // q118/q119: sketch estimates are not bit-portable across engines
+    // (DataSketches HLL / GK vs t-digest), so the gate contract is the
+    // error ENVELOPE — exact values plus within-bound booleans the
+    // oracle asserts TRUE (Round6Spec binds the same envelopes in-suite).
     "q118_hll_distinct" -> (Events.hllDistinct _),
     "q119_approx_quantiles" -> (Relational.approxQuantiles _),
     "q120_streaks" -> (Events.streaks _),
@@ -1827,6 +1827,22 @@ object SparkEntry {
         |  COUNT(*) AS n_items,
         |  CAST(SUM(qty) AS BIGINT) AS qty_sum
         |FROM it GROUP BY order_id ORDER BY order_id NULLS FIRST""".stripMargin,
+
+    // Sketch envelope gates: the Spark side emits the exact value plus
+    // within-bound booleans; the oracle recomputes the exact value and
+    // asserts the verdicts TRUE, so an estimator drifting out of its
+    // published error bound fails the hash gate.
+    "q118_hll_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+        |  TRUE AS direct_within_5pct, TRUE AS merged_within_5pct
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    "q119_approx_quantiles" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  TRUE AS p50_within_1pct, TRUE AS p99_within_1pct
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag NULLS FIRST""".stripMargin,
 
     // DPP query: the oracle is the plain predicate form — partition
     // pruning must not change results, only the partitions scanned.

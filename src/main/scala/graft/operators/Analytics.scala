@@ -16,6 +16,16 @@ import graft.util.Portable._
   */
 object Analytics {
 
+  /** Upper bound on per-basket distinct items before pair fan-out
+    * (brandPairs here, brandPageRank/brandReach edge derivation in
+    * [[Graphs]]). A basket of width w explodes into ≤ w² in-row pairs;
+    * the cap makes that provably constant per order — linear overall —
+    * instead of quadratic in the widest basket. 32 > the entire TPC-H
+    * brand vocabulary (25), so the slice never binds on TESTDATA and
+    * every oracle hash is unchanged; at 100 TB it is the guard that
+    * keeps one pathological mega-order from dominating a stage. */
+  val MaxBasketWidth = 32
+
   /** Cohort retention matrix over `events`: users bucketed by first-seen
     * WEEK (the table spans ~30 days), then counted distinct per
     * (cohort week, weeks since). Both engines truncate weeks to Monday,
@@ -95,12 +105,19 @@ object Analytics {
     *
     * Skew note for 100 TB: ubiquitous brands make popular pairs heavy in
     * the AGGREGATION (handled by partial aggregation) — the in-row
-    * explosion is per-order and cannot skew. */
+    * explosion is per-order and cannot skew. The fan-out is additionally
+    * BOUNDED: baskets are sliced to [[MaxBasketWidth]] distinct brands
+    * (sorted first, so the truncation is deterministic), making the
+    * explosion provably ≤ width² per order regardless of input shape —
+    * a pathological mega-basket can no longer go quadratic. The cap
+    * sits above TPC-H's whole 25-brand vocabulary, so on TESTDATA it
+    * never binds and oracle hashes are unchanged (SCALE.md). */
   def brandPairs(spark: SparkSession, dir: String, minSupport: Long = 8): DataFrame = {
     val baskets = Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("p_brand")).as("brands"))
+      .agg(slice(array_sort(collect_set(col("p_brand"))), 1, MaxBasketWidth)
+        .as("brands"))
     baskets
       .select(explode(col("brands")).as("brand_a"), col("brands"))
       .select(col("brand_a"), explode(col("brands")).as("brand_b"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -444,7 +444,18 @@ object Events {
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_exact"),
         approx_count_distinct(col("user_id")).as("hll_direct"))
+    // Estimates are sketch-dependent (no engine-exact oracle by nature),
+    // so the DRIVER-VISIBLE contract is the error envelope itself: the
+    // exact count plus a ≤5% relative-error verdict per estimator. The
+    // oracle asserts TRUE — an estimator drifting out of its published
+    // envelope fails the hash gate instead of hiding behind "no oracle".
+    def within5(est: Column, exact: Column): Column =
+      (abs(est.cast("double") - exact.cast("double"))
+        / exact.cast("double")) <= lit(0.05)
     direct.join(merged, Seq("event_type"))
+      .select(col("event_type"), col("n_exact"),
+        within5(col("hll_direct"), col("n_exact")).as("direct_within_5pct"),
+        within5(col("hll_merged"), col("n_exact")).as("merged_within_5pct"))
       .orderBy("event_type")
   }
 

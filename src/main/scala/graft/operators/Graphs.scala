@@ -179,12 +179,15 @@ object Graphs {
       .select(col("p_brand").as("brand")).distinct().localCheckpoint()
     // edge derivation = ONE shuffle at order grain (collect_set dedups
     // map-side, q68's basket shape), then scan-local pair fan-out and a
-    // distinct over the tiny vocabulary-pair space
+    // distinct over the tiny vocabulary-pair space; baskets sliced to
+    // Analytics.MaxBasketWidth so the fan-out is provably bounded
+    // (never binds on TESTDATA's 25-brand vocabulary — SCALE.md)
     val edges = Tables.lineitem(spark, dir)
       .join(broadcast(Tables.part(spark, dir)),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("p_brand")).as("brands"))
+      .agg(slice(array_sort(collect_set(col("p_brand"))),
+        1, Analytics.MaxBasketWidth).as("brands"))
       .select(explode(col("brands")).as("src"), col("brands"))
       .select(col("src"), explode(col("brands")).as("dst"))
       .filter(col("src") =!= col("dst"))
@@ -239,7 +242,8 @@ object Graphs {
       .join(broadcast(Tables.part(spark, dir)),
         col("l_partkey") === col("p_partkey"))
       .groupBy(col("l_orderkey"))
-      .agg(collect_set(col("p_brand")).as("brands"))
+      .agg(slice(array_sort(collect_set(col("p_brand"))),
+        1, Analytics.MaxBasketWidth).as("brands"))
       .select(explode(col("brands")).as("src"), col("brands"))
       .select(col("src"), explode(col("brands")).as("dst"))
       .filter(col("src") =!= col("dst"))
