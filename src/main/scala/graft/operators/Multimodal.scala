@@ -11,13 +11,13 @@ import org.apache.spark.sql.types._
   * `mapInPandas`: one iterator per partition, vectorizable batches, no
   * per-row driver round-trips).
   *
-  * The actual codecs are NOT available in this environment, so the
-  * decode kernels are STUBS — `decodeReal` is left `???` and the
-  * shipped path uses a deterministic fake (content-hash-seeded
-  * features). Everything around the stub — schema contract, encoder,
-  * partition batching, feature shapes, null/corrupt-byte handling — is
-  * real and tested, so swapping in a JNI/JavaCV decoder changes one
-  * function.
+  * Decode is REAL for the formats the bare JDK can handle —
+  * `javax.imageio` images (PNG/BMP/GIF/JPEG) and RIFF/WAVE PCM16 audio
+  * via direct header math ([[decodeReal]]) — and falls back to a
+  * deterministic fake ([[decodeFake]]) for everything else (video needs
+  * ffmpeg/JavaCV, not present in this container; that fallback is the
+  * one seam a native decoder plugs into). Corrupt or truncated payloads
+  * degrade to the fallback per-row, never a task failure.
   *
   * Scale: media rows are large (MBs); the row-size, not row-count,
   * drives partitioning — repartition to keep partitions ≲128 MB of
@@ -82,9 +82,95 @@ object Multimodal {
         max(md5(lower(hex(col("bytes"))))).as("max_fp"))
       .orderBy("kind")
 
-  /** The real decoder — environment-dependent (libjpeg/ffmpeg et al are
-    * not in this container). Deliberately unimplemented. */
-  def decodeReal(kind: String, bytes: Array[Byte]): Array[Float] = ???
+  /** Real pure-JVM decode. Images go through `javax.imageio` (PNG, BMP,
+    * GIF and JPEG decoders ship inside the JDK — no native codecs
+    * needed); audio is a direct RIFF/WAVE chunk parse + PCM16 fold. Both
+    * produce a `dim`-bucket float feature: mean luminance per pixel
+    * stripe for images, mean |amplitude| per sample stripe for audio.
+    * Video has no in-JDK codec, so it reports undecodable here and
+    * callers fall back to [[decodeFake]] — the documented seam where a
+    * JavaCV/ffmpeg decoder plugs in.
+    *
+    * Returns None for corrupt, truncated, unsupported or null payloads —
+    * NEVER throws, so a bad blob degrades one row, not a task. */
+  def decodeReal(kind: String, bytes: Array[Byte], dim: Int = 64): Option[Array[Float]] =
+    try {
+      if (bytes == null || bytes.isEmpty) None
+      else kind match {
+        case "image" => decodeImage(bytes, dim)
+        case "audio" => decodeWav(bytes, dim)
+        case _ => None // video: no pure-JVM codec in this environment
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def decodeImage(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    if (img == null) return None // ImageIO signals unknown format with null
+    val (w, h) = (img.getWidth, img.getHeight)
+    if (w <= 0 || h <= 0) return None
+    // bounded work per row: sample at most 64×64 pixels regardless of
+    // image size (media rows are MBs; the feature pass must stay O(1))
+    val (sx, sy) = (math.max(1, w / 64), math.max(1, h / 64))
+    val acc = new Array[Float](dim)
+    val cnt = new Array[Int](dim)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+          (rgb & 0xff) * 114) / 1000f / 255f
+        val b = (x.toLong * dim / w).toInt // column-stripe bucket
+        acc(b) += lum
+        cnt(b) += 1
+        x += sx
+      }
+      y += sy
+    }
+    var k = 0
+    while (k < dim) { if (cnt(k) > 0) acc(k) /= cnt(k); k += 1 }
+    Some(acc)
+  }
+
+  /** RIFF/WAVE parse: validates the RIFF/WAVE magic, walks the chunk
+    * list to `fmt ` (must be PCM16) and `data`, then folds samples into
+    * `dim` mean-|amplitude| buckets normalized to [0, 1]. */
+  private def decodeWav(bytes: Array[Byte], dim: Int): Option[Array[Float]] = {
+    def ascii(off: Int, s: String): Boolean =
+      off + s.length <= bytes.length &&
+        s.indices.forall(i => bytes(off + i) == s.charAt(i).toByte)
+    def le16(off: Int): Int =
+      (bytes(off) & 0xff) | ((bytes(off + 1) & 0xff) << 8)
+    def le32(off: Int): Int =
+      le16(off) | (le16(off + 2) << 16)
+    if (bytes.length < 44 || !ascii(0, "RIFF") || !ascii(8, "WAVE")) return None
+    var off = 12
+    var fmtOk = false
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= bytes.length && (dataOff < 0 || !fmtOk)) {
+      val size = le32(off + 4)
+      if (size < 0 || off + 8 + size > bytes.length) return None // truncated
+      if (ascii(off, "fmt ") && size >= 16)
+        fmtOk = le16(off + 8) == 1 && le16(off + 22) == 16 // PCM, 16-bit
+      else if (ascii(off, "data")) { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1) // chunks are word-aligned
+    }
+    if (!fmtOk || dataOff < 0 || dataLen < 2) return None
+    val n = dataLen / 2
+    val acc = new Array[Float](dim)
+    val cnt = new Array[Int](dim)
+    var i = 0
+    while (i < n) {
+      val s = le16(dataOff + 2 * i).toShort
+      acc((i.toLong * dim / n).toInt) += math.abs(s.toInt) / 32768f
+      cnt((i.toLong * dim / n).toInt) += 1
+      i += 1
+    }
+    var k = 0
+    while (k < dim) { if (cnt(k) > 0) acc(k) /= cnt(k); k += 1 }
+    Some(acc)
+  }
 
   /** Deterministic fake decode: folds the payload into `dim` float
     * buckets. Stands in for decodeReal so the pipeline shape is
@@ -102,8 +188,11 @@ object Multimodal {
   }
 
   /** Partition-batched feature extraction (the mapInPandas analogue):
-    * one pass per partition, corrupt/null payloads yield an empty
-    * feature (never a task failure), bytes dropped from the output. */
+    * one pass per partition; each row tries the real decoder first and
+    * degrades to the deterministic fake when the payload isn't a format
+    * the JDK can decode (corrupt/null bytes yield an empty feature) —
+    * never a task failure. Bytes are dropped from the output so no
+    * downstream plan carries blobs. */
   def extractFeatures(media: DataFrame, dim: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.select(col("media_id"), col("kind"), col("bytes"),
@@ -113,7 +202,9 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val nb = if (r.bytes == null) 0 else r.bytes.length
-          MediaFeatures(r.media_id, r.kind, nb, decodeFake(r.bytes, dim))
+          val feat = decodeReal(r.kind, r.bytes, dim)
+            .getOrElse(decodeFake(r.bytes, dim))
+          MediaFeatures(r.media_id, r.kind, nb, feat)
         }
       }
   }

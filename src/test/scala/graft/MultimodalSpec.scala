@@ -38,6 +38,100 @@ class MultimodalSpec extends SparkSpec {
     assert(f.filter(_.n_bytes == 0).forall(_.feature.forall(_ == 0.0f)))
   }
 
+  // ---- real decode path ----
+
+  private def bmpBytes(w: Int, h: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    bos.toByteArray
+  }
+
+  /** Minimal valid RIFF/WAVE PCM16 mono file built byte-by-byte. */
+  private def wavBytes(samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(16000).putInt(16000 * 2).putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  test("decodeReal: real BMP decodes through javax.imageio") {
+    // left half black, right half white → low buckets dark, high bright
+    val bytes = bmpBytes(64, 4,
+      (x, _) => if (x < 32) 0x000000 else 0xffffff)
+    val feat = Multimodal.decodeReal("image", bytes, dim = 2)
+    assert(feat.isDefined, "BMP must decode")
+    val Array(a, b) = feat.get
+    assert(a < 0.1f && b > 0.9f, s"luminance split expected, got $a / $b")
+  }
+
+  test("decodeReal: PNG decodes too (second in-JDK format)") {
+    val img = new java.awt.image.BufferedImage(
+      8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val feat = Multimodal.decodeReal("image", bos.toByteArray, dim = 4)
+    assert(feat.isDefined)
+    assert(feat.get.forall(v => math.abs(v - 0x80 / 255f) < 0.01f))
+  }
+
+  test("decodeReal: WAV PCM16 header math + amplitude fold") {
+    // first half silence, second half full-scale square wave
+    val samples = Array.tabulate[Short](1000)(i =>
+      if (i < 500) 0 else if (i % 2 == 0) 32767 else -32767)
+    val feat = Multimodal.decodeReal("audio", wavBytes(samples), dim = 2)
+    assert(feat.isDefined, "WAV must decode")
+    val Array(a, b) = feat.get
+    assert(a < 0.01f && b > 0.95f, s"amplitude split expected, got $a / $b")
+  }
+
+  test("decodeReal: corrupt, truncated, null and unsupported payloads " +
+      "all report undecodable without throwing") {
+    val garbage = Array.fill[Byte](256)(0x5a)
+    assert(Multimodal.decodeReal("image", garbage).isEmpty)
+    assert(Multimodal.decodeReal("audio", garbage).isEmpty)
+    // valid WAV prefix, truncated mid-chunk
+    val wav = wavBytes(Array.tabulate[Short](100)(_.toShort))
+    assert(Multimodal.decodeReal("audio", wav.take(50)).isEmpty)
+    // valid BMP prefix, truncated body
+    val bmp = bmpBytes(16, 16, (_, _) => 0xffffff)
+    assert(Multimodal.decodeReal("image", bmp.take(20)).isEmpty)
+    assert(Multimodal.decodeReal("image", null).isEmpty)
+    assert(Multimodal.decodeReal("image", Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeReal("video", garbage).isEmpty) // no JVM codec
+  }
+
+  test("extractFeatures routes real payloads through the real decoder " +
+      "and corrupt rows degrade to the fallback, not a failure") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val bmp = bmpBytes(64, 4, (x, _) => if (x < 32) 0x000000 else 0xffffff)
+    val rows = java.util.Arrays.asList(
+      Row(1L, "image", bmp, Row(64, 4, 1, 16000)),
+      Row(2L, "image", Array.fill[Byte](64)(0x11), Row(8, 8, 1, 16000)),
+      Row(3L, "audio", null, Row(0, 0, 0, 16000)))
+    val df = spark.createDataFrame(rows, Multimodal.mediaSchema)
+    val f = Multimodal.extractFeatures(df, dim = 2).collect()
+      .map(r => r.media_id -> r).toMap
+    // real BMP: the luminance split only the real decoder produces
+    assert(f(1L).feature(0) < 0.1f && f(1L).feature(1) > 0.9f)
+    // corrupt: fake fallback (byte-fold of 64×0x11), deterministic
+    assert(f(2L).feature.toSeq == Multimodal.decodeFake(
+      Array.fill[Byte](64)(0x11), 2).toSeq)
+    // null: empty feature
+    assert(f(3L).n_bytes == 0 && f(3L).feature.forall(_ == 0f))
+  }
+
   test("frame sampling and resize plans are metadata-pure") {
     val frames = Multimodal.sampleFrames(media, everyK = 10)
     assert(frames.count() == media.filter($"kind" === "video").count())
