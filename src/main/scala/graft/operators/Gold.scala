@@ -100,6 +100,19 @@ object Gold {
         (weekday(col("full_date")) + 1).as("iso_dow"))
       .orderBy("full_date")
 
+  /** Lifecycle fact from the cleansed event stream (golden output
+    * `Data Sets/Cleansed Data/fact_order_lifecycle.csv`): audit columns
+    * drop, `date_sk` derives yyyymmdd from the event timestamp — the
+    * degenerate-dimension star shape the reference's dashboard reads
+    * (app.py:58). Map-only: no shuffle, stays in whole-stage codegen;
+    * GoldenFixtureSpec pins it against the published fact file. */
+  def lifecycleFact(cleansed: DataFrame): DataFrame =
+    cleansed.select(
+      col("event_id"), col("order_id"), col("customer_id"),
+      date_format(col("event_timestamp"), "yyyyMMdd").cast("int").as("date_sk"),
+      col("event_type"), col("event_timestamp"),
+      col("payment_value"), col("lifecycle_step"))
+
   /** Dashboard KPI scalars in one pass (reference app.py:179–205,
     * 253–261 — F19/A2/A6/A8: totals, average order value, status
     * share). One row out; everything derived from exact sums. */

@@ -105,6 +105,40 @@ object Silver {
     df.filter(col(startCol).isNotNull && col(endCol).isNotNull)
       .withColumn(as, datediff(col(endCol), col(startCol)))
 
+  /** The reference's raw event-stream timestamp text
+    * (`2025-11-05 21:10:58.201676 UTC`) plus the generic fallbacks. */
+  val lifecycleFormats: Seq[String] =
+    "yyyy-MM-dd HH:mm:ss.SSSSSS 'UTC'" +: defaultFormats
+
+  /** The full synthetic_order_lifecycle cleanse, exactly the reference's
+    * per-table driver pass (ecom_Silver_Layer.ipynb:191–289, golden
+    * output `Data Sets/Cleansed Data/synthetic_order_lifecycle.csv`):
+    * full-row dedup → numeric NULLs filled 0 (the [SYNTHETIC] branch,
+    * ipynb:204–210) / string NULLs 'Unknown' → constant audit
+    * `load_timestamp` → event_timestamp parsed UTC with NULL-on-fail,
+    * unparseable rows dropped → `days_since_event` = whole days between
+    * the batch instant and the event. Floor semantics match pandas
+    * `Timedelta.days` (floor toward -inf — events AFTER the batch
+    * instant give negative days, which the golden file contains), NOT
+    * `datediff` (which counts date boundaries). GoldenFixtureSpec pins
+    * this bit-for-bit against the reference's published output. */
+  def cleanseLifecycle(raw: DataFrame, batchTs: java.sql.Timestamp,
+      numericFill: Double = 0.0): DataFrame = {
+    val numericCols = raw.schema.fields.collect {
+      case f if f.dataType.isInstanceOf[NumericType] => f.name
+    }
+    val filled = fillNulls(dedup(raw),
+      overrides = numericCols.map(_ -> (numericFill: Any)).toMap)
+    withAudit(filled, batchTs)
+      .withColumn("event_timestamp",
+        parseTimestamp(col("event_timestamp"), lifecycleFormats))
+      .filter(col("event_timestamp").isNotNull)
+      .withColumn("days_since_event",
+        floor((unix_micros(col("load_timestamp")) -
+          unix_micros(col("event_timestamp"))).cast("double")
+          / lit(86400e6)).cast("int"))
+  }
+
   /** Count nulls per column in one pass (for DqMetrics). */
   def nullCounts(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
     if (cols.isEmpty) return Map.empty
