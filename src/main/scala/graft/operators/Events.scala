@@ -344,18 +344,30 @@ object Events {
     * SQL); exact counts ride along for error inspection. */
   def kmvSetOps(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
     val ev = Tables.events(spark, dir)
-    def hashes(t: String) = ev.filter(col("event_type") === t)
-      .select(portable32(col("user_id").cast("string")).as("hv")).distinct()
-    val a = hashes("view")
-    val b = hashes("purchase")
+    // ONE distinct-hash pass carries everything exact: events collapse
+    // to (hv, in_view, in_purchase) at user grain — per-set distinct
+    // counts, the union count and the intersection count are then
+    // conditional aggregates over that single frame (the old shape
+    // re-scanned events once per branch: 2 distincts + a union-distinct
+    // + a join, four exchanges where one suffices; same trick a 100 TB
+    // run needs, since each extra branch there is a full fact pass).
+    val marked = ev.filter(col("event_type").isin("view", "purchase"))
+      .groupBy(portable32(col("user_id").cast("string")).as("hv"))
+      .agg(max((col("event_type") === "view").cast("int")).as("in_a"),
+        max((col("event_type") === "purchase").cast("int")).as("in_b"))
+    // no checkpoint: every branch shares the identical groupBy subtree,
+    // so AQE's ReusedExchange materializes the user-grain frame once
+    val a = marked.filter(col("in_a") === 1).select("hv")
+    val b = marked.filter(col("in_b") === 1).select("hv")
     val skA = a.orderBy("hv").limit(k)
     val skB = b.orderBy("hv").limit(k)
     val skU = skA.unionByName(skB).distinct().orderBy("hv").limit(k)
 
-    val raw = a.agg(count(lit(1)).as("nda"))
-      .crossJoin(b.agg(count(lit(1)).as("ndb")))
-      .crossJoin(a.unionByName(b).distinct().agg(count(lit(1)).as("ndu")))
-      .crossJoin(a.join(b, Seq("hv")).agg(count(lit(1)).as("ndi")))
+    val raw = marked.agg(
+        sum(col("in_a")).as("nda"),
+        sum(col("in_b")).as("ndb"),
+        count(lit(1)).as("ndu"),
+        sum(col("in_a") * col("in_b")).as("ndi"))
       .crossJoin(skA.agg(max("hv").as("ka_kth"), count(lit(1)).as("ka_n")))
       .crossJoin(skB.agg(max("hv").as("kb_kth"), count(lit(1)).as("kb_n")))
       .crossJoin(skU.agg(max("hv").as("ku_kth"), count(lit(1)).as("ku_n")))
