@@ -164,6 +164,10 @@ object SparkEntry {
     "q134_decimal_money" -> (Relational.decimalMoney _),
     "q135_streaming_foreachbatch" ->
       (graft.streaming.ForeachBatchMerge.mergedTypeCounts _),
+    "q136_pack_sequences" -> ((s, d) => TextOps.packDocuments(s, d)),
+    "q137_pii_redaction" -> (TextOps.redactPii _),
+    "q138_embedding_dedup" ->
+      ((s, d) => VectorOps.embeddingDedupClusters(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2061,5 +2065,66 @@ object SparkEntry {
       s"""SELECT event_type, COUNT(*) AS n, ${sum2("value")} AS total_value
          |FROM events GROUP BY event_type
          |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // Sequence packing: running token sum per source shard, pack id by
+    // integer division — identical window + DIV on both engines.
+    "q136_pack_sequences" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT source, doc_id, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS tokens_before,
+        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+        |    AS pack_id
+        |FROM d ORDER BY source NULLS FIRST, doc_id NULLS FIRST""".stripMargin,
+
+    // PII redaction: both regexes live in the Java∩RE2 common dialect;
+    // exactly one phone + one email per constructed row, so DuckDB's
+    // first-match regexp_replace equals Spark's replace-all.
+    "q137_pii_redaction" ->
+      """WITH c AS (SELECT c_custkey,
+        |    c_name || ' <user' || c_custkey || '@example.com> phone ' ||
+        |    (c_custkey % 90 + 10) || '-' || (c_custkey % 900 + 100) || '-' ||
+        |    ((c_custkey * 7) % 900 + 100) || '-' ||
+        |    ((c_custkey * 13) % 9000 + 1000) ||
+        |    ' segment: ' || c_mktsegment AS raw
+        |  FROM customer)
+        |SELECT c_custkey,
+        |  regexp_replace(regexp_replace(raw,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]'),
+        |    '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}', '[PHONE]') AS redacted,
+        |  regexp_matches(raw, '[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}')
+        |    AS had_phone,
+        |  regexp_matches(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')
+        |    AS had_email
+        |FROM c ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    // Embedding-cosine dedup: q36's exact pair derivation closed into
+    // components with the same recursive-CTE closure as q65/q104.
+    "q138_embedding_dedup" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id < 500),
+         |p AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb, ${cosExpr("a", "b")} AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         |pairs AS (SELECT ida, idb FROM p WHERE cos >= 0.4),
+         |edges AS (SELECT ida AS s, idb AS d FROM pairs
+         |  UNION SELECT idb, ida FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.id, e2.d FROM reach w JOIN edges e2 ON w.r = e2.s),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+         |  FROM reach GROUP BY id)
+         |SELECT v.vec_id,
+         |  COALESCE(c.component, v.vec_id) AS component,
+         |  COUNT(*) OVER (PARTITION BY COALESCE(c.component, v.vec_id))
+         |    AS cluster_size,
+         |  v.vec_id = COALESCE(c.component, v.vec_id) AS is_canonical
+         |FROM e v LEFT JOIN comp c ON v.vec_id = c.id
+         |ORDER BY v.vec_id NULLS FIRST""".stripMargin,
   )
 }

@@ -569,4 +569,63 @@ object TextOps {
           .as("longest_token"))
       .orderBy("doc_id")
   }
+
+  /** Sequence packing for LLM training: assign documents to fixed
+    * token-budget packs (context windows) by cumulative token count —
+    * the batch-assembly step between dedup/quality filtering and
+    * tokenizer output in every pretraining pipeline. Packing is per
+    * `source` shard (PARTITION BY source, the realistic unit: packs
+    * never span shards), so the running sum is an ordinary partitioned
+    * window — no global sort, scales with shard count. A document
+    * lands in pack `floor(tokens_before / budget)`: deterministic,
+    * one-pass, and a pack overflows the budget by at most one document
+    * (the standard streaming-packing trade; exact bin packing is
+    * NP-hard and order-destroying). */
+  def packDocuments(spark: SparkSession, dir: String,
+      budget: Int = 256): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("tokens_before",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("pack_id", expr(s"tokens_before DIV $budget"))
+      .select("source", "doc_id", "n_tokens", "tokens_before", "pack_id")
+      .orderBy("source", "doc_id")
+  }
+
+  /** PII redaction over a text column — the scrub pass a training-data
+    * pipeline runs before anything leaves the raw zone. The fixture
+    * text is assembled from customer fields so it deterministically
+    * CONTAINS one phone (TPC-H `nn-nnn-nnn-nnnn`) and one synthetic
+    * email per row; both patterns redact to placeholder tags via
+    * codegen'd regexp_replace (scan-local, no shuffle before the output
+    * sort), with per-pattern hit flags for the audit counters. The
+    * regexes stay in the Java∩RE2 common dialect so the DuckDB oracle
+    * applies the identical patterns. */
+  def redactPii(spark: SparkSession, dir: String): DataFrame = {
+    val phoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    // deterministic TPC-H-style phone from the key (the testdata
+    // customer table ships no phone column): each component's range
+    // guarantees its digit width, so plain concat needs no padding
+    val k = col("c_custkey")
+    val phone = concat_ws("-",
+      (k % 90 + 10).cast("string"), (k % 900 + 100).cast("string"),
+      ((k * 7) % 900 + 100).cast("string"),
+      ((k * 13) % 9000 + 1000).cast("string"))
+    val raw = concat(col("c_name"), lit(" <user"),
+      col("c_custkey").cast("string"), lit("@example.com> phone "),
+      phone, lit(" segment: "), col("c_mktsegment"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), raw.as("raw"))
+      .select(
+        col("c_custkey"),
+        regexp_replace(regexp_replace(col("raw"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]").as("redacted"),
+        col("raw").rlike(phoneRe).as("had_phone"),
+        col("raw").rlike(emailRe).as("had_email"))
+      .orderBy("c_custkey")
+  }
 }

@@ -99,6 +99,33 @@ object VectorOps {
       .orderBy("ida", "idb")
   }
 
+  /** Embedding-cosine near-duplicate DEDUP (the verdict layer over
+    * [[embeddingPairs]]): cosine pairs above the threshold close into
+    * clusters via connected components, and every vector gets its
+    * canonical representative (min vec_id), cluster size, and keep/drop
+    * flag — the semantic-dedup step modern training pipelines run after
+    * lexical MinHash. The bounded exact pair scan is the oracle-able
+    * baseline; at corpus scale the pair input swaps to the LSH-bucketed
+    * ([[lshNearDups]]) or IVF-bucketed candidates with this closure and
+    * verdict unchanged. */
+  def embeddingDedupClusters(spark: SparkSession, dir: String,
+      maxId: Long = 500, threshold: Double = 0.4): DataFrame = {
+    val pairs = embeddingPairs(spark, dir, maxId, threshold)
+      .select("ida", "idb")
+    val comp = Graphs.components(pairs, "ida", "idb")
+      .withColumnRenamed("id", "vec_id")
+    Tables.embeddings(spark, dir).filter(col("vec_id") < maxId)
+      .select("vec_id")
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("component"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("component")))
+      .withColumn("is_canonical", col("vec_id") === col("component"))
+      .orderBy("vec_id")
+  }
+
   /** IVF (inverted-file) approximate nearest neighbor — the third
     * similarity tier between brute force ([[knnCosine]]) and LSH
     * ([[lshNearDups]]), and the standard billion-vector scale shape:

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextOps, VectorOps}
+
+/** Specs for the round-3 training-data operators: sequence packing,
+  * PII redaction, embedding-cosine dedup.
+  */
+class TrainingDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  test("packDocuments: packs fill the budget and overflow by at most " +
+      "one document") {
+    val budget = 256
+    val packs = TextOps.packDocuments(spark, dir, budget)
+      .groupBy("source", "pack_id")
+      .agg(sum("n_tokens").as("pack_tokens"),
+        max("n_tokens").as("max_doc"),
+        count(lit(1)).as("n_docs"))
+    // a pack never exceeds budget + its own largest document (the
+    // bounded-overflow contract of cumulative-DIV packing; a doc larger
+    // than the budget overshoots and the next pack starts as a stub,
+    // which is the documented trade vs exact NP-hard bin packing)
+    assert(packs.filter($"pack_tokens" > lit(budget) + $"max_doc")
+      .count() == 0)
+    // pack id is exactly floor(first-doc offset / budget) …
+    val docs = TextOps.packDocuments(spark, dir, budget)
+    assert(docs.filter($"pack_id" =!= expr(s"tokens_before DIV $budget"))
+      .count() == 0)
+    // … monotone in doc order within a source, starting at 0
+    val mono = docs.withColumn("prev", lag($"pack_id", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")))
+      .filter($"prev".isNotNull && $"pack_id" < $"prev")
+    assert(mono.count() == 0)
+    assert(docs.groupBy("source").agg(min("pack_id").as("lo"))
+      .filter($"lo" =!= 0).count() == 0)
+    // no document lost or duplicated
+    assert(docs.count() ==
+      graft.sources.Tables.documents(spark, dir).count())
+  }
+
+  test("redactPii: no phone or email survives redaction, flags line up") {
+    val out = TextOps.redactPii(spark, dir)
+    val phoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    assert(out.filter($"redacted".rlike(phoneRe)).count() == 0)
+    assert(out.filter($"redacted".rlike(emailRe)).count() == 0)
+    // fixture construction guarantees one of each per row
+    assert(out.filter(!$"had_phone" || !$"had_email").count() == 0)
+    assert(out.filter(!$"redacted".contains("[PHONE]") ||
+      !$"redacted".contains("[EMAIL]")).count() == 0)
+  }
+
+  test("embeddingDedupClusters: canonical is the cluster minimum and " +
+      "sizes are consistent") {
+    val out = VectorOps.embeddingDedupClusters(spark, dir).cache()
+    // component = min member id, exactly one canonical per component
+    val bad = out.groupBy("component")
+      .agg(min("vec_id").as("mn"), count(lit(1)).as("n"),
+        sum($"is_canonical".cast("long")).as("n_canon"))
+      .filter($"mn" =!= $"component" || $"n_canon" =!= 1)
+    assert(bad.count() == 0)
+    // cluster_size matches the component group count on every row
+    val sizes = out.groupBy("component").agg(count(lit(1)).as("true_n"))
+    assert(out.join(sizes, "component")
+      .filter($"cluster_size" =!= $"true_n").count() == 0)
+    // dropping non-canonicals keeps exactly one doc per cluster
+    val kept = out.filter($"is_canonical")
+    assert(kept.count() == out.select("component").distinct().count())
+  }
+}
