@@ -48,12 +48,19 @@ object Bench {
     // The timed delta is then query EXECUTION, not cold parquet
     // footer/IO — which is what the bench exists to compare.
     // SPARK_GRAFT_CACHE=0 restores cold-scan timing.
+    // MEMORY_AND_DISK (not MEMORY_ONLY): under memory pressure at a
+    // bigger SF, MEMORY_ONLY silently DROPS partitions and the timed
+    // passes quietly re-scan cold parquet while the published numbers
+    // claim warmed storage — disk spill keeps the warm-on-both-sides
+    // premise true. A failed load is reported, not swallowed.
     if (sys.env.getOrElse("SPARK_GRAFT_CACHE", "1") != "0")
       graft.sources.Tables.all.foreach { t =>
         try graft.sources.Tables.load(spark, sfDir, t)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           .count()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] WARM-CACHE FAILED for $t: $e")
+        }
       }
 
     // warm-up: footer reads, code paths, broadcast machinery

@@ -2073,12 +2073,12 @@ object SparkEntry {
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents)
         |SELECT source, doc_id, n_tokens,
-        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |    AS tokens_before,
-        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
-        |    AS pack_id
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    1 PRECEDING), 0) AS BIGINT) AS tokens_before,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+        |    1 PRECEDING), 0) // 256 AS BIGINT) AS pack_id
         |FROM d ORDER BY source NULLS FIRST, doc_id NULLS FIRST""".stripMargin,
 
     // PII redaction: both regexes live in the Java∩RE2 common dialect;

@@ -108,9 +108,12 @@ object Multimodal {
     if (img == null) return None // ImageIO signals unknown format with null
     val (w, h) = (img.getWidth, img.getHeight)
     if (w <= 0 || h <= 0) return None
-    // bounded work per row: sample at most 64×64 pixels regardless of
-    // image size (media rows are MBs; the feature pass must stay O(1))
-    val (sx, sy) = (math.max(1, w / 64), math.max(1, h / 64))
+    // bounded work per row: sample at most max(64, dim) pixels per axis
+    // regardless of image size (media rows are MBs; the feature pass
+    // must stay O(1)) — tied to dim so every requested bucket can
+    // receive samples even when dim > 64
+    val grid = math.max(64, dim)
+    val (sx, sy) = (math.max(1, w / grid), math.max(1, h / grid))
     val acc = new Array[Float](dim)
     val cnt = new Array[Int](dim)
     var y = 0

@@ -129,9 +129,16 @@ object Silver {
     }
     val filled = fillNulls(dedup(raw),
       overrides = numericCols.map(_ -> (numericFill: Any)).toMap)
+    // The raw text is explicitly UTC ('… UTC' suffix) but try_to_timestamp
+    // interprets wall clocks in the SESSION zone — re-anchor through
+    // to_utc_timestamp(…, sessionTz) so the parse is session-independent
+    // (identity under a UTC session; correct shift under any other).
+    val sessionTz = raw.sparkSession.sessionState.conf.sessionLocalTimeZone
     withAudit(filled, batchTs)
       .withColumn("event_timestamp",
-        parseTimestamp(col("event_timestamp"), lifecycleFormats))
+        to_utc_timestamp(
+          parseTimestamp(col("event_timestamp"), lifecycleFormats),
+          sessionTz))
       .filter(col("event_timestamp").isNotNull)
       .withColumn("days_since_event",
         floor((unix_micros(col("load_timestamp")) -
