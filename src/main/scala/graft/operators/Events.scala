@@ -455,7 +455,11 @@ object Events {
     val direct = Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(countDistinct(col("user_id")).as("n_exact"),
-        approx_count_distinct(col("user_id")).as("hll_direct"))
+        // rsd 0.01, not the 0.05 default: the gate asserts a ≤5%
+        // envelope, and a 5%-rsd estimator EXCEEDS 5% error on ~1/3 of
+        // draws by construction — at 1% rsd the envelope sits at 5σ,
+        // so the verdict is stable at every SF
+        approx_count_distinct(col("user_id"), 0.01).as("hll_direct"))
     // Estimates are sketch-dependent (no engine-exact oracle by nature),
     // so the DRIVER-VISIBLE contract is the error envelope itself: the
     // exact count plus a ≤5% relative-error verdict per estimator. The
