@@ -146,6 +146,20 @@ object Silver {
           / lit(86400e6)).cast("int"))
   }
 
+  /** Observed DQ metrics: piggyback row/null/dup-proxy counters on a
+    * pipeline stage with `Dataset.observe` — the counters ride the
+    * existing job (accumulator-backed, zero extra passes over the
+    * data), where [[nullCounts]]/DqMetrics cost one dedicated
+    * aggregation job each. This is how a production Silver layer emits
+    * its audit counters at 100 TB: the cleanse job itself reports them,
+    * and a `QueryExecutionListener` (or `StreamingQueryListener` for
+    * streams) ships them to the metrics sink. The reference prints its
+    * counters from driver-side pandas (ecom_Silver_Layer.ipynb:196–246);
+    * this is that audit without the extra pass. */
+  def observed(df: DataFrame, name: String, watchCols: Seq[String]): DataFrame =
+    df.observe(name, count(lit(1)).as("rows"),
+      watchCols.map(c => sum(col(c).isNull.cast("long")).as(s"nulls_$c")): _*)
+
   /** Count nulls per column in one pass (for DqMetrics). */
   def nullCounts(df: DataFrame, cols: Seq[String]): Map[String, Long] = {
     if (cols.isEmpty) return Map.empty

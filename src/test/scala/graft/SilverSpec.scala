@@ -4,6 +4,23 @@ import org.apache.spark.sql.functions._
 import graft.operators.Silver
 
 class SilverSpec extends SparkSpec {
+
+  test("observed: DQ counters ride the job itself (no extra pass) and " +
+      "report exact row/null counts") {
+    import spark.implicits._
+    val df = Seq(("a", Some(1)), ("b", None), (null, Some(3)), ("d", None))
+      .toDF("s", "v")
+    val obs = Silver.observed(df, "dq_probe", Seq("s", "v"))
+    // one action drives both the query and the counters (collect, not
+    // count: count() builds a separate QueryExecution and the metrics
+    // attach to the observed frame's own execution)
+    assert(obs.collect().length == 4)
+    val m = obs.queryExecution.observedMetrics("dq_probe")
+    assert(m.getAs[Long]("rows") == 4)
+    assert(m.getAs[Long]("nulls_s") == 1)
+    assert(m.getAs[Long]("nulls_v") == 2)
+  }
+
   import spark.implicits._
 
   test("fillNulls: median for numerics, Unknown for strings, overrides win") {
