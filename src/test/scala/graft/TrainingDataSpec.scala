@@ -43,6 +43,50 @@ class TrainingDataSpec extends SparkSpec {
       graft.sources.Tables.documents(spark, dir).count())
   }
 
+  test("packing invariants hold for arbitrary token-size distributions " +
+      "(property)") {
+    // generator-driven like Scd2PropertySpec (the scalatest-scalacheck
+    // bridge isn't in the offline cache): random doc counts, token
+    // sizes spanning tiny docs to budget-busting giants
+    import org.scalacheck.{Gen, rng}
+    val budget = 100
+    val docsGen = for {
+      n <- Gen.choose(0, 60)
+      sizes <- Gen.listOfN(n, Gen.oneOf(Gen.choose(1, 30),
+        Gen.choose(80, 350))) // mix of small docs and over-budget giants
+    } yield sizes
+    var seed = rng.Seed(7L)
+    def sample(): List[Int] = {
+      val v = docsGen.pureApply(Gen.Parameters.default, seed)
+      seed = seed.next
+      v
+    }
+    for (_ <- 1 to 12) {
+      val sizes = sample()
+      // reference model: sequential cumulative-DIV packing
+      val expected = sizes.zipWithIndex.map { case (tk, i) =>
+        (i.toLong, tk.toLong, sizes.take(i).map(_.toLong).sum)
+      }.map { case (id, tk, before) => (id, tk, before, before / budget) }
+      val df = sizes.zipWithIndex
+        .map { case (tk, i) => (i.toLong, "s", ("x " * tk).trim) }
+        .toDF("doc_id", "source", "text")
+      df.createOrReplaceTempView("prop_docs")
+      // same expression shape as packDocuments, over the synthetic frame
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Long.MinValue, -1)
+      val got = df.select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .withColumn("tokens_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("pack_id", expr(s"tokens_before DIV $budget"))
+        .drop("source")
+        .orderBy("doc_id")
+        .as[(Long, Long, Long, Long)].collect().toList
+      assert(got == expected, s"sizes=$sizes")
+    }
+  }
+
   test("redactPii: no phone or email survives redaction, flags line up") {
     val out = TextOps.redactPii(spark, dir)
     val phoneRe = "[0-9]{2}-[0-9]{3}-[0-9]{3}-[0-9]{4}"
