@@ -165,6 +165,8 @@ object SparkEntry {
     "q135_streaming_foreachbatch" ->
       (graft.streaming.ForeachBatchMerge.mergedTypeCounts _),
     "q136_pack_sequences" -> ((s, d) => TextOps.packDocuments(s, d)),
+    "q139_streaming_golden" ->
+      (graft.streaming.StreamingLifecycle.goldenFunnel _),
     "q137_pii_redaction" -> (TextOps.redactPii _),
     "q138_embedding_dedup" ->
       ((s, d) => VectorOps.embeddingDedupClusters(s, d)),
@@ -2101,6 +2103,20 @@ object SparkEntry {
         |  regexp_matches(raw, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')
         |    AS had_email
         |FROM c ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    // Golden streaming funnel: the oracle reads the SAME published
+    // reference CSV the Spark side streams — batch read vs streamed
+    // drain must land on identical counts and exact payment cents.
+    "q139_streaming_golden" ->
+      """SELECT event_type AS stage,
+        |  CASE event_type WHEN 'order_created' THEN 1
+        |    WHEN 'order_paid' THEN 2 WHEN 'order_shipped' THEN 3
+        |    WHEN 'order_delivered' THEN 4 END AS stage_rank,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(COALESCE(payment_value, 0) * 100.0 + 0.5)
+        |    AS BIGINT)) AS DOUBLE) / 100.0 AS total_payment
+        |FROM read_csv('/root/reference/Data Sets/Raw Datasets/synthetic_order_lifecycle.csv')
+        |GROUP BY event_type ORDER BY stage_rank""".stripMargin,
 
     // Embedding-cosine dedup: q36's exact pair derivation closed into
     // components with the same recursive-CTE closure as q65/q104.
