@@ -65,7 +65,9 @@ object Scd2 {
   def initialLoad(staging: DataFrame, cfg: Config, loadTs: Column): DataFrame = {
     val withSk =
       if (cfg.denseSk)
-        Relational.denseGlobalRank(staging, cfg.keyCol, cfg.skCol, 0L)
+        // initial-load staging is scan-shaped (no join upstream), so the
+        // rescan variant wins: no checkpoint, only the key column pays
+        Relational.denseGlobalRankRescan(staging, cfg.keyCol, cfg.skCol, 0L)
           .withColumn(cfg.skCol, col(cfg.skCol).cast("long"))
       else staging.withColumn(cfg.skCol, monotonically_increasing_id() + 1)
     withSk
