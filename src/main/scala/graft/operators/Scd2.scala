@@ -134,6 +134,9 @@ object Scd2 {
       .reduce(_.unionByName(_))
   }
 
+  /** The "latest version" view every consumer reads by default. */
+  def currentView(dim: DataFrame): DataFrame = dim.filter(col("is_current"))
+
   /** Deterministic verify scenario over TESTDATA `orders`: initial load
     * of 80% of keys at T1, then a staging batch where every key
     * divisible by 5 flips its status (simulated CDC update à la
@@ -193,13 +196,31 @@ object Scd2 {
       .withColumn("probe_ts", explode(array(
         to_timestamp(lit("2024-03-01 00:00:00")),
         to_timestamp(lit("2024-07-01 00:00:00")))))
-    probes.join(hist.as("h"),
-        probes("order_id") === col("h.order_id") &&
-        col("h.valid_from") <= col("probe_ts") &&
-        col("probe_ts") < col("h.valid_to"))
-      .select(probes("order_id"), col("probe_ts"),
-        col("h.order_status").as("order_status"),
-        col("h.order_sk").as("order_sk"))
+    asOfJoin(probes, hist, "order_id", "probe_ts")
+      .select(col("order_id"), col("probe_ts"),
+        col("order_status"), col("order_sk"))
       .orderBy("order_id", "probe_ts")
+  }
+
+  /** Generic point-in-time join: each probe row resolves to the history
+    * version whose `[validFrom, validTo)` interval covers `tsCol`.
+    * Probes before a key's first version drop out (inner join). The
+    * history's columns come back alongside the probe columns (history
+    * key/validity columns deduplicated away). Scale shape per
+    * [[asOfLookup]]: key equi-join carries the work, the validity range
+    * is a residual predicate, AQE picks broadcast vs shuffle. */
+  def asOfJoin(probes: DataFrame, history: DataFrame, keyCol: String,
+      tsCol: String, validFrom: String = "valid_from",
+      validTo: String = "valid_to"): DataFrame = {
+    val h = history.as("__h")
+    val joined = probes.as("__p").join(h,
+      col(s"__p.$keyCol") === col(s"__h.$keyCol") &&
+      col(s"__h.$validFrom") <= col(s"__p.$tsCol") &&
+      col(s"__p.$tsCol") < col(s"__h.$validTo"))
+    val histCols = history.columns
+      .filterNot(c => c == keyCol || c == validFrom || c == validTo)
+    joined.select(
+      probes.columns.map(c => col(s"__p.$c")) ++
+        histCols.map(c => col(s"__h.$c")): _*)
   }
 }

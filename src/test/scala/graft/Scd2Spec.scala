@@ -107,6 +107,24 @@ class Scd2Spec extends SparkSpec {
     }
   }
 
+  test("generic asOfJoin: probes resolve to the covering version; " +
+      "pre-birth probes drop; currentView is the latest") {
+    val staging = Seq((1L, "shipped", 10.0)).toDF("id", "status", "amount")
+    val hist = Scd2.merge(dim0, staging, cfg, ts("2024-02-01 00:00:00"))
+    val probes = Seq(
+      (1L, "2024-01-15 00:00:00"), // between load and merge → "open"
+      (1L, "2024-03-01 00:00:00"), // after merge → "shipped"
+      (1L, "2023-12-01 00:00:00"), // before birth → dropped
+      (9L, "2024-03-01 00:00:00")) // unknown key → dropped
+      .toDF("id", "at").withColumn("at", to_timestamp($"at"))
+    val got = Scd2.asOfJoin(probes, hist, "id", "at")
+      .select("id", "at", "status").orderBy("at")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+    assert(got.length == 2)
+    assert(got(0)._3 == "open" && got(1)._3 == "shipped")
+    assert(Scd2.currentView(hist).count() == 3) // one per live key
+  }
+
   test("second merge after a change keeps full history") {
     val s1 = Seq((1L, "shipped", 10.0)).toDF("id", "status", "amount")
     val m1 = Scd2.merge(dim0, s1, cfg, ts("2024-02-01 00:00:00"))
