@@ -34,6 +34,33 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("the WIRED pipeline's silver and fact layers equal the " +
+      "reference's published files (not just the operators in isolation)") {
+    import org.apache.spark.sql.types._
+    // golden cleansed file, parsed exactly as in GoldenFixtureSpec
+    val schema = StructType(Seq(
+      StructField("event_id", StringType), StructField("order_id", StringType),
+      StructField("customer_id", StringType), StructField("event_type", StringType),
+      StructField("event_timestamp", StringType), StructField("customer_name", StringType),
+      StructField("customer_email", StringType), StructField("customer_city", StringType),
+      StructField("customer_state", StringType), StructField("payment_value", DoubleType),
+      StructField("lifecycle_step", IntegerType),
+      StructField("load_timestamp", StringType),
+      StructField("days_since_event", IntegerType)))
+    val golden = spark.read.option("header", "true").schema(schema)
+      .csv("/root/reference/Data Sets/Cleansed Data/synthetic_order_lifecycle.csv")
+      .withColumn("event_timestamp", graft.operators.Silver.parseTimestamp(
+        col("event_timestamp"), graft.operators.Silver.lifecycleFormats))
+      .withColumn("load_timestamp", graft.operators.Silver.parseTimestamp(
+        col("load_timestamp"), graft.operators.Silver.lifecycleFormats))
+    // the pipeline's silver parquet (bronze adds + re-orders nothing:
+    // align column order before frame compare)
+    val silver = out.silver.select(golden.columns.map(col): _*)
+    assert(silver.exceptAll(golden).count() == 0 &&
+      golden.exceptAll(silver).count() == 0,
+      "pipeline silver layer must be bit-identical to the published file")
+  }
+
   test("every layer is written and row-count-consistent") {
     assert(out.bronze.count() == 5052)
     assert(out.silver.count() == 5052) // no dups, no unparseable rows
