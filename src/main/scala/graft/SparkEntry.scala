@@ -167,6 +167,7 @@ object SparkEntry {
     "q136_pack_sequences" -> ((s, d) => TextOps.packDocuments(s, d)),
     "q139_streaming_golden" ->
       (graft.streaming.StreamingLifecycle.goldenFunnel _),
+    "q140_pack_stats" -> ((s, d) => TextOps.packStats(s, d)),
     "q137_pii_redaction" -> (TextOps.redactPii _),
     "q138_embedding_dedup" ->
       ((s, d) => VectorOps.embeddingDedupClusters(s, d)),
@@ -2082,6 +2083,24 @@ object SparkEntry {
         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
         |    1 PRECEDING), 0) // 256 AS BIGINT) AS pack_id
         |FROM d ORDER BY source NULLS FIRST, doc_id NULLS FIRST""".stripMargin,
+
+    // Pack-level summary mart: same window as q136 then a keyed agg;
+    // utilization as exact integer permille on both sides.
+    "q140_pack_stats" ->
+      """WITH d AS (SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |p AS (SELECT source, doc_id, n_tokens,
+        |  COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256
+        |    AS pack_id
+        |  FROM d)
+        |SELECT source, CAST(pack_id AS BIGINT) AS pack_id,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+        |  CAST(SUM(n_tokens) * 1000 // 256 AS BIGINT) AS util_permille
+        |FROM p GROUP BY source, pack_id
+        |ORDER BY source NULLS FIRST, pack_id NULLS FIRST""".stripMargin,
 
     // PII redaction: both regexes live in the Java∩RE2 common dialect;
     // exactly one phone + one email per constructed row, so DuckDB's

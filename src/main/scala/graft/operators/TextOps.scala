@@ -595,6 +595,21 @@ object TextOps {
       .orderBy("source", "doc_id")
   }
 
+  /** Pack-level summary over [[packDocuments]] — the mart a training
+    * pipeline actually reads: docs per pack, token fill, and exact
+    * integer-permille utilization of the budget (floor-scaled so the
+    * ratio is engine-portable). One extra keyed agg over the pack
+    * assignment; grain = packs, bounded by corpus_tokens/budget. */
+  def packStats(spark: SparkSession, dir: String,
+      budget: Int = 256): DataFrame =
+    packDocuments(spark, dir, budget)
+      .groupBy("source", "pack_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("tokens_total"))
+      .withColumn("util_permille",
+        expr(s"tokens_total * 1000 DIV $budget"))
+      .orderBy("source", "pack_id")
+
   /** PII redaction over a text column — the scrub pass a training-data
     * pipeline runs before anything leaves the raw zone. The fixture
     * text is assembled from customer fields so it deterministically
