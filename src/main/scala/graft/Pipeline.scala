@@ -34,6 +34,23 @@ object Pipeline {
   case class Result(bronze: DataFrame, silver: DataFrame,
       dimOrderHistory: DataFrame, fact: DataFrame, funnel: DataFrame)
 
+  /** Register a written layer as an external catalog table and ANALYZE
+    * it (table + join-column stats) — CBO's input. Downstream stages
+    * read the layer via the catalog, so their joins plan from real
+    * statistics (post-filter cardinalities → broadcast decisions)
+    * instead of raw file sizes. At 100 TB that is the difference
+    * between a dimension join shuffling and broadcasting; CboStatsSpec
+    * proves the mechanism, PipelineCboSpec that the pipeline wires it. */
+  private def registerAnalyzed(spark: SparkSession, name: String,
+      path: String, statCols: Seq[String]): DataFrame = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    spark.sql(s"CREATE TABLE $name USING parquet LOCATION '$path'")
+    spark.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS" +
+      (if (statCols.nonEmpty) statCols.mkString(" FOR COLUMNS ", ", ", "")
+       else ""))
+    spark.table(name)
+  }
+
   /** Full chain; returns every layer (all backed by the parquet just
     * written, so downstream reads don't recompute the lineage). */
   def run(spark: SparkSession, rawCsv: String, outDir: String,
@@ -49,7 +66,8 @@ object Pipeline {
       bronze.filter(col("source_table") === "synthetic_order_lifecycle")
         .drop("source_table"), batchTs)
     silver0.write.mode("overwrite").parquet(s"$outDir/silver_lifecycle")
-    val silver = spark.read.parquet(s"$outDir/silver_lifecycle")
+    val silver = registerAnalyzed(spark, "graft_silver_lifecycle",
+      s"$outDir/silver_lifecycle", Seq("order_id", "lifecycle_step"))
 
     // ── SCD2: order dimension from the event stream as two CDC
     // batches — early lifecycle (created/paid) is the initial load,
@@ -69,12 +87,14 @@ object Pipeline {
     val dim0 = Scd2.initialLoad(batch1, cfg, t1)
     val history = Scd2.merge(dim0, batch2, cfg, to_timestamp(lit(batchTs)))
     history.write.mode("overwrite").parquet(s"$outDir/scd2_dim_order")
-    val dimOrderHistory = spark.read.parquet(s"$outDir/scd2_dim_order")
+    val dimOrderHistory = registerAnalyzed(spark, "graft_dim_order",
+      s"$outDir/scd2_dim_order", Seq("order_id", "order_status"))
 
     // ── Gold: lifecycle fact (golden-parity projection) ────────────
     Gold.lifecycleFact(silver).write.mode("overwrite")
       .parquet(s"$outDir/fact_order_lifecycle")
-    val fact = spark.read.parquet(s"$outDir/fact_order_lifecycle")
+    val fact = registerAnalyzed(spark, "graft_fact_order_lifecycle",
+      s"$outDir/fact_order_lifecycle", Seq("order_id", "event_type"))
 
     // ── Mart: fixed-domain funnel with zero-fill (A12 shape) ───────
     import spark.implicits._

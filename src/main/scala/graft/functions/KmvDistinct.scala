@@ -103,12 +103,82 @@ case class KmvDistinct(
     copy(child = newChild)
 }
 
+/** The KMV sketch ITSELF as an aggregate value: the sorted array of the
+  * k smallest distinct hashes. Same bounded buffer/merge as
+  * [[KmvDistinct]], but instead of collapsing to the estimate it emits
+  * the sketch, so several set-algebra heads (per-set kth-min, sketch
+  * sizes, sketch intersections) can be computed from ONE aggregation
+  * pass — the q96 shape: four sketches as four aggregate columns in a
+  * single ObjectHashAggregate, not four cross-joined sub-aggregations
+  * each paying its own job. NULL inputs are skipped, so a conditional
+  * sketch is just `kmvSketch(when(cond, hv))`. */
+case class KmvSketch(
+    child: Expression,
+    k: Int = 64,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[KmvBuffer] with UnaryLike[Expression] {
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "kmv_sketch"
+
+  override def createAggregationBuffer(): KmvBuffer = new KmvBuffer(k)
+
+  override def update(buf: KmvBuffer, input: InternalRow): KmvBuffer = {
+    val v = child.eval(input)
+    if (v != null) buf.insert(v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: KmvBuffer, other: KmvBuffer): KmvBuffer = {
+    buf.merge(other); buf
+  }
+
+  override def eval(buf: KmvBuffer): Any = {
+    val arr = new Array[Long](buf.mins.size)
+    val it = buf.mins.iterator()
+    var i = 0
+    while (it.hasNext) { arr(i) = it.next(); i += 1 } // ascending
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def serialize(buf: KmvBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * (buf.mins.size + 1))
+    bb.putLong(buf.mins.size.toLong)
+    val it = buf.mins.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): KmvBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getLong.toInt
+    val buf = new KmvBuffer(k)
+    var i = 0
+    while (i < n) { buf.insert(bb.getLong); i += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvSketch =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvSketch =
+    copy(child = newChild)
+}
+
 object KmvDistinct {
   import org.apache.spark.sql.graftbridge.Bridge
 
   /** Column-API entry point: `df.agg(kmvDistinct(col, 64))`. */
   def kmvDistinct(c: Column, k: Int = 64): Column =
     Bridge.column(KmvDistinct(Bridge.expression(c), k).toAggregateExpression())
+
+  /** Column-API entry point for the sketch-valued aggregate. */
+  def kmvSketch(c: Column, k: Int = 64): Column =
+    Bridge.column(KmvSketch(Bridge.expression(c), k).toAggregateExpression())
 
   /** SQL registration: `SELECT kmv_distinct(hv) FROM ...`. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

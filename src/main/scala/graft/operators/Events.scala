@@ -337,12 +337,21 @@ object Events {
     * of the union of two k-smallest sets ≡ k smallest of the full
     * union), never from the raw sets — so per-segment sketches can be
     * stored at kilobytes and combined across any slice without
-    * re-scanning facts. Each sketch is `orderBy(hv).limit(k)` —
-    * TakeOrderedAndProject, per-partition bounded heaps, no full sort.
-    * Estimators are pure integer arithmetic over the portable md5 hash
+    * re-scanning facts. Each sketch is a [[graft.functions.KmvSketch]]
+    * aggregate — a bounded k-min buffer with map-side combine — so ALL
+    * FOUR heads (A, B, their union, and the exacts) come out of ONE
+    * ObjectHashAggregate over the user-grain frame: conditional
+    * sketches via `kmvSketch(when(cond, hv))`, union sketch = k-min
+    * over the whole frame (k smallest of A∪B ≡ k smallest of the
+    * sketch union), sketch intersections as array expressions over the
+    * single result row. The round-3 shape cross-joined four separate
+    * 1-row sub-aggregations — four job floors where one pass suffices;
+    * at 100 TB each extra head there is a full fact pass. Estimators
+    * are pure integer arithmetic over the portable md5 hash
     * (bit-identical in the oracle, which replays the same sketches in
     * SQL); exact counts ride along for error inspection. */
   def kmvSetOps(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    import graft.functions.KmvDistinct.kmvSketch
     val ev = Tables.events(spark, dir)
     // ONE distinct-hash pass carries everything exact: events collapse
     // to (hv, in_view, in_purchase) at user grain — per-set distinct
@@ -355,25 +364,28 @@ object Events {
       .groupBy(portable32(col("user_id").cast("string")).as("hv"))
       .agg(max((col("event_type") === "view").cast("int")).as("in_a"),
         max((col("event_type") === "purchase").cast("int")).as("in_b"))
-    // no checkpoint: every branch shares the identical groupBy subtree,
-    // so AQE's ReusedExchange materializes the user-grain frame once
-    val a = marked.filter(col("in_a") === 1).select("hv")
-    val b = marked.filter(col("in_b") === 1).select("hv")
-    val skA = a.orderBy("hv").limit(k)
-    val skB = b.orderBy("hv").limit(k)
-    val skU = skA.unionByName(skB).distinct().orderBy("hv").limit(k)
-
-    val raw = marked.agg(
-        sum(col("in_a")).as("nda"),
-        sum(col("in_b")).as("ndb"),
-        count(lit(1)).as("ndu"),
-        sum(col("in_a") * col("in_b")).as("ndi"))
-      .crossJoin(skA.agg(max("hv").as("ka_kth"), count(lit(1)).as("ka_n")))
-      .crossJoin(skB.agg(max("hv").as("kb_kth"), count(lit(1)).as("kb_n")))
-      .crossJoin(skU.agg(max("hv").as("ku_kth"), count(lit(1)).as("ku_n")))
-      .crossJoin(skU.join(skA, Seq("hv"), "left_semi")
-        .join(skB, Seq("hv"), "left_semi")
-        .agg(count(lit(1)).as("shared")))
+    // exact counts AND the three sketches in one aggregation pass
+    val one = marked.agg(
+      sum(col("in_a")).as("nda"),
+      sum(col("in_b")).as("ndb"),
+      count(lit(1)).as("ndu"),
+      sum(col("in_a") * col("in_b")).as("ndi"),
+      kmvSketch(when(col("in_a") === 1, col("hv")), k).as("ska"),
+      kmvSketch(when(col("in_b") === 1, col("hv")), k).as("skb"),
+      kmvSketch(col("hv"), k).as("sku"))
+    // per-sketch heads (kth-min = array max of the ascending k-min
+    // array; size; shared = |{h ∈ skU : h ∈ skA ∧ h ∈ skB}|) are
+    // scalar array expressions over the single fused row
+    val raw = one.select(
+      col("nda"), col("ndb"), col("ndu"), col("ndi"),
+      coalesce(array_max(col("ska")), lit(0L)).as("ka_kth"),
+      size(col("ska")).cast("long").as("ka_n"),
+      coalesce(array_max(col("skb")), lit(0L)).as("kb_kth"),
+      size(col("skb")).cast("long").as("kb_n"),
+      coalesce(array_max(col("sku")), lit(0L)).as("ku_kth"),
+      size(col("sku")).cast("long").as("ku_n"),
+      size(expr("filter(sku, h -> array_contains(ska, h) " +
+        "AND array_contains(skb, h))")).cast("long").as("shared"))
     // identical CASE/DIV text as the DuckDB oracle → identical integers
     def est(n: String, kth: String) =
       s"CAST(CASE WHEN $n < $k THEN $n ELSE " +
@@ -447,9 +459,14 @@ object Events {
     * bit-portable across engines, so this query is rows-only at the
     * gate and its error envelope is spec-bound (HllSpec ≤ 5%). */
   def hllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    // lgConfigK=14 (16384 buckets, ~0.8% rsd), not the lgK=12 default
+    // (~1.6% rsd): the gate hard-asserts merged_within_5pct, and the
+    // default leaves only ~3σ headroom — a different SF/dataset could
+    // push a draw past 5%. At 14 the envelope sits at ≥5σ, matching
+    // the deliberately-tightened direct estimator below.
     val daily = Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("d"))
-      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+      .agg(expr("hll_sketch_agg(user_id, 14)").as("sk"))
     val merged = daily.groupBy("event_type")
       .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("hll_merged"))
     val direct = Tables.events(spark, dir)

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types._
 import graft.operators.Silver
 
 /** The reference's OWN raw event file, replayed as a real stream: the
-  * csv file-source watches the landing folder (`Raw Datasets/`), event
+  * csv file-source streams the pinned fixture file, event
   * time comes from the parsed `event_timestamp` with a watermark, and
   * the per-stage funnel counts + payment totals drain with
   * `Trigger.AvailableNow` — so the result must equal a batch engine
@@ -25,7 +25,14 @@ import graft.operators.Silver
   */
 object StreamingLifecycle {
 
-  val RawDir = "/root/reference/Data Sets/Raw Datasets"
+  /** Pinned to the exact fixture FILE, not its folder: the q139 oracle
+    * reads this one CSV, so the streamed input set must provably equal
+    * it — a bare directory source would silently diverge the gate the
+    * day another file lands there. The file-stream source requires a
+    * directory or glob, so the pin is a single-entry brace glob that
+    * matches only this filename. */
+  val RawDir =
+    "/root/reference/Data Sets/Raw Datasets/{synthetic_order_lifecycle.csv}"
 
   val rawSchema: StructType = StructType(Seq(
     StructField("event_id", StringType),

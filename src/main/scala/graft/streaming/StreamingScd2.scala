@@ -74,41 +74,60 @@ object StreamingScd2 {
   }
 
   /** The q23 scenario replayed as a two-batch CDC stream (initial load
-    * at T1, flip-batch at T2) through a MemoryStream — the driver-side
-    * collect feeds the in-memory source and is test-harness plumbing,
-    * not the operator's data path (production reads Kafka/files).
-    * Output = the full history minus surrogate keys (a sink-time global
-    * assignment by design), oracle-checked as q55. */
+    * at T1, flip-batch at T2) in the DEPLOYMENT shape end-to-end: each
+    * CDC batch is written straight from the orders scan into a landing
+    * directory (executor-side — no driver collect anywhere, so the
+    * harness itself survives an unbounded orders table), and the
+    * stateful query drains the landing folder twice with
+    * `Trigger.AvailableNow` against one checkpoint — the second drain
+    * restarts from the checkpoint, reads only the NEW files, and
+    * recovers the per-key open-version state from the state store,
+    * exactly how a scheduled production drain of a CDC bucket runs.
+    * Emissions append to a parquet sink across both drains; the final
+    * history is a batch read of that sink. Output = the full history
+    * minus surrogate keys (a sink-time global assignment by design),
+    * oracle-checked as q55. */
   def ordersScenarioStream(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = {
     import spark.implicits._
-    val t1 = Timestamp.valueOf("2024-01-01 00:00:00")
-    val t2 = Timestamp.valueOf("2024-06-01 00:00:00")
+    val base = java.nio.file.Files.createTempDirectory("graft_sscd2").toString
+    val land = s"$base/landing"
+    val out = s"$base/out"
+    val ckpt = s"$base/ckpt"
+
     val o = graft.sources.Tables.orders(spark, dir).select(
       col("o_orderkey").as("key"), col("o_orderstatus").as("status"),
-      col("o_totalprice").as("price"), col("o_orderpriority").as("priority"))
-      .as[(Long, String, Double, String)].collect()
-    val batch1 = o.filter(_._1 % 10 < 8)
-      .map { case (k, s, p, pr) => CdcRow(k, s, p, pr, t1) }
-    val batch2 = o.map { case (k, s, p, pr) =>
-      CdcRow(k, if (k % 5 == 0) "D" else s, p, pr, t2)
+      col("o_totalprice").cast("double").as("price"),
+      col("o_orderpriority").as("priority"))
+
+    def drain(): Unit = {
+      val evs = spark.readStream
+        .schema(org.apache.spark.sql.Encoders.product[CdcRow].schema)
+        .parquet(land)
+        .as[CdcRow]
+      val q = versions(evs).writeStream
+        .outputMode("append")
+        .format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
     }
 
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val input =
-      org.apache.spark.sql.execution.streaming.runtime.MemoryStream[CdcRow]
-    val sink = "streaming_scd2_" +
-      java.util.UUID.randomUUID().toString.take(8)
-    val q = versions(input.toDS())
-      .writeStream.outputMode("append").format("memory").queryName(sink)
-      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0))
-      .start()
-    try {
-      input.addData(batch1.toSeq); q.processAllAvailable()
-      input.addData(batch2.toSeq); q.processAllAvailable()
-    } finally q.stop()
+    // batch 1: initial load (80% of keys) lands at T1, first drain
+    o.filter(col("key") % 10 < 8)
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:00")))
+      .write.mode("append").parquet(land)
+    drain()
+    // batch 2: CDC flip-batch lands at T2, second drain resumes from
+    // the checkpoint (new files only, state recovered)
+    o.withColumn("status",
+        when(col("key") % 5 === 0, lit("D")).otherwise(col("status")))
+      .withColumn("ts", to_timestamp(lit("2024-06-01 00:00:00")))
+      .write.mode("append").parquet(land)
+    drain()
 
-    finalizeHistory(spark.table(sink), graft.operators.Scd2.FarFuture)
+    finalizeHistory(spark.read.parquet(out), graft.operators.Scd2.FarFuture)
       .select(col("key").as("order_id"), col("status").as("order_status"),
         col("price").as("total_price"), col("priority"),
         col("valid_from"), col("valid_to"), col("is_current"))

@@ -45,4 +45,37 @@ class ParquetMergeSpec extends SparkSpec {
     assert(m.orderBy("k2").as[(Long, String, Double)].collect().toList ==
       List((1L, "a", 1.0), (1L, "b", 9.0)))
   }
+
+  test("delete keeps rows whose predicate evaluates to NULL " +
+      "(SQL DELETE removes only TRUE)") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pmerge_null").toString
+    ParquetMerge.upsert(spark, root,
+      Seq((1L, Some("open")), (2L, None), (3L, Some("paid")))
+        .toDF("id", "status"), Seq("id"))
+    // status = 'open' is NULL for id=2 — that row must survive
+    val s = ParquetMerge.delete(spark, root, col("status") === "open")
+    assert(s.select("id").as[Long].collect().sorted.toList == List(2L, 3L))
+  }
+
+  test("swap is crash-safe: the table is never absent mid-swap, and a " +
+      "crash after cur moved aside recovers from cur_old") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_pmerge_crash").toString
+    ParquetMerge.upsert(spark, root,
+      Seq((1L, 1.0)).toDF("id", "v"), Seq("id"))
+    // simulate a swap that died after renaming cur aside but before
+    // renaming staged in: cur_old holds the only copy
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$root/cur"),
+      new org.apache.hadoop.fs.Path(s"$root/cur_old")))
+    // current() must recover the old version, not report an empty table
+    val recovered = ParquetMerge.current(spark, root)
+    assert(recovered.isDefined && recovered.get.count() == 1)
+    // and the next merge proceeds normally from the recovered state
+    val s = ParquetMerge.upsert(spark, root,
+      Seq((2L, 2.0)).toDF("id", "v"), Seq("id"))
+    assert(s.count() == 2)
+  }
 }
