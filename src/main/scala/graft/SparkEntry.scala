@@ -171,6 +171,8 @@ object SparkEntry {
     "q137_pii_redaction" -> (TextOps.redactPii _),
     "q138_embedding_dedup" ->
       ((s, d) => VectorOps.embeddingDedupClusters(s, d)),
+    "q141_embedding_dedup_ivf" ->
+      ((s, d) => VectorOps.embeddingDedupIvf(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2160,6 +2162,44 @@ object SparkEntry {
          |    AS cluster_size,
          |  v.vec_id = COALESCE(c.component, v.vec_id) AS is_canonical
          |FROM e v LEFT JOIN comp c ON v.vec_id = c.id
+         |ORDER BY v.vec_id NULLS FIRST""".stripMargin,
+
+    // At-scale dedup (no id cap): q50's deterministic IVF assignment
+    // generates the candidate pairs (same centroids, same argmax
+    // tiebreak), then the q65/q138 recursive closure — the oracle
+    // replays the bucketing's recall loss exactly.
+    "q141_embedding_dedup_ivf" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 16),
+         |ac AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosCols("e.embedding", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+         |    FROM ac) WHERE rn = 1),
+         |p AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    ${cosCols("a.embedding", "b.embedding")} AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT ida, idb FROM p WHERE cos >= 0.4),
+         |edges AS (SELECT ida AS s, idb AS d FROM pairs
+         |  UNION SELECT idb, ida FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.id, e2.d FROM reach w JOIN edges e2 ON w.r = e2.s),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+         |  FROM reach GROUP BY id)
+         |SELECT v.vec_id,
+         |  COALESCE(c2.component, v.vec_id) AS component,
+         |  COUNT(*) OVER (PARTITION BY COALESCE(c2.component, v.vec_id))
+         |    AS cluster_size,
+         |  v.vec_id = COALESCE(c2.component, v.vec_id) AS is_canonical
+         |FROM e v LEFT JOIN comp c2 ON v.vec_id = c2.id
          |ORDER BY v.vec_id NULLS FIRST""".stripMargin,
   )
 }

@@ -12,7 +12,9 @@ import java.nio.file.{Files, Paths}
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // args 3+: optional name-substring filters for local iteration on a
+    // subset (the driver always passes exactly two)
+    val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -36,8 +38,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
-    val (streaming, batch) =
-      SparkEntry.queries.toSeq.partition(_._1.contains("streaming"))
+    val (streaming, batch) = SparkEntry.queries.toSeq
+      .filter { case (n, _) => only.isEmpty || only.exists(n.contains) }
+      .partition(_._1.contains("streaming"))
 
     def runOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit =

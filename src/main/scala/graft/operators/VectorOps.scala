@@ -126,6 +126,93 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** At-scale embedding near-duplicate dedup (q141, the capstone of the
+    * LLM-pipeline brief): candidate generation over the FULL embeddings
+    * table — no id cap anywhere — via IVF bucketing, closure via
+    * connected components, canonical-representative verdict per vector.
+    *
+    * [[embeddingDedupClusters]] (q138) is the bounded EXACT baseline:
+    * its all-pairs candidate generator is quadratic and only runs under
+    * an id cap. This is the operator you actually run at corpus scale:
+    *
+    *  1. nearest-centroid assignment (same deterministic centroids and
+    *     argmax as [[ivfKnn]]) — ONE map-only pass, no shuffle;
+    *  2. candidates = pairs sharing a bucket — an EQUI-JOIN on the
+    *     centroid id (PlanAuditSpec: no BNLJ, no cartesian), so pair
+    *     work is Σ bucket² instead of N²; the miss set (near-dups whose
+    *     members land in different buckets) is the documented recall
+    *     trade every ANN-based dedup makes, and is deterministic here,
+    *     so the oracle replays it exactly;
+    *  3. cosine filter at `threshold` with the shared typed kernel;
+    *  4. [[Graphs.components]] closes candidate pairs into clusters;
+    *     every vector gets (component, cluster_size, is_canonical).
+    *
+    * At 100 TB: the assignment is written once as a cid-bucketed table
+    * (the IVF index), the self-join co-locates on cid with zero
+    * exchange, and components runs its label-propagation rounds over
+    * the candidate edges only — each stage is the shape that already
+    * ships here, just with the write in between. */
+  def embeddingDedupIvf(spark: SparkSession, dir: String,
+      nCentroids: Int = 16, threshold: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val pairs = ivfCandidatePairs(spark, e, nCentroids, threshold)
+    val comp = Graphs.components(pairs, "ida", "idb")
+      .withColumnRenamed("id", "vec_id")
+    e.select("vec_id")
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("component"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component")))
+      .withColumn("is_canonical", col("vec_id") === col("component"))
+      .orderBy("vec_id")
+  }
+
+  /** q141's candidate generator, exposed for precision testing: pairs
+    * sharing an IVF bucket whose cosine clears `threshold`. Every
+    * emitted pair is a TRUE above-threshold pair (the bucketing can
+    * only lose candidates, never invent them — VectorDedupSpec pins
+    * that); `(ida, idb)` with `ida < idb`. */
+  def ivfCandidatePairs(spark: SparkSession, embeddings: DataFrame,
+      nCentroids: Int, threshold: Double): DataFrame = {
+    import spark.implicits._
+    val e = embeddings.select(col("vec_id"), col("embedding"))
+    // metadata-sized driver constant (nCentroids × dim floats), exactly
+    // like ivfKnn's coarse centroids
+    val cents: Array[(Long, Array[Float])] =
+      e.filter(col("vec_id") < nCentroids)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = e.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var bestC = -1L
+          var best = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            val s = cosOf(v, cs(i)._2)
+            if (s > best) { best = s; bestC = cs(i)._1 }
+            i += 1
+          }
+          (id, bestC, v)
+        }
+      }.toDF("vec_id", "cid", "embedding")
+
+    val a = assigned.select(col("cid"), col("vec_id").as("ida"),
+      col("embedding").as("va"))
+    val b = assigned.select(col("cid"), col("vec_id").as("idb"),
+      col("embedding").as("vb"))
+    a.join(b, Seq("cid"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"), col("va"), col("vb"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (x, y, va, vb) => (x, y, cosOf(va, vb)) })
+      .toDF("ida", "idb", "cos")
+      .filter(col("cos") >= threshold)
+      .select("ida", "idb")
+  }
+
   /** IVF (inverted-file) approximate nearest neighbor — the third
     * similarity tier between brute force ([[knnCosine]]) and LSH
     * ([[lshNearDups]]), and the standard billion-vector scale shape:

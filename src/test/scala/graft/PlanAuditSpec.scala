@@ -27,8 +27,13 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q34_ngram_jaccard", "q35_knn_cosine", "q36_embedding_pairs",
     "q138_embedding_dedup", // same bounded pair derivation as q36
+    // q141 deliberately NOT here: the at-scale dedup's candidate
+    // generation is an equi-join on the IVF bucket id — if it ever
+    // plans a nested loop, that's a regression this spec must catch
     "q60_gapfill_daily", "q63_tfidf", "q67_rfm_segments",
-    "q75_salted_join", "q94_heavy_hitters", "q96_kmv_setops",
+    "q75_salted_join", "q94_heavy_hitters",
+    // q96 removed round 4: the fused single-pass sketch aggregation
+    // has no cross-joined sub-aggregations left to sanction
     "q98_ri_audit", "q97_media_meta", "q39_kpis", "q20_dq_metrics",
     "q90_cond_bitwise", "q82_moments", "q73_incremental_agg",
     "q59_salted_agg", "q118_hll_distinct", "q119_approx_quantiles")

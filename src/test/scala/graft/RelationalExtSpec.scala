@@ -227,12 +227,17 @@ class RelationalExtSpec extends SparkSpec {
     }
   }
 
-  test("kmvSetOps: estimates within KMV error; sketches use bounded heaps") {
+  test("kmvSetOps: estimates within KMV error; all sketch heads fused " +
+      "into one aggregation pass") {
     val df = Events.kmvSetOps(spark, dir)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("TakeOrderedAndProject"),
-      s"sketch not a bounded top-k:\n$plan")
-    assert(!plan.contains("GlobalSort"), "sketch fell back to a full sort")
+    // round-4 shape: the three kmv_sketch heads + exacts come out of a
+    // single ObjectHashAggregate — no per-head sub-aggregation jobs
+    assert(plan.contains("kmv_sketch"), s"sketch aggregate missing:\n$plan")
+    assert("ObjectHashAggregate".r.findAllIn(plan).size == 2, // partial+final
+      s"sketch heads not fused into one aggregation:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("Join"),
+      s"fused plan must not join sub-aggregations:\n$plan")
     val r = df.collect().head
     def chk(exact: String, est: String): Unit = {
       val (e, a) = (r.getAs[Long](exact).toDouble, r.getAs[Long](est).toDouble)
