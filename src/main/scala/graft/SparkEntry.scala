@@ -173,6 +173,9 @@ object SparkEntry {
       ((s, d) => VectorOps.embeddingDedupClusters(s, d)),
     "q141_embedding_dedup_ivf" ->
       ((s, d) => VectorOps.embeddingDedupIvf(s, d)),
+    "q142_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
+    "q143_repetition_stats" -> ((s, d) => TextOps.repetitionStats(s, d)),
+    "q144_shuffle_shard" -> ((s, d) => TextOps.shuffleShard(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2201,5 +2204,63 @@ object SparkEntry {
          |  v.vec_id = COALESCE(c2.component, v.vec_id) AS is_canonical
          |FROM e v LEFT JOIN comp c2 ON v.vec_id = c2.id
          |ORDER BY v.vec_id NULLS FIRST""".stripMargin,
+
+    // eval membership (doc_id % 25 = 0) and the 4-gram construction are
+    // both deterministic, so the oracle rebuilds the exact same
+    // contamination set
+    "q142_decontaminate" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |eg AS (SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS gram
+        |  FROM d, UNNEST(range(1, len(w) - 2)) AS u(i)
+        |  WHERE doc_id % 25 = 0 AND len(w) >= 4),
+        |tg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+        |  FROM d, UNNEST(range(1, len(w) - 2)) AS u(i)
+        |  WHERE doc_id % 25 <> 0 AND len(w) >= 4),
+        |h AS (SELECT doc_id, count(*) AS contaminated_grams
+        |  FROM tg JOIN eg USING (gram) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(h.contaminated_grams, 0) AS contaminated_grams,
+        |  COALESCE(h.contaminated_grams, 0) > 0 AS is_contaminated
+        |FROM d LEFT JOIN h ON d.doc_id = h.doc_id
+        |WHERE d.doc_id % 25 <> 0
+        |ORDER BY d.doc_id NULLS FIRST""".stripMargin,
+
+    "q143_repetition_stats" ->
+      s"""WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |tg AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+         |  FROM d, UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+         |tri AS (SELECT doc_id, count(*) AS tri_total,
+         |  count(DISTINCT g) AS tri_distinct FROM tg GROUP BY doc_id),
+         |bg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+         |  FROM d, UNNEST(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+         |bic AS (SELECT doc_id, g, count(*) AS cnt
+         |  FROM bg GROUP BY doc_id, g),
+         |bi AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS bi_total,
+         |  CAST(MAX(cnt) AS BIGINT) AS top_bi_cnt FROM bic GROUP BY doc_id),
+         |j AS (SELECT d.doc_id,
+         |    COALESCE(tri.tri_total, 0) AS tri_total,
+         |    COALESCE(tri.tri_distinct, 0) AS tri_distinct,
+         |    CASE WHEN COALESCE(tri.tri_total, 0) > 0 THEN ${val6(
+          "CAST(tri.tri_total - tri.tri_distinct AS DOUBLE) / tri.tri_total")}
+         |      ELSE 0.0 END AS dup_tri_frac,
+         |    CASE WHEN COALESCE(bi.bi_total, 0) > 0 THEN ${val6(
+          "CAST(bi.top_bi_cnt AS DOUBLE) / bi.bi_total")}
+         |      ELSE 0.0 END AS top_bi_frac
+         |  FROM d LEFT JOIN tri ON d.doc_id = tri.doc_id
+         |  LEFT JOIN bi ON d.doc_id = bi.doc_id)
+         |SELECT doc_id, tri_total, tri_distinct, dup_tri_frac, top_bi_frac,
+         |  dup_tri_frac <= 0.2 AND top_bi_frac <= 0.2 AS keep
+         |FROM j ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // md5 of the seeded key gives both engines the identical shuffle
+    // order; shard/pos are integer math over the global row number
+    "q144_shuffle_shard" ->
+      """WITH r AS (SELECT doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY md5('shard:' || doc_id), doc_id) AS rk
+        |  FROM documents)
+        |SELECT doc_id, (rk - 1) % 8 AS shard, (rk - 1) // 8 AS pos
+        |FROM r ORDER BY doc_id NULLS FIRST""".stripMargin,
   )
 }

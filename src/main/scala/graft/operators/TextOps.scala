@@ -643,4 +643,110 @@ object TextOps {
         col("raw").rlike(emailRe).as("had_email"))
       .orderBy("c_custkey")
   }
+
+  // ---- corpus hygiene: decontamination / repetition / shuffle-shard -----
+
+  /** Token n-grams per document as (doc_id, gram) rows — one per
+    * OCCURRENCE (callers dedup where set semantics apply); documents
+    * shorter than n emit nothing. Pure higher-order-function math over
+    * the token array: map-side explode, stays in codegen, no shuffle. */
+  private def docGrams(df: DataFrame, n: Int): DataFrame =
+    df.withColumn("w", split(col("text"), " "))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $n), " +
+          s"i -> array_join(slice(w, i + 1, $n), ' '))")).as("gram"))
+
+  /** Benchmark decontamination — the filter every training corpus runs
+    * before anything ships to a trainer: does a training document
+    * contain an n-gram that also appears in the held-out eval set?
+    * The eval membership is derived deterministically here
+    * (doc_id % evalMod == 0 stands in for "the benchmark suite") so the
+    * oracle replays it; in production the eval side is a fixed file.
+    *
+    * Shape: distinct eval grams are benchmark-suite-sized — MBs by
+    * construction, never corpus-sized — so the probe is an explicitly
+    * broadcast hash join against the train grams (provably small side:
+    * the one case where a hint beats AQE, because the relation is small
+    * by CONTRACT, not by sampled estimate). Train-side gram explosion
+    * is map-local; the only shuffles are the per-doc distinct and the
+    * hit count, both keyed on doc_id — at 100 TB this is one scan plus
+    * one doc-keyed aggregation. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 4,
+      evalMod: Int = 25): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val isEval = col("doc_id") % evalMod === 0
+    val evalGrams = docGrams(d.filter(isEval), n).select("gram").distinct()
+    val trainGrams = docGrams(d.filter(!isEval), n).distinct()
+    val hits = trainGrams.join(broadcast(evalGrams), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("contaminated_grams"))
+    d.filter(!isEval).select("doc_id")
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("contaminated_grams"), lit(0L)).as("contaminated_grams"))
+      .withColumn("is_contaminated", col("contaminated_grams") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition quality signals per document: duplicate
+    * trigram fraction (1 - distinct/total) and the fraction of bigram
+    * occurrences taken by the single most frequent bigram — the two
+    * cheap boilerplate detectors a corpus filter runs before any model
+    * scoring. Ratios are floor-scaled 6-decimal doubles
+    * ([[Portable.val6]]) so the oracle hash matches bit-for-bit.
+    *
+    * Shape: gram explode is map-local; both signal trees are one
+    * doc-keyed aggregation each (partial aggs apply), joined back on
+    * doc_id. Documents too short for a gram get 0.0 fractions and keep
+    * = true. At 100 TB this is a scan plus two doc-keyed shuffles —
+    * no global state anywhere. */
+  def repetitionStats(spark: SparkSession, dir: String,
+      dupTriMax: Double = 0.2, topBiMax: Double = 0.2): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val tri = docGrams(d, 3).groupBy("doc_id")
+      .agg(count(lit(1)).as("tri_total"),
+        countDistinct(col("gram")).as("tri_distinct"))
+    val bi = docGrams(d, 2).groupBy("doc_id", "gram")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(sum("cnt").as("bi_total"), max("cnt").as("top_bi_cnt"))
+    def frac(num: Column, den: Column): Column =
+      when(den > 0, Portable.val6(num.cast("double") / den))
+        .otherwise(lit(0.0))
+    d.select("doc_id")
+      .join(tri, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tri_total"), lit(0L)).as("tri_total"),
+        coalesce(col("tri_distinct"), lit(0L)).as("tri_distinct"),
+        frac(coalesce(col("tri_total"), lit(0L))
+          - coalesce(col("tri_distinct"), lit(0L)),
+          coalesce(col("tri_total"), lit(0L))).as("dup_tri_frac"),
+        frac(coalesce(col("top_bi_cnt"), lit(0L)),
+          coalesce(col("bi_total"), lit(0L))).as("top_bi_frac"))
+      .withColumn("keep",
+        col("dup_tri_frac") <= dupTriMax && col("top_bi_frac") <= topBiMax)
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic global shuffle + round-robin sharding — the step
+    * that turns a curated corpus into training input: every document
+    * gets a pseudo-random but REPRODUCIBLE position (order by
+    * md5(seed‖doc_id)), then shard = position % nShards and pos =
+    * position DIV nShards, which balances shards to within one row by
+    * construction. Uses [[Relational.denseGlobalRank]] — the two-phase
+    * range-partition rank — so there is no single-partition global
+    * sort at any scale; the hash ordering is uniform, so the range
+    * partitions are balanced too. */
+  def shuffleShard(spark: SparkSession, dir: String,
+      nShards: Int = 8): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("skey"))
+    Relational.denseGlobalRank(d, "skey", "rk", base = 0L)
+      .select(col("doc_id"),
+        ((col("rk") - 1) % nShards).as("shard"),
+        expr(s"(rk - 1) DIV $nShards").as("pos"))
+      .orderBy("doc_id")
+  }
 }

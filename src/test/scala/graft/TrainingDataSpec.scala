@@ -116,4 +116,77 @@ class TrainingDataSpec extends SparkSpec {
     val kept = out.filter($"is_canonical")
     assert(kept.count() == out.select("component").distinct().count())
   }
+
+  test("decontaminate: matches a brute-force shared-4-gram check and " +
+      "never emits eval documents") {
+    val out = TextOps.decontaminate(spark, dir).cache()
+    assert(out.filter($"doc_id" % 25 === 0).count() == 0)
+    // brute force over the (small-SF) corpus
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams(t: String): Set[String] = {
+      val w = t.split(" ")
+      if (w.length < 4) Set.empty
+      else w.sliding(4).map(_.mkString(" ")).toSet
+    }
+    val evalGrams = docs.filter(_._1 % 25 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 % 25 != 0)
+      .map { case (id, t) => id -> grams(t).count(evalGrams.contains) }
+      .toMap
+    val got = out.select("doc_id", "contaminated_grams")
+      .as[(Long, Long)].collect().toMap
+    assert(got.keySet == expected.keySet)
+    val diffs = expected.collect {
+      case (id, n) if got(id) != n.toLong => (id, n, got(id))
+    }
+    assert(diffs.isEmpty, s"mismatches: ${diffs.take(5)}")
+    assert(expected.values.exists(_ > 0),
+      "fixture produced zero contamination — the test is vacuous")
+    out.unpersist()
+  }
+
+  test("repetitionStats: fraction invariants and a hand-checked document") {
+    val out = TextOps.repetitionStats(spark, dir).cache()
+    assert(out.count() ==
+      graft.sources.Tables.documents(spark, dir).count())
+    assert(out.filter($"tri_distinct" > $"tri_total").count() == 0)
+    assert(out.filter($"dup_tri_frac" < 0 || $"dup_tri_frac" > 1
+      || $"top_bi_frac" < 0 || $"top_bi_frac" > 1).count() == 0)
+    // brute-force one document
+    val (id, text) = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].head()
+    val w = text.split(" ")
+    val tris = w.sliding(3).map(_.mkString(" ")).toSeq
+    val bis = w.sliding(2).map(_.mkString(" ")).toSeq
+    val row = out.filter($"doc_id" === id).head()
+    assert(row.getAs[Long]("tri_total") == tris.size)
+    assert(row.getAs[Long]("tri_distinct") == tris.distinct.size)
+    val topBi = bis.groupBy(identity).values.map(_.size).max
+    val expFrac = math.floor(topBi.toDouble / bis.size * 1e6 + 0.5) / 1e6
+    assert(row.getAs[Double]("top_bi_frac") == expFrac)
+    out.unpersist()
+  }
+
+  test("shuffleShard: balanced within one row, dense positions, " +
+      "deterministic across runs") {
+    val n = 8
+    val out = TextOps.shuffleShard(spark, dir, n).cache()
+    val total = graft.sources.Tables.documents(spark, dir).count()
+    assert(out.count() == total)
+    // round-robin over the global rank balances shards to within 1
+    val sizes = out.groupBy("shard").count()
+      .select("count").as[Long].collect()
+    assert(sizes.length == math.min(n, total).toInt)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced: ${sizes.toSeq}")
+    // positions are dense 0..size-1 within each shard
+    val dense = out.groupBy("shard")
+      .agg(min("pos").as("lo"), max("pos").as("hi"),
+        countDistinct("pos").as("nd"), count(lit(1)).as("cnt"))
+      .filter($"lo" =!= 0 || $"hi" =!= $"cnt" - 1 || $"nd" =!= $"cnt")
+    assert(dense.count() == 0)
+    // reproducible: a second evaluation assigns every doc identically
+    val again = TextOps.shuffleShard(spark, dir, n)
+    assert(out.join(again, Seq("doc_id", "shard", "pos")).count() == total)
+    out.unpersist()
+  }
 }
