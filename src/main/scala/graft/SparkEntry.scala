@@ -176,6 +176,8 @@ object SparkEntry {
     "q142_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "q143_repetition_stats" -> ((s, d) => TextOps.repetitionStats(s, d)),
     "q144_shuffle_shard" -> ((s, d) => TextOps.shuffleShard(s, d)),
+    "q145_curation_verdicts" -> (TextOps.curationVerdicts _),
+    "q146_curation_funnel" -> (TextOps.curationFunnel _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -283,6 +285,64 @@ object SparkEntry {
        |  doc.doc_id = COALESCE(c.component, doc.doc_id) AS is_canonical
        |FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id
        |ORDER BY doc.doc_id NULLS FIRST""".stripMargin
+
+  /** CTE chain ending in `v(doc_id, lang_ok, quality_ok, rep_ok,
+    * decon_ok, dedup_ok)` — the per-stage curation verdicts shared by
+    * q145 (verdict table) and q146 (funnel counts). Composes the
+    * MinHash pair CTEs + recursive closure (q65) with the q29/q28/q143/
+    * q142 stage logic, renamed to avoid CTE collisions. */
+  private val curationCtes: String =
+    s"""$minhashPairsCtes,
+       |edges AS (SELECT ida AS s, idb AS d FROM pairs
+       |  UNION SELECT idb, ida FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT w.id, e.d FROM reach w JOIN edges e ON w.r = e.s),
+       |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+       |  FROM reach GROUP BY id),
+       |qual AS (SELECT doc_id, len(w) AS n_tokens,
+       |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+       |rd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |rtg AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
+       |  FROM rd, UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
+       |rtri AS (SELECT doc_id, count(*) AS tri_total,
+       |  count(DISTINCT g) AS tri_distinct FROM rtg GROUP BY doc_id),
+       |rbg AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+       |  FROM rd, UNNEST(range(1, len(w))) AS u(i) WHERE len(w) >= 2),
+       |rbic AS (SELECT doc_id, g, count(*) AS cnt FROM rbg GROUP BY doc_id, g),
+       |rbi AS (SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS bi_total,
+       |  CAST(MAX(cnt) AS BIGINT) AS top_bi_cnt FROM rbic GROUP BY doc_id),
+       |rep AS (SELECT rd.doc_id,
+       |    CASE WHEN COALESCE(rtri.tri_total, 0) > 0 THEN ${val6(
+          "CAST(rtri.tri_total - rtri.tri_distinct AS DOUBLE) / rtri.tri_total")}
+       |      ELSE 0.0 END AS dup_tri_frac,
+       |    CASE WHEN COALESCE(rbi.bi_total, 0) > 0 THEN ${val6(
+          "CAST(rbi.top_bi_cnt AS DOUBLE) / rbi.bi_total")}
+       |      ELSE 0.0 END AS top_bi_frac
+       |  FROM rd LEFT JOIN rtri ON rd.doc_id = rtri.doc_id
+       |  LEFT JOIN rbi ON rd.doc_id = rbi.doc_id),
+       |deg AS (SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS gram
+       |  FROM rd, UNNEST(range(1, len(w) - 2)) AS u(i)
+       |  WHERE doc_id % 25 = 0 AND len(w) >= 4),
+       |dtg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+       |  FROM rd, UNNEST(range(1, len(w) - 2)) AS u(i)
+       |  WHERE doc_id % 25 <> 0 AND len(w) >= 4),
+       |dh AS (SELECT doc_id, count(*) AS contaminated_grams
+       |  FROM dtg JOIN deg USING (gram) GROUP BY doc_id),
+       |v AS (SELECT doc.doc_id,
+       |    doc.lang = 'en' AS lang_ok,
+       |    q.ttr >= 0.35 AND q.n_tokens >= 20 AS quality_ok,
+       |    rep.dup_tri_frac <= 0.2 AND rep.top_bi_frac <= 0.2 AS rep_ok,
+       |    COALESCE(dh.contaminated_grams, 0) = 0 AS decon_ok,
+       |    doc.doc_id = COALESCE(c.component, doc.doc_id) AS dedup_ok
+       |  FROM documents doc
+       |  JOIN qual q ON doc.doc_id = q.doc_id
+       |  JOIN rep ON doc.doc_id = rep.doc_id
+       |  LEFT JOIN dh ON doc.doc_id = dh.doc_id
+       |  LEFT JOIN comp c ON doc.doc_id = c.id
+       |  WHERE doc.doc_id % 25 <> 0)""".stripMargin
 
   /** Shared by q77 (batch session_window) and q106 (streaming session
     * windows, append mode): identical session semantics, one oracle. */
@@ -2253,6 +2313,32 @@ object SparkEntry {
          |SELECT doc_id, tri_total, tri_distinct, dup_tri_frac, top_bi_frac,
          |  dup_tri_frac <= 0.2 AND top_bi_frac <= 0.2 AS keep
          |FROM j ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // the composed curation chain: every stage CTE is the same logic
+    // already gated standalone (q29/q28/q143/q142/q65)
+    "q145_curation_verdicts" ->
+      s"""WITH RECURSIVE $curationCtes
+         |SELECT doc_id, lang_ok, quality_ok, rep_ok, decon_ok, dedup_ok,
+         |  lang_ok AND quality_ok AND rep_ok AND decon_ok AND dedup_ok
+         |    AS keep
+         |FROM v ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    "q146_curation_funnel" ->
+      s"""WITH RECURSIVE $curationCtes
+         |SELECT * FROM (
+         |  SELECT 0 AS stage_no, 'ingest' AS stage, count(*) AS survivors
+         |    FROM v
+         |  UNION ALL SELECT 1, 'lang', count(*) FROM v WHERE lang_ok
+         |  UNION ALL SELECT 2, 'quality', count(*) FROM v
+         |    WHERE lang_ok AND quality_ok
+         |  UNION ALL SELECT 3, 'repetition', count(*) FROM v
+         |    WHERE lang_ok AND quality_ok AND rep_ok
+         |  UNION ALL SELECT 4, 'decontamination', count(*) FROM v
+         |    WHERE lang_ok AND quality_ok AND rep_ok AND decon_ok
+         |  UNION ALL SELECT 5, 'dedup', count(*) FROM v
+         |    WHERE lang_ok AND quality_ok AND rep_ok AND decon_ok
+         |      AND dedup_ok)
+         |ORDER BY stage_no""".stripMargin,
 
     // md5 of the seeded key gives both engines the identical shuffle
     // order; shard/pos are integer math over the global row number

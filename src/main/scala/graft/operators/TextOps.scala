@@ -749,4 +749,65 @@ object TextOps {
         expr(s"(rk - 1) DIV $nShards").as("pos"))
       .orderBy("doc_id")
   }
+
+  /** The whole curation chain as one verdict table — the end-to-end
+    * composition a corpus team actually ships: per training document,
+    * one boolean per stage (language target, lexical quality,
+    * repetition, benchmark decontamination, near-dup canonicality) and
+    * the conjunction. Every stage is an already-gated operator
+    * ([[langId]], [[qualityScore]], [[repetitionStats]],
+    * [[decontaminate]], [[Graphs.dedupClusters]]) joined back on
+    * doc_id, so the composed plan is a DAG of doc-keyed hash joins over
+    * stages that each scale independently; nothing here adds a shuffle
+    * beyond the stages' own. Eval documents (the decontamination
+    * reference set) are excluded from the corpus — they are benchmarks,
+    * not training data. A near-dup whose cluster canonical is an eval
+    * doc is dropped by the dedup verdict, which is exactly right: it IS
+    * benchmark material. */
+  def curationVerdicts(spark: SparkSession, dir: String): DataFrame = {
+    // target-language selection reads the lang METADATA column — in
+    // production that column is written by the upstream language-ID
+    // pass ([[langId]], gated standalone as q29); on this fixture the
+    // text is label-independent, so the metadata column is the only
+    // signal with real selectivity
+    val lang = Tables.documents(spark, dir)
+      .select(col("doc_id"), (col("lang") === "en").as("lang_ok"))
+    val qual = qualityScore(spark, dir)
+      .select(col("doc_id"),
+        (col("type_token_ratio") >= 0.35 && col("n_tokens") >= 20)
+          .as("quality_ok"))
+    val rep = repetitionStats(spark, dir)
+      .select(col("doc_id"), col("keep").as("rep_ok"))
+    val dec = decontaminate(spark, dir)
+      .select(col("doc_id"), (!col("is_contaminated")).as("decon_ok"))
+    val ded = Graphs.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("is_canonical").as("dedup_ok"))
+    dec // decontaminate is already train-only (eval docs excluded)
+      .join(lang, "doc_id").join(qual, "doc_id")
+      .join(rep, "doc_id").join(ded, "doc_id")
+      .select(col("doc_id"), col("lang_ok"), col("quality_ok"),
+        col("rep_ok"), col("decon_ok"), col("dedup_ok"))
+      .withColumn("keep", col("lang_ok") && col("quality_ok")
+        && col("rep_ok") && col("decon_ok") && col("dedup_ok"))
+      .orderBy("doc_id")
+  }
+
+  /** Stage-by-stage survival counts over [[curationVerdicts]] — the
+    * funnel mart the curation dashboard reads. One aggregation pass
+    * (six conditional sums), then a stack to rows; grain = stages. */
+  def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val v = curationVerdicts(spark, dir)
+    def surv(c: Column) = sum(c.cast("long"))
+    val l = col("lang_ok"); val q = col("quality_ok"); val r = col("rep_ok")
+    val d = col("decon_ok"); val dd = col("dedup_ok")
+    v.agg(
+        count(lit(1)).as("s0"), surv(l).as("s1"), surv(l && q).as("s2"),
+        surv(l && q && r).as("s3"), surv(l && q && r && d).as("s4"),
+        surv(l && q && r && d && dd).as("s5"))
+      .select(expr("stack(6, " +
+        "0, 'ingest', s0, 1, 'lang', s1, 2, 'quality', s2, " +
+        "3, 'repetition', s3, 4, 'decontamination', s4, 5, 'dedup', s5" +
+        ") AS (stage_no, stage, survivors)"))
+      .orderBy("stage_no")
+  }
 }

@@ -189,4 +189,33 @@ class TrainingDataSpec extends SparkSpec {
     assert(out.join(again, Seq("doc_id", "shard", "pos")).count() == total)
     out.unpersist()
   }
+
+  test("curation chain: verdicts agree with the standalone stages, " +
+      "funnel is monotone and consistent") {
+    val v = TextOps.curationVerdicts(spark, dir).cache()
+    // no eval documents, keep = conjunction
+    assert(v.filter($"doc_id" % 25 === 0).count() == 0)
+    assert(v.filter($"keep" =!= ($"lang_ok" && $"quality_ok" && $"rep_ok"
+      && $"decon_ok" && $"dedup_ok")).count() == 0)
+    // stage verdicts equal the standalone gated operators
+    val rep = TextOps.repetitionStats(spark, dir)
+      .select($"doc_id", $"keep".as("exp_rep"))
+    assert(v.join(rep, "doc_id").filter($"rep_ok" =!= $"exp_rep")
+      .count() == 0)
+    val dec = TextOps.decontaminate(spark, dir)
+      .select($"doc_id", (!$"is_contaminated").as("exp_dec"))
+    assert(v.join(dec, "doc_id").filter($"decon_ok" =!= $"exp_dec")
+      .count() == 0)
+    // funnel counts recompute from the verdict table and never increase
+    val f = TextOps.curationFunnel(spark, dir)
+      .orderBy("stage_no").collect()
+    assert(f.map(_.getAs[String]("stage")).toSeq == Seq("ingest", "lang",
+      "quality", "repetition", "decontamination", "dedup"))
+    val s = f.map(_.getAs[Long]("survivors"))
+    assert(s.zip(s.tail).forall { case (a, b) => b <= a },
+      s"funnel not monotone: ${s.toSeq}")
+    assert(s(0) == v.count())
+    assert(s(5) == v.filter($"keep").count())
+    v.unpersist()
+  }
 }
