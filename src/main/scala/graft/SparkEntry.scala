@@ -178,6 +178,8 @@ object SparkEntry {
     "q144_shuffle_shard" -> ((s, d) => TextOps.shuffleShard(s, d)),
     "q145_curation_verdicts" -> (TextOps.curationVerdicts _),
     "q146_curation_funnel" -> (TextOps.curationFunnel _),
+    "q147_streaming_doc_dedup" ->
+      (graft.streaming.StreamingDedup.dedupedDocStats _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2339,6 +2341,20 @@ object SparkEntry {
          |    WHERE lang_ok AND quality_ok AND rep_ok AND decon_ok
          |      AND dedup_ok)
          |ORDER BY stage_no""".stripMargin,
+
+    // the doubled stream delivers every content twice; after per-feed
+    // fingerprint dedup the stats must equal the batch distinct-
+    // (source, content) aggregation — duplicate contents share one
+    // token count, so the representative choice cannot skew n_tokens
+    "q147_streaming_doc_dedup" ->
+      """WITH dc AS (SELECT DISTINCT source,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |    len(string_split(text, ' ')) AS tl
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(tl) AS BIGINT) AS n_tokens
+        |FROM dc GROUP BY source
+        |ORDER BY source NULLS FIRST""".stripMargin,
 
     // md5 of the seeded key gives both engines the identical shuffle
     // order; shard/pos are integer math over the global row number

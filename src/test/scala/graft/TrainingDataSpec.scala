@@ -218,4 +218,23 @@ class TrainingDataSpec extends SparkSpec {
     assert(s(5) == v.filter($"keep").count())
     v.unpersist()
   }
+
+  test("streaming doc dedup: doubled delivery collapses to batch " +
+      "distinct-content stats (and the doubling is real)") {
+    val out = graft.streaming.StreamingDedup.dedupedDocStats(spark, dir)
+    val batch = graft.sources.Tables.documents(spark, dir)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split($"text", " "))).as("n_tokens"))
+    assert(out.join(batch.withColumnRenamed("n_docs", "bd")
+        .withColumnRenamed("n_tokens", "bt"), "source")
+      .filter($"n_docs" =!= $"bd" || $"n_tokens" =!= $"bt")
+      .count() == 0)
+    // non-vacuous: the staged landing dir really delivers every doc twice
+    val key = java.util.UUID.nameUUIDFromBytes(("dupdoc:" + dir).getBytes)
+      .toString.take(8)
+    val staged = spark.read.parquet(s"/tmp/graft-stream-dupdoc-$key")
+    assert(staged.count() ==
+      2 * graft.sources.Tables.documents(spark, dir).count())
+  }
 }
