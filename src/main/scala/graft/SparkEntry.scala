@@ -2244,13 +2244,13 @@ object SparkEntry {
          |  SELECT vec_id, embedding, cid FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
          |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
-         |    FROM ac) WHERE rn = 1),
+         |    FROM ac) WHERE rn <= 4),
          |p AS (
          |  SELECT a.vec_id AS ida, b.vec_id AS idb,
          |    ${cosCols("a.embedding", "b.embedding")} AS cos
          |  FROM assign a JOIN assign b
          |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
-         |pairs AS (SELECT ida, idb FROM p WHERE cos >= 0.4),
+         |pairs AS (SELECT DISTINCT ida, idb FROM p WHERE cos >= 0.4),
          |edges AS (SELECT ida AS s, idb AS d FROM pairs
          |  UNION SELECT idb, ida FROM pairs),
          |reach(id, r) AS (

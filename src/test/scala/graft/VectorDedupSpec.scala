@@ -19,7 +19,7 @@ class VectorDedupSpec extends SparkSpec {
     val e = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val ivf = VectorOps.ivfCandidatePairs(spark, e, nCentroids = 16,
-      threshold = 0.4).as[(Long, Long)].collect().toSet
+      threshold = 0.4, nProbe = 4).as[(Long, Long)].collect().toSet
     // exact all-pairs over the same (small-SF) table
     val vecs = e.as[(Long, Array[Float])].collect()
     val exact = (for {
@@ -30,6 +30,18 @@ class VectorDedupSpec extends SparkSpec {
     assert(ivf.nonEmpty, "candidate generator found no pairs at all")
     assert(ivf.subsetOf(exact),
       s"false positives: ${(ivf -- exact).take(5)}")
+  }
+
+  test("multi-probe recall curve: monotone in nProbe, nProbe=4 " +
+      "recovers >= 90% of exact pairs") {
+    val r1 = VectorOps.ivfDedupPairRecall(spark, dir, nProbe = 1)
+    val r2 = VectorOps.ivfDedupPairRecall(spark, dir, nProbe = 2)
+    val r4 = VectorOps.ivfDedupPairRecall(spark, dir, nProbe = 4)
+    // measured on this fixture: 0.29 / 0.61 / 0.94 — the floors leave
+    // slack for regeneration but pin the shape of the curve
+    assert(r1 <= r2 && r2 <= r4, s"recall not monotone: $r1 $r2 $r4")
+    assert(r4 >= 0.9, s"nProbe=4 recall $r4 below 0.9")
+    assert(r1 >= 0.1, s"single-probe recall $r1 collapsed")
   }
 
   test("dedup verdict invariants: exactly one canonical per component, " +
