@@ -212,15 +212,20 @@ object VectorOps {
       col("embedding").as("va"))
     val b = assigned.select(col("cid"), col("vec_id").as("idb"),
       col("embedding").as("vb"))
+    // the Σ bucket² pair scoring is the hot loop: the codegen'd
+    // CosineSim expression keeps it inside whole-stage codegen (a typed
+    // mapPartitions here pays a 2M-row encoder round-trip — measured
+    // ~5.0 s → ~3.9 s end-to-end at sf0.1/nProbe=4, where the CC
+    // closure floor is ~2.3 s); arithmetic is pinned bit-identical to
+    // cosOf, so the gate hash is unchanged
     val scored = a.join(b, Seq("cid"))
       .filter(col("ida") < col("idb"))
-      .select(col("ida"), col("idb"), col("va"), col("vb"))
-      .as[(Long, Long, Array[Float], Array[Float])]
-      .mapPartitions(_.map { case (x, y, va, vb) => (x, y, cosOf(va, vb)) })
-      .toDF("ida", "idb", "cos")
+      .select(col("ida"), col("idb"),
+        graft.functions.CosineSim.cosineSim(col("va"), col("vb")).as("cos"))
       .filter(col("cos") >= threshold)
       .select("ida", "idb")
-    // multi-probe can surface one pair from several shared buckets
+    // multi-probe can surface one pair from several shared buckets;
+    // only true above-threshold pairs reach the distinct (tiny)
     if (np > 1) scored.distinct() else scored
   }
 
