@@ -180,6 +180,8 @@ object SparkEntry {
     "q146_curation_funnel" -> (TextOps.curationFunnel _),
     "q147_streaming_doc_dedup" ->
       (graft.streaming.StreamingDedup.dedupedDocStats _),
+    "q148_streaming_sliding_window" ->
+      (StreamingFunnel.slidingWindowCounts _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -859,6 +861,24 @@ object SparkEntry {
          |  ${sum2("value")} AS window_value
          |FROM events
          |GROUP BY 1, 2
+         |ORDER BY 1 NULLS FIRST""".stripMargin,
+
+    // sliding windows: every event belongs to the two 6h windows whose
+    // 3h-aligned starts cover it — replayed as a UNION ALL of shifted
+    // 3h floors (10800000000 us = 3h, 21600000000 us = 6h)
+    "q148_streaming_sliding_window" ->
+      s"""WITH w AS (
+         |  SELECT make_timestamp((epoch_us(ts) // 10800000000)
+         |      * 10800000000) AS window_start, value FROM events
+         |  UNION ALL
+         |  SELECT make_timestamp(((epoch_us(ts) // 10800000000) - 1)
+         |      * 10800000000), value FROM events)
+         |SELECT window_start,
+         |  make_timestamp(epoch_us(window_start) + 21600000000)
+         |    AS window_end,
+         |  COUNT(*) AS n_events,
+         |  ${sum2("value")} AS window_value
+         |FROM w GROUP BY 1, 2
          |ORDER BY 1 NULLS FIRST""".stripMargin,
 
     "q45_pivot_events" ->

@@ -117,6 +117,36 @@ object StreamingFunnel {
       .orderBy("window_start")
   }
 
+  /** SLIDING event-time windows (6 h window, 3 h slide) — the third
+    * canonical window shape next to tumbling ([[windowedCounts]]) and
+    * session (q106): every event lands in exactly two overlapping
+    * windows, the moving-average view a monitoring dashboard reads.
+    * State per key is bounded by (window/slide) concurrent windows ×
+    * watermark horizon, so the shape deploys unchanged at any rate;
+    * the oracle replays the two-window assignment as a UNION ALL of
+    * shifted 3 h floors. */
+  def slidingWindowCounts(spark: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours", "3 hours"))
+      .agg(count(lit(1)).as("n_events"),
+        sumMoney2(col("value")).as("window_value"))
+
+    val name = "streaming_sliding_counts_sink"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_events"), col("window_value"))
+      .orderBy("window_start")
+  }
+
   /** Stream-static join: the event stream enriched against a static
     * dimension (the funnel stage domain) BEFORE aggregating — the
     * pattern every production pipeline uses to attach dimension

@@ -51,4 +51,31 @@ class StorageFormatsSpec extends SparkSpec {
     assert(spark.catalog.tableExists("graft_nation_managed"))
     spark.sql("DROP TABLE graft_nation_managed")
   }
+
+  test("schema evolution: mergeSchema unions drifted batch schemas, " +
+      "missing columns read as null") {
+    import org.apache.spark.sql.functions._
+    // batch 1 writes (n_nationkey, n_name); batch 2 adds a column —
+    // the standard additive drift a long-lived lake table accretes
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_schema_evo").toString
+    val nation = Tables.nation(spark, sf("sf0.001"))
+    nation.select($"n_nationkey", $"n_name")
+      .write.mode("append").parquet(dir)
+    nation.select($"n_nationkey", $"n_name",
+        $"n_regionkey".as("region_added"))
+      .write.mode("append").parquet(dir)
+
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq ==
+      Seq("n_name", "n_nationkey", "region_added"))
+    val total = nation.count()
+    assert(merged.count() == 2 * total)
+    // exactly the batch-1 rows surface the missing column as null
+    assert(merged.filter($"region_added".isNull).count() == total)
+    // and batch-2 values survive intact
+    assert(merged.filter($"region_added".isNotNull)
+      .agg(sum("region_added")).as[Long].head() ==
+      nation.agg(sum("n_regionkey")).as[Long].head())
+  }
 }
