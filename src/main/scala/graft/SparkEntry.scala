@@ -182,6 +182,7 @@ object SparkEntry {
       (graft.streaming.StreamingDedup.dedupedDocStats _),
     "q148_streaming_sliding_window" ->
       (StreamingFunnel.slidingWindowCounts _),
+    "q149_lang_mixture" -> (TextOps.langMixture _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2375,6 +2376,20 @@ object SparkEntry {
         |  CAST(SUM(tl) AS BIGINT) AS n_tokens
         |FROM dc GROUP BY source
         |ORDER BY source NULLS FIRST""".stripMargin,
+
+    // per-language keep rate as pure integer math over the portable
+    // hash — both engines derive the identical verdict per doc
+    "q149_lang_mixture" ->
+      s"""WITH c AS (SELECT lang, count(*) AS cnt
+         |  FROM documents GROUP BY lang),
+         |m AS (SELECT min(cnt) AS mc FROM c),
+         |r AS (SELECT lang, cnt,
+         |  (SELECT mc FROM m) * 1000000 // cnt AS mix_threshold FROM c)
+         |SELECT d.doc_id, d.lang, r.cnt, r.mix_threshold,
+         |  ${h32("'mix:' || d.doc_id")} % 1000000 AS hash_bucket,
+         |  ${h32("'mix:' || d.doc_id")} % 1000000 < r.mix_threshold AS keep
+         |FROM documents d JOIN r USING (lang)
+         |ORDER BY d.doc_id NULLS FIRST""".stripMargin,
 
     // md5 of the seeded key gives both engines the identical shuffle
     // order; shard/pos are integer math over the global row number

@@ -792,6 +792,35 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Deterministic language-balanced resampling — the mixture-weighting
+    * step a multilingual training corpus runs before sharding: the
+    * over-represented language is downsampled so every language
+    * contributes (up to hash granularity) the size of the SMALLEST one.
+    * Per-language keep rate = min_count/count, applied as pure integer
+    * math on a portable hash: keep iff
+    * `portable32("mix:" ‖ doc_id) % 1e6 < (min_count * 1e6) DIV count`
+    * — reproducible across engines and runs, no RNG. The minimum count
+    * is a driver scalar (one long — metadata-sized, the documented
+    * Scd2-maxSk pattern); rates broadcast to a scan-local verdict.
+    * Statistical property (not exact): each language keeps
+    * ≈ rate × count docs, binomial-concentrated; the spec asserts a
+    * 5σ envelope. */
+  def langMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val minCnt: Long = counts.agg(min("cnt")).as[Long].head()
+    val rates = counts.withColumn("mix_threshold",
+      expr(s"$minCnt * 1000000 DIV cnt"))
+    d.join(broadcast(rates), Seq("lang"))
+      .withColumn("hash_bucket",
+        Portable.portable32(concat(lit("mix:"), col("doc_id").cast("string")))
+          % lit(1000000L))
+      .withColumn("keep", col("hash_bucket") < col("mix_threshold"))
+      .select("doc_id", "lang", "cnt", "mix_threshold", "hash_bucket", "keep")
+      .orderBy("doc_id")
+  }
+
   /** Stage-by-stage survival counts over [[curationVerdicts]] — the
     * funnel mart the curation dashboard reads. One aggregation pass
     * (six conditional sums), then a stack to rows; grain = stages. */

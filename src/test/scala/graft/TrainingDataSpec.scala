@@ -219,6 +219,33 @@ class TrainingDataSpec extends SparkSpec {
     v.unpersist()
   }
 
+  test("langMixture: thresholds are exact integer rates and kept " +
+      "counts land in the binomial 5-sigma envelope") {
+    val out = TextOps.langMixture(spark, dir).cache()
+    val minCnt = out.agg(min("cnt")).as[Long].head()
+    // threshold math is exact integer arithmetic
+    assert(out.filter($"mix_threshold" =!=
+      expr(s"$minCnt * 1000000 DIV cnt")).count() == 0)
+    // the smallest language keeps (virtually) everything; each language
+    // keeps ~rate × count, binomially concentrated
+    val per = out.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum($"keep".cast("long")).as("kept"),
+        first("mix_threshold").as("thr"))
+      .collect()
+    per.foreach { r =>
+      val n = r.getAs[Long]("n").toDouble
+      val p = r.getAs[Long]("thr").toDouble / 1e6
+      val kept = r.getAs[Long]("kept").toDouble
+      val sd = math.sqrt(n * p * (1 - p))
+      assert(math.abs(kept - n * p) <= 5 * sd + 1,
+        s"${r.getAs[String]("lang")}: kept $kept vs mean ${n * p} (sd $sd)")
+    }
+    // deterministic: re-evaluation gives the identical verdict set
+    val again = TextOps.langMixture(spark, dir)
+    assert(out.join(again, Seq("doc_id", "keep")).count() == out.count())
+    out.unpersist()
+  }
+
   test("streaming doc dedup: doubled delivery collapses to batch " +
       "distinct-content stats (and the doubling is real)") {
     val out = graft.streaming.StreamingDedup.dedupedDocStats(spark, dir)
