@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** One-command corpus-curation pipeline — the LLM-training analog of
+  * the medallion [[Pipeline]]: every stage is an already-gated operator
+  * and every layer is truncate-written parquet, so the chain is
+  * independently queryable, idempotent to rerun, and end-to-end
+  * deterministic (no RNG anywhere — hashes drive the mixture and the
+  * shuffle):
+  *
+  *   documents ─→ curation verdicts (q145: lang target ∧ quality ∧
+  *     repetition ∧ decontamination ∧ dedup-canonical)
+  *     ─→ kept corpus ─→ language-balanced mixture (q149 rates derived
+  *        from the KEPT corpus, not the raw one)
+  *     ─→ training set = shuffle-shard (q144) + sequence packing
+  *        (q136) over the mixed corpus, written `partitionBy(shard)` —
+  *        the layout a trainer's data loader actually reads (one
+  *        directory per worker shard, rows pre-ordered by pos).
+  *
+  * Scale: each stage is the operator's own shape (doc-keyed joins and
+  * aggs, broadcast probes, two-phase rank); the writes between stages
+  * cut lineage exactly where a deployment would persist — no stage
+  * re-executes its upstream and nothing funnels through the driver
+  * beyond the documented metadata scalars.
+  *
+  * Run: `sbt "runMain graft.TrainingPipeline [sfDir [outDir]]"`.
+  */
+object TrainingPipeline {
+
+  case class Result(verdicts: DataFrame, kept: DataFrame,
+      mixed: DataFrame, training: DataFrame)
+
+  def run(spark: SparkSession, dir: String, outDir: String,
+      nShards: Int = 8, packBudget: Int = 256): Result = {
+    val docs = graft.sources.Tables.documents(spark, dir)
+
+    // ── curation verdicts (the q145 composition) ───────────────────
+    TextOps.curationVerdicts(spark, dir)
+      .write.mode("overwrite").parquet(s"$outDir/curation_verdicts")
+    val verdicts = spark.read.parquet(s"$outDir/curation_verdicts")
+
+    // ── kept corpus: full rows of the documents that survived the
+    // MULTILINGUAL criteria (quality ∧ repetition ∧ decontamination ∧
+    // dedup). The q145 `keep` additionally selects the target
+    // language — correct for a monolingual corpus, but this pipeline
+    // builds a language-BALANCED one, so selecting one language here
+    // would make the mixture stage vacuous; the two contracts compose
+    // as filter-then-balance on the same verdict table ──────────────
+    val multiKeep = verdicts.filter(col("quality_ok") && col("rep_ok")
+      && col("decon_ok") && col("dedup_ok"))
+    docs.join(multiKeep.select("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/corpus_kept")
+    val kept = spark.read.parquet(s"$outDir/corpus_kept")
+
+    // ── language-balanced mixture over the KEPT corpus ─────────────
+    kept.join(TextOps.langMixtureOn(spark, kept)
+        .filter(col("keep")).select("doc_id"), "doc_id")
+      .write.mode("overwrite").parquet(s"$outDir/corpus_mixed")
+    val mixed = spark.read.parquet(s"$outDir/corpus_mixed")
+
+    // ── training set: shard assignment + pack assignment, written in
+    // the trainer's layout (one directory per shard) ────────────────
+    val shards = TextOps.shuffleShardOn(mixed, nShards)
+    val packs = TextOps.packDocumentsOn(mixed, packBudget)
+      .select("doc_id", "n_tokens", "pack_id")
+    mixed.join(shards, "doc_id").join(packs, "doc_id")
+      .write.mode("overwrite").partitionBy("shard")
+      .parquet(s"$outDir/training_shards")
+    val training = spark.read.parquet(s"$outDir/training_shards")
+
+    Result(verdicts, kept, mixed, training)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = args.lift(1).getOrElse(
+      s"${System.getProperty("java.io.tmpdir")}/graft_training_pipeline")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, dir, outDir)
+    println(s"verdicts=${r.verdicts.count()} kept=${r.kept.count()} " +
+      s"mixed=${r.mixed.count()} training=${r.training.count()}")
+    r.training.groupBy("shard").count().orderBy("shard")
+      .show(truncate = false)
+    println(s"layers written under $outDir")
+    spark.stop()
+  }
+}

@@ -582,10 +582,16 @@ object TextOps {
     * (the standard streaming-packing trade; exact bin packing is
     * NP-hard and order-destroying). */
   def packDocuments(spark: SparkSession, dir: String,
-      budget: Int = 256): DataFrame = {
+      budget: Int = 256): DataFrame =
+    packDocumentsOn(Tables.documents(spark, dir), budget)
+
+  /** [[packDocuments]] over an arbitrary corpus frame (needs source,
+    * doc_id, text) — the form [[graft.TrainingPipeline]] runs on the
+    * curated subset. */
+  def packDocumentsOn(docs: DataFrame, budget: Int): DataFrame = {
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    Tables.documents(spark, dir)
+    docs
       .select(col("source"), col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
       .withColumn("tokens_before",
@@ -739,8 +745,12 @@ object TextOps {
     * sort at any scale; the hash ordering is uniform, so the range
     * partitions are balanced too. */
   def shuffleShard(spark: SparkSession, dir: String,
-      nShards: Int = 8): DataFrame = {
-    val d = Tables.documents(spark, dir)
+      nShards: Int = 8): DataFrame =
+    shuffleShardOn(Tables.documents(spark, dir), nShards)
+
+  /** [[shuffleShard]] over an arbitrary corpus frame (needs doc_id). */
+  def shuffleShardOn(docs: DataFrame, nShards: Int): DataFrame = {
+    val d = docs
       .select(col("doc_id"),
         md5(concat(lit("shard:"), col("doc_id").cast("string"))).as("skey"))
     Relational.denseGlobalRank(d, "skey", "rk", base = 0L)
@@ -805,9 +815,14 @@ object TextOps {
     * Statistical property (not exact): each language keeps
     * ≈ rate × count docs, binomial-concentrated; the spec asserts a
     * 5σ envelope. */
-  def langMixture(spark: SparkSession, dir: String): DataFrame = {
+  def langMixture(spark: SparkSession, dir: String): DataFrame =
+    langMixtureOn(spark, Tables.documents(spark, dir))
+
+  /** [[langMixture]] over an arbitrary corpus frame (needs doc_id,
+    * lang) — rates derive from THAT frame's language distribution. */
+  def langMixtureOn(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val d = docs.select(col("doc_id"), col("lang"))
     val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
     val minCnt: Long = counts.agg(min("cnt")).as[Long].head()
     val rates = counts.withColumn("mix_threshold",
