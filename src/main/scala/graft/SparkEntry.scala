@@ -183,6 +183,7 @@ object SparkEntry {
     "q148_streaming_sliding_window" ->
       (StreamingFunnel.slidingWindowCounts _),
     "q149_lang_mixture" -> (TextOps.langMixture _),
+    "q150_corpus_diff" -> (TextOps.corpusDiff _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2390,6 +2391,26 @@ object SparkEntry {
          |  ${h32("'mix:' || d.doc_id")} % 1000000 < r.mix_threshold AS keep
          |FROM documents d JOIN r USING (lang)
          |ORDER BY d.doc_id NULLS FIRST""".stripMargin,
+
+    // both snapshot derivations are deterministic, so the oracle's
+    // FULL OUTER fingerprint compare rebuilds the identical diff
+    "q150_corpus_diff" ->
+      """WITH d AS (SELECT doc_id, text FROM documents),
+        |v1 AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(CASE WHEN doc_id % 11 = 0
+        |      THEN text || ' [edited]' ELSE text END), '\s+', ' ', 'g'))
+        |      AS fp1
+        |  FROM d WHERE doc_id % 7 <> 0),
+        |v2 AS (SELECT doc_id,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp2
+        |  FROM d WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.fp1 IS NULL THEN 'added'
+        |       WHEN v2.fp2 IS NULL THEN 'removed'
+        |       WHEN v1.fp1 <> v2.fp2 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY 1 NULLS FIRST""".stripMargin,
 
     // md5 of the seeded key gives both engines the identical shuffle
     // order; shard/pos are integer math over the global row number

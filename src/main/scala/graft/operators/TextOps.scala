@@ -836,6 +836,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus snapshot diff — the day-2 operation of a living corpus:
+    * classify every document across two snapshot versions as added /
+    * removed / changed / unchanged by comparing content fingerprints
+    * under a FULL OUTER join on doc_id. The two versions are derived
+    * deterministically here (v1 drops doc_id % 7 == 0 and carries an
+    * edited text for doc_id % 11 == 0; v2 drops doc_id % 5 == 0), so
+    * the oracle rebuilds the identical diff; in production both sides
+    * are snapshot tables. One key-shuffled join, fingerprints computed
+    * scan-local — the shape of a 100 TB snapshot reconciliation. */
+  def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    def fp(c: Column): Column = md5(regexp_replace(lower(c), "\\s+", " "))
+    val v1 = d.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        fp(when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" [edited]"))).otherwise(col("text")))
+          .as("fp1"))
+    val v2 = d.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), fp(col("text")).as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged").as("status"))
+      .orderBy("doc_id")
+  }
+
   /** Stage-by-stage survival counts over [[curationVerdicts]] — the
     * funnel mart the curation dashboard reads. One aggregation pass
     * (six conditional sums), then a stack to rows; grain = stages. */
