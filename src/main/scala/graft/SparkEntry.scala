@@ -184,6 +184,8 @@ object SparkEntry {
       (StreamingFunnel.slidingWindowCounts _),
     "q149_lang_mixture" -> (TextOps.langMixture _),
     "q150_corpus_diff" -> (TextOps.corpusDiff _),
+    "q151_merge_upsert_delete" ->
+      (graft.sources.ParquetMerge.mergeScenario _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2391,6 +2393,18 @@ object SparkEntry {
          |  ${h32("'mix:' || d.doc_id")} % 1000000 < r.mix_threshold AS keep
          |FROM documents d JOIN r USING (lang)
          |ORDER BY d.doc_id NULLS FIRST""".stripMargin,
+
+    // the oracle recomputes the upsert+delete chain relationally: the
+    // %6 updates are a subset of the %3 base (pure matched-update), the
+    // %9 delete prunes after
+    "q151_merge_upsert_delete" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 6 = 0 THEN 'M' ELSE o_orderstatus END
+        |    AS o_orderstatus,
+        |  o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 3 = 0 AND o_orderkey % 9 <> 0
+        |ORDER BY o_orderkey NULLS FIRST""".stripMargin,
 
     // both snapshot derivations are deterministic, so the oracle's
     // FULL OUTER fingerprint compare rebuilds the identical diff

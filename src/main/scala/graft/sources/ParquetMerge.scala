@@ -77,4 +77,32 @@ object ParquetMerge {
             predicate, org.apache.spark.sql.functions.lit(false))))
       case None => throw new IllegalStateException(s"no table at $root")
     }
+
+  /** The MERGE surface as a gated end-to-end scenario (q151): seed a
+    * table from every 3rd order, upsert a status change onto every 6th
+    * (a subset — pure matched-update), DELETE every 9th, and return the
+    * final table state. Every step is deterministic, so the DuckDB
+    * oracle recomputes the final state RELATIONALLY (CASE for the
+    * update, predicate for the delete) — the write path's correctness
+    * is hash-verified, not just spec-asserted. The scenario root is
+    * keyed by the input dir and cleared first, so reruns are
+    * bit-identical. */
+  def mergeScenario(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val key = java.util.UUID.nameUUIDFromBytes(("pmerge:" + dir).getBytes)
+      .toString.take(8)
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft-pmerge-$key"
+    fs(spark, root).delete(new Path(root), true)
+
+    val orders = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    upsert(spark, root, orders.filter(col("o_orderkey") % 3 === 0),
+      Seq("o_orderkey"))
+    upsert(spark, root,
+      orders.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_orderstatus", lit("M")),
+      Seq("o_orderkey"))
+    delete(spark, root, col("o_orderkey") % 9 === 0)
+      .orderBy("o_orderkey")
+  }
 }
