@@ -186,6 +186,8 @@ object SparkEntry {
     "q150_corpus_diff" -> (TextOps.corpusDiff _),
     "q151_merge_upsert_delete" ->
       (graft.sources.ParquetMerge.mergeScenario _),
+    "q152_streaming_left_outer_join" ->
+      (graft.streaming.StreamingJoin.purchasesWithViewAttribution _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1748,6 +1750,20 @@ object SparkEntry {
         |FROM events p JOIN events v
         |  ON p.event_type = 'purchase' AND v.event_type = 'view'
         |  AND p.user_id = v.user_id
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |ORDER BY p.user_id ASC NULLS FIRST, purchase_ts ASC NULLS FIRST,
+        |  view_ts ASC NULLS FIRST""".stripMargin,
+
+    // the sentinel row advances the drain's watermark past all real
+    // data, so every purchase resolves (matches or one null row) and
+    // the oracle is the plain batch left range join
+    "q152_streaming_left_outer_join" ->
+      """SELECT p.user_id, p.ts AS purchase_ts, v.ts AS view_ts
+        |FROM (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
         |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
         |ORDER BY p.user_id ASC NULLS FIRST, purchase_ts ASC NULLS FIRST,
         |  view_ts ASC NULLS FIRST""".stripMargin,

@@ -50,4 +50,91 @@ object StreamingJoin {
     spark.table(name)
       .orderBy("user_id", "purchase_ts", "view_ts")
   }
+
+  /** Landing dir for the LEFT OUTER join: the events file plus a
+    * sentinel view/purchase pair 30 days past the data. Outer results
+    * only emit when
+    * the watermark proves a row can never match, and a bounded drain's
+    * watermark stops `delay` short of max event time — purchases in
+    * that tail would never get their null verdict and the result would
+    * depend on watermark arithmetic at the boundary. The sentinel
+    * pushes every watermark far past ALL real rows, so the drain emits
+    * a final verdict for every purchase and the oracle is the plain
+    * batch left range join — no cutoff arithmetic to replicate. */
+  private def sentinelDir(spark: SparkSession, dir: String): String = {
+    import java.nio.file.{Files, Paths}
+    val key = java.util.UUID.nameUUIDFromBytes(("lojoin:" + dir).getBytes)
+      .toString.take(8)
+    val d = Paths.get(s"/tmp/graft-stream-lo-$key")
+    if (!Files.exists(d)) {
+      Files.createDirectories(d)
+      Files.createSymbolicLink(d.resolve("events.parquet"),
+        Paths.get(s"$dir/events.parquet"))
+      import spark.implicits._
+      val maxNs = spark.read.parquet(s"$dir/events.parquet")
+        .agg(max("ts")).as[Long].head()
+      val thirtyDaysNs = 30L * 24 * 3600 * 1000000000L
+      val hourNs = 3600L * 1000000000L
+      val stagedTmp = s"$d/_sentinel_stage"
+      // one sentinel VIEW and one sentinel PURCHASE (2h apart, so they
+      // cannot match each other): the type filters are pushed BELOW the
+      // watermark operator by Catalyst, so a row only advances a
+      // branch's watermark if it passes that branch's filter — a
+      // neutral 'sentinel' type would be dropped before the watermark
+      // stats and the global (min-of-branches) watermark would stall.
+      // The sentinel purchase itself never emits: the watermark never
+      // passes its own event time (nothing arrives after it).
+      Seq(
+        (-1L, maxNs + thirtyDaysNs, -1L, "view", 0.0, "{}"),
+        (-2L, maxNs + thirtyDaysNs + 2 * hourNs, -1L, "purchase", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(stagedTmp)
+      val part = new java.io.File(stagedTmp).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.copy(part.toPath, d.resolve("sentinel.parquet"))
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(stagedTmp))
+    }
+    d.toString
+  }
+
+  /** Stream-stream LEFT OUTER join (q152): every purchase gets a final
+    * verdict — its attributed prior-hour views, or ONE null row if no
+    * view preceded it. The watermark both bounds state (as in
+    * [[viewsBeforePurchases]]) and gates outer emission: a purchase's
+    * null verdict becomes final only when the watermark proves no
+    * matching view can still arrive. Watermarks attach BEFORE the
+    * type filters so the sentinel advances them. */
+  def purchasesWithViewAttribution(spark: SparkSession, dir: String): DataFrame = {
+    def src = spark.readStream
+      .schema(StreamingFunnel.rawSchema)
+      .parquet(sentinelDir(spark, dir))
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "2 hours")
+    val views = src.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("purchase_ts"))
+
+    val joined = purchases.join(views,
+      expr("""user_id = v_user
+             |AND view_ts >= purchase_ts - INTERVAL 1 HOUR
+             |AND view_ts <= purchase_ts""".stripMargin), "left_outer")
+      .select(col("user_id"), col("purchase_ts"), col("view_ts"))
+
+    val name = "streaming_lo_join_sink"
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // the sentinel pair never emits (the purchase's own verdict stays
+    // pending forever); the filter is defense-in-depth
+    spark.table(name)
+      .filter(col("user_id") =!= -1)
+      .orderBy("user_id", "purchase_ts", "view_ts")
+  }
 }

@@ -31,4 +31,24 @@ class StreamingJoinSpec extends SparkSpec {
     assert(got.sameElements(expected))
     assert(got.nonEmpty)
   }
+
+  test("left outer variant: every purchase resolves — matches equal the " +
+      "inner join, unmatched purchases emit exactly one null row") {
+    val dir = sf("sf0.001")
+    val out = StreamingJoin.purchasesWithViewAttribution(spark, dir).cache()
+    // no sentinel leakage
+    assert(out.filter($"user_id" === -1).count() == 0)
+    // matched slice ≡ the inner-join query
+    val inner = StreamingJoin.viewsBeforePurchases(spark, dir)
+    assert(out.filter($"view_ts".isNotNull).count() == inner.count())
+    // outer verdicts exist and cover every unmatched purchase exactly once
+    val ev = graft.sources.Tables.events(spark, dir)
+    val p = ev.filter($"event_type" === "purchase").count()
+    val matchedPurchases = out.filter($"view_ts".isNotNull)
+      .select("user_id", "purchase_ts").distinct().count()
+    val nulls = out.filter($"view_ts".isNull).count()
+    assert(nulls > 0, "no outer verdicts — the sentinel flush is broken")
+    assert(matchedPurchases + nulls == p)
+    out.unpersist()
+  }
 }
