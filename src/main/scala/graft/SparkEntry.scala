@@ -2389,7 +2389,8 @@ object SparkEntry {
     "q147_streaming_doc_dedup" ->
       """WITH dc AS (SELECT DISTINCT source,
         |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
-        |    len(string_split(text, ' ')) AS tl
+        |    len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+        |      ' ')) AS tl
         |  FROM documents)
         |SELECT source, count(*) AS n_docs,
         |  CAST(SUM(tl) AS BIGINT) AS n_tokens

@@ -62,12 +62,16 @@ object TrainingPipeline {
       .write.mode("overwrite").parquet(s"$outDir/corpus_mixed")
     val mixed = spark.read.parquet(s"$outDir/corpus_mixed")
 
-    // ── training set: shard assignment + pack assignment, written in
-    // the trainer's layout (one directory per shard) ────────────────
-    val shards = TextOps.shuffleShardOn(mixed, nShards)
-    val packs = TextOps.packDocumentsOn(mixed, packBudget)
+    // ── training set: shard assignment FIRST, then packs scoped to
+    // (shard, source) — a pack never spans a shard directory, so a
+    // trainer worker reading its one directory sees only complete
+    // packs; written in the trainer's layout (one dir per shard) ────
+    val sharded = mixed.join(TextOps.shuffleShardOn(mixed, nShards),
+      "doc_id")
+    val packs = TextOps.packDocumentsOn(sharded, packBudget,
+        shardCols = Seq("shard", "source"))
       .select("doc_id", "n_tokens", "pack_id")
-    mixed.join(shards, "doc_id").join(packs, "doc_id")
+    sharded.join(packs, "doc_id")
       .write.mode("overwrite").partitionBy("shard")
       .parquet(s"$outDir/training_shards")
     val training = spark.read.parquet(s"$outDir/training_shards")

@@ -190,9 +190,13 @@ object Scd2 {
     * no small-file spray. */
   def ordersHistoryTable(spark: SparkSession, dir: String): DataFrame = {
     val path = histTables.computeIfAbsent(dir, d => {
+      // 128-bit name-UUID of the dir, not String.hashCode: 32-bit
+      // hashCode collisions would silently serve dir A's history for
+      // dir B (single-JVM writer contract; the map gates one write)
       val out = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
-        "graft_scd2_hist_" + Integer.toHexString(d.hashCode)).toString
+        "graft_scd2_hist_" + java.util.UUID
+          .nameUUIDFromBytes(d.getBytes).toString.take(16)).toString
       ordersHistory(spark, d)
         .withColumn("valid_dt", to_date(col("valid_from")))
         .repartition(col("valid_dt"))

@@ -108,12 +108,19 @@ object TextOps {
       .select("doc_id", "lang", "score_en", "score_es", "score_de", "predicted")
       .orderBy("doc_id")
 
+  /** The project's content-identity contract: md5 over lowercased,
+    * whitespace-collapsed text. ONE definition — q30 (fingerprint),
+    * q147 (streaming dedup key) and q150 (snapshot diff) all derive
+    * their keys from this exact expression, so a normalization tweak
+    * can never desynchronize them. */
+  def contentFp(c: Column): Column =
+    md5(regexp_replace(lower(c), "\\s+", " "))
+
   /** Document fingerprint: md5 over whitespace-normalized text (exact
     * near-canonical dedup key; the rolling-hash analogue at corpus scale). */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+      .select(col("doc_id"), contentFp(col("text")).as("fp"))
       .orderBy("doc_id")
 
   // ---- shingles + MinHash -------------------------------------------------
@@ -585,20 +592,26 @@ object TextOps {
       budget: Int = 256): DataFrame =
     packDocumentsOn(Tables.documents(spark, dir), budget)
 
-  /** [[packDocuments]] over an arbitrary corpus frame (needs source,
-    * doc_id, text) — the form [[graft.TrainingPipeline]] runs on the
-    * curated subset. */
-  def packDocumentsOn(docs: DataFrame, budget: Int): DataFrame = {
-    val w = Window.partitionBy("source").orderBy("doc_id")
+  /** [[packDocuments]] over an arbitrary corpus frame (needs doc_id,
+    * text, and every `shardCols` column) — the form
+    * [[graft.TrainingPipeline]] runs on the curated subset. Packs are
+    * scoped to `shardCols`: a pack NEVER spans a shard-column boundary,
+    * which is what lets a trainer worker read one shard directory and
+    * see only complete packs. */
+  def packDocumentsOn(docs: DataFrame, budget: Int,
+      shardCols: Seq[String] = Seq("source")): DataFrame = {
+    val keys = shardCols.map(col)
+    val w = Window.partitionBy(keys: _*).orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     docs
-      .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .select(keys :+ col("doc_id")
+        :+ size(split(col("text"), " ")).cast("long").as("n_tokens"): _*)
       .withColumn("tokens_before",
         coalesce(sum(col("n_tokens")).over(w), lit(0L)))
       .withColumn("pack_id", expr(s"tokens_before DIV $budget"))
-      .select("source", "doc_id", "n_tokens", "tokens_before", "pack_id")
-      .orderBy("source", "doc_id")
+      .select(shardCols ++
+        Seq("doc_id", "n_tokens", "tokens_before", "pack_id") map col: _*)
+      .orderBy(shardCols :+ "doc_id" map col: _*)
   }
 
   /** Pack-level summary over [[packDocuments]] — the mart a training
@@ -826,7 +839,9 @@ object TextOps {
     val counts = d.groupBy("lang").agg(count(lit(1)).as("cnt"))
     val minCnt: Long = counts.agg(min("cnt")).as[Long].head()
     val rates = counts.withColumn("mix_threshold",
-      expr(s"$minCnt * 1000000 DIV cnt"))
+      // L-suffixed literals: bare INT literals would multiply in 32-bit
+      // and wrap past min_count > 2147 (the oracle's math is 64-bit)
+      expr(s"${minCnt}L * 1000000L DIV cnt"))
     d.join(broadcast(rates), Seq("lang"))
       .withColumn("hash_bucket",
         Portable.portable32(concat(lit("mix:"), col("doc_id").cast("string")))
@@ -847,14 +862,13 @@ object TextOps {
     * scan-local — the shape of a 100 TB snapshot reconciliation. */
   def corpusDiff(spark: SparkSession, dir: String): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
-    def fp(c: Column): Column = md5(regexp_replace(lower(c), "\\s+", " "))
     val v1 = d.filter(col("doc_id") % 7 =!= 0)
       .select(col("doc_id"),
-        fp(when(col("doc_id") % 11 === 0,
+        contentFp(when(col("doc_id") % 11 === 0,
           concat(col("text"), lit(" [edited]"))).otherwise(col("text")))
           .as("fp1"))
     val v2 = d.filter(col("doc_id") % 5 =!= 0)
-      .select(col("doc_id"), fp(col("text")).as("fp2"))
+      .select(col("doc_id"), contentFp(col("text")).as("fp2"))
     v1.join(v2, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
         when(col("fp1").isNull, "added")

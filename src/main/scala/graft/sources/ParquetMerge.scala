@@ -38,6 +38,13 @@ object ParquetMerge {
     }
   }
 
+  /** Single-writer swap (Hadoop `rename` reports failure by RETURNING
+    * FALSE, not throwing): every rename is checked, and the old version
+    * is deleted only after the new one is verifiably in place — an
+    * unchecked `rename(staged, cur)` failure followed by the cleanup
+    * delete would destroy the only surviving copy. Concurrent WRITERS
+    * need a table format's commit log; this is the documented
+    * single-writer contract (readers are safe throughout). */
   private def swapIn(spark: SparkSession, root: String, df: DataFrame): DataFrame = {
     val f = fs(spark, root)
     val staged = s"$root/staged"
@@ -45,8 +52,14 @@ object ParquetMerge {
     val cur = new Path(s"$root/cur")
     val old = new Path(s"$root/cur_old")
     f.delete(old, true) // clear any leftover from a prior crashed swap
-    if (f.exists(cur)) f.rename(cur, old)
-    f.rename(new Path(staged), cur)
+    if (f.exists(cur) && !f.rename(cur, old))
+      throw new java.io.IOException(s"swap: rename $cur -> $old failed")
+    if (!f.rename(new Path(staged), cur)) {
+      // put the old version back before failing: the table must never
+      // be left absent
+      if (f.exists(old)) f.rename(old, cur)
+      throw new java.io.IOException(s"swap: rename $staged -> $cur failed")
+    }
     f.delete(old, true)
     spark.read.parquet(s"$root/cur")
   }

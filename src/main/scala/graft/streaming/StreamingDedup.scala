@@ -81,12 +81,19 @@ object StreamingDedup {
     val key = java.util.UUID.nameUUIDFromBytes(("dupdoc:" + dir).getBytes)
       .toString.take(8)
     val d = Paths.get(s"/tmp/graft-stream-dupdoc-$key")
-    if (!Files.exists(d)) {
+    // completion marker: a crash between the two symlinks would leave a
+    // half-staged dir (single delivery) that bare exists() accepts —
+    // the doubled-delivery premise of the test would silently vanish
+    val ready = d.resolve("_READY")
+    if (Files.exists(d) && !Files.exists(ready))
+      org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+    if (!Files.exists(ready)) {
       Files.createDirectories(d)
       Files.createSymbolicLink(d.resolve("documents_a.parquet"),
         Paths.get(s"$dir/documents.parquet"))
       Files.createSymbolicLink(d.resolve("documents_b.parquet"),
         Paths.get(s"$dir/documents.parquet"))
+      Files.createFile(ready)
     }
     d.toString
   }
@@ -100,8 +107,13 @@ object StreamingDedup {
     val deduped = spark.readStream
       .schema(docSchema)
       .parquet(dupDocDir(dir))
-      .withColumn("fp",
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("fp", graft.operators.TextOps.contentFp(col("text")))
+      // tokens counted over the NORMALIZED text: the dedup key is the
+      // normalized content, so the emitted stats must be a function of
+      // that key — counting the surviving copy's RAW tokens would make
+      // n_tokens depend on which whitespace/case variant arrived first
+      .withColumn("norm_tokens", size(split(
+        regexp_replace(lower(col("text")), "\\s+", " "), " ")))
       // +1 day: the initial watermark is epoch 0, and a row whose event
       // time EQUALS the watermark is dropped as late — doc_id 0 at
       // epoch 0 would silently vanish (observed: 24-of-25 in src0)
@@ -116,7 +128,7 @@ object StreamingDedup {
       .dropDuplicatesWithinWatermark("source", "fp")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split(col("text"), " "))).as("n_tokens"))
+        sum(col("norm_tokens").cast("long")).as("n_tokens"))
 
     val name = "streaming_doc_dedup_sink"
     val q = deduped.writeStream

@@ -66,7 +66,15 @@ object StreamingJoin {
     val key = java.util.UUID.nameUUIDFromBytes(("lojoin:" + dir).getBytes)
       .toString.take(8)
     val d = Paths.get(s"/tmp/graft-stream-lo-$key")
-    if (!Files.exists(d)) {
+    // completion marker, not bare exists(): a crash (or a racing
+    // second JVM) between createDirectories and the sentinel copy
+    // would otherwise leave a half-staged dir every later run accepts —
+    // and a sentinel-less landing dir silently breaks outer emission
+    val ready = d.resolve("_READY")
+    if (Files.exists(d) && !Files.exists(ready)) {
+      org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+    }
+    if (!Files.exists(ready)) {
       Files.createDirectories(d)
       Files.createSymbolicLink(d.resolve("events.parquet"),
         Paths.get(s"$dir/events.parquet"))
@@ -94,6 +102,7 @@ object StreamingJoin {
       Files.copy(part.toPath, d.resolve("sentinel.parquet"))
       org.apache.commons.io.FileUtils
         .deleteDirectory(new java.io.File(stagedTmp))
+      Files.createFile(ready)
     }
     d.toString
   }

