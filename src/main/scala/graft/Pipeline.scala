@@ -100,8 +100,9 @@ object Pipeline {
     import spark.implicits._
     val stageDf = lifecycleStages.toDF("stage", "stage_rank")
     val counts = fact.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val funnel = broadcast(stageDf)
-      .join(counts, stageDf("stage") === counts("event_type"), "left")
+    // Hint the buildable (right) side: left outer cannot build-left.
+    val funnel = stageDf
+      .join(broadcast(counts), stageDf("stage") === counts("event_type"), "left")
       .select(col("stage"), col("stage_rank"),
         coalesce(col("n"), lit(0L)).as("n_events"))
       .orderBy("stage_rank")

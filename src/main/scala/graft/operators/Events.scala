@@ -30,8 +30,10 @@ object Events {
     val stageDf = stages.toDF("stage", "stage_rank")
     val counts = Tables.events(spark, dir)
       .groupBy("event_type").agg(count(lit(1)).as("n"))
-    broadcast(stageDf)
-      .join(counts, stageDf("stage") === counts("event_type"), "left")
+    // Left outer preserves stageDf, so only the right side is buildable:
+    // hint `counts` (stage-domain-sized after the agg), not the preserved side.
+    stageDf
+      .join(broadcast(counts), stageDf("stage") === counts("event_type"), "left")
       .select(col("stage"), col("stage_rank"),
         coalesce(col("n"), lit(0L)).as("n_events"))
       .orderBy("stage_rank")

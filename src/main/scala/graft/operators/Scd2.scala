@@ -192,11 +192,15 @@ object Scd2 {
     val path = histTables.computeIfAbsent(dir, d => {
       // 128-bit name-UUID of the dir, not String.hashCode: 32-bit
       // hashCode collisions would silently serve dir A's history for
-      // dir B (single-JVM writer contract; the map gates one write)
+      // dir B. The path also carries the PROCESS id: the dir-keyed map
+      // only serializes writers within one JVM, and two JVMs sharing a
+      // path (Verify and Bench running concurrently) would overwrite
+      // the table the other is mid-read on.
       val out = java.nio.file.Paths.get(
         sys.props("java.io.tmpdir"),
         "graft_scd2_hist_" + java.util.UUID
-          .nameUUIDFromBytes(d.getBytes).toString.take(16)).toString
+          .nameUUIDFromBytes(d.getBytes).toString.take(16) +
+          "_p" + ProcessHandle.current().pid()).toString
       ordersHistory(spark, d)
         .withColumn("valid_dt", to_date(col("valid_from")))
         .repartition(col("valid_dt"))

@@ -25,16 +25,19 @@ object ParquetMerge {
   private def fs(spark: SparkSession, path: String) =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Readers are STRICTLY read-only: if a swap died after renaming cur
+    * aside but before renaming staged in, cur_old is the live version
+    * and is read IN PLACE. Renaming it back here would race the writer
+    * mid-swap (a reader's cur_old→cur rename between the writer's two
+    * renames makes the writer's staged→cur rename fail); recovery is
+    * writer-only — the next [[swapIn]] supersedes cur_old atomically. */
   def current(spark: SparkSession, root: String): Option[DataFrame] = {
     val f = fs(spark, root)
     val cur = new Path(s"$root/cur")
     if (f.exists(cur)) Some(spark.read.parquet(cur.toString))
     else {
-      // crash recovery: a swap that died after renaming cur aside but
-      // before renaming staged in leaves cur_old as the live version
       val old = new Path(s"$root/cur_old")
-      if (f.exists(old)) { f.rename(old, cur); Some(spark.read.parquet(cur.toString)) }
-      else None
+      if (f.exists(old)) Some(spark.read.parquet(old.toString)) else None
     }
   }
 
@@ -104,7 +107,13 @@ object ParquetMerge {
     import org.apache.spark.sql.functions._
     val key = java.util.UUID.nameUUIDFromBytes(("pmerge:" + dir).getBytes)
       .toString.take(8)
-    val root = s"${System.getProperty("java.io.tmpdir")}/graft-pmerge-$key"
+    // per-process root: Verify and Bench may run this scenario
+    // concurrently in separate JVMs, and the scenario starts by deleting
+    // its root — a shared path would have one JVM deleting the table the
+    // other is mid-merge on
+    val pid = ProcessHandle.current().pid()
+    val root =
+      s"${System.getProperty("java.io.tmpdir")}/graft-pmerge-$key-p$pid"
     fs(spark, root).delete(new Path(root), true)
 
     val orders = Tables.orders(spark, dir)

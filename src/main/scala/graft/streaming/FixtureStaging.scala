@@ -1,0 +1,36 @@
+package graft.streaming
+
+/** Content-signature helper for staged /tmp landing dirs.
+  *
+  * Several harnesses stage a derived copy of a fixture (a sentinel row,
+  * a doubled delivery) under /tmp, keyed by the fixture path and made
+  * permanent by a `_READY` marker. Keying by PATH alone is a staleness
+  * hazard: regenerate the fixture in place (new timestamps, new rows)
+  * and the stale staged copy is silently reused — e.g. a sentinel that
+  * no longer exceeds max event time quietly degrades outer emission.
+  * Folding the fixture's (size, mtime) into the key makes regeneration
+  * produce a NEW staging dir, so `_READY` only ever blesses a copy
+  * derived from the bytes it was built from.
+  */
+object FixtureStaging {
+
+  /** Deterministic signature of a fixture file or directory: total size
+    * and max mtime over the file (or the directory's direct children —
+    * parquet dirs change their part files on rewrite). */
+  def sig(path: String): String = {
+    val f = new java.io.File(path)
+    val files =
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty)
+      else Array(f)
+    val size = files.map(_.length()).sum
+    val mtime = if (files.isEmpty) 0L else files.map(_.lastModified()).max
+    s"$size:$mtime"
+  }
+
+  /** 8-char staging key from a namespace tag, the fixture path, and the
+    * fixture's content signature. */
+  def key(tag: String, fixturePath: String): String =
+    java.util.UUID
+      .nameUUIDFromBytes(s"$tag:$fixturePath:${sig(fixturePath)}".getBytes)
+      .toString.take(8)
+}

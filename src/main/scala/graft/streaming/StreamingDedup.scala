@@ -78,8 +78,11 @@ object StreamingDedup {
     * dedup; the oracle is the batch distinct-content aggregation. */
   private def dupDocDir(dir: String): String = {
     import java.nio.file.{Files, Paths}
-    val key = java.util.UUID.nameUUIDFromBytes(("dupdoc:" + dir).getBytes)
-      .toString.take(8)
+    // content-signature key: regenerating the fixture re-stages (the
+    // symlinked content tracks automatically, but a fresh dir also ends
+    // the cross-JVM window where one JVM deletes a half-staged dir the
+    // other is mid-building)
+    val key = FixtureStaging.key("dupdoc", s"$dir/documents.parquet")
     val d = Paths.get(s"/tmp/graft-stream-dupdoc-$key")
     // completion marker: a crash between the two symlinks would leave a
     // half-staged dir (single delivery) that bare exists() accepts —

@@ -76,8 +76,10 @@ object StreamingFunnel {
     // update-mode memory sink may hold several versions per key: keep max
     val latest = spark.table(name)
       .groupBy("event_type").agg(max(col("n")).as("n"))
-    broadcast(stageDf)
-      .join(latest, stageDf("stage") === latest("event_type"), "left")
+    // Broadcast the buildable (right) side of the left outer join; a hint
+    // on the preserved side is silently dropped with a WARN.
+    stageDf
+      .join(broadcast(latest), stageDf("stage") === latest("event_type"), "left")
       .select(col("stage"), col("stage_rank"),
         coalesce(col("n"), lit(0L)).as("n_events"))
       .orderBy("stage_rank")

@@ -63,8 +63,10 @@ object StreamingJoin {
     * batch left range join — no cutoff arithmetic to replicate. */
   private def sentinelDir(spark: SparkSession, dir: String): String = {
     import java.nio.file.{Files, Paths}
-    val key = java.util.UUID.nameUUIDFromBytes(("lojoin:" + dir).getBytes)
-      .toString.take(8)
+    // key includes the fixture's content signature: a regenerated
+    // events.parquet (later timestamps) gets a FRESH staging dir, so a
+    // stale sentinel can never silently undercut the new max event time
+    val key = FixtureStaging.key("lojoin", s"$dir/events.parquet")
     val d = Paths.get(s"/tmp/graft-stream-lo-$key")
     // completion marker, not bare exists(): a crash (or a racing
     // second JVM) between createDirectories and the sentinel copy

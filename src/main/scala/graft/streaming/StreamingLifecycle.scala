@@ -81,8 +81,10 @@ object StreamingLifecycle {
       .groupBy("event_type")
       .agg(max(col("n_events")).as("n_events"), max(col("cents")).as("cents"))
     val stageDf = graft.Pipeline.lifecycleStages.toDF("stage", "stage_rank")
-    broadcast(stageDf)
-      .join(latest, stageDf("stage") === latest("event_type"), "left")
+    // Broadcast the buildable (right) side; a hint on the preserved side
+    // of a left outer join is silently dropped with a WARN.
+    stageDf
+      .join(broadcast(latest), stageDf("stage") === latest("event_type"), "left")
       .select(col("stage"), col("stage_rank"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
         (coalesce(col("cents"), lit(0L)).cast("double") / 100.0)

@@ -57,6 +57,42 @@ class PlanAuditSpec extends SparkSpec {
     "q98_ri_audit",           // seven 1-row constraint scalars
     "q146_curation_funnel")   // 1-row six-sum funnel final
 
+  /** Every node of the plan, descending through AQE wrappers (an
+    * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is
+    * reached via the Scala-package-private accessor, public in
+    * bytecode) and into planned subqueries. */
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    val self = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.getClass.getMethod("initialPlan").invoke(a)
+          .asInstanceOf[org.apache.spark.sql.execution.SparkPlan]
+      case o => o
+    }
+    self +: (self.children ++ self.subqueries).flatMap(allNodes)
+  }
+
+  /** An `Exchange SinglePartition` is structurally exempt only when it
+    * is the merge step of a bloom-filter build: its direct child is an
+    * aggregate whose aggregate-expression set contains
+    * `BloomFilterAggregate`. Spark's own InjectRuntimeFilter plans
+    * exactly this shape (a global ObjectHashAggregate merging PARTIAL
+    * SKETCH BUFFERS — one per partition, not rows; the same pre-reduced
+    * class as q81's explicit bloom build) and it can appear under ANY
+    * join as stats shift. Matching the child NODE's aggregate functions
+    * — not nearby plan-string lines — keeps the audit stable under
+    * plan-rendering shifts (wrapper nodes, line wrapping).  */
+  private def isBloomMerge(
+      e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec)
+      : Boolean =
+    e.child match {
+      case agg: org.apache.spark.sql.execution.aggregate.BaseAggregateExec =>
+        agg.aggregateExpressions.exists(_.aggregateFunction
+          .isInstanceOf[org.apache.spark.sql.catalyst.expressions
+            .aggregate.BloomFilterAggregate])
+      case _ => false
+    }
+
   test("no batch query plans a cartesian product, an unsanctioned " +
       "nested-loop join, or an unreviewed single-partition exchange") {
     val dir = sf("sf0.001")
@@ -64,28 +100,29 @@ class PlanAuditSpec extends SparkSpec {
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(_._1.contains("streaming"))
       .foreach { case (name, fn) =>
-        val plan =
-          try fn(spark, dir).queryExecution.executedPlan.toString
-          catch { case e: Throwable => s"PLAN FAILED: $e" }
-        if (plan.contains("PLAN FAILED")) bad += s"$name: $plan"
-        if (plan.contains("CartesianProduct"))
-          bad += s"$name: CartesianProduct"
-        // Spark's InjectRuntimeFilter builds its bloom filter with a
-        // global ObjectHashAggregate whose merge is a SinglePartition
-        // exchange over PARTIAL SKETCH BUFFERS (one per partition, not
-        // rows) — the same pre-reduced class as q81's explicit bloom
-        // build, and it can appear under ANY join as stats shift, so
-        // it is exempted structurally rather than by name
-        val lines = plan.split("\n")
-        val unreviewedSp = lines.zipWithIndex.exists { case (l, i) =>
-          l.contains("Exchange SinglePartition") &&
-            !lines.drop(i + 1).take(2)
-              .exists(_.contains("partial_bloom_filter_agg"))
+        val planOpt =
+          try Right(fn(spark, dir).queryExecution.executedPlan)
+          catch { case e: Throwable => Left(s"PLAN FAILED: $e") }
+        planOpt match {
+          case Left(err) => bad += s"$name: $err"
+          case Right(plan) =>
+            val planStr = plan.toString
+            if (planStr.contains("CartesianProduct"))
+              bad += s"$name: CartesianProduct"
+            val unreviewedSp = allNodes(plan).exists {
+              case e: org.apache.spark.sql.execution.exchange
+                  .ShuffleExchangeExec =>
+                e.outputPartitioning ==
+                  org.apache.spark.sql.catalyst.plans.physical
+                    .SinglePartition && !isBloomMerge(e)
+              case _ => false
+            }
+            if (unreviewedSp && !singlePartitionReviewed(name))
+              bad += s"$name: unreviewed Exchange SinglePartition"
+            if (planStr.contains("BroadcastNestedLoopJoin") &&
+                !bnljAllowed(name))
+              bad += s"$name: unsanctioned BroadcastNestedLoopJoin"
         }
-        if (unreviewedSp && !singlePartitionReviewed(name))
-          bad += s"$name: unreviewed Exchange SinglePartition"
-        if (plan.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name))
-          bad += s"$name: unsanctioned BroadcastNestedLoopJoin"
       }
     assert(bad.isEmpty, s"scale anti-patterns found:\n${bad.mkString("\n")}")
   }
