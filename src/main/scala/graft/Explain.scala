@@ -16,6 +16,11 @@ object Explain {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed joins whose equi-keys EXTEND the bucket key (e.g. the
+      // IVF index self-join on (cid, _sub)) stay exchange-free: children
+      // co-partitioned on a subset of the join keys is exactly what a
+      // bucketed layout provides (IvfIndexSpec pins the plan)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -121,6 +121,11 @@ object Pipeline {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed joins whose equi-keys EXTEND the bucket key (e.g. the
+      // IVF index self-join on (cid, _sub)) stay exchange-free: children
+      // co-partitioned on a subset of the join keys is exactly what a
+      // bucketed layout provides (IvfIndexSpec pins the plan)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()

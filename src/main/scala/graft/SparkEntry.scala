@@ -188,6 +188,10 @@ object SparkEntry {
       (graft.sources.ParquetMerge.mergeScenario _),
     "q152_streaming_left_outer_join" ->
       (graft.streaming.StreamingJoin.purchasesWithViewAttribution _),
+    "q153_embedding_dedup_indexed" ->
+      ((s, d) => VectorOps.embeddingDedupIvfIndexed(s, d)),
+    "q154_training_pipeline" ->
+      ((s, d) => graft.TrainingPipeline.trainingSet(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1768,6 +1772,45 @@ object SparkEntry {
         |ORDER BY p.user_id ASC NULLS FIRST, purchase_ts ASC NULLS FIRST,
         |  view_ts ASC NULLS FIRST""".stripMargin,
 
+    // q153 reads the PERSISTED cid-bucketed IVF index instead of
+    // assigning live; the assignment is deterministic, so the verdict
+    // contract — and therefore the oracle — is exactly q141's. The
+    // oracle has no idea the index exists, which is the point: storage
+    // layout must never change results.
+    "q153_embedding_dedup_indexed" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 16),
+         |ac AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosCols("e.embedding", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+         |    FROM ac) WHERE rn <= 4),
+         |p AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    ${cosCols("a.embedding", "b.embedding")} AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT DISTINCT ida, idb FROM p WHERE cos >= 0.4),
+         |edges AS (SELECT ida AS s, idb AS d FROM pairs
+         |  UNION SELECT idb, ida FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.id, e2.d FROM reach w JOIN edges e2 ON w.r = e2.s),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+         |  FROM reach GROUP BY id)
+         |SELECT v.vec_id,
+         |  COALESCE(c2.component, v.vec_id) AS component,
+         |  COUNT(*) OVER (PARTITION BY COALESCE(c2.component, v.vec_id))
+         |    AS cluster_size,
+         |  v.vec_id = COALESCE(c2.component, v.vec_id) AS is_canonical
+         |FROM e v LEFT JOIN comp c2 ON v.vec_id = c2.id
+         |ORDER BY v.vec_id NULLS FIRST""".stripMargin,
+
     // Our native jaro_winkler expression is pinned bit-exact to
     // DuckDB's jaro_winkler_similarity; both sides cut on the
     // val6-rounded score so the threshold can't flip on a boundary.
@@ -2364,6 +2407,43 @@ object SparkEntry {
          |  lang_ok AND quality_ok AND rep_ok AND decon_ok AND dedup_ok
          |    AS keep
          |FROM v ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // q154: the ENTIRE training pipeline (curate → balance → shard →
+    // pack, four truncate-written layers) replayed relationally. Stage
+    // CTEs are the same logic gated standalone: verdicts = q145 minus
+    // the lang-select (the pipeline balances languages instead of
+    // selecting one), mixture = q149 with rates from the KEPT corpus,
+    // shard = q144 over the MIXED corpus, packs = q136 scoped to
+    // (shard, source).
+    "q154_training_pipeline" ->
+      s"""WITH RECURSIVE $curationCtes,
+         |mk AS (SELECT doc_id FROM v
+         |  WHERE quality_ok AND rep_ok AND decon_ok AND dedup_ok),
+         |kept AS (SELECT doc.doc_id, doc.lang, doc.source, doc.text
+         |  FROM documents doc JOIN mk USING (doc_id)),
+         |lc AS (SELECT lang, count(*) AS cnt FROM kept GROUP BY lang),
+         |lr AS (SELECT lang,
+         |  (SELECT min(cnt) FROM lc) * 1000000 // cnt AS mix_threshold
+         |  FROM lc),
+         |mixed AS (SELECT k.* FROM kept k JOIN lr USING (lang)
+         |  WHERE ${h32("'mix:' || k.doc_id")} % 1000000
+         |    < lr.mix_threshold),
+         |sr AS (SELECT doc_id,
+         |  ROW_NUMBER() OVER (ORDER BY md5('shard:' || doc_id), doc_id)
+         |    AS rk FROM mixed),
+         |shd AS (SELECT doc_id, (rk - 1) % 8 AS shard, (rk - 1) // 8 AS pos
+         |  FROM sr),
+         |tok AS (SELECT m.doc_id, m.lang, m.source, shd.shard, shd.pos,
+         |    CAST(len(string_split(m.text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM mixed m JOIN shd USING (doc_id)),
+         |packed AS (SELECT *,
+         |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY shard, source
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+         |    1 PRECEDING), 0) // 256 AS BIGINT) AS pack_id
+         |  FROM tok)
+         |SELECT doc_id, lang, source, CAST(shard AS BIGINT) AS shard,
+         |  CAST(pos AS BIGINT) AS pos, n_tokens, pack_id
+         |FROM packed ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     "q146_curation_funnel" ->
       s"""WITH RECURSIVE $curationCtes

@@ -79,6 +79,30 @@ object TrainingPipeline {
     Result(verdicts, kept, mixed, training)
   }
 
+  /** The pipeline's `training_shards` layer as a GATED query (q154):
+    * run the whole chain into a scratch root (per dir and per process —
+    * concurrent JVMs never share it), read the trainer layout back, and
+    * emit one totally-ordered row per training document with its full
+    * provenance (shard, pos, pack). The DuckDB oracle recomputes the
+    * entire chain as composed CTEs — the same per-stage oracles that
+    * gate q145/q149/q144/q136 standalone — so the WRITE PATH (four
+    * truncate-written layers, partitionBy(shard)) is hash-verified
+    * end-to-end, not just spec-asserted. `shard` reads back from the
+    * partition directory as INT; cast to the written BIGINT. */
+  def trainingSet(spark: SparkSession, dir: String): DataFrame = {
+    val key = java.util.UUID.nameUUIDFromBytes(("tpipe:" + dir).getBytes)
+      .toString.take(8)
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft-tpipe-$key" +
+      s"-p${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+    val r = run(spark, dir, out)
+    r.training
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("shard").cast("long").as("shard"), col("pos"),
+        col("n_tokens"), col("pack_id"))
+      .orderBy("doc_id")
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = args.lift(1).getOrElse(
@@ -88,6 +112,11 @@ object TrainingPipeline {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed joins whose equi-keys EXTEND the bucket key (e.g. the
+      // IVF index self-join on (cid, _sub)) stay exchange-free: children
+      // co-partitioned on a subset of the join keys is exactly what a
+      // bucketed layout provides (IvfIndexSpec pins the plan)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)

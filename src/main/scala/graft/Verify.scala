@@ -20,6 +20,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed joins whose equi-keys EXTEND the bucket key (e.g. the
+      // IVF index self-join on (cid, _sub)) stay exchange-free: children
+      // co-partitioned on a subset of the join keys is exactly what a
+      // bucketed layout provides (IvfIndexSpec pins the plan)
+      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
       // NOTE: parquet timestamps stay on the default INT96, which pyarrow
       // reads as NAIVE datetime64[ns] — matching the DuckDB oracle's naive
       // timestamps. TIMESTAMP_MICROS would read back tz-aware (UTC) and

@@ -210,8 +210,10 @@ object Graphs {
         .join(broadcast(ranks.withColumnRenamed("brand", "src")), "src")
         .groupBy(col("dst").as("brand"))
         .agg(sum(expr("rank_i div outdeg")).as("inflow"))
-      ranks = broadcast(nodes)
-        .join(contribs, Seq("brand"), "left")
+      // hint the buildable (right) side: left outer can't build-left,
+      // so a hint on preserved `nodes` would be silently dropped
+      ranks = nodes
+        .join(broadcast(contribs), Seq("brand"), "left")
         .select(col("brand"),
           (lit(teleport) +
             expr(s"(85 * coalesce(inflow, 0L)) div 100")).as("rank_i"))

@@ -223,7 +223,8 @@ object TextOps {
     * the shuffle carries nBands copies of the shingle arrays, the
     * standard LSH space/time trade. */
   def minhashNearDups(spark: SparkSession, dir: String,
-      threshold: Double = 0.7): DataFrame = {
+      threshold: Double = 0.7,
+      maxBucket: Long = VectorOps.DefaultMaxBucket): DataFrame = {
     import spark.implicits._
     // candidate generation touches ONLY (doc_id, band, h1, h2) longs —
     // a collect_list of shingle arrays is GC-heavy and a join carrying
@@ -239,12 +240,20 @@ object TextOps {
         .select(col("doc_id"), col("bk.band").as("band"),
           col("bk.h1").as("h1"), col("bk.h2").as("h2"))
     }
-    val l = banded.select(col("doc_id").as("ida"), col("band"),
-      col("h1"), col("h2"))
-    val r = banded.select(col("doc_id").as("idb"), col("band").as("bandr"),
-      col("h1").as("h1r"), col("h2").as("h2r"))
+    // skew guard (VectorOps.withBucketCap): a pathological corpus where
+    // every document shares one band signature would make one bucket ≈
+    // the corpus and the band join quadratic; sub-splitting bounds pair
+    // work to n·cap. Inert (sub = 0 everywhere) at every gate SF.
+    val capped = VectorOps.withBucketCap(banded,
+      Seq("band", "h1", "h2"), "doc_id", maxBucket,
+      broadcastCensus = false)
+    val l = capped.select(col("doc_id").as("ida"), col("band"),
+      col("h1"), col("h2"), col("_sub").as("suba"))
+    val r = capped.select(col("doc_id").as("idb"), col("band").as("bandr"),
+      col("h1").as("h1r"), col("h2").as("h2r"), col("_sub").as("subb"))
     val cand = l.join(r, col("band") === col("bandr")
         && col("h1") === col("h1r") && col("h2") === col("h2r")
+        && col("suba") === col("subb")
         && col("ida") < col("idb"))
       .select("ida", "idb").distinct()
 

@@ -160,9 +160,16 @@ object VectorOps {
       nProbe: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
     val pairs = ivfCandidatePairs(spark, e, nCentroids, threshold, nProbe)
+    dedupVerdict(e.select("vec_id"), pairs)
+  }
+
+  /** The verdict layer shared by every dedup variant: close candidate
+    * pairs into clusters ([[Graphs.components]]) and give every id its
+    * canonical representative (min id), cluster size, and keep flag. */
+  def dedupVerdict(ids: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = Graphs.components(pairs, "ida", "idb")
       .withColumnRenamed("id", "vec_id")
-    e.select("vec_id")
+    ids
       .join(comp, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("comp"), col("vec_id")).as("component"))
@@ -170,6 +177,31 @@ object VectorOps {
         count(lit(1)).over(Window.partitionBy("component")))
       .withColumn("is_canonical", col("vec_id") === col("component"))
       .orderBy("vec_id")
+  }
+
+  /** At-scale embedding dedup against the PERSISTED IVF index (q153):
+    * semantically identical to [[embeddingDedupIvf]] — same assignment,
+    * same candidates, same closure, same verdict, same oracle — but the
+    * multi-probe assignment is written ONCE as a cid-bucketed table
+    * ([[graft.sources.IvfIndex]]) and the Σ bucket² candidate self-join
+    * reads co-located buckets with NO exchange on either side
+    * (IvfIndexSpec pins the exchange-free join subtree, the same
+    * assertion BucketedJoinSpec makes for the fact⋈fact join).
+    *
+    * This is the 100 TB deployment shape the q141 Scaladoc promises:
+    * build the index once (one map-only assignment pass + one bucketed
+    * write), then every dedup/ANN run over it joins bucket-to-bucket
+    * without reshuffling the corpus — the index write amortizes across
+    * every downstream probe. */
+  def embeddingDedupIvfIndexed(spark: SparkSession, dir: String,
+      nCentroids: Int = 16, threshold: Double = 0.4,
+      nProbe: Int = 4, maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val assigned =
+      graft.sources.IvfIndex.table(spark, dir, nCentroids, nProbe)
+    val pairs =
+      pairsFromAssigned(assigned, threshold, nProbe, maxBucket)
+    val ids = Tables.embeddings(spark, dir).select("vec_id")
+    dedupVerdict(ids, pairs)
   }
 
   /** q141's candidate generator, exposed for precision/recall testing:
@@ -185,40 +217,95 @@ object VectorOps {
     * cost of nProbe× assignment rows. VectorDedupSpec measures the
     * recall curve against the exact pair set. */
   def ivfCandidatePairs(spark: SparkSession, embeddings: DataFrame,
-      nCentroids: Int, threshold: Double, nProbe: Int = 1): DataFrame = {
+      nCentroids: Int, threshold: Double, nProbe: Int = 1,
+      maxBucket: Long = DefaultMaxBucket): DataFrame =
+    pairsFromAssigned(
+      ivfAssign(spark, embeddings, nCentroids, nProbe),
+      threshold, nProbe, maxBucket)
+
+  /** Multi-probe nearest-centroid assignment — the IVF index CONTENT:
+    * one map-only pass, each vector assigned to its `nProbe` nearest of
+    * the first-`nCentroids` corpus vectors (ties → lower cid, matching
+    * the single-probe argmax's first-max-wins scan). Centroids are a
+    * metadata-sized driver constant (nCentroids × dim floats), exactly
+    * like [[ivfKnn]]'s. Persisted cid-bucketed by
+    * [[graft.sources.IvfIndex]]. */
+  def ivfAssign(spark: SparkSession, embeddings: DataFrame,
+      nCentroids: Int, nProbe: Int): DataFrame = {
     import spark.implicits._
     val e = embeddings.select(col("vec_id"), col("embedding"))
-    // metadata-sized driver constant (nCentroids × dim floats), exactly
-    // like ivfKnn's coarse centroids
     val cents: Array[(Long, Array[Float])] =
       e.filter(col("vec_id") < nCentroids)
         .as[(Long, Array[Float])].collect().sortBy(_._1)
     val bc = spark.sparkContext.broadcast(cents)
     val np = nProbe
-    val assigned = e.as[(Long, Array[Float])]
+    e.as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (id, v) =>
-          // ties break to the lower cid (stable sort over cid order),
-          // matching the single-probe argmax's first-max-wins scan
           cs.map { case (cid, cv) => (cid, cosOf(v, cv)) }
             .sortBy { case (cid, s) => (-s, cid) }
             .take(np)
             .map { case (cid, _) => (id, cid, v) }
         }
       }.toDF("vec_id", "cid", "embedding")
+  }
 
-    val a = assigned.select(col("cid"), col("vec_id").as("ida"),
-      col("embedding").as("va"))
-    val b = assigned.select(col("cid"), col("vec_id").as("idb"),
-      col("embedding").as("vb"))
-    // the Σ bucket² pair scoring is the hot loop: the codegen'd
-    // CosineSim expression keeps it inside whole-stage codegen (a typed
-    // mapPartitions here pays a 2M-row encoder round-trip — measured
-    // ~5.0 s → ~3.9 s end-to-end at sf0.1/nProbe=4, where the CC
-    // closure floor is ~2.3 s); arithmetic is pinned bit-identical to
-    // cosOf, so the gate hash is unchanged
-    val scored = a.join(b, Seq("cid"))
+  /** Bucket-size cap for candidate generation — the skew guard SCALE.md
+    * names: an adversarial corpus (all-near-identical vectors) collapses
+    * every row into one bucket and Σ bucket² degenerates to N². The
+    * guard sub-splits any bucket larger than `cap` into
+    * `nsub = ⌈n/cap⌉` deterministic sub-buckets (`id % nsub`) and only
+    * pairs WITHIN a sub-bucket, bounding per-bucket pair work to
+    * ~n·cap (linear in n at fixed cap) instead of n².
+    *
+    * Degrade policy, documented: pairs STRADDLING sub-buckets are the
+    * recall loss — an oversized bucket's cluster may split into up to
+    * nsub clusters (each sub-bucket still closes internally). The
+    * split is deterministic (id arithmetic, no RNG), so reruns and the
+    * oracle replay it exactly; IvfSkewGuardSpec plants the pathological
+    * corpus and pins both the pair bound and the stable verdict. When
+    * no bucket exceeds `cap` — every real gate SF — nsub = 1, `_sub` is
+    * 0 everywhere, and output is bit-identical to the uncapped join.
+    *
+    * The bucket census is a map-side-combined count at bucket grain
+    * (rows = #distinct buckets, not vectors); it joins back BROADCAST
+    * for IVF (≤ nCentroids rows by construction). */
+  private[graft] def withBucketCap(assigned: DataFrame, keys: Seq[String],
+      idCol: String, cap: Long, broadcastCensus: Boolean): DataFrame = {
+    val k = keys.map(col)
+    val census0 = assigned.groupBy(k: _*).agg(count(lit(1)).as("_bn"))
+    val census = if (broadcastCensus) broadcast(census0) else census0
+    assigned.join(census, keys)
+      .withColumn("_nsub", greatest(lit(1L),
+        ceil(col("_bn").cast("double") / lit(cap.toDouble)).cast("long")))
+      .withColumn("_sub", pmod(col(idCol), col("_nsub")))
+      .drop("_bn", "_nsub")
+  }
+
+  /** Default bucket cap: far above any bucket the synthetic SFs
+    * produce (the guard is inert on the gates — nsub = 1 everywhere)
+    * while still bounding a pathological corpus; a deployment tunes it
+    * to executor-memory × recall budget (SCALE.md). */
+  val DefaultMaxBucket: Long = 1000000L
+
+  /** Σ bucket² pair scoring over an assignment (from [[ivfAssign]] live
+    * or read back from the persisted [[graft.sources.IvfIndex]]): pairs
+    * sharing a (bucket, sub-bucket), scored with the codegen'd
+    * CosineSim expression — a typed mapPartitions here pays a 2M-row
+    * encoder round-trip (measured ~5.0 s → ~3.9 s end-to-end at
+    * sf0.1/nProbe=4); arithmetic is pinned bit-identical to cosOf, so
+    * the gate hash is unchanged. */
+  def pairsFromAssigned(assigned: DataFrame, threshold: Double,
+      nProbe: Int, maxBucket: Long = DefaultMaxBucket): DataFrame = {
+    val capped = withBucketCap(
+      assigned.select(col("vec_id"), col("cid"), col("embedding")),
+      Seq("cid"), "vec_id", maxBucket, broadcastCensus = true)
+    val a = capped.select(col("cid"), col("_sub"),
+      col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = capped.select(col("cid"), col("_sub"),
+      col("vec_id").as("idb"), col("embedding").as("vb"))
+    val scored = a.join(b, Seq("cid", "_sub"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
         graft.functions.CosineSim.cosineSim(col("va"), col("vb")).as("cos"))
@@ -226,7 +313,7 @@ object VectorOps {
       .select("ida", "idb")
     // multi-probe can surface one pair from several shared buckets;
     // only true above-threshold pairs reach the distinct (tiny)
-    if (np > 1) scored.distinct() else scored
+    if (nProbe > 1) scored.distinct() else scored
   }
 
   /** Recall of the IVF-bucketed candidate generator against the exact
@@ -361,7 +448,8 @@ object VectorOps {
     * come from an equi-join on (band, signature) — never all-pairs. */
   def lshNearDups(spark: SparkSession, embeddings: DataFrame,
       dim: Int, nBands: Int = 4, nBits: Int = 8,
-      threshold: Double = 0.95): DataFrame = {
+      threshold: Double = 0.95,
+      maxBucket: Long = DefaultMaxBucket): DataFrame = {
     // deterministic hyperplanes on the driver (tiny: nBands*nBits*dim)
     val planes: Array[Array[Double]] =
       Array.tabulate(nBands * nBits, dim) { (p, i) =>
@@ -387,11 +475,19 @@ object VectorOps {
     val keyed = embeddings
       .select(col("vec_id"), col("embedding"),
         explode(array(sigs: _*)).as("bk"))
-    val l = keyed.select(col("vec_id").as("ida"), col("embedding").as("va"),
-      col("bk").as("bka"))
-    val r = keyed.select(col("vec_id").as("idb"), col("embedding").as("vb"),
-      col("bk").as("bkb"))
-    l.join(r, col("bka") === col("bkb") && col("ida") < col("idb"))
+    // same skew guard as the IVF path ([[withBucketCap]]): a degenerate
+    // corpus that collapses into one (band, sig) bucket pairs in n·cap,
+    // not n². Census stays un-broadcast here — LSH bucket count scales
+    // with the corpus (it's #distinct signatures, not a fixed K), so the
+    // census joins back key-shuffled and AQE broadcasts it when small.
+    val capped = withBucketCap(keyed, Seq("bk"), "vec_id", maxBucket,
+      broadcastCensus = false)
+    val l = capped.select(col("vec_id").as("ida"), col("embedding").as("va"),
+      col("bk").as("bka"), col("_sub").as("suba"))
+    val r = capped.select(col("vec_id").as("idb"), col("embedding").as("vb"),
+      col("bk").as("bkb"), col("_sub").as("subb"))
+    l.join(r, col("bka") === col("bkb") && col("suba") === col("subb") &&
+        col("ida") < col("idb"))
       .select("ida", "idb", "va", "vb").distinct()
       .withColumn("cos",
         graft.functions.CosineSim.cosineSim(col("va"), col("vb")))

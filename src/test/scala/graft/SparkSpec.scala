@@ -10,6 +10,9 @@ trait SparkSpec extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // mirror the product sessions: bucketed joins whose equi-keys extend
+    // the bucket key (IVF index self-join) stay exchange-free
+    .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.warehouse.dir",
       s"${System.getProperty("java.io.tmpdir")}/graft_warehouse_test")
