@@ -259,8 +259,9 @@ class TrainingDataSpec extends SparkSpec {
       .filter($"n_docs" =!= $"bd" || $"n_tokens" =!= $"bt")
       .count() == 0)
     // non-vacuous: the staged landing dir really delivers every doc twice
-    val key = java.util.UUID.nameUUIDFromBytes(("dupdoc:" + dir).getBytes)
-      .toString.take(8)
+    // (same content-signature key dupDocDir stages under)
+    val key = graft.streaming.FixtureStaging.key(
+      "dupdoc", s"$dir/documents.parquet")
     val staged = spark.read.parquet(s"/tmp/graft-stream-dupdoc-$key")
     assert(staged.count() ==
       2 * graft.sources.Tables.documents(spark, dir).count())
