@@ -192,6 +192,8 @@ object SparkEntry {
       ((s, d) => VectorOps.embeddingDedupIvfIndexed(s, d)),
     "q154_training_pipeline" ->
       ((s, d) => graft.TrainingPipeline.trainingSet(s, d)),
+    "q155_embedding_dedup_trained" ->
+      ((s, d) => VectorOps.embeddingDedupIvfTrained(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -383,43 +385,52 @@ object SparkEntry {
     * vectors), same strict-argmin tiebreak, and the same floor-scaled
     * INTEGER dimension sums — which is what makes an iterative float
     * algorithm bit-reproducible across engines. */
-  private val kmeansSql: String = {
-    val (k, dim) = (8, 64)
-    def distExpr(e: String, c: String) =
-      s"""list_reduce(list_transform(range(1, ${dim + 1}),
-         |      i -> (CAST($e[i] AS DOUBLE) - $c[i])
-         |         * (CAST($e[i] AS DOUBLE) - $c[i])), (x, y) -> x + y)""".stripMargin
-    def assign(src: String, cents: String, out: String) =
-      s"""$out AS (
-         |  SELECT vec_id, cid, embedding, d FROM (
-         |    SELECT vec_id, cid, embedding, d, row_number() OVER (
-         |        PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
-         |    FROM (SELECT e.vec_id, c.cid, e.embedding,
-         |        ${distExpr("e.embedding", "c.c")} AS d
-         |      FROM $src e CROSS JOIN $cents c))
-         |  WHERE rn = 1)""".stripMargin
-    def update(src: String, out: String) =
-      s"""$out AS (
-         |  SELECT cid, list(m ORDER BY pos) AS c FROM (
-         |    SELECT cid, pos,
-         |      CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
-         |        AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS m
-         |    FROM (SELECT cid, generate_subscripts(embedding, 1) AS pos,
-         |        unnest(embedding) AS x FROM $src)
-         |    GROUP BY 1, 2)
-         |  GROUP BY cid)""".stripMargin
-    s"""WITH c0 AS (SELECT vec_id AS cid,
+  /** DuckDB mirror of [[graft.operators.VectorOps]]'s Lloyd trainer:
+    * the L2 assignment + integer-sum update CTE builders, shared by the
+    * q76 trainer oracle and the q155 trained-index oracle (both replay
+    * the SAME two rounds from the first-K init). */
+  private def kmDistExpr(dim: Int)(e: String, c: String) =
+    s"""list_reduce(list_transform(range(1, ${dim + 1}),
+       |      i -> (CAST($e[i] AS DOUBLE) - $c[i])
+       |         * (CAST($e[i] AS DOUBLE) - $c[i])), (x, y) -> x + y)""".stripMargin
+  private def kmAssignCte(dim: Int)(src: String, cents: String, out: String) =
+    s"""$out AS (
+       |  SELECT vec_id, cid, embedding, d FROM (
+       |    SELECT vec_id, cid, embedding, d, row_number() OVER (
+       |        PARTITION BY vec_id ORDER BY d ASC, cid ASC) AS rn
+       |    FROM (SELECT e.vec_id, c.cid, e.embedding,
+       |        ${kmDistExpr(dim)("e.embedding", "c.c")} AS d
+       |      FROM $src e CROSS JOIN $cents c))
+       |  WHERE rn = 1)""".stripMargin
+  private def kmUpdateCte(src: String, out: String) =
+    s"""$out AS (
+       |  SELECT cid, list(m ORDER BY pos) AS c FROM (
+       |    SELECT cid, pos,
+       |      CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+       |        AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS m
+       |    FROM (SELECT cid, generate_subscripts(embedding, 1) AS pos,
+       |        unnest(embedding) AS x FROM $src)
+       |    GROUP BY 1, 2)
+       |  GROUP BY cid)""".stripMargin
+
+  /** Two Lloyd rounds from the first-`k`-vectors init; CTE names are
+    * prefixed so two trainers can coexist in one WITH list. The final
+    * centroid table is `<prefix>c2(cid, c)`. */
+  private def kmTrainCtes(k: Int, dim: Int, p: String): String =
+    s"""${p}c0 AS (SELECT vec_id AS cid,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
        |  FROM embeddings WHERE vec_id < $k),
-       |${assign("embeddings", "c0", "a0")},
-       |${update("a0", "c1")},
-       |${assign("embeddings", "c1", "a1")},
-       |${update("a1", "c2")},
-       |${assign("embeddings", "c2", "a2")}
+       |${kmAssignCte(dim)("embeddings", s"${p}c0", s"${p}a0")},
+       |${kmUpdateCte(s"${p}a0", s"${p}c1")},
+       |${kmAssignCte(dim)("embeddings", s"${p}c1", s"${p}a1")},
+       |${kmUpdateCte(s"${p}a1", s"${p}c2")}""".stripMargin
+
+  private val kmeansSql: String =
+    s"""WITH ${kmTrainCtes(8, 64, "")},
+       |${kmAssignCte(64)("embeddings", "c2", "a2")}
        |SELECT vec_id, cid, ${val6("d")} AS dist2,
        |  COUNT(*) OVER (PARTITION BY cid) AS cluster_size
        |FROM a2 ORDER BY vec_id NULLS FIRST""".stripMargin
-  }
 
   /** DuckDB mirror of VectorOps.dot/norm/cosine: left folds match
     * Spark's `aggregate` order (and the typed kernel's independent
@@ -1784,6 +1795,45 @@ object SparkEntry {
          |  SELECT e.vec_id, e.embedding, c.cid,
          |    ${cosCols("e.embedding", "c.cv")} AS ccos
          |  FROM e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+         |    FROM ac) WHERE rn <= 4),
+         |p AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    ${cosCols("a.embedding", "b.embedding")} AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT DISTINCT ida, idb FROM p WHERE cos >= 0.4),
+         |edges AS (SELECT ida AS s, idb AS d FROM pairs
+         |  UNION SELECT idb, ida FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.id, e2.d FROM reach w JOIN edges e2 ON w.r = e2.s),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+         |  FROM reach GROUP BY id)
+         |SELECT v.vec_id,
+         |  COALESCE(c2.component, v.vec_id) AS component,
+         |  COUNT(*) OVER (PARTITION BY COALESCE(c2.component, v.vec_id))
+         |    AS cluster_size,
+         |  v.vec_id = COALESCE(c2.component, v.vec_id) AS is_canonical
+         |FROM e v LEFT JOIN comp c2 ON v.vec_id = c2.id
+         |ORDER BY v.vec_id NULLS FIRST""".stripMargin,
+
+    // q155 swaps the centroid source: the kmeans trainer's two Lloyd
+    // rounds at K=16 (the exact q76 loop, shared CTE builders) feed the
+    // multi-probe assignment; candidates/closure/verdict are q141's.
+    // The oracle replays training (integer-sum updates → bit-identical
+    // centroids), then the same cosine probe and CC closure.
+    "q155_embedding_dedup_trained" ->
+      s"""WITH RECURSIVE ${kmTrainCtes(16, 64, "t")},
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |ac AS (
+         |  SELECT e.vec_id, e.embedding, tc.cid,
+         |    ${cosCols("e.embedding", "tc.c")} AS ccos
+         |  FROM e CROSS JOIN tc2 tc),
          |assign AS (
          |  SELECT vec_id, embedding, cid FROM (
          |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id

@@ -522,33 +522,57 @@ object VectorOps {
     import spark.implicits._
     val ds = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val cents = lloydRounds(spark, ds, k, iters)
+    val sizeW = Window.partitionBy("cid")
+    kmeansAssign(spark, ds, cents)
+      .select(col("vec_id"), col("cid"),
+        graft.util.Portable.val6(col("dist2")).as("dist2"),
+        count(lit(1)).over(sizeW).as("cluster_size"))
+      .orderBy("vec_id")
+  }
 
-    def distSq(v: Array[Float], c: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < c.length) { val d = v(i).toDouble - c(i); s += d * d; i += 1 }
-      s
-    }
-    def assignTo(cents: Array[(Long, Array[Double])]) = {
-      val bc = spark.sparkContext.broadcast(cents)
-      ds.mapPartitions { it =>
-        val cs = bc.value
-        it.map { case (id, v) =>
-          var bestC = Long.MaxValue; var best = Double.PositiveInfinity
-          var i = 0
-          while (i < cs.length) {
-            val s = distSq(v, cs(i)._2)
-            if (s < best) { best = s; bestC = cs(i)._1 }
-            i += 1
-          }
-          (id, bestC, best, v)
+  private def distSq(v: Array[Float], c: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < c.length) { val d = v(i).toDouble - c(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** One L2 argmin assignment pass (strict <, ties → the first/lowest
+    * cid in the sorted centroid array) — the map-only kernel both the
+    * Lloyd update loop and [[kmeansQuantize]]'s final output share. */
+  private def kmeansAssign(spark: SparkSession,
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      cents: Array[(Long, Array[Double])]): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    ds.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, v) =>
+        var bestC = Long.MaxValue; var best = Double.PositiveInfinity
+        var i = 0
+        while (i < cs.length) {
+          val s = distSq(v, cs(i)._2)
+          if (s < best) { best = s; bestC = cs(i)._1 }
+          i += 1
         }
-      }.toDF("vec_id", "cid", "dist2", "embedding")
-    }
+        (id, bestC, best, v)
+      }
+    }.toDF("vec_id", "cid", "dist2", "embedding")
+  }
 
+  /** `iters` Lloyd rounds from the deterministic first-`k`-vectors init:
+    * the trainer loop extracted from [[kmeansQuantize]] so the trained
+    * centroids are reusable as an IVF centroid source. Per round, the
+    * update is one map-side-combined shuffle at (cid, dim) grain with
+    * floor-scaled integer sums (order-independent, oracle-replayable);
+    * the round-trip to the driver is K×dim scaled longs — metadata. */
+  private def lloydRounds(spark: SparkSession,
+      ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
+      k: Int, iters: Int): Array[(Long, Array[Double])] = {
     var cents: Array[(Long, Array[Double])] = ds.filter(_._1 < k)
       .collect().sortBy(_._1).map { case (id, v) => (id, v.map(_.toDouble)) }
     for (_ <- 1 to iters) {
-      val sums = assignTo(cents)
+      val sums = kmeansAssign(spark, ds, cents)
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "x")))
         .groupBy("cid", "pos")
         .agg(sum(floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))
@@ -561,13 +585,102 @@ object VectorOps {
         (cid, c)
       }.sortBy(_._1)
     }
+    cents
+  }
 
-    val sizeW = Window.partitionBy("cid")
-    assignTo(cents)
-      .select(col("vec_id"), col("cid"),
-        graft.util.Portable.val6(col("dist2")).as("dist2"),
-        count(lit(1)).over(sizeW).as("cluster_size"))
-      .orderBy("vec_id")
+  /** Trained IVF centroids: the [[kmeansQuantize]] trainer run at the
+    * index's K, exposed as the centroid source [[ivfKnn]]'s Scaladoc
+    * defers to. Deterministic end to end — fixed init (first K
+    * vectors), fixed iteration count, order-independent integer-sum
+    * updates — so an oracle replays the exact centroids and every
+    * downstream assignment/recall decision. */
+  def trainCentroids(spark: SparkSession, dir: String,
+      k: Int, iters: Int = 2): Array[(Long, Array[Double])] = {
+    import spark.implicits._
+    lloydRounds(spark,
+      Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+      k, iters)
+  }
+
+  /** [[cosOf]] against a double-precision centroid: same left-to-right
+    * fold, float operand promoted per element — the arithmetic DuckDB's
+    * `list_reduce` fold lands on when one list is already DOUBLE. */
+  def cosOfD(a: Array[Float], c: Array[Double]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) {
+      dot += a(i).toDouble * c(i)
+      na += a(i).toDouble * a(i).toDouble
+      nb += c(i) * c(i)
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Multi-probe cosine assignment against TRAINED (double) centroids —
+    * [[ivfAssign]] with the centroid source swapped from "first K
+    * vectors" to the Lloyd trainer's output. Same probe semantics:
+    * each vector lands in its `nProbe` nearest centroids' buckets,
+    * ties → lower cid. */
+  def ivfAssignTrained(spark: SparkSession, embeddings: DataFrame,
+      cents: Array[(Long, Array[Double])], nProbe: Int): DataFrame = {
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(cents)
+    val np = nProbe
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, v) =>
+          cs.map { case (cid, cv) => (cid, cosOfD(v, cv)) }
+            .sortBy { case (cid, s) => (-s, cid) }
+            .take(np)
+            .map { case (cid, _) => (id, cid, v) }
+        }
+      }.toDF("vec_id", "cid", "embedding")
+  }
+
+  /** q155: [[embeddingDedupIvf]] with TRAINED centroids — the k-means
+    * trainer (q76's loop at the index K) feeding the IVF index, the
+    * wiring a production pipeline runs: train → assign → bucketed
+    * candidates → closure → verdict. Candidate generation, scoring,
+    * closure and verdict are byte-for-byte the q141 stages; only the
+    * centroid source changes. Trained centroids spread the corpus more
+    * evenly than the first-K-vectors sample (measured: pair recall ≥
+    * the first-K index at the same nProbe — TrainedIvfSpec pins it),
+    * which is exactly why real deployments pay the training pass. */
+  def embeddingDedupIvfTrained(spark: SparkSession, dir: String,
+      nCentroids: Int = 16, iters: Int = 2, threshold: Double = 0.4,
+      nProbe: Int = 4): DataFrame = {
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = trainCentroids(spark, dir, nCentroids, iters)
+    val pairs = pairsFromAssigned(
+      ivfAssignTrained(spark, e, cents, nProbe), threshold, nProbe)
+    dedupVerdict(e.select("vec_id"), pairs)
+  }
+
+  /** [[ivfDedupPairRecall]] with trained centroids — the measurement
+    * twin TrainedIvfSpec uses to pin trained ≥ first-K recall. EXACT
+    * SIDE IS QUADRATIC: test harness, not an operator. */
+  def ivfDedupPairRecallTrained(spark: SparkSession, dir: String,
+      nCentroids: Int = 16, iters: Int = 2, threshold: Double = 0.4,
+      nProbe: Int = 1): Double = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = trainCentroids(spark, dir, nCentroids, iters)
+    val cand = pairsFromAssigned(
+      ivfAssignTrained(spark, e, cents, nProbe), threshold, nProbe)
+      .as[(Long, Long)].collect().toSet
+    val vecs = e.as[(Long, Array[Float])].collect()
+    val exact = (for {
+      (ia, va) <- vecs.iterator
+      (ib, vb) <- vecs.iterator
+      if ia < ib && cosOf(va, vb) >= threshold
+    } yield (ia, ib)).toSet
+    if (exact.isEmpty) 1.0
+    else (exact intersect cand).size.toDouble / exact.size
   }
 
   /** Per-label embedding centroids — mean pooling by class, the
