@@ -112,6 +112,10 @@ object TrainingPipeline {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata timestamps are untagged INT64 (timestamp[us], no tz);
+      // Spark 4 would infer TIMESTAMP_NTZ — read them as session-tz
+      // TIMESTAMP (UTC) as the oracle comparison and every gate expect
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       // bucketed joins whose equi-keys EXTEND the bucket key (e.g. the
       // IVF index self-join on (cid, _sub)) stay exchange-free: children
       // co-partitioned on a subset of the join keys is exactly what a

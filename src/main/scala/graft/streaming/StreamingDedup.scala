@@ -41,10 +41,8 @@ object StreamingDedup {
 
   /** Per-type counts after exactly-once dedup of a doubled stream. */
   def dedupedCounts(spark: SparkSession, dir: String): DataFrame = {
-    val deduped = spark.readStream
-      .schema(StreamingFunnel.rawSchema)
-      .parquet(dupDir(dir))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val deduped = StreamingFunnel
+      .eventsStreamFrom(spark, dupDir(dir), s"$dir/events.parquet")
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy("event_type")

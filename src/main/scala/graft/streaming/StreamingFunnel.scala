@@ -25,12 +25,58 @@ import graft.util.Portable._
   */
 object StreamingFunnel {
 
-  /** Raw parquet schema of the events table (ts arrives as ns-longs
-    * under nanosAsLong; normalized to µs timestamps like Tables.events). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** The events fixture has shipped with BOTH physical ts encodings
+    * across driver generations: ns-annotated INT64 (which Spark reads as
+    * a plain LONG under `nanosAsLong`) and µs-annotated INT64 (read as a
+    * TIMESTAMP). A file-stream source needs its schema up front, so the
+    * streaming layer probes the fixture's batch schema once (footer-only,
+    * driver-side) and adapts — the streaming twin of the defensive read
+    * `Tables.events` does for batch. */
+  def tsIsLong(spark: SparkSession, eventsParquet: String): Boolean =
+    spark.read.parquet(eventsParquet).schema("ts").dataType == LongType
+
+  /** Raw parquet schema of the events table for the probed ts form. */
+  def rawSchema(tsLong: Boolean): StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", if (tsLong) LongType else TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** `readStream` over a staged landing dir whose files share `probe`'s
+    * physical ts form; `ts` arrives normalized to a µs TIMESTAMP either
+    * way (ns-longs truncate to µs — the same truncation DuckDB applies). */
+  def eventsStreamFrom(spark: SparkSession, landing: String,
+      probe: String): DataFrame = {
+    val long = tsIsLong(spark, probe)
+    val raw = spark.readStream.schema(rawSchema(long)).parquet(landing)
+    if (long) raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else raw
+  }
+
+  /** Fixture max event time in epoch µs (driver scalar, metadata-sized —
+    * sentinel staging needs it to place rows past ALL real data). */
+  def maxEventUs(spark: SparkSession, eventsParquet: String): Long = {
+    val agg =
+      if (tsIsLong(spark, eventsParquet)) "max(ts) DIV 1000"
+      else "max(unix_micros(ts))"
+    spark.read.parquet(eventsParquet).selectExpr(s"$agg AS m").head().getLong(0)
+  }
+
+  /** Write sentinel event rows (`ts` given in epoch µs) as one parquet
+    * dir in the fixture's physical ts form, so a single streaming schema
+    * reads fixture and sentinel files alike. */
+  def writeSentinelEvents(spark: SparkSession,
+      rows: Seq[(Long, Long, Long, String, Double, String)],
+      tsLong: Boolean, outDir: String): Unit = {
+    import spark.implicits._
+    val base = rows.toDF("event_id", "ts_us", "user_id", "event_type",
+      "value", "props")
+    val withTs =
+      if (tsLong) base.withColumn("ts", col("ts_us") * 1000L)
+      else base.withColumn("ts", timestamp_micros(col("ts_us")))
+    withTs.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(outDir)
+  }
 
   /** Spark's file-stream source wants a directory to watch; the testdata
     * table is a single parquet file, so stage a per-source-dir symlink
@@ -48,10 +94,7 @@ object StreamingFunnel {
   }
 
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream
-      .schema(rawSchema)
-      .parquet(stageDir(dir))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    eventsStreamFrom(spark, stageDir(dir), s"$dir/events.parquet")
 
   /** Streaming funnel: watermarked stage counts in update mode, drained
     * with AvailableNow into a memory sink, zero-filled against the fixed
@@ -195,29 +238,34 @@ object StreamingFunnel {
     * bounded-replay stand-in for "time passes". */
   def sessionWindows(spark: SparkSession, dir: String): DataFrame = {
     import java.nio.file.{Files, Paths}
-    val key = java.util.UUID.nameUUIDFromBytes(s"$dir-sess".getBytes)
-      .toString.take(8)
+    // content-signature key + completion marker: a regenerated fixture
+    // re-stages (a stale sentinel would undercut the new max event time
+    // and the trailing sessions would never flush), and a half-staged
+    // dir from a crash is rebuilt instead of silently accepted
+    val key = FixtureStaging.key("sess", s"$dir/events.parquet")
     val d = Paths.get(s"/tmp/graft-stream-sess-$key")
-    if (!Files.exists(d)) {
+    val ready = d.resolve("_READY")
+    if (Files.exists(d) && !Files.exists(ready))
+      org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+    if (!Files.exists(ready)) {
       Files.createDirectories(d)
       Files.createSymbolicLink(d.resolve("events.parquet"),
         Paths.get(s"$dir/events.parquet"))
-      // sentinel: one far-future row (raw schema: ts is ns-long)
-      val maxNs = spark.read.parquet(s"$dir/events.parquet")
-        .agg(max("ts")).head().getLong(0)
-      import spark.implicits._
+      // sentinel: one far-future row, in the fixture's physical ts form
+      val maxUs = maxEventUs(spark, s"$dir/events.parquet")
       val tmp = Files.createTempDirectory("graft-sentinel").toString
-      Seq((-1L, maxNs + 10L * 86400 * 1000000000L, -1L, "view", 0.0,
-          null.asInstanceOf[String]))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      writeSentinelEvents(spark,
+        Seq((-1L, maxUs + 10L * 86400 * 1000000L, -1L, "view", 0.0,
+          null.asInstanceOf[String])),
+        tsIsLong(spark, s"$dir/events.parquet"), tmp)
       val part = Files.list(Paths.get(tmp)).iterator().asScala
         .find(_.getFileName.toString.endsWith(".parquet")).get
       Files.copy(part, d.resolve("zz-sentinel.parquet"))
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+      Files.createFile(ready)
     }
-    val raw = spark.readStream.schema(rawSchema)
-      .parquet(d.toString)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val raw = eventsStreamFrom(spark, d.toString, s"$dir/events.parquet")
 
     val agg = raw
       .withWatermark("ts", "1 hour")

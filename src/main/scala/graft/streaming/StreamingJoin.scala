@@ -80,11 +80,9 @@ object StreamingJoin {
       Files.createDirectories(d)
       Files.createSymbolicLink(d.resolve("events.parquet"),
         Paths.get(s"$dir/events.parquet"))
-      import spark.implicits._
-      val maxNs = spark.read.parquet(s"$dir/events.parquet")
-        .agg(max("ts")).as[Long].head()
-      val thirtyDaysNs = 30L * 24 * 3600 * 1000000000L
-      val hourNs = 3600L * 1000000000L
+      val maxUs = StreamingFunnel.maxEventUs(spark, s"$dir/events.parquet")
+      val thirtyDaysUs = 30L * 24 * 3600 * 1000000L
+      val hourUs = 3600L * 1000000L
       val stagedTmp = s"$d/_sentinel_stage"
       // one sentinel VIEW and one sentinel PURCHASE (2h apart, so they
       // cannot match each other): the type filters are pushed BELOW the
@@ -94,11 +92,11 @@ object StreamingJoin {
       // stats and the global (min-of-branches) watermark would stall.
       // The sentinel purchase itself never emits: the watermark never
       // passes its own event time (nothing arrives after it).
-      Seq(
-        (-1L, maxNs + thirtyDaysNs, -1L, "view", 0.0, "{}"),
-        (-2L, maxNs + thirtyDaysNs + 2 * hourNs, -1L, "purchase", 0.0, "{}"))
-        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-        .coalesce(1).write.parquet(stagedTmp)
+      StreamingFunnel.writeSentinelEvents(spark,
+        Seq(
+          (-1L, maxUs + thirtyDaysUs, -1L, "view", 0.0, "{}"),
+          (-2L, maxUs + thirtyDaysUs + 2 * hourUs, -1L, "purchase", 0.0, "{}")),
+        StreamingFunnel.tsIsLong(spark, s"$dir/events.parquet"), stagedTmp)
       val part = new java.io.File(stagedTmp).listFiles()
         .filter(_.getName.endsWith(".parquet")).head
       Files.copy(part.toPath, d.resolve("sentinel.parquet"))
@@ -117,10 +115,8 @@ object StreamingJoin {
     * matching view can still arrive. Watermarks attach BEFORE the
     * type filters so the sentinel advances them. */
   def purchasesWithViewAttribution(spark: SparkSession, dir: String): DataFrame = {
-    def src = spark.readStream
-      .schema(StreamingFunnel.rawSchema)
-      .parquet(sentinelDir(spark, dir))
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    def src = StreamingFunnel
+      .eventsStreamFrom(spark, sentinelDir(spark, dir), s"$dir/events.parquet")
       .withWatermark("ts", "2 hours")
     val views = src.filter(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("ts").as("view_ts"))

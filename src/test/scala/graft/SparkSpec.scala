@@ -10,6 +10,10 @@ trait SparkSpec extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // testdata timestamps are untagged INT64 (timestamp[us], no tz);
+    // Spark 4 would infer TIMESTAMP_NTZ — read them as session-tz
+    // TIMESTAMP (UTC) as the oracle comparison and every gate expect
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // mirror the product sessions: bucketed joins whose equi-keys extend
     // the bucket key (IVF index self-join) stay exchange-free
     .config("spark.sql.requireAllClusterKeysForCoPartition", "false")

@@ -18,6 +18,10 @@ class TopKPerKeySpec extends AnyFunSuite {
       .appName("graft-topk-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata timestamps are untagged INT64 (timestamp[us], no tz);
+      // Spark 4 would infer TIMESTAMP_NTZ — read them as session-tz
+      // TIMESTAMP (UTC) as the oracle comparison and every gate expect
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
@@ -66,6 +70,10 @@ class TopKPerKeySpec extends AnyFunSuite {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // testdata timestamps are untagged INT64 (timestamp[us], no tz);
+      // Spark 4 would infer TIMESTAMP_NTZ — read them as session-tz
+      // TIMESTAMP (UTC) as the oracle comparison and every gate expect
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
