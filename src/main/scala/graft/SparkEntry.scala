@@ -194,6 +194,8 @@ object SparkEntry {
       ((s, d) => graft.TrainingPipeline.trainingSet(s, d)),
     "q155_embedding_dedup_trained" ->
       ((s, d) => VectorOps.embeddingDedupIvfTrained(s, d)),
+    "q156_media_header_dims" ->
+      (graft.operators.Multimodal.mediaHeaderDims _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1619,6 +1621,69 @@ object SparkEntry {
          |  MAX(md5(hexstr)) AS max_fp
          |FROM m GROUP BY kind ORDER BY kind ASC NULLS FIRST""".stripMargin
     },
+
+    // q156: rebuilds the same header bytes as a hex string (PNG chunk /
+    // JPEG marker layout, dims derived from the id) and parses the
+    // dimensions back out with computed-offset substring arithmetic —
+    // reading APP0's length and the optional COM segment from the
+    // STRING exactly as the JVM walker reads them from the bytes.
+    "q156_media_header_dims" ->
+      s"""WITH m AS (SELECT r AS media_id,
+         |    CASE WHEN r % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
+         |    CAST(r * 31 % 613 + 16 AS INT) AS w,
+         |    CAST(r * 17 % 401 + 16 AS INT) AS h,
+         |    CAST(r % 8 + 16 AS INT) AS l0,
+         |    CAST(r % 5 + 8 AS INT) AS lc
+         |  FROM range(500) t(r)),
+         |c AS (SELECT media_id, kind,
+         |    CASE WHEN kind = 'png' THEN
+         |      '89504E470D0A1A0A' || '0000000D' || '49484452'
+         |      || lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0')
+         |      || '0806000000' || substring(md5(media_id || ':crc'), 1, 8)
+         |      || md5(media_id || ':g')
+         |    ELSE
+         |      'FFD8' || 'FFE0' || lpad(to_hex(l0), 4, '0')
+         |      || repeat('00', l0 - 2)
+         |      || CASE WHEN media_id % 3 = 0 THEN
+         |           'FFFE' || lpad(to_hex(lc), 4, '0') || repeat('00', lc - 2)
+         |         ELSE '' END
+         |      || 'FFC0' || '0011' || '08'
+         |      || lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0')
+         |      || '03' || '012200' || '021101' || '031101'
+         |      || md5(media_id || ':g')
+         |    END AS full_hx
+         |  FROM m),
+         |x AS (SELECT media_id, kind,
+         |    upper(CASE WHEN media_id % 17 = 0 THEN substring(full_hx, 1, 20)
+         |      ELSE full_hx END) AS hx
+         |  FROM c),
+         |j AS (SELECT media_id, kind, hx, len(hx) // 2 AS n_bytes,
+         |    CASE WHEN len(hx) >= 12
+         |      THEN 5 + CAST(('0x' || substring(hx, 9, 4)) AS INT)
+         |      ELSE 999999 END AS s1
+         |  FROM x),
+         |j2 AS (SELECT *, CASE WHEN substring(hx, 2 * s1 - 1, 4) = 'FFFE'
+         |      THEN s1 + 2 + CAST(('0x' || substring(hx, 2 * s1 + 3, 4)) AS INT)
+         |      ELSE s1 END AS s2
+         |  FROM j)
+         |SELECT media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
+         |  CASE
+         |    WHEN kind = 'png' AND n_bytes >= 24
+         |      AND substring(hx, 1, 16) = '89504E470D0A1A0A'
+         |      THEN CAST(('0x' || substring(hx, 33, 8)) AS INT)
+         |    WHEN kind = 'jpeg' AND substring(hx, 1, 4) = 'FFD8'
+         |      AND substring(hx, 2 * s2 - 1, 4) = 'FFC0' AND n_bytes >= s2 + 8
+         |      THEN CAST(('0x' || substring(hx, 2 * s2 + 13, 4)) AS INT)
+         |    ELSE -1 END AS width,
+         |  CASE
+         |    WHEN kind = 'png' AND n_bytes >= 24
+         |      AND substring(hx, 1, 16) = '89504E470D0A1A0A'
+         |      THEN CAST(('0x' || substring(hx, 41, 8)) AS INT)
+         |    WHEN kind = 'jpeg' AND substring(hx, 1, 4) = 'FFD8'
+         |      AND substring(hx, 2 * s2 - 1, 4) = 'FFC0' AND n_bytes >= s2 + 8
+         |      THEN CAST(('0x' || substring(hx, 2 * s2 + 9, 4)) AS INT)
+         |    ELSE -1 END AS height
+         |FROM j2 ORDER BY media_id NULLS FIRST""".stripMargin,
 
     // Replays the same two 64-hash sketches and the same integer
     // estimators; exact counts ride along. Single row — no ORDER BY.

@@ -175,6 +175,130 @@ object Multimodal {
     Some(acc)
   }
 
+  /** Container-header dimension parse — the REAL decode step a media
+    * lake runs on ingest (width/height gate long before any pixel
+    * decode): a spec-compliant walk of PNG chunk lists and JPEG marker
+    * segments, pure JVM, no codec library. Returns None for anything
+    * that is not a well-formed PNG/JPEG prefix — corrupt rows degrade,
+    * never throw. Cross-checked against `ImageIO`-written real files in
+    * MultimodalSpec. */
+  def headerDims(bytes: Array[Byte]): Option[(Int, Int)] = {
+    if (bytes == null || bytes.length < 4) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (be16(i).toLong << 16 | be16(i + 2)).toInt
+    val isPng = bytes.length >= 24 &&
+      u8(0) == 0x89 && u8(1) == 0x50 && u8(2) == 0x4e && u8(3) == 0x47 &&
+      u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a
+    if (isPng) {
+      // walk the chunk list to IHDR (spec: first chunk, but walk anyway —
+      // a parser that assumes offset 16 is layout-matching, not parsing)
+      var off = 8
+      while (off + 8 <= bytes.length) {
+        val len = be32(off)
+        if (len < 0) return None
+        val isIhdr = u8(off + 4) == 'I' && u8(off + 5) == 'H' &&
+          u8(off + 6) == 'D' && u8(off + 7) == 'R'
+        if (isIhdr)
+          return if (len >= 8 && off + 16 <= bytes.length)
+            Some((be32(off + 8), be32(off + 12)))
+          else None
+        if (off + 12L + len > bytes.length) return None
+        off += 12 + len // length + type + payload + crc
+      }
+      None
+    } else if (u8(0) == 0xff && u8(1) == 0xd8) {
+      // JPEG: walk marker segments to the first SOFn (C0–CF minus the
+      // non-frame C4/C8/CC); dims sit at precision+1 in its payload
+      var off = 2
+      while (off + 4 <= bytes.length) {
+        if (u8(off) != 0xff) return None
+        val m = u8(off + 1)
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off += 2 // standalone
+        else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before SOF
+        else {
+          val len = be16(off + 2)
+          if (len < 2 || off + 2L + len > bytes.length) return None
+          val isSof = m >= 0xc0 && m <= 0xcf &&
+            m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof)
+            return if (len >= 7) Some((be16(off + 7), be16(off + 5)))
+            else None
+          off += 2 + len
+        }
+      }
+      None
+    } else None
+  }
+
+  /** Deterministic synthetic image-header corpus: every row carries a
+    * payload whose PREFIX is a well-formed PNG (even ids) or JPEG (odd
+    * ids) header with dimensions derived from the id, followed by
+    * deterministic non-image garbage (md5 chain) standing in for the
+    * compressed pixel data. JPEG rows vary their APP0 length with the id
+    * and ids ≡ 0 (mod 3) insert a COM segment before the SOF marker, so
+    * a fixed-offset reader cannot fake the parse; ids ≡ 0 (mod 17)
+    * truncate to 10 bytes (corrupt-row degradation). The same bytes are
+    * constructible in ANSI SQL (hex-string concat), which is what makes
+    * the header parse oracle-able end to end. */
+  def syntheticHeaderMedia(spark: SparkSession, n: Int): DataFrame = {
+    val df = spark.range(n.toLong).select(
+      col("id").as("media_id"),
+      element_at(array(lit("png"), lit("jpeg")), (col("id") % 2 + 1).cast("int"))
+        .as("kind"),
+      (col("id") * 31 % 613 + 16).cast("int").as("w"),
+      (col("id") * 17 % 401 + 16).cast("int").as("h"),
+      (col("id") % 8 + 16).cast("int").as("l0"),   // APP0 segment length
+      (col("id") % 5 + 8).cast("int").as("lc"))    // COM segment length
+    val idStr = col("media_id").cast("string")
+    val garbage = md5(concat(idStr, lit(":g")))
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"), // signature
+      lit("0000000D"), lit("49484452"), // IHDR length + type
+      lpad(hex(col("w")), 8, "0"), lpad(hex(col("h")), 8, "0"),
+      lit("0806000000"), // bit depth, color type, compression/filter/interlace
+      substring(md5(concat(idStr, lit(":crc"))), 1, 8), // stand-in CRC
+      garbage)
+    val jpegHex = concat(
+      lit("FFD8"), // SOI
+      lit("FFE0"), lpad(hex(col("l0")), 4, "0"),
+      expr("repeat('00', l0 - 2)"), // APP0, variable length
+      when(col("media_id") % 3 === 0,
+        concat(lit("FFFE"), lpad(hex(col("lc")), 4, "0"),
+          expr("repeat('00', lc - 2)"))).otherwise(lit("")), // optional COM
+      lit("FFC0"), lit("0011"), lit("08"), // SOF0, length 17, precision 8
+      lpad(hex(col("h")), 4, "0"), lpad(hex(col("w")), 4, "0"),
+      lit("03"), lit("012200"), lit("021101"), lit("031101"), // 3 components
+      garbage)
+    val full = unhex(when(col("kind") === "png", pngHex).otherwise(jpegHex))
+    df.select(col("media_id"), col("kind"),
+      when(col("media_id") % 17 === 0, substring(full, 1, 10)).otherwise(full)
+        .as("bytes"))
+  }
+
+  /** q156: decoded header dimensions over the synthetic corpus — the
+    * REAL `media_meta` (q97 profiles the opaque bytes; this one reads
+    * them). The parse runs scan-local inside one mapPartitions (the
+    * partition-batched kernel pattern of [[extractFeatures]]); the only
+    * shuffle is the output ORDER BY. Unparseable payloads yield -1/-1
+    * (a sentinel, not NULL — NULL widths would downgrade both engines'
+    * int columns to floats under the driver's pandas compare). */
+  def mediaHeaderDims(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticHeaderMedia(spark, 500)
+      .select(col("media_id"), col("kind"), col("bytes"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, kind, bytes) =>
+          val dims = headerDims(bytes)
+          (id, kind, if (bytes == null) 0 else bytes.length,
+            dims.map(_._1).getOrElse(-1), dims.map(_._2).getOrElse(-1))
+        }
+      }
+      .toDF("media_id", "kind", "n_bytes", "width", "height")
+      .orderBy("media_id")
+  }
+
   /** Deterministic fake decode: folds the payload into `dim` float
     * buckets. Stands in for decodeReal so the pipeline shape is
     * exercisable end-to-end. */

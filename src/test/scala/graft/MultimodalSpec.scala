@@ -132,6 +132,59 @@ class MultimodalSpec extends SparkSpec {
     assert(f(3L).n_bytes == 0 && f(3L).feature.forall(_ == 0f))
   }
 
+  // ---- header-dimension parse (q156) ----
+
+  test("headerDims parses REAL ImageIO-written PNG and JPEG files — " +
+      "not just the synthetic layout") {
+    def realBytes(w: Int, h: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, (x * 31 + y) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, bos)
+      bos.toByteArray
+    }
+    for ((w, h) <- Seq((1, 1), (17, 23), (640, 480), (3, 1000))) {
+      assert(Multimodal.headerDims(realBytes(w, h, "png")) == Some((w, h)),
+        s"png $w x $h")
+      assert(Multimodal.headerDims(realBytes(w, h, "jpg")) == Some((w, h)),
+        s"jpeg $w x $h")
+    }
+  }
+
+  test("headerDims degrades on corrupt/truncated/foreign payloads") {
+    assert(Multimodal.headerDims(null).isEmpty)
+    assert(Multimodal.headerDims(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.headerDims(Array.fill[Byte](64)(0x5a)).isEmpty)
+    val png = {
+      val img = new java.awt.image.BufferedImage(
+        9, 9, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    assert(Multimodal.headerDims(png.take(12)).isEmpty) // truncated pre-IHDR
+    // WAV bytes are a valid container — just not an image one
+    assert(Multimodal.headerDims(
+      wavBytes(Array.tabulate[Short](10)(_.toShort))).isEmpty)
+  }
+
+  test("q156 corpus: parsed dims equal the id-derived formulas; corrupt " +
+      "rows report -1") {
+    val out = Multimodal.mediaHeaderDims(spark, "unused").collect()
+    assert(out.length == 500)
+    out.foreach { r =>
+      val id = r.getLong(0)
+      if (id % 17 == 0) {
+        assert(r.getInt(3) == -1 && r.getInt(4) == -1, s"id $id must be corrupt")
+        assert(r.getInt(2) == 10)
+      } else {
+        assert(r.getInt(3) == (id * 31 % 613 + 16).toInt, s"width id $id")
+        assert(r.getInt(4) == (id * 17 % 401 + 16).toInt, s"height id $id")
+      }
+    }
+  }
+
   test("frame sampling and resize plans are metadata-pure") {
     val frames = Multimodal.sampleFrames(media, everyK = 10)
     assert(frames.count() == media.filter($"kind" === "video").count())
