@@ -196,6 +196,8 @@ object SparkEntry {
       ((s, d) => VectorOps.embeddingDedupIvfTrained(s, d)),
     "q156_media_header_dims" ->
       (graft.operators.Multimodal.mediaHeaderDims _),
+    "q157_incremental_curation" ->
+      (graft.operators.IncrementalCuration.incrementalCuration _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -207,6 +209,11 @@ object SparkEntry {
 
   /** DuckDB mirror of [[graft.util.Portable.portable32]]. */
   private def h32(x: String) = s"CAST('0x' || substr(md5($x), 1, 8) AS BIGINT)"
+
+  /** DuckDB mirror of [[TextOps.contentFp]] (for interpolated contexts
+    * where a literal backslash escape is awkward). */
+  private val fpSqlExpr =
+    "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
 
   /** DuckDB mirror of TextOps.shingles over `text` and `ws` columns. */
   private val shingleExpr =
@@ -252,13 +259,15 @@ object SparkEntry {
 
   /** CTE chain ending in `pairs(ida, idb, jaccard)` — the verified
     * MinHash near-dup pairs. Shared by q33 (the pair list itself) and
-    * q65 (connected components over the pair graph). */
-  private val minhashPairsCtes: String = {
+    * q65 (connected components over the pair graph); `src` parameterizes
+    * the corpus so q157 can run the identical chain over a SNAPSHOT
+    * derivation CTE instead of the raw documents table. */
+  private def minhashPairsCtesFrom(src: String): String = {
     val bands = (0 until TextOps.MinhashSeeds / 2).map(b =>
       s"SELECT doc_id, $b AS band, mh${2 * b} AS h1, mh${2 * b + 1} AS h2 FROM sig")
       .mkString("\n  UNION ALL ")
     s"""d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
-       |  FROM documents),
+       |  FROM $src),
        |s AS (SELECT doc_id, $shingleExpr AS sh FROM d),
        |sh AS (SELECT doc_id,
        |  list_transform(sh, x -> ${h32("x")}) AS hs FROM s),
@@ -278,6 +287,8 @@ object SparkEntry {
        |  FROM cand JOIN sets a ON ida = a.doc_id JOIN sets b ON idb = b.doc_id
        |  WHERE $jaccardExpr >= 0.7)""".stripMargin
   }
+
+  private val minhashPairsCtes: String = minhashPairsCtesFrom("documents")
 
   private val minhashNearDupSql: String =
     s"""WITH $minhashPairsCtes
@@ -306,11 +317,15 @@ object SparkEntry {
 
   /** CTE chain ending in `v(doc_id, lang_ok, quality_ok, rep_ok,
     * decon_ok, dedup_ok)` — the per-stage curation verdicts shared by
-    * q145 (verdict table) and q146 (funnel counts). Composes the
-    * MinHash pair CTEs + recursive closure (q65) with the q29/q28/q143/
-    * q142 stage logic, renamed to avoid CTE collisions. */
-  private val curationCtes: String =
-    s"""$minhashPairsCtes,
+    * q145 (verdict table), q146 (funnel counts), q154 (the pipeline) and
+    * q157 (incremental re-curation: full recompute over the CURRENT
+    * snapshot). Composes the MinHash pair CTEs + recursive closure (q65)
+    * with the q29/q28/q143/q142 stage logic, renamed to avoid CTE
+    * collisions. `corpus` is the training snapshot; `evalSrc` is where
+    * the benchmark registry (doc_id ≡ 0 mod 25, original text) lives —
+    * the full documents table in every current caller. */
+  private def curationCtesOver(corpus: String, evalSrc: String): String =
+    s"""${minhashPairsCtesFrom(corpus)},
        |edges AS (SELECT ida AS s, idb AS d FROM pairs
        |  UNION SELECT idb, ida FROM pairs),
        |reach(id, r) AS (
@@ -321,8 +336,8 @@ object SparkEntry {
        |  FROM reach GROUP BY id),
        |qual AS (SELECT doc_id, len(w) AS n_tokens,
        |    CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr
-       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
-       |rd AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM $corpus)),
+       |rd AS (SELECT doc_id, string_split(text, ' ') AS w FROM $corpus),
        |rtg AS (SELECT doc_id, array_to_string(w[i:i+2], ' ') AS g
        |  FROM rd, UNNEST(range(1, len(w) - 1)) AS u(i) WHERE len(w) >= 3),
        |rtri AS (SELECT doc_id, count(*) AS tri_total,
@@ -341,9 +356,11 @@ object SparkEntry {
        |      ELSE 0.0 END AS top_bi_frac
        |  FROM rd LEFT JOIN rtri ON rd.doc_id = rtri.doc_id
        |  LEFT JOIN rbi ON rd.doc_id = rbi.doc_id),
+       |ed AS (SELECT doc_id, string_split(text, ' ') AS w FROM $evalSrc
+       |  WHERE doc_id % 25 = 0),
        |deg AS (SELECT DISTINCT array_to_string(w[i:i+3], ' ') AS gram
-       |  FROM rd, UNNEST(range(1, len(w) - 2)) AS u(i)
-       |  WHERE doc_id % 25 = 0 AND len(w) >= 4),
+       |  FROM ed, UNNEST(range(1, len(w) - 2)) AS u(i)
+       |  WHERE len(w) >= 4),
        |dtg AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
        |  FROM rd, UNNEST(range(1, len(w) - 2)) AS u(i)
        |  WHERE doc_id % 25 <> 0 AND len(w) >= 4),
@@ -355,12 +372,14 @@ object SparkEntry {
        |    rep.dup_tri_frac <= 0.2 AND rep.top_bi_frac <= 0.2 AS rep_ok,
        |    COALESCE(dh.contaminated_grams, 0) = 0 AS decon_ok,
        |    doc.doc_id = COALESCE(c.component, doc.doc_id) AS dedup_ok
-       |  FROM documents doc
+       |  FROM $corpus doc
        |  JOIN qual q ON doc.doc_id = q.doc_id
        |  JOIN rep ON doc.doc_id = rep.doc_id
        |  LEFT JOIN dh ON doc.doc_id = dh.doc_id
        |  LEFT JOIN comp c ON doc.doc_id = c.id
        |  WHERE doc.doc_id % 25 <> 0)""".stripMargin
+
+  private val curationCtes: String = curationCtesOver("documents", "documents")
 
   /** Shared by q77 (batch session_window) and q106 (streaming session
     * windows, append mode): identical session semantics, one oracle. */
@@ -2559,6 +2578,33 @@ object SparkEntry {
          |SELECT doc_id, lang, source, CAST(shard AS BIGINT) AS shard,
          |  CAST(pos AS BIGINT) AS pos, n_tokens, pack_id
          |FROM packed ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // q157: the Spark side answers INCREMENTALLY (stored prev verdicts
+    // + delta-only stage recompute + affected-component-only closure);
+    // the oracle recomputes the FULL chain on the current snapshot from
+    // scratch — a hash match proves incremental ≡ full on every row.
+    "q157_incremental_curation" ->
+      s"""WITH RECURSIVE c157 AS (SELECT doc_id, lang,
+         |    CASE WHEN doc_id % 11 = 0 THEN text || ' [edited]'
+         |      ELSE text END AS text
+         |  FROM documents WHERE doc_id % 7 <> 0),
+         |${curationCtesOver("c157", "documents")},
+         |pfp AS (SELECT doc_id, $fpSqlExpr AS fp
+         |  FROM documents WHERE doc_id % 6 <> 0),
+         |cfp AS (SELECT doc_id, $fpSqlExpr AS fp
+         |  FROM c157),
+         |st AS (SELECT COALESCE(p.doc_id, c.doc_id) AS doc_id,
+         |    CASE WHEN p.doc_id IS NULL THEN 'added'
+         |         WHEN c.doc_id IS NULL THEN 'removed'
+         |         WHEN p.fp <> c.fp THEN 'changed'
+         |         ELSE 'unchanged' END AS status
+         |  FROM pfp p FULL OUTER JOIN cfp c ON p.doc_id = c.doc_id)
+         |SELECT v.doc_id, lang_ok, quality_ok, rep_ok, decon_ok, dedup_ok,
+         |  lang_ok AND quality_ok AND rep_ok AND decon_ok AND dedup_ok
+         |    AS keep,
+         |  st.status
+         |FROM v JOIN st ON v.doc_id = st.doc_id
+         |ORDER BY v.doc_id NULLS FIRST""".stripMargin,
 
     "q146_curation_funnel" ->
       s"""WITH RECURSIVE $curationCtes

@@ -175,10 +175,16 @@ object TextOps {
     * plan-level barrier — measured 4.4–56s at sf0.1 for what this kernel
     * does in <1s. Values are identical to the Column-expression form and
     * the DuckDB oracle recomputes them in SQL. */
-  def signatures(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[DocSig] = {
+  def signatures(spark: SparkSession, dir: String): org.apache.spark.sql.Dataset[DocSig] =
+    signaturesOn(Tables.documents(spark, dir))
+
+  /** [[signatures]] over an arbitrary corpus frame (needs doc_id, text)
+    * — the incremental-curation path signs DELTA documents only. */
+  def signaturesOn(docs: DataFrame): org.apache.spark.sql.Dataset[DocSig] = {
+    val spark = docs.sparkSession
     import spark.implicits._
     val n = spark.sparkContext.defaultParallelism
-    Tables.documents(spark, dir)
+    docs
       .select(col("doc_id"), col("text"))
       .repartition(n) // one small file = one input split otherwise
       .as[(Long, String)]
@@ -222,24 +228,53 @@ object TextOps {
     * Bucket sizes are near-dup cluster sizes — small by construction;
     * the shuffle carries nBands copies of the shingle arrays, the
     * standard LSH space/time trade. */
+  /** LSH band keys (doc_id, band, h1, h2) from a signature frame
+    * (doc_id, mh): 4 bands × 2 rows — scan-local explode, no shuffle. */
+  private[operators] def bandsOf(sig: DataFrame): DataFrame = {
+    val bands = (0 until MinhashSeeds / 2).map(b =>
+      struct(lit(b).as("band"),
+        element_at(col("mh"), 2 * b + 1).as("h1"),
+        element_at(col("mh"), 2 * b + 2).as("h2")))
+    sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"),
+        col("bk.h1").as("h1"), col("bk.h2").as("h2"))
+  }
+
+  /** Exact shingle-set Jaccard for candidate pairs, in the typed kernel
+    * tier: cand (ida, idb) joined to its endpoints' distinct shingle
+    * sets (doc_id, shs) — only candidates pay the set intersection. */
+  private[operators] def exactJaccard(cand: DataFrame,
+      sets: DataFrame): DataFrame = {
+    val spark = cand.sparkSession
+    import spark.implicits._
+    cand
+      .join(sets.select(col("doc_id").as("ida"), col("shs").as("sha")), "ida")
+      .join(sets.select(col("doc_id").as("idb"), col("shs").as("shb")), "idb")
+      .select(col("ida"), col("idb"), col("sha"), col("shb"))
+      .as[(Long, Long, Array[String], Array[String])]
+      .mapPartitions(_.map { case (a, b, sa, sb) =>
+        val setA = sa.toSet
+        val inter = sb.count(setA.contains)
+        val union = sa.length + sb.length - inter
+        (a, b, inter.toDouble / union)
+      })
+      .toDF("ida", "idb", "jaccard")
+  }
+
   def minhashNearDups(spark: SparkSession, dir: String,
       threshold: Double = 0.7,
+      maxBucket: Long = VectorOps.DefaultMaxBucket): DataFrame =
+    minhashNearDupsOn(Tables.documents(spark, dir), threshold, maxBucket)
+
+  /** [[minhashNearDups]] over an arbitrary corpus frame. */
+  def minhashNearDupsOn(docs: DataFrame,
+      threshold: Double = 0.7,
       maxBucket: Long = VectorOps.DefaultMaxBucket): DataFrame = {
-    import spark.implicits._
     // candidate generation touches ONLY (doc_id, band, h1, h2) longs —
     // a collect_list of shingle arrays is GC-heavy and a join carrying
     // them pays wide shuffles; the typed signature kernel is cheap
     // enough to evaluate per consumer instead
-    def banded = {
-      val sig = signatures(spark, dir).toDF()
-      val bands = (0 until MinhashSeeds / 2).map(b =>
-        struct(lit(b).as("band"),
-          element_at(col("mh"), 2 * b + 1).as("h1"),
-          element_at(col("mh"), 2 * b + 2).as("h2")))
-      sig.select(col("doc_id"), explode(array(bands: _*)).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"),
-          col("bk.h1").as("h1"), col("bk.h2").as("h2"))
-    }
+    def banded = bandsOf(signaturesOn(docs).toDF())
     // skew guard (VectorOps.withBucketCap): a pathological corpus where
     // every document shares one band signature would make one bucket ≈
     // the corpus and the band join quadratic; sub-splitting bounds pair
@@ -258,19 +293,8 @@ object TextOps {
       .select("ida", "idb").distinct()
 
     // exact Jaccard only for candidates, in a typed kernel
-    def sets = signatures(spark, dir).toDF().select(col("doc_id"), col("shs"))
-    val withSets = cand
-      .join(sets.select(col("doc_id").as("ida"), col("shs").as("sha")), "ida")
-      .join(sets.select(col("doc_id").as("idb"), col("shs").as("shb")), "idb")
-      .select(col("ida"), col("idb"), col("sha"), col("shb"))
-      .as[(Long, Long, Array[String], Array[String])]
-      .mapPartitions(_.map { case (a, b, sa, sb) =>
-        val setA = sa.toSet
-        val inter = sb.count(setA.contains)
-        val union = sa.length + sb.length - inter
-        (a, b, inter.toDouble / union)
-      })
-      .toDF("ida", "idb", "jaccard")
+    val withSets = exactJaccard(cand,
+      signaturesOn(docs).toDF().select(col("doc_id"), col("shs")))
 
     withSets
       .filter(col("jaccard") >= threshold)
@@ -704,11 +728,21 @@ object TextOps {
       evalMod: Int = 25): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val isEval = col("doc_id") % evalMod === 0
-    val evalGrams = docGrams(d.filter(isEval), n).select("gram").distinct()
-    val trainGrams = docGrams(d.filter(!isEval), n).distinct()
+    decontaminateOn(d.filter(!isEval), d.filter(isEval), n)
+  }
+
+  /** [[decontaminate]] with explicit train/eval corpora — the eval side
+    * is the external benchmark registry (small by contract, broadcast);
+    * the incremental path probes DELTA train docs only against it. */
+  def decontaminateOn(trainDocs: DataFrame, evalDocs: DataFrame,
+      n: Int = 4): DataFrame = {
+    val evalGrams = docGrams(evalDocs.select(col("doc_id"), col("text")), n)
+      .select("gram").distinct()
+    val trainGrams =
+      docGrams(trainDocs.select(col("doc_id"), col("text")), n).distinct()
     val hits = trainGrams.join(broadcast(evalGrams), "gram")
       .groupBy("doc_id").agg(count(lit(1)).as("contaminated_grams"))
-    d.filter(!isEval).select("doc_id")
+    trainDocs.select("doc_id")
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("contaminated_grams"), lit(0L)).as("contaminated_grams"))
@@ -729,8 +763,13 @@ object TextOps {
     * = true. At 100 TB this is a scan plus two doc-keyed shuffles —
     * no global state anywhere. */
   def repetitionStats(spark: SparkSession, dir: String,
+      dupTriMax: Double = 0.2, topBiMax: Double = 0.2): DataFrame =
+    repetitionStatsOn(Tables.documents(spark, dir), dupTriMax, topBiMax)
+
+  /** [[repetitionStats]] over an arbitrary corpus frame. */
+  def repetitionStatsOn(docs: DataFrame,
       dupTriMax: Double = 0.2, topBiMax: Double = 0.2): DataFrame = {
-    val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val d = docs.select(col("doc_id"), col("text"))
     val tri = docGrams(d, 3).groupBy("doc_id")
       .agg(count(lit(1)).as("tri_total"),
         countDistinct(col("gram")).as("tri_distinct"))
