@@ -198,6 +198,8 @@ object SparkEntry {
       (graft.operators.Multimodal.mediaHeaderDims _),
     "q157_incremental_curation" ->
       (graft.operators.IncrementalCuration.incrementalCuration _),
+    "q158_embedding_dedup_incremental" ->
+      ((s, d) => VectorOps.embeddingDedupIncremental(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1903,6 +1905,48 @@ object SparkEntry {
          |  COUNT(*) OVER (PARTITION BY COALESCE(c2.component, v.vec_id))
          |    AS cluster_size,
          |  v.vec_id = COALESCE(c2.component, v.vec_id) AS is_canonical
+         |FROM e v LEFT JOIN comp c2 ON v.vec_id = c2.id
+         |ORDER BY v.vec_id NULLS FIRST""".stripMargin,
+
+    // q158: the Spark side answers INCREMENTALLY (staged prev index +
+    // broadcast delta probe + affected-cluster-only closure); the
+    // oracle recomputes the FULL chain over all vectors against the
+    // index's FROZEN centroids (the prev corpus's first-K — vec_id < 16
+    // AND vec_id % 6 <> 0). Hash match proves incremental ≡ full.
+    "q158_embedding_dedup_incremental" ->
+      s"""WITH RECURSIVE e AS (SELECT vec_id, embedding FROM embeddings),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM e
+         |  WHERE vec_id < 16 AND vec_id % 6 <> 0),
+         |ac AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosCols("e.embedding", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+         |    FROM ac) WHERE rn <= 4),
+         |p AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    ${cosCols("a.embedding", "b.embedding")} AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT DISTINCT ida, idb FROM p WHERE cos >= 0.4),
+         |edges AS (SELECT ida AS s, idb AS d FROM pairs
+         |  UNION SELECT idb, ida FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.id, e2.d FROM reach w JOIN edges e2 ON w.r = e2.s),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+         |  FROM reach GROUP BY id)
+         |SELECT v.vec_id,
+         |  COALESCE(c2.component, v.vec_id) AS component,
+         |  COUNT(*) OVER (PARTITION BY COALESCE(c2.component, v.vec_id))
+         |    AS cluster_size,
+         |  v.vec_id = COALESCE(c2.component, v.vec_id) AS is_canonical,
+         |  CASE WHEN v.vec_id % 6 = 0 THEN 'appended' ELSE 'indexed' END
+         |    AS status
          |FROM e v LEFT JOIN comp c2 ON v.vec_id = c2.id
          |ORDER BY v.vec_id NULLS FIRST""".stripMargin,
 

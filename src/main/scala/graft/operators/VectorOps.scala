@@ -204,6 +204,144 @@ object VectorOps {
     dedupVerdict(ids, pairs)
   }
 
+  /** Asymmetric candidate scoring for index maintenance: DELTA
+    * assignment rows probe the full index on cid. The delta side is
+    * BROADCAST (small by contract — a daily append vs the corpus), so
+    * the join adds NO shuffle on the index side at any scale; scoring is
+    * the same codegen'd CosineSim as [[pairsFromAssigned]]. The bucket
+    * cap is deliberately absent here: sub-split keys depend on bucket
+    * SIZE, which differs between a delta probe and a full pass, so an
+    * active cap could make incremental ≠ full (SCALE.md round-5 note). */
+  def deltaPairs(deltaAssigned: DataFrame, indexAssigned: DataFrame,
+      threshold: Double): DataFrame = {
+    val l = broadcast(deltaAssigned)
+      .select(col("cid"), col("vec_id").as("ida"), col("embedding").as("va"))
+    val r = indexAssigned
+      .select(col("cid"), col("vec_id").as("idb"), col("embedding").as("vb"))
+    l.join(r, Seq("cid"))
+      .filter(col("ida") =!= col("idb"))
+      .select(least(col("ida"), col("idb")).as("ida"),
+        greatest(col("ida"), col("idb")).as("idb"),
+        graft.functions.CosineSim.cosineSim(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select("ida", "idb").distinct()
+  }
+
+  /** Incremental embedding dedup after an index APPEND (q158) — the
+    * day-2 operation of the persisted IVF index (q153): new embeddings
+    * arrive, get assigned against the index's FROZEN centroids (the
+    * prev corpus's first-K — centroid refresh is a separate re-train,
+    * q155's story), and only the affected clusters re-close:
+    *
+    *  1. delta assignment: one map-only pass over DELTA vectors only;
+    *  2. new candidate pairs: the broadcast delta probes the index on
+    *     cid ([[deltaPairs]]) — zero corpus-side shuffle;
+    *  3. stored pairs are append-stable (additions never retire edges),
+    *     so a prev cluster is affected iff a new edge touches it;
+    *     connected components rerun on the affected subgraph only
+    *     (edge-closed: kept edges stay within one prev component, new
+    *     edges' endpoints are all marked affected);
+    *  4. every other cluster keeps its stored label untouched.
+    *
+    * The driver gate is the equality proof: Spark answers incrementally
+    * from staged prev artifacts while the oracle recomputes the full
+    * chain (all vectors, prev centroids) from scratch. The index-content
+    * invariant (prev assignment ∪ delta assignment ≡ full assignment)
+    * is pinned separately by IncrementalIvfSpec. */
+  def embeddingDedupIncremental(spark: SparkSession, dir: String,
+      nCentroids: Int = 16, threshold: Double = 0.4,
+      nProbe: Int = 4): DataFrame = {
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val delta = all.filter(col("vec_id") % 6 === 0)
+    val art = stagedIvfPrev(spark, dir, nCentroids, nProbe, threshold)
+    val deltaAssigned = assignWithCentroids(spark, delta,
+      art.centroids, nProbe).localCheckpoint()
+    val unionAssigned = art.assigned
+      .select("vec_id", "cid", "embedding").unionByName(deltaAssigned)
+    val newPairs = deltaPairs(deltaAssigned, unionAssigned, threshold)
+      .localCheckpoint() // feeds the touched set AND the edge union
+
+    val deltaIds = delta.select("vec_id")
+    val touched = deltaIds
+      .unionByName(newPairs.select(col("ida").as("vec_id")))
+      .unionByName(newPairs.select(col("idb").as("vec_id")))
+      .distinct()
+    val affComps = art.comp.join(touched, "vec_id")
+      .select("component").distinct()
+    val affIds = art.comp.join(affComps, "component").select("vec_id")
+      .unionByName(deltaIds).distinct()
+      .localCheckpoint() // two consumers: subgraph filter + assignment
+    val pairsV2 = art.pairs.unionByName(newPairs).distinct()
+    val subEdges = pairsV2
+      .join(affIds.withColumnRenamed("vec_id", "ida"), Seq("ida"), "left_semi")
+    val subComp = Graphs.components(subEdges, "ida", "idb")
+      .withColumnRenamed("id", "vec_id")
+
+    val unaffected = art.comp.join(affIds, Seq("vec_id"), "left_anti")
+    val affAssign = affIds.join(subComp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("component"))
+    unaffected.unionByName(affAssign)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component")))
+      .withColumn("is_canonical", col("vec_id") === col("component"))
+      .withColumn("status",
+        when(col("vec_id") % 6 === 0, "appended").otherwise("indexed"))
+      .orderBy("vec_id")
+  }
+
+  /** Stored artifacts of the prev index build (the production tables). */
+  case class IvfPrevArtifacts(centroids: Array[(Long, Array[Float])],
+      assigned: DataFrame, pairs: DataFrame, comp: DataFrame)
+
+  private val ivfPrevStaged =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Stage the prev corpus's index artifacts once per (fixture
+    * signature, process): the assignment, its candidate pairs, and the
+    * full component labels — what the prior nightly build would have
+    * persisted. Centroids re-derive deterministically from the prev
+    * corpus (same first-K contract the stage write used). */
+  def stagedIvfPrev(spark: SparkSession, dir: String, nCentroids: Int,
+      nProbe: Int, threshold: Double): IvfPrevArtifacts = {
+    val prev = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") % 6 =!= 0)
+    val cents = centroidsOf(prev, nCentroids)
+    val key = graft.streaming.FixtureStaging
+      .key(s"ivfprev:$nCentroids:$nProbe:$threshold",
+        s"$dir/embeddings.parquet")
+    val pid = ProcessHandle.current().pid()
+    val root = ivfPrevStaged.computeIfAbsent(s"$dir@$key", { _ =>
+      val d = java.nio.file.Paths.get(s"/tmp/graft-ivfprev-$key-p$pid")
+      val ready = d.resolve("_READY")
+      if (java.nio.file.Files.exists(d)
+          && !java.nio.file.Files.exists(ready))
+        org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+      if (!java.nio.file.Files.exists(ready)) {
+        val assigned = assignWithCentroids(spark, prev, cents, nProbe)
+        assigned.write.mode("overwrite").parquet(s"$d/assigned")
+        val pairs = pairsFromAssigned(
+          spark.read.parquet(s"$d/assigned"), threshold, nProbe)
+        pairs.write.mode("overwrite").parquet(s"$d/pairs")
+        prev.select("vec_id")
+          .join(Graphs.components(spark.read.parquet(s"$d/pairs"),
+            "ida", "idb").withColumnRenamed("id", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("comp"), col("vec_id")).as("component"))
+          .write.mode("overwrite").parquet(s"$d/comp")
+        java.nio.file.Files.createFile(ready)
+      }
+      d.toString
+    })
+    IvfPrevArtifacts(cents,
+      assigned = spark.read.parquet(s"$root/assigned"),
+      pairs = spark.read.parquet(s"$root/pairs"),
+      comp = spark.read.parquet(s"$root/comp"))
+  }
+
   /** q141's candidate generator, exposed for precision/recall testing:
     * pairs sharing an IVF bucket whose cosine clears `threshold`. Every
     * emitted pair is a TRUE above-threshold pair (the bucketing can
@@ -231,15 +369,32 @@ object VectorOps {
     * like [[ivfKnn]]'s. Persisted cid-bucketed by
     * [[graft.sources.IvfIndex]]. */
   def ivfAssign(spark: SparkSession, embeddings: DataFrame,
-      nCentroids: Int, nProbe: Int): DataFrame = {
+      nCentroids: Int, nProbe: Int): DataFrame =
+    assignWithCentroids(spark, embeddings,
+      centroidsOf(embeddings, nCentroids), nProbe)
+
+  /** The deterministic first-K centroid sample of a corpus frame — a
+    * driver-side constant (nCentroids × dim floats, metadata-sized). */
+  def centroidsOf(embeddings: DataFrame,
+      nCentroids: Int): Array[(Long, Array[Float])] = {
+    val spark = embeddings.sparkSession
     import spark.implicits._
-    val e = embeddings.select(col("vec_id"), col("embedding"))
-    val cents: Array[(Long, Array[Float])] =
-      e.filter(col("vec_id") < nCentroids)
-        .as[(Long, Array[Float])].collect().sortBy(_._1)
+    embeddings.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < nCentroids)
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+  }
+
+  /** Multi-probe assignment against EXPLICIT centroids — the index's
+    * own, frozen at creation: incremental maintenance (q158) assigns
+    * DELTA vectors against them without re-deriving, which is what keeps
+    * an appended index consistent with its existing buckets. */
+  def assignWithCentroids(spark: SparkSession, embeddings: DataFrame,
+      cents: Array[(Long, Array[Float])], nProbe: Int): DataFrame = {
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
     val np = nProbe
-    e.as[(Long, Array[Float])]
+    embeddings.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
       .mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (id, v) =>
