@@ -200,6 +200,8 @@ object SparkEntry {
       (graft.operators.IncrementalCuration.incrementalCuration _),
     "q158_embedding_dedup_incremental" ->
       ((s, d) => VectorOps.embeddingDedupIncremental(s, d)),
+    "q159_quality_canonical" -> (TextOps.qualityCanonical _),
+    "q160_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2649,6 +2651,48 @@ object SparkEntry {
          |  st.status
          |FROM v JOIN st ON v.doc_id = st.doc_id
          |ORDER BY v.doc_id NULLS FIRST""".stripMargin,
+
+    // q159: same pair graph + closure as q65; the canonical within each
+    // cluster is the highest-quality copy (most tokens, doc_id ties)
+    "q159_quality_canonical" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT ida AS s, idb AS d FROM pairs
+         |  UNION SELECT idb, ida FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.id, e.d FROM reach w JOIN edges e ON w.r = e.s),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+         |  FROM reach GROUP BY id),
+         |q AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+         |  FROM documents),
+         |a AS (SELECT q.doc_id, q.n_tokens,
+         |    COALESCE(c.component, q.doc_id) AS component
+         |  FROM q LEFT JOIN comp c ON q.doc_id = c.id)
+         |SELECT doc_id, component,
+         |  COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+         |  CAST(n_tokens AS INT) AS n_tokens,
+         |  ROW_NUMBER() OVER (PARTITION BY component
+         |    ORDER BY n_tokens DESC, doc_id ASC) = 1 AS is_canonical
+         |FROM a ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // q160: vocabulary CDF — DuckDB states the rank/cumsum as plain
+    // global windows; Spark reaches the identical values through the
+    // two-phase range-partitioned prefix-sum (no single-partition sort)
+    "q160_vocab_coverage" ->
+      s"""WITH t AS (SELECT unnest(string_split(text, ' ')) AS token
+         |  FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+         |tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c),
+         |r AS (SELECT token, cnt,
+         |    ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+         |    CAST(SUM(cnt) OVER (ORDER BY cnt DESC, token ASC
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM c)
+         |SELECT token, cnt, rank, cum_tokens,
+         |  ${val6("cum_tokens / (SELECT total FROM tot)")} AS coverage
+         |FROM r WHERE rank <= 200
+         |ORDER BY rank""".stripMargin,
 
     "q146_curation_funnel" ->
       s"""WITH RECURSIVE $curationCtes

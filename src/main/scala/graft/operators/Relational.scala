@@ -301,6 +301,44 @@ object Relational {
       .drop("_pid", "_lrn", "_off")
   }
 
+  /** Global rank AND running sum over a unique order key in ONE
+    * two-phase pass — the distributed prefix-sum. Bit-identical to
+    * `ROW_NUMBER() OVER (ORDER BY k)` + `SUM(v) OVER (ORDER BY k ROWS
+    * UNBOUNDED PRECEDING)` without their single-partition sort:
+    * range-repartition on the key, rank and running-sum locally per
+    * partition, then add per-partition (count, sum) prefix offsets —
+    * one long pair per partition is the only driver-side data. The
+    * shape every cumulative mart (vocab coverage, pack budgets, CDF
+    * tables) needs at 100 TB. */
+  def globalRankedPrefixSum(df: DataFrame, orderCol: String,
+      valueCol: String, rankName: String, cumName: String): DataFrame = {
+    val spark = df.sparkSession
+    // materialized once: all three jobs must see the same boundaries
+    val parted = df.repartitionByRange(col(orderCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    val stats = parted.groupBy("_pid")
+      .agg(count(lit(1)).as("_cnt"), sum(col(valueCol)).as("_s"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val offsets = stats.scanLeft((0, 0L, 0L)) {
+      case ((_, accN, accS), (pid, n, s)) => (pid, accN + n, accS + s)
+    }.tail.zip(stats).map { case ((pid, endN, endS), (_, n, s)) =>
+      (pid, endN - n, endS - s)
+    }
+    val offsetDf = spark.createDataFrame(offsets.toSeq)
+      .toDF("_pid", "_offn", "_offs")
+    val w = Window.partitionBy("_pid").orderBy(orderCol)
+    parted
+      .withColumn("_lrn", row_number().over(w))
+      .withColumn("_lsum", sum(col(valueCol)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(broadcast(offsetDf), "_pid")
+      .withColumn(rankName, col("_lrn") + col("_offn"))
+      .withColumn(cumName, col("_lsum") + col("_offs"))
+      .drop("_pid", "_lrn", "_lsum", "_offn", "_offs")
+  }
+
   /** [[denseGlobalRank]] for inputs whose lineage is CHEAP TO RE-EXECUTE
     * (a plain scan/filter, not a join): equi-depth boundaries from one
     * narrow quantile pass over the key column, scan-local bucket ids,

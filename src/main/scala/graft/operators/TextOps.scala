@@ -926,6 +926,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware canonical selection (q159) — the dedup RETENTION
+    * POLICY a real corpus ships: within a near-dup cluster keep the
+    * HIGHEST-QUALITY copy (most tokens; doc_id breaks ties), not the
+    * lowest id. min-id canonicality (q65) answers "which cluster";
+    * this answers "which copy survives" — re-crawls and cleaned
+    * variants of the same page differ in exactly this way.
+    *
+    * Shape: the same LSH pairs + closure as q65, one doc-keyed join to
+    * attach the quality key, then ONE keyed window per component
+    * (components are tiny by construction) — no new global state. */
+  def qualityCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDups(spark, dir).select("ida", "idb")
+    val comp = Graphs.components(pairs, "ida", "idb")
+      .withColumnRenamed("id", "doc_id")
+    val qual = Tables.documents(spark, dir)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+    qual
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component")))
+      .withColumn("is_canonical",
+        row_number().over(Window.partitionBy("component")
+          .orderBy(col("n_tokens").desc, col("doc_id").asc)) === 1)
+      .select("doc_id", "component", "cluster_size", "n_tokens",
+        "is_canonical")
+      .orderBy("doc_id")
+  }
+
+  /** Vocabulary coverage mart (q160) — the tokenizer-design question:
+    * how much of the corpus do the top-k token types cover? Token
+    * counts at vocabulary grain, globally ranked by (count DESC, token)
+    * and cumulatively summed — BOTH through the two-phase
+    * [[Relational.globalRankedPrefixSum]], so there is no
+    * single-partition ORDER BY anywhere: the order key encodes
+    * count-descending as a fixed-width decimal prefix, making the
+    * range partitioning the sort. Coverage ratios floor-scale through
+    * [[Portable.val6]] for the oracle hash. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      topK: Int = 200): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total: Long = counts.agg(sum("cnt")).as[Long].head()
+    // (count DESC, token ASC) as ONE lexicographic key: 13-digit
+    // zero-padded (1e12 - cnt) prefix, binary-collated token suffix
+    val keyed = counts.withColumn("_k",
+      concat(lpad((lit(1000000000000L) - col("cnt")).cast("string"), 13, "0"),
+        col("token")))
+    Relational.globalRankedPrefixSum(keyed, "_k", "cnt", "rank", "cum_tokens")
+      .filter(col("rank") <= topK)
+      .select(col("token"), col("cnt"), col("rank"), col("cum_tokens"),
+        Portable.val6(col("cum_tokens").cast("double") / lit(total.toDouble))
+          .as("coverage"))
+      .orderBy("rank")
+  }
+
   /** Stage-by-stage survival counts over [[curationVerdicts]] — the
     * funnel mart the curation dashboard reads. One aggregation pass
     * (six conditional sums), then a stack to rows; grain = stages. */
