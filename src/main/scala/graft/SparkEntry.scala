@@ -202,6 +202,7 @@ object SparkEntry {
       ((s, d) => VectorOps.embeddingDedupIncremental(s, d)),
     "q159_quality_canonical" -> (TextOps.qualityCanonical _),
     "q160_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
+    "q161_ivf_knn_indexed" -> ((s, d) => VectorOps.ivfKnnIndexed(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -990,6 +991,44 @@ object SparkEntry {
     // nearest-centroid assignment, same top-4 probe list, same in-bucket
     // ranking — reproduces the approximation (recall loss included).
     "q50_ivf_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 16),
+         |ac AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosCols("e.embedding", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+         |    FROM ac) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+         |      WHERE vec_id < 10),
+         |qc AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT q.query_id, q.qv, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosCols("q.qv", "c.cv")} DESC NULLS LAST,
+         |                 c.cid NULLS FIRST) AS rn
+         |    FROM q CROSS JOIN c) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id,
+         |    ${cosCols("qc.qv", "a.embedding")} AS cos
+         |  FROM qc JOIN assign a USING (cid)
+         |  WHERE a.vec_id <> qc.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST) AS rn
+         |  FROM cand)
+         |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
+         |FROM r WHERE rn <= 5
+         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q161 serves the IDENTICAL q50 contract from the persisted
+    // single-probe index with literal bucket pruning; storage layout
+    // must never change results, so the oracle is q50's verbatim.
+    "q161_ivf_knn_indexed" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |c AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 16),
          |ac AS (

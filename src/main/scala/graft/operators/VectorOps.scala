@@ -578,6 +578,54 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Index-SERVED ANN (q161) — the serving read of the index lifecycle
+    * (build q153, maintain q158, serve here): q50's exact kNN contract
+    * answered from the PERSISTED single-probe IVF index (the q153 table
+    * machinery at nProbe = 1, so each vector lives in exactly ONE
+    * bucket — the classic inverted-list layout). The per-query probe
+    * lists are computed driver-side from the index's centroids
+    * (nQueries × dim floats — metadata-sized), and the probed cid set
+    * reaches the scan as a LITERAL IN-filter, so the bucketed table
+    * prunes to the probed buckets at PLAN time (`SelectedBucketsCount`
+    * in the scan, IvfServeSpec pins it): the serving read touches
+    * ~nProbe/K of the corpus ON DISK, not merely post-filter — the
+    * FAISS inverted-list read, expressed as Spark bucket pruning. */
+  def ivfKnnIndexed(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val assigned = graft.sources.IvfIndex.table(spark, dir, nCentroids, 1)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents = centroidsOf(e, nCentroids)
+    val probesLocal: Seq[(Long, Long, Array[Float])] =
+      e.filter(col("vec_id") < nQueries).as[(Long, Array[Float])]
+        .collect().toSeq
+        .flatMap { case (qid, qv) =>
+          cents.map { case (cid, cv) => (cid, cosOf(qv, cv)) }
+            .sortBy { case (cid, s) => (-s, cid) }
+            .take(nProbe)
+            .map { case (cid, _) => (qid, cid, qv) }
+        }
+    val probedCids = probesLocal.map(_._2).distinct.sorted
+    val probes = probesLocal.toDF("query_id", "cid", "qv")
+
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(probes)
+      .join(assigned.filter(col("cid").isin(probedCids: _*)), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (qi, ni, qv, cv) => (qi, ni, cosOf(qv, cv)) })
+      .toDF("query_id", "neighbor_id", "cos")
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        graft.util.Portable.val6(col("cos")).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Recall@k of the IVF tier against the exact brute-force ranking —
     * the evaluation loop an ANN deployment tunes nProbe with. Probing
     * every bucket (nProbe = nCentroids) must give recall 1.0 exactly:
