@@ -13,23 +13,11 @@ object Bench {
     // 16 measured fastest end-to-end at sf0.1 on this host (4 and 32
     // both slower: too little overlap vs too much per-stage task churn)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
+    val spark = graft.util.Sessions.withGraftDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // testdata timestamps are untagged INT64 (timestamp[us], no tz);
-      // Spark 4 would infer TIMESTAMP_NTZ — read them as session-tz
-      // TIMESTAMP (UTC) as the oracle comparison and every gate expect
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      // bucketed joins whose equi-keys EXTEND the bucket key (e.g. the
-      // IVF index self-join on (cid, _sub)) stay exchange-free: children
-      // co-partitioned on a subset of the join keys is exactly what a
-      // bucketed layout provides (IvfIndexSpec pins the plan)
-      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.shuffle.partitions", cpus))
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
-      .config("spark.ui.enabled", "false")
       // The testdata tables are SINGLE small parquet files; at the
       // default 128 MB split size every scan (and everything fused into
       // its stage — broadcast joins, explodes, partial aggs) runs as ONE

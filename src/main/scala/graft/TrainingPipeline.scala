@@ -108,21 +108,9 @@ object TrainingPipeline {
     val outDir = args.lift(1).getOrElse(
       s"${System.getProperty("java.io.tmpdir")}/graft_training_pipeline")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = graft.util.Sessions.withGraftDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // testdata timestamps are untagged INT64 (timestamp[us], no tz);
-      // Spark 4 would infer TIMESTAMP_NTZ — read them as session-tz
-      // TIMESTAMP (UTC) as the oracle comparison and every gate expect
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      // bucketed joins whose equi-keys EXTEND the bucket key (e.g. the
-      // IVF index self-join on (cid, _sub)) stay exchange-free: children
-      // co-partitioned on a subset of the join keys is exactly what a
-      // bucketed layout provides (IvfIndexSpec pins the plan)
-      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", cpus))
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

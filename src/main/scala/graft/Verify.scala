@@ -16,29 +16,17 @@ object Verify {
     // subset (the driver always passes exactly two)
     val (sfDir, outDir, only) = (args(0), args(1), args.drop(2).toSeq)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val spark = graft.util.Sessions.withGraftDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // testdata timestamps are untagged INT64 (timestamp[us], no tz);
-      // Spark 4 would infer TIMESTAMP_NTZ — read them as session-tz
-      // TIMESTAMP (UTC) as the oracle comparison and every gate expect
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      // bucketed joins whose equi-keys EXTEND the bucket key (e.g. the
-      // IVF index self-join on (cid, _sub)) stay exchange-free: children
-      // co-partitioned on a subset of the join keys is exactly what a
-      // bucketed layout provides (IvfIndexSpec pins the plan)
-      .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      .config("spark.sql.shuffle.partitions", cpus))
       // NOTE: parquet timestamps stay on the default INT96, which pyarrow
       // reads as NAIVE datetime64[ns] — matching the DuckDB oracle's naive
       // timestamps. TIMESTAMP_MICROS would read back tz-aware (UTC) and
       // diverge from the oracle under exact hashing. The ns range limit
       // (max 2262-04-11) is handled by keeping all emitted timestamps in
       // range (see Scd2.FarFuture).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
-      .config("spark.ui.enabled", "false")
       // the library's session extensions (custom functions, the
       // RewriteRegexCount optimizer rule, the TopKPerKey strategy) are
       // part of the product surface — verify WITH them active

@@ -70,7 +70,7 @@ object IncrementalCuration {
   def evalRegistry(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-      .filter(col("doc_id") % 25 === 0)
+      .filter(col("doc_id") % TextOps.EvalMod === 0)
 
   /** Doc-local stage verdicts (lang, quality, repetition,
     * decontamination) for a corpus frame — the q145 stage definitions,
@@ -85,7 +85,8 @@ object IncrementalCuration {
     val rep = TextOps.repetitionStatsOn(corpus)
       .select(col("doc_id"), col("keep").as("rep_ok"))
     val dec = TextOps
-      .decontaminateOn(corpus.filter(col("doc_id") % 25 =!= 0), evalDocs)
+      .decontaminateOn(corpus.filter(col("doc_id") % TextOps.EvalMod =!= 0),
+        evalDocs)
       .select(col("doc_id"), (!col("is_contaminated")).as("decon_ok"))
     dec.join(lang, "doc_id").join(qual, "doc_id").join(rep, "doc_id")
       .select("doc_id", "lang_ok", "quality_ok", "rep_ok", "decon_ok")
@@ -105,7 +106,12 @@ object IncrementalCuration {
     * oracle replays). Same columns as q145 plus nothing: status joins
     * happen at the query layer. */
   def fullVerdictsOn(corpus: DataFrame, evalDocs: DataFrame): DataFrame = {
-    val pairs = TextOps.minhashNearDupsOn(corpus).select("ida", "idb")
+    // uncapped, like the oracle and the incremental delta join: the
+    // bucket cap's sub-split keys on bucket SIZE, which differs between
+    // a full pass and a delta pass (SCALE.md round-5 note)
+    val pairs = TextOps
+      .minhashNearDupsOn(corpus, TextOps.NearDupJaccard, Long.MaxValue)
+      .select("ida", "idb")
     val ded = componentsOn(corpus, pairs)
       .select(col("doc_id"),
         (col("doc_id") === col("component")).as("dedup_ok"))
@@ -124,7 +130,11 @@ object IncrementalCuration {
   /** Compute the previous run's artifacts from scratch (what the prior
     * nightly run would have persisted). */
   def artifactsOf(prev: DataFrame, evalDocs: DataFrame): PrevArtifacts = {
-    val pairs = TextOps.minhashNearDupsOn(prev).select("ida", "idb")
+    // uncapped for the same reason as fullVerdictsOn: capped stored
+    // pairs + an uncapped delta join would diverge on a skewed corpus
+    val pairs = TextOps
+      .minhashNearDupsOn(prev, TextOps.NearDupJaccard, Long.MaxValue)
+      .select("ida", "idb")
     PrevArtifacts(
       verdicts = localVerdictsOn(prev, evalDocs),
       sigs = TextOps.signaturesOn(prev).toDF(),
@@ -179,7 +189,7 @@ object IncrementalCuration {
       .distinct()
     val newPairs = TextOps
       .exactJaccard(cand, sigsV2.select(col("doc_id"), col("shs")))
-      .filter(col("jaccard") >= 0.7)
+      .filter(col("jaccard") >= TextOps.NearDupJaccard)
       .select("ida", "idb")
       .localCheckpoint() // feeds touched-set AND the union; compute once
     val keptPairs = prevArt.pairs

@@ -214,7 +214,8 @@ object Multimodal {
       while (off + 4 <= bytes.length) {
         if (u8(off) != 0xff) return None
         val m = u8(off + 1)
-        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off += 2 // standalone
+        if (m == 0xff) off += 1 // legal fill byte: FF+ precedes the code
+        else if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) off += 2 // standalone
         else if (m == 0xd9 || m == 0xda) return None // EOI/SOS before SOF
         else {
           val len = be16(off + 2)

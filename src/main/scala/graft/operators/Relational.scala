@@ -280,26 +280,14 @@ object Relational {
     * Result is bit-identical to the global ROW_NUMBER because the order
     * key is unique and range partitioning preserves global order. */
   def denseGlobalRank(df: DataFrame, orderCol: String, skName: String,
-      base: Long): DataFrame = {
-    val spark = df.sparkSession
-    // materialized once: the counts job and the rank job must see the
-    // SAME range boundaries (re-evaluation would re-sample them)
-    val parted = df.repartitionByRange(col(orderCol))
-      .withColumn("_pid", spark_partition_id())
-      .localCheckpoint()
-    val counts = parted.groupBy("_pid").agg(count(lit(1)).as("_cnt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.scanLeft(0 -> 0L) {
-      case ((_, acc), (pid, cnt)) => pid -> (acc + cnt)
-    }.tail.zip(counts).map { case ((pid, end), (_, cnt)) => (pid, end - cnt) }
-    val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("_pid", "_off")
-    parted
-      .withColumn("_lrn", row_number().over(
-        Window.partitionBy("_pid").orderBy(orderCol)))
-      .join(broadcast(offsetDf), "_pid")
-      .withColumn(skName, col("_lrn") + col("_off") + lit(base))
-      .drop("_pid", "_lrn", "_off")
-  }
+      base: Long): DataFrame =
+    // rank = the prefix-sum kernel with a constant-1 value column: ONE
+    // copy of the subtle two-phase machinery (checkpoint pins the range
+    // boundaries, pid-sorted offset scan) for both rank and cumsum
+    globalRankedPrefixSum(df.withColumn("_one", lit(1L)),
+      orderCol, "_one", skName, "_cum")
+      .withColumn(skName, col(skName) + lit(base))
+      .drop("_one", "_cum")
 
   /** Global rank AND running sum over a unique order key in ONE
     * two-phase pass — the distributed prefix-sum. Bit-identical to

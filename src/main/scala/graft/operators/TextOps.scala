@@ -137,6 +137,17 @@ object TextOps {
 
   val MinhashSeeds = 8
 
+  /** The near-dup similarity contract — ONE definition shared by the
+    * full chain (q33/q65/q145), the incremental paths (q157/q158's
+    * curation twin) and their equality proofs, so the threshold can
+    * never drift one-sided and silently break incremental ≡ full. */
+  val NearDupJaccard = 0.7
+
+  /** The benchmark-registry membership rule (doc_id ≡ 0 mod this) —
+    * shared by decontaminate (q142), the curation chain (q145) and the
+    * incremental path (q157) for the same no-drift reason. */
+  val EvalMod = 25
+
   /** Universal-hash family over the base 32-bit shingle hash:
     * h_i(x) = (a_i·h(x) + b_i) mod P with P prime > 2^32. The base md5
     * hash runs ONCE per shingle (md5 through an interpreted lambda is
@@ -262,13 +273,13 @@ object TextOps {
   }
 
   def minhashNearDups(spark: SparkSession, dir: String,
-      threshold: Double = 0.7,
+      threshold: Double = NearDupJaccard,
       maxBucket: Long = VectorOps.DefaultMaxBucket): DataFrame =
     minhashNearDupsOn(Tables.documents(spark, dir), threshold, maxBucket)
 
   /** [[minhashNearDups]] over an arbitrary corpus frame. */
   def minhashNearDupsOn(docs: DataFrame,
-      threshold: Double = 0.7,
+      threshold: Double = NearDupJaccard,
       maxBucket: Long = VectorOps.DefaultMaxBucket): DataFrame = {
     // candidate generation touches ONLY (doc_id, band, h1, h2) longs —
     // a collect_list of shingle arrays is GC-heavy and a join carrying
@@ -725,7 +736,7 @@ object TextOps {
     * hit count, both keyed on doc_id — at 100 TB this is one scan plus
     * one doc-keyed aggregation. */
   def decontaminate(spark: SparkSession, dir: String, n: Int = 4,
-      evalMod: Int = 25): DataFrame = {
+      evalMod: Int = EvalMod): DataFrame = {
     val d = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val isEval = col("doc_id") % evalMod === 0
     decontaminateOn(d.filter(!isEval), d.filter(isEval), n)
@@ -968,14 +979,22 @@ object TextOps {
   def vocabCoverage(spark: SparkSession, dir: String,
       topK: Int = 200): DataFrame = {
     import spark.implicits._
+    // materialized once: the grand total and the ranked pass both read
+    // the vocabulary-grain counts — without this the explode + groupBy
+    // over the documents scan executes twice
     val counts = Tables.documents(spark, dir)
       .select(explode(split(col("text"), " ")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     val total: Long = counts.agg(sum("cnt")).as[Long].head()
-    // (count DESC, token ASC) as ONE lexicographic key: 13-digit
-    // zero-padded (1e12 - cnt) prefix, binary-collated token suffix
+    // (count DESC, token ASC) as ONE lexicographic key: 19-digit
+    // zero-padded (1e18 - cnt) prefix, binary-collated token suffix.
+    // 1e18 (not 1e12): a single token type in a 100 TB corpus can pass
+    // 1e12 occurrences, and a negative difference would break the
+    // lexicographic = numeric-descending equivalence
     val keyed = counts.withColumn("_k",
-      concat(lpad((lit(1000000000000L) - col("cnt")).cast("string"), 13, "0"),
+      concat(
+        lpad((lit(1000000000000000000L) - col("cnt")).cast("string"), 19, "0"),
         col("token")))
     Relational.globalRankedPrefixSum(keyed, "_k", "cnt", "rank", "cum_tokens")
       .filter(col("rank") <= topK)

@@ -322,8 +322,12 @@ object VectorOps {
       if (!java.nio.file.Files.exists(ready)) {
         val assigned = assignWithCentroids(spark, prev, cents, nProbe)
         assigned.write.mode("overwrite").parquet(s"$d/assigned")
+        // uncapped, matching deltaPairs and the full-rebuild oracle:
+        // capped stored pairs + an uncapped delta probe would diverge
+        // on a skewed corpus (the cap's sub-split keys on bucket size)
         val pairs = pairsFromAssigned(
-          spark.read.parquet(s"$d/assigned"), threshold, nProbe)
+          spark.read.parquet(s"$d/assigned"), threshold, nProbe,
+          maxBucket = Long.MaxValue)
         pairs.write.mode("overwrite").parquet(s"$d/pairs")
         prev.select("vec_id")
           .join(Graphs.components(spark.read.parquet(s"$d/pairs"),

@@ -61,7 +61,15 @@ object Bucketing {
     * aggregation. */
   def bucketedRevenue(spark: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val (ot, lt) = (s"b_orders_$tag", s"b_lineitem_$tag")
+    // fixture content signature + process id in the name (= the path
+    // key): a regenerated fixture re-buckets instead of re-registering
+    // stale surviving files, and two JVMs never overwrite each other's
+    // bucketed write — the IvfIndex hardening, applied here too
+    val pid = ProcessHandle.current().pid()
+    def k(t: String) =
+      graft.streaming.FixtureStaging.key("bkt", s"$dir/$t.parquet")
+    val ot = s"b_orders_${k("orders")}_j${pid}_$tag"
+    val lt = s"b_lineitem_${k("lineitem")}_j${pid}_$tag"
     ensure(spark, ot, Tables.orders(spark, dir)
       .select("o_orderkey", "o_orderpriority"), "o_orderkey")
     ensure(spark, lt, Tables.lineitem(spark, dir)

@@ -25,12 +25,21 @@ object IvfIndex {
 
   /** Read the index for `dir`, building it on first use (per catalog:
     * table in catalog → reuse; surviving files → re-register; else one
-    * bucketed write). Name carries the assignment parameters — indexes
-    * with different (nCentroids, nProbe) are different tables. */
+    * bucketed write). The name carries the assignment parameters
+    * (indexes with different (nCentroids, nProbe) are different
+    * tables), the FIXTURE CONTENT SIGNATURE (a regenerated embeddings
+    * file gets a fresh table — surviving files of the old one can never
+    * serve a stale index to a new JVM), and the process id (two JVMs —
+    * Verify and Bench — never overwrite each other's bucketed write at
+    * a shared path; the catalog is per-JVM anyway, the path is what the
+    * name keys). */
   def table(spark: SparkSession, dir: String,
       nCentroids: Int, nProbe: Int): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-    val name = s"b_ivf_c${nCentroids}_p${nProbe}_$tag"
+    val sig = graft.streaming.FixtureStaging
+      .key("ivfidx", s"$dir/embeddings.parquet")
+    val pid = ProcessHandle.current().pid()
+    val name = s"b_ivf_c${nCentroids}_p${nProbe}_s${sig}_j${pid}_$tag"
     Bucketing.ensure(spark, name,
       graft.operators.VectorOps.ivfAssign(spark,
         Tables.embeddings(spark, dir), nCentroids, nProbe),

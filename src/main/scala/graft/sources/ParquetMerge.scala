@@ -51,10 +51,20 @@ object ParquetMerge {
   private def swapIn(spark: SparkSession, root: String, df: DataFrame): DataFrame = {
     val f = fs(spark, root)
     val staged = s"$root/staged"
+    // the staged write EXECUTES df's plan here — when current() resolved
+    // to cur_old (prior crashed swap), its bytes are safely copied into
+    // staged before any rename below touches that directory
     df.write.mode("overwrite").parquet(staged)
     val cur = new Path(s"$root/cur")
     val old = new Path(s"$root/cur_old")
-    f.delete(old, true) // clear any leftover from a prior crashed swap
+    // WRITER-side recovery (readers stay read-only — see current()): a
+    // prior swap that died between its two renames left cur absent and
+    // cur_old as the LIVE version. Complete that swap first; deleting
+    // cur_old as "leftover" while cur is absent would destroy the only
+    // live copy, and a subsequent failure would leave the table empty.
+    if (!f.exists(cur) && f.exists(old) && !f.rename(old, cur))
+      throw new java.io.IOException(s"swap: recovery rename $old -> $cur failed")
+    f.delete(old, true) // now truly leftover (cur exists, or neither does)
     if (f.exists(cur) && !f.rename(cur, old))
       throw new java.io.IOException(s"swap: rename $cur -> $old failed")
     if (!f.rename(new Path(staged), cur)) {

@@ -33,11 +33,9 @@ object Soak {
     val secs = args.headOption.map(_.toInt).getOrElse(120)
     val rate = args.lift(1).map(_.toInt).getOrElse(500000)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
-    val spark = SparkSession.builder()
+    val spark = graft.util.Sessions.withGraftDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -152,6 +152,16 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("headerDims accepts legal 0xFF fill bytes between JPEG segments") {
+    def hex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    // SOI, two fill bytes, APP0(len 16), fill byte, SOF0 with 300x200
+    val padded = hex("FFD8" + "FFFF" + "FFE0" + "0010" + "00" * 14 +
+      "FF" + "FFC0" + "0011" + "08" + "00C8" + "012C" +
+      "03" + "012200" + "021101" + "031101")
+    assert(Multimodal.headerDims(padded) == Some((300, 200)))
+  }
+
   test("headerDims degrades on corrupt/truncated/foreign payloads") {
     assert(Multimodal.headerDims(null).isEmpty)
     assert(Multimodal.headerDims(Array.emptyByteArray).isEmpty)

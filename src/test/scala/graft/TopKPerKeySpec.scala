@@ -13,17 +13,10 @@ class TopKPerKeySpec extends AnyFunSuite {
     val saved = SparkSession.getDefaultSession
     SparkSession.clearDefaultSession()
     SparkSession.clearActiveSession()
-    val spark = SparkSession.builder()
+    val spark = graft.util.Sessions.withGraftDefaults(SparkSession.builder()
       .master("local[4]")
       .appName("graft-topk-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      // testdata timestamps are untagged INT64 (timestamp[us], no tz);
-      // Spark 4 would infer TIMESTAMP_NTZ — read them as session-tz
-      // TIMESTAMP (UTC) as the oracle comparison and every gate expect
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+      .config("spark.sql.shuffle.partitions", "4"))
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     try f(spark)
@@ -65,17 +58,11 @@ class TopKPerKeySpec extends AnyFunSuite {
 
   test("exact equality vs WindowExec across k=1 and k=5 shapes") {
     // reference results from the DEFAULT session (no extensions)
-    val plainSpark = SparkSession.builder()
-      .master("local[4]")
-      .appName("graft-test")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      // testdata timestamps are untagged INT64 (timestamp[us], no tz);
-      // Spark 4 would infer TIMESTAMP_NTZ — read them as session-tz
-      // TIMESTAMP (UTC) as the oracle comparison and every gate expect
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
+    val plainSpark = graft.util.Sessions.withGraftDefaults(
+      SparkSession.builder()
+        .master("local[4]")
+        .appName("graft-test")
+        .config("spark.sql.shuffle.partitions", "4"))
       .getOrCreate()
     val dir = "/root/testdata/sf0.001"
     val refFirst = graft.operators.Relational.firstItemPerOrder(plainSpark, dir)
