@@ -203,6 +203,8 @@ object SparkEntry {
     "q159_quality_canonical" -> (TextOps.qualityCanonical _),
     "q160_vocab_coverage" -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "q161_ivf_knn_indexed" -> ((s, d) => VectorOps.ivfKnnIndexed(s, d)),
+    "q162_streaming_curation" ->
+      (graft.streaming.StreamingCuration.curationStream _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2668,7 +2670,33 @@ object SparkEntry {
     // + delta-only stage recompute + affected-component-only closure);
     // the oracle recomputes the FULL chain on the current snapshot from
     // scratch — a hash match proves incremental ≡ full on every row.
-    "q157_incremental_curation" ->
+    "q157_incremental_curation" -> incrementalCurationOracle,
+
+    // q162 maintains the same verdict table CONTINUOUSLY (foreachBatch
+    // applying one incremental step per micro-batch, tombstones for
+    // removals); the drained end state must equal q157's — same oracle.
+    "q162_streaming_curation" -> incrementalCurationOracle,
+
+    "q146_curation_funnel" ->
+      s"""WITH RECURSIVE $curationCtes
+         |SELECT * FROM (
+         |  SELECT 0 AS stage_no, 'ingest' AS stage, count(*) AS survivors
+         |    FROM v
+         |  UNION ALL SELECT 1, 'lang', count(*) FROM v WHERE lang_ok
+         |  UNION ALL SELECT 2, 'quality', count(*) FROM v
+         |    WHERE lang_ok AND quality_ok
+         |  UNION ALL SELECT 3, 'repetition', count(*) FROM v
+         |    WHERE lang_ok AND quality_ok AND rep_ok
+         |  UNION ALL SELECT 4, 'decontamination', count(*) FROM v
+         |    WHERE lang_ok AND quality_ok AND rep_ok AND decon_ok
+         |  UNION ALL SELECT 5, 'dedup', count(*) FROM v
+         |    WHERE lang_ok AND quality_ok AND rep_ok AND decon_ok
+         |      AND dedup_ok)
+         |ORDER BY stage_no""".stripMargin,
+  ) ++ oracleSqlRest
+
+  /** The q157/q162 oracle: full recompute of the CURRENT snapshot. */
+  private lazy val incrementalCurationOracle: String =
       s"""WITH RECURSIVE c157 AS (SELECT doc_id, lang,
          |    CASE WHEN doc_id % 11 = 0 THEN text || ' [edited]'
          |      ELSE text END AS text
@@ -2689,7 +2717,11 @@ object SparkEntry {
          |    AS keep,
          |  st.status
          |FROM v JOIN st ON v.doc_id = st.doc_id
-         |ORDER BY v.doc_id NULLS FIRST""".stripMargin,
+         |ORDER BY v.doc_id NULLS FIRST""".stripMargin
+
+  /** Continuation of [[oracleSql]] (split so the shared q157/q162
+    * oracle can live as a named val between the halves). */
+  private lazy val oracleSqlRest: Map[String, String] = Map(
 
     // q159: same pair graph + closure as q65; the canonical within each
     // cluster is the highest-quality copy (most tokens, doc_id ties)
@@ -2732,23 +2764,6 @@ object SparkEntry {
          |  ${val6("cum_tokens / (SELECT total FROM tot)")} AS coverage
          |FROM r WHERE rank <= 200
          |ORDER BY rank""".stripMargin,
-
-    "q146_curation_funnel" ->
-      s"""WITH RECURSIVE $curationCtes
-         |SELECT * FROM (
-         |  SELECT 0 AS stage_no, 'ingest' AS stage, count(*) AS survivors
-         |    FROM v
-         |  UNION ALL SELECT 1, 'lang', count(*) FROM v WHERE lang_ok
-         |  UNION ALL SELECT 2, 'quality', count(*) FROM v
-         |    WHERE lang_ok AND quality_ok
-         |  UNION ALL SELECT 3, 'repetition', count(*) FROM v
-         |    WHERE lang_ok AND quality_ok AND rep_ok
-         |  UNION ALL SELECT 4, 'decontamination', count(*) FROM v
-         |    WHERE lang_ok AND quality_ok AND rep_ok AND decon_ok
-         |  UNION ALL SELECT 5, 'dedup', count(*) FROM v
-         |    WHERE lang_ok AND quality_ok AND rep_ok AND decon_ok
-         |      AND dedup_ok)
-         |ORDER BY stage_no""".stripMargin,
 
     // the doubled stream delivers every content twice; after per-feed
     // fingerprint dedup the stats must equal the batch distinct-

@@ -142,11 +142,43 @@ object IncrementalCuration {
       comp = componentsOn(prev, pairs))
   }
 
+  /** One incremental step's full output: the verdict table AND the
+    * updated artifacts (the next step's inputs) — what a CONTINUOUS
+    * maintainer (q162) persists per batch. */
+  case class IncrementalResult(verdicts: DataFrame, artifacts: PrevArtifacts)
+
+  /** Artifacts of an EMPTY previous corpus (the continuous maintainer's
+    * initial state before the first batch). */
+  def emptyArtifacts(spark: SparkSession): PrevArtifacts = {
+    import org.apache.spark.sql.types._
+    def empty(schema: StructType) = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    PrevArtifacts(
+      verdicts = empty(StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang_ok", BooleanType),
+        StructField("quality_ok", BooleanType),
+        StructField("rep_ok", BooleanType),
+        StructField("decon_ok", BooleanType)))),
+      sigs = empty(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("shs", ArrayType(StringType)),
+        StructField("mh", ArrayType(LongType))))),
+      pairs = empty(StructType(Seq(
+        StructField("ida", LongType), StructField("idb", LongType)))),
+      comp = empty(StructType(Seq(
+        StructField("doc_id", LongType), StructField("component", LongType)))))
+  }
+
   /** Incremental re-verdict: merge stored prev verdicts with delta-only
     * recompute; returns the q145 verdict columns plus the diff `status`
     * of each surviving doc. */
   def incrementalVerdicts(prevArt: PrevArtifacts, prev: DataFrame,
-      cur: DataFrame, evalDocs: DataFrame): DataFrame = {
+      cur: DataFrame, evalDocs: DataFrame): DataFrame =
+    incrementalStep(prevArt, prev, cur, evalDocs).verdicts
+
+  /** [[incrementalVerdicts]] plus the updated artifact tables. */
+  def incrementalStep(prevArt: PrevArtifacts, prev: DataFrame,
+      cur: DataFrame, evalDocs: DataFrame): IncrementalResult = {
     // 1. snapshot diff by content fingerprint (the q150 operator)
     val f1 = prev.select(col("doc_id"), TextOps.contentFp(col("text")).as("fp1"))
     val f2 = cur.select(col("doc_id"), TextOps.contentFp(col("text")).as("fp2"))
@@ -221,18 +253,21 @@ object IncrementalCuration {
     val affAssign = affIds.join(curIds, "doc_id")
       .join(subComp, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("component"))
-    val ded = unaffected.unionByName(affAssign)
+    val compV2 = unaffected.unionByName(affAssign)
+    val ded = compV2
       .select(col("doc_id"),
         (col("doc_id") === col("component")).as("dedup_ok"))
 
     // 5. merge + verdict
-    localV2.join(ded, "doc_id")
+    val verdicts = localV2.join(ded, "doc_id")
       .join(diff, "doc_id")
       .withColumn("keep", col("lang_ok") && col("quality_ok")
         && col("rep_ok") && col("decon_ok") && col("dedup_ok"))
       .select("doc_id", "lang_ok", "quality_ok", "rep_ok", "decon_ok",
         "dedup_ok", "keep", "status")
       .orderBy("doc_id")
+    IncrementalResult(verdicts,
+      PrevArtifacts(localV2, sigsV2, pairsV2.select("ida", "idb"), compV2))
   }
 
   // ---- staged prev-run artifacts (the production tables) -----------------
