@@ -147,26 +147,27 @@ object IncrementalCuration {
     * maintainer (q162) persists per batch. */
   case class IncrementalResult(verdicts: DataFrame, artifacts: PrevArtifacts)
 
+  /** Row shapes of the artifact tables, as case classes so the empty
+    * frames' schemas DERIVE from one definition each (a hand-mirrored
+    * StructType would silently drift if e.g. [[TextOps.DocSig]] gained
+    * a field, and only fail at runtime in q162's first batch). */
+  private case class LocalVerdict(doc_id: Long, lang_ok: Boolean,
+      quality_ok: Boolean, rep_ok: Boolean, decon_ok: Boolean)
+  private case class Pair(ida: Long, idb: Long)
+  private case class CompRow(doc_id: Long, component: Long)
+
   /** Artifacts of an EMPTY previous corpus (the continuous maintainer's
     * initial state before the first batch). */
   def emptyArtifacts(spark: SparkSession): PrevArtifacts = {
-    import org.apache.spark.sql.types._
-    def empty(schema: StructType) = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    import org.apache.spark.sql.Encoders
+    def empty(schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     PrevArtifacts(
-      verdicts = empty(StructType(Seq(
-        StructField("doc_id", LongType), StructField("lang_ok", BooleanType),
-        StructField("quality_ok", BooleanType),
-        StructField("rep_ok", BooleanType),
-        StructField("decon_ok", BooleanType)))),
-      sigs = empty(StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("shs", ArrayType(StringType)),
-        StructField("mh", ArrayType(LongType))))),
-      pairs = empty(StructType(Seq(
-        StructField("ida", LongType), StructField("idb", LongType)))),
-      comp = empty(StructType(Seq(
-        StructField("doc_id", LongType), StructField("component", LongType)))))
+      verdicts = empty(Encoders.product[LocalVerdict].schema),
+      sigs = empty(Encoders.product[TextOps.DocSig].schema),
+      pairs = empty(Encoders.product[Pair].schema),
+      comp = empty(Encoders.product[CompRow].schema))
   }
 
   /** Incremental re-verdict: merge stored prev verdicts with delta-only
@@ -272,35 +273,20 @@ object IncrementalCuration {
 
   // ---- staged prev-run artifacts (the production tables) -----------------
 
-  private val staged =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Materialize the prev run's artifact tables once per (fixture
-    * signature, process) — per-process scratch roots, a `_READY` marker
-    * against half-staged dirs, and a content-signature key so a
-    * regenerated fixture re-stages (the hardened staged-table pattern).
-    */
+    * signature, process) via the shared staged-dir protocol
+    * ([[graft.streaming.FixtureStaging.stageOnce]]). */
   def stagedArtifacts(spark: SparkSession, dir: String): PrevArtifacts = {
-    val key = graft.streaming.FixtureStaging
-      .key("curprev", s"$dir/documents.parquet")
-    val pid = ProcessHandle.current().pid()
-    val root = staged.computeIfAbsent(s"$dir@$key", { _ =>
-      val d = java.nio.file.Paths.get(s"/tmp/graft-curprev-$key-p$pid")
-      val ready = d.resolve("_READY")
-      if (java.nio.file.Files.exists(d)
-          && !java.nio.file.Files.exists(ready))
-        org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
-      if (!java.nio.file.Files.exists(ready)) {
+    val root = graft.streaming.FixtureStaging
+      .stageOnce("curprev", s"$dir/documents.parquet",
+        "/tmp/graft-curprev") { d =>
         val art =
           artifactsOf(snapshotPrev(spark, dir), evalRegistry(spark, dir))
         art.verdicts.write.mode("overwrite").parquet(s"$d/verdicts")
         art.sigs.write.mode("overwrite").parquet(s"$d/sigs")
         art.pairs.write.mode("overwrite").parquet(s"$d/pairs")
         art.comp.write.mode("overwrite").parquet(s"$d/comp")
-        java.nio.file.Files.createFile(ready)
       }
-      d.toString
-    })
     PrevArtifacts(
       verdicts = spark.read.parquet(s"$root/verdicts"),
       sigs = spark.read.parquet(s"$root/sigs"),

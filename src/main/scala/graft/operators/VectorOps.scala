@@ -295,31 +295,21 @@ object VectorOps {
   case class IvfPrevArtifacts(centroids: Array[(Long, Array[Float])],
       assigned: DataFrame, pairs: DataFrame, comp: DataFrame)
 
-  private val ivfPrevStaged =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Stage the prev corpus's index artifacts once per (fixture
-    * signature, process): the assignment, its candidate pairs, and the
-    * full component labels — what the prior nightly build would have
-    * persisted. Centroids re-derive deterministically from the prev
-    * corpus (same first-K contract the stage write used). */
+    * signature, process) via the shared staged-dir protocol: the
+    * assignment, its candidate pairs, and the full component labels —
+    * what the prior nightly build would have persisted. Centroids
+    * re-derive deterministically from the prev corpus (same first-K
+    * contract the stage write used). */
   def stagedIvfPrev(spark: SparkSession, dir: String, nCentroids: Int,
       nProbe: Int, threshold: Double): IvfPrevArtifacts = {
     val prev = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
       .filter(col("vec_id") % 6 =!= 0)
     val cents = centroidsOf(prev, nCentroids)
-    val key = graft.streaming.FixtureStaging
-      .key(s"ivfprev:$nCentroids:$nProbe:$threshold",
-        s"$dir/embeddings.parquet")
-    val pid = ProcessHandle.current().pid()
-    val root = ivfPrevStaged.computeIfAbsent(s"$dir@$key", { _ =>
-      val d = java.nio.file.Paths.get(s"/tmp/graft-ivfprev-$key-p$pid")
-      val ready = d.resolve("_READY")
-      if (java.nio.file.Files.exists(d)
-          && !java.nio.file.Files.exists(ready))
-        org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
-      if (!java.nio.file.Files.exists(ready)) {
+    val root = graft.streaming.FixtureStaging
+      .stageOnce(s"ivfprev:$nCentroids:$nProbe:$threshold",
+        s"$dir/embeddings.parquet", "/tmp/graft-ivfprev") { d =>
         val assigned = assignWithCentroids(spark, prev, cents, nProbe)
         assigned.write.mode("overwrite").parquet(s"$d/assigned")
         // uncapped, matching deltaPairs and the full-rebuild oracle:
@@ -336,10 +326,7 @@ object VectorOps {
           .select(col("vec_id"),
             coalesce(col("comp"), col("vec_id")).as("component"))
           .write.mode("overwrite").parquet(s"$d/comp")
-        java.nio.file.Files.createFile(ready)
       }
-      d.toString
-    })
     IvfPrevArtifacts(cents,
       assigned = spark.read.parquet(s"$root/assigned"),
       pairs = spark.read.parquet(s"$root/pairs"),

@@ -27,19 +27,19 @@ object IvfIndex {
     * table in catalog → reuse; surviving files → re-register; else one
     * bucketed write). The name carries the assignment parameters
     * (indexes with different (nCentroids, nProbe) are different
-    * tables), the FIXTURE CONTENT SIGNATURE (a regenerated embeddings
-    * file gets a fresh table — surviving files of the old one can never
-    * serve a stale index to a new JVM), and the process id (two JVMs —
-    * Verify and Bench — never overwrite each other's bucketed write at
-    * a shared path; the catalog is per-JVM anyway, the path is what the
-    * name keys). */
+    * tables) and the FIXTURE CONTENT SIGNATURE (a regenerated
+    * embeddings file gets a fresh table — surviving files of the old
+    * one can never serve a stale index to a new JVM). Cross-JVM build
+    * races are serialized by [[Bucketing.ensure]]'s file lock, so the
+    * shared path lets the build amortize across every probe/dedup run
+    * in every process; stale-generation dirs are bounded by fixture
+    * regenerations (~once per round), not by run count. */
   def table(spark: SparkSession, dir: String,
       nCentroids: Int, nProbe: Int): DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val sig = graft.streaming.FixtureStaging
       .key("ivfidx", s"$dir/embeddings.parquet")
-    val pid = ProcessHandle.current().pid()
-    val name = s"b_ivf_c${nCentroids}_p${nProbe}_s${sig}_j${pid}_$tag"
+    val name = s"b_ivf_c${nCentroids}_p${nProbe}_s${sig}_$tag"
     Bucketing.ensure(spark, name,
       graft.operators.VectorOps.ivfAssign(spark,
         Tables.embeddings(spark, dir), nCentroids, nProbe),

@@ -33,4 +33,39 @@ object FixtureStaging {
     java.util.UUID
       .nameUUIDFromBytes(s"$tag:$fixturePath:${sig(fixturePath)}".getBytes)
       .toString.take(8)
+
+  private val stagedDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The staged-dir protocol, single-sourced (it was copy-pasted at
+    * three sites before): per (fixture signature, process) scratch dir,
+    * half-staged dirs (no `_READY`) rebuilt instead of silently
+    * accepted, `_READY` created only after `build` completes, the dir
+    * deleted on JVM exit (per-pid scratch must not accumulate across
+    * runs), and intra-JVM reuse through one map. Returns the dir. */
+  def stageOnce(tag: String, fixturePath: String, dirPrefix: String)
+      (build: java.nio.file.Path => Unit): String = {
+    import java.nio.file.{Files, Paths}
+    val k = key(tag, fixturePath)
+    val pid = ProcessHandle.current().pid()
+    stagedDirs.computeIfAbsent(s"$tag|$fixturePath|$dirPrefix", { _ =>
+      val d = Paths.get(s"$dirPrefix-$k-p$pid")
+      val ready = d.resolve("_READY")
+      if (Files.exists(d) && !Files.exists(ready))
+        org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+      if (!Files.exists(ready)) {
+        Files.createDirectories(d)
+        build(d)
+        Files.createFile(ready)
+      }
+      deleteOnExit(d.toString)
+      d.toString
+    })
+  }
+
+  /** Best-effort removal of a scratch dir when the JVM exits. */
+  def deleteOnExit(path: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(path)): Unit))
 }

@@ -39,19 +39,13 @@ object StreamingCuration {
     StructField("doc_id", LongType), StructField("lang", StringType),
     StructField("text", StringType), StructField("deleted", BooleanType)))
 
-  /** Stage the two-batch landing dir per fixture signature: b0 = prev
-    * snapshot, b1 = delta upserts + tombstones, mtimes ascending so the
-    * file source replays them in order. */
-  private def stagedLanding(spark: SparkSession, dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val key = FixtureStaging.key("curstream", s"$dir/documents.parquet")
-    val pid = ProcessHandle.current().pid()
-    val d = Paths.get(s"/tmp/graft-curstream-$key-p$pid")
-    val ready = d.resolve("_READY")
-    if (Files.exists(d) && !Files.exists(ready))
-      org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
-    if (!Files.exists(ready)) {
-      Files.createDirectories(d)
+  /** Stage the two-batch landing dir per fixture signature (shared
+    * staged-dir protocol): b0 = prev snapshot, b1 = delta upserts +
+    * tombstones, mtimes ascending so the file source replays in order. */
+  private def stagedLanding(spark: SparkSession, dir: String): String =
+    FixtureStaging.stageOnce("curstream", s"$dir/documents.parquet",
+      "/tmp/graft-curstream") { d =>
+      import java.nio.file.Files
       val prev = IncrementalCuration.snapshotPrev(spark, dir)
         .withColumn("deleted", lit(false))
       val cur = IncrementalCuration.snapshotCur(spark, dir)
@@ -77,10 +71,7 @@ object StreamingCuration {
       val t0 = System.currentTimeMillis() - 60000
       land(prev, "0000_seed.parquet", t0)
       land(delta, "0001_delta.parquet", t0 + 30000)
-      Files.createFile(ready)
     }
-    d.toString
-  }
 
   /** Drain the two-batch replay and return the final verdict table —
     * identical contract (and oracle) to q157. */
@@ -91,8 +82,10 @@ object StreamingCuration {
     val pid = ProcessHandle.current().pid()
     val root = s"/tmp/graft-curstream-run-$key-p$pid"
     // the scenario replays from scratch every invocation (deterministic
-    // end state); state + checkpoint live and die together
+    // end state); state + checkpoint live and die together, and the
+    // per-pid root is removed on JVM exit so runs don't accumulate
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    FixtureStaging.deleteOnExit(root)
     val eval = IncrementalCuration.evalRegistry(spark, dir)
 
     // driver-held pointer to the latest committed state dir
