@@ -1736,7 +1736,7 @@ object SparkEntry {
          |      AND substring(hx, 1, 16) = '89504E470D0A1A0A'
          |      THEN CAST(('0x' || substring(hx, 33, 8)) AS INT)
          |    WHEN kind = 'jpeg' AND substring(hx, 1, 4) = 'FFD8'
-         |      AND substring(hx, 2 * s2 - 1, 4) = 'FFC0' AND n_bytes >= s2 + 8
+         |      AND substring(hx, 2 * s2 - 1, 4) = 'FFC0' AND n_bytes >= s2 + 18
          |      THEN CAST(('0x' || substring(hx, 2 * s2 + 13, 4)) AS INT)
          |    ELSE -1 END AS width,
          |  CASE
@@ -1744,7 +1744,7 @@ object SparkEntry {
          |      AND substring(hx, 1, 16) = '89504E470D0A1A0A'
          |      THEN CAST(('0x' || substring(hx, 41, 8)) AS INT)
          |    WHEN kind = 'jpeg' AND substring(hx, 1, 4) = 'FFD8'
-         |      AND substring(hx, 2 * s2 - 1, 4) = 'FFC0' AND n_bytes >= s2 + 8
+         |      AND substring(hx, 2 * s2 - 1, 4) = 'FFC0' AND n_bytes >= s2 + 18
          |      THEN CAST(('0x' || substring(hx, 2 * s2 + 9, 4)) AS INT)
          |    ELSE -1 END AS height
          |FROM j2 ORDER BY media_id NULLS FIRST""".stripMargin,

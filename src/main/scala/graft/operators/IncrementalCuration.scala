@@ -245,6 +245,20 @@ object IncrementalCuration {
       .localCheckpoint() // two consumers (subgraph filter + assignment)
     val subEdges = pairsV2
       .join(affIds.withColumnRenamed("doc_id", "ida"), Seq("ida"), "left_semi")
+    // Edge-closure guard: correctness of the semi-join on `ida` alone
+    // rests on the invariant that no subgraph edge has exactly one
+    // affected endpoint (kept edges stay within one prev component; new
+    // edges' endpoints are all touched). A future pair source violating
+    // it would silently drop edges and mis-label clusters — fail loudly
+    // instead. Cheap: a left-anti probe of the (small) affected
+    // subgraph, short-circuited by isEmpty's limit(1).
+    val stray = subEdges
+      .join(affIds.withColumnRenamed("doc_id", "idb"), Seq("idb"), "left_anti")
+    if (!stray.isEmpty)
+      throw new IllegalStateException(
+        "incremental curation: affected subgraph is not edge-closed " +
+          "(an edge has exactly one affected endpoint) — the pair " +
+          "source broke the closure invariant")
     val subComp = Graphs.components(subEdges, "ida", "idb")
       .withColumnRenamed("id", "doc_id")
 

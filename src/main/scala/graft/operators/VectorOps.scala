@@ -275,6 +275,16 @@ object VectorOps {
     val pairsV2 = art.pairs.unionByName(newPairs).distinct()
     val subEdges = pairsV2
       .join(affIds.withColumnRenamed("vec_id", "ida"), Seq("ida"), "left_semi")
+    // Edge-closure guard (same invariant as IncrementalCuration): an
+    // edge with exactly one affected endpoint would be silently dropped
+    // by the ida-only semi-join — fail loudly if a pair source ever
+    // breaks the closure.
+    val stray = subEdges
+      .join(affIds.withColumnRenamed("vec_id", "idb"), Seq("idb"), "left_anti")
+    if (!stray.isEmpty)
+      throw new IllegalStateException(
+        "incremental IVF dedup: affected subgraph is not edge-closed " +
+          "(an edge has exactly one affected endpoint)")
     val subComp = Graphs.components(subEdges, "ida", "idb")
       .withColumnRenamed("id", "vec_id")
 

@@ -38,9 +38,19 @@ object Bucketing {
     * amortize ACROSS JVMs. Concurrency: a per-name monitor serializes
     * this JVM's query threads (Verify runs four) and an OS file lock
     * serializes concurrent JVMs (Verify + Bench) on the shared path —
-    * the loser of the race re-registers the winner's files. */
+    * the loser of the race re-registers the winner's files.
+    *
+    * `sweep = Some((prefix, suffix))` names the logical table's
+    * GENERATION family: when this call writes fresh files (a new
+    * content signature — i.e. the fixture was regenerated), sibling
+    * dirs `prefix*suffix` under the shared base, and their `.lock`
+    * files, are stale generations and get deleted. Without the sweep
+    * they accumulate unboundedly across fixture regenerations. Safe
+    * because a stale generation's fixture no longer exists: only a JVM
+    * started BEFORE the regeneration could still read it, and the
+    * driver regenerates between rounds when no graft JVM is live. */
   def ensure(spark: SparkSession, name: String, df: => DataFrame,
-      key: String): Unit = {
+      key: String, sweep: Option[(String, String)] = None): Unit = {
     val mon = localLocks.computeIfAbsent(name, _ => new Object)
     mon.synchronized {
       if (spark.catalog.tableExists(name)) return
@@ -58,6 +68,14 @@ object Bucketing {
             s"CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS " +
             s"LOCATION '$path'")
         } else {
+          sweep.foreach { case (prefix, suffix) =>
+            Option(new java.io.File(base).listFiles()).getOrElse(Array.empty)
+              .filter { f =>
+                val n = f.getName.stripSuffix(".lock")
+                n != name && n.startsWith(prefix) && n.endsWith(suffix)
+              }
+              .foreach(org.apache.commons.io.FileUtils.deleteQuietly(_))
+          }
           df.repartition(NumBuckets, col(key))
             .write
             .bucketBy(NumBuckets, key)
@@ -91,9 +109,11 @@ object Bucketing {
     val ot = s"b_orders_${k("orders")}_$tag"
     val lt = s"b_lineitem_${k("lineitem")}_$tag"
     ensure(spark, ot, Tables.orders(spark, dir)
-      .select("o_orderkey", "o_orderpriority"), "o_orderkey")
+      .select("o_orderkey", "o_orderpriority"), "o_orderkey",
+      sweep = Some(("b_orders_", s"_$tag")))
     ensure(spark, lt, Tables.lineitem(spark, dir)
-      .select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey")
+      .select("l_orderkey", "l_extendedprice", "l_discount"), "l_orderkey",
+      sweep = Some(("b_lineitem_", s"_$tag")))
     spark.table(lt)
       .join(spark.table(ot), col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")

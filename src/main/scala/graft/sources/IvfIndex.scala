@@ -43,7 +43,8 @@ object IvfIndex {
     Bucketing.ensure(spark, name,
       graft.operators.VectorOps.ivfAssign(spark,
         Tables.embeddings(spark, dir), nCentroids, nProbe),
-      "cid")
+      "cid",
+      sweep = Some((s"b_ivf_c${nCentroids}_p${nProbe}_s", s"_$tag")))
     spark.table(name)
   }
 }

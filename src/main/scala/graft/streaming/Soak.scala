@@ -66,15 +66,26 @@ object Soak {
     // accumulate EVERY progress event via a listener — `recentProgress`
     // retains only the last ~100 entries, which silently undercounts any
     // run longer than ~100 triggers
+    // steady-state window: the clock starts at the FIRST progress event
+    // (end of the warmup batch, whose rows are excluded) and stops at the
+    // last one — sleep + stop()/awaitTermination drain time and first-
+    // batch warmup would otherwise bias the reported throughput in a
+    // direction that depends on whether the final batch lands before
+    // stop()
     val rowsAcc = new java.util.concurrent.atomic.AtomicLong(0)
     val nBatches = new java.util.concurrent.atomic.AtomicLong(0)
     val msSum = new java.util.concurrent.atomic.AtomicLong(0)
     val msMax = new java.util.concurrent.atomic.AtomicLong(0)
+    val firstNanos = new java.util.concurrent.atomic.AtomicLong(0)
+    val lastNanos = new java.util.concurrent.atomic.AtomicLong(0)
     val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
       override def onQueryStarted(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val now = System.nanoTime()
+        if (firstNanos.compareAndSet(0L, now)) return // warmup batch: starts the clock, rows excluded
+        lastNanos.set(now)
         rowsAcc.addAndGet(e.progress.numInputRows)
         val ms = e.progress.durationMs.getOrDefault("triggerExecution", 0L).longValue
         if (ms > 0) {
@@ -93,12 +104,12 @@ object Soak {
       .format("noop")
       .trigger(Trigger.ProcessingTime("1 second"))
       .start()
-    val t0 = System.nanoTime()
     Thread.sleep(secs * 1000L)
     q.stop()
     q.awaitTermination()
-    val elapsed = (System.nanoTime() - t0) / 1e9
     spark.streams.removeListener(listener)
+    val elapsed = (lastNanos.get() - firstNanos.get()) / 1e9
+    require(elapsed > 0, "fewer than two progress events — run longer")
 
     val rows = rowsAcc.get()
     val avgMs = if (nBatches.get() > 0) msSum.get() / nBatches.get() else 0L

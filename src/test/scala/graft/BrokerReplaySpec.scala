@@ -42,8 +42,11 @@ class BrokerReplaySpec extends SparkSpec {
     // the replayed table's funnel equals the file-source streaming path
     val stageDf = Events.stages.toDF("stage", "stage_rank")
     val counts = after2.groupBy("event_type").agg(count(lit(1)).as("n"))
-    val brokerFunnel = broadcast(stageDf)
-      .join(counts, stageDf("stage") === counts("event_type"), "left")
+    // hint the BUILD side (counts): the preserved side of a left-outer
+    // join can never be broadcast, and hinting it only logs a
+    // HintErrorLogger warning
+    val brokerFunnel = stageDf
+      .join(broadcast(counts), stageDf("stage") === counts("event_type"), "left")
       .select(col("stage"), col("stage_rank"),
         coalesce(col("n"), lit(0L)).as("n_events"))
       .orderBy("stage_rank")
