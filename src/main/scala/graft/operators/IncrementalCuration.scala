@@ -142,10 +142,30 @@ object IncrementalCuration {
       comp = componentsOn(prev, pairs))
   }
 
-  /** One incremental step's full output: the verdict table AND the
-    * updated artifacts (the next step's inputs) — what a CONTINUOUS
-    * maintainer (q162) persists per batch. */
-  case class IncrementalResult(verdicts: DataFrame, artifacts: PrevArtifacts)
+  /** The DELTA view of one incremental step — the rows that CHANGED,
+    * keyed, so a continuous maintainer (q162) can commit them as
+    * upserts/deletes into log-structured state tables
+    * ([[graft.sources.DeltaLog]]) instead of rewriting the full
+    * artifacts: per batch, the written rows scale with the delta
+    * (verdict/sig upserts = changed docs; pair churn = edges touching
+    * gone docs + new edges; comp upserts = the affected-cluster mass),
+    * never with the corpus. Applying (delete `removedIds`/`pairDels`,
+    * then upsert) onto the prev state tables reproduces
+    * [[IncrementalResult.artifacts]] row-for-row. */
+  case class ArtifactDeltas(
+      removedIds: DataFrame, // delete keys for verdicts/sigs/comp (doc_id)
+      verdictUps: DataFrame, // recomputed local verdicts of added/changed docs
+      sigUps: DataFrame,     // recomputed signatures of added/changed docs
+      pairUps: DataFrame,    // new candidate edges
+      pairDels: DataFrame,   // prev edges touching a gone/changed doc (ida, idb)
+      compUps: DataFrame,    // fresh labels for the affected-cluster ids in cur
+      statusDelta: DataFrame) // (doc_id, status) of added/changed docs
+
+  /** One incremental step's full output: the verdict table, the updated
+    * artifacts (the next step's inputs), and the keyed deltas that
+    * produce those artifacts from the previous ones. */
+  case class IncrementalResult(verdicts: DataFrame,
+      artifacts: PrevArtifacts, deltas: ArtifactDeltas)
 
   /** Row shapes of the artifact tables, as case classes so the empty
     * frames' schemas DERIVE from one definition each (a hand-mirrored
@@ -200,8 +220,9 @@ object IncrementalCuration {
     // 2. doc-local stages: reuse stored verdicts for unchanged docs,
     //    recompute for the delta only
     val deltaDocs = cur.join(deltaIds, "doc_id")
+    val localDelta = localVerdictsOn(deltaDocs, evalDocs)
     val localV2 = prevArt.verdicts.join(unchangedIds, "doc_id")
-      .unionByName(localVerdictsOn(deltaDocs, evalDocs))
+      .unionByName(localDelta)
 
     // 3. near-dup closure, incrementally
     val deltaSigs = TextOps.signaturesOn(deltaDocs).toDF().localCheckpoint()
@@ -281,8 +302,31 @@ object IncrementalCuration {
       .select("doc_id", "lang_ok", "quality_ok", "rep_ok", "decon_ok",
         "dedup_ok", "keep", "status")
       .orderBy("doc_id")
+
+    // 6. keyed deltas for a log-structured state commit (q162): changed
+    //    docs are REPLACED by upserting their key, so only true removals
+    //    delete; pair deletions need the actual edge keys (prev edges
+    //    touching a gone/changed doc — two semi-joins, not an OR-join,
+    //    which would plan as a nested-loop)
+    val removedIds = diff.filter(col("status") === "removed").select("doc_id")
+    val pairDels = prevArt.pairs
+      .join(goneIds.withColumnRenamed("doc_id", "ida"), Seq("ida"), "left_semi")
+      .unionByName(prevArt.pairs
+        .join(goneIds.withColumnRenamed("doc_id", "idb"), Seq("idb"), "left_semi"))
+      .select("ida", "idb").distinct()
+    val deltas = ArtifactDeltas(
+      removedIds = removedIds,
+      verdictUps = localDelta,
+      sigUps = deltaSigs,
+      pairUps = newPairs,
+      pairDels = pairDels,
+      compUps = affAssign,
+      statusDelta = diff.filter(col("status").isin("added", "changed"))
+        .select("doc_id", "status"))
+
     IncrementalResult(verdicts,
-      PrevArtifacts(localV2, sigsV2, pairsV2.select("ida", "idb"), compV2))
+      PrevArtifacts(localV2, sigsV2, pairsV2.select("ida", "idb"), compV2),
+      deltas)
   }
 
   // ---- staged prev-run artifacts (the production tables) -----------------

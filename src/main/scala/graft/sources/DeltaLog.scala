@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Log-structured keyed state table: per-epoch DELTA commits (keyed
+  * upserts + key-only deletes) instead of full-table rewrites — the
+  * write path a continuously-maintained state table needs at 100 TB,
+  * where per-batch I/O must scale with the batch's delta, not the
+  * accumulated corpus. This is the LSM/commit-log dataflow a production
+  * table format implements; reduced here to parquet dirs + markers:
+  *
+  *   - `commit(epoch, upserts, deletes)` writes ONLY the delta rows
+  *     under `root/e<epoch>/{up,del}` and blesses them with a `_READY`
+  *     marker written LAST — a half-written epoch (crash mid-commit) is
+  *     invisible to readers and rebuilt on replay. Commits are
+  *     IDEMPOTENT per epoch (an already-committed epoch is a no-op),
+  *     which is exactly the foreachBatch epoch-id replay discipline
+  *     ([[graft.streaming.ForeachBatchMerge]]).
+  *   - `read(upToExclusive)` resolves the current state: last write per
+  *     key wins, a later delete kills an earlier upsert. Bounding by
+  *     epoch gives SNAPSHOT reads — a replayed batch N reads the state
+  *     as of N-1 even if some tables already committed parts of N
+  *     (per-table commit crashes recover per-table).
+  *   - read cost grows with the live epoch count, so [[commit]]
+  *     auto-COMPACTS: once `CompactEvery` fully-superseded epochs
+  *     accumulate, the resolved state folds into one `base<id>` snapshot
+  *     (covering epochs ≤ id) and the folded dirs are removed. The
+  *     newest epoch is never folded, so a crashed batch's replay can
+  *     still read its as-of-N-1 snapshot. Compaction is O(state) every
+  *     K batches — amortized O(state/K) per batch against delta-sized
+  *     commits the rest of the time.
+  *
+  * Contract: one row per key per epoch on the upsert side, and a key is
+  * never upserted and deleted in the same epoch. Single writer (the
+  * streaming query's driver), readers any time — same as ParquetMerge.
+  */
+object DeltaLog {
+
+  /** Fold the log into a base snapshot once this many fully-superseded
+    * live epochs accumulate (the newest epoch never folds). */
+  val CompactEvery = 8
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def epochDir(root: String, e: Long) = f"$root/e$e%010d"
+  private def baseDir(root: String, e: Long) = f"$root/base$e%010d"
+
+  private val EpochRe = "e(\\d{10})".r
+  private val BaseRe = "base(\\d{10})".r
+
+  /** Committed (epoch dirs, base dirs) under `root`, by `_READY`. */
+  private def listCommitted(spark: SparkSession,
+      root: String): (Seq[Long], Seq[Long]) = {
+    val f = fs(spark, root)
+    if (!f.exists(new Path(root))) return (Nil, Nil)
+    val names = f.listStatus(new Path(root)).toSeq
+      .filter(s => s.isDirectory &&
+        f.exists(new Path(s.getPath, "_READY")))
+      .map(_.getPath.getName)
+    (names.collect { case EpochRe(e) => e.toLong }.sorted,
+      names.collect { case BaseRe(e) => e.toLong }.sorted)
+  }
+
+  /** Commit one epoch's delta: `upserts` (full rows) and optional
+    * `deleteKeys` (key columns only). Writes are delta-sized; the
+    * `_READY` marker commits atomically-enough for a single writer
+    * (half-written dirs are ignored and rebuilt on replay). No-op if
+    * the epoch is already committed. */
+  def commit(spark: SparkSession, root: String, epoch: Long,
+      upserts: DataFrame, deleteKeys: Option[DataFrame],
+      keyCols: Seq[String]): Unit = {
+    val f = fs(spark, root)
+    val dir = epochDir(root, epoch)
+    if (f.exists(new Path(dir, "_READY"))) return // epoch replay
+    f.delete(new Path(dir), true)
+    upserts.write.mode("overwrite").parquet(s"$dir/up")
+    deleteKeys.foreach(
+      _.repartition(1).write.mode("overwrite").parquet(s"$dir/del"))
+    f.create(new Path(dir, "_READY")).close()
+    maybeCompact(spark, root, keyCols)
+  }
+
+  /** Resolve the table state from all committed epochs `< upToExclusive`
+    * (all of them when None): newest upsert per key, unless a newer
+    * delete killed it. None when nothing is committed in range. */
+  def read(spark: SparkSession, root: String, keyCols: Seq[String],
+      upToExclusive: Option[Long] = None): Option[DataFrame] = {
+    val (eps0, bases0) = listCommitted(spark, root)
+    val eps = eps0.filter(e => upToExclusive.forall(e < _))
+    val base = bases0.filter(b => upToExclusive.forall(b < _)).maxOption
+    val live = base.map(b => eps.filter(_ > b)).getOrElse(eps)
+    if (base.isEmpty && live.isEmpty) return None
+    val f = fs(spark, root)
+    val ups = (base.map(b => spark.read.parquet(s"${baseDir(root, b)}/up")
+        .withColumn("_e", lit(b))).toSeq ++
+      live.map(e => spark.read.parquet(s"${epochDir(root, e)}/up")
+        .withColumn("_e", lit(e))))
+      .reduce(_ unionByName _)
+    val cols = ups.columns.filter(_ != "_e").toSeq
+    val k = keyCols.map(col)
+    // map-side-combinable argmax per key (no window): the row struct
+    // rides along, max_by on the epoch picks the newest version
+    val lastUp = ups.groupBy(k: _*)
+      .agg(max_by(struct(ups.columns.map(col): _*), col("_e")).as("_r"))
+      .select(col("_r.*"))
+    val dels = live
+      .filter(e => f.exists(new Path(s"${epochDir(root, e)}/del")))
+      .map(e => spark.read.parquet(s"${epochDir(root, e)}/del")
+        .withColumn("_de", lit(e)))
+      .reduceOption(_ unionByName _)
+    val resolved = dels match {
+      case None => lastUp
+      case Some(d) =>
+        val lastDel = d.groupBy(k: _*).agg(max(col("_de")).as("_de"))
+        lastUp.join(lastDel, keyCols, "left")
+          .filter(col("_de").isNull || col("_e") > col("_de"))
+    }
+    Some(resolved.select(cols.map(col): _*))
+  }
+
+  /** Fold fully-superseded epochs (everything but the newest) into a
+    * base snapshot once `CompactEvery` of them accumulate. The newest
+    * epoch stays live so a crashed batch N's replay can still resolve
+    * state as of N-1. Marker-last, deletions after — crash-safe. */
+  private def maybeCompact(spark: SparkSession, root: String,
+      keyCols: Seq[String]): Unit = {
+    val (eps, bases) = listCommitted(spark, root)
+    val base = bases.maxOption
+    val live = base.map(b => eps.filter(_ > b)).getOrElse(eps)
+    if (live.size < 2) return
+    val foldable = live.init // never fold the newest epoch
+    if (foldable.size < CompactEvery) return
+    val bid = foldable.max
+    val f = fs(spark, root)
+    val bdir = baseDir(root, bid)
+    f.delete(new Path(bdir), true)
+    read(spark, root, keyCols, Some(bid + 1)).foreach { resolved =>
+      resolved.write.mode("overwrite").parquet(s"$bdir/up")
+      f.create(new Path(bdir, "_READY")).close()
+      eps.filter(_ <= bid)
+        .foreach(e => f.delete(new Path(epochDir(root, e)), true))
+      bases.filter(_ < bid)
+        .foreach(b => f.delete(new Path(baseDir(root, b)), true))
+    }
+  }
+}

@@ -73,31 +73,65 @@ object StreamingCuration {
       land(delta, "0001_delta.parquet", t0 + 30000)
     }
 
-  /** Drain the two-batch replay and return the final verdict table —
-    * identical contract (and oracle) to q157. */
-  def curationStream(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val land = stagedLanding(spark, dir)
+  /** Per-run scratch root (state logs + checkpoint), per fixture
+    * signature AND pid — exposed so the spec can audit the per-batch
+    * commit sizes on disk. */
+  def runRoot(dir: String): String = {
     val key = FixtureStaging.key("curstream-state", s"$dir/documents.parquet")
     val pid = ProcessHandle.current().pid()
-    val root = s"/tmp/graft-curstream-run-$key-p$pid"
+    s"/tmp/graft-curstream-run-$key-p$pid"
+  }
+
+  /** Drain the two-batch replay and return the final verdict table —
+    * identical contract (and oracle) to q157.
+    *
+    * State is five log-structured keyed tables ([[graft.sources
+    * .DeltaLog]]): per micro-batch, each table commits ONLY the step's
+    * keyed deltas ([[IncrementalCuration.ArtifactDeltas]] — upserts of
+    * changed rows, deletes of gone keys), so per-batch WRITE I/O scales
+    * with the batch's delta, matching the delta-sized compute. The
+    * final verdict table is assembled at read time from the committed
+    * state (verdicts ⋈ components + the last batch's statuses) — the
+    * one corpus-sized materialization happens once at the END, not once
+    * per batch. DeltaLog's epoch discipline gives crash-safe replay:
+    * each table skips already-committed epochs, and a replayed batch
+    * resolves state AS OF the previous epoch even if some tables had
+    * already committed parts of the crashed batch. */
+  def curationStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.DeltaLog
+    val land = stagedLanding(spark, dir)
+    val root = runRoot(dir)
     // the scenario replays from scratch every invocation (deterministic
     // end state); state + checkpoint live and die together, and the
     // per-pid root is removed on JVM exit so runs don't accumulate
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     FixtureStaging.deleteOnExit(root)
     val eval = IncrementalCuration.evalRegistry(spark, dir)
+    def log(t: String) = s"$root/state/$t"
 
-    // driver-held pointer to the latest committed state dir
-    val latest = new java.util.concurrent.atomic.AtomicReference[String](null)
+    // driver-held id of the last committed batch (None until one lands)
+    val lastBatch =
+      new java.util.concurrent.atomic.AtomicReference[java.lang.Long](null)
 
-    def readState(path: String) = (
-      spark.read.parquet(s"$path/corpus"),
-      IncrementalCuration.PrevArtifacts(
-        verdicts = spark.read.parquet(s"$path/verdicts"),
-        sigs = spark.read.parquet(s"$path/sigs"),
-        pairs = spark.read.parquet(s"$path/pairs"),
-        comp = spark.read.parquet(s"$path/comp")))
+    /** State as of epochs < upTo (exclusive) — the replay-safe bound. */
+    def readState(upTo: Long) =
+      DeltaLog.read(spark, log("corpus"), Seq("doc_id"), Some(upTo)) match {
+        case Some(c) => (c, IncrementalCuration.PrevArtifacts(
+          verdicts = DeltaLog
+            .read(spark, log("verdicts"), Seq("doc_id"), Some(upTo)).get,
+          sigs = DeltaLog
+            .read(spark, log("sigs"), Seq("doc_id"), Some(upTo)).get,
+          pairs = DeltaLog
+            .read(spark, log("pairs"), Seq("ida", "idb"), Some(upTo)).get,
+          comp = DeltaLog
+            .read(spark, log("comp"), Seq("doc_id"), Some(upTo)).get))
+        case None => (
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            StructType(docSchema.fields.take(3))),
+          IncrementalCuration.emptyArtifacts(spark))
+      }
 
     val q = spark.readStream
       .schema(docSchema)
@@ -106,30 +140,42 @@ object StreamingCuration {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (prevCorpus, prevArt) = Option(latest.get()) match {
-          case Some(p) => readState(p)
-          case None => (
-            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-              StructType(docSchema.fields.take(3))),
-            IncrementalCuration.emptyArtifacts(spark))
-        }
+        val (prevCorpus, prevArt) = readState(batchId)
         val ups = batch.filter(!col("deleted"))
           .select("doc_id", "lang", "text")
+        val tombs = batch.filter(col("deleted")).select("doc_id")
         val ids = batch.select("doc_id")
         val cur = prevCorpus.join(ids, Seq("doc_id"), "left_anti")
           .unionByName(ups)
           .localCheckpoint() // the step reads it many times
-        val res = IncrementalCuration
-          .incrementalStep(prevArt, prevCorpus, cur, eval)
-        val out = s"$root/state/b$batchId"
-        cur.write.mode("overwrite").parquet(s"$out/corpus")
-        res.artifacts.verdicts.write.mode("overwrite").parquet(s"$out/verdicts")
-        res.artifacts.sigs.write.mode("overwrite").parquet(s"$out/sigs")
-        res.artifacts.pairs.write.mode("overwrite").parquet(s"$out/pairs")
-        res.artifacts.comp.write.mode("overwrite").parquet(s"$out/comp")
-        res.verdicts.write.mode("overwrite").parquet(s"$out/result")
-        Files.createFile(Paths.get(s"$out/_READY")) // commit marker last
-        latest.set(out)
+        val d = IncrementalCuration
+          .incrementalStep(prevArt, prevCorpus, cur, eval).deltas
+        // delta-sized keyed commits — never a corpus rewrite. Changed
+        // docs are replaced by their upsert (same key); only removals
+        // delete. Tombstones map to corpus deletes — the q151 DELETE
+        // semantics on an append-only transport.
+        DeltaLog.commit(spark, log("corpus"), batchId,
+          ups, Some(tombs), Seq("doc_id"))
+        DeltaLog.commit(spark, log("verdicts"), batchId,
+          d.verdictUps, Some(d.removedIds), Seq("doc_id"))
+        DeltaLog.commit(spark, log("sigs"), batchId,
+          d.sigUps, Some(d.removedIds), Seq("doc_id"))
+        DeltaLog.commit(spark, log("pairs"), batchId,
+          d.pairUps, Some(d.pairDels), Seq("ida", "idb"))
+        DeltaLog.commit(spark, log("comp"), batchId,
+          d.compUps, Some(d.removedIds), Seq("doc_id"))
+        // statuses are relative to the PREVIOUS batch, so the table is
+        // per-epoch (latest wins whole-sale), not cumulative — a doc
+        // added in batch 0 and untouched since is "unchanged" now
+        val sdir = f"${log("status")}/e$batchId%010d"
+        if (!Files.exists(Paths.get(s"$sdir/_READY"))) {
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(sdir))
+          d.statusDelta.repartition(1)
+            .write.mode("overwrite").parquet(s"$sdir/up")
+          Files.createFile(Paths.get(s"$sdir/_READY"))
+        }
+        lastBatch.set(batchId)
         ()
       }
       .option("checkpointLocation", s"$root/ckpt")
@@ -137,6 +183,31 @@ object StreamingCuration {
       .start()
     q.awaitTermination()
 
-    spark.read.parquet(s"${latest.get()}/result").orderBy("doc_id")
+    if (lastBatch.get() == null)
+      throw new IllegalStateException(
+        s"no batches drained from $land — the staged landing dir is " +
+          "empty (a foreign process blessed a half-staged dir?) or the " +
+          "fixture path is wrong")
+
+    // read-time assembly from the committed state: verdict flags join
+    // component labels; status = last batch's delta, default unchanged
+    val verd = DeltaLog.read(spark, log("verdicts"), Seq("doc_id")).get
+    val comp = DeltaLog.read(spark, log("comp"), Seq("doc_id")).get
+    val statusDirs = Option(new java.io.File(log("status")).listFiles())
+      .getOrElse(Array.empty)
+      .filter(f => new java.io.File(f, "_READY").exists())
+    val lastStatus = spark.read
+      .parquet(s"${statusDirs.map(_.toString).max}/up")
+      .withColumnRenamed("status", "_st")
+    verd
+      .join(comp.select(col("doc_id"),
+        (col("doc_id") === col("component")).as("dedup_ok")), "doc_id")
+      .join(lastStatus, Seq("doc_id"), "left")
+      .withColumn("status", coalesce(col("_st"), lit("unchanged")))
+      .withColumn("keep", col("lang_ok") && col("quality_ok")
+        && col("rep_ok") && col("decon_ok") && col("dedup_ok"))
+      .select("doc_id", "lang_ok", "quality_ok", "rep_ok", "decon_ok",
+        "dedup_ok", "keep", "status")
+      .orderBy("doc_id")
   }
 }
