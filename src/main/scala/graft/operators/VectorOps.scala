@@ -208,17 +208,31 @@ object VectorOps {
     * assignment rows probe the full index on cid. The delta side is
     * BROADCAST (small by contract — a daily append vs the corpus), so
     * the join adds NO shuffle on the index side at any scale; scoring is
-    * the same codegen'd CosineSim as [[pairsFromAssigned]]. The bucket
-    * cap is deliberately absent here: sub-split keys depend on bucket
-    * SIZE, which differs between a delta probe and a full pass, so an
-    * active cap could make incremental ≠ full (SCALE.md round-5 note). */
+    * the same codegen'd CosineSim as [[pairsFromAssigned]].
+    *
+    * `frozenCensus`: the index's build-time bucket census, when the
+    * skew cap must stay ACTIVE under maintenance — both sides sub-split
+    * with the same frozen map ([[withFrozenBucketCap]]), so the probe
+    * emits exactly the pairs a full capped pass against that census
+    * would. None (the gated q158 path) leaves the cap out entirely —
+    * the stored pairs are uncapped, so the probe must be too. */
   def deltaPairs(deltaAssigned: DataFrame, indexAssigned: DataFrame,
-      threshold: Double): DataFrame = {
-    val l = broadcast(deltaAssigned)
-      .select(col("cid"), col("vec_id").as("ida"), col("embedding").as("va"))
-    val r = indexAssigned
-      .select(col("cid"), col("vec_id").as("idb"), col("embedding").as("vb"))
-    l.join(r, Seq("cid"))
+      threshold: Double, frozenCensus: Option[DataFrame] = None): DataFrame = {
+    val (l0, r0, joinKeys) = frozenCensus match {
+      case Some(c) => (
+        withFrozenBucketCap(deltaAssigned, Seq("cid"), "vec_id", c,
+          broadcastCensus = true),
+        withFrozenBucketCap(indexAssigned, Seq("cid"), "vec_id", c,
+          broadcastCensus = true),
+        Seq("cid", "_sub"))
+      case None => (deltaAssigned, indexAssigned, Seq("cid"))
+    }
+    val keep = joinKeys.map(col)
+    val l = broadcast(l0.select(keep :+ col("vec_id").as("ida")
+      :+ col("embedding").as("va"): _*))
+    val r = r0.select(keep :+ col("vec_id").as("idb")
+      :+ col("embedding").as("vb"): _*)
+    l.join(r, joinKeys)
       .filter(col("ida") =!= col("idb"))
       .select(least(col("ida"), col("idb")).as("ida"),
         greatest(col("ida"), col("idb")).as("idb"),
@@ -411,32 +425,67 @@ object VectorOps {
     * names: an adversarial corpus (all-near-identical vectors) collapses
     * every row into one bucket and Σ bucket² degenerates to N². The
     * guard sub-splits any bucket larger than `cap` into
-    * `nsub = ⌈n/cap⌉` deterministic sub-buckets (`id % nsub`) and only
-    * pairs WITHIN a sub-bucket, bounding per-bucket pair work to
-    * ~n·cap (linear in n at fixed cap) instead of n².
+    * `nsub = ⌈n/cap⌉` deterministic sub-buckets and only pairs WITHIN a
+    * sub-bucket, bounding per-bucket pair work to ~n·cap expected
+    * (linear in n at fixed cap) instead of n².
+    *
+    * The sub-bucket of a row is `hash64(id) % nsub` — a pure function
+    * of the ROW once `nsub` is fixed, which is what lets the cap
+    * compose with incrementality: freeze the census (the bucket→nsub
+    * map) at index-build time like the centroids ([[bucketCensus]] +
+    * the `census` overload of [[pairsFromAssigned]]/[[deltaPairs]]),
+    * and stored pairs, delta probes, and a full recompute against the
+    * same frozen census all agree row-for-row (IvfSkewGuardSpec proves
+    * incremental ≡ full with the cap ACTIVE on the planted corpus).
+    * The hash (not `id % nsub`) keeps the split even under structured
+    * id patterns — a delta of all-even ids would collapse residue
+    * classes. A bucket that grows past nsub·cap after the freeze
+    * degrades toward quadratic until a census refresh — the same drift
+    * contract as frozen centroids, refreshed by the same re-train.
     *
     * Degrade policy, documented: pairs STRADDLING sub-buckets are the
     * recall loss — an oversized bucket's cluster may split into up to
     * nsub clusters (each sub-bucket still closes internally). The
-    * split is deterministic (id arithmetic, no RNG), so reruns and the
+    * split is deterministic (seeded hash, no RNG), so reruns and the
     * oracle replay it exactly; IvfSkewGuardSpec plants the pathological
     * corpus and pins both the pair bound and the stable verdict. When
     * no bucket exceeds `cap` — every real gate SF — nsub = 1, `_sub` is
     * 0 everywhere, and output is bit-identical to the uncapped join.
     *
-    * The bucket census is a map-side-combined count at bucket grain
-    * (rows = #distinct buckets, not vectors); it joins back BROADCAST
-    * for IVF (≤ nCentroids rows by construction). */
+    * The bucket census is a map-side-combined count at bucket grain,
+    * kept only where the cap binds (rows = #oversized buckets, ≈ 0 in
+    * practice); it joins back BROADCAST for IVF (≤ nCentroids rows by
+    * construction). */
   private[graft] def withBucketCap(assigned: DataFrame, keys: Seq[String],
-      idCol: String, cap: Long, broadcastCensus: Boolean): DataFrame = {
-    val k = keys.map(col)
-    val census0 = assigned.groupBy(k: _*).agg(count(lit(1)).as("_bn"))
-    val census = if (broadcastCensus) broadcast(census0) else census0
-    assigned.join(census, keys)
-      .withColumn("_nsub", greatest(lit(1L),
-        ceil(col("_bn").cast("double") / lit(cap.toDouble)).cast("long")))
-      .withColumn("_sub", pmod(col(idCol), col("_nsub")))
-      .drop("_bn", "_nsub")
+      idCol: String, cap: Long, broadcastCensus: Boolean): DataFrame =
+    withFrozenBucketCap(assigned, keys, idCol,
+      bucketCensus(assigned, keys, cap), broadcastCensus)
+
+  /** The bucket→nsub map of an assignment at `cap` — only buckets where
+    * the cap binds (nsub > 1). Computed live by [[withBucketCap]];
+    * FROZEN (computed once at index build, reused by every later pass)
+    * when the cap must compose with incremental maintenance. */
+  private[graft] def bucketCensus(assigned: DataFrame, keys: Seq[String],
+      cap: Long): DataFrame =
+    assigned.groupBy(keys.map(col): _*).agg(count(lit(1)).as("_bn"))
+      .withColumn("_nsub",
+        ceil(col("_bn").cast("double") / lit(cap.toDouble)).cast("long"))
+      .filter(col("_nsub") > 1L)
+      .drop("_bn")
+
+  /** Sub-split `assigned` against an explicit census: `_sub` =
+    * `hash64(id) % nsub` (0 for buckets absent from the census — where
+    * the cap didn't bind at census time, including buckets born after
+    * the freeze). A pure per-row function given the census, so any two
+    * passes sharing a census agree on every row's sub-bucket. */
+  private[graft] def withFrozenBucketCap(assigned: DataFrame,
+      keys: Seq[String], idCol: String, census: DataFrame,
+      broadcastCensus: Boolean): DataFrame = {
+    val c = if (broadcastCensus) broadcast(census) else census
+    assigned.join(c, keys, "left")
+      .withColumn("_sub",
+        pmod(xxhash64(col(idCol)), coalesce(col("_nsub"), lit(1L))))
+      .drop("_nsub")
   }
 
   /** Default bucket cap: far above any bucket the synthetic SFs
@@ -453,10 +502,15 @@ object VectorOps {
     * sf0.1/nProbe=4); arithmetic is pinned bit-identical to cosOf, so
     * the gate hash is unchanged. */
   def pairsFromAssigned(assigned: DataFrame, threshold: Double,
-      nProbe: Int, maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    val capped = withBucketCap(
-      assigned.select(col("vec_id"), col("cid"), col("embedding")),
-      Seq("cid"), "vec_id", maxBucket, broadcastCensus = true)
+      nProbe: Int, maxBucket: Long = DefaultMaxBucket,
+      frozenCensus: Option[DataFrame] = None): DataFrame = {
+    val slim = assigned.select(col("vec_id"), col("cid"), col("embedding"))
+    val capped = frozenCensus match {
+      case Some(c) => withFrozenBucketCap(slim, Seq("cid"), "vec_id", c,
+        broadcastCensus = true)
+      case None => withBucketCap(slim, Seq("cid"), "vec_id", maxBucket,
+        broadcastCensus = true)
+    }
     val a = capped.select(col("cid"), col("_sub"),
       col("vec_id").as("ida"), col("embedding").as("va"))
     val b = capped.select(col("cid"), col("_sub"),
