@@ -205,6 +205,7 @@ object SparkEntry {
     "q161_ivf_knn_indexed" -> ((s, d) => VectorOps.ivfKnnIndexed(s, d)),
     "q162_streaming_curation" ->
       (graft.streaming.StreamingCuration.curationStream _),
+    "q163_ivf_unified" -> ((s, d) => VectorOps.ivfKnnUnified(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -441,16 +442,18 @@ object SparkEntry {
        |    GROUP BY 1, 2)
        |  GROUP BY cid)""".stripMargin
 
-  /** Two Lloyd rounds from the first-`k`-vectors init; CTE names are
-    * prefixed so two trainers can coexist in one WITH list. The final
-    * centroid table is `<prefix>c2(cid, c)`. */
-  private def kmTrainCtes(k: Int, dim: Int, p: String): String =
+  /** Two Lloyd rounds from the first-`k`-vectors init of `src`
+    * (default: the full embeddings table; q163 trains on the prev
+    * snapshot); CTE names are prefixed so two trainers can coexist in
+    * one WITH list. The final centroid table is `<prefix>c2(cid, c)`. */
+  private def kmTrainCtes(k: Int, dim: Int, p: String,
+      src: String = "embeddings"): String =
     s"""${p}c0 AS (SELECT vec_id AS cid,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS c
-       |  FROM embeddings WHERE vec_id < $k),
-       |${kmAssignCte(dim)("embeddings", s"${p}c0", s"${p}a0")},
+       |  FROM $src WHERE vec_id < $k),
+       |${kmAssignCte(dim)(src, s"${p}c0", s"${p}a0")},
        |${kmUpdateCte(s"${p}a0", s"${p}c1")},
-       |${kmAssignCte(dim)("embeddings", s"${p}c1", s"${p}a1")},
+       |${kmAssignCte(dim)(src, s"${p}c1", s"${p}a1")},
        |${kmUpdateCte(s"${p}a1", s"${p}c2")}""".stripMargin
 
   private val kmeansSql: String =
@@ -1051,6 +1054,50 @@ object SparkEntry {
          |        ORDER BY ${cosCols("q.qv", "c.cv")} DESC NULLS LAST,
          |                 c.cid NULLS FIRST) AS rn
          |    FROM q CROSS JOIN c) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id,
+         |    ${cosCols("qc.qv", "a.embedding")} AS cos
+         |  FROM qc JOIN assign a USING (cid)
+         |  WHERE a.vec_id <> qc.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST) AS rn
+         |  FROM cand)
+         |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
+         |FROM r WHERE rn <= 5
+         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q163 serves from the UNIFIED index: trained on the prev snapshot
+    // (vec_id % 6 <> 0), persisted bucketed, delta APPENDED against the
+    // frozen trained centroids, multi-probe served with bucket pruning.
+    // Prev-assign ∪ delta-assign ≡ full assignment (per-row function of
+    // the frozen centroids), so the oracle replays training on the prev
+    // corpus + FULL single-probe assignment + top-4 probes + top-5 rank
+    // — and never learns the index, the append, or the buckets exist.
+    "q163_ivf_unified" ->
+      s"""WITH pe AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE vec_id % 6 <> 0),
+         |${kmTrainCtes(16, 64, "u", "pe")},
+         |e AS (SELECT vec_id, embedding FROM embeddings),
+         |ac AS (
+         |  SELECT e.vec_id, e.embedding, tc.cid,
+         |    ${cosCols("e.embedding", "tc.c")} AS ccos
+         |  FROM e CROSS JOIN uc2 tc),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+         |    FROM ac) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+         |      WHERE vec_id < 10),
+         |qc AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT q.query_id, q.qv, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosCols("q.qv", "c.c")} DESC NULLS LAST,
+         |                 c.cid NULLS FIRST) AS rn
+         |    FROM q CROSS JOIN uc2 c) WHERE rn <= 4),
          |cand AS (
          |  SELECT query_id, a.vec_id AS neighbor_id,
          |    ${cosCols("qc.qv", "a.embedding")} AS cos

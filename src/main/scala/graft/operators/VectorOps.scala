@@ -681,6 +681,58 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** q163 — ANN served from the UNIFIED index artifact
+    * ([[graft.sources.IvfIndex.unified]]): ONE index that is trained
+    * (Lloyd centroids on the build-time corpus), persisted (cid-bucketed
+    * table), incrementally maintained (delta appended against the
+    * frozen centroids), and served here with multi-probe bucket pruning
+    * — the full index lifecycle the four separate query families
+    * (q155/q153/q158/q161) each exercised one verb of.
+    *
+    * Serving is q161's read shape over the trained index: per-query
+    * probe lists computed driver-side against the trained centroids
+    * (metadata-sized), the probed cid set reaching the scan as a
+    * LITERAL IN-filter so the bucketed table prunes to probed buckets
+    * at plan time (`SelectedBucketsCount` — IvfServeSpec pins it), and
+    * the shared cosine kernel + fixed tiebreaks ranking top-k. The
+    * oracle replays training, FULL assignment, and probes relationally
+    * — a hash match proves trained + appended + pruned ≡ the
+    * from-scratch dataflow. */
+  def ivfKnnUnified(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5,
+      nCentroids: Int = 16, iters: Int = 2, nProbe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val h = graft.sources.IvfIndex.unified(spark, dir, nCentroids, iters)
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val probesLocal: Seq[(Long, Long, Array[Float])] =
+      e.filter(col("vec_id") < nQueries).as[(Long, Array[Float])]
+        .collect().toSeq
+        .flatMap { case (qid, qv) =>
+          h.centroids.map { case (cid, cv) => (cid, cosOfD(qv, cv)) }
+            .sortBy { case (cid, s) => (-s, cid) }
+            .take(nProbe)
+            .map { case (cid, _) => (qid, cid, qv) }
+        }
+    val probedCids = probesLocal.map(_._2).distinct.sorted
+    val probes = probesLocal.toDF("query_id", "cid", "qv")
+
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(probes)
+      .join(h.table.filter(col("cid").isin(probedCids: _*)), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (qi, ni, qv, cv) => (qi, ni, cosOf(qv, cv)) })
+      .toDF("query_id", "neighbor_id", "cos")
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        graft.util.Portable.val6(col("cos")).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Recall@k of the IVF tier against the exact brute-force ranking —
     * the evaluation loop an ANN deployment tunes nProbe with. Probing
     * every bucket (nProbe = nCentroids) must give recall 1.0 exactly:
@@ -853,11 +905,21 @@ object VectorOps {
     * updates — so an oracle replays the exact centroids and every
     * downstream assignment/recall decision. */
   def trainCentroids(spark: SparkSession, dir: String,
+      k: Int, iters: Int = 2): Array[(Long, Array[Double])] =
+    trainCentroidsOn(Tables.embeddings(spark, dir), k, iters)
+
+  /** [[trainCentroids]] over an explicit corpus frame — the unified
+    * index (q163) trains on the corpus AS OF BUILD TIME (the prev
+    * snapshot), then freezes: appends assign against these centroids
+    * without re-deriving, the same frozen contract as q158. Init =
+    * the frame's vectors with `vec_id < k`. */
+  def trainCentroidsOn(embeddings: DataFrame,
       k: Int, iters: Int = 2): Array[(Long, Array[Double])] = {
+    val spark = embeddings.sparkSession
     import spark.implicits._
     lloydRounds(spark,
-      Tables.embeddings(spark, dir)
-        .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])],
+      embeddings.select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])],
       k, iters)
   }
 

@@ -30,6 +30,11 @@ object Bucketing {
   private val localLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Per-table-name monitor shared with other builders in this JVM
+    * (IvfIndex's two-phase build uses the same serialization). */
+  private[sources] def lockFor(name: String): Object =
+    localLocks.computeIfAbsent(name, _ => new Object)
+
   /** Register `name` as a bucketed table of `df` clustered on `key`.
     * Files live at a deterministic external path: a fresh session with
     * an empty in-memory catalog but surviving files re-REGISTERS (DDL
