@@ -206,6 +206,7 @@ object SparkEntry {
     "q162_streaming_curation" ->
       (graft.streaming.StreamingCuration.curationStream _),
     "q163_ivf_unified" -> ((s, d) => VectorOps.ivfKnnUnified(s, d)),
+    "q164_sentiment_lexicon" -> (TextOps.sentimentLexiconScore _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1111,6 +1112,33 @@ object SparkEntry {
          |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
          |FROM r WHERE rn <= 5
          |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q164: the Spark side folds the lexicon into one scan-local
+    // aggregate lambda (no explode, no join); the oracle states the
+    // equivalent token-unnest ⋈ VALUES broadcast-join form — the gate
+    // proves the two formulations agree. Lexicon literals come from the
+    // ONE Scala definition (TextOps.sentimentLex).
+    "q164_sentiment_lexicon" -> {
+      val lexVals = graft.operators.TextOps.sentimentLex
+        .map { case (t, w) => s"('$t', $w)" }.mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |      FROM documents),
+         |lex(t, w) AS (VALUES $lexVals),
+         |sc AS (SELECT tok.doc_id,
+         |    CAST(COALESCE(SUM(l.w), 0) AS BIGINT) AS sentiment_raw
+         |  FROM tok LEFT JOIN lex l USING (t) GROUP BY tok.doc_id),
+         |n AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT n.doc_id, n.n_tokens, sc.sentiment_raw,
+         |  ${val6("CAST(sc.sentiment_raw AS DOUBLE) / n.n_tokens")}
+         |    AS sentiment,
+         |  CASE WHEN sc.sentiment_raw > 0 THEN 'positive'
+         |       WHEN sc.sentiment_raw < 0 THEN 'negative'
+         |       ELSE 'neutral' END AS label
+         |FROM n JOIN sc USING (doc_id)
+         |ORDER BY n.doc_id NULLS FIRST""".stripMargin
+    },
 
     "q51_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

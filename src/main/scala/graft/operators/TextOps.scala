@@ -108,6 +108,42 @@ object TextOps {
       .select("doc_id", "lang", "score_en", "score_es", "score_de", "predicted")
       .orderBy("doc_id")
 
+  /** The sentiment lexicon: token → signed weight. A driver constant
+    * (real lexicons are a few thousand entries — still a broadcast-able
+    * constant), deterministic, shared verbatim by the q164 oracle. */
+  private[graft] val sentimentLex: Seq[(String, Long)] = Seq(
+    "fast" -> 2L, "value" -> 1L, "big" -> 1L, "slow" -> -2L, "dup" -> -1L)
+
+  /** Lexicon-based sentiment scoring (q164) — the last §7 text-analysis
+    * signal: per document, the signed sum of token weights from a fixed
+    * lexicon, its length-normalized score, and a 3-way label. The scan
+    * stays LOCAL: the lexicon folds into one `aggregate` lambda (a CASE
+    * per token — no explode, no join, no shuffle until the output
+    * sort), the same shape every keyword/abuse/topic lexicon scorer
+    * takes. At a lexicon too large for a CASE chain the same contract
+    * is an explode + BROADCAST lexicon join — the oracle states that
+    * form (token unnest ⋈ VALUES), so the gate also proves the two
+    * formulations equivalent. */
+  def sentimentLexiconScore(spark: SparkSession, dir: String): DataFrame = {
+    def wt(t: Column): Column = sentimentLex
+      .foldLeft(when(lit(false), lit(0L))) {
+        case (c, (s, v)) => c.when(t === s, lit(v))
+      }.otherwise(lit(0L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("w"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        aggregate(col("w"), lit(0L), (acc, t) => acc + wt(t))
+          .as("sentiment_raw"))
+      .withColumn("sentiment", graft.util.Portable.val6(
+        col("sentiment_raw").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("label",
+        when(col("sentiment_raw") > 0, "positive")
+          .when(col("sentiment_raw") < 0, "negative")
+          .otherwise("neutral"))
+      .orderBy("doc_id")
+  }
+
   /** The project's content-identity contract: md5 over lowercased,
     * whitespace-collapsed text. ONE definition — q30 (fingerprint),
     * q147 (streaming dedup key) and q150 (snapshot diff) all derive

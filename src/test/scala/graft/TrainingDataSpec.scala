@@ -266,4 +266,39 @@ class TrainingDataSpec extends SparkSpec {
     assert(staged.count() ==
       2 * graft.sources.Tables.documents(spark, dir).count())
   }
+
+  test("sentimentLexiconScore: hand-checked docs, label/score coherence, " +
+      "and the scan-local form equals an explicit explode+join") {
+    val out = TextOps.sentimentLexiconScore(spark, dir)
+    // hand-check one planted doc end to end
+    val local = s"${System.getProperty("java.io.tmpdir")}/graft-sentiment"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(local))
+    Seq(
+      (0L, "fast fast slow value", "en", "web", 20L),  // 2+2-2+1 = +3
+      (1L, "slow dup slow", "en", "web", 13L),         // -2-1-2 = -5
+      (2L, "table scan merge", "en", "web", 16L))      // 0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$local/documents.parquet")
+    val hand = TextOps.sentimentLexiconScore(spark, local)
+      .select("doc_id", "n_tokens", "sentiment_raw", "label")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(hand == Seq((0L, 4L, 3L, "positive"),
+      (1L, 3L, -5L, "negative"), (2L, 3L, 0L, "neutral")))
+
+    // coherence on the real corpus: label always matches the sign
+    assert(out.filter(($"sentiment_raw" > 0 && $"label" =!= "positive")
+      || ($"sentiment_raw" < 0 && $"label" =!= "negative")
+      || ($"sentiment_raw" === 0 && $"label" =!= "neutral")).count() == 0)
+
+    // the scan-local aggregate-lambda form equals the explode + lexicon
+    // join a large-lexicon deployment would run (the oracle's shape)
+    val lex = TextOps.sentimentLex.toDF("t", "w")
+    val joined = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .join(broadcast(lex), Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(coalesce(sum($"w"), lit(0L)).as("jraw"))
+    assert(out.join(joined, "doc_id")
+      .filter($"sentiment_raw" =!= $"jraw").count() == 0)
+  }
 }
