@@ -82,6 +82,91 @@ object StreamingCuration {
     s"/tmp/graft-curstream-run-$key-p$pid"
   }
 
+  /** ONE maintainer step, shared by the gated two-batch replay
+    * ([[curationStream]]) and the sustained soak
+    * ([[CurationSoak]]): resolve the state as of epochs < `batchId`
+    * (the replay-safe bound — a crashed batch's partial table commits
+    * are invisible), run the incremental step on this batch's upserts +
+    * tombstones, and commit ONLY the keyed deltas into the five
+    * [[graft.sources.DeltaLog]] state tables. */
+  def applyBatch(spark: SparkSession, root: String, eval: DataFrame,
+      batch: DataFrame, batchId: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import graft.sources.DeltaLog
+    def log(t: String) = s"$root/state/$t"
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    // each resolved state table is consumed several times inside the
+    // step (pairs twice, comp three times, sigs by band-join AND
+    // jaccard) — checkpoint the resolution ONCE per batch so consumers
+    // re-read blocks, not the log-fold plan; the five independent
+    // resolutions run CONCURRENTLY (Spark's scheduler is thread-safe,
+    // the Verify harness relies on the same property), so the batch
+    // pays ~one resolution latency, not five in sequence
+    def resolved(t: String, keys: Seq[String]) = Future(
+      DeltaLog.read(spark, log(t), keys, Some(batchId))
+        .map(_.localCheckpoint()))
+    val rs = Await.result(Future.sequence(Seq(
+      resolved("corpus", Seq("doc_id")),
+      resolved("verdicts", Seq("doc_id")),
+      resolved("sigs", Seq("doc_id")),
+      resolved("pairs", Seq("ida", "idb")),
+      resolved("comp", Seq("doc_id")))), Duration.Inf)
+    val (prevCorpus, prevArt) = rs.head match {
+      case Some(c) => (c, IncrementalCuration.PrevArtifacts(
+        verdicts = rs(1).get, sigs = rs(2).get,
+        pairs = rs(3).get, comp = rs(4).get))
+      case None => (
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(docSchema.fields.take(3))),
+        IncrementalCuration.emptyArtifacts(spark))
+    }
+    val ups = batch.filter(!col("deleted"))
+      .select("doc_id", "lang", "text")
+    val tombs = batch.filter(col("deleted")).select("doc_id")
+    val ids = batch.select("doc_id")
+    val cur = prevCorpus.join(ids, Seq("doc_id"), "left_anti")
+      .unionByName(ups)
+      .localCheckpoint() // the step reads it many times
+    val d = IncrementalCuration
+      .incrementalStep(prevArt, prevCorpus, cur, eval).deltas
+    // delta-sized keyed commits — never a corpus rewrite. Changed
+    // docs are replaced by their upsert (same key); only removals
+    // delete. Tombstones map to corpus deletes — the q151 DELETE
+    // semantics on an append-only transport. The removedIds/statusDelta
+    // frames feed several commits — checkpoint once so the diff plan
+    // isn't replayed per table; the six independent table commits then
+    // run CONCURRENTLY (distinct dirs, marker-last each).
+    val removed = d.removedIds.localCheckpoint()
+    Await.result(Future.sequence(Seq(
+      Future(DeltaLog.commit(spark, log("corpus"), batchId,
+        ups, Some(tombs), Seq("doc_id"))),
+      Future(DeltaLog.commit(spark, log("verdicts"), batchId,
+        d.verdictUps, Some(removed), Seq("doc_id"))),
+      Future(DeltaLog.commit(spark, log("sigs"), batchId,
+        d.sigUps, Some(removed), Seq("doc_id"))),
+      Future(DeltaLog.commit(spark, log("pairs"), batchId,
+        d.pairUps, Some(d.pairDels), Seq("ida", "idb"))),
+      Future(DeltaLog.commit(spark, log("comp"), batchId,
+        d.compUps, Some(removed), Seq("doc_id"))),
+      Future {
+        // statuses are relative to the PREVIOUS batch, so the table is
+        // per-epoch (latest wins whole-sale), not cumulative — a doc
+        // added in batch 0 and untouched since is "unchanged" now
+        val sdir = f"${log("status")}/e$batchId%010d"
+        if (!Files.exists(Paths.get(s"$sdir/_READY"))) {
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(sdir))
+          d.statusDelta.repartition(1)
+            .write.mode("overwrite").parquet(s"$sdir/up")
+          Files.createFile(Paths.get(s"$sdir/_READY"))
+        }
+      })), Duration.Inf)
+    ()
+  }
+
   /** Drain the two-batch replay and return the final verdict table —
     * identical contract (and oracle) to q157.
     *
@@ -114,25 +199,6 @@ object StreamingCuration {
     val lastBatch =
       new java.util.concurrent.atomic.AtomicReference[java.lang.Long](null)
 
-    /** State as of epochs < upTo (exclusive) — the replay-safe bound. */
-    def readState(upTo: Long) =
-      DeltaLog.read(spark, log("corpus"), Seq("doc_id"), Some(upTo)) match {
-        case Some(c) => (c, IncrementalCuration.PrevArtifacts(
-          verdicts = DeltaLog
-            .read(spark, log("verdicts"), Seq("doc_id"), Some(upTo)).get,
-          sigs = DeltaLog
-            .read(spark, log("sigs"), Seq("doc_id"), Some(upTo)).get,
-          pairs = DeltaLog
-            .read(spark, log("pairs"), Seq("ida", "idb"), Some(upTo)).get,
-          comp = DeltaLog
-            .read(spark, log("comp"), Seq("doc_id"), Some(upTo)).get))
-        case None => (
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            StructType(docSchema.fields.take(3))),
-          IncrementalCuration.emptyArtifacts(spark))
-      }
-
     val q = spark.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", 1)
@@ -140,41 +206,7 @@ object StreamingCuration {
       .writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val (prevCorpus, prevArt) = readState(batchId)
-        val ups = batch.filter(!col("deleted"))
-          .select("doc_id", "lang", "text")
-        val tombs = batch.filter(col("deleted")).select("doc_id")
-        val ids = batch.select("doc_id")
-        val cur = prevCorpus.join(ids, Seq("doc_id"), "left_anti")
-          .unionByName(ups)
-          .localCheckpoint() // the step reads it many times
-        val d = IncrementalCuration
-          .incrementalStep(prevArt, prevCorpus, cur, eval).deltas
-        // delta-sized keyed commits — never a corpus rewrite. Changed
-        // docs are replaced by their upsert (same key); only removals
-        // delete. Tombstones map to corpus deletes — the q151 DELETE
-        // semantics on an append-only transport.
-        DeltaLog.commit(spark, log("corpus"), batchId,
-          ups, Some(tombs), Seq("doc_id"))
-        DeltaLog.commit(spark, log("verdicts"), batchId,
-          d.verdictUps, Some(d.removedIds), Seq("doc_id"))
-        DeltaLog.commit(spark, log("sigs"), batchId,
-          d.sigUps, Some(d.removedIds), Seq("doc_id"))
-        DeltaLog.commit(spark, log("pairs"), batchId,
-          d.pairUps, Some(d.pairDels), Seq("ida", "idb"))
-        DeltaLog.commit(spark, log("comp"), batchId,
-          d.compUps, Some(d.removedIds), Seq("doc_id"))
-        // statuses are relative to the PREVIOUS batch, so the table is
-        // per-epoch (latest wins whole-sale), not cumulative — a doc
-        // added in batch 0 and untouched since is "unchanged" now
-        val sdir = f"${log("status")}/e$batchId%010d"
-        if (!Files.exists(Paths.get(s"$sdir/_READY"))) {
-          org.apache.commons.io.FileUtils
-            .deleteDirectory(new java.io.File(sdir))
-          d.statusDelta.repartition(1)
-            .write.mode("overwrite").parquet(s"$sdir/up")
-          Files.createFile(Paths.get(s"$sdir/_READY"))
-        }
+        applyBatch(spark, root, eval, batch, batchId)
         lastBatch.set(batchId)
         ()
       }
