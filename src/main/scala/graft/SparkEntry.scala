@@ -207,6 +207,11 @@ object SparkEntry {
       (graft.streaming.StreamingCuration.curationStream _),
     "q163_ivf_unified" -> ((s, d) => VectorOps.ivfKnnUnified(s, d)),
     "q164_sentiment_lexicon" -> (TextOps.sentimentLexiconScore _),
+    "q165_leakage_safe_split" -> (Graphs.leakageSafeSplit _),
+    "q166_int8_knn" -> ((s, d) => VectorOps.int8Knn(s, d)),
+    "q167_change_feed" -> (graft.operators.TimeTravel.changeFeed _),
+    "q168_time_travel" -> (graft.operators.TimeTravel.asOfSnapshot _),
+    "q169_distribution_drift" -> (Analytics.distributionDrift _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1139,6 +1144,140 @@ object SparkEntry {
          |FROM n JOIN sc USING (doc_id)
          |ORDER BY n.doc_id NULLS FIRST""".stripMargin
     },
+
+    // q165: leakage-safe split — the SAME recursive closure as q65,
+    // then split = hash(component) % 10 so near-dup cluster members
+    // can never straddle a split boundary. The hash mirrors
+    // Portable.portable32 exactly (q64's precedent).
+    "q165_leakage_safe_split" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT ida AS s, idb AS d FROM pairs
+         |  UNION SELECT idb, ida FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.id, e.d FROM reach w JOIN edges e ON w.r = e.s),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+         |  FROM reach GROUP BY id),
+         |assigned AS (
+         |  SELECT doc.doc_id, COALESCE(c.component, doc.doc_id) AS component
+         |  FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id),
+         |b AS (SELECT doc_id, component,
+         |  CAST(${h32("CAST(component AS VARCHAR)")} % 10 AS INT) AS bucket
+         |  FROM assigned)
+         |SELECT doc_id, component, bucket,
+         |  CASE WHEN bucket <= 7 THEN 'train'
+         |       WHEN bucket = 8 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM b ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // q166: int8 scalar quantization + integer-code serve. The per-vec
+    // scale cancels in the cosine ratio, so approx cosine is a pure
+    // function of the BIGINT codes — exact in both engines; the float
+    // cosine rides along so the gate pins the quantization error.
+    "q166_int8_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |s AS (SELECT vec_id, embedding,
+         |    CASE WHEN m = 0 THEN 1.0 ELSE m END AS scale
+         |  FROM (SELECT vec_id, embedding,
+         |    list_max(list_transform(embedding,
+         |      x -> abs(CAST(x AS DOUBLE)))) AS m FROM e)),
+         |c AS (SELECT vec_id, embedding,
+         |    list_transform(embedding, x ->
+         |      CAST(FLOOR(CAST(x AS DOUBLE) / scale * 127.0 + 0.5)
+         |        AS BIGINT)) AS codes
+         |  FROM s),
+         |n AS (SELECT vec_id, embedding, codes,
+         |    list_reduce(list_transform(codes, v -> v * v),
+         |      (x, y) -> x + y) AS n8
+         |  FROM c),
+         |p AS (SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+         |    CAST(list_reduce(list_transform(range(1, len(q.codes) + 1),
+         |        i -> q.codes[i] * t.codes[i]), (x, y) -> x + y) AS DOUBLE)
+         |      / (sqrt(CAST(q.n8 AS DOUBLE)) * sqrt(CAST(t.n8 AS DOUBLE)))
+         |      AS cosq,
+         |    ${cosCols("q.embedding", "t.embedding")} AS cosf
+         |  FROM n q JOIN n t ON q.vec_id < 10 AND q.vec_id <> t.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cosq, cosf,
+         |  ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cosq DESC NULLS LAST, neighbor_id NULLS FIRST) AS rn
+         |  FROM p)
+         |SELECT query_id, rn AS "rank", neighbor_id,
+         |  ${val6("cosq")} AS cos_q8, ${val6("cosf")} AS cos_f32
+         |FROM r WHERE rn <= 5
+         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q167/q168: the DeltaLog history is a closed-form function of the
+    // key (epoch e inserts o_orderkey%8=e, re-prices every third key of
+    // e-1, deletes every fifth key of e-2), so the oracle states the
+    // expected feed/snapshot directly from `orders` while the Spark
+    // side reproduces it through the real log machinery (markers,
+    // last-write-wins, delete masking, epoch bounds).
+    "q167_change_feed" ->
+      """WITH o AS (SELECT o_orderkey AS order_id, o_orderstatus AS status,
+        |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    o_orderkey % 8 AS m FROM orders),
+        |f AS (
+        |  SELECT order_id,
+        |    CASE WHEN m IN (4, 5) THEN 'insert'
+        |         WHEN m = 3 AND order_id % 5 = 0 THEN 'delete'
+        |         WHEN m = 3 AND order_id % 3 = 0 THEN 'update'
+        |         WHEN m = 2 AND order_id % 5 = 0 THEN 'delete'
+        |         END AS change_type,
+        |    CASE WHEN m IN (3, 4) AND order_id % 3 = 0 THEN 'R'
+        |         ELSE status END AS status2,
+        |    CASE WHEN m IN (3, 4) AND order_id % 3 = 0 THEN cents + 100
+        |         ELSE cents END AS cents2
+        |  FROM o)
+        |SELECT order_id, change_type,
+        |  CASE WHEN change_type = 'delete' THEN NULL ELSE status2 END AS status,
+        |  CASE WHEN change_type = 'delete' THEN NULL
+        |       ELSE CAST(cents2 AS DOUBLE) / 100.0 END AS total_price
+        |FROM f WHERE change_type IS NOT NULL
+        |ORDER BY order_id NULLS FIRST""".stripMargin,
+
+    "q168_time_travel" ->
+      """WITH o AS (SELECT o_orderkey AS order_id, o_orderstatus AS status,
+        |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+        |    o_orderkey % 8 AS m FROM orders),
+        |live AS (SELECT order_id,
+        |    CASE WHEN m <= 4 AND order_id % 3 = 0 THEN 'R'
+        |         ELSE status END AS status,
+        |    CASE WHEN m <= 4 AND order_id % 3 = 0 THEN cents + 100
+        |         ELSE cents END AS cents
+        |  FROM o WHERE m <= 5 AND NOT (m <= 3 AND order_id % 5 = 0))
+        |SELECT status, COUNT(*) AS n_orders,
+        |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS total_revenue
+        |FROM live GROUP BY status ORDER BY status NULLS FIRST""".stripMargin,
+
+    // q169: PSI drift. Per-bucket contributions floor-scale to BIGINT
+    // nano-units BEFORE the per-type sum (exact integer reduction); the
+    // ln/divide chain is the same IEEE expression tree on both engines.
+    "q169_distribution_drift" ->
+      """WITH e AS (SELECT event_type,
+        |    CAST(LEAST(FLOOR(value / 50.0), 9.0) AS INT) AS bucket,
+        |    ts < TIMESTAMP '2024-01-16 00:00:00' AS is_a
+        |  FROM events),
+        |g AS (SELECT event_type, bucket,
+        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |  FROM e GROUP BY 1, 2),
+        |t AS (SELECT *,
+        |    SUM(n_a) OVER (PARTITION BY event_type) AS tot_a,
+        |    SUM(n_b) OVER (PARTITION BY event_type) AS tot_b FROM g),
+        |c AS (SELECT event_type, bucket, n_a, n_b,
+        |    CAST(FLOOR((CAST(n_a + 1 AS DOUBLE) / (tot_a + 10)
+        |        - CAST(n_b + 1 AS DOUBLE) / (tot_b + 10))
+        |      * ln((CAST(n_a + 1 AS DOUBLE) / (tot_a + 10))
+        |          / (CAST(n_b + 1 AS DOUBLE) / (tot_b + 10)))
+        |      * 1000000000.0 + 0.5) AS BIGINT) AS c9
+        |  FROM t)
+        |SELECT event_type, bucket, n_a, n_b,
+        |  CAST(c9 AS DOUBLE) / 1000000000.0 AS contrib,
+        |  CAST(SUM(c9) OVER (PARTITION BY event_type) AS DOUBLE)
+        |    / 1000000000.0 AS psi
+        |FROM c
+        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
 
     "q51_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

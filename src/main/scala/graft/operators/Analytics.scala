@@ -228,4 +228,45 @@ object Analytics {
         (expr("percentile(gap_us, 0.9d)") / 1000000.0).as("p90_s"))
       .orderBy("cohort_day")
   }
+
+  /** q169: distribution drift between two corpus snapshots — the
+    * Population Stability Index, the standard drift gate a data
+    * pipeline runs before retraining on a new crawl/window. The event
+    * stream's first half (reference window A) is compared against the
+    * second half (current window B) per event_type: `value` is
+    * histogrammed into fixed $50 buckets and each bucket contributes
+    * `(p−q)·ln(p/q)` with Laplace-smoothed shares `p=(n+1)/(N+10)`
+    * (smoothing keeps empty-on-one-side buckets finite and
+    * deterministic; PSI > 0.2 is the conventional "investigate"
+    * threshold).
+    *
+    * Determinism: per-bucket contributions are floor-scaled to BIGINT
+    * nano-units BEFORE the per-type sum, so the reduction is exact
+    * integer addition (order-independent under partial aggregation) —
+    * the q110/q111 fixed-point discipline. Scale: one groupBy at
+    * (type, bucket) grain — a few dozen rows regardless of input size —
+    * then windows over that reduced grain; the scan aggregates with
+    * map-side combine, nothing else moves. */
+  def distributionDrift(spark: SparkSession, dir: String): DataFrame = {
+    val boundary = lit("2024-01-16 00:00:00").cast("timestamp")
+    val e = Tables.events(spark, dir).select(
+      col("event_type"),
+      least(floor(col("value") / 50.0), lit(9L)).cast("int").as("bucket"),
+      (col("ts") < boundary).as("is_a"))
+    val g = e.groupBy("event_type", "bucket")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"))
+    val w = Window.partitionBy("event_type")
+    val p = (col("n_a") + 1).cast("double") / (col("tot_a") + 10)
+    val q = (col("n_b") + 1).cast("double") / (col("tot_b") + 10)
+    g.withColumn("tot_a", sum("n_a").over(w))
+      .withColumn("tot_b", sum("n_b").over(w))
+      .withColumn("c9",
+        floor((p - q) * log(p / q) * lit(1000000000.0) + lit(0.5))
+          .cast("long"))
+      .withColumn("contrib", col("c9").cast("double") / 1000000000.0)
+      .withColumn("psi", sum("c9").over(w).cast("double") / 1000000000.0)
+      .select("event_type", "bucket", "n_a", "n_b", "contrib", "psi")
+      .orderBy("event_type", "bucket")
+  }
 }

@@ -150,6 +150,40 @@ object Graphs {
       .orderBy("doc_id")
   }
 
+  /** q165: leakage-safe train/val/test split — the corpus-splitting
+    * policy a pretraining pipeline applies AFTER near-dup clustering.
+    * A random per-document split leaks paraphrases of training docs
+    * into eval; the unit of assignment must be the dedup CLUSTER, not
+    * the document. Every member of a connected component inherits the
+    * split of its component label (deterministic hash of the label →
+    * 10 buckets: 0–7 train, 8 val, 9 test), so a near-dup pair can
+    * never straddle a split boundary by construction.
+    *
+    * Scale: rides the q65 closure (banded candidate join, min-label
+    * CC); the split itself is a pure row function of the component —
+    * zero additional shuffles beyond the closure's own. At 100 TB the
+    * component table is the already-persisted dedup artifact and the
+    * split column is one map stage over it.
+    */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.minhashNearDups(spark, dir).select("ida", "idb")
+    val comp = components(pairs, "ida", "idb")
+      .withColumnRenamed("id", "doc_id")
+    val assigned = Tables.documents(spark, dir).select("doc_id")
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("component"))
+    assigned
+      .withColumn("bucket",
+        (graft.util.Portable.portable32(col("component").cast("string"))
+          % 10).cast("int"))
+      .withColumn("split",
+        when(col("bucket") <= 7, "train")
+          .when(col("bucket") === 8, "val")
+          .otherwise("test"))
+      .orderBy("doc_id")
+  }
+
   /** PageRank scale for fixed-point arithmetic: ranks live as BIGINT
     * trillionths, so every iteration is pure integer math (`div`, `*`,
     * `+`) — bit-identical in any engine and exactly order-independent

@@ -81,6 +81,70 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact integer dot product (left-to-right, any order is exact). */
+  def dotL(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** q166: int8 scalar-quantized embeddings + asymmetric-distance serve.
+    * Each vector is compressed to one signed-byte code per dimension
+    * with a per-vector max-abs scale (`code = floor(x/scale*127 + .5)`),
+    * a 4× storage/I/O reduction on a float corpus; approximate cosine is
+    * served straight from the integer codes (the per-vector scales
+    * cancel in the cosine ratio), with the exact float cosine alongside
+    * so the gate pins the quantization error itself.
+    *
+    * Scale shape: quantization is one map stage (scan-local, no
+    * shuffle) — at 100 TB the codes table is what lands on disk and the
+    * float column is dropped; serving reads a quarter of the bytes and
+    * the integer dot kernel vectorizes. The query set broadcasts
+    * exactly as [[knnCosine]]; ranking is the same per-query window.
+    * All arithmetic is exact-integer or single deterministic IEEE ops,
+    * so the DuckDB oracle reproduces every ulp.
+    */
+  def int8Knn(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val m = array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+    val coded = e
+      .withColumn("scale", when(m === lit(0.0), lit(1.0)).otherwise(m))
+      .withColumn("codes", transform(col("embedding"),
+        x => floor(x.cast("double") / col("scale") * lit(127.0) + lit(0.5))
+          .cast("long")))
+      .withColumn("n8", aggregate(col("codes"), lit(0L),
+        (acc, v) => acc + v * v))
+      .select(col("vec_id"), col("embedding"), col("codes"), col("n8"))
+    val q = coded.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("codes").as("qc"), col("n8").as("qn"))
+    val c = coded
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+        col("codes").as("cc"), col("n8").as("cn"))
+    val pairs = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        col("qc"), col("cc"), col("qn"), col("cn"), col("qv"), col("cv"))
+      .as[(Long, Long, Array[Long], Array[Long], Long, Long,
+        Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (qi, ni, qc, cc, qn, cn, qv, cv) =>
+        val cosq = dotL(qc, cc).toDouble /
+          (math.sqrt(qn.toDouble) * math.sqrt(cn.toDouble))
+        (qi, ni, cosq, cosOf(qv, cv))
+      })
+      .toDF("query_id", "neighbor_id", "cosq", "cosf")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cosq"), asc("neighbor_id"))
+    pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        graft.util.Portable.val6(col("cosq")).as("cos_q8"),
+        graft.util.Portable.val6(col("cosf")).as("cos_f32"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Bounded all-pairs similarity (exact baseline for the LSH path). */
   def embeddingPairs(spark: SparkSession, dir: String,
       maxId: Long = 500, threshold: Double = 0.4): DataFrame = {
@@ -619,6 +683,74 @@ object VectorOps {
     val rankW = Window.partitionBy("query_id")
       .orderBy(desc("cos"), asc("neighbor_id"))
     broadcast(probes)
+      .join(assigned, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (qi, ni, qv, cv) => (qi, ni, cosOf(qv, cv)) })
+      .toDF("query_id", "neighbor_id", "cos")
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        graft.util.Portable.val6(col("cos")).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q170: bucketed kNN JOIN — every row of the table is a query, and
+    * gets its k nearest neighbors attached via the IVF buckets. This is
+    * the table-to-table shape behind "enrich every document with its
+    * semantic neighbors" (hard-negative mining, related-items, cluster
+    * refinement): no driver-side probe list exists or could — each
+    * vector computes its own nProbe probe cids scan-locally against the
+    * broadcast centroids, explodes to (query, cid) rows, and the
+    * candidate set is ONE equi-join on cid against the single-probe
+    * assignment. Work is Σ_q (probed-bucket sizes) ≈ n·nProbe/K of the
+    * quadratic all-pairs, and the only shuffle is the cid join + the
+    * per-query top-k window. The oracle replays the identical probe
+    * arithmetic, so approximation and exactness coincide row-for-row.
+    */
+  def knnJoin(spark: SparkSession, dir: String,
+      k: Int = 3, nCentroids: Int = 16, nProbe: Int = 2): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val cents: Array[(Long, Array[Float])] =
+      e.filter(col("vec_id") < nCentroids)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+
+    // corpus side: single-probe assignment (one bucket per vector)
+    val assigned = e.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var bestC = -1L; var best = Double.NegativeInfinity; var i = 0
+          while (i < cs.length) {
+            val s = cosOf(v, cs(i)._2)
+            if (s > best) { best = s; bestC = cs(i)._1 }
+            i += 1
+          }
+          (id, bestC, v)
+        }
+      }.toDF("vec_id", "cid", "embedding")
+
+    // query side: EVERY vector emits its nProbe nearest centroids,
+    // computed scan-locally (ties → lowest cid, matching the oracle's
+    // (pcos DESC, cid ASC) ranking)
+    val probes = e.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (qid, qv) =>
+          cs.map { case (cid, cv) => (cid, cosOf(qv, cv)) }
+            .sortBy { case (cid, s) => (-s, cid) }
+            .take(nProbe)
+            .map { case (cid, _) => (qid, cid, qv) }
+        }
+      }.toDF("query_id", "cid", "qv")
+
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    probes
       .join(assigned, "cid")
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),

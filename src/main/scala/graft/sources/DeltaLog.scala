@@ -121,6 +121,73 @@ object DeltaLog {
     Some(resolved.select(cols.map(col): _*))
   }
 
+  /** Change feed over the epoch range `[fromInclusive, toExclusive)` —
+    * the CDC read a downstream consumer (index maintainer, cache
+    * invalidator, replication target) runs between two points in time:
+    * each key touched in the range appears once with its NET effect,
+    * classified against the snapshot as of `fromInclusive`:
+    *
+    *   - `insert` — newest in-range action is an upsert and the key was
+    *     absent from the pre-snapshot;
+    *   - `update` — newest action is an upsert over a pre-existing key
+    *     (row carries the post-image values);
+    *   - `delete` — newest action is a delete of a pre-existing key
+    *     (value columns null). A delete of a never-present key nets to
+    *     nothing and is dropped.
+    *
+    * Requires the range's epochs to still be live (not folded into a
+    * base snapshot) — the same retention contract a production table
+    * format puts on its change feed. Read cost is the range's delta
+    * rows plus one keyed probe of the pre-snapshot; nothing
+    * corpus-sized moves.
+    */
+  def changes(spark: SparkSession, root: String, keyCols: Seq[String],
+      fromInclusive: Long, toExclusive: Long): Option[DataFrame] = {
+    val (eps, bases) = listCommitted(spark, root)
+    require(!bases.exists(_ >= fromInclusive),
+      s"change feed [$fromInclusive,$toExclusive) partially compacted " +
+        s"into base ${bases.max} — raise retention or lower the range")
+    val in = eps.filter(e => e >= fromInclusive && e < toExclusive)
+    if (in.isEmpty) return None
+    val f = fs(spark, root)
+    val ups = in.map(e => spark.read.parquet(s"${epochDir(root, e)}/up")
+        .withColumn("_e", lit(e)))
+      .reduce(_ unionByName _)
+    val cols = ups.columns.filter(_ != "_e").toSeq
+    val valCols = cols.filterNot(keyCols.contains)
+    val k = keyCols.map(col)
+    val lastUp = ups.groupBy(k: _*)
+      .agg(max_by(struct(ups.columns.map(col): _*), col("_e")).as("_r"))
+      .select(col("_r.*"))
+    val lastDel = in
+      .filter(e => f.exists(new Path(s"${epochDir(root, e)}/del")))
+      .map(e => spark.read.parquet(s"${epochDir(root, e)}/del")
+        .withColumn("_de", lit(e)))
+      .reduceOption(_ unionByName _)
+      .map(_.groupBy(k: _*).agg(max(col("_de")).as("_de")))
+    val acted = lastDel match {
+      case None => lastUp.withColumn("_de", lit(null).cast("long"))
+      case Some(d) => lastUp.join(d, keyCols, "full_outer")
+    }
+    val pre = read(spark, root, keyCols, Some(fromInclusive)) match {
+      case Some(s) => s.select(k: _*).withColumn("_pre", lit(true))
+      case None => lastUp.limit(0).select(k: _*).withColumn("_pre", lit(true))
+    }
+    val isDelete = col("_de").isNotNull &&
+      (col("_e").isNull || col("_de") > col("_e"))
+    val joined = acted.join(pre, keyCols, "left")
+      .withColumn("change_type",
+        when(isDelete && col("_pre").isNotNull, "delete")
+          .when(!isDelete && col("_pre").isNotNull, "update")
+          .when(!isDelete && col("_pre").isNull, "insert"))
+      .filter(col("change_type").isNotNull)
+    Some(joined.select(
+      keyCols.map(col) ++ Seq(col("change_type")) ++
+        valCols.map(c =>
+          when(col("change_type") === "delete", lit(null))
+            .otherwise(col(c)).as(c)): _*))
+  }
+
   /** Fold fully-superseded epochs (everything but the newest) into a
     * base snapshot once `CompactEvery` of them accumulate. The newest
     * epoch stays live so a crashed batch N's replay can still resolve

