@@ -212,6 +212,10 @@ object SparkEntry {
     "q167_change_feed" -> (graft.operators.TimeTravel.changeFeed _),
     "q168_time_travel" -> (graft.operators.TimeTravel.asOfSnapshot _),
     "q169_distribution_drift" -> (Analytics.distributionDrift _),
+    "q170_knn_join" -> ((s, d) => VectorOps.knnJoin(s, d)),
+    "q171_maxsim" -> ((s, d) => VectorOps.maxSimKnn(s, d)),
+    "q172_token_budget_sample" -> (TextOps.tokenBudgetSample _),
+    "q173_cross_source_overlap" -> (TextOps.crossSourceOverlap _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1035,6 +1039,109 @@ object SparkEntry {
          |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
          |FROM r WHERE rn <= 5
          |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q170: the kNN JOIN — q50's probe arithmetic with EVERY vector as
+    // a query (no driver-side probe list; probes computed per row).
+    "q170_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 16),
+         |ac AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosCols("e.embedding", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+         |    FROM ac) WHERE rn = 1),
+         |qc AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT vec_id AS query_id, embedding AS qv, cid,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id
+         |        ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+         |    FROM ac) WHERE rn <= 2),
+         |cand AS (
+         |  SELECT query_id, a.vec_id AS neighbor_id,
+         |    ${cosCols("qc.qv", "a.embedding")} AS cos
+         |  FROM qc JOIN assign a USING (cid)
+         |  WHERE a.vec_id <> qc.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST) AS rn
+         |  FROM cand)
+         |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
+         |FROM r WHERE rn <= 3
+         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q171: MaxSim. Sub-vectors are 16-element slices; the per-sub max
+    // is order-independent, and each max floor-scales to BIGINT
+    // nano-units before the per-pair SUM, so the score is exact.
+    "q171_maxsim" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |subs AS (
+         |  SELECT vec_id, i,
+         |    embedding[(i * 16 + 1):((i + 1) * 16)] AS sv
+         |  FROM e, UNNEST(range(0, 4)) AS u(i)),
+         |p AS (
+         |  SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, q.i AS qi,
+         |    MAX(list_reduce(list_transform(range(1, 17),
+         |          t -> CAST(q.sv[t] AS DOUBLE) * CAST(d.sv[t] AS DOUBLE)),
+         |          (x, y) -> x + y)
+         |      / (sqrt(list_reduce(list_transform(q.sv,
+         |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))
+         |       * sqrt(list_reduce(list_transform(d.sv,
+         |           v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), (x, y) -> x + y))))
+         |      AS mx
+         |  FROM subs q JOIN subs d
+         |    ON q.vec_id < 8 AND q.vec_id <> d.vec_id
+         |  GROUP BY 1, 2, 3),
+         |m AS (SELECT query_id, neighbor_id,
+         |    SUM(CAST(FLOOR(mx * 1000000000.0 + 0.5) AS BIGINT)) AS maxsim9
+         |  FROM p GROUP BY 1, 2),
+         |r AS (SELECT query_id, neighbor_id, maxsim9,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY maxsim9 DESC NULLS LAST, neighbor_id NULLS FIRST) AS rn
+         |  FROM m)
+         |SELECT query_id, rn AS "rank", neighbor_id,
+         |  CAST(maxsim9 AS DOUBLE) / 1000000000.0 AS maxsim
+         |FROM r WHERE rn <= 5
+         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q172: token-budget mixture sampling — hash-ordered per-lang
+    // prefix sum against a ⌊2/5⌋ budget; the boundary-crossing doc is
+    // kept ("fill the budget").
+    "q172_token_budget_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    ${h32("CAST(doc_id AS VARCHAR)")} AS h
+         |  FROM documents),
+         |b AS (SELECT lang, (SUM(n_tokens) * 2) // 5 AS budget
+         |  FROM d GROUP BY 1),
+         |c AS (SELECT doc_id, lang, n_tokens,
+         |    CAST(SUM(n_tokens) OVER (PARTITION BY lang
+         |      ORDER BY h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM d)
+         |SELECT c.doc_id, c.lang, c.n_tokens, c.cum_tokens
+         |FROM c JOIN b USING (lang)
+         |WHERE c.cum_tokens - c.n_tokens < b.budget
+         |ORDER BY c.doc_id NULLS FIRST""".stripMargin,
+
+    // q173: the q33 pair chain + a parity filter on the source id —
+    // only pairs straddling the even/odd corpus fence survive.
+    "q173_cross_source_overlap" ->
+      s"""WITH $minhashPairsCtes,
+         |src AS (SELECT doc_id, source,
+         |    CAST(substr(source, 4) AS INT) % 2 AS par FROM documents)
+         |SELECT p.ida, p.idb, a.source AS source_a, b.source AS source_b,
+         |  ${val6("p.jaccard")} AS jaccard
+         |FROM pairs p
+         |JOIN src a ON p.ida = a.doc_id
+         |JOIN src b ON p.idb = b.doc_id
+         |WHERE a.par <> b.par
+         |ORDER BY p.ida NULLS FIRST, p.idb NULLS FIRST""".stripMargin,
 
     // q161 serves the IDENTICAL q50 contract from the persisted
     // single-probe index with literal bucket pruning; storage layout

@@ -1058,4 +1058,57 @@ object TextOps {
         ") AS (stage_no, stage, survivors)"))
       .orderBy("stage_no")
   }
+
+  /** q172: mixture sampling to a TOKEN budget — the unit a training
+    * run actually provisions. Per language, documents are ordered by a
+    * deterministic hash (the q48/q64 sampling discipline, so the
+    * sample is reproducible and unbiased by ingest order) and taken
+    * while the running token total is still under the language's
+    * budget (here ⌊2/5 of its corpus tokens⌋ — the mixture knob); the
+    * document that crosses the boundary is kept, matching the
+    * "fill the budget" contract. One pass: token counts are scan-local,
+    * the budget is one tiny per-lang aggregate broadcast back, and the
+    * cumulative sum is a per-lang window (languages parallelize; within
+    * one giant language the two-phase [[graft.operators.Relational]]
+    * `globalRankedPrefixSum` is the drop-in scale path — same rule,
+    * no single-partition sort). */
+  def tokenBudgetSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      Portable.portable32(col("doc_id").cast("string")).as("h"))
+    val budgets = d.groupBy("lang")
+      .agg(expr("(sum(n_tokens) * 2) div 5").as("budget"))
+    val w = Window.partitionBy("lang").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    d.withColumn("cum_tokens", sum("n_tokens").over(w))
+      .join(broadcast(budgets), "lang")
+      .filter(col("cum_tokens") - col("n_tokens") < col("budget"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** q173: cross-corpus contamination report — the near-dup pairs that
+    * STRADDLE two corpora (here: even- vs odd-numbered sources, the
+    * stand-in for "my crawl" vs "the benchmark/partner corpus"). Rides
+    * the q33 banded MinHash join unchanged — candidate generation never
+    * goes all-pairs — then keeps only pairs whose endpoints disagree on
+    * corpus parity. The report a data vendor runs before shipping:
+    * which of my documents already exist, near-verbatim, on the other
+    * side of the fence. */
+  def crossSourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDups(spark, dir)
+    val src = Tables.documents(spark, dir).select(col("doc_id"),
+      col("source"),
+      (substring(col("source"), 4, 10).cast("int") % 2).as("par"))
+    val a = src.select(col("doc_id").as("ida"),
+      col("source").as("source_a"), col("par").as("pa"))
+    val b = src.select(col("doc_id").as("idb"),
+      col("source").as("source_b"), col("par").as("pb"))
+    pairs.join(a, "ida").join(b, "idb")
+      .filter(col("pa") =!= col("pb"))
+      .select(col("ida"), col("idb"), col("source_a"), col("source_b"),
+        col("jaccard"))
+      .orderBy("ida", "idb")
+  }
 }

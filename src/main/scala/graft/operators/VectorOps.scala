@@ -765,6 +765,72 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** MaxSim kernel for [[maxSimKnn]]: treat a flat d-dim vector as
+    * `nSub` contiguous sub-vectors; score = Σ_i max_j cos(q_i, d_j),
+    * each per-sub max floor-scaled to BIGINT nano-units BEFORE the sum
+    * so the total is exact integer addition (deterministic in any
+    * engine/order). Per-element accumulation runs ascending — the same
+    * left fold the oracle's `list_reduce` states. */
+  def maxSimOf(q: Array[Float], d: Array[Float], nSub: Int): Long = {
+    val dim = q.length / nSub
+    var total = 0L
+    var i = 0
+    while (i < nSub) {
+      var best = Double.NegativeInfinity
+      var j = 0
+      while (j < nSub) {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var t = 0
+        while (t < dim) {
+          val a = q(i * dim + t).toDouble
+          val b = d(j * dim + t).toDouble
+          dot += a * b; na += a * a; nb += b * b
+          t += 1
+        }
+        val c = dot / (math.sqrt(na) * math.sqrt(nb))
+        if (c > best) best = c
+        j += 1
+      }
+      total += math.floor(best * 1e9 + 0.5).toLong
+      i += 1
+    }
+    total
+  }
+
+  /** q171: late-interaction multi-vector retrieval (the ColBERT MaxSim
+    * contract): documents and queries are bags of sub-vectors, and the
+    * score sums, over the query's sub-vectors, the best-matching doc
+    * sub-vector — token-level matching that single-vector cosine
+    * flattens away. The fixture's 64-dim embeddings stand in as 4×16
+    * multi-vectors (contiguous slices), which exercises the real
+    * dataflow: per-pair all-sub-pairs scoring in one scan-local kernel,
+    * broadcast query bag, per-query top-k window. At 100 TB the doc
+    * sub-vectors are the stored representation and candidate
+    * generation goes through the IVF buckets first ([[knnJoin]]);
+    * the MaxSim re-scorer here is the second stage unchanged. */
+  def maxSimKnn(spark: SparkSession, dir: String,
+      nQueries: Int = 8, k: Int = 5, nSub: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+    val scored = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (qi, ni, qv, cv) =>
+        (qi, ni, maxSimOf(qv, cv, nSub))
+      })
+      .toDF("query_id", "neighbor_id", "maxsim9")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("maxsim9"), asc("neighbor_id"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        (col("maxsim9").cast("double") / 1e9).as("maxsim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Index-SERVED ANN (q161) — the serving read of the index lifecycle
     * (build q153, maintain q158, serve here): q50's exact kNN contract
     * answered from the PERSISTED single-probe IVF index (the q153 table

@@ -126,6 +126,64 @@ class Round8Spec extends SparkSpec {
     assert(agg == snap.count())
   }
 
+  test("knn join: every vector gets k neighbors, never itself") {
+    val kj = VectorOps.knnJoin(spark, dir).cache()
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    // every vector serves as a query and fills its k slots (buckets at
+    // this corpus/centroid ratio always hold ≥ k candidates)
+    assert(kj.select("query_id").distinct().count() == n)
+    assert(kj.groupBy("query_id").count().filter($"count" =!= 3).count() == 0)
+    assert(kj.filter($"query_id" === $"neighbor_id").count() == 0)
+    // ranks are dense 1..k and cosine non-increasing within a query
+    val badOrder = kj.withColumn("prev",
+      lag("cos_sim", 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")))
+      .filter($"prev".isNotNull && $"prev" < $"cos_sim").count()
+    assert(badOrder == 0)
+    kj.unpersist()
+  }
+
+  test("maxsim: bounded by nSub, self-score is the maximum possible") {
+    val ms = VectorOps.maxSimKnn(spark, dir).cache()
+    // each of the 4 sub-maxes is a cosine ≤ 1 → maxsim ≤ 4
+    assert(ms.filter($"maxsim" > 4.0 + 1e-9).count() == 0)
+    // MaxSim(q,q) = nSub exactly (each sub matches itself at cos 1);
+    // kernel-level check
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select("embedding").as[Array[Float]].head()
+    assert(VectorOps.maxSimOf(e, e, 4) == 4L * 1000000000L)
+    ms.unpersist()
+  }
+
+  test("token budget sample: per-lang totals respect the budget rule") {
+    val s = graft.operators.TextOps.tokenBudgetSample(spark, dir).cache()
+    val d = graft.sources.Tables.documents(spark, dir)
+      .select($"lang", size(split($"text", " ")).cast("long").as("t"))
+      .groupBy("lang").agg(sum($"t").as("tot"))
+      .withColumn("budget", expr("(tot * 2) div 5"))
+    val agg = s.groupBy("lang").agg(sum("n_tokens").as("got"),
+      max($"cum_tokens" - $"n_tokens").as("max_before"))
+      .join(d, "lang")
+    // the selection fills the budget: last-taken doc started under it,
+    // and dropping the largest selected doc's worth cannot still reach it
+    assert(agg.filter($"max_before" >= $"budget").count() == 0)
+    assert(agg.filter($"got" < $"budget").count() == 0) // boundary doc kept
+    s.unpersist()
+  }
+
+  test("cross-source overlap: endpoints always straddle the parity fence") {
+    val x = graft.operators.TextOps.crossSourceOverlap(spark, dir)
+    val bad = x.withColumn("pa",
+        substring($"source_a", 4, 10).cast("int") % 2)
+      .withColumn("pb", substring($"source_b", 4, 10).cast("int") % 2)
+      .filter($"pa" === $"pb").count()
+    assert(bad == 0)
+    // subset of the full near-dup pair list
+    val all = graft.operators.TextOps.minhashNearDups(spark, dir)
+      .select("ida", "idb")
+    assert(x.select("ida", "idb").except(all).count() == 0)
+  }
+
   test("psi drift: hand-planted shift is detected, identical halves are zero") {
     // identical distributions → every contribution rounds to 0
     val d = Analytics.distributionDrift(spark, dir)
