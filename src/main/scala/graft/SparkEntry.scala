@@ -216,6 +216,7 @@ object SparkEntry {
     "q171_maxsim" -> ((s, d) => VectorOps.maxSimKnn(s, d)),
     "q172_token_budget_sample" -> (TextOps.tokenBudgetSample _),
     "q173_cross_source_overlap" -> (TextOps.crossSourceOverlap _),
+    "q174_retrieval" -> ((s, d) => graft.operators.Retrieval.retrieve(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1142,6 +1143,55 @@ object SparkEntry {
          |JOIN src b ON p.idb = b.doc_id
          |WHERE a.par <> b.par
          |ORDER BY p.ida NULLS FIRST, p.idb NULLS FIRST""".stripMargin,
+
+    // q174: the RAG read path — q93's chunking + hash-trick INTEGER
+    // embeddings (dim = h%16, sign = parity of h/16) + integer-cosine
+    // top-k. The oracle states the sparse (dim, weight) formulation;
+    // the Spark kernel's dense 16-long fold sums the same integers.
+    "q174_retrieval" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |o AS (SELECT doc_id, ws,
+         |  UNNEST(range(0, GREATEST(len(ws), 1), 40)) AS off FROM t),
+         |ch AS (SELECT doc_id, CAST(off // 40 AS BIGINT) AS chunk_idx,
+         |    list_slice(ws, off + 1, off + 50) AS cw FROM o),
+         |ctok AS (SELECT doc_id, chunk_idx, UNNEST(cw) AS tk FROM ch),
+         |cdim AS (SELECT doc_id, chunk_idx, ${h32("tk")} % 16 AS dim,
+         |    CASE WHEN (${h32("tk")} // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg
+         |  FROM ctok),
+         |cvec AS (SELECT doc_id, chunk_idx, dim, CAST(SUM(sg) AS BIGINT) AS w
+         |  FROM cdim GROUP BY 1, 2, 3),
+         |cnorm AS (SELECT doc_id, chunk_idx, SUM(w * w) AS n2
+         |  FROM cvec GROUP BY 1, 2),
+         |qtok AS (SELECT doc_id AS query_id,
+         |    UNNEST(string_split(text, ' ')) AS tk
+         |  FROM documents WHERE doc_id % 100 = 0),
+         |qdim AS (SELECT query_id, ${h32("tk")} % 16 AS dim,
+         |    CASE WHEN (${h32("tk")} // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg
+         |  FROM qtok),
+         |qvec AS (SELECT query_id, dim, CAST(SUM(sg) AS BIGINT) AS w
+         |  FROM qdim GROUP BY 1, 2),
+         |qnorm AS (SELECT query_id, SUM(w * w) AS n2 FROM qvec GROUP BY 1),
+         |dots AS (SELECT q.query_id, c.doc_id, c.chunk_idx,
+         |    SUM(q.w * c.w) AS dot
+         |  FROM qvec q JOIN cvec c ON q.dim = c.dim GROUP BY 1, 2, 3),
+         |p AS (SELECT qn.query_id, cn.doc_id, cn.chunk_idx,
+         |    CAST(COALESCE(d.dot, 0) AS DOUBLE)
+         |      / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+         |      AS score
+         |  FROM qnorm qn CROSS JOIN cnorm cn
+         |  LEFT JOIN dots d ON d.query_id = qn.query_id
+         |    AND d.doc_id = cn.doc_id AND d.chunk_idx = cn.chunk_idx
+         |  WHERE cn.doc_id <> qn.query_id AND qn.n2 > 0 AND cn.n2 > 0),
+         |r AS (SELECT query_id, doc_id, chunk_idx, score,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC NULLS LAST, doc_id NULLS FIRST,
+         |               chunk_idx NULLS FIRST) AS rn
+         |  FROM p)
+         |SELECT query_id, rn AS "rank", doc_id, chunk_idx,
+         |  ${val6("score")} AS score
+         |FROM r WHERE rn <= 3
+         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
 
     // q161 serves the IDENTICAL q50 contract from the persisted
     // single-probe index with literal bucket pruning; storage layout

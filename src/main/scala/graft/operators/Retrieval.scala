@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** End-to-end retrieval over a chunked corpus — the RAG read path
+  * composed from already-gated stages: context-window chunking (q93's
+  * contract) → hash-trick embedding (feature hashing, Weinberger et
+  * al.: each token's portable hash picks a dimension and a sign, so
+  * the "embedding" is an exact INTEGER vector — no trained model in
+  * the loop, which is what makes the whole pipeline oracle-able) →
+  * integer-cosine scoring → per-query top-k chunks.
+  *
+  * Scale shape: chunking and embedding are ONE scan-local kernel pass
+  * over the documents (no shuffle — the embedding is map-only); the
+  * query set broadcasts; ranking is the standard per-query top-k
+  * window. At 100 TB the chunk-vector table is the stored artifact and
+  * candidate generation goes through the IVF buckets ([[VectorOps
+  * .knnJoin]]); brute scoring here keeps the gate exact. Real dense
+  * embeddings slot into the same dataflow as floats — every downstream
+  * op (index, serve, dedup) already exists for that representation.
+  */
+object Retrieval {
+
+  val Dims = 16
+
+  /** Signed-count feature hashing of a whitespace-tokenized text into
+    * `Dims` integer buckets: dim = h % Dims, sign = parity of h/Dims.
+    * Mirrors the oracle's per-token arithmetic exactly. */
+  def hashEmbedOf(md: java.security.MessageDigest,
+      text: String): Array[Long] = {
+    val v = new Array[Long](Dims)
+    text.split(" ", -1).foreach { t =>
+      val h = TextOps.portable32Of(md, t)
+      val d = (h % Dims).toInt
+      v(d) += (if ((h / Dims) % 2 == 0) 1L else -1L)
+    }
+    v
+  }
+
+  /** Exact integer-vector cosine (BIGINT dot and norms; one IEEE
+    * division at the end — deterministic in any engine). */
+  def cosLL(a: Array[Long], b: Array[Long]): Double = {
+    var dot = 0L; var na = 0L; var nb = 0L; var i = 0
+    while (i < a.length) {
+      dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+    }
+    dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
+  /** q174: top-k chunk retrieval for the registry queries (every 100th
+    * document retrieves against everyone else's chunks). */
+  def retrieve(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    import spark.implicits._
+    val chunkVecs = TextOps.chunkDocs(spark, dir)
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, ci, t) => (id, ci, hashEmbedOf(md, t)) }
+      }
+      .filter(_._3.exists(_ != 0L)) // zero vectors have no direction
+      .toDF("doc_id", "chunk_idx", "cv")
+    val queryVecs = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, t) => (id, hashEmbedOf(md, t)) }
+      }
+      .filter(_._2.exists(_ != 0L))
+      .toDF("query_id", "qv")
+    val scored = broadcast(queryVecs)
+      .join(chunkVecs, col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("chunk_idx"),
+        col("qv"), col("cv"))
+      .as[(Long, Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (qi, di, ci, qv, cv) =>
+        (qi, di, ci, cosLL(qv, cv))
+      })
+      .toDF("query_id", "doc_id", "chunk_idx", "score")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("score"), asc("doc_id"), asc("chunk_idx"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"),
+        col("doc_id"), col("chunk_idx"),
+        graft.util.Portable.val6(col("score")).as("score"))
+      .orderBy("query_id", "rank")
+  }
+}

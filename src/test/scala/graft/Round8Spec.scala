@@ -184,6 +184,27 @@ class Round8Spec extends SparkSpec {
     assert(x.select("ida", "idb").except(all).count() == 0)
   }
 
+  test("retrieval: hash embedding arithmetic and serving invariants") {
+    import graft.operators.Retrieval
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // hand-check: one token lands in exactly one dim with |w| = 1, and
+    // repeating it doubles the weight
+    val one = Retrieval.hashEmbedOf(md, "hello")
+    assert(one.map(math.abs).sum == 1)
+    val two = Retrieval.hashEmbedOf(md, "hello hello")
+    assert(two.map(math.abs).sum == 2 && two.indexWhere(_ != 0) ==
+      one.indexWhere(_ != 0))
+    // cosine of a vector with itself is exactly 1
+    assert(Retrieval.cosLL(two, two) == 1.0)
+    // serving: never retrieves the query's own chunks; ranks dense 1..k
+    val r = graft.operators.Retrieval.retrieve(spark, dir).cache()
+    assert(r.filter($"query_id" === $"doc_id").count() == 0)
+    assert(r.groupBy("query_id").agg(collect_list("rank").as("rs"))
+      .filter(array_sort($"rs") =!= array(lit(1), lit(2), lit(3)))
+      .count() == 0)
+    r.unpersist()
+  }
+
   test("psi drift: hand-planted shift is detected, identical halves are zero") {
     // identical distributions → every contribution rounds to 0
     val d = Analytics.distributionDrift(spark, dir)
