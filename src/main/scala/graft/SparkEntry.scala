@@ -217,6 +217,7 @@ object SparkEntry {
     "q172_token_budget_sample" -> (TextOps.tokenBudgetSample _),
     "q173_cross_source_overlap" -> (TextOps.crossSourceOverlap _),
     "q174_retrieval" -> ((s, d) => graft.operators.Retrieval.retrieve(s, d)),
+    "q175_pq_knn" -> ((s, d) => VectorOps.pqKnn(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -473,6 +474,51 @@ object SparkEntry {
        |SELECT vec_id, cid, ${val6("d")} AS dist2,
        |  COUNT(*) OVER (PARTITION BY cid) AS cluster_size
        |FROM a2 ORDER BY vec_id NULLS FIRST""".stripMargin
+
+  /** q175: per-subspace Lloyd training (the q76 CTEs over sliced
+    * virtual sources), code assignment, and the ADC sum of nano-scaled
+    * distance-table lookups — the full PQ pipeline replayed
+    * relationally. */
+  private val pqSql: String = {
+    val m = 4; val sub = 16; val kSub = 4
+    val subCtes = (0 until m).map(s =>
+      s"sub$s AS (SELECT vec_id, list_slice(embedding, ${s * sub + 1}, " +
+        s"${(s + 1) * sub}) AS embedding FROM embeddings)").mkString(",\n")
+    val trains = (0 until m)
+      .map(s => kmTrainCtes(kSub, sub, s"s$s", s"sub$s")).mkString(",\n")
+    val assigns = (0 until m)
+      .map(s => kmAssignCte(sub)(s"sub$s", s"s${s}c2", s"s${s}a2"))
+      .mkString(",\n")
+    val dts = (0 until m).map(s =>
+      s"""dt$s AS (SELECT q.vec_id AS query_id, c.cid,
+         |  CAST(FLOOR((${kmDistExpr(sub)("q.embedding", "c.c")})
+         |    * 1000000000.0 + 0.5) AS BIGINT) AS d9
+         |  FROM sub$s q CROSS JOIN s${s}c2 c
+         |  WHERE q.vec_id < 10)""".stripMargin).mkString(",\n")
+    s"""WITH $subCtes,
+       |$trains,
+       |$assigns,
+       |$dts,
+       |p AS (
+       |  SELECT d0.query_id, a0.vec_id AS neighbor_id,
+       |    d0.d9 + d1.d9 + d2.d9 + d3.d9 AS adist9
+       |  FROM s0a2 a0
+       |  JOIN s1a2 a1 USING (vec_id)
+       |  JOIN s2a2 a2 USING (vec_id)
+       |  JOIN s3a2 a3 USING (vec_id)
+       |  JOIN dt0 d0 ON d0.cid = a0.cid
+       |  JOIN dt1 d1 ON d1.cid = a1.cid AND d1.query_id = d0.query_id
+       |  JOIN dt2 d2 ON d2.cid = a2.cid AND d2.query_id = d0.query_id
+       |  JOIN dt3 d3 ON d3.cid = a3.cid AND d3.query_id = d0.query_id
+       |  WHERE a0.vec_id <> d0.query_id),
+       |r AS (SELECT query_id, neighbor_id, adist9,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adist9 ASC, neighbor_id NULLS FIRST) AS rn FROM p)
+       |SELECT query_id, rn AS "rank", neighbor_id,
+       |  CAST(adist9 AS DOUBLE) / 1000000000.0 AS adist
+       |FROM r WHERE rn <= 5
+       |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+  }
 
   /** DuckDB mirror of VectorOps.dot/norm/cosine: left folds match
     * Spark's `aggregate` order (and the typed kernel's independent
@@ -1192,6 +1238,8 @@ object SparkEntry {
          |  ${val6("score")} AS score
          |FROM r WHERE rn <= 3
          |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    "q175_pq_knn" -> pqSql,
 
     // q161 serves the IDENTICAL q50 contract from the persisted
     // single-probe index with literal bucket pruning; storage layout

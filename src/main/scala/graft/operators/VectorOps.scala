@@ -831,6 +831,99 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** q175: product quantization + asymmetric-distance serve (the FAISS
+    * PQ contract, Jégou et al.): the vector splits into `m` subspaces,
+    * each with its own tiny Lloyd-trained codebook; a vector compresses
+    * to `m` small codes (here 4×2 bits — 64 floats → half a byte of
+    * code), and serving never reconstructs: the query precomputes a
+    * distance TABLE per subspace (kSub entries each) and a candidate's
+    * approximate distance is m table lookups summed — the scan reads
+    * codes, not vectors.
+    *
+    * Trained on the q76 Lloyd discipline (fixed first-k init, fixed
+    * rounds, floor-scaled integer centroid sums) so the codebooks are
+    * deterministic and the DuckDB oracle replays the training per
+    * subspace. Distance-table entries floor-scale to BIGINT nano-units
+    * before the per-candidate sum — exact integer ranking. At 100 TB
+    * the codes table is the stored artifact (512× smaller than the
+    * floats); training runs on a sample; the serve scan is m BIGINT
+    * lookups per row, no float I/O at all.
+    */
+  def pqKnn(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5,
+      m: Int = 4, kSub: Int = 4, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val dim = ds.head()._2.length
+    val sub = dim / m
+    // per-subspace codebooks, trained independently (sorted by cid so
+    // argmin iteration order matches the oracle's (d ASC, cid ASC))
+    val books: Array[Array[(Long, Array[Double])]] =
+      (0 until m).map { s =>
+        lloydRounds(spark,
+          ds.map { case (id, v) => (id, v.slice(s * sub, (s + 1) * sub)) },
+          kSub, iters)
+      }.toArray
+    val bc = spark.sparkContext.broadcast(books)
+
+    // codes: per vector, the argmin centroid per subspace — the stored
+    // representation (m longs standing in for m packed bit-codes)
+    val codes = ds.mapPartitions { it =>
+      val bs = bc.value
+      it.map { case (id, v) =>
+        val cs = new Array[Long](bs.length)
+        var s = 0
+        while (s < bs.length) {
+          val slice = java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)
+          var bestC = Long.MaxValue; var best = Double.PositiveInfinity
+          var i = 0
+          while (i < bs(s).length) {
+            val d = distSq(slice, bs(s)(i)._2)
+            if (d < best) { best = d; bestC = bs(s)(i)._1 }
+            i += 1
+          }
+          cs(s) = bestC
+          s += 1
+        }
+        (id, cs)
+      }
+    }.toDF("vec_id", "codes")
+
+    // queries: per-subspace distance tables, nano-unit scaled
+    val queries = ds.filter(_._1 < nQueries).mapPartitions { it =>
+      val bs = bc.value
+      it.map { case (id, v) =>
+        val dt = bs.zipWithIndex.map { case (book, s) =>
+          val slice = java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)
+          book.map { case (cid, c) =>
+            (cid, math.floor(distSq(slice, c) * 1e9 + 0.5).toLong)
+          }.toMap
+        }
+        (id, dt)
+      }
+    }.toDF("query_id", "dtables")
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adist9"), asc("neighbor_id"))
+    broadcast(queries)
+      .join(codes, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dtables"), col("codes"))
+      .as[(Long, Long, Array[Map[Long, Long]], Array[Long])]
+      .mapPartitions(_.map { case (qi, ni, dts, cs) =>
+        var s = 0; var a = 0L
+        while (s < cs.length) { a += dts(s)(cs(s)); s += 1 }
+        (qi, ni, a)
+      })
+      .toDF("query_id", "neighbor_id", "adist9")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        (col("adist9").cast("double") / 1e9).as("adist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Index-SERVED ANN (q161) — the serving read of the index lifecycle
     * (build q153, maintain q158, serve here): q50's exact kNN contract
     * answered from the PERSISTED single-probe IVF index (the q153 table

@@ -27,6 +27,11 @@ class PlanAuditSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q34_ngram_jaccard", "q35_knn_cosine", "q36_embedding_pairs",
     "q138_embedding_dedup", // same bounded pair derivation as q36
+    // broadcast-QUERY-set scorers (the q35 shape): the nested-loop side
+    // is the ≤10/8/20-row query set by construction at any corpus
+    // scale; the corpus side streams. Candidate generation at scale
+    // goes through the IVF equi-join (q170, deliberately NOT here).
+    "q166_int8_knn", "q171_maxsim", "q174_retrieval", "q175_pq_knn",
     // q141 deliberately NOT here: the at-scale dedup's candidate
     // generation is an equi-join on the IVF bucket id — if it ever
     // plans a nested loop, that's a regression this spec must catch

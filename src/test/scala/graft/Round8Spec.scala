@@ -205,6 +205,33 @@ class Round8Spec extends SparkSpec {
     r.unpersist()
   }
 
+  test("pq: ADC identity and serving invariants") {
+    val pq = VectorOps.pqKnn(spark, dir).cache()
+    // approximate distances are non-negative and ranks fill 1..5
+    assert(pq.filter($"adist" < 0).count() == 0)
+    assert(pq.groupBy("query_id").count().filter($"count" =!= 5).count() == 0)
+    assert(pq.filter($"query_id" === $"neighbor_id").count() == 0)
+    // within a query, adist is non-decreasing with rank
+    val bad = pq.withColumn("prev",
+      lag("adist", 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy("rank")))
+      .filter($"prev".isNotNull && $"prev" > $"adist").count()
+    assert(bad == 0)
+    pq.unpersist()
+    // the ADC identity: summing per-subspace distances to the code's
+    // centroids equals the distance to the reconstructed (concatenated)
+    // vector — checked in plain arithmetic on synthetic data
+    val q = Array.tabulate(8)(i => (i + 1).toFloat)
+    val c0 = Array(0.5, 1.5, 2.5, 3.5) // subspace-0 centroid
+    val c1 = Array(4.0, 6.0, 8.0, 10.0) // subspace-1 centroid
+    def dsq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qs = q.map(_.toDouble)
+    val adc = dsq(qs.slice(0, 4), c0) + dsq(qs.slice(4, 8), c1)
+    val full = dsq(qs, c0 ++ c1)
+    assert(math.abs(adc - full) < 1e-9)
+  }
+
   test("psi drift: hand-planted shift is detected, identical halves are zero") {
     // identical distributions → every contribution rounds to 0
     val d = Analytics.distributionDrift(spark, dir)
