@@ -218,6 +218,8 @@ object SparkEntry {
     "q173_cross_source_overlap" -> (TextOps.crossSourceOverlap _),
     "q174_retrieval" -> ((s, d) => graft.operators.Retrieval.retrieve(s, d)),
     "q175_pq_knn" -> ((s, d) => VectorOps.pqKnn(s, d)),
+    "q176_streaming_drift" ->
+      (graft.streaming.StreamingDrift.driftMonitor _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -226,6 +228,35 @@ object SparkEntry {
   // multi-row result carries a total ORDER BY.
 
   private val netExpr = "l_extendedprice * (1.0 - l_discount)"
+
+  /** Shared by q169 (batch PSI) and q176 (the continuous monitor —
+    * the drained incremental state must read off the identical
+    * statistic). */
+  private val psiDriftSql: String =
+    """WITH e AS (SELECT event_type,
+      |    CAST(LEAST(FLOOR(value / 50.0), 9.0) AS INT) AS bucket,
+      |    ts < TIMESTAMP '2024-01-16 00:00:00' AS is_a
+      |  FROM events),
+      |g AS (SELECT event_type, bucket,
+      |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+      |  FROM e GROUP BY 1, 2),
+      |t AS (SELECT *,
+      |    SUM(n_a) OVER (PARTITION BY event_type) AS tot_a,
+      |    SUM(n_b) OVER (PARTITION BY event_type) AS tot_b FROM g),
+      |c AS (SELECT event_type, bucket, n_a, n_b,
+      |    CAST(FLOOR((CAST(n_a + 1 AS DOUBLE) / (tot_a + 10)
+      |        - CAST(n_b + 1 AS DOUBLE) / (tot_b + 10))
+      |      * ln((CAST(n_a + 1 AS DOUBLE) / (tot_a + 10))
+      |          / (CAST(n_b + 1 AS DOUBLE) / (tot_b + 10)))
+      |      * 1000000000.0 + 0.5) AS BIGINT) AS c9
+      |  FROM t)
+      |SELECT event_type, bucket, n_a, n_b,
+      |  CAST(c9 AS DOUBLE) / 1000000000.0 AS contrib,
+      |  CAST(SUM(c9) OVER (PARTITION BY event_type) AS DOUBLE)
+      |    / 1000000000.0 AS psi
+      |FROM c
+      |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin
 
   /** DuckDB mirror of [[graft.util.Portable.portable32]]. */
   private def h32(x: String) = s"CAST('0x' || substr(md5($x), 1, 8) AS BIGINT)"
@@ -1458,31 +1489,11 @@ object SparkEntry {
     // q169: PSI drift. Per-bucket contributions floor-scale to BIGINT
     // nano-units BEFORE the per-type sum (exact integer reduction); the
     // ln/divide chain is the same IEEE expression tree on both engines.
-    "q169_distribution_drift" ->
-      """WITH e AS (SELECT event_type,
-        |    CAST(LEAST(FLOOR(value / 50.0), 9.0) AS INT) AS bucket,
-        |    ts < TIMESTAMP '2024-01-16 00:00:00' AS is_a
-        |  FROM events),
-        |g AS (SELECT event_type, bucket,
-        |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-        |    CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
-        |  FROM e GROUP BY 1, 2),
-        |t AS (SELECT *,
-        |    SUM(n_a) OVER (PARTITION BY event_type) AS tot_a,
-        |    SUM(n_b) OVER (PARTITION BY event_type) AS tot_b FROM g),
-        |c AS (SELECT event_type, bucket, n_a, n_b,
-        |    CAST(FLOOR((CAST(n_a + 1 AS DOUBLE) / (tot_a + 10)
-        |        - CAST(n_b + 1 AS DOUBLE) / (tot_b + 10))
-        |      * ln((CAST(n_a + 1 AS DOUBLE) / (tot_a + 10))
-        |          / (CAST(n_b + 1 AS DOUBLE) / (tot_b + 10)))
-        |      * 1000000000.0 + 0.5) AS BIGINT) AS c9
-        |  FROM t)
-        |SELECT event_type, bucket, n_a, n_b,
-        |  CAST(c9 AS DOUBLE) / 1000000000.0 AS contrib,
-        |  CAST(SUM(c9) OVER (PARTITION BY event_type) AS DOUBLE)
-        |    / 1000000000.0 AS psi
-        |FROM c
-        |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
+    "q169_distribution_drift" -> psiDriftSql,
+
+    // q176: the continuous monitor must read the SAME statistic off its
+    // incrementally-maintained state — q169's oracle verbatim.
+    "q176_streaming_drift" -> psiDriftSql,
 
     "q51_semi_join" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer

@@ -248,14 +248,23 @@ object Analytics {
     * then windows over that reduced grain; the scan aggregates with
     * map-side combine, nothing else moves. */
   def distributionDrift(spark: SparkSession, dir: String): DataFrame = {
-    val boundary = lit("2024-01-16 00:00:00").cast("timestamp")
     val e = Tables.events(spark, dir).select(
-      col("event_type"),
-      least(floor(col("value") / 50.0), lit(9L)).cast("int").as("bucket"),
-      (col("ts") < boundary).as("is_a"))
-    val g = e.groupBy("event_type", "bucket")
+      col("event_type"), driftBucket, (col("ts") < DriftBoundary).as("is_a"))
+    psiFrom(e.groupBy("event_type", "bucket")
       .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
-        sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"))
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b")))
+  }
+
+  /** The q169 window boundary and $50 value bucket (shared with the
+    * continuous monitor, [[graft.streaming.StreamingDrift]]). */
+  val DriftBoundary: Column = lit("2024-01-16 00:00:00").cast("timestamp")
+  def driftBucket: Column =
+    least(floor(col("value") / 50.0), lit(9L)).cast("int").as("bucket")
+
+  /** PSI arithmetic over a `(event_type, bucket, n_a, n_b)` count
+    * frame — extracted so the batch gate (q169) and the continuous
+    * monitor (q176) share one definition of the statistic. */
+  def psiFrom(g: DataFrame): DataFrame = {
     val w = Window.partitionBy("event_type")
     val p = (col("n_a") + 1).cast("double") / (col("tot_a") + 10)
     val q = (col("n_b") + 1).cast("double") / (col("tot_b") + 10)

@@ -232,6 +232,13 @@ class Round8Spec extends SparkSpec {
     assert(math.abs(adc - full) < 1e-9)
   }
 
+  test("streaming drift monitor equals the batch statistic bit-for-bit") {
+    val batch = Analytics.distributionDrift(spark, dir).collect().toSeq
+    val cont = graft.streaming.StreamingDrift.driftMonitor(spark, dir)
+      .collect().toSeq
+    assert(cont == batch)
+  }
+
   test("psi drift: hand-planted shift is detected, identical halves are zero") {
     // identical distributions → every contribution rounds to 0
     val d = Analytics.distributionDrift(spark, dir)
