@@ -220,6 +220,7 @@ object SparkEntry {
     "q175_pq_knn" -> ((s, d) => VectorOps.pqKnn(s, d)),
     "q176_streaming_drift" ->
       (graft.streaming.StreamingDrift.driftMonitor _),
+    "q177_ivfadc" -> ((s, d) => VectorOps.ivfAdcKnn(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -510,7 +511,12 @@ object SparkEntry {
     * virtual sources), code assignment, and the ADC sum of nano-scaled
     * distance-table lookups — the full PQ pipeline replayed
     * relationally. */
-  private val pqSql: String = {
+  /** The PQ CTE chain shared by q175 and q177: per-subspace slices,
+    * per-subspace Lloyd training (`s<i>c2` codebooks), code assignment
+    * (`s<i>a2`), and the queries' nano-scaled distance tables
+    * (`dt<i>`), plus the per-candidate ADC sum keyed (query_id,
+    * neighbor_id) as `adc`. */
+  private val pqCtes: String = {
     val m = 4; val sub = 16; val kSub = 4
     val subCtes = (0 until m).map(s =>
       s"sub$s AS (SELECT vec_id, list_slice(embedding, ${s * sub + 1}, " +
@@ -526,11 +532,11 @@ object SparkEntry {
          |    * 1000000000.0 + 0.5) AS BIGINT) AS d9
          |  FROM sub$s q CROSS JOIN s${s}c2 c
          |  WHERE q.vec_id < 10)""".stripMargin).mkString(",\n")
-    s"""WITH $subCtes,
+    s"""$subCtes,
        |$trains,
        |$assigns,
        |$dts,
-       |p AS (
+       |adc AS (
        |  SELECT d0.query_id, a0.vec_id AS neighbor_id,
        |    d0.d9 + d1.d9 + d2.d9 + d3.d9 AS adist9
        |  FROM s0a2 a0
@@ -541,15 +547,58 @@ object SparkEntry {
        |  JOIN dt1 d1 ON d1.cid = a1.cid AND d1.query_id = d0.query_id
        |  JOIN dt2 d2 ON d2.cid = a2.cid AND d2.query_id = d0.query_id
        |  JOIN dt3 d3 ON d3.cid = a3.cid AND d3.query_id = d0.query_id
-       |  WHERE a0.vec_id <> d0.query_id),
+       |  WHERE a0.vec_id <> d0.query_id)""".stripMargin
+  }
+
+  private val pqSql: String =
+    s"""WITH $pqCtes,
        |r AS (SELECT query_id, neighbor_id, adist9,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
-       |      ORDER BY adist9 ASC, neighbor_id NULLS FIRST) AS rn FROM p)
+       |      ORDER BY adist9 ASC, neighbor_id NULLS FIRST) AS rn FROM adc)
        |SELECT query_id, rn AS "rank", neighbor_id,
        |  CAST(adist9 AS DOUBLE) / 1000000000.0 AS adist
        |FROM r WHERE rn <= 5
        |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin
-  }
+
+  /** q177 — IVFADC: the q50 coarse quantizer restricts candidates to
+    * the query's probed buckets; the PQ ADC sum (same CTEs as q175)
+    * re-scores only those. */
+  private val ivfadcSql: String =
+    s"""WITH $pqCtes,
+       |e2 AS (SELECT vec_id, embedding FROM embeddings),
+       |cc AS (SELECT vec_id AS cid, embedding AS cv FROM e2
+       |  WHERE vec_id < 16),
+       |ac2 AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ${cosCols("e.embedding", "c.cv")} AS ccos
+       |  FROM e2 e CROSS JOIN cc c),
+       |assign2 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+       |    FROM ac2) WHERE rn = 1),
+       |qc2 AS (
+       |  SELECT query_id, cid FROM (
+       |    SELECT vec_id AS query_id, cid,
+       |      ROW_NUMBER() OVER (PARTITION BY vec_id
+       |        ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+       |    FROM ac2 WHERE vec_id < 10) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT q.query_id, a.vec_id AS neighbor_id
+       |  FROM qc2 q JOIN assign2 a USING (cid)
+       |  WHERE a.vec_id <> q.query_id),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id, adc.adist9
+       |  FROM cand c JOIN adc
+       |    ON adc.query_id = c.query_id AND adc.neighbor_id = c.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, adist9,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adist9 ASC, neighbor_id NULLS FIRST) AS rn
+       |  FROM scored)
+       |SELECT query_id, rn AS "rank", neighbor_id,
+       |  CAST(adist9 AS DOUBLE) / 1000000000.0 AS adist
+       |FROM r WHERE rn <= 5
+       |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin
 
   /** DuckDB mirror of VectorOps.dot/norm/cosine: left folds match
     * Spark's `aggregate` order (and the typed kernel's independent
@@ -1271,6 +1320,7 @@ object SparkEntry {
          |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
 
     "q175_pq_knn" -> pqSql,
+    "q177_ivfadc" -> ivfadcSql,
 
     // q161 serves the IDENTICAL q50 contract from the persisted
     // single-probe index with literal bucket pruning; storage layout

@@ -924,6 +924,118 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** q177 — IVFADC, the textbook composition (Jégou et al.) of the two
+    * gated halves: the IVF coarse quantizer (q50's probe discipline)
+    * restricts candidates to the query's nProbe buckets, and the PQ
+    * ADC sum (q175's codes + distance tables) scores only those — the
+    * serve path reads ~nProbe/K of the CODES table and touches no
+    * floats at all. This variant encodes raw vectors (not residuals):
+    * residual codebooks would need double-precision training vectors,
+    * which breaks the float-slice parity the oracle replays — the
+    * dataflow (probe → bucket-restrict → table-lookup score) is
+    * identical either way.
+    */
+  def ivfAdcKnn(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 4, kSub: Int = 4, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val ds = e.as[(Long, Array[Float])]
+    val dim = ds.head()._2.length
+    val sub = dim / m
+
+    // ---- coarse quantizer (q50's arithmetic) ----
+    val cents: Array[(Long, Array[Float])] =
+      ds.filter(_._1 < nCentroids).collect().sortBy(_._1)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val assigned = ds.mapPartitions { it =>
+      val cs = bcC.value
+      it.map { case (id, v) =>
+        var bestC = -1L; var best = Double.NegativeInfinity; var i = 0
+        while (i < cs.length) {
+          val s = cosOf(v, cs(i)._2)
+          if (s > best) { best = s; bestC = cs(i)._1 }
+          i += 1
+        }
+        (id, bestC)
+      }
+    }.toDF("vec_id", "cid")
+    val probes = ds.filter(_._1 < nQueries).mapPartitions { it =>
+      val cs = bcC.value
+      it.flatMap { case (qid, qv) =>
+        cs.map { case (cid, cv) => (cid, cosOf(qv, cv)) }
+          .sortBy { case (cid, s) => (-s, cid) }
+          .take(nProbe)
+          .map { case (cid, _) => (qid, cid) }
+      }
+    }.toDF("query_id", "cid")
+
+    // ---- fine quantizer (q175's codebooks, codes, distance tables) ----
+    val books: Array[Array[(Long, Array[Double])]] =
+      (0 until m).map { s =>
+        lloydRounds(spark,
+          ds.map { case (id, v) => (id, v.slice(s * sub, (s + 1) * sub)) },
+          kSub, iters)
+      }.toArray
+    val bcB = spark.sparkContext.broadcast(books)
+    val codes = ds.mapPartitions { it =>
+      val bs = bcB.value
+      it.map { case (id, v) =>
+        val cs = new Array[Long](bs.length)
+        var s = 0
+        while (s < bs.length) {
+          val slice = java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)
+          var bestC = Long.MaxValue; var best = Double.PositiveInfinity
+          var i = 0
+          while (i < bs(s).length) {
+            val d = distSq(slice, bs(s)(i)._2)
+            if (d < best) { best = d; bestC = bs(s)(i)._1 }
+            i += 1
+          }
+          cs(s) = bestC
+          s += 1
+        }
+        (id, cs)
+      }
+    }.toDF("vec_id", "codes")
+    val queryDts = ds.filter(_._1 < nQueries).mapPartitions { it =>
+      val bs = bcB.value
+      it.map { case (id, v) =>
+        val dt = bs.zipWithIndex.map { case (book, s) =>
+          val slice = java.util.Arrays.copyOfRange(v, s * sub, (s + 1) * sub)
+          book.map { case (cid, c) =>
+            (cid, math.floor(distSq(slice, c) * 1e9 + 0.5).toLong)
+          }.toMap
+        }
+        (id, dt)
+      }
+    }.toDF("query_id", "dtables")
+
+    // ---- serve: bucket-restrict, then table-lookup score ----
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adist9"), asc("neighbor_id"))
+    broadcast(probes)
+      .join(assigned, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codes, "vec_id")
+      .join(broadcast(queryDts), "query_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dtables"), col("codes"))
+      .as[(Long, Long, Array[Map[Long, Long]], Array[Long])]
+      .mapPartitions(_.map { case (qi, ni, dts, cs) =>
+        var s = 0; var a = 0L
+        while (s < cs.length) { a += dts(s)(cs(s)); s += 1 }
+        (qi, ni, a)
+      })
+      .toDF("query_id", "neighbor_id", "adist9")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        (col("adist9").cast("double") / 1e9).as("adist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Index-SERVED ANN (q161) — the serving read of the index lifecycle
     * (build q153, maintain q158, serve here): q50's exact kNN contract
     * answered from the PERSISTED single-probe IVF index (the q153 table

@@ -239,6 +239,20 @@ class Round8Spec extends SparkSpec {
     assert(cont == batch)
   }
 
+  test("ivfadc: bucket restriction can only lose candidates, never invent") {
+    val full = VectorOps.pqKnn(spark, dir)
+      .select($"query_id", $"rank", $"adist".as("pq_adist"))
+    val pruned = VectorOps.ivfAdcKnn(spark, dir)
+      .select($"query_id", $"rank", $"adist".as("ivf_adist"))
+    // full-search PQ scans a superset of the probed buckets, so at
+    // every rank its distance is ≤ the bucket-restricted one
+    assert(full.join(pruned, Seq("query_id", "rank"))
+      .filter($"pq_adist" > $"ivf_adist" + 1e-12).count() == 0)
+    // serving invariants
+    assert(pruned.groupBy("query_id").count()
+      .filter($"count" =!= 5).count() == 0)
+  }
+
   test("psi drift: hand-planted shift is detected, identical halves are zero") {
     // identical distributions → every contribution rounds to 0
     val d = Analytics.distributionDrift(spark, dir)
