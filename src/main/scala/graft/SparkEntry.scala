@@ -221,6 +221,8 @@ object SparkEntry {
     "q176_streaming_drift" ->
       (graft.streaming.StreamingDrift.driftMonitor _),
     "q177_ivfadc" -> ((s, d) => VectorOps.ivfAdcKnn(s, d)),
+    "q178_unigram_lm" -> ((s, d) => TextOps.unigramLmScore(s, d)),
+    "q179_label_outliers" -> ((s, d) => VectorOps.labelOutliers(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1321,6 +1323,64 @@ object SparkEntry {
 
     "q175_pq_knn" -> pqSql,
     "q177_ivfadc" -> ivfadcSql,
+
+    // q178: unigram-LM scoring. Per-token ln p floor-scales to BIGINT
+    // nano-units before the per-doc sum; the smoothed model
+    // probabilities are exact rationals, one IEEE division each.
+    "q178_unigram_lm" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT (SELECT COUNT(*) FROM tok) AS n,
+         |               (SELECT COUNT(*) FROM vocab) AS v),
+         |lp AS (SELECT tok.doc_id,
+         |    CAST(FLOOR(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS lp9
+         |  FROM tok JOIN vocab USING (t) CROSS JOIN tot),
+         |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(lp9) AS BIGINT) AS slp9 FROM lp GROUP BY 1),
+         |f AS (SELECT doc_id, n_tokens,
+         |    -(CAST(slp9 AS DOUBLE) / 1000000000.0) / n_tokens AS nll
+         |  FROM s)
+         |SELECT doc_id, n_tokens, ${val6("nll")} AS nll_nats,
+         |  nll <= 8.0 AS keep
+         |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // q179: per-label outlier z-scores. Centroids use q113's µ-integer
+    // component sums; per-row d² milli-scales to BIGINT before the
+    // moment sums, so mean/variance are exact in any order; the z
+    // expression tree is identical on both engines.
+    "q179_label_outliers" ->
+      s"""WITH le AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+         |    embedding FROM embeddings),
+         |comp AS (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |    unnest(embedding) AS x FROM le),
+         |cm AS (SELECT label, pos,
+         |    CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5)
+         |      AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*) AS m
+         |  FROM comp GROUP BY 1, 2),
+         |cl AS (SELECT label, list(m ORDER BY pos) AS c FROM cm GROUP BY 1),
+         |d AS (SELECT e.vec_id, e.label,
+         |    ${kmDistExpr(64)("e.embedding", "cl.c")} AS d2
+         |  FROM le e JOIN cl USING (label)),
+         |d3t AS (SELECT vec_id, label, d2,
+         |    CAST(FLOOR(d2 * 1000.0 + 0.5) AS BIGINT) AS d3 FROM d),
+         |s AS (SELECT label, COUNT(*) AS n,
+         |    SUM(d3) AS s1, SUM(d3 * d3) AS s2 FROM d3t GROUP BY 1),
+         |f AS (SELECT t.vec_id, t.label, t.d2, t.d3,
+         |    CAST(s1 AS DOUBLE) / 1000.0 / n AS mean,
+         |    CAST(s2 AS DOUBLE) / 1000000.0 / n
+         |      - (CAST(s1 AS DOUBLE) / 1000.0 / n)
+         |        * (CAST(s1 AS DOUBLE) / 1000.0 / n) AS var
+         |  FROM d3t t JOIN s USING (label)),
+         |zt AS (SELECT vec_id, label, d2,
+         |    CASE WHEN var <= 0.0 THEN 0.0
+         |         ELSE (CAST(d3 AS DOUBLE) / 1000.0 - mean) / sqrt(var)
+         |    END AS z
+         |  FROM f)
+         |SELECT vec_id, label, ${val6("d2")} AS dist2, ${val6("z")} AS z,
+         |  z > 2.0 AS is_outlier
+         |FROM zt ORDER BY vec_id NULLS FIRST""".stripMargin,
 
     // q161 serves the IDENTICAL q50 contract from the persisted
     // single-probe index with literal bucket pruning; storage layout

@@ -1088,6 +1088,46 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q178: unigram language-model scoring — the perplexity-style
+    * quality filter (the KenLM stage of a real curation pipeline, at
+    * unigram order so the model itself is a corpus aggregate and the
+    * whole stage stays oracle-able): the corpus unigram distribution is
+    * estimated with add-one smoothing over the observed vocabulary,
+    * and each document scores its average negative log-likelihood in
+    * nats/token — out-of-distribution docs (rare-token soup) score
+    * high and get cut.
+    *
+    * Determinism: each token's ln p floor-scales to BIGINT nano-units
+    * BEFORE the per-doc sum (exact integer reduction under any
+    * partial-agg order); the model probabilities are exact rationals
+    * evaluated in one IEEE division each. Scale: the model is one
+    * vocabulary-grain aggregate (map-side combined), the scoring join
+    * is token ⋈ vocabulary — at 100 TB the vocabulary table broadcasts
+    * (a few M rows) and scoring is map-only. */
+  def unigramLmScore(spark: SparkSession, dir: String,
+      cutNats: Double = 8.0): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = tok.agg(count(lit(1)).as("n"),
+      countDistinct("t").as("v")).collect()(0)
+    val (n, v) = (totals.getLong(0), totals.getLong(1))
+    val lp9 = floor(
+      log((col("c") + 1).cast("double") / lit((n + v).toDouble))
+        * lit(1000000000.0) + lit(0.5)).cast("long")
+    val scored = tok.join(broadcast(vocab), "t")
+      .select(col("doc_id"), lp9.as("lp9"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp9").as("slp9"))
+      .withColumn("nll_nats",
+        -(col("slp9").cast("double") / 1000000000.0) / col("n_tokens"))
+    scored
+      .select(col("doc_id"), col("n_tokens"),
+        graft.util.Portable.val6(col("nll_nats")).as("nll_nats"),
+        (col("nll_nats") <= cutNats).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q173: cross-corpus contamination report — the near-dup pairs that
     * STRADDLE two corpora (here: even- vs odd-numbered sources, the
     * stand-in for "my crawl" vs "the benchmark/partner corpus"). Rides

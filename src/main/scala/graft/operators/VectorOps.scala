@@ -1036,6 +1036,63 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** q179: embedding-space outlier detection per label — the
+    * mislabeled-example filter a supervised-data pipeline runs before
+    * training: each vector's squared distance to ITS OWN label's
+    * centroid, z-scored within the label; members far from their class
+    * prototype (z > 2) are flagged for review. Composes the q113
+    * centroid arithmetic (floor-scaled integer component sums) with a
+    * scan-local distance kernel; the per-label moment sums run over
+    * milli-scaled BIGINTs so mean/variance are exact under any
+    * partition order.
+    *
+    * Scale: centroids are label-grain metadata (broadcast); the
+    * distance pass is map-only; the z-score needs one label-grain
+    * aggregate joined back — nothing row-scale shuffles twice. */
+  def labelOutliers(spark: SparkSession, dir: String,
+      zCut: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding"))
+    // label centroids, q113's exact discipline: floor-scaled µ-integer
+    // component sums → one IEEE division chain per component
+    val cents: Map[Long, Array[Double]] = e
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg(sum(floor(col("x").cast("double") * lit(1000000.0) + lit(0.5))
+        .cast("long")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getLong(0)).map { case (l, rows) =>
+        val c = new Array[Double](rows.length)
+        rows.foreach(r => c(r.getInt(1)) =
+          r.getLong(2).toDouble / 1000000.0 / r.getLong(3))
+        l -> c
+      }
+    val bc = spark.sparkContext.broadcast(cents)
+    val d = e.as[(Long, Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, l, v) => (id, l, distSq(v, cs(l))) }
+      }
+      .toDF("vec_id", "label", "d2")
+      .withColumn("d3", floor(col("d2") * lit(1000.0) + lit(0.5)).cast("long"))
+    val stats = d.groupBy("label")
+      .agg(count(lit(1)).as("n"), sum("d3").as("s1"),
+        sum(col("d3") * col("d3")).as("s2"))
+    val mean = col("s1").cast("double") / 1000.0 / col("n")
+    val variance =
+      col("s2").cast("double") / 1000000.0 / col("n") - mean * mean
+    val z = when(variance <= 0.0, lit(0.0))
+      .otherwise((col("d3").cast("double") / 1000.0 - mean) / sqrt(variance))
+    d.join(broadcast(stats), "label")
+      .select(col("vec_id"), col("label"),
+        graft.util.Portable.val6(col("d2")).as("dist2"),
+        graft.util.Portable.val6(z).as("z"),
+        (z > zCut).as("is_outlier"))
+      .orderBy("vec_id")
+  }
+
   /** Index-SERVED ANN (q161) — the serving read of the index lifecycle
     * (build q153, maintain q158, serve here): q50's exact kNN contract
     * answered from the PERSISTED single-probe IVF index (the q153 table

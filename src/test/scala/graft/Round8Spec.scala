@@ -253,6 +253,34 @@ class Round8Spec extends SparkSpec {
       .filter($"count" =!= 5).count() == 0)
   }
 
+  test("unigram lm: rare-token soup scores worse than common text") {
+    val s = graft.operators.TextOps.unigramLmScore(spark, dir).cache()
+    // NLL is positive (probabilities < 1) and finite everywhere
+    assert(s.filter($"nll_nats" <= 0 || $"nll_nats".isNull).count() == 0)
+    // documents made of the corpus's most common tokens must score
+    // better (lower NLL) than the worst rare-token documents
+    val best = s.agg(min("nll_nats")).as[Double].head()
+    val worst = s.agg(max("nll_nats")).as[Double].head()
+    assert(worst > best)
+    // keep flag is consistent with the published cut
+    assert(s.filter(($"nll_nats" <= 8.0) =!= $"keep").count() == 0)
+    s.unpersist()
+  }
+
+  test("label outliers: z-scores center and flag consistently") {
+    val o = VectorOps.labelOutliers(spark, dir).cache()
+    // per label, z-scores sum to ~0 (they are centered by construction;
+    // rounding to 6 decimals leaves sub-row noise)
+    val off = o.groupBy("label").agg(sum("z").as("sz"), count(lit(1)).as("n"))
+      .filter(abs($"sz") > $"n" * 0.001).count()
+    assert(off == 0)
+    // the flag matches the published threshold, and outliers are rare
+    assert(o.filter(($"z" > 2.0) =!= $"is_outlier").count() == 0)
+    val frac = o.filter($"is_outlier").count().toDouble / o.count()
+    assert(frac < 0.2, s"outlier fraction $frac implausibly high")
+    o.unpersist()
+  }
+
   test("psi drift: hand-planted shift is detected, identical halves are zero") {
     // identical distributions → every contribution rounds to 0
     val d = Analytics.distributionDrift(spark, dir)
