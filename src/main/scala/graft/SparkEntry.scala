@@ -223,6 +223,8 @@ object SparkEntry {
     "q177_ivfadc" -> ((s, d) => VectorOps.ivfAdcKnn(s, d)),
     "q178_unigram_lm" -> ((s, d) => TextOps.unigramLmScore(s, d)),
     "q179_label_outliers" -> ((s, d) => VectorOps.labelOutliers(s, d)),
+    "q180_source_data_card" -> (TextOps.sourceDataCard _),
+    "q181_ngram_novelty" -> (TextOps.ngramNovelty _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1381,6 +1383,56 @@ object SparkEntry {
          |SELECT vec_id, label, ${val6("d2")} AS dist2, ${val6("z")} AS z,
          |  z > 2.0 AS is_outlier
          |FROM zt ORDER BY vec_id NULLS FIRST""".stripMargin,
+
+    // q180: per-source data card. Entropy terms and per-doc TTRs
+    // floor-scale to integers before their cross-row sums; the dup rate
+    // rides the q33 pair CTEs at source grain.
+    "q180_source_data_card" ->
+      s"""WITH $minhashPairsCtes,
+         |dd AS (SELECT doc_id, source, lang,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+         |      AS n_types
+         |  FROM documents),
+         |dt AS (SELECT *, CAST(FLOOR(CAST(n_types AS DOUBLE) / n_tokens
+         |    * 1000000.0 + 0.5) AS BIGINT) AS ttr6 FROM dd),
+         |nd AS (SELECT source, COUNT(*) AS nd FROM dd GROUP BY 1),
+         |lc AS (SELECT source, lang, COUNT(*) AS c FROM dd GROUP BY 1, 2),
+         |ent AS (SELECT lc.source,
+         |    SUM(CAST(FLOOR(-((CAST(c AS DOUBLE) / nd)
+         |        * ln(CAST(c AS DOUBLE) / nd))
+         |      * 1000000000.0 + 0.5) AS BIGINT)) AS se9
+         |  FROM lc JOIN nd USING (source) GROUP BY 1),
+         |dup AS (SELECT DISTINCT doc_id FROM
+         |  (SELECT ida AS doc_id FROM pairs UNION SELECT idb FROM pairs)),
+         |dsrc AS (SELECT dd.source, COUNT(*) AS n_dup
+         |  FROM dd JOIN dup USING (doc_id) GROUP BY 1),
+         |agg AS (SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(ttr6) AS BIGINT) AS sttr6 FROM dt GROUP BY 1)
+         |SELECT a.source, a.n_docs, a.n_tokens,
+         |  CAST(se9 AS DOUBLE) / 1000000000.0 AS lang_entropy,
+         |  CAST(sttr6 AS DOUBLE) / 1000000.0 / a.n_docs AS mean_ttr,
+         |  CAST(COALESCE(n_dup, 0) AS DOUBLE) / a.n_docs AS dup_rate
+         |FROM agg a JOIN ent ON a.source = ent.source
+         |LEFT JOIN dsrc ON a.source = dsrc.source
+         |ORDER BY a.source NULLS FIRST""".stripMargin,
+
+    // q181: novelty audit — distinct-shingle document frequencies, the
+    // unique fraction per doc.
+    "q181_ngram_novelty" ->
+      s"""WITH dz AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |shl AS (SELECT doc_id, unnest(list_distinct($shingleExpr)) AS g
+         |  FROM dz),
+         |dfq AS (SELECT g, COUNT(DISTINCT doc_id) AS df FROM shl GROUP BY 1),
+         |agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+         |    CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_unique
+         |  FROM shl JOIN dfq USING (g) GROUP BY 1)
+         |SELECT doc_id, n_shingles, n_unique,
+         |  ${val6("CAST(n_unique AS DOUBLE) / n_shingles")} AS novelty
+         |FROM agg ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     // q161 serves the IDENTICAL q50 contract from the persisted
     // single-probe index with literal bucket pruning; storage layout

@@ -1128,6 +1128,80 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q180: per-source data card — the "datasheet for datasets" mart a
+    * corpus vendor publishes per ingest source: volume (docs, tokens),
+    * language-mix entropy (how monolingual the source is), mean lexical
+    * diversity (type-token ratio), and the near-duplicate rate (what
+    * fraction of the source's docs have a near-dup partner anywhere in
+    * the corpus — the q33 pair graph restated at source grain).
+    *
+    * Determinism: entropy terms and per-doc TTRs floor-scale to
+    * integers BEFORE their cross-row sums. Scale: everything reduces
+    * to source grain (20 rows here, maybe thousands in production)
+    * with map-side combine; the only non-scan input is the already-
+    * bounded near-dup pair list. */
+  def sourceDataCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir).select(
+      col("doc_id"), col("source"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("n_types"))
+      .withColumn("ttr6",
+        floor(col("n_types").cast("double") / col("n_tokens")
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+    // language-mix entropy per source: Σ −p ln p, nano-scaled terms
+    val lc = d.groupBy("source", "lang").agg(count(lit(1)).as("c"))
+    val ln9 = {
+      val p = col("c").cast("double") / col("nd")
+      floor(-(p * log(p)) * lit(1000000000.0) + lit(0.5)).cast("long")
+    }
+    val ent = lc
+      .join(d.groupBy("source").agg(count(lit(1)).as("nd")), "source")
+      .withColumn("e9", ln9)
+      .groupBy("source").agg(sum("e9").as("se9"))
+    // near-dup rate: docs with any pair partner, at source grain
+    val pairs = minhashNearDups(spark, dir)
+    val dupIds = pairs.select(col("ida").as("doc_id"))
+      .union(pairs.select(col("idb").as("doc_id"))).distinct()
+    val dupBySrc = d.join(dupIds, "doc_id")
+      .groupBy("source").agg(count(lit(1)).as("n_dup"))
+    d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("ttr6").as("sttr6"))
+      .join(ent, "source")
+      .join(dupBySrc, Seq("source"), "left")
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("se9").cast("double") / 1000000000.0).as("lang_entropy"),
+        (col("sttr6").cast("double") / 1000000.0 / col("n_docs"))
+          .as("mean_ttr"),
+        (coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_docs"))
+          .as("dup_rate"))
+      .orderBy("source")
+  }
+
+  /** q181: n-gram novelty audit — the memorization-risk profile: per
+    * document, the fraction of its DISTINCT 3-gram shingles that occur
+    * in no other document. Low-novelty docs are near-verbatim recombinations
+    * of corpus material (template spam, boilerplate); the same statistic
+    * against a TRAINED corpus is the memorization audit an eval suite
+    * runs. One shingle-grain document-frequency aggregate (map-side
+    * combined), one semi-join back — both at shingle grain, never
+    * all-pairs. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(array_distinct(shingles(col("text")))).as("g"))
+    val df = sh.groupBy("g").agg(countDistinct("doc_id").as("df"))
+    sh.join(df, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+        graft.util.Portable.val6(
+          col("n_unique").cast("double") / col("n_shingles"))
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
   /** q173: cross-corpus contamination report — the near-dup pairs that
     * STRADDLE two corpora (here: even- vs odd-numbered sources, the
     * stand-in for "my crawl" vs "the benchmark/partner corpus"). Rides

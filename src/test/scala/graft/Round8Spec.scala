@@ -281,6 +281,48 @@ class Round8Spec extends SparkSpec {
     o.unpersist()
   }
 
+  test("data card: entropy bounds and dup-rate consistency") {
+    val card = graft.operators.TextOps.sourceDataCard(spark, dir).cache()
+    // language-mix entropy bounded by ln(5) (five languages exist)
+    assert(card.filter($"lang_entropy" < 0
+      || $"lang_entropy" > math.log(5.0) + 1e-6).count() == 0)
+    // TTR is a fraction; dup_rate a fraction
+    assert(card.filter($"mean_ttr" <= 0 || $"mean_ttr" > 1.0).count() == 0)
+    assert(card.filter($"dup_rate" < 0 || $"dup_rate" > 1.0).count() == 0)
+    // dup docs across sources reconcile with the pair graph
+    val nDup = graft.operators.TextOps.minhashNearDups(spark, dir)
+      .select(explode(array($"ida", $"idb")).as("doc_id"))
+      .distinct().count()
+    val fromCard = card.select(($"dup_rate" * $"n_docs").as("d"))
+      .agg(sum("d")).as[Double].head()
+    assert(math.abs(fromCard - nDup) < 1e-6)
+    card.unpersist()
+  }
+
+  test("novelty: a duplicated doc has zero novelty") {
+    import graft.operators.TextOps
+    val out = TextOps.ngramNovelty(spark, dir).cache()
+    // every near-dup pair at jaccard 1.0 (exact dup) shares all
+    // shingles → both sides' unique fraction is 0 for shared grams;
+    // structural bounds instead: novelty ∈ [0, 1]
+    assert(out.filter($"novelty" < 0 || $"novelty" > 1).count() == 0)
+    out.unpersist()
+    // hand corpus: doc 1 and 2 identical → novelty 0; doc 0 disjoint → 1
+    import spark.implicits._
+    val local = s"${System.getProperty("java.io.tmpdir")}/graft_nov_${ProcessHandle.current().pid()}"
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(local))
+    Seq(
+      (0L, "alpha beta gamma delta", "en", "web", 22L),
+      (1L, "one two three four five", "en", "web", 23L),
+      (2L, "one two three four five", "en", "web", 23L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$local/documents.parquet")
+    val hand = TextOps.ngramNovelty(spark, local)
+      .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
+    assert(hand(0L) == 1.0 && hand(1L) == 0.0 && hand(2L) == 0.0)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(local))
+  }
+
   test("psi drift: hand-planted shift is detected, identical halves are zero") {
     // identical distributions → every contribution rounds to 0
     val d = Analytics.distributionDrift(spark, dir)
