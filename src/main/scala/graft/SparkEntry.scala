@@ -225,6 +225,13 @@ object SparkEntry {
     "q179_label_outliers" -> ((s, d) => VectorOps.labelOutliers(s, d)),
     "q180_source_data_card" -> (TextOps.sourceDataCard _),
     "q181_ngram_novelty" -> (TextOps.ngramNovelty _),
+    "q182_bm25" -> ((s, d) => graft.operators.Retrieval.bm25(s, d)),
+    "q183_wordpiece" -> (TextOps.wordpieceStats _),
+    "q184_temperature_mixture" -> (TextOps.temperatureMixture _),
+    "q185_pca_power" -> ((s, d) => VectorOps.pcaPowerProjection(s, d)),
+    "q186_ann_recall_audit" -> ((s, d) => VectorOps.annRecallAudit(s, d)),
+    "q187_streaming_topk" ->
+      ((s, d) => graft.streaming.StreamingTopK.topSpenders(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1434,43 +1441,131 @@ object SparkEntry {
          |  ${val6("CAST(n_unique AS DOUBLE) / n_shingles")} AS novelty
          |FROM agg ORDER BY doc_id NULLS FIRST""".stripMargin,
 
+    // q182: Okapi BM25 (k1=1.2, b=0.75). Each term's contribution is
+    // one ln + IEEE mul/divs stated verbatim on both engines,
+    // floor-scaled to BIGINT nano-units before the per-(query,doc)
+    // sum; rank ties break on doc_id.
+    "q182_bm25" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+         |  FROM tok GROUP BY 1),
+         |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+         |tot AS (SELECT (SELECT COUNT(*) FROM documents) AS nd,
+         |               (SELECT COUNT(*) FROM tok) AS nt),
+         |q AS (SELECT DISTINCT doc_id AS query_id, t FROM tok
+         |  WHERE doc_id % 100 = 0),
+         |c AS (SELECT q.query_id, tf.doc_id,
+         |    CAST(FLOOR(
+         |      ln((CAST(nd - df AS DOUBLE) + 0.5)
+         |          / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |      * ((CAST(tf AS DOUBLE) * 2.2)
+         |         / (CAST(tf AS DOUBLE) + 1.2
+         |            * (0.25 + 0.75
+         |               * (CAST(dl AS DOUBLE)
+         |                  / (CAST(nt AS DOUBLE) / nd)))))
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS c9
+         |  FROM q JOIN tf USING (t) JOIN dfq USING (t)
+         |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot
+         |  WHERE tf.doc_id <> q.query_id),
+         |s AS (SELECT query_id, doc_id, CAST(SUM(c9) AS BIGINT) AS s9
+         |  FROM c GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, s9,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY s9 DESC, doc_id) AS rank
+         |  FROM s)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+         |  CAST(s9 AS DOUBLE) / 1000000000.0 AS score
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q183: greedy longest-match subword apply. The oracle replays the
+    // Spark segmenter's loop as 8 unrolled argmax-prefix steps over
+    // the SAME vocabulary literal (TextOps.WpVocab — one source of
+    // truth), at distinct-word grain; integer math end-to-end. At most
+    // one piece of a given length matches a fixed position, so
+    // "longest first" needs no tie-break beyond the stated one.
+    "q183_wordpiece" -> wordpieceSql,
+
+    // q184: temperature mixture (alpha = 0.5). sqrt weights
+    // floor-scale to nano BEFORE the cross-language sum; targets are
+    // pure 64-bit integer multiply/div; selection ranks on the
+    // portable hash with doc_id tie-break.
+    "q184_temperature_mixture" ->
+      """WITH c AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT lang, c,
+        |    CAST(FLOOR(sqrt(CAST(c AS DOUBLE)) * 1000000000.0 + 0.5)
+        |      AS BIGINT) AS w9
+        |  FROM c),
+        |tot AS (SELECT CAST(SUM(w9) AS BIGINT) AS ww,
+        |    (SELECT COUNT(*) // 2 FROM documents) AS b FROM w),
+        |t AS (SELECT lang, c, w9, (b * w9) // ww AS n_target
+        |  FROM w CROSS JOIN tot),
+        |r AS (SELECT doc_id, lang,
+        |    CAST('0x' || substr(md5('tmix:' || doc_id), 1, 8) AS BIGINT)
+        |      AS hk
+        |  FROM documents),
+        |rk AS (SELECT doc_id, lang, hk,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY hk, doc_id) AS rn
+        |  FROM r)
+        |SELECT rk.doc_id, rk.lang, t.c, t.n_target,
+        |  CAST(rn AS INTEGER) AS rank, rn <= n_target AS keep
+        |FROM rk JOIN t USING (lang) ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // q187: continuous top-k leaderboard. The drained streaming keyed
+    // agg must equal this batch form bit-for-bit; revenue accumulates
+    // as floor-scaled integer cents, ties break on user_id.
+    "q187_streaming_topk" ->
+      """WITH p AS (SELECT user_id, COUNT(*) AS n_purchases,
+        |    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |    ORDER BY cents DESC, user_id) AS rn FROM p)
+        |SELECT CAST(rn AS INTEGER) AS rank, user_id, n_purchases,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue
+        |FROM r WHERE rn <= 10 ORDER BY rank""".stripMargin,
+
+    // q185: distributed power iteration (2 steps), projections onto
+    // the leading principal direction. Step math replayed verbatim;
+    // max-|component| normalization keeps every cross-row reduction
+    // integer.
+    "q185_pca_power" -> pcaPowerSql,
+
     // q161 serves the IDENTICAL q50 contract from the persisted
     // single-probe index with literal bucket pruning; storage layout
     // must never change results, so the oracle is q50's verbatim.
     "q161_ivf_knn_indexed" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |c AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 16),
-         |ac AS (
-         |  SELECT e.vec_id, e.embedding, c.cid,
-         |    ${cosCols("e.embedding", "c.cv")} AS ccos
-         |  FROM e CROSS JOIN c),
-         |assign AS (
-         |  SELECT vec_id, embedding, cid FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
-         |    FROM ac) WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
-         |      WHERE vec_id < 10),
-         |qc AS (
-         |  SELECT query_id, qv, cid FROM (
-         |    SELECT q.query_id, q.qv, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |        ORDER BY ${cosCols("q.qv", "c.cv")} DESC NULLS LAST,
-         |                 c.cid NULLS FIRST) AS rn
-         |    FROM q CROSS JOIN c) WHERE rn <= 4),
-         |cand AS (
-         |  SELECT query_id, a.vec_id AS neighbor_id,
-         |    ${cosCols("qc.qv", "a.embedding")} AS cos
-         |  FROM qc JOIN assign a USING (cid)
-         |  WHERE a.vec_id <> qc.query_id),
-         |r AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST) AS rn
-         |  FROM cand)
+      s"""WITH $ivfServeCtes
          |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
          |FROM r WHERE rn <= 5
          |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q186: recall@5 audit of the served IVF path against the exact
+    // brute-force ranking — composed verbatim from q161's serve CTEs
+    // and q35's brute contract; the audit itself is pure id-set
+    // arithmetic (no new float surface).
+    "q186_ann_recall_audit" ->
+      s"""WITH $ivfServeCtes,
+         |iv AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 5),
+         |bp AS (SELECT q.query_id, cc.vec_id AS neighbor_id,
+         |    ${cosCols("q.qv", "cc.embedding")} AS bcos
+         |  FROM q JOIN e cc ON cc.vec_id <> q.query_id),
+         |br AS (SELECT query_id, neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY bcos DESC NULLS LAST, neighbor_id NULLS FIRST)
+         |      AS rn
+         |  FROM bp),
+         |bt AS (SELECT query_id, neighbor_id FROM br WHERE rn <= 5),
+         |j AS (SELECT bt.query_id,
+         |    CAST(COUNT(iv.neighbor_id) AS BIGINT) AS hits
+         |  FROM bt LEFT JOIN iv ON bt.query_id = iv.query_id
+         |    AND bt.neighbor_id = iv.neighbor_id
+         |  GROUP BY 1)
+         |SELECT query_id, hits, CAST(hits AS DOUBLE) / 5.0 AS recall_at_5
+         |FROM j ORDER BY query_id NULLS FIRST""".stripMargin,
 
     // q163 serves from the UNIFIED index: trained on the prev snapshot
     // (vec_id % 6 <> 0), persisted bucketed, delta APPENDED against the
@@ -3288,6 +3383,130 @@ object SparkEntry {
   ) ++ oracleSqlRest
 
   /** The q157/q162 oracle: full recompute of the CURRENT snapshot. */
+  /** The q50/q161 IVF serve replay (first-16 centroids, single-probe
+    * assignment, top-4 probes, candidates ranked), shared by q161 and
+    * the q186 recall audit. Ends at CTE `r` (ranked candidates). */
+  private lazy val ivfServeCtes: String =
+    s"""e AS (SELECT vec_id, embedding FROM embeddings),
+       |c AS (SELECT vec_id AS cid, embedding AS cv FROM e WHERE vec_id < 16),
+       |ac AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    ${cosCols("e.embedding", "c.cv")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |assign AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+       |    FROM ac) WHERE rn = 1),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+       |      WHERE vec_id < 10),
+       |qc AS (
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT q.query_id, q.qv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosCols("q.qv", "c.cv")} DESC NULLS LAST,
+       |                 c.cid NULLS FIRST) AS rn
+       |    FROM q CROSS JOIN c) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT query_id, a.vec_id AS neighbor_id,
+       |    ${cosCols("qc.qv", "a.embedding")} AS cos
+       |  FROM qc JOIN assign a USING (cid)
+       |  WHERE a.vec_id <> qc.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST) AS rn
+       |  FROM cand)""".stripMargin
+
+  /** q185's oracle: both power-iteration steps replayed verbatim —
+    * per-row dots are the same left-fold expression tree Spark
+    * evaluates, contributions floor-scale to nano BIGINTs before the
+    * 64 component sums, and each step normalizes by the exact integer
+    * max |component|. */
+  private lazy val pcaPowerSql: String = {
+    def dotV(e: String, v: String) =
+      s"""list_reduce(list_transform(range(1, 65),
+         |      i -> CAST($e[i] AS DOUBLE) * $v[i]), (x, y) -> x + y)"""
+        .stripMargin
+    def step(src: String, dotCol: String, sOut: String, vOut: String) =
+      s"""c_$sOut AS (SELECT generate_subscripts(embedding, 1) AS pos,
+         |    unnest(embedding) AS x, $dotCol AS dot FROM $src),
+         |$sOut AS (SELECT pos, CAST(SUM(CAST(FLOOR(
+         |      CAST(x AS DOUBLE) * dot * 1000000000.0 + 0.5) AS BIGINT))
+         |    AS BIGINT) AS s9
+         |  FROM c_$sOut GROUP BY 1),
+         |m_$sOut AS (SELECT MAX(abs(s9)) AS m FROM $sOut),
+         |$vOut AS (SELECT list(CAST(s9 AS DOUBLE) / CAST(m AS DOUBLE)
+         |    ORDER BY pos) AS v
+         |  FROM $sOut CROSS JOIN m_$sOut)""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    embedding FROM embeddings),
+       |d1 AS (SELECT vec_id, label, embedding,
+       |    list_reduce(list_transform(range(1, 65),
+       |      i -> CAST(embedding[i] AS DOUBLE) * 0.125),
+       |      (x, y) -> x + y) AS dot
+       |  FROM e),
+       |${step("d1", "dot", "s1", "v1")},
+       |d2 AS (SELECT vec_id, label, embedding,
+       |    ${dotV("embedding", "v")} AS dot
+       |  FROM e CROSS JOIN v1),
+       |${step("d2", "dot", "s2", "v2")},
+       |p AS (SELECT vec_id, label,
+       |    ${dotV("embedding", "v")} AS proj
+       |  FROM e CROSS JOIN v2)
+       |SELECT vec_id, label, ${val6("proj")} AS proj
+       |FROM p ORDER BY vec_id NULLS FIRST""".stripMargin
+  }
+
+  /** q183's oracle: the greedy longest-match loop unrolled as fixed
+    * argmax-prefix steps at distinct-word grain (max word length in
+    * the fixture is 8, and every step advances >= 1 char or
+    * terminates as [UNK], so 8 steps always finish). The vocabulary
+    * VALUES list is generated from [[TextOps.WpVocab]] — the same
+    * literal the Spark segmenter closes over. */
+  private lazy val wordpieceSql: String = {
+    val vocabVals = TextOps.WpVocab.map(p => s"('$p')").mkString(", ")
+    val steps = (1 to 8).map { i =>
+      val prev = s"s${i - 1}"
+      s"""s$i AS (
+         |  SELECT word, pos, np, unk, done FROM $prev WHERE done
+         |  UNION ALL
+         |  SELECT word,
+         |    CASE WHEN piece IS NULL THEN CAST(len(word) AS BIGINT)
+         |         ELSE pos + len(piece) END AS pos,
+         |    np + 1 AS np,
+         |    unk + CASE WHEN piece IS NULL THEN 1 ELSE 0 END AS unk,
+         |    CASE WHEN piece IS NULL THEN TRUE
+         |         ELSE pos + len(piece) >= len(word) END AS done
+         |  FROM (
+         |    SELECT s.word, s.pos, s.np, s.unk, v.piece,
+         |      ROW_NUMBER() OVER (PARTITION BY s.word
+         |        ORDER BY len(v.piece) DESC NULLS LAST,
+         |                 v.piece NULLS FIRST) AS rn
+         |    FROM (SELECT * FROM $prev WHERE NOT done) s
+         |    LEFT JOIN vocab v
+         |      ON substr(s.word, CAST(s.pos + 1 AS INTEGER),
+         |                len(v.piece)) = v.piece
+         |  ) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH vocab(piece) AS (VALUES $vocabVals),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |cnt AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tok GROUP BY 1, 2),
+       |s0 AS (SELECT t AS word, CAST(0 AS BIGINT) AS pos, 0 AS np,
+       |    0 AS unk, FALSE AS done
+       |  FROM (SELECT DISTINCT t FROM tok)),
+       |$steps,
+       |agg AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_words,
+       |    CAST(SUM(c * np) AS BIGINT) AS n_pieces,
+       |    CAST(SUM(c * unk) AS BIGINT) AS n_unk
+       |  FROM cnt JOIN s8 ON cnt.t = s8.word GROUP BY 1)
+       |SELECT doc_id, n_words, n_pieces, n_unk,
+       |  ${val6("CAST(n_pieces AS DOUBLE) / n_words")} AS fertility
+       |FROM agg ORDER BY doc_id NULLS FIRST""".stripMargin
+  }
+
   private lazy val incrementalCurationOracle: String =
       s"""WITH RECURSIVE c157 AS (SELECT doc_id, lang,
          |    CASE WHEN doc_id % 11 = 0 THEN text || ' [edited]'

@@ -92,4 +92,59 @@ object Retrieval {
         graft.util.Portable.val6(col("score")).as("score"))
       .orderBy("query_id", "rank")
   }
+
+  /** q182: Okapi BM25 lexical retrieval (Robertson et al.) — the
+    * sparse half of a production retrieval stack next to the dense
+    * path (q174/q177). Every 100th document is a query; candidates
+    * are scored with the classic saturated-tf × idf formula
+    * (k1 = 1.2, b = 0.75) and the top-k returned per query.
+    *
+    * The join ON TERM between the query's distinct terms and the
+    * (doc, term, tf) table IS the inverted-index posting-list read:
+    * only postings for query terms are touched, never the corpus.
+    *
+    * Determinism: each term's contribution (one ln, a handful of IEEE
+    * mul/divs — an expression tree the oracle states verbatim)
+    * floor-scales to BIGINT nano-units BEFORE the per-(query, doc)
+    * sum, so scores and ranks are exact under any partial-agg order;
+    * ties break on doc_id. Scale: df and doc-length are one-pass
+    * map-side-combinable aggregates (vocabulary-grain / doc-grain);
+    * the query term set broadcasts; at 100 TB the tf table is the
+    * stored posting-list artifact (bucketed by term), so the
+    * candidate join is exchange-free on the corpus side — the same
+    * storage trick as the q153 IVF index, applied to text. */
+  def bm25(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val totals = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("nd")).collect()(0).getLong(0)
+    val ntok = tok.agg(count(lit(1))).collect()(0).getLong(0)
+    val avgdl = ntok.toDouble / totals
+    val q = tok.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("t")).distinct()
+    val idf = log(((lit(totals) - col("df")).cast("double") + lit(0.5))
+      / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfn = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+    val c9 = floor(idf * tfn * lit(1000000000.0) + lit(0.5)).cast("long")
+    val scored = broadcast(q)
+      .join(tf, "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), "t")
+      .join(dl, "doc_id")
+      .select(col("query_id"), col("doc_id"), c9.as("c9"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c9").as("s9"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("s9"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("s9").cast("double") / lit(1000000000.0)).as("score"))
+      .orderBy("query_id", "rank")
+  }
 }

@@ -1225,4 +1225,119 @@ object TextOps {
         col("jaccard"))
       .orderBy("ida", "idb")
   }
+
+  /** q184: temperature-scaled mixture sampling — the multilingual
+    * training-mix knob (sampling weight ∝ count^α, here α = 0.5):
+    * upsamples the tail languages relative to their raw share without
+    * letting the head dominate. Unlike the rate-based thresholds of
+    * q149 (Bernoulli-style keep per doc), this draws an EXACT
+    * per-language target count n_l = floor(B · w_l / Σw) and selects
+    * precisely the n_l docs with the smallest seeded hash — the
+    * "exact budget" contract a token-budgeted pretraining mix needs.
+    *
+    * Determinism: w_l = sqrt(c_l) floor-scales to BIGINT nano-units
+    * before the cross-language sum; targets use pure 64-bit integer
+    * multiply/div; selection ranks on the portable doc hash with
+    * doc_id tie-break. Scale: language counts are a tiny map-side
+    * combinable agg (broadcast back); ranking partitions BY LANGUAGE
+    * (parallel across languages) — within one giant language the
+    * two-phase q160 prefix-sum rank is the drop-in replacement, same
+    * as q172. */
+  def temperatureMixture(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("c"))
+      .withColumn("w9",
+        floor(sqrt(col("c").cast("double")) * lit(1000000000.0) + lit(0.5))
+          .cast("long"))
+    val ww: Long = counts.agg(sum("w9")).as[Long].head()
+    val b: Long = d.count() / 2
+    val targets = counts.withColumn("n_target",
+      expr(s"(${b}L * w9) div ${ww}L"))
+    val ranked = d
+      .withColumn("hk", Portable.portable32(
+        concat(lit("tmix:"), col("doc_id").cast("string"))))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("hk"), col("doc_id"))))
+    ranked.join(broadcast(targets), "lang")
+      .select(col("doc_id"), col("lang"), col("c"), col("n_target"),
+        col("rn").as("rank"), (col("rn") <= col("n_target")).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** q183's subword vocabulary — the single source of truth for BOTH
+    * the Spark segmenter and the oracle's unrolled SQL replay.
+    * Multi-char pieces cover the corpus words in 1–3 hops; single
+    * letters are the fallback; 'q' is deliberately absent so the
+    * [UNK] path ("query" has no matching prefix) stays exercised. */
+  val WpVocab: Seq[String] = Seq(
+    "wind", "ow", "tab", "le", "cus", "tom", "er", "str", "eam",
+    "val", "ue", "vec", "tor", "ord", "col", "umn", "sort", "spark",
+    "small", "slow", "scan", "row", "part", "merge", "line", "key",
+    "join", "hash", "group", "filter", "fast", "dup", "data", "batch",
+    "big", "agg", "the",
+    "a", "b", "c", "d", "e", "g", "h", "i", "k", "l", "m", "n", "o",
+    "p", "r", "s", "t", "u", "v", "w", "y")
+
+  /** Greedy longest-match segmentation of one word against
+    * [[WpVocab]] (WordPiece-style apply, position-independent
+    * pieces). Returns (pieces, unk): a word with NO matching prefix
+    * at the current position becomes one [UNK] token, consuming the
+    * rest — the standard WordPiece contract. At most one piece of a
+    * given length can match a fixed position, so "longest first" is
+    * unambiguous. */
+  def wordpieceSegment(word: String): (Int, Int) = {
+    var pos = 0; var np = 0; var unk = 0; var done = word.isEmpty
+    while (!done) {
+      var best: String = null
+      WpVocab.foreach { p =>
+        if (word.startsWith(p, pos) &&
+            (best == null || p.length > best.length)) best = p
+      }
+      if (best == null) { np += 1; unk += 1; done = true }
+      else { np += 1; pos += best.length; done = pos >= word.length }
+    }
+    (np, unk)
+  }
+
+  /** q183: tokenizer-faithful subword statistics — apply a fixed
+    * subword vocabulary with greedy longest-match (the WordPiece
+    * inference rule) and report per-document piece counts, [UNK]
+    * counts and fertility (pieces per word), the metric tokenizer
+    * evaluations actually use. Whitespace token counts (q27)
+    * under-estimate sequence lengths; piece counts are what a
+    * training-budget or packing decision (q136/q172) needs.
+    *
+    * Scale shape: segmentation runs at DISTINCT-WORD grain — the
+    * corpus vocabulary, not the corpus — as one scan-local pass with
+    * the piece list in the task closure; results broadcast-join back
+    * to the (doc, word, count) table and reduce with map-side
+    * combinable integer sums. At 100 TB the distinct-word table is
+    * a few million rows against trillions of tokens, so the
+    * expensive loop never touches the big side. Determinism: pure
+    * integer arithmetic end-to-end; the oracle replays the greedy
+    * loop as unrolled argmax-prefix steps over the same vocabulary. */
+  def wordpieceStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val cnt = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+    val words = cnt.select("t").distinct().as[String]
+      .mapPartitions(_.map { w =>
+        val (np, nu) = wordpieceSegment(w); (w, np, nu)
+      })
+      .toDF("t", "np", "nu")
+    cnt.join(broadcast(words), "t")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"),
+        sum(col("c") * col("np")).as("n_pieces"),
+        sum(col("c") * col("nu")).as("n_unk"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        col("n_unk"),
+        graft.util.Portable.val6(
+          col("n_pieces").cast("double") / col("n_words"))
+          .as("fertility"))
+      .orderBy("doc_id")
+  }
 }

@@ -1486,4 +1486,100 @@ object VectorOps {
         (col("s").cast("double") / lit(1000000.0) /
           col("n_vecs").cast("double")).as("centroid"))
       .orderBy("label", "pos")
+
+  /** Dot of an embedding column against a DRIVER-KNOWN direction,
+    * as the same left-fold expression tree the oracle states
+    * (`list_reduce` over per-component products) — bit-identical. */
+  private[graft] def dotLit(e: Column, v: Array[Double]): Column =
+    aggregate(
+      zip_with(e, array(v.map(lit).toIndexedSeq: _*),
+        (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** One power-iteration step: component sums of x · (x·v), each
+    * per-row contribution floor-scaled to BIGINT nano-units BEFORE
+    * the cross-row sum. Returns the 64 integer sums ordered by pos. */
+  private def powerStep(e: DataFrame, v: Array[Double]): Array[Long] = {
+    val stepped = e
+      .withColumn("dot", dotLit(col("embedding"), v))
+      .select(posexplode(col("embedding")).as(Seq("pos", "x")), col("dot"))
+      .groupBy("pos")
+      .agg(sum(
+        floor(col("x").cast("double") * col("dot") * lit(1000000000.0)
+          + lit(0.5)).cast("long")).as("s9"))
+      .orderBy("pos")
+      .collect()
+    stepped.map(_.getLong(1))
+  }
+
+  /** q185: leading principal direction of the embedding corpus by
+    * distributed power iteration (2 steps from the uniform start),
+    * and every vector's projection onto it — the 1-D "semantic axis"
+    * used for embedding whitening, drift visualization and
+    * diversity-aware subsampling. No eigensolver library: each step
+    * is one corpus pass (dot with the broadcast direction is a
+    * scan-local fold; component sums are a 64-row map-side-combinable
+    * aggregate), so the iteration costs 2 passes at any corpus size
+    * and the direction itself is metadata-sized driver state — the
+    * same contract as the k-means trainer (q76).
+    *
+    * Determinism: per-row contributions floor-scale to BIGINT
+    * nano-units before cross-row sums; the step normalizes by the
+    * MAX |component| (exact integer argmax) instead of the L2 norm,
+    * so no cross-component float summation ever happens driver-side
+    * and the oracle can replay both steps verbatim. */
+  /** The 2-step power-iteration direction (un-normalized beyond the
+    * max-|component| step scaling) — shared by [[pcaPowerProjection]]
+    * and its spec. */
+  private[graft] def leadingDirection(spark: SparkSession,
+      dir: String): Array[Double] = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val v0 = Array.fill(64)(0.125)
+    def normed(s9: Array[Long]): Array[Double] = {
+      val m = s9.map(math.abs).max
+      s9.map(s => s.toDouble / m.toDouble)
+    }
+    normed(powerStep(e, normed(powerStep(e, v0))))
+  }
+
+  def pcaPowerProjection(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        col("embedding"))
+    val v2 = leadingDirection(spark, dir)
+    e.select(col("vec_id"), col("label"),
+        graft.util.Portable.val6(dotLit(col("embedding"), v2)).as("proj"))
+      .orderBy("vec_id")
+  }
+
+  /** q186: recall@5 audit of the SERVED IVF path (q161 — the
+    * persisted, bucket-pruned index read) against the exact
+    * brute-force ranking (q35) on the same query set — the index
+    * quality gauge a production vector deployment monitors
+    * continuously: did pruning to nProbe buckets cost ground-truth
+    * neighbors? Composes the two already-gated contracts and reduces
+    * to pure id-set arithmetic (left join on ids + count), so no new
+    * float surface exists; the oracle replays both paths relationally
+    * and must land on the identical per-query hit counts.
+    *
+    * Scale: the expensive side (brute) is bounded by the AUDIT query
+    * sample, never the corpus — at 100 TB you audit a few hundred
+    * queries against the index while the corpus passes only through
+    * the already-pruned serve path. */
+  def annRecallAudit(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val brute = knnCosine(spark, dir)
+      .select(col("query_id"), col("neighbor_id"))
+    val served = ivfKnnIndexed(spark, dir)
+      .select(col("query_id").as("qi"), col("neighbor_id").as("ni"))
+    brute.join(served,
+        col("query_id") === col("qi") && col("neighbor_id") === col("ni"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(col("ni")).as("hits"))
+      .select(col("query_id"), col("hits"),
+        (col("hits").cast("double") / lit(k.toDouble)).as("recall_at_5"))
+      .orderBy("query_id")
+  }
 }

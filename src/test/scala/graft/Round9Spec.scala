@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{TextOps, VectorOps}
+import graft.sources.Tables
+
+/** Round-9 operators: semantics pinned beyond the hash gate — BM25
+  * ranking invariants, the greedy subword segmenter on hand words,
+  * exact temperature-mixture budgets and their tail-upsampling
+  * property, the power-iteration Rayleigh-quotient gain, recall-audit
+  * bounds, and streaming-top-k ≡ batch parity.
+  */
+class Round9Spec extends SparkSpec {
+  import spark.implicits._
+
+  val dir = sf("sf0.001")
+
+  test("bm25: per-query ranks contiguous, scores non-increasing, no self") {
+    val r = graft.operators.Retrieval.bm25(spark, dir).cache()
+    assert(r.filter($"query_id" === $"doc_id").count() == 0)
+    val perQ = r.groupBy("query_id").agg(
+      count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+    assert(perQ.filter($"mn" =!= 1 || $"mx" =!= $"n").count() == 0)
+    // within a query, score never increases as rank increases
+    val viol = r.as[(Long, Int, Long, Double)].collect().toSeq
+      .groupBy(_._1).values.flatMap { rows =>
+        rows.sortBy(_._2).sliding(2).collect {
+          case Seq(a, b) if b._4 > a._4 + 1e-12 => (a, b)
+        }
+      }
+    assert(viol.isEmpty, viol.take(3).toSeq.toString)
+    // BM25 contributions are positive under the +1 idf form
+    assert(r.filter($"score" <= 0.0).count() == 0)
+    r.unpersist()
+  }
+
+  test("wordpiece: hand segmentations and corpus invariants") {
+    assert(TextOps.wordpieceSegment("customer") == ((3, 0)))
+    assert(TextOps.wordpieceSegment("window") == ((2, 0)))
+    assert(TextOps.wordpieceSegment("the") == ((1, 0)))
+    assert(TextOps.wordpieceSegment("query") == ((1, 1)))
+    assert(TextOps.wordpieceSegment("spark") == ((1, 0)))
+    val s = TextOps.wordpieceStats(spark, dir).cache()
+    // pieces >= words (a word maps to >= 1 piece), unk <= words
+    assert(s.filter($"n_pieces" < $"n_words").count() == 0)
+    assert(s.filter($"n_unk" > $"n_words").count() == 0)
+    assert(s.filter($"fertility" < 1.0).count() == 0)
+    // every doc mentioning "query" has at least one [UNK]
+    val withQ = Tables.documents(spark, dir)
+      .filter($"text".contains("query")).select("doc_id")
+    assert(s.join(withQ, "doc_id").filter($"n_unk" === 0).count() == 0)
+    s.unpersist()
+  }
+
+  test("temperature mixture: exact budgets, tail languages upsampled") {
+    val m = TextOps.temperatureMixture(spark, dir).cache()
+    // kept count per language == its integer target, exactly
+    val kept = m.filter($"keep").groupBy("lang")
+      .agg(count(lit(1)).as("k"), first("n_target").as("t"))
+    assert(kept.filter($"k" =!= $"t").count() == 0)
+    // alpha = 0.5 gives every minority language a sample share at
+    // least its corpus share (sqrt compresses toward uniform)
+    val rows = m.select("lang", "c", "n_target").distinct()
+      .as[(String, Long, Long)].collect()
+    val n = rows.map(_._2).sum.toDouble
+    val b = rows.map(_._3).sum.toDouble
+    val minLang = rows.minBy(_._2)
+    assert(minLang._3 / b >= minLang._2 / n - 1e-9,
+      s"$minLang not upsampled")
+    m.unpersist()
+  }
+
+  test("pca power: Rayleigh quotient beats the uniform start axis") {
+    val v2 = VectorOps.leadingDirection(spark, dir)
+    val n2 = math.sqrt(v2.map(x => x * x).sum)
+    val u2 = v2.map(_ / n2)
+    val u0 = Array.fill(64)(0.125)
+    def rayleigh(u: Array[Double]): Double =
+      Tables.embeddings(spark, dir)
+        .select(VectorOps.dotLit(col("embedding"), u).as("p"))
+        .agg(sum($"p" * $"p")).as[Double].head()
+    assert(rayleigh(u2) >= rayleigh(u0) * (1.0 - 1e-9))
+    // projections are deterministic across runs
+    val a = VectorOps.pcaPowerProjection(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = VectorOps.pcaPowerProjection(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("ann recall audit: bounds hold and the index mostly agrees") {
+    val r = VectorOps.annRecallAudit(spark, dir).cache()
+    assert(r.filter($"hits" < 0 || $"hits" > 5).count() == 0)
+    assert(r.filter(abs($"recall_at_5" - $"hits" / 5.0) > 1e-12)
+      .count() == 0)
+    val meanR = r.agg(avg("recall_at_5")).as[Double].head()
+    assert(meanR >= 0.5, s"mean recall@5 $meanR — 4-of-16-probe serve " +
+      "should recover at least half the true neighbors")
+    r.unpersist()
+  }
+
+  test("streaming top-k equals the batch aggregate bit-for-bit") {
+    val streamed = graft.streaming.StreamingTopK.topSpenders(spark, dir)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("cents"), asc("user_id"))
+    val batch = Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .groupBy("user_id")
+      .agg(sum(graft.util.Portable.cents2($"value")).as("cents"),
+        count(lit(1)).as("n_purchases"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 10)
+      .select($"rank", $"user_id", $"n_purchases",
+        ($"cents".cast("double") / lit(100.0)).as("revenue"))
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(streamed == batch)
+  }
+}
