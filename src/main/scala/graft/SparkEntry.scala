@@ -232,6 +232,11 @@ object SparkEntry {
     "q186_ann_recall_audit" -> ((s, d) => VectorOps.annRecallAudit(s, d)),
     "q187_streaming_topk" ->
       ((s, d) => graft.streaming.StreamingTopK.topSpenders(s, d)),
+    "q188_hard_negatives" ->
+      ((s, d) => graft.operators.Retrieval.hardNegatives(s, d)),
+    "q189_dsir" -> (TextOps.dsirSelect _),
+    "q190_cluster_data_card" ->
+      ((s, d) => VectorOps.clusterDataCard(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1446,38 +1451,57 @@ object SparkEntry {
     // floor-scaled to BIGINT nano-units before the per-(query,doc)
     // sum; rank ties break on doc_id.
     "q182_bm25" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-         |  FROM documents),
-         |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
-         |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
-         |  FROM tok GROUP BY 1),
-         |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
-         |tot AS (SELECT (SELECT COUNT(*) FROM documents) AS nd,
-         |               (SELECT COUNT(*) FROM tok) AS nt),
-         |q AS (SELECT DISTINCT doc_id AS query_id, t FROM tok
-         |  WHERE doc_id % 100 = 0),
-         |c AS (SELECT q.query_id, tf.doc_id,
-         |    CAST(FLOOR(
-         |      ln((CAST(nd - df AS DOUBLE) + 0.5)
-         |          / (CAST(df AS DOUBLE) + 0.5) + 1.0)
-         |      * ((CAST(tf AS DOUBLE) * 2.2)
-         |         / (CAST(tf AS DOUBLE) + 1.2
-         |            * (0.25 + 0.75
-         |               * (CAST(dl AS DOUBLE)
-         |                  / (CAST(nt AS DOUBLE) / nd)))))
-         |      * 1000000000.0 + 0.5) AS BIGINT) AS c9
-         |  FROM q JOIN tf USING (t) JOIN dfq USING (t)
-         |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot
-         |  WHERE tf.doc_id <> q.query_id),
-         |s AS (SELECT query_id, doc_id, CAST(SUM(c9) AS BIGINT) AS s9
-         |  FROM c GROUP BY 1, 2),
+      s"""WITH $bm25Ctes,
          |r AS (SELECT query_id, doc_id, s9,
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY s9 DESC, doc_id) AS rank
-         |  FROM s)
+         |  FROM bs)
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
          |  CAST(s9 AS DOUBLE) / 1000000000.0 AS score
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q188: hard negatives = the dense-most-distant members of the
+    // BM25 top-20 pool. Composes the q182 CTEs with q174's
+    // hash-embedding arithmetic at doc grain; zero-norm docs drop on
+    // both sides; cosine is exact-integer dot/norms with one IEEE
+    // division, ties on doc_id.
+    "q188_hard_negatives" ->
+      s"""WITH $bm25Ctes,
+         |bt AS (SELECT query_id, doc_id, s9,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY s9 DESC, doc_id) AS rb
+         |  FROM bs),
+         |pool AS (SELECT query_id, doc_id, s9 FROM bt WHERE rb <= 20),
+         |dtok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tk
+         |  FROM documents),
+         |ddim AS (SELECT doc_id, ${h32("tk")} % 16 AS dim,
+         |    CASE WHEN (${h32("tk")} // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg
+         |  FROM dtok),
+         |dvec AS (SELECT doc_id, dim, CAST(SUM(sg) AS BIGINT) AS w
+         |  FROM ddim GROUP BY 1, 2),
+         |dnorm AS (SELECT doc_id, SUM(w * w) AS n2 FROM dvec GROUP BY 1),
+         |dots AS (SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
+         |    SUM(a.w * b.w) AS dot
+         |  FROM dvec a JOIN dvec b ON a.dim = b.dim
+         |  WHERE a.doc_id % 100 = 0 GROUP BY 1, 2),
+         |pc AS (SELECT p.query_id, p.doc_id, p.s9,
+         |    CAST(COALESCE(d.dot, 0) AS DOUBLE)
+         |      / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+         |      AS cos
+         |  FROM pool p
+         |  JOIN dnorm qn ON qn.doc_id = p.query_id
+         |  JOIN dnorm cn ON cn.doc_id = p.doc_id
+         |  LEFT JOIN dots d ON d.query_id = p.query_id
+         |    AND d.doc_id = p.doc_id
+         |  WHERE qn.n2 > 0 AND cn.n2 > 0),
+         |rr AS (SELECT query_id, doc_id, s9, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos ASC NULLS LAST, doc_id) AS rank
+         |  FROM pc)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+         |  CAST(s9 AS DOUBLE) / 1000000000.0 AS bm25,
+         |  ${val6("cos")} AS cos_sim
+         |FROM rr WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // q183: greedy longest-match subword apply. The oracle replays the
     // Spark segmenter's loop as 8 unrolled argmax-prefix steps over
@@ -1513,6 +1537,78 @@ object SparkEntry {
         |SELECT rk.doc_id, rk.lang, t.c, t.n_target,
         |  CAST(rn AS INTEGER) AS rank, rn <= n_target AS keep
         |FROM rk JOIN t USING (lang) ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // q189: DSIR selection. Per-term log-ratios between the smoothed
+    // target (src0) and raw unigram LMs floor-scale to micro BIGINTs
+    // before the per-doc sum; the global rank/cum-tokens here are the
+    // plain window form — Spark's two-phase rank must land on the
+    // identical ordering (score DESC, doc_id).
+    "q189_dsir" ->
+      s"""WITH dtok AS (SELECT doc_id, source,
+        |    unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |cr AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cr
+        |  FROM dtok GROUP BY 1),
+        |ct AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS ct
+        |  FROM dtok WHERE source = 'src0' GROUP BY 1),
+        |tot AS (SELECT (SELECT COUNT(*) FROM dtok) AS nr,
+        |    (SELECT COUNT(*) FROM dtok WHERE source = 'src0') AS nt,
+        |    (SELECT COUNT(*) FROM cr) AS v,
+        |    (SELECT COUNT(*) // 10 FROM documents) AS b),
+        |lr AS (SELECT cr.t,
+        |    CAST(FLOOR(
+        |      (ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE)
+        |          / CAST(nt + v AS DOUBLE))
+        |       - ln(CAST(cr.cr + 1 AS DOUBLE) / CAST(nr + v AS DOUBLE)))
+        |      * 1000000.0 + 0.5) AS BIGINT) AS lr6
+        |  FROM cr LEFT JOIN ct USING (t) CROSS JOIN tot),
+        |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(lr6) AS BIGINT) AS slw6
+        |  FROM dtok JOIN lr USING (t) GROUP BY 1),
+        |r AS (SELECT doc_id, n_tokens, slw6,
+        |    ROW_NUMBER() OVER (ORDER BY slw6 DESC, doc_id) AS rank,
+        |    SUM(n_tokens) OVER (ORDER BY slw6 DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS cum_tokens
+        |  FROM s)
+        |SELECT doc_id, n_tokens,
+        |  ${val6("CAST(slw6 AS DOUBLE) / 1000000.0")} AS logw,
+        |  CAST(rank AS BIGINT) AS rank, CAST(cum_tokens AS BIGINT)
+        |    AS cum_tokens,
+        |  rank <= (SELECT b FROM tot) AS keep
+        |FROM r ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // q190: cluster data card over the trained k-means partition
+    // (q76's trainer CTEs verbatim). d2 milli-scales and entropy
+    // terms nano-scale before cross-row sums; dominant-label ties
+    // break on the lower label.
+    "q190_cluster_data_card" ->
+      s"""WITH ${kmTrainCtes(8, 64, "")},
+         |${kmAssignCte(64)("embeddings", "c2", "a2")},
+         |al AS (SELECT a2.vec_id, a2.cid, a2.d,
+         |    CAST(e.label AS BIGINT) AS label
+         |  FROM a2 JOIN embeddings e USING (vec_id)),
+         |n AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |    CAST(SUM(CAST(FLOOR(d * 1000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS sd3
+         |  FROM al GROUP BY 1),
+         |lc AS (SELECT cid, label, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM al GROUP BY 1, 2),
+         |dom AS (SELECT cid, label AS dominant_label, c AS n_dom FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY cid
+         |      ORDER BY c DESC, label) AS rn
+         |    FROM lc) WHERE rn = 1),
+         |ent AS (SELECT lc.cid,
+         |    SUM(CAST(FLOOR(-((CAST(c AS DOUBLE) / n_vecs)
+         |        * ln(CAST(c AS DOUBLE) / n_vecs))
+         |      * 1000000000.0 + 0.5) AS BIGINT)) AS se9
+         |  FROM lc JOIN n USING (cid) GROUP BY 1)
+         |SELECT n.cid, n.n_vecs, dom.dominant_label,
+         |  CAST(dom.n_dom AS DOUBLE) / n.n_vecs AS purity,
+         |  CAST(se9 AS DOUBLE) / 1000000000.0 AS label_entropy,
+         |  ${val6("CAST(sd3 AS DOUBLE) / 1000.0 / n.n_vecs")} AS mean_d2
+         |FROM n JOIN dom USING (cid) JOIN ent ON ent.cid = n.cid
+         |ORDER BY n.cid""".stripMargin,
 
     // q187: continuous top-k leaderboard. The drained streaming keyed
     // agg must equal this batch form bit-for-bit; revenue accumulates
@@ -3383,6 +3479,36 @@ object SparkEntry {
   ) ++ oracleSqlRest
 
   /** The q157/q162 oracle: full recompute of the CURRENT snapshot. */
+  /** The q182 BM25 scoring replay (k1=1.2, b=0.75), ending at CTE
+    * `bs` = (query_id, doc_id, s9) — shared by q182 and the q188
+    * hard-negative miner. */
+  private lazy val bm25Ctes: String =
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |  FROM documents),
+       |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       |  FROM tok GROUP BY 1),
+       |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(*) FROM documents) AS nd,
+       |               (SELECT COUNT(*) FROM tok) AS nt),
+       |q AS (SELECT DISTINCT doc_id AS query_id, t FROM tok
+       |  WHERE doc_id % 100 = 0),
+       |c AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(FLOOR(
+       |      ln((CAST(nd - df AS DOUBLE) + 0.5)
+       |          / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+       |      * ((CAST(tf AS DOUBLE) * 2.2)
+       |         / (CAST(tf AS DOUBLE) + 1.2
+       |            * (0.25 + 0.75
+       |               * (CAST(dl AS DOUBLE)
+       |                  / (CAST(nt AS DOUBLE) / nd)))))
+       |      * 1000000000.0 + 0.5) AS BIGINT) AS c9
+       |  FROM q JOIN tf USING (t) JOIN dfq USING (t)
+       |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot
+       |  WHERE tf.doc_id <> q.query_id),
+       |bs AS (SELECT query_id, doc_id, CAST(SUM(c9) AS BIGINT) AS s9
+       |  FROM c GROUP BY 1, 2)""".stripMargin
+
   /** The q50/q161 IVF serve replay (first-16 centroids, single-probe
     * assignment, top-4 probes, candidates ranked), shared by q161 and
     * the q186 recall audit. Ends at CTE `r` (ranked candidates). */

@@ -113,7 +113,10 @@ object Retrieval {
     * stored posting-list artifact (bucketed by term), so the
     * candidate join is exchange-free on the corpus side — the same
     * storage trick as the q153 IVF index, applied to text. */
-  def bm25(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  /** The BM25 scoring core shared by [[bm25]] and [[hardNegatives]]:
+    * (query_id, doc_id, s9) with s9 the nano-scaled integer score. */
+  private[operators] def bm25Scores(spark: SparkSession,
+      dir: String): DataFrame = {
     val tok = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
     val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
@@ -131,7 +134,7 @@ object Retrieval {
       (col("tf").cast("double") + lit(1.2) *
         (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
     val c9 = floor(idf * tfn * lit(1000000000.0) + lit(0.5)).cast("long")
-    val scored = broadcast(q)
+    broadcast(q)
       .join(tf, "t")
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(df), "t")
@@ -139,12 +142,67 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), c9.as("c9"))
       .groupBy("query_id", "doc_id")
       .agg(sum("c9").as("s9"))
+  }
+
+  def bm25(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("s9"), asc("doc_id"))
-    scored.withColumn("rank", row_number().over(w))
+    bm25Scores(spark, dir).withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
         (col("s9").cast("double") / lit(1000000000.0)).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q188: hard-negative mining for retriever training — for each
+    * query, take the LEXICAL top-`pool` by BM25 (q182's contract) and
+    * surface the `k` candidates the dense representation disagrees
+    * with most (lowest hash-embedding cosine): documents that look
+    * right term-by-term but carry the least shared signal — exactly
+    * the pairs a dual-encoder trains against. Composes the two gated
+    * scorers; zero-vector docs drop on both sides (no direction).
+    *
+    * Scale: the candidate pool is pool × |queries| rows (never the
+    * corpus); doc vectors are one scan-local kernel pass joined back
+    * by id; the re-score is a broadcast of the query vectors. The
+    * same two-stage shape as q171's MaxSim re-scorer, with the
+    * disagreement ordering inverted. */
+  def hardNegatives(spark: SparkSession, dir: String,
+      pool: Int = 20, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val wB = Window.partitionBy("query_id")
+      .orderBy(desc("s9"), asc("doc_id"))
+    val top = bm25Scores(spark, dir)
+      .withColumn("rb", row_number().over(wB))
+      .filter(col("rb") <= pool)
+      .select(col("query_id"), col("doc_id"), col("s9"))
+    val vecs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, t) => (id, hashEmbedOf(md, t)) }
+      }
+      .filter(_._2.exists(_ != 0L))
+      .toDF("doc_id", "dv")
+    val qvecs = vecs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("dv").as("qv"))
+    val scored = top.join(vecs, "doc_id")
+      .join(broadcast(qvecs), "query_id")
+      .select(col("query_id"), col("doc_id"), col("s9"),
+        col("qv"), col("dv"))
+      .as[(Long, Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (qi, di, s9, qv, dv) =>
+        (qi, di, s9, cosLL(qv, dv))
+      })
+      .toDF("query_id", "doc_id", "s9", "cos")
+    val wC = Window.partitionBy("query_id")
+      .orderBy(asc("cos"), asc("doc_id"))
+    scored.withColumn("rank", row_number().over(wC))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("s9").cast("double") / lit(1000000000.0)).as("bm25"),
+        graft.util.Portable.val6(col("cos")).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 }

@@ -1266,6 +1266,60 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q189: data selection via importance resampling (DSIR) — score
+    * every document by the log-likelihood ratio between an in-domain
+    * target LM and the raw-corpus LM (both add-one-smoothed unigram
+    * models over the shared corpus vocabulary; target = the `src0`
+    * source, the "high-quality exemplar" slice), then select the
+    * top 10% by ratio under an exact global rank. The classic recipe
+    * for tilting a web-scale crawl toward a target domain without a
+    * trained classifier.
+    *
+    * Determinism: each term's log-ratio floor-scales to BIGINT
+    * micro-units BEFORE the per-doc sum; the global rank runs on a
+    * strictly monotone integer composite of (-score, doc_id) through
+    * the two-phase [[Relational.globalRankedPrefixSum]] — no
+    * single-partition sort — and carries the cumulative selected
+    * token count alongside (the budget curve a mixture planner
+    * reads). Scale: two vocabulary-grain aggregates (map-side
+    * combined, broadcast back), scoring is one token ⋈ vocab join,
+    * ranking is the q160 two-phase machinery. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("t"))
+    val cr = d.groupBy("t").agg(count(lit(1)).as("cr"))
+    val ct = d.filter(col("source") === "src0")
+      .groupBy("t").agg(count(lit(1)).as("ct"))
+    val nr = d.count()
+    val nt = d.filter(col("source") === "src0").count()
+    val v = cr.count()
+    val b = Tables.documents(spark, dir).count() / 10
+    val lr6 = floor(
+      (log((coalesce(col("ct"), lit(0L)) + 1).cast("double")
+          / lit((nt + v).toDouble))
+        - log((col("cr") + 1).cast("double") / lit((nr + v).toDouble)))
+        * lit(1000000.0) + lit(0.5)).cast("long")
+    val scored = d
+      .join(broadcast(cr), "t")
+      .join(broadcast(ct), Seq("t"), "left")
+      .select(col("doc_id"), lr6.as("lr6"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lr6").as("slw6"))
+      // strictly monotone integer image of (-score, doc_id): doc_id
+      // stays well under 2^24, |slw6| well under 2^34
+      .withColumn("skey",
+        (lit(17179869184L) - col("slw6")) * lit(16777216L) + col("doc_id"))
+    Relational.globalRankedPrefixSum(scored, "skey", "n_tokens",
+        "rank", "cum_tokens")
+      .select(col("doc_id"), col("n_tokens"),
+        graft.util.Portable.val6(col("slw6").cast("double") / lit(1000000.0))
+          .as("logw"),
+        col("rank"), col("cum_tokens"), (col("rank") <= b).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q183's subword vocabulary — the single source of truth for BOTH
     * the Spark segmenter and the oracle's unrolled SQL replay.
     * Multi-char pieces cover the corpus words in 1–3 hops; single

@@ -1553,6 +1553,58 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** q190: semantic cluster data card — the audit mart behind
+    * cluster-balanced curation: train k-means on the embedding corpus
+    * (q76's trainer verbatim), assign every vector, and report per
+    * cluster its size, cohesion (mean squared distance to centroid),
+    * dominant label with purity, and label entropy. This is how a
+    * corpus owner discovers semantic domains, spots junk clusters
+    * (large + incoherent + impure), and draws per-cluster sampling
+    * budgets — the embedding-space sibling of the per-source card
+    * (q180).
+    *
+    * Determinism: per-row d² milli-scales and entropy terms
+    * nano-scale to BIGINTs before their cross-row sums; dominant
+    * label ties break on the lower label. Scale: one map-only
+    * assignment pass (centroids broadcast) plus cluster- and
+    * (cluster, label)-grain aggregates — K×labels rows of state,
+    * map-side combined, at any corpus size. */
+  def clusterDataCard(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val cents = lloydRounds(spark, e, k, iters)
+    val a = kmeansAssign(spark, e, cents)
+    val lab = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label").cast("long").as("label"))
+    val al = a.select("vec_id", "cid", "dist2").join(lab, "vec_id")
+    val n = al.groupBy("cid").agg(count(lit(1)).as("n_vecs"),
+      sum(floor(col("dist2") * lit(1000.0) + lit(0.5)).cast("long"))
+        .as("sd3"))
+    val lc = al.groupBy("cid", "label").agg(count(lit(1)).as("c"))
+    val dom = lc.withColumn("rn", row_number().over(
+        Window.partitionBy("cid").orderBy(desc("c"), asc("label"))))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("label").as("dominant_label"),
+        col("c").as("n_dom"))
+    val p = col("c").cast("double") / col("n_vecs")
+    val ent = lc.join(n.select("cid", "n_vecs"), "cid")
+      .groupBy("cid")
+      .agg(sum(floor(-(p * log(p)) * lit(1000000000.0) + lit(0.5))
+        .cast("long")).as("se9"))
+    n.join(dom, "cid").join(ent, "cid")
+      .select(col("cid"), col("n_vecs"), col("dominant_label"),
+        (col("n_dom").cast("double") / col("n_vecs")).as("purity"),
+        (col("se9").cast("double") / lit(1000000000.0))
+          .as("label_entropy"),
+        graft.util.Portable.val6(
+          col("sd3").cast("double") / lit(1000.0) / col("n_vecs"))
+          .as("mean_d2"))
+      .orderBy("cid")
+  }
+
   /** q186: recall@5 audit of the SERVED IVF path (q161 — the
     * persisted, bucket-pruned index read) against the exact
     * brute-force ranking (q35) on the same query set — the index

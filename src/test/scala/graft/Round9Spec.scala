@@ -100,6 +100,55 @@ class Round9Spec extends SparkSpec {
     r.unpersist()
   }
 
+  test("hard negatives: exactly the dense-farthest members of the pool") {
+    val hn = graft.operators.Retrieval.hardNegatives(spark, dir)
+      .select("query_id", "doc_id", "cos_sim")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(hn.forall { case (_, _, c) => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9 })
+    // recompute the pool independently: selected = min-k by cosine
+    val s = graft.operators.Retrieval.bm25(spark, dir, k = 20)
+      .select("query_id", "doc_id").as[(Long, Long)].collect().toSeq
+    val poolByQ = s.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    hn.groupBy(_._1).foreach { case (q, sel) =>
+      assert(sel.forall(r => poolByQ(q).contains(r._2)),
+        s"query $q selected outside its BM25 pool")
+    }
+  }
+
+  test("dsir: exact budget, in-domain docs score higher") {
+    val r = TextOps.dsirSelect(spark, dir).cache()
+    val n = r.count()
+    val b = n / 10
+    assert(r.filter($"keep").count() == b)
+    assert(r.filter($"keep" =!= ($"rank" <= b)).count() == 0)
+    // ranks are a permutation of 1..n, cum_tokens ends at the total
+    assert(r.agg(countDistinct("rank")).as[Long].head() == n)
+    assert(r.agg(max("rank")).as[Long].head() == n)
+    assert(r.agg(max("cum_tokens")).as[Long].head() ==
+      r.agg(sum("n_tokens")).as[Long].head())
+    // the point of DSIR: the target domain's docs rank higher
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    val m = r.join(src, "doc_id")
+      .groupBy($"source" === "src0")
+      .agg(avg("logw")).as[(Boolean, Double)].collect().toMap
+    assert(m(true) > m(false),
+      s"src0 mean logw ${m(true)} not above corpus ${m(false)}")
+    r.unpersist()
+  }
+
+  test("cluster data card: partition accounting and bounded stats") {
+    val c = VectorOps.clusterDataCard(spark, dir).cache()
+    val total = Tables.embeddings(spark, dir).count()
+    assert(c.agg(sum("n_vecs")).as[Long].head() == total)
+    assert(c.filter($"purity" <= 0.0 || $"purity" > 1.0).count() == 0)
+    val nLabels = Tables.embeddings(spark, dir)
+      .select("label").distinct().count()
+    assert(c.filter($"label_entropy" < -1e-9 ||
+      $"label_entropy" > math.log(nLabels.toDouble) + 1e-6).count() == 0)
+    assert(c.filter($"mean_d2" < 0.0).count() == 0)
+    c.unpersist()
+  }
+
   test("streaming top-k equals the batch aggregate bit-for-bit") {
     val streamed = graft.streaming.StreamingTopK.topSpenders(spark, dir)
       .as[(Int, Long, Long, Double)].collect().toSeq
