@@ -237,6 +237,9 @@ object SparkEntry {
     "q189_dsir" -> (TextOps.dsirSelect _),
     "q190_cluster_data_card" ->
       ((s, d) => VectorOps.clusterDataCard(s, d)),
+    "q191_mmr" -> ((s, d) => graft.operators.Retrieval.mmrRetrieve(s, d)),
+    "q192_dedup_profile" -> (TextOps.dedupProfile _),
+    "q193_event_sequences" -> ((s, d) => Events.eventSequences(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -350,10 +353,12 @@ object SparkEntry {
        |    ON x.band = y.band AND x.h1 = y.h1 AND x.h2 = y.h2
        |   AND x.doc_id < y.doc_id),
        |sets AS (SELECT doc_id, list_distinct(sh) AS shs FROM s),
+       |cpairs AS (
+       |  SELECT ida, idb, $jaccardExpr AS jacc
+       |  FROM cand JOIN sets a ON ida = a.doc_id JOIN sets b ON idb = b.doc_id),
        |pairs AS (
-       |  SELECT ida, idb, ${val6(jaccardExpr)} AS jaccard
-       |  FROM cand JOIN sets a ON ida = a.doc_id JOIN sets b ON idb = b.doc_id
-       |  WHERE $jaccardExpr >= 0.7)""".stripMargin
+       |  SELECT ida, idb, ${val6("jacc")} AS jaccard
+       |  FROM cpairs WHERE jacc >= 0.7)""".stripMargin
   }
 
   private val minhashPairsCtes: String = minhashPairsCtesFrom("documents")
@@ -1472,14 +1477,7 @@ object SparkEntry {
          |      ORDER BY s9 DESC, doc_id) AS rb
          |  FROM bs),
          |pool AS (SELECT query_id, doc_id, s9 FROM bt WHERE rb <= 20),
-         |dtok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tk
-         |  FROM documents),
-         |ddim AS (SELECT doc_id, ${h32("tk")} % 16 AS dim,
-         |    CASE WHEN (${h32("tk")} // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg
-         |  FROM dtok),
-         |dvec AS (SELECT doc_id, dim, CAST(SUM(sg) AS BIGINT) AS w
-         |  FROM ddim GROUP BY 1, 2),
-         |dnorm AS (SELECT doc_id, SUM(w * w) AS n2 FROM dvec GROUP BY 1),
+         |$docVecCtes,
          |dots AS (SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
          |    SUM(a.w * b.w) AS dot
          |  FROM dvec a JOIN dvec b ON a.dim = b.dim
@@ -1577,6 +1575,119 @@ object SparkEntry {
         |    AS cum_tokens,
         |  rank <= (SELECT b FROM tot) AS keep
         |FROM r ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // q191: MMR — 3 greedy diversity-aware picks from each query's
+    // dense top-10 pool, unrolled as fixed argmax steps. rel/sim are
+    // exact-integer cosines; 0.7/0.3 are shared decimal literals;
+    // every argmax ties on doc_id.
+    "q191_mmr" ->
+      s"""WITH $docVecCtes,
+         |rdots AS (SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
+         |    SUM(a.w * b.w) AS dot
+         |  FROM dvec a JOIN dvec b ON a.dim = b.dim
+         |  WHERE a.doc_id % 100 = 0 AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |rel0 AS (SELECT qn.doc_id AS query_id, cn.doc_id,
+         |    CAST(COALESCE(d.dot, 0) AS DOUBLE)
+         |      / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+         |      AS rel
+         |  FROM dnorm qn JOIN dnorm cn
+         |    ON qn.doc_id % 100 = 0 AND cn.doc_id <> qn.doc_id
+         |  LEFT JOIN rdots d ON d.query_id = qn.doc_id
+         |    AND d.doc_id = cn.doc_id
+         |  WHERE qn.n2 > 0 AND cn.n2 > 0),
+         |pool AS (SELECT query_id, doc_id, rel FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC NULLS LAST, doc_id) AS rr
+         |    FROM rel0) WHERE rr <= 10),
+         |pids AS (SELECT DISTINCT doc_id FROM pool),
+         |pvec AS (SELECT v.* FROM dvec v JOIN pids USING (doc_id)),
+         |pdots AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    SUM(a.w * b.w) AS dot
+         |  FROM pvec a JOIN pvec b ON a.dim = b.dim
+         |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+         |psim AS (SELECT p1.query_id, p1.doc_id AS da, p2.doc_id AS db,
+         |    CAST(COALESCE(d.dot, 0) AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |      AS sim
+         |  FROM pool p1 JOIN pool p2 ON p1.query_id = p2.query_id
+         |    AND p1.doc_id <> p2.doc_id
+         |  JOIN dnorm na ON na.doc_id = p1.doc_id
+         |  JOIN dnorm nb ON nb.doc_id = p2.doc_id
+         |  LEFT JOIN pdots d ON d.da = p1.doc_id AND d.db = p2.doc_id),
+         |s1 AS (SELECT query_id, doc_id AS d1, 0.7 * rel AS score1
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC NULLS LAST, doc_id) AS rn
+         |    FROM pool) WHERE rn = 1),
+         |m2 AS (SELECT p.query_id, p.doc_id, s1.d1, s1.score1,
+         |    0.7 * p.rel - 0.3 * ps.sim AS mmr2
+         |  FROM pool p JOIN s1 USING (query_id)
+         |  JOIN psim ps ON ps.query_id = p.query_id
+         |    AND ps.da = p.doc_id AND ps.db = s1.d1
+         |  WHERE p.doc_id <> s1.d1),
+         |s2 AS (SELECT query_id, d1, score1, doc_id AS d2, mmr2 AS score2
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY mmr2 DESC NULLS LAST, doc_id) AS rn
+         |    FROM m2) WHERE rn = 1),
+         |m3 AS (SELECT p.query_id, p.doc_id, s2.d1, s2.d2, s2.score1,
+         |    s2.score2,
+         |    0.7 * p.rel - 0.3 * GREATEST(pa.sim, pb.sim) AS mmr3
+         |  FROM pool p JOIN s2 USING (query_id)
+         |  JOIN psim pa ON pa.query_id = p.query_id
+         |    AND pa.da = p.doc_id AND pa.db = s2.d1
+         |  JOIN psim pb ON pb.query_id = p.query_id
+         |    AND pb.da = p.doc_id AND pb.db = s2.d2
+         |  WHERE p.doc_id <> s2.d1 AND p.doc_id <> s2.d2),
+         |s3 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY mmr3 DESC NULLS LAST,
+         |      doc_id) AS rn
+         |    FROM m3) WHERE rn = 1),
+         |u AS (SELECT query_id, 1 AS pick_no, d1 AS doc_id,
+         |    score1 AS score FROM s3
+         |  UNION ALL SELECT query_id, 2, d2, score2 FROM s3
+         |  UNION ALL SELECT query_id, 3, doc_id, mmr3 FROM s3)
+         |SELECT query_id, pick_no, doc_id, ${val6("score")} AS score
+         |FROM u ORDER BY query_id, pick_no""".stripMargin,
+
+    // q192: redundancy profile — the q33 candidate pairs swept over
+    // three Jaccard thresholds; zero-pair thresholds still emit a row.
+    "q192_dedup_profile" ->
+      s"""WITH $minhashPairsCtes,
+         |thr(threshold) AS (SELECT CAST(x AS DOUBLE)
+         |  FROM (VALUES (0.5), (0.7), (0.9)) v(x)),
+         |e AS (SELECT t.threshold, c.ida, c.idb
+         |  FROM thr t JOIN cpairs c ON c.jacc >= t.threshold),
+         |np AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |  FROM e GROUP BY 1),
+         |ids AS (SELECT threshold, ida AS id FROM e
+         |  UNION ALL SELECT threshold, idb FROM e),
+         |ndup AS (SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_dup_docs
+         |  FROM (SELECT DISTINCT threshold, id FROM ids) GROUP BY 1),
+         |nd AS (SELECT COUNT(*) AS n FROM documents)
+         |SELECT t.threshold, COALESCE(n_pairs, 0) AS n_pairs,
+         |  COALESCE(n_dup_docs, 0) AS n_dup_docs,
+         |  CAST(COALESCE(n_dup_docs, 0) AS DOUBLE) / n AS dup_rate
+         |FROM thr t LEFT JOIN np USING (threshold)
+         |LEFT JOIN ndup USING (threshold) CROSS JOIN nd
+         |ORDER BY threshold""".stripMargin,
+
+    // q193: behavioral sequences. Ordered list aggregation with the
+    // (ts, event_id) tiebreak; the serialized prefix is the first 30
+    // events per user.
+    "q193_event_sequences" ->
+      """WITH o AS (SELECT user_id, ts, event_id, event_type FROM events),
+        |r AS (SELECT user_id, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM o),
+        |p AS (SELECT user_id,
+        |    array_to_string(list(event_type ORDER BY rn), ' ') AS seq
+        |  FROM r WHERE rn <= 30 GROUP BY 1),
+        |c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM o GROUP BY 1)
+        |SELECT c.user_id, c.n_events, p.seq
+        |FROM c JOIN p USING (user_id)
+        |ORDER BY c.user_id""".stripMargin,
 
     // q190: cluster data card over the trained k-means partition
     // (q76's trainer CTEs verbatim). d2 milli-scales and entropy
@@ -3479,6 +3590,20 @@ object SparkEntry {
   ) ++ oracleSqlRest
 
   /** The q157/q162 oracle: full recompute of the CURRENT snapshot. */
+  /** Doc-grain hash-trick vector CTEs (q174's arithmetic): `dvec`
+    * (doc_id, dim, w) and `dnorm` (doc_id, n2) — shared by q188 and
+    * q191. */
+  private lazy val docVecCtes: String =
+    s"""dtok AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tk
+       |  FROM documents),
+       |ddim AS (SELECT doc_id, ${h32("tk")} % 16 AS dim,
+       |    CASE WHEN (${h32("tk")} // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg
+       |  FROM dtok),
+       |dvec AS (SELECT doc_id, dim, CAST(SUM(sg) AS BIGINT) AS w
+       |  FROM ddim GROUP BY 1, 2),
+       |dnorm AS (SELECT doc_id, SUM(w * w) AS n2 FROM dvec GROUP BY 1)"""
+      .stripMargin
+
   /** The q182 BM25 scoring replay (k1=1.2, b=0.75), ending at CTE
     * `bs` = (query_id, doc_id, s9) — shared by q182 and the q188
     * hard-negative miner. */

@@ -657,4 +657,36 @@ object Events {
         sum(col("n")).over(Window.partitionBy("from_type"))))
       .orderBy("from_type", "to_type")
   }
+
+  /** q193: behavioral sequence assembly — the events→text bridge: each
+    * user's event-type stream serialized (in (ts, event_id) order)
+    * into a whitespace document, the corpus a sequence model
+    * ("user2vec", next-action prediction) trains on. The serialized
+    * prefix is BOUNDED (first `maxLen` events per user via a ranked
+    * filter BEFORE any collection), so per-user state never exceeds
+    * maxLen rows no matter how hot the user — the difference between
+    * this and a naive collect_list of the full history at 100 TB.
+    * Total event counts ride a separate map-side-combinable agg.
+    *
+    * Determinism: ordering is (ts, event_id) — event_id breaks ts
+    * ties; the oracle states the same ordered list aggregation. */
+  def eventSequences(spark: SparkSession, dir: String,
+      maxLen: Int = 30): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val prefix = ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxLen)
+      .groupBy("user_id")
+      .agg(sort_array(collect_list(struct(col("rn"), col("event_type"))))
+        .as("evs"))
+      .select(col("user_id"),
+        concat_ws(" ", transform(col("evs"), e => e.getField("event_type")))
+          .as("seq"))
+    val counts = ev.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    counts.join(prefix, "user_id")
+      .select(col("user_id"), col("n_events"), col("seq"))
+      .orderBy("user_id")
+  }
 }

@@ -167,6 +167,125 @@ object Retrieval {
     * by id; the re-score is a broadcast of the query vectors. The
     * same two-stage shape as q171's MaxSim re-scorer, with the
     * disagreement ordering inverted. */
+  /** Doc-grain hash-trick vectors (nonzero only) — shared by
+    * [[hardNegatives]] and [[mmrRetrieve]]. */
+  private def docVectors(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, t) => (id, hashEmbedOf(md, t)) }
+      }
+      .filter(_._2.exists(_ != 0L))
+      .toDF("doc_id", "dv")
+  }
+
+  /** q191: maximal marginal relevance — diversity-aware top-k. From
+    * each query's dense top-10 pool, greedily pick 3 documents by
+    * MMR(c) = 0.7·rel(q,c) − 0.3·max_{s∈selected} sim(c,s): the first
+    * pick is the most relevant, later picks trade relevance against
+    * redundancy with what's already shown — the de-duplicated answer
+    * set a RAG context window actually wants (Carbonell & Goldstein).
+    *
+    * Determinism: rel and sim are exact-integer hash-vector cosines;
+    * the λ-combination is the same literal expression tree on both
+    * engines; every argmax ties on doc_id. Scale: the pool bounds all
+    * pairwise work to pool² per query (the q171 re-scorer contract);
+    * candidate generation at 100 TB goes through the IVF buckets, and
+    * the greedy loop is k fixed dataflow steps over (query, cand)
+    * grain — never corpus-sized, no driver loop over data. */
+  def mmrRetrieve(spark: SparkSession, dir: String,
+      pool: Int = 10): DataFrame = {
+    import spark.implicits._
+    val vecs = docVectors(spark, dir)
+    val qvecs = vecs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("dv").as("qv"))
+    // relevance: dense cosine pool (top-`pool` per query)
+    val rel = broadcast(qvecs)
+      .join(vecs, col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"), col("qv"), col("dv"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (qi, di, qv, dv) =>
+        (qi, di, cosLL(qv, dv))
+      })
+      .toDF("query_id", "doc_id", "rel")
+    val wR = Window.partitionBy("query_id")
+      .orderBy(desc("rel"), asc("doc_id"))
+    val p = rel.withColumn("rr", row_number().over(wR))
+      .filter(col("rr") <= pool)
+      .select("query_id", "doc_id", "rel")
+    // pairwise sims within each query's pool
+    val pv = p.select(col("query_id"), col("doc_id")).join(vecs, "doc_id")
+    val pp = pv.toDF("da", "query_id", "va")
+      .join(pv.toDF("db", "query_id", "vb"), "query_id")
+      .filter(col("da") =!= col("db"))
+      .select(col("query_id"), col("da"), col("db"), col("va"), col("vb"))
+      .as[(Long, Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (qi, a, b, va, vb) =>
+        (qi, a, b, cosLL(va, vb))
+      })
+      .toDF("query_id", "da", "db", "sim")
+    // both weights as decimal literals: Scala's 1.0 - 0.7 is
+    // 0.30000000000000004, NOT the double the SQL literal 0.3 parses
+    // to — the engines must share the exact constants
+    val lam = lit(0.7)
+    val oneMinus = lit(0.3)
+    def argmax(df: DataFrame, scoreCol: String): DataFrame = {
+      val w = Window.partitionBy("query_id")
+        .orderBy(desc(scoreCol), asc("doc_id"))
+      df.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .drop("rn")
+    }
+    // pick 1: pure relevance; its MMR score is λ·rel (empty max = 0)
+    val s1 = argmax(p, "rel")
+      .select(col("query_id"), col("doc_id").as("d1"),
+        (lam * col("rel")).as("score1"))
+    // pick 2: λ·rel − (1−λ)·sim(c, s1)
+    val rem1 = p.join(s1, "query_id").filter(col("doc_id") =!= col("d1"))
+    val m2 = rem1.join(pp,
+        pp("query_id") === rem1("query_id") &&
+        pp("da") === rem1("doc_id") && pp("db") === rem1("d1"))
+      .select(rem1("query_id"), col("doc_id"), col("rel"), col("d1"),
+        col("score1"), (lam * col("rel") - oneMinus * col("sim"))
+          .as("mmr2"))
+    val s2 = argmax(m2, "mmr2")
+      .select(col("query_id"), col("d1"), col("score1"),
+        col("doc_id").as("d2"), col("mmr2").as("score2"))
+    // pick 3: λ·rel − (1−λ)·max(sim(c,s1), sim(c,s2))
+    val rem2 = p.join(s2, "query_id")
+      .filter(col("doc_id") =!= col("d1") && col("doc_id") =!= col("d2"))
+    val simTo = pp.select(col("query_id").as("qj"), col("da"),
+      col("db"), col("sim"))
+    val m3 = rem2
+      .join(simTo.toDF("qj", "da", "db", "sim1"),
+        col("qj") === rem2("query_id") && col("da") === col("doc_id") &&
+        col("db") === col("d1")).drop("qj", "da", "db")
+      .join(simTo.toDF("qj2", "da2", "db2", "sim2"),
+        col("qj2") === rem2("query_id") && col("da2") === col("doc_id") &&
+        col("db2") === col("d2")).drop("qj2", "da2", "db2")
+      .select(rem2("query_id"), col("doc_id"), col("d1"), col("d2"),
+        col("score1"), col("score2"),
+        (lam * col("rel") - oneMinus * greatest(col("sim1"), col("sim2")))
+          .as("mmr3"))
+    val s3 = argmax(m3, "mmr3")
+    // assemble picks 1..3
+    val v6 = graft.util.Portable.val6 _
+    s3.select(col("query_id"),
+        array(
+          struct(lit(1).as("pick_no"), col("d1").as("doc_id"),
+            col("score1").as("score")),
+          struct(lit(2).as("pick_no"), col("d2").as("doc_id"),
+            col("score2").as("score")),
+          struct(lit(3).as("pick_no"), col("doc_id").as("doc_id"),
+            col("mmr3").as("score"))).as("picks"))
+      .select(col("query_id"), explode(col("picks")).as("p"))
+      .select(col("query_id"), col("p.pick_no").as("pick_no"),
+        col("p.doc_id").as("doc_id"), v6(col("p.score")).as("score"))
+      .orderBy("query_id", "pick_no")
+  }
+
   def hardNegatives(spark: SparkSession, dir: String,
       pool: Int = 20, k: Int = 5): DataFrame = {
     import spark.implicits._
@@ -176,15 +295,7 @@ object Retrieval {
       .withColumn("rb", row_number().over(wB))
       .filter(col("rb") <= pool)
       .select(col("query_id"), col("doc_id"), col("s9"))
-    val vecs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map { case (id, t) => (id, hashEmbedOf(md, t)) }
-      }
-      .filter(_._2.exists(_ != 0L))
-      .toDF("doc_id", "dv")
+    val vecs = docVectors(spark, dir)
     val qvecs = vecs.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("query_id"), col("dv").as("qv"))
     val scored = top.join(vecs, "doc_id")

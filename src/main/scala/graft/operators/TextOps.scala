@@ -316,6 +316,17 @@ object TextOps {
   /** [[minhashNearDups]] over an arbitrary corpus frame. */
   def minhashNearDupsOn(docs: DataFrame,
       threshold: Double = NearDupJaccard,
+      maxBucket: Long = VectorOps.DefaultMaxBucket): DataFrame =
+    minhashCandidatePairsOn(docs, maxBucket)
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"),
+        graft.util.Portable.val6(col("jaccard")).as("jaccard"))
+      .orderBy("ida", "idb")
+
+  /** The banded candidate pairs with their RAW exact Jaccard, before
+    * any threshold — the sweep input for [[dedupProfile]] and the
+    * filter input for [[minhashNearDupsOn]]. */
+  private[operators] def minhashCandidatePairsOn(docs: DataFrame,
       maxBucket: Long = VectorOps.DefaultMaxBucket): DataFrame = {
     // candidate generation touches ONLY (doc_id, band, h1, h2) longs —
     // a collect_list of shingle arrays is GC-heavy and a join carrying
@@ -340,14 +351,41 @@ object TextOps {
       .select("ida", "idb").distinct()
 
     // exact Jaccard only for candidates, in a typed kernel
-    val withSets = exactJaccard(cand,
+    exactJaccard(cand,
       signaturesOn(docs).toDF().select(col("doc_id"), col("shs")))
+  }
 
-    withSets
-      .filter(col("jaccard") >= threshold)
-      .select(col("ida"), col("idb"),
-        graft.util.Portable.val6(col("jaccard")).as("jaccard"))
-      .orderBy("ida", "idb")
+  /** q192: corpus redundancy profile — the near-dup statistics swept
+    * across similarity thresholds (0.5 / 0.7 / 0.9): pair count,
+    * documents with at least one partner, and the dup rate at each
+    * cut. The chart a curation owner reads BEFORE committing to a
+    * dedup threshold: how much of the corpus each policy would touch.
+    * Candidates come from the SAME banded MinHash join as q33 (one
+    * candidate pass, never all-pairs); the sweep is three filters
+    * over the already-tiny verified pair set, so the marginal cost
+    * of extra thresholds is ~zero at any corpus size. */
+  def dedupProfile(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cp = minhashCandidatePairsOn(Tables.documents(spark, dir))
+      .select(col("ida"), col("idb"), col("jaccard"))
+    val thr = Seq(0.5, 0.7, 0.9).toDF("threshold")
+    val e = cp.withColumn("threshold",
+        explode(array(lit(0.5), lit(0.7), lit(0.9))))
+      .filter(col("jaccard") >= col("threshold"))
+    val np = e.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val ids = e.select(col("threshold"), col("ida").as("id"))
+      .union(e.select(col("threshold"), col("idb").as("id")))
+    val ndup = ids.distinct().groupBy("threshold")
+      .agg(count(lit(1)).as("n_dup_docs"))
+    val n = Tables.documents(spark, dir).count()
+    thr.join(np, Seq("threshold"), "left")
+      .join(ndup, Seq("threshold"), "left")
+      .select(col("threshold"),
+        coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+        coalesce(col("n_dup_docs"), lit(0L)).as("n_dup_docs"),
+        (coalesce(col("n_dup_docs"), lit(0L)).cast("double") /
+          lit(n.toDouble)).as("dup_rate"))
+      .orderBy("threshold")
   }
 
   /** Bounded all-pairs n-gram Jaccard (the exact quadratic baseline the

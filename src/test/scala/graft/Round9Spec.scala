@@ -149,6 +149,58 @@ class Round9Spec extends SparkSpec {
     c.unpersist()
   }
 
+  test("mmr: three distinct picks, scores non-increasing") {
+    val m = graft.operators.Retrieval.mmrRetrieve(spark, dir)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    m.groupBy(_._1).foreach { case (q, picks) =>
+      assert(picks.map(_._3).distinct.size == picks.size,
+        s"query $q repeated a pick")
+      val byNo = picks.sortBy(_._2)
+      assert(byNo.map(_._2) == (1 to byNo.size).toList)
+      // MMR scores can only fall as the selected set grows
+      byNo.sliding(2).foreach {
+        case Seq(a, b) => assert(b._4 <= a._4 + 1e-9,
+          s"query $q score rose from pick ${a._2} to ${b._2}")
+        case _ =>
+      }
+    }
+  }
+
+  test("dedup profile: monotone in threshold, consistent with q33") {
+    val p = TextOps.dedupProfile(spark, dir)
+      .as[(Double, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(p.map(_._1) == Seq(0.5, 0.7, 0.9))
+    assert(p.sliding(2).forall {
+      case Seq(a, b) => b._2 <= a._2 && b._3 <= a._3
+      case _ => true
+    })
+    assert(p.forall(r => r._4 >= 0.0 && r._4 <= 1.0))
+    // the 0.7 row restates the q33 contract exactly
+    val q33 = TextOps.minhashNearDups(spark, dir).count()
+    assert(p.find(_._1 == 0.7).get._2 == q33)
+  }
+
+  test("event sequences: bounded prefix, faithful ordering") {
+    val s = graft.operators.Events.eventSequences(spark, dir).cache()
+    assert(s.filter(size(split($"seq", " ")) > 30).count() == 0)
+    assert(s.filter(size(split($"seq", " ")) >
+      $"n_events").count() == 0)
+    val nUsers = Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(s.count() == nUsers)
+    // hand-replay one user's prefix
+    val u = s.select("user_id").as[Long].head()
+    val expect = Tables.events(spark, dir)
+      .filter($"user_id" === u)
+      .select("ts", "event_id", "event_type")
+      .as[(java.sql.Timestamp, Long, String)].collect().toSeq
+      .sortBy(r => (r._1.getTime, r._2)).take(30).map(_._3)
+      .mkString(" ")
+    assert(s.filter($"user_id" === u).select("seq").as[String].head()
+      == expect)
+    s.unpersist()
+  }
+
   test("streaming top-k equals the batch aggregate bit-for-bit") {
     val streamed = graft.streaming.StreamingTopK.topSpenders(spark, dir)
       .as[(Int, Long, Long, Double)].collect().toSeq
