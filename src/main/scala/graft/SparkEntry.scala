@@ -240,6 +240,8 @@ object SparkEntry {
     "q191_mmr" -> ((s, d) => graft.operators.Retrieval.mmrRetrieve(s, d)),
     "q192_dedup_profile" -> (TextOps.dedupProfile _),
     "q193_event_sequences" -> ((s, d) => Events.eventSequences(s, d)),
+    "q194_weighted_sample" -> (TextOps.weightedSample _),
+    "q195_embedding_drift" -> ((s, d) => VectorOps.embeddingDrift(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1670,6 +1672,65 @@ object SparkEntry {
          |FROM thr t LEFT JOIN np USING (threshold)
          |LEFT JOIN ndup USING (threshold) CROSS JOIN nd
          |ORDER BY threshold""".stripMargin,
+
+    // q194: A-ES weighted sampling. u and ln(u)/w are identical
+    // expression trees; keys nano-floor-scale before ranking
+    // (score DESC, doc_id — Spark's two-phase rank must match).
+    "q194_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+         |  FROM documents),
+         |tot AS (SELECT COUNT(*) // 5 AS b FROM documents),
+         |k AS (SELECT doc_id, w,
+         |    CAST(FLOOR(
+         |      ln((CAST('0x' || substr(md5('ws:' || doc_id), 1, 8)
+         |            AS BIGINT) + 1) / 4294967296.0)
+         |      / CAST(w AS DOUBLE) * 1000000000.0 + 0.5) AS BIGINT) AS s9
+         |  FROM d),
+         |r AS (SELECT doc_id, w, s9,
+         |    ROW_NUMBER() OVER (ORDER BY s9 DESC, doc_id) AS rank,
+         |    SUM(w) OVER (ORDER BY s9 DESC, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum_tokens
+         |  FROM k)
+         |SELECT doc_id, w AS n_tokens,
+         |  ${val6("CAST(s9 AS DOUBLE) / 1000000000.0")} AS key,
+         |  CAST(rank AS BIGINT) AS rank,
+         |  CAST(cum_tokens AS BIGINT) AS cum_tokens,
+         |  rank <= (SELECT b FROM tot) AS keep
+         |FROM r ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // q195: embedding drift — q169's PSI arithmetic over q185's
+    // projections, label<5 vs label>=5 populations, clamped
+    // projection buckets.
+    "q195_embedding_drift" ->
+      s"""WITH $pcaPowerCtes,
+         |bkt AS (SELECT label,
+         |    LEAST(GREATEST(CAST(FLOOR(proj * 2.0) AS BIGINT), -8), 7)
+         |      AS bucket
+         |  FROM p),
+         |g AS (SELECT 'embedding' AS event_type, bucket,
+         |    CAST(SUM(CASE WHEN label < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_a,
+         |    CAST(SUM(CASE WHEN label < 5 THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS n_b
+         |  FROM bkt GROUP BY 2),
+         |t AS (SELECT *,
+         |    SUM(n_a) OVER (PARTITION BY event_type) AS tot_a,
+         |    SUM(n_b) OVER (PARTITION BY event_type) AS tot_b FROM g),
+         |c AS (SELECT event_type, bucket, n_a, n_b,
+         |    CAST(FLOOR((CAST(n_a + 1 AS DOUBLE) / (tot_a + 10)
+         |        - CAST(n_b + 1 AS DOUBLE) / (tot_b + 10))
+         |      * ln((CAST(n_a + 1 AS DOUBLE) / (tot_a + 10))
+         |          / (CAST(n_b + 1 AS DOUBLE) / (tot_b + 10)))
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS c9
+         |  FROM t)
+         |SELECT event_type, bucket, n_a, n_b,
+         |  CAST(c9 AS DOUBLE) / 1000000000.0 AS contrib,
+         |  CAST(SUM(c9) OVER (PARTITION BY event_type) AS DOUBLE)
+         |    / 1000000000.0 AS psi
+         |FROM c
+         |ORDER BY event_type NULLS FIRST, bucket NULLS FIRST""".stripMargin,
 
     // q193: behavioral sequences. Ordered list aggregation with the
     // (ts, event_id) tiebreak; the serialized prefix is the first 30
@@ -3674,7 +3735,10 @@ object SparkEntry {
     * evaluates, contributions floor-scale to nano BIGINTs before the
     * 64 component sums, and each step normalizes by the exact integer
     * max |component|. */
-  private lazy val pcaPowerSql: String = {
+  /** The q185 power-iteration replay, ending at CTE `p`
+    * (vec_id, label, proj) — shared by q185 and the q195 drift
+    * monitor. */
+  private lazy val pcaPowerCtes: String = {
     def dotV(e: String, v: String) =
       s"""list_reduce(list_transform(range(1, 65),
          |      i -> CAST($e[i] AS DOUBLE) * $v[i]), (x, y) -> x + y)"""
@@ -3690,7 +3754,7 @@ object SparkEntry {
          |$vOut AS (SELECT list(CAST(s9 AS DOUBLE) / CAST(m AS DOUBLE)
          |    ORDER BY pos) AS v
          |  FROM $sOut CROSS JOIN m_$sOut)""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+    s"""e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
        |    embedding FROM embeddings),
        |d1 AS (SELECT vec_id, label, embedding,
        |    list_reduce(list_transform(range(1, 65),
@@ -3704,10 +3768,13 @@ object SparkEntry {
        |${step("d2", "dot", "s2", "v2")},
        |p AS (SELECT vec_id, label,
        |    ${dotV("embedding", "v")} AS proj
-       |  FROM e CROSS JOIN v2)
+       |  FROM e CROSS JOIN v2)""".stripMargin
+  }
+
+  private lazy val pcaPowerSql: String =
+    s"""WITH $pcaPowerCtes
        |SELECT vec_id, label, ${val6("proj")} AS proj
        |FROM p ORDER BY vec_id NULLS FIRST""".stripMargin
-  }
 
   /** q183's oracle: the greedy longest-match loop unrolled as fixed
     * argmax-prefix steps at distinct-word grain (max word length in

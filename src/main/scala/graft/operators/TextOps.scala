@@ -1364,6 +1364,45 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q194: weighted sampling WITHOUT replacement (Efraimidis–Spirakis
+    * A-ES, deterministic): each document draws u from its portable
+    * hash and competes on key = ln(u)/w with w = its token count, so
+    * longer (here: weight-favored) docs win proportionally more often
+    * — one distributed pass, no sequential reservoir. The top-20% by
+    * key form the sample: the row-level weighted draw that composes
+    * with (rather than duplicates) the group-level temperature mix
+    * (q184); weight by a quality score instead of length and this is
+    * quality-propensity sampling.
+    *
+    * Determinism: u = (hash+1)/2^32 and ln(u)/w are identical
+    * expression trees on both engines; keys floor-scale to BIGINT
+    * nano-units and rank through the two-phase global rank on a
+    * monotone integer composite with doc_id ties — no
+    * single-partition sort. */
+  def weightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("w"))
+    val b = Tables.documents(spark, dir).count() / 5
+    val u = (Portable.portable32(concat(lit("ws:"),
+      col("doc_id").cast("string"))) + 1).cast("double") /
+      lit(4294967296.0)
+    // A-ES: pick the B largest u^(1/w) ⇔ the B largest ln(u)/w
+    val s9 = floor(log(u) / col("w").cast("double") * lit(1000000000.0)
+      + lit(0.5)).cast("long")
+    val keyed = d.withColumn("s9", s9)
+      // monotone integer image of (-s9, doc_id): |s9| < 2^36
+      .withColumn("skey",
+        (lit(68719476736L) - col("s9")) * lit(16777216L) + col("doc_id"))
+    Relational.globalRankedPrefixSum(keyed, "skey", "w",
+        "rank", "cum_tokens")
+      .select(col("doc_id"), col("w").as("n_tokens"),
+        graft.util.Portable.val6(col("s9").cast("double") / lit(1000000000.0))
+          .as("key"),
+        col("rank"), col("cum_tokens"), (col("rank") <= b).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q183's subword vocabulary — the single source of truth for BOTH
     * the Spark segmenter and the oracle's unrolled SQL replay.
     * Multi-char pieces cover the corpus words in 1–3 hops; single

