@@ -242,6 +242,12 @@ object SparkEntry {
     "q193_event_sequences" -> ((s, d) => Events.eventSequences(s, d)),
     "q194_weighted_sample" -> (TextOps.weightedSample _),
     "q195_embedding_drift" -> ((s, d) => VectorOps.embeddingDrift(s, d)),
+    "q196_posting_stats_incremental" ->
+      (TextOps.postingStatsIncremental _),
+    "q197_retrieval_eval" ->
+      ((s, d) => VectorOps.retrievalEvalMart(s, d)),
+    "q198_media_card" ->
+      (graft.operators.Multimodal.mediaCard _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1700,6 +1706,80 @@ object SparkEntry {
          |  rank <= (SELECT b FROM tot) AS keep
          |FROM r ORDER BY doc_id NULLS FIRST""".stripMargin,
 
+    // q196: incremental posting stats. Spark answers from the stored
+    // prev-snapshot artifact + a delta-only aggregate; the oracle
+    // recomputes the full corpus from scratch — hash equality proves
+    // the additive merge exact.
+    "q196_posting_stats_incremental" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents),
+        |tf0 AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+        |  CAST(SUM(c) AS BIGINT) AS tf
+        |FROM tf0 GROUP BY t ORDER BY t""".stripMargin,
+
+    // q197: MRR@5 / nDCG@5 of the served index vs the brute ground
+    // truth (graded gains 5..1). Discounts are the SAME double
+    // literals Spark closes over; per-position terms nano-floor-scale
+    // before the per-query sums.
+    "q197_retrieval_eval" -> {
+      def caseD(rankCol: String) =
+        "CASE " + rankCol + " " + VectorOps.NdcgDiscounts.zipWithIndex
+          .map { case (d, i) => s"WHEN ${i + 1} THEN $d" }
+          .mkString(" ") + " ELSE 0.0 END"
+      s"""WITH $ivfServeCtes,
+         |$bruteRankCtes,
+         |tr AS (SELECT query_id, neighbor_id, CAST(rn AS INTEGER)
+         |    AS trank FROM br WHERE rn <= 5),
+         |sv AS (SELECT query_id, neighbor_id, CAST(rn AS INTEGER)
+         |    AS srank FROM r WHERE rn <= 5),
+         |g AS (SELECT sv.query_id, sv.srank,
+         |    CASE WHEN tr.trank IS NULL THEN 0 ELSE 6 - tr.trank END
+         |      AS gain
+         |  FROM sv LEFT JOIN tr ON sv.query_id = tr.query_id
+         |    AND sv.neighbor_id = tr.neighbor_id),
+         |gc AS (SELECT query_id,
+         |    CAST(SUM(CAST(FLOOR(CAST(gain AS DOUBLE)
+         |      * (${caseD("srank")}) * 1000000000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS dcg9,
+         |    MIN(CASE WHEN gain > 0 THEN srank END) AS fr
+         |  FROM g GROUP BY 1),
+         |ic AS (SELECT query_id,
+         |    CAST(SUM(CAST(FLOOR(CAST(6 - trank AS DOUBLE)
+         |      * (${caseD("trank")}) * 1000000000.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS idcg9
+         |  FROM tr GROUP BY 1)
+         |SELECT gc.query_id,
+         |  CASE WHEN fr IS NULL THEN 0.0
+         |    ELSE CAST(CAST(FLOOR(1000000000.0 / fr + 0.5) AS BIGINT)
+         |      AS DOUBLE) / 1000000000.0 END AS mrr,
+         |  CAST(dcg9 AS DOUBLE) / 1000000000.0 AS dcg,
+         |  CAST(dcg9 AS DOUBLE) / CAST(idcg9 AS DOUBLE) AS ndcg
+         |FROM gc JOIN ic USING (query_id)
+         |ORDER BY gc.query_id""".stripMargin
+    },
+
+    // q198: media corpus card — q156's decode CTEs aggregated at
+    // format grain; integer sums make the means exact.
+    "q198_media_card" ->
+      s"""WITH $mediaDimsCtes
+         |SELECT kind, CAST(COUNT(*) AS BIGINT) AS n_items,
+         |  CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+         |  CAST(SUM(CASE WHEN width = -1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_corrupt,
+         |  CAST(SUM(CASE WHEN width = -1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS corrupt_rate,
+         |  CAST(SUM(CASE WHEN width = -1 THEN 0
+         |    ELSE CAST(width AS BIGINT) END) AS DOUBLE)
+         |    / (COUNT(*) - SUM(CASE WHEN width = -1 THEN 1 ELSE 0 END))
+         |    AS mean_w,
+         |  CAST(SUM(CASE WHEN width = -1 THEN 0
+         |    ELSE CAST(height AS BIGINT) END) AS DOUBLE)
+         |    / (COUNT(*) - SUM(CASE WHEN width = -1 THEN 1 ELSE 0 END))
+         |    AS mean_h,
+         |  MAX(width) AS max_w, MAX(height) AS max_h
+         |FROM dims GROUP BY kind ORDER BY kind""".stripMargin,
+
     // q195: embedding drift — q169's PSI arithmetic over q185's
     // projections, label<5 vs label>=5 populations, clamped
     // projection buckets.
@@ -1818,14 +1898,7 @@ object SparkEntry {
     "q186_ann_recall_audit" ->
       s"""WITH $ivfServeCtes,
          |iv AS (SELECT query_id, neighbor_id FROM r WHERE rn <= 5),
-         |bp AS (SELECT q.query_id, cc.vec_id AS neighbor_id,
-         |    ${cosCols("q.qv", "cc.embedding")} AS bcos
-         |  FROM q JOIN e cc ON cc.vec_id <> q.query_id),
-         |br AS (SELECT query_id, neighbor_id,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY bcos DESC NULLS LAST, neighbor_id NULLS FIRST)
-         |      AS rn
-         |  FROM bp),
+         |$bruteRankCtes,
          |bt AS (SELECT query_id, neighbor_id FROM br WHERE rn <= 5),
          |j AS (SELECT bt.query_id,
          |    CAST(COUNT(iv.neighbor_id) AS BIGINT) AS hits
@@ -2647,62 +2720,9 @@ object SparkEntry {
     // reading APP0's length and the optional COM segment from the
     // STRING exactly as the JVM walker reads them from the bytes.
     "q156_media_header_dims" ->
-      s"""WITH m AS (SELECT r AS media_id,
-         |    CASE WHEN r % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
-         |    CAST(r * 31 % 613 + 16 AS INT) AS w,
-         |    CAST(r * 17 % 401 + 16 AS INT) AS h,
-         |    CAST(r % 8 + 16 AS INT) AS l0,
-         |    CAST(r % 5 + 8 AS INT) AS lc
-         |  FROM range(500) t(r)),
-         |c AS (SELECT media_id, kind,
-         |    CASE WHEN kind = 'png' THEN
-         |      '89504E470D0A1A0A' || '0000000D' || '49484452'
-         |      || lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0')
-         |      || '0806000000' || substring(md5(media_id || ':crc'), 1, 8)
-         |      || md5(media_id || ':g')
-         |    ELSE
-         |      'FFD8' || 'FFE0' || lpad(to_hex(l0), 4, '0')
-         |      || repeat('00', l0 - 2)
-         |      || CASE WHEN media_id % 3 = 0 THEN
-         |           'FFFE' || lpad(to_hex(lc), 4, '0') || repeat('00', lc - 2)
-         |         ELSE '' END
-         |      || 'FFC0' || '0011' || '08'
-         |      || lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0')
-         |      || '03' || '012200' || '021101' || '031101'
-         |      || md5(media_id || ':g')
-         |    END AS full_hx
-         |  FROM m),
-         |x AS (SELECT media_id, kind,
-         |    upper(CASE WHEN media_id % 17 = 0 THEN substring(full_hx, 1, 20)
-         |      ELSE full_hx END) AS hx
-         |  FROM c),
-         |j AS (SELECT media_id, kind, hx, len(hx) // 2 AS n_bytes,
-         |    CASE WHEN len(hx) >= 12
-         |      THEN 5 + CAST(('0x' || substring(hx, 9, 4)) AS INT)
-         |      ELSE 999999 END AS s1
-         |  FROM x),
-         |j2 AS (SELECT *, CASE WHEN substring(hx, 2 * s1 - 1, 4) = 'FFFE'
-         |      THEN s1 + 2 + CAST(('0x' || substring(hx, 2 * s1 + 3, 4)) AS INT)
-         |      ELSE s1 END AS s2
-         |  FROM j)
-         |SELECT media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
-         |  CASE
-         |    WHEN kind = 'png' AND n_bytes >= 24
-         |      AND substring(hx, 1, 16) = '89504E470D0A1A0A'
-         |      THEN CAST(('0x' || substring(hx, 33, 8)) AS INT)
-         |    WHEN kind = 'jpeg' AND substring(hx, 1, 4) = 'FFD8'
-         |      AND substring(hx, 2 * s2 - 1, 4) = 'FFC0' AND n_bytes >= s2 + 18
-         |      THEN CAST(('0x' || substring(hx, 2 * s2 + 13, 4)) AS INT)
-         |    ELSE -1 END AS width,
-         |  CASE
-         |    WHEN kind = 'png' AND n_bytes >= 24
-         |      AND substring(hx, 1, 16) = '89504E470D0A1A0A'
-         |      THEN CAST(('0x' || substring(hx, 41, 8)) AS INT)
-         |    WHEN kind = 'jpeg' AND substring(hx, 1, 4) = 'FFD8'
-         |      AND substring(hx, 2 * s2 - 1, 4) = 'FFC0' AND n_bytes >= s2 + 18
-         |      THEN CAST(('0x' || substring(hx, 2 * s2 + 9, 4)) AS INT)
-         |    ELSE -1 END AS height
-         |FROM j2 ORDER BY media_id NULLS FIRST""".stripMargin,
+      s"""WITH $mediaDimsCtes
+         |SELECT media_id, kind, n_bytes, width, height
+         |FROM dims ORDER BY media_id NULLS FIRST""".stripMargin,
 
     // Replays the same two 64-hash sketches and the same integer
     // estimators; exact counts ride along. Single row — no ORDER BY.
@@ -3664,6 +3684,82 @@ object SparkEntry {
        |  FROM ddim GROUP BY 1, 2),
        |dnorm AS (SELECT doc_id, SUM(w * w) AS n2 FROM dvec GROUP BY 1)"""
       .stripMargin
+
+  /** The q156 synthetic-container replay (hex build + truncation +
+    * marker walk), ending at CTE `dims` (media_id, kind, n_bytes,
+    * width, height; -1 = undecodable) — shared by q156 and the q198
+    * media corpus card. */
+  private lazy val mediaDimsCtes: String =
+    s"""m AS (SELECT r AS media_id,
+       |    CASE WHEN r % 2 = 0 THEN 'png' ELSE 'jpeg' END AS kind,
+       |    CAST(r * 31 % 613 + 16 AS INT) AS w,
+       |    CAST(r * 17 % 401 + 16 AS INT) AS h,
+       |    CAST(r % 8 + 16 AS INT) AS l0,
+       |    CAST(r % 5 + 8 AS INT) AS lc
+       |  FROM range(500) t(r)),
+       |c AS (SELECT media_id, kind,
+       |    CASE WHEN kind = 'png' THEN
+       |      '89504E470D0A1A0A' || '0000000D' || '49484452' ||
+       |      lpad(to_hex(w), 8, '0') || lpad(to_hex(h), 8, '0') ||
+       |      '0806000000' || substring(md5(media_id || ':crc'), 1, 8) ||
+       |      md5(media_id || ':g')
+       |    ELSE
+       |      'FFD8' || 'FFE0' || lpad(to_hex(l0), 4, '0') ||
+       |      repeat('00', l0 - 2) ||
+       |      CASE WHEN media_id % 3 = 0 THEN
+       |           'FFFE' || lpad(to_hex(lc), 4, '0') || repeat('00', lc - 2)
+       |         ELSE '' END ||
+       |      'FFC0' || '0011' || '08' ||
+       |      lpad(to_hex(h), 4, '0') || lpad(to_hex(w), 4, '0') ||
+       |      '03' || '012200' || '021101' || '031101' ||
+       |      md5(media_id || ':g')
+       |    END AS full_hx
+       |  FROM m),
+       |x AS (SELECT media_id, kind,
+       |    upper(CASE WHEN media_id % 17 = 0 THEN substring(full_hx, 1, 20)
+       |      ELSE full_hx END) AS hx
+       |  FROM c),
+       |j AS (SELECT media_id, kind, hx, len(hx) // 2 AS n_bytes,
+       |    CASE WHEN len(hx) >= 12
+       |      THEN 5 + CAST(('0x' || substring(hx, 9, 4)) AS INT)
+       |      ELSE 999999 END AS s1
+       |  FROM x),
+       |j2 AS (SELECT *, CASE WHEN substring(hx, 2 * s1 - 1, 4) = 'FFFE'
+       |      THEN s1 + 2 + CAST(('0x' || substring(hx, 2 * s1 + 3, 4)) AS INT)
+       |      ELSE s1 END AS s2
+       |  FROM j),
+       |dims AS (
+       |  SELECT media_id, kind, CAST(n_bytes AS INT) AS n_bytes,
+       |  CASE
+       |    WHEN kind = 'png' AND n_bytes >= 24
+       |      AND substring(hx, 1, 16) = '89504E470D0A1A0A'
+       |      THEN CAST(('0x' || substring(hx, 33, 8)) AS INT)
+       |    WHEN kind = 'jpeg' AND substring(hx, 1, 4) = 'FFD8'
+       |      AND substring(hx, 2 * s2 - 1, 4) = 'FFC0' AND n_bytes >= s2 + 18
+       |      THEN CAST(('0x' || substring(hx, 2 * s2 + 13, 4)) AS INT)
+       |    ELSE -1 END AS width,
+       |  CASE
+       |    WHEN kind = 'png' AND n_bytes >= 24
+       |      AND substring(hx, 1, 16) = '89504E470D0A1A0A'
+       |      THEN CAST(('0x' || substring(hx, 41, 8)) AS INT)
+       |    WHEN kind = 'jpeg' AND substring(hx, 1, 4) = 'FFD8'
+       |      AND substring(hx, 2 * s2 - 1, 4) = 'FFC0' AND n_bytes >= s2 + 18
+       |      THEN CAST(('0x' || substring(hx, 2 * s2 + 9, 4)) AS INT)
+       |    ELSE -1 END AS height
+       |  FROM j2)""".stripMargin
+
+  /** Brute-force ranking over the q/e CTEs of [[ivfServeCtes]],
+    * ending at `br` (query_id, neighbor_id, rn) — shared by q186 and
+    * q197. */
+  private lazy val bruteRankCtes: String =
+    s"""bp AS (SELECT q.query_id, cc.vec_id AS neighbor_id,
+       |    ${cosCols("q.qv", "cc.embedding")} AS bcos
+       |  FROM q JOIN e cc ON cc.vec_id <> q.query_id),
+       |br AS (SELECT query_id, neighbor_id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY bcos DESC NULLS LAST, neighbor_id NULLS FIRST)
+       |      AS rn
+       |  FROM bp)""".stripMargin
 
   /** The q182 BM25 scoring replay (k1=1.2, b=0.75), ending at CTE
     * `bs` = (query_id, doc_id, s9) — shared by q182 and the q188

@@ -356,4 +356,35 @@ object Multimodal {
           .as("scale"))
       .withColumn("out_w", floor(col("width") * col("scale")).cast("int"))
       .withColumn("out_h", floor(col("height") * col("scale")).cast("int"))
+
+  /** q198: media corpus card — the multimodal sibling of the
+    * per-source text card (q180): per container format, item and byte
+    * volume, the CORRUPT share (payloads the real header walk of q156
+    * refuses to decode — the ingest-health number a media pipeline
+    * alarms on), and the decoded dimension envelope (mean/max W×H,
+    * the resize/batch-shape planning input). Rides q156's scan-local
+    * decode unchanged; everything reduces to format grain with
+    * map-side combine — integer sums only, so the means are exact
+    * (sum/count) under any partitioning. */
+  def mediaCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = mediaHeaderDims(spark, dir)
+    val ok = col("width") =!= -1
+    d.groupBy("kind").agg(
+        count(lit(1)).as("n_items"),
+        sum(col("n_bytes").cast("long")).as("total_bytes"),
+        sum(when(!ok, 1L).otherwise(0L)).as("n_corrupt"),
+        sum(when(ok, col("width").cast("long")).otherwise(0L)).as("sw"),
+        sum(when(ok, col("height").cast("long")).otherwise(0L)).as("sh"),
+        max("width").as("max_w"), max("height").as("max_h"))
+      .select(col("kind"), col("n_items"), col("total_bytes"),
+        col("n_corrupt"),
+        (col("n_corrupt").cast("double") / col("n_items"))
+          .as("corrupt_rate"),
+        (col("sw").cast("double") / (col("n_items") - col("n_corrupt")))
+          .as("mean_w"),
+        (col("sh").cast("double") / (col("n_items") - col("n_corrupt")))
+          .as("mean_h"),
+        col("max_w"), col("max_h"))
+      .orderBy("kind")
+  }
 }

@@ -1403,6 +1403,53 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Term-grain posting statistics (t, df, tf) of a corpus frame —
+    * the stored artifact behind BM25 (q182) and the unit of
+    * [[postingStatsIncremental]]'s merge. */
+  private def postingStatsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("t")
+      .agg(count(lit(1)).as("df"), sum("c").as("tf"))
+
+  /** q196: incremental text-index maintenance — the text sibling of
+    * the incremental IVF path (q158): the posting statistics of the
+    * PREVIOUS corpus snapshot (doc_id % 6 != 0) are a STORED parquet
+    * artifact (staged once per fixture signature, `_READY`-marked);
+    * an ingest computes stats over the DELTA only and merges them
+    * additively at vocabulary grain (full-outer on term, coalesced
+    * sums). The hash gate proves stored + delta ≡ the from-scratch
+    * stats of the full corpus, row for row.
+    *
+    * Scale: per ingest the corpus-sized work is the delta aggregate;
+    * the merge touches vocabulary-grain rows (millions, not
+    * trillions). df/tf are additive, so APPENDS need no recompute;
+    * re-crawls/deletes go through the keyed DeltaLog state path
+    * (q162's commit discipline) or a census-cadence rebuild — the
+    * same contract the IVF index ships. */
+  def postingStatsIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"$dir/documents.parquet"
+    val staged = graft.streaming.FixtureStaging.stageOnce(
+      "posting_stats", fixture,
+      s"${System.getProperty("java.io.tmpdir")}/graft_posting_stats") { d =>
+      postingStatsOf(Tables.documents(spark, dir)
+          .filter(col("doc_id") % 6 =!= 0))
+        .write.mode("overwrite").parquet(d.resolve("stats").toString)
+    }
+    val stored = spark.read.parquet(s"$staged/stats")
+      .select(col("t"), col("df").as("dfp"), col("tf").as("tfp"))
+    val delta = postingStatsOf(Tables.documents(spark, dir)
+        .filter(col("doc_id") % 6 === 0))
+      .select(col("t"), col("df").as("dfd"), col("tf").as("tfd"))
+    stored.join(delta, Seq("t"), "full_outer")
+      .select(col("t"),
+        (coalesce(col("dfp"), lit(0L)) + coalesce(col("dfd"), lit(0L)))
+          .as("df"),
+        (coalesce(col("tfp"), lit(0L)) + coalesce(col("tfd"), lit(0L)))
+          .as("tf"))
+      .orderBy("t")
+  }
+
   /** q183's subword vocabulary — the single source of truth for BOTH
     * the Spark segmenter and the oracle's unrolled SQL replay.
     * Multi-char pieces cover the corpus words in 1–3 hops; single

@@ -1605,6 +1605,59 @@ object VectorOps {
       .orderBy("cid")
   }
 
+  /** 1/log2(i+1) for ranked positions 1..5 — ONE set of double
+    * literals shared by the Spark q197 mart and its oracle (the SQL
+    * embeds `toString`, which round-trips to the identical double). */
+  val NdcgDiscounts: Seq[Double] =
+    (1 to 5).map(i => 1.0 / (math.log(i + 1.0) / math.log(2.0)))
+
+  /** q197: retrieval evaluation mart — MRR@5 and nDCG@5 of the SERVED
+    * index ranking (q161) against the exact brute ranking (q35) as
+    * graded ground truth (gain 5..1 by true rank): the other half of
+    * the index quality gauge next to recall (q186) — recall says how
+    * many true neighbors survive pruning, nDCG says whether they
+    * arrive in the right ORDER, MRR how fast the first one shows up.
+    *
+    * Determinism: gains are integers, discounts are shared double
+    * literals, and every per-position term floor-scales to BIGINT
+    * nano-units before the per-query sums; 1/rank floor-scales the
+    * same way. Scale: bounded by the audit query sample exactly as
+    * q186 — the corpus passes only through the pruned serve path. */
+  def retrievalEvalMart(spark: SparkSession, dir: String): DataFrame = {
+    val truth = knnCosine(spark, dir)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("trank"))
+    val served = ivfKnnIndexed(spark, dir)
+      .select(col("query_id"), col("neighbor_id"),
+        col("rank").as("srank"))
+    def dOf(rankCol: Column): Column =
+      NdcgDiscounts.zipWithIndex.foldLeft(lit(0.0)) {
+        case (acc, (dv, i)) => when(rankCol === (i + 1), lit(dv))
+          .otherwise(acc)
+      }
+    val g = served.join(truth, Seq("query_id", "neighbor_id"), "left")
+      .select(col("query_id"), col("srank"),
+        when(col("trank").isNotNull, lit(6) - col("trank"))
+          .otherwise(lit(0)).as("gain"))
+    val per = g.groupBy("query_id").agg(
+      sum(floor(col("gain").cast("double") * dOf(col("srank"))
+        * lit(1000000000.0) + lit(0.5)).cast("long")).as("dcg9"),
+      min(when(col("gain") > 0, col("srank"))).as("fr"))
+    val ideal = truth.groupBy("query_id").agg(
+      sum(floor((lit(6) - col("trank")).cast("double") * dOf(col("trank"))
+        * lit(1000000000.0) + lit(0.5)).cast("long")).as("idcg9"))
+    per.join(ideal, "query_id")
+      .select(col("query_id"),
+        when(col("fr").isNull, lit(0.0))
+          .otherwise(floor(lit(1000000000.0) / col("fr").cast("double")
+              + lit(0.5)).cast("long").cast("double") / lit(1000000000.0))
+          .as("mrr"),
+        (col("dcg9").cast("double") / lit(1000000000.0)).as("dcg"),
+        (col("dcg9").cast("double") / col("idcg9").cast("double"))
+          .as("ndcg"))
+      .orderBy("query_id")
+  }
+
   /** q195: embedding-space drift monitor — the PSI gate (q169's
     * arithmetic verbatim) applied to the 1-D projections of q185's
     * leading principal direction: reference population vs current

@@ -239,6 +239,46 @@ class Round9Spec extends SparkSpec {
     d.unpersist()
   }
 
+  test("incremental posting stats equal the from-scratch aggregate") {
+    val inc = TextOps.postingStatsIncremental(spark, dir)
+    val full = Tables.documents(spark, dir)
+      .select($"doc_id", explode(split($"text", " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .groupBy("t").agg(count(lit(1)).as("df"), sum("c").as("tf"))
+    assert(inc.as[(String, Long, Long)].collect().toSet ==
+      full.as[(String, Long, Long)].collect().toSet)
+    val totTok = Tables.documents(spark, dir)
+      .select(explode(split($"text", " "))).count()
+    assert(inc.agg(sum("tf")).as[Long].head() == totTok)
+  }
+
+  test("retrieval eval: metric bounds and recall consistency") {
+    val m = VectorOps.retrievalEvalMart(spark, dir).cache()
+    assert(m.filter($"mrr" < 0.0 || $"mrr" > 1.0).count() == 0)
+    assert(m.filter($"ndcg" < 0.0 || $"ndcg" > 1.0 + 1e-9).count() == 0)
+    // whenever the recall audit found >= 1 hit, MRR must be >= 1/5
+    val r = VectorOps.annRecallAudit(spark, dir)
+      .select($"query_id", $"hits")
+    val joined = m.join(r, "query_id")
+    assert(joined.filter($"hits" > 0 && $"mrr" < 0.2 - 1e-9).count() == 0)
+    assert(joined.filter($"hits" === 0 && $"mrr" =!= 0.0).count() == 0)
+    m.unpersist()
+  }
+
+  test("media card reconciles with the per-item decode") {
+    val card = graft.operators.Multimodal.mediaCard(spark, dir).cache()
+    val dims = graft.operators.Multimodal.mediaHeaderDims(spark, dir)
+      .cache()
+    assert(card.select("kind").as[String].collect().toSet ==
+      Set("png", "jpeg"))
+    assert(card.agg(sum("n_items")).as[Long].head() == dims.count())
+    assert(card.agg(sum("n_corrupt")).as[Long].head() ==
+      dims.filter($"width" === -1).count())
+    assert(card.filter($"corrupt_rate" < 0.0 ||
+      $"corrupt_rate" > 1.0).count() == 0)
+    card.unpersist(); dims.unpersist()
+  }
+
   test("streaming top-k equals the batch aggregate bit-for-bit") {
     val streamed = graft.streaming.StreamingTopK.topSpenders(spark, dir)
       .as[(Int, Long, Long, Double)].collect().toSeq
