@@ -248,6 +248,8 @@ object SparkEntry {
       ((s, d) => VectorOps.retrievalEvalMart(s, d)),
     "q198_media_card" ->
       (graft.operators.Multimodal.mediaCard _),
+    "q199_skew_advisor" -> (Analytics.skewAdvisor _),
+    "q200_release_manifest" -> (TextOps.releaseManifest _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -1779,6 +1781,66 @@ object SparkEntry {
          |    AS mean_h,
          |  MAX(width) AS max_w, MAX(height) AS max_h
          |FROM dims GROUP BY kind ORDER BY kind""".stripMargin,
+
+    // q199: join-skew advisor — three per-key distribution reductions;
+    // all-integer inputs, single stated divisions.
+    "q199_skew_advisor" -> {
+      def statsFor(k: String) =
+        s"""SELECT '$k' AS join_key,
+           |  CAST(SUM(c) AS BIGINT) AS n_rows,
+           |  CAST(COUNT(*) AS BIGINT) AS n_keys,
+           |  CAST(MAX(c) AS BIGINT) AS max_cnt,
+           |  CAST(MAX(c) AS DOUBLE)
+           |    / (CAST(SUM(c) AS DOUBLE) / COUNT(*)) AS skew_ratio,
+           |  CAST(MAX(c) AS DOUBLE) / SUM(c) AS top1_share
+           |FROM (SELECT $k, COUNT(*) AS c FROM lineitem GROUP BY 1)"""
+          .stripMargin
+      s"""SELECT * FROM (
+         |${statsFor("l_orderkey")}
+         |UNION ALL
+         |${statsFor("l_partkey")}
+         |UNION ALL
+         |${statsFor("l_suppkey")})
+         |ORDER BY join_key""".stripMargin
+    },
+
+    // q200: release manifest — the curation verdicts (q145), released
+    // token budget, dedup-stage drops, and leakage-safe split sizes
+    // (q165's component-hash rule) composed into one release card.
+    "q200_release_manifest" ->
+      s"""WITH RECURSIVE $curationCtes,
+         |rel AS (SELECT doc_id FROM v
+         |  WHERE lang_ok AND quality_ok AND rep_ok AND decon_ok
+         |    AND dedup_ok),
+         |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
+         |    CAST(SUM(CASE WHEN lang_ok AND quality_ok AND rep_ok
+         |      AND decon_ok AND dedup_ok THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_released,
+         |    CAST(SUM(CASE WHEN lang_ok AND quality_ok AND rep_ok
+         |      AND decon_ok AND NOT dedup_ok THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_dup_dropped
+         |  FROM v),
+         |tk AS (SELECT CAST(SUM(len(string_split(d.text, ' ')))
+         |    AS BIGINT) AS n_tokens_released
+         |  FROM documents d JOIN rel USING (doc_id)),
+         |sp AS (SELECT r.doc_id,
+         |    CAST(${h32("CAST(COALESCE(c.component, r.doc_id) AS VARCHAR)")}
+         |      % 10 AS INT) AS bucket
+         |  FROM rel r LEFT JOIN comp c ON r.doc_id = c.id),
+         |spc AS (SELECT
+         |    CAST(SUM(CASE WHEN bucket <= 7 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_train,
+         |    CAST(SUM(CASE WHEN bucket = 8 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_val,
+         |    CAST(SUM(CASE WHEN bucket = 9 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_test
+         |  FROM sp),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_ingested
+         |  FROM documents)
+         |SELECT n_ingested, n_scored, n_released,
+         |  CAST(n_released AS DOUBLE) / n_scored AS release_rate,
+         |  n_dup_dropped, n_tokens_released, n_train, n_val, n_test
+         |FROM nn CROSS JOIN vs CROSS JOIN tk CROSS JOIN spc""".stripMargin,
 
     // q195: embedding drift — q169's PSI arithmetic over q185's
     // projections, label<5 vs label>=5 populations, clamped

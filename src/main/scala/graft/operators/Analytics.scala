@@ -278,4 +278,35 @@ object Analytics {
       .select("event_type", "bucket", "n_a", "n_b", "contrib", "psi")
       .orderBy("event_type", "bucket")
   }
+
+  /** q199: join-skew advisor — per prospective join key of the fact
+    * table, the distribution numbers a planner (human or AQE) reads
+    * before picking a strategy: distinct-key count, the hottest key's
+    * row count, its share of the table, and the skew ratio
+    * (max / mean per-key count — the statistic
+    * `spark.sql.adaptive.skewJoin.skewedPartitionFactor` thresholds
+    * on). Ratio > ~5 says "salt this key or let AQE split it"
+    * (q75/q59 are the salting shapes this mart dispatches to).
+    *
+    * Scale: one map-side-combinable count per key column, then a
+    * 1-row reduction each — the scan dominates, the stats are
+    * metadata-sized. All-integer inputs; ratios are single IEEE
+    * divisions stated identically in the oracle. */
+  def skewAdvisor(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    def statsFor(keyCol: String): DataFrame =
+      li.groupBy(col(keyCol).as("k")).agg(count(lit(1)).as("c"))
+        .agg(count(lit(1)).as("n_keys"), sum("c").as("n_rows"),
+          max("c").as("max_cnt"))
+        .select(lit(keyCol).as("join_key"), col("n_rows"), col("n_keys"),
+          col("max_cnt"),
+          (col("max_cnt").cast("double") /
+            (col("n_rows").cast("double") / col("n_keys")))
+            .as("skew_ratio"),
+          (col("max_cnt").cast("double") / col("n_rows")).as("top1_share"))
+    statsFor("l_orderkey")
+      .union(statsFor("l_partkey"))
+      .union(statsFor("l_suppkey"))
+      .orderBy("join_key")
+  }
 }

@@ -1450,6 +1450,45 @@ object TextOps {
       .orderBy("t")
   }
 
+  /** q200: corpus release manifest — the one-row card stamped onto a
+    * training-data release: ingest volume, scored volume (eval
+    * registry held out), released volume with the yield rate, how
+    * many near-dup copies the dedup stage alone removed, the released
+    * token budget, and the leakage-safe train/val/test sizes. Every
+    * number derives from already-gated stages (q145 verdicts, q165
+    * splits) — the manifest is their composition, which is exactly
+    * what a release pipeline publishes alongside the shards.
+    *
+    * Scale: three 1-row reductions plus one doc-keyed join; nothing
+    * beyond the verdict chain's own cost. */
+  def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val v = curationVerdicts(spark, dir)
+    val released = v.filter(col("keep")).select("doc_id")
+    val scored = v.agg(
+      count(lit(1)).as("n_scored"),
+      sum(when(col("keep"), 1L).otherwise(0L)).as("n_released"),
+      sum(when(col("lang_ok") && col("quality_ok") && col("rep_ok")
+        && col("decon_ok") && !col("dedup_ok"), 1L).otherwise(0L))
+        .as("n_dup_dropped"))
+    val toks = docs.join(released, "doc_id")
+      .agg(sum(size(split(col("text"), " ")).cast("long"))
+        .as("n_tokens_released"))
+    val splits = Graphs.leakageSafeSplit(spark, dir)
+      .join(released, "doc_id")
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+        sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+    val n = docs.agg(count(lit(1)).as("n_ingested"))
+    n.crossJoin(scored).crossJoin(toks).crossJoin(splits)
+      .select(col("n_ingested"), col("n_scored"), col("n_released"),
+        (col("n_released").cast("double") / col("n_scored"))
+          .as("release_rate"),
+        col("n_dup_dropped"), col("n_tokens_released"),
+        col("n_train"), col("n_val"), col("n_test"))
+  }
+
   /** q183's subword vocabulary — the single source of truth for BOTH
     * the Spark segmenter and the oracle's unrolled SQL replay.
     * Multi-char pieces cover the corpus words in 1–3 hops; single

@@ -279,6 +279,38 @@ class Round9Spec extends SparkSpec {
     card.unpersist(); dims.unpersist()
   }
 
+  test("skew advisor: per-key accounting holds") {
+    val a = graft.operators.Analytics.skewAdvisor(spark, dir)
+      .as[(String, Long, Long, Long, Double, Double)].collect().toSeq
+    assert(a.map(_._1).sorted ==
+      Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    val n = Tables.lineitem(spark, dir).count()
+    a.foreach { case (k, rows, keys, mx, ratio, share) =>
+      assert(rows == n, s"$k n_rows $rows != $n")
+      assert(keys <= rows && mx <= rows)
+      assert(ratio >= 1.0 - 1e-9, s"$k skew_ratio $ratio < 1")
+      assert(math.abs(share - mx.toDouble / rows) < 1e-12)
+    }
+  }
+
+  test("release manifest reconciles with its component stages") {
+    val m = graft.operators.TextOps.releaseManifest(spark, dir)
+      .collect()(0)
+    val docs = Tables.documents(spark, dir)
+    assert(m.getAs[Long]("n_ingested") == docs.count())
+    val v = graft.operators.TextOps.curationVerdicts(spark, dir).cache()
+    assert(m.getAs[Long]("n_scored") == v.count())
+    val released = v.filter($"keep")
+    assert(m.getAs[Long]("n_released") == released.count())
+    assert(m.getAs[Long]("n_train") + m.getAs[Long]("n_val") +
+      m.getAs[Long]("n_test") == m.getAs[Long]("n_released"))
+    val toks = docs.join(released.select("doc_id"), "doc_id")
+      .select(sum(size(split($"text", " ")).cast("long")))
+      .as[Long].head()
+    assert(m.getAs[Long]("n_tokens_released") == toks)
+    v.unpersist()
+  }
+
   test("streaming top-k equals the batch aggregate bit-for-bit") {
     val streamed = graft.streaming.StreamingTopK.topSpenders(spark, dir)
       .as[(Int, Long, Long, Double)].collect().toSeq
