@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     "q166_int8_knn", "q171_maxsim", "q174_retrieval", "q175_pq_knn",
     "q186_ann_recall_audit", // composes q35's brute side, same ≤10-row set
     "q191_mmr",              // rel stage = the q35 broadcast-query scorer
+    "q197_retrieval_eval",   // same composed brute side as q186
     // q141 deliberately NOT here: the at-scale dedup's candidate
     // generation is an equi-join on the IVF bucket id — if it ever
     // plans a nested loop, that's a regression this spec must catch
@@ -43,6 +44,7 @@ class PlanAuditSpec extends SparkSpec {
     // has no cross-joined sub-aggregations left to sanction
     "q98_ri_audit", "q97_media_meta", "q39_kpis", "q20_dq_metrics",
     "q90_cond_bitwise", "q82_moments", "q73_incremental_agg",
+    "q200_release_manifest", // cross joins of 1-row stage finals
     "q59_salted_agg", "q118_hll_distinct", "q119_approx_quantiles")
 
   // reviewed single-partition sites: global scalar finals + windows
@@ -63,6 +65,8 @@ class PlanAuditSpec extends SparkSpec {
     "q96_kmv_setops",         // k-sized sketch heads + 1-row finals
     "q98_ri_audit",           // seven 1-row constraint scalars
     "q146_curation_funnel",   // 1-row six-sum funnel final
+    "q199_skew_advisor",      // three 1-row per-key-column finals
+    "q200_release_manifest",  // 1-row stage finals
     // PSI windows over the ≤16-row clamped-bucket histogram (the
     // constant event_type literal folds the partitioning to single);
     // input is the reduced grain, never the corpus
