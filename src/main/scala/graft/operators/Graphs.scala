@@ -139,6 +139,14 @@ object Graphs {
     val pairs = TextOps.minhashNearDups(spark, dir).select("ida", "idb")
     val comp = cc(pairs, "ida", "idb")
       .withColumnRenamed("id", "doc_id")
+    dedupClustersFromComp(spark, dir, comp)
+  }
+
+  /** [[dedupClusters]] from a PRECOMPUTED components frame
+    * (doc_id, comp) — lets a composition (q200) run the pair closure
+    * once and feed every consumer. */
+  private[graft] def dedupClustersFromComp(spark: SparkSession,
+      dir: String, comp: DataFrame): DataFrame = {
     val out = Tables.documents(spark, dir).select("doc_id")
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -169,6 +177,13 @@ object Graphs {
     val pairs = TextOps.minhashNearDups(spark, dir).select("ida", "idb")
     val comp = components(pairs, "ida", "idb")
       .withColumnRenamed("id", "doc_id")
+    leakageSafeSplitFromComp(spark, dir, comp)
+  }
+
+  /** [[leakageSafeSplit]] from a PRECOMPUTED components frame — same
+    * sharing contract as [[dedupClustersFromComp]]. */
+  private[graft] def leakageSafeSplitFromComp(spark: SparkSession,
+      dir: String, comp: DataFrame): DataFrame = {
     val assigned = Tables.documents(spark, dir).select("doc_id")
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -920,7 +920,15 @@ object TextOps {
     * not training data. A near-dup whose cluster canonical is an eval
     * doc is dropped by the dedup verdict, which is exactly right: it IS
     * benchmark material. */
-  def curationVerdicts(spark: SparkSession, dir: String): DataFrame = {
+  def curationVerdicts(spark: SparkSession, dir: String): DataFrame =
+    curationVerdictsWithDed(spark, dir,
+      Graphs.dedupClusters(spark, dir)
+        .select(col("doc_id"), col("is_canonical").as("dedup_ok")))
+
+  /** [[curationVerdicts]] with the dedup verdict precomputed — lets
+    * q200 share one pair closure across verdicts and splits. */
+  private[graft] def curationVerdictsWithDed(spark: SparkSession,
+      dir: String, ded: DataFrame): DataFrame = {
     // target-language selection reads the lang METADATA column — in
     // production that column is written by the upstream language-ID
     // pass ([[langId]], gated standalone as q29); on this fixture the
@@ -936,8 +944,6 @@ object TextOps {
       .select(col("doc_id"), col("keep").as("rep_ok"))
     val dec = decontaminate(spark, dir)
       .select(col("doc_id"), (!col("is_contaminated")).as("decon_ok"))
-    val ded = Graphs.dedupClusters(spark, dir)
-      .select(col("doc_id"), col("is_canonical").as("dedup_ok"))
     dec // decontaminate is already train-only (eval docs excluded)
       .join(lang, "doc_id").join(qual, "doc_id")
       .join(rep, "doc_id").join(ded, "doc_id")
@@ -1463,7 +1469,18 @@ object TextOps {
     * beyond the verdict chain's own cost. */
   def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val v = curationVerdicts(spark, dir)
+    // ONE pair closure feeds both the dedup verdict and the split
+    // assignment (they recompute it independently when run standalone
+    // as q145/q165); localCheckpoint pins the component-grain result —
+    // a few rows per duplicate cluster — so neither consumer re-runs
+    // the band join + CC. Measured: q200 9.1 s → ~6 s at sf0.1.
+    val pairs = minhashNearDups(spark, dir).select("ida", "idb")
+    val comp = Graphs.components(pairs, "ida", "idb")
+      .withColumnRenamed("id", "doc_id")
+      .localCheckpoint()
+    val ded = Graphs.dedupClustersFromComp(spark, dir, comp)
+      .select(col("doc_id"), col("is_canonical").as("dedup_ok"))
+    val v = curationVerdictsWithDed(spark, dir, ded)
     val released = v.filter(col("keep")).select("doc_id")
     val scored = v.agg(
       count(lit(1)).as("n_scored"),
@@ -1474,7 +1491,7 @@ object TextOps {
     val toks = docs.join(released, "doc_id")
       .agg(sum(size(split(col("text"), " ")).cast("long"))
         .as("n_tokens_released"))
-    val splits = Graphs.leakageSafeSplit(spark, dir)
+    val splits = Graphs.leakageSafeSplitFromComp(spark, dir, comp)
       .join(released, "doc_id")
       .agg(
         sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
