@@ -117,17 +117,22 @@ object Retrieval {
     * (query_id, doc_id, s9) with s9 the nano-scaled integer score. */
   private[operators] def bm25Scores(spark: SparkSession,
       dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
+    // ONE scan+explode+partial-agg produces the tf table; everything
+    // else derives from it (dl = Σtf per doc, df = row count per
+    // term, query terms = the tf rows of query docs — already
+    // distinct). The naive form re-ran the tokenize scan four times.
+    val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-    val tf = tok.groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val totals = Tables.documents(spark, dir)
       .agg(count(lit(1)).as("nd")).collect()(0).getLong(0)
-    val ntok = tok.agg(count(lit(1))).collect()(0).getLong(0)
+    val ntok = tf.agg(sum("tf")).collect()(0).getLong(0)
     val avgdl = ntok.toDouble / totals
-    val q = tok.filter(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("query_id"), col("t")).distinct()
+    val q = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("t"))
     val idf = log(((lit(totals) - col("df")).cast("double") + lit(0.5))
       / (col("df").cast("double") + lit(0.5)) + lit(1.0))
     val tfn = (col("tf").cast("double") * lit(2.2)) /
