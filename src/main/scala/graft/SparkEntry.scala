@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Events, Gold, Graphs, Relational, Scd2, TextOps, VectorOps}
+import graft.operators.{Analytics, Events, Features, Gold, Graphs, PrefixJoin, Relational, Scd2, TextOps, VectorOps}
 import graft.sources.Bucketing
 import graft.streaming.{StatefulFunnel, StreamingFunnel, TwsUserStats}
 import graft.util.Portable.Sql._
@@ -250,6 +250,12 @@ object SparkEntry {
       (graft.operators.Multimodal.mediaCard _),
     "q199_skew_advisor" -> (Analytics.skewAdvisor _),
     "q200_release_manifest" -> (TextOps.releaseManifest _),
+    "q201_similarity_join" -> ((s, d) => PrefixJoin.similarityJoin(s, d)),
+    "q202_target_encoding" -> ((s, d) => Features.targetEncodeOof(s, d)),
+    "q203_label_noise" -> ((s, d) => VectorOps.labelNoiseKnn(s, d)),
+    "q204_triangle_stats" -> ((s, d) => Graphs.triangleStats(s, d)),
+    "q205_purged_split" -> ((s, d) => Features.purgedTemporalSplit(s, d)),
+    "q206_bpe_train" -> ((s, d) => operators.BpeTrain.bpeMerges(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -295,6 +301,52 @@ object SparkEntry {
     * where a literal backslash escape is awkward). */
   private val fpSqlExpr =
     "md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))"
+
+  /** Generated CTE chain mirroring [[graft.operators.BpeTrain]]: one
+    * chain link per merge round (pair counts → argmax → positional
+    * rebuild), unioned per-round stat rows at the end. */
+  private val bpeTrainSql: String = {
+    val iters = 8
+    val v0 =
+      """v0 AS (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    list_transform(range(1, len(word)+1),
+        |      i -> substr(word, i, 1)) AS syms
+        |  FROM (SELECT UNNEST(string_split(text, ' ')) AS word
+        |    FROM documents)
+        |  WHERE word <> '' GROUP BY word)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      val p = i - 1
+      s"""p$i AS (
+         |  SELECT p.l AS l, p.r AS r,
+         |    CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT freq, UNNEST(list_transform(range(1, len(syms)),
+         |      j -> struct_pack(l := syms[j], r := syms[j+1]))) AS p
+         |    FROM v$p WHERE len(syms) >= 2)
+         |  WHERE p.l <> p.r GROUP BY 1, 2),
+         |b$i AS (SELECT l, r, cnt FROM p$i ORDER BY cnt DESC, l, r
+         |  LIMIT 1),
+         |v$i AS (
+         |  SELECT word, freq,
+         |    list_filter(list_transform(range(1, len(syms)+1), j ->
+         |      CASE WHEN j > 1 AND syms[j-1] = b.l AND syms[j] = b.r
+         |        THEN NULL
+         |      WHEN syms[j] = b.l AND j < len(syms)
+         |          AND syms[j+1] = b.r
+         |        THEN syms[j] || syms[j+1]
+         |      ELSE syms[j] END), x -> x IS NOT NULL) AS syms
+         |  FROM v$p CROSS JOIN b$i b)""".stripMargin
+    }
+    val stats = (1 to iters).map { i =>
+      s"""SELECT CAST($i AS INT) AS iteration, b.l AS left_sym,
+         |  b.r AS right_sym, b.cnt AS n_sites,
+         |  (SELECT CAST(COUNT(DISTINCT s) AS BIGINT)
+         |   FROM v$i, UNNEST(syms) t(s)) AS vocab_size
+         |FROM b$i b""".stripMargin
+    }
+    (v0 +: rounds).mkString("WITH ", ",\n", "\n") +
+      stats.mkString("\nUNION ALL\n") + "\nORDER BY iteration"
+  }
 
   /** DuckDB mirror of TextOps.shingles over `text` and `ws` columns. */
   private val shingleExpr =
@@ -1841,6 +1893,154 @@ object SparkEntry {
          |  CAST(n_released AS DOUBLE) / n_scored AS release_rate,
          |  n_dup_dropped, n_tokens_released, n_train, n_val, n_test
          |FROM nn CROSS JOIN vs CROSS JOIN tk CROSS JOIN spc""".stripMargin,
+
+    // q201: EXACT similarity self-join — the oracle is the relational
+    // exact form (overlap counts via a shingle equi-join); the Spark
+    // side reaches the identical pair set through AllPairs prefix
+    // filtering, so a hash match proves the filter admits no false
+    // negatives at this threshold.
+    "q201_similarity_join" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |s AS (SELECT doc_id, list_distinct($shingleExpr) AS shs FROM d),
+         |tok AS (SELECT doc_id, UNNEST(shs) AS tok FROM s),
+         |sz AS (SELECT doc_id, len(shs) AS m FROM s),
+         |ov AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+         |    CAST(COUNT(*) AS DOUBLE) AS c
+         |  FROM tok a JOIN tok b ON a.tok = b.tok
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT ida, idb,
+         |    c / (CAST(sa.m + sb.m AS DOUBLE) - c) AS jac
+         |  FROM ov JOIN sz sa ON ov.ida = sa.doc_id
+         |    JOIN sz sb ON ov.idb = sb.doc_id)
+         |SELECT ida, idb, ${val6("jac")} AS jaccard FROM j
+         |WHERE jac >= 0.5
+         |ORDER BY ida NULLS FIRST, idb NULLS FIRST""".stripMargin,
+
+    // q202: out-of-fold target encoding — fold complements from exact
+    // integer-cent sums; the smoothing arithmetic mirrors
+    // Features.targetEncodeOof op-for-op.
+    "q202_target_encoding" ->
+      """WITH base AS (SELECT c_mktsegment AS segment,
+        |    CAST(o_orderkey % 5 AS INT) AS fold,
+        |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey),
+        |g AS (SELECT segment, fold, CAST(COUNT(*) AS BIGINT) AS n,
+        |    SUM(cents) AS s
+        |  FROM base GROUP BY 1, 2),
+        |st AS (SELECT segment, SUM(n) AS seg_n, SUM(s) AS seg_s
+        |  FROM g GROUP BY 1),
+        |ft AS (SELECT fold, SUM(n) AS fold_n, SUM(s) AS fold_s
+        |  FROM g GROUP BY 1),
+        |gt AS (SELECT SUM(n) AS g_n, SUM(s) AS g_s FROM g),
+        |x AS (SELECT g.segment, g.fold,
+        |    CAST(st.seg_n - g.n AS BIGINT) AS oof_n,
+        |    CAST(st.seg_s - g.s AS BIGINT) AS oof_s,
+        |    CAST(gt.g_s - ft.fold_s AS DOUBLE) / 100.0
+        |      / CAST(gt.g_n - ft.fold_n AS DOUBLE) AS prior
+        |  FROM g JOIN st ON g.segment = st.segment
+        |    JOIN ft ON g.fold = ft.fold CROSS JOIN gt)
+        |SELECT segment, fold, oof_n,
+        |  CAST(FLOOR(CAST(oof_s AS DOUBLE) / 100.0 / CAST(oof_n AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS oof_mean,
+        |  CAST(FLOOR((CAST(oof_s AS DOUBLE) / 100.0 + 20.0 * prior)
+        |    / (CAST(oof_n AS DOUBLE) + 20.0)
+        |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS enc
+        |FROM x
+        |ORDER BY segment NULLS FIRST, fold NULLS FIRST""".stripMargin,
+
+    // q203: label-noise audit — exact kNN over the sampled queries with
+    // the q35 cosine kernel and (cos DESC, neighbor_id) ranking;
+    // majority vote breaks ties toward the smallest label.
+    "q203_label_noise" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |    CAST(label AS BIGINT) AS label FROM embeddings),
+         |p AS (SELECT q.vec_id AS query_id, q.label AS qlabel,
+         |    c.vec_id AS neighbor_id, c.label AS nlabel,
+         |    ${cosExpr("q", "c")} AS cos
+         |  FROM e q JOIN e c ON q.vec_id % 4 = 0
+         |    AND q.vec_id <> c.vec_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST)
+         |    AS rn FROM p),
+         |t AS (SELECT * FROM r WHERE rn <= 10),
+         |d AS (SELECT query_id, qlabel,
+         |    CAST(SUM(CASE WHEN nlabel <> qlabel THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_disagree
+         |  FROM t GROUP BY 1, 2),
+         |m AS (SELECT query_id, nlabel AS majority_label FROM (
+         |    SELECT query_id, nlabel, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY COUNT(*) DESC, nlabel NULLS FIRST) AS mr
+         |    FROM t GROUP BY 1, 2) WHERE mr = 1)
+         |SELECT d.query_id, d.qlabel AS label, d.n_disagree,
+         |  m.majority_label, d.n_disagree * 2 > 10 AS suspect
+         |FROM d JOIN m USING (query_id)
+         |ORDER BY query_id NULLS FIRST""".stripMargin,
+
+    // q204: triangle stats — the oracle counts triangles id-ordered
+    // (e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)); Spark's degree-oriented plan must
+    // land on the identical triangle set.
+    "q204_triangle_stats" ->
+      """WITH ol AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
+        |  FROM ol a JOIN ol b ON a.ok = b.ok AND a.pk < b.pk),
+        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        |    SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |t AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1 JOIN e e2 ON e2.u = e1.v
+        |    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |pv AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS tri FROM (
+        |    SELECT a AS id FROM t UNION ALL SELECT b FROM t
+        |    UNION ALL SELECT c FROM t)
+        |  GROUP BY 1)
+        |SELECT d.id AS part_id, d.deg,
+        |  CAST(COALESCE(pv.tri, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN d.deg >= 2 THEN
+        |    CAST(FLOOR(CAST(COALESCE(pv.tri, 0) * 2 AS DOUBLE)
+        |      / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+        |  ELSE 0.0 END AS local_cc
+        |FROM deg d LEFT JOIN pv ON d.id = pv.id
+        |ORDER BY n_triangles DESC, part_id NULLS FIRST
+        |LIMIT 15""".stripMargin,
+
+    // q205: purged temporal split — boundaries at fixed fractions of
+    // the date range, 7-day embargo purge before each boundary.
+    "q205_purged_split" ->
+      """WITH o AS (SELECT CAST(o_orderdate AS DATE) AS day, o_custkey,
+        |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |bounds AS (SELECT MIN(day) AS d_min, MAX(day) AS d_max FROM o),
+        |x AS (SELECT o.*, b.d_min,
+        |    b.d_min + CAST(FLOOR(0.70 * (b.d_max - b.d_min)) AS INT)
+        |      AS b1,
+        |    b.d_min + CAST(FLOOR(0.85 * (b.d_max - b.d_min)) AS INT)
+        |      AS b2
+        |  FROM o CROSS JOIN bounds b),
+        |s AS (SELECT CASE
+        |    WHEN day < b1 - 7 THEN '1_train'
+        |    WHEN day < b1 THEN '4_purged'
+        |    WHEN day < b2 - 7 THEN '2_val'
+        |    WHEN day < b2 THEN '4_purged'
+        |    ELSE '3_test' END AS split, day, o_custkey, cents
+        |  FROM x)
+        |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |  CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |  CAST(SUM(cents) AS DOUBLE) / 100.0 AS revenue,
+        |  MIN(day) AS d_from, MAX(day) AS d_to
+        |FROM s GROUP BY 1
+        |ORDER BY split NULLS FIRST""".stripMargin,
+
+    // q206: BPE merge training — the oracle replays all `BpeIters`
+    // greedy rounds as a generated CTE chain: pair counts over the
+    // weighted word vocabulary, (cnt DESC, l, r) argmax, positional
+    // leftmost-non-overlap rebuild (unambiguous because self-pairs are
+    // excluded from candidacy).
+    "q206_bpe_train" -> bpeTrainSql,
 
     // q195: embedding drift — q169's PSI arithmetic over q185's
     // projections, label<5 vs label>=5 populations, clamped

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Portable
+
+/** Supervised-ML feature-engineering operators — the tabular side of a
+  * training-data pipeline (the text/embedding side lives in TextOps /
+  * VectorOps). Both operators here are leakage-prevention shapes: the
+  * statistic a model trains on must never be computed FROM the row it
+  * is applied to (target encoding) or from the future (temporal
+  * splits).
+  */
+object Features {
+
+  /** q202 — out-of-fold (OOF) target encoding with additive smoothing.
+    *
+    * Target encoding replaces a categorical column with the mean of the
+    * target within the category — but the naive version leaks the row's
+    * own label into its feature. The standard fix is K-fold OOF: the
+    * encoding applied to fold f is computed from every fold EXCEPT f,
+    * plus additive smoothing toward a prior so rare categories don't
+    * memorize noise; the prior itself is the fold-excluded GLOBAL mean,
+    * for the same leakage reason.
+    *
+    * Encoding table at (category, fold) grain:
+    *   oof_mean(c,f) = mean(target | category=c, fold≠f)
+    *   enc(c,f)      = (sum_oof(c,f) + m·prior(f)) / (n_oof(c,f) + m)
+    * with m = [[SmoothM]] and fold = o_orderkey mod K (deterministic —
+    * reproducible across engines and runs, unlike a random fold draw).
+    *
+    * Scale: ONE corpus-sized aggregation — groupBy (category, fold)
+    * with map-side combine reduces 100 TB of facts to |C|·K rows before
+    * any further step; the complements (category totals, fold totals,
+    * grand total) are all re-aggregations of that tiny grain, joined
+    * back broadcast. Money runs on exact integer cents
+    * ([[Portable.cents2]]) so fold subtraction is exact, not a float
+    * cancellation.
+    */
+  def targetEncodeOof(spark: SparkSession, dir: String,
+      folds: Int = 5): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        pmod(col("o_orderkey"), lit(folds)).cast("int").as("fold"),
+        Portable.cents2(col("o_totalprice")).as("cents"))
+
+    // the single corpus-sized reduce: (segment, fold) grain
+    val g = base.groupBy("segment", "fold")
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+
+    val segTot = g.groupBy("segment")
+      .agg(sum("n").as("seg_n"), sum("s").as("seg_s"))
+    val foldTot = g.groupBy("fold")
+      .agg(sum("n").as("fold_n"), sum("s").as("fold_s"))
+    val grand = g.agg(sum("n").as("g_n"), sum("s").as("g_s"))
+
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    g.join(segTot, "segment")
+      .join(foldTot, "fold")
+      .crossJoin(broadcast(grand))
+      .withColumn("oof_n", col("seg_n") - col("n"))
+      .withColumn("oof_s", col("seg_s") - col("s"))
+      // fold-excluded global prior (per fold, exact cents → one division)
+      .withColumn("prior",
+        dbl(col("g_s") - col("fold_s")) / lit(100.0)
+          / dbl(col("g_n") - col("fold_n")))
+      .withColumn("oof_mean",
+        dbl(col("oof_s")) / lit(100.0) / dbl(col("oof_n")))
+      .withColumn("enc",
+        (dbl(col("oof_s")) / lit(100.0) + lit(SmoothM) * col("prior"))
+          / (dbl(col("oof_n")) + lit(SmoothM)))
+      .select(col("segment"), col("fold"), col("oof_n"),
+        Portable.val6(col("oof_mean")).as("oof_mean"),
+        Portable.val6(col("enc")).as("enc"))
+      .orderBy("segment", "fold")
+  }
+
+  /** Smoothing pseudo-count for [[targetEncodeOof]]. */
+  val SmoothM = 20.0
+
+  /** q205 — purged temporal train/val/test split with an embargo.
+    *
+    * A temporal split alone still leaks when features are windowed: a
+    * training row just before the boundary carries aggregates that
+    * overlap the validation period. The purge drops an [[EmbargoDays]]
+    * window BEFORE each boundary (de Prado's purged K-fold, applied to
+    * a single chronological split). Boundaries sit at fixed fractions
+    * of the observed date range — deterministic given the data, no
+    * clock dependence:
+    *
+    *   b1 = d_min + ⌊0.70·span⌋ days,  b2 = d_min + ⌊0.85·span⌋ days
+    *   train  = [d_min, b1 − E)     purged = [b1−E, b1) ∪ [b2−E, b2)
+    *   val    = [b1, b2 − E)        test   = [b2, d_max]
+    *
+    * Scale: the bounds are a metadata-sized global min/max aggregate
+    * (one partial-merged reduce), broadcast back onto the scan as a
+    * 1-row cross join — the corpus-sized pass is a single map-stage
+    * CASE over the date column feeding a low-cardinality aggregation.
+    * No sort, no window, no repartition.
+    */
+  def purgedTemporalSplit(spark: SparkSession, dir: String,
+      embargoDays: Int = EmbargoDays): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(to_date(col("o_orderdate")).as("day"),
+        col("o_custkey"),
+        Portable.cents2(col("o_totalprice")).as("cents"))
+    val bounds = o.agg(min("day").as("d_min"), max("day").as("d_max"))
+
+    o.crossJoin(broadcast(bounds))
+      .withColumn("span", datediff(col("d_max"), col("d_min")))
+      .withColumn("b1",
+        date_add(col("d_min"), floor(lit(0.70) * col("span")).cast("int")))
+      .withColumn("b2",
+        date_add(col("d_min"), floor(lit(0.85) * col("span")).cast("int")))
+      .withColumn("split",
+        when(col("day") < date_sub(col("b1"), embargoDays), "1_train")
+          .when(col("day") < col("b1"), "4_purged")
+          .when(col("day") < date_sub(col("b2"), embargoDays), "2_val")
+          .when(col("day") < col("b2"), "4_purged")
+          .otherwise("3_test"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        (sum(col("cents")).cast("double") / lit(100.0)).as("revenue"),
+        min(col("day")).as("d_from"),
+        max(col("day")).as("d_to"))
+      .orderBy("split")
+  }
+
+  val EmbargoDays = 7
+}

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+import graft.util.Portable
+
+/** EXACT set-similarity self-join via AllPairs/PPJoin-style prefix
+  * filtering (Bayardo et al., WWW'07; Xiao et al., WWW'08 — public
+  * algorithms, re-derived here for the Spark dataflow).
+  *
+  * The LSH banding path (TextOps.minhashNearDups) is probabilistic: a
+  * near-dup pair can land in no common band and silently vanish. This
+  * operator returns EVERY pair with Jaccard ≥ t — the guarantee a
+  * deletion-compliance or contamination audit needs — while still never
+  * going all-pairs quadratic:
+  *
+  *  1. one document-frequency pass orders the shingle vocabulary from
+  *     rare to common (ties broken lexically so the order is total and
+  *     deterministic);
+  *  2. each document keeps only its PREFIX under that global order —
+  *     the first  m − ⌈t·m⌉ + 1  of its m shingles. For any pair with
+  *     J ≥ t the smallest shared shingle w sits within both prefixes:
+  *     all |∩| ≥ ⌈t·m⌉ intersection shingles rank ≥ pos(w), so
+  *     pos(w) ≤ m − ⌈t·m⌉ + 1 on both sides — no false negatives;
+  *  3. candidates come from an equi-join on the prefix shingle (shuffle
+  *     keyed on the shingle — and prefixes are the RAREST shingles, so
+  *     bucket sizes are small by construction), pruned further by the
+  *     length filter  t·max(|a|,|b|) ≤ min(|a|,|b|)  (J ≥ t forces
+  *     |∩| ≥ t·|∪| ≥ t·max, and |∩| ≤ min);
+  *  4. only surviving candidates pay the exact intersection check.
+  *
+  * Scale: the only corpus-sized shuffles key on (shingle) and (doc_id)
+  * — both high-cardinality and skew-free after the rarity ordering
+  * (a shingle shared by many docs is by definition common, hence almost
+  * never in a prefix at useful thresholds). The df vocabulary pass is a
+  * map-side-combined count. At 100 TB the same plan runs unchanged;
+  * the prefix join inherits VectorOps.withBucketCap if a degenerate
+  * corpus ever makes one prefix shingle hot.
+  */
+object PrefixJoin {
+
+  /** All pairs of documents with shingle-set Jaccard ≥ `threshold`,
+    * exactly (no LSH approximation). Output: (ida, idb, jaccard). */
+  def similarityJoin(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame =
+    similarityJoinOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          array_distinct(TextOps.shingles(col("text"))).as("toks")),
+      threshold)
+
+  /** Core join over pre-tokenized (doc_id, toks) rows — reused by the
+    * spec's brute-force equivalence proof on arbitrary corpora. */
+  private[graft] def similarityJoinOf(docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+
+    // per-doc rank under the global (df asc, tok asc) rarity order, and
+    // the set size m — one window over the doc_id partition
+    val byDoc = Window.partitionBy("doc_id")
+    val ranked = tok.join(dfreq, "tok")
+      .withColumn("pos",
+        row_number().over(byDoc.orderBy(col("df"), col("tok"))))
+      .withColumn("m", count(lit(1)).over(byDoc))
+
+    // prefix length m − ⌈t·m⌉ + 1; ceil() on the Spark side only feeds
+    // candidate GENERATION (a longer prefix is merely slower, never
+    // wrong), so no cross-engine float contract is needed here
+    val prefix = ranked
+      .filter(col("pos") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
+      .select(col("doc_id"), col("tok"), col("m"))
+
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok")
+          && col("a.doc_id") < col("b.doc_id")
+          // length filter: J ≥ t ⟹ min(ma,mb) ≥ t·max(ma,mb)
+          && col("a.m") >= lit(threshold) * col("b.m")
+          && col("b.m") >= lit(threshold) * col("a.m"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .distinct()
+
+    // exact verify: same arithmetic shape as the oracle —
+    // c / (ma + mb − c) in doubles, 6-decimal portable rounding
+    val sets = docs.select(col("doc_id"), col("toks"),
+      size(col("toks")).as("m"))
+    cand
+      .join(sets.select(col("doc_id").as("ida"), col("toks").as("ta"),
+        col("m").as("ma")), "ida")
+      .join(sets.select(col("doc_id").as("idb"), col("toks").as("tb"),
+        col("m").as("mb")), "idb")
+      .withColumn("c",
+        size(array_intersect(col("ta"), col("tb"))).cast("double"))
+      .withColumn("jaccard",
+        col("c") / ((col("ma") + col("mb")).cast("double") - col("c")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("ida"), col("idb"),
+        Portable.val6(col("jaccard")).as("jaccard"))
+      .orderBy("ida", "idb")
+  }
+}

@@ -1722,4 +1722,69 @@ object VectorOps {
         (col("hits").cast("double") / lit(k.toDouble)).as("recall_at_5"))
       .orderBy("query_id")
   }
+
+  /** q203 — label-noise detection by kNN disagreement (the
+    * "confident-learning-lite" audit a supervised corpus runs before
+    * training): a sampled example is SUSPECT when the majority of its
+    * k nearest neighbors carry a different label. Complements q179's
+    * centroid z-score — that flags examples far from their OWN class;
+    * this flags examples deep inside ANOTHER class, which a centroid
+    * distance cannot see (an example can sit close to its class mean
+    * yet be surrounded by foreign neighbors in a multi-modal class).
+    *
+    * Neighbors here are EXACT (the auditable ground truth): the audit
+    * sample (vec_id ≡ 0 mod `sampleMod`) broadcasts against the corpus
+    * scan, ranked by the same portable cosine kernel as q35, with
+    * neighbor_id as the deterministic tiebreak. The majority label
+    * breaks ties toward the SMALLEST label so the verdict is total.
+    *
+    * Scale: cost is |sample| × corpus map work with NO shuffle on the
+    * corpus side (the sample broadcasts); the corpus-sized output fan-in
+    * is the per-query top-k window, keyed on query_id. At 100 TB the
+    * same audit serves from the IVF index (q163's unified handle) and
+    * keeps this brute pass for a held-out calibration slice — the
+    * recall-audit discipline of q186. */
+  def labelNoiseKnn(spark: SparkSession, dir: String,
+      k: Int = 10, sampleMod: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("long").as("label"))
+    val q = e.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        col("label").as("qlabel"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"), col("label").as("nlabel"))
+    val pairs = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("qlabel"), col("neighbor_id"),
+        col("nlabel"), col("qv"), col("cv"))
+      .as[(Long, Long, Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (qi, ql, ni, nl, qv, cv) =>
+        (qi, ql, ni, nl, cosOf(qv, cv))
+      })
+      .toDF("query_id", "qlabel", "neighbor_id", "nlabel", "cos")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    val top = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .localCheckpoint() // two consumers: disagreement + majority vote
+
+    val dis = top.groupBy("query_id", "qlabel")
+      .agg(sum(when(col("nlabel") =!= col("qlabel"), 1L).otherwise(0L))
+        .as("n_disagree"))
+    val mw = Window.partitionBy("query_id")
+      .orderBy(desc("cnt"), asc("nlabel"))
+    val maj = top.groupBy("query_id", "nlabel")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("mr", row_number().over(mw))
+      .filter(col("mr") === 1)
+      .select(col("query_id"), col("nlabel").as("majority_label"))
+
+    dis.join(maj, "query_id")
+      .select(col("query_id"), col("qlabel").as("label"),
+        col("n_disagree"), col("majority_label"),
+        (col("n_disagree") * lit(2L) > lit(k.toLong)).as("suspect"))
+      .orderBy("query_id")
+  }
 }

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Features, Graphs, VectorOps}
+import graft.sources.Tables
+
+/** Round-10 operators (q202–q205): semantics pinned beyond the hash
+  * gate — fold-complement arithmetic of the OOF target encoding, the
+  * kNN label-noise verdict's internal consistency, triangle counts
+  * against an independent naive pass, and the purged split's embargo
+  * gap.
+  */
+class Round10Spec extends SparkSpec {
+  import spark.implicits._
+
+  val dir = sf("sf0.001")
+
+  test("q202: fold complements and smoothing bounds") {
+    val enc = Features.targetEncodeOof(spark, dir).cache()
+    assert(enc.count() == 25) // 5 segments × 5 folds, all populated
+    // Σ_f oof_n(c, f) = (K−1) · N_c  — every fold excluded exactly once
+    val n = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("segment"))
+      .agg(count(lit(1)).as("total"))
+    val sums = enc.groupBy("segment").agg(sum("oof_n").as("s"))
+      .join(n, "segment")
+      .filter($"s" =!= $"total" * 4)
+    assert(sums.count() == 0)
+    // smoothing pulls enc strictly between oof_mean and the prior side:
+    // enc is a convex combination, so it can never escape the hull of
+    // all oof_means and priors — cheap sanity: min/max of enc within
+    // [min(oof_mean), max(oof_mean)] widened by the global mean
+    val (lo, hi) = enc.agg(min("oof_mean"), max("oof_mean"))
+      .as[(Double, Double)].head()
+    assert(enc.filter($"enc" < lo - 1e-6 || $"enc" > hi + 1e-6)
+      .count() == 0)
+    enc.unpersist()
+  }
+
+  test("q203: verdict internal consistency") {
+    val r = VectorOps.labelNoiseKnn(spark, dir).cache()
+    assert(r.filter($"n_disagree" < 0 || $"n_disagree" > 10).count() == 0)
+    // unanimous agreement forces the majority label to be the own label
+    assert(r.filter($"n_disagree" === 0 &&
+      $"majority_label" =!= $"label").count() == 0)
+    // unanimous disagreement forces a foreign majority
+    assert(r.filter($"n_disagree" === 10 &&
+      $"majority_label" === $"label").count() == 0)
+    // suspect ⟺ strict majority foreign
+    assert(r.filter(($"n_disagree" * 2 > 10) =!= $"suspect").count() == 0)
+    r.unpersist()
+  }
+
+  test("q204: oriented count ≡ naive three-way join; cc bounds") {
+    val all = Graphs.triangleStatsAll(spark, dir).cache()
+    assert(all.filter($"local_cc" < 0.0 || $"local_cc" > 1.0).count() == 0)
+    // per-vertex counts sum to 3 × (naive id-ordered triangle count)
+    val baskets = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val e = baskets.as("a").join(baskets.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" < $"b.pk")
+      .select($"a.pk".as("u"), $"b.pk".as("v")).distinct().cache()
+    val naive = e.as("e1")
+      .join(e.as("e2"), $"e2.u" === $"e1.v")
+      .join(e.as("e3"), $"e3.u" === $"e1.u" && $"e3.v" === $"e2.v")
+      .count()
+    val got = all.agg(sum("n_triangles")).as[Long].head()
+    assert(got == 3 * naive, s"sum=$got naive=$naive")
+    e.unpersist(); all.unpersist()
+  }
+
+  test("q205: splits partition orders; embargo gap holds") {
+    val s = Features.purgedTemporalSplit(spark, dir).cache()
+    val total = Tables.orders(spark, dir).count()
+    assert(s.agg(sum("n_orders")).as[Long].head() == total)
+    val m = s.select($"split", $"d_from", $"d_to")
+      .as[(String, java.sql.Date, java.sql.Date)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    for {
+      (a, b) <- Seq("1_train" -> "2_val", "2_val" -> "3_test")
+      if m.contains(a) && m.contains(b)
+    } {
+      val gapDays = (m(b)._1.toLocalDate.toEpochDay
+        - m(a)._2.toLocalDate.toEpochDay)
+      val want = if (a == "1_train" || a == "2_val") 8 else 1
+      assert(gapDays >= want, s"$a→$b gap $gapDays")
+    }
+    s.unpersist()
+  }
+}
