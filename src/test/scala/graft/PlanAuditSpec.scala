@@ -45,7 +45,15 @@ class PlanAuditSpec extends SparkSpec {
     "q98_ri_audit", "q97_media_meta", "q39_kpis", "q20_dq_metrics",
     "q90_cond_bitwise", "q82_moments", "q73_incremental_agg",
     "q200_release_manifest", // cross joins of 1-row stage finals
-    "q59_salted_agg", "q118_hll_distinct", "q119_approx_quantiles")
+    "q59_salted_agg", "q118_hll_distinct", "q119_approx_quantiles",
+    // q203's pair stage is the q35 broadcast-QUERY scorer (the ≤25%
+    // audit sample broadcasts, corpus streams); its eager
+    // localCheckpoint truncates the published plan BEFORE that stage,
+    // so the audit only sees it if the checkpoint is ever removed —
+    // sanctioned here so removing the checkpoint stays a non-event
+    "q203_label_noise",
+    "q202_target_encoding",  // cross join of the 1-row grand total
+    "q205_purged_split")     // cross join of the 1-row date bounds
 
   // reviewed single-partition sites: global scalar finals + windows
   // over aggregate-grain frames (input cardinality is bounded by the
@@ -70,7 +78,9 @@ class PlanAuditSpec extends SparkSpec {
     // PSI windows over the ≤16-row clamped-bucket histogram (the
     // constant event_type literal folds the partitioning to single);
     // input is the reduced grain, never the corpus
-    "q195_embedding_drift")
+    "q195_embedding_drift",
+    "q202_target_encoding",   // grand total: 1-row final over 25 groups
+    "q205_purged_split")      // date bounds: 1-row global min/max final
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is
