@@ -256,6 +256,8 @@ object SparkEntry {
     "q204_triangle_stats" -> ((s, d) => Graphs.triangleStats(s, d)),
     "q205_purged_split" -> ((s, d) => Features.purgedTemporalSplit(s, d)),
     "q206_bpe_train" -> ((s, d) => operators.BpeTrain.bpeMerges(s, d)),
+    "q207_bpe_apply" -> ((s, d) => operators.BpeTrain.bpeApply(s, d)),
+    "q208_k_anonymity" -> ((s, d) => Features.kAnonymity(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -304,9 +306,11 @@ object SparkEntry {
 
   /** Generated CTE chain mirroring [[graft.operators.BpeTrain]]: one
     * chain link per merge round (pair counts → argmax → positional
-    * rebuild), unioned per-round stat rows at the end. */
-  private val bpeTrainSql: String = {
-    val iters = 8
+    * rebuild). Shared by q206 (per-round stats) and q207 (the apply
+    * pass over the final vocabulary v8). */
+  private val bpeIters = 8
+  private val bpeCtes: String = {
+    val iters = bpeIters
     val v0 =
       """v0 AS (
         |  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -337,14 +341,18 @@ object SparkEntry {
          |      ELSE syms[j] END), x -> x IS NOT NULL) AS syms
          |  FROM v$p CROSS JOIN b$i b)""".stripMargin
     }
-    val stats = (1 to iters).map { i =>
+    (v0 +: rounds).mkString(",\n")
+  }
+
+  private val bpeTrainSql: String = {
+    val stats = (1 to bpeIters).map { i =>
       s"""SELECT CAST($i AS INT) AS iteration, b.l AS left_sym,
          |  b.r AS right_sym, b.cnt AS n_sites,
          |  (SELECT CAST(COUNT(DISTINCT s) AS BIGINT)
          |   FROM v$i, UNNEST(syms) t(s)) AS vocab_size
          |FROM b$i b""".stripMargin
     }
-    (v0 +: rounds).mkString("WITH ", ",\n", "\n") +
+    s"WITH $bpeCtes\n" +
       stats.mkString("\nUNION ALL\n") + "\nORDER BY iteration"
   }
 
@@ -2035,12 +2043,53 @@ object SparkEntry {
         |FROM s GROUP BY 1
         |ORDER BY split NULLS FIRST""".stripMargin,
 
-    // q206: BPE merge training — the oracle replays all `BpeIters`
-    // greedy rounds as a generated CTE chain: pair counts over the
-    // weighted word vocabulary, (cnt DESC, l, r) argmax, positional
+    // q206: BPE merge training — the oracle replays all greedy rounds
+    // as a generated CTE chain: pair counts over the weighted word
+    // vocabulary, (cnt DESC, l, r) argmax, positional
     // leftmost-non-overlap rebuild (unambiguous because self-pairs are
     // excluded from candidacy).
     "q206_bpe_train" -> bpeTrainSql,
+
+    // q207: the apply pass — word occurrences join the final segmented
+    // vocabulary (v8 of the same CTE chain); per-language integer
+    // volume sums and the chars-per-piece ratio.
+    "q207_bpe_apply" ->
+      s"""WITH $bpeCtes,
+         |w AS (SELECT lang, UNNEST(string_split(text, ' ')) AS word
+         |  FROM documents),
+         |a AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |    CAST(SUM(len(w.word)) AS BIGINT) AS n_chars,
+         |    CAST(SUM(len(v.syms)) AS BIGINT) AS n_pieces
+         |  FROM w JOIN v$bpeIters v ON w.word = v.word
+         |  WHERE w.word <> ''
+         |  GROUP BY 1)
+         |SELECT lang, n_words, n_chars, n_pieces,
+         |  ${val6("CAST(n_chars AS DOUBLE) / CAST(n_pieces AS DOUBLE)")}
+         |    AS chars_per_piece
+         |FROM a ORDER BY lang NULLS FIRST""".stripMargin,
+
+    // q208: k-anonymity card — QI-group sizes from one aggregation,
+    // policy stats re-aggregated from the group grain.
+    "q208_k_anonymity" ->
+      """WITH g AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_bucket,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM customer GROUP BY 1, 2, 3)
+        |SELECT CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(COUNT(*) AS BIGINT) AS n_groups,
+        |  CAST(MIN(n) AS BIGINT) AS k_anonymity,
+        |  CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+        |    AS n_rows_below_k,
+        |  CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_groups_below_k,
+        |  CAST(FLOOR(CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END)
+        |      AS DOUBLE) / CAST(SUM(n) AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+        |    AS suppression_rate,
+        |  CAST(FLOOR(CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+        |    AS avg_group_size
+        |FROM g""".stripMargin,
 
     // q195: embedding drift — q169's PSI arithmetic over q185's
     // projections, label<5 vs label>=5 populations, clamped

@@ -41,10 +41,50 @@ object BpeTrain {
       iters: Int = 8): DataFrame =
     bpeMergesFrom(Tables.documents(spark, dir), iters)
 
+  /** q207 — APPLY the trained merges back to the corpus: per language,
+    * word/char/piece volumes and the chars-per-piece compression ratio
+    * — the number a tokenizer ships with (how many symbols a model
+    * actually pays per character of text). Train and apply share one
+    * loop; the application itself is a word-grain join (the segmented
+    * vocabulary maps back onto token occurrences — the q183 discipline:
+    * never re-segment per occurrence), then integer reductions at
+    * language grain. */
+  def bpeApply(spark: SparkSession, dir: String,
+      iters: Int = 8): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val (vocab, _) = trainLoop(docs, iters)
+    val pieces = vocab.select(col("word"),
+      size(col("syms")).cast("long").as("n_pieces"))
+    docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(pieces, "word")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("word")).cast("long")).as("n_chars"),
+        sum(col("n_pieces")).as("n_pieces"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_pieces"),
+        graft.util.Portable.val6(
+          col("n_chars").cast("double") / col("n_pieces").cast("double"))
+          .as("chars_per_piece"))
+      .orderBy("lang")
+  }
+
   /** Core trainer over any corpus with a `text` column — reused by the
     * spec's hand-computed merge-sequence proof. */
   private[graft] def bpeMergesFrom(docs: DataFrame,
       iters: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (_, out) = trainLoop(docs, iters)
+    out.toDF("iteration", "left_sym", "right_sym", "n_sites", "vocab_size")
+      .orderBy("iteration")
+  }
+
+  /** The greedy loop: returns (final segmented vocabulary, per-round
+    * merge stats). */
+  private def trainLoop(docs: DataFrame,
+      iters: Int): (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
     val spark = docs.sparkSession
     import spark.implicits._
 
@@ -96,8 +136,6 @@ object BpeTrain {
         vocab.select(explode(col("syms")).as("s")).distinct().count()
       out += ((it, l0, r0, cnt, vocabSize))
     }
-    out.toSeq
-      .toDF("iteration", "left_sym", "right_sym", "n_sites", "vocab_size")
-      .orderBy("iteration")
+    (vocab, out.toSeq)
   }
 }

@@ -132,4 +132,41 @@ object Features {
   }
 
   val EmbargoDays = 7
+
+  /** q208 — k-anonymity audit over quasi-identifiers (Sweeney's
+    * re-identification model — public literature): a table is
+    * k-anonymous when every combination of quasi-identifier values
+    * (here nation × market segment × balance bracket) is shared by at
+    * least k rows; rows in smaller groups are re-identifiable and a
+    * release policy must suppress or generalize them. The card reports
+    * the achieved k, the suppression volume at the policy threshold,
+    * and the group-size shape — the privacy gate a training-data
+    * release runs next to the PII redaction pass (q137).
+    *
+    * Scale: ONE map-side-combined aggregation reduces the corpus to
+    * QI-group grain; every reported statistic re-aggregates that grain
+    * to a single row. No joins, no windows, no sort.
+    */
+  def kAnonymity(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val qi = Tables.customer(spark, dir)
+      .select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / lit(1000.0)).cast("long").as("bal_bucket"))
+    val g = qi.groupBy("c_nationkey", "c_mktsegment", "bal_bucket")
+      .agg(count(lit(1)).as("n"))
+    g.agg(
+        sum("n").as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min("n").as("k_anonymity"),
+        sum(when(col("n") < k, col("n")).otherwise(lit(0L)))
+          .as("n_rows_below_k"),
+        sum(when(col("n") < k, 1L).otherwise(lit(0L)))
+          .as("n_groups_below_k"))
+      .select(col("n_rows"), col("n_groups"), col("k_anonymity"),
+        col("n_rows_below_k"), col("n_groups_below_k"),
+        Portable.val6(col("n_rows_below_k").cast("double")
+          / col("n_rows").cast("double")).as("suppression_rate"),
+        Portable.val6(col("n_rows").cast("double")
+          / col("n_groups").cast("double")).as("avg_group_size"))
+  }
 }

@@ -80,7 +80,8 @@ class PlanAuditSpec extends SparkSpec {
     // input is the reduced grain, never the corpus
     "q195_embedding_drift",
     "q202_target_encoding",   // grand total: 1-row final over 25 groups
-    "q205_purged_split")      // date bounds: 1-row global min/max final
+    "q205_purged_split",      // date bounds: 1-row global min/max final
+    "q208_k_anonymity")       // 1-row card final over the QI-group grain
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is

@@ -72,6 +72,37 @@ class Round10Spec extends SparkSpec {
     e.unpersist(); all.unpersist()
   }
 
+  test("q207: apply-pass accounting and compression direction") {
+    val a = graft.operators.BpeTrain.bpeApply(spark, dir).cache()
+    // each word costs at least one piece and at most its chars
+    assert(a.filter($"n_pieces" > $"n_chars").count() == 0)
+    assert(a.filter($"n_pieces" < $"n_words").count() == 0)
+    assert(a.filter($"chars_per_piece" < 1.0).count() == 0)
+    // word accounting reconciles with the raw corpus
+    val words = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("w"))
+      .filter($"w" =!= "").count()
+    assert(a.agg(sum("n_words")).as[Long].head() == words)
+    // zero merges ⟹ every piece is a single char ⟹ ratio exactly 1;
+    // 8 merges must strictly compress somewhere
+    val a0 = graft.operators.BpeTrain.bpeApply(spark, dir, iters = 0)
+    assert(a0.filter($"chars_per_piece" =!= 1.0).count() == 0)
+    assert(a.filter($"chars_per_piece" > 1.0).count() > 0)
+    a.unpersist()
+  }
+
+  test("q208: k-anonymity accounting") {
+    val r = Features.kAnonymity(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].head()
+    val (nRows, nGroups, k, rowsBelow, groupsBelow, rate, avg) = r
+    assert(nRows == Tables.customer(spark, dir).count())
+    assert(k >= 1 && nGroups >= 1 && groupsBelow <= nGroups)
+    assert(rowsBelow <= nRows && rate >= 0.0 && rate <= 1.0)
+    assert(avg >= 1.0)
+    // rows in sub-k groups are at most (k−1) · groupsBelow
+    assert(rowsBelow <= 4 * groupsBelow)
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
