@@ -258,6 +258,7 @@ object SparkEntry {
     "q206_bpe_train" -> ((s, d) => operators.BpeTrain.bpeMerges(s, d)),
     "q207_bpe_apply" -> ((s, d) => operators.BpeTrain.bpeApply(s, d)),
     "q208_k_anonymity" -> ((s, d) => Features.kAnonymity(s, d)),
+    "q209_containment_join" -> ((s, d) => PrefixJoin.containmentJoin(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2090,6 +2091,30 @@ object SparkEntry {
         |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
         |    AS avg_group_size
         |FROM g""".stripMargin,
+
+    // q209: exact containment join — the oracle is the relational
+    // exact form (eval-side shingles joined against the full corpus
+    // index); Spark reaches the identical pair set through the
+    // one-sided prefix + positional filters.
+    "q209_containment_join" ->
+      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |s AS (SELECT doc_id, list_distinct($shingleExpr) AS shs FROM d),
+         |ta AS (SELECT doc_id, UNNEST(shs) AS tok FROM s
+         |  WHERE doc_id % 25 = 0),
+         |sa AS (SELECT doc_id, len(shs) AS m FROM s
+         |  WHERE doc_id % 25 = 0),
+         |tb AS (SELECT doc_id, UNNEST(shs) AS tok FROM s),
+         |ov AS (SELECT a.doc_id AS eval_id, b.doc_id AS doc_id,
+         |    CAST(COUNT(*) AS DOUBLE) AS c
+         |  FROM ta a JOIN tb b ON a.tok = b.tok
+         |    AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |j AS (SELECT eval_id, ov.doc_id, c / sa.m AS cont
+         |  FROM ov JOIN sa ON ov.eval_id = sa.doc_id)
+         |SELECT eval_id, doc_id, ${val6("cont")} AS containment
+         |FROM j WHERE cont >= 0.5
+         |ORDER BY eval_id NULLS FIRST, doc_id NULLS FIRST""".stripMargin,
 
     // q195: embedding drift — q169's PSI arithmetic over q185's
     // projections, label<5 vs label>=5 populations, clamped

@@ -63,6 +63,80 @@ object PrefixJoin {
     similarityJoinOf(docs, threshold)
   }
 
+  /** q209 — exact CONTAINMENT join: every (eval doc, corpus doc) pair
+    * where ≥ `threshold` of the eval doc's shingles appear in the
+    * corpus doc, C(A→B) = |A∩B| / |A|. The asymmetric complement of
+    * [[similarityJoin]]: a 200-token eval question quoted inside a
+    * 5 000-token web page has near-zero Jaccard but containment ≈ 1 —
+    * the decontamination case symmetric measures (and q142's
+    * whole-fingerprint rule) structurally miss.
+    *
+    * Same AllPairs machinery, adapted to the one-sided bound: only the
+    * EVAL side gets a prefix (α = ⌈t·|A|⌉ depends on |A| alone, so B
+    * admits no safe prefix and indexes ALL its shingles — the standard
+    * containment-join asymmetry); both sides keep rarity positions, and
+    * the first-shared-token positional bound
+    * 1 + min(|A|−pA, |B|−pB) ≥ t·|A| prunes before the verify. The
+    * eval registry is a fixed sliver ([[TextOps.EvalMod]]), so the
+    * prefix side is small by construction and the candidate join keys
+    * on its rarest shingles. */
+  def containmentJoin(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    import spark.implicits._
+    containmentJoinOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions(_.map { case (id, t) =>
+          (id, TextOps.shinglesOf(t).distinct)
+        })
+        .toDF("doc_id", "toks"),
+      threshold)
+  }
+
+  /** Core containment join over (doc_id, toks) rows; the eval side is
+    * the [[TextOps.EvalMod]] registry sliver. Reused by the spec's
+    * brute-force equivalence proof. */
+  private[graft] def containmentJoinOf(docs0: DataFrame,
+      threshold: Double): DataFrame = {
+    val docs = docs0.localCheckpoint() // token stream + both verify sides
+
+    val tok = docs.select(col("doc_id"), size(col("toks")).as("m"),
+      explode(col("toks")).as("tok"))
+    val dfreq = tok.groupBy("tok").agg(count(lit(1)).as("df"))
+    val ranked = tok.join(dfreq, "tok")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("doc_id").orderBy(col("df"), col("tok"))))
+      .localCheckpoint() // consumed by the A-prefix and the full B index
+
+    val prefixA = ranked
+      .filter(pmod(col("doc_id"), lit(TextOps.EvalMod.toLong)) === 0)
+      .filter(col("pos") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
+    val cand = prefixA.as("a")
+      .join(ranked.as("b"),
+        col("a.tok") === col("b.tok")
+          && col("a.doc_id") =!= col("b.doc_id")
+          // first-shared-token positional bound, float-safe slack
+          && lit(1) + least(col("a.m") - col("a.pos"),
+               col("b.m") - col("b.pos"))
+             >= lit(threshold) * col("a.m") - lit(1e-9))
+      .select(col("a.doc_id").as("eval_id"), col("b.doc_id").as("doc_id"))
+      .distinct()
+
+    val sets = docs.select(col("doc_id"), col("toks"),
+      size(col("toks")).as("m"))
+    cand
+      .join(sets.select(col("doc_id").as("eval_id"), col("toks").as("ta"),
+        col("m").as("ma")), "eval_id")
+      .join(sets.select(col("doc_id"), col("toks").as("tb")), "doc_id")
+      .withColumn("c",
+        size(array_intersect(col("ta"), col("tb"))).cast("double"))
+      .withColumn("containment", col("c") / col("ma"))
+      .filter(col("containment") >= threshold)
+      .select(col("eval_id"), col("doc_id"),
+        Portable.val6(col("containment")).as("containment"))
+      .orderBy("eval_id", "doc_id")
+  }
+
   /** Core join over pre-tokenized (doc_id, toks) rows — reused by the
     * spec's brute-force equivalence proof on arbitrary corpora. */
   private[graft] def similarityJoinOf(docs0: DataFrame,

@@ -77,6 +77,49 @@ class PrefixJoinSpec extends SparkSpec {
     docs.unpersist()
   }
 
+  private def bruteContain(docs: DataFrame, t: Double): Set[(Long, Long)] = {
+    val a = docs.filter(pmod(col("doc_id"), lit(25L)) === 0)
+      .select(col("doc_id").as("eval_id"), col("toks").as("ta"))
+    val b = docs.select(col("doc_id"), col("toks").as("tb"))
+    a.join(b, col("eval_id") =!= col("doc_id"))
+      .withColumn("c", size(array_intersect($"ta", $"tb")).cast("double"))
+      .withColumn("cont", $"c" / size($"ta"))
+      .filter($"cont" >= t)
+      .select("eval_id", "doc_id").as[(Long, Long)].collect().toSet
+  }
+
+  private def prefixContain(docs: DataFrame, t: Double): Set[(Long, Long)] =
+    PrefixJoin.containmentJoinOf(docs, t)
+      .select("eval_id", "doc_id").as[(Long, Long)].collect().toSet
+
+  test("containment join ≡ brute force on the fixture corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf("sf0.001"))
+      .select(col("doc_id"),
+        array_distinct(graft.operators.TextOps.shingles(col("text")))
+          .as("toks"))
+      .cache()
+    for (t <- Seq(0.3, 0.5, 0.8))
+      assert(prefixContain(docs, t) == bruteContain(docs, t),
+        s"threshold $t")
+    docs.unpersist()
+  }
+
+  test("containment catches a quote Jaccard misses") {
+    // eval doc 25 = 6 shingle-tokens, fully quoted inside a 60-token
+    // page: containment 1.0, Jaccard 0.1
+    val quote = Array("q1", "q2", "q3", "q4", "q5", "q6")
+    val page = quote ++ (1 to 54).map(i => s"p$i")
+    val noise = (1 to 40).map(i => s"n$i").toArray
+    val docs = Seq(
+      (25L, quote), (1L, page), (2L, noise)).toDF("doc_id", "toks").cache()
+    assert(prefixContain(docs, 0.9) == Set((25L, 1L)))
+    assert(prefixContain(docs, 0.9) == bruteContain(docs, 0.9))
+    // the symmetric join would reject it: J = 6/60 = 0.1
+    assert(PrefixJoin.similarityJoinOf(docs, 0.5)
+      .filter($"ida" === 1L || $"idb" === 1L).count() == 0)
+    docs.unpersist()
+  }
+
   test("plan has no cartesian product and candidates join on the token") {
     val df = PrefixJoin.similarityJoin(spark, sf("sf0.001"))
     val phys = df.queryExecution.executedPlan.toString
