@@ -259,6 +259,8 @@ object SparkEntry {
     "q207_bpe_apply" -> ((s, d) => operators.BpeTrain.bpeApply(s, d)),
     "q208_k_anonymity" -> ((s, d) => Features.kAnonymity(s, d)),
     "q209_containment_join" -> ((s, d) => PrefixJoin.containmentJoin(s, d)),
+    "q210_dedup_weights" -> ((s, d) => TextOps.dedupWeights(s, d)),
+    "q211_bigram_lm" -> ((s, d) => TextOps.bigramLmScore(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2115,6 +2117,71 @@ object SparkEntry {
          |SELECT eval_id, doc_id, ${val6("cont")} AS containment
          |FROM j WHERE cont >= 0.5
          |ORDER BY eval_id NULLS FIRST, doc_id NULLS FIRST""".stripMargin,
+
+    // q210: dedup-aware sampling weights — rides the q65 closure;
+    // per-doc effective mass micro-floor-scales before the source sums.
+    "q210_dedup_weights" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT ida AS s, idb AS d FROM pairs
+         |  UNION SELECT idb, ida FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.id, e.d FROM reach w JOIN edges e ON w.r = e.s),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+         |  FROM reach GROUP BY id),
+         |cl AS (SELECT doc.doc_id,
+         |    COUNT(*) OVER (PARTITION BY
+         |      COALESCE(c.component, doc.doc_id)) AS cluster_size
+         |  FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id),
+         |dw AS (SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |xw AS (SELECT dw.source, dw.n_tokens, cl.cluster_size,
+         |    CAST(FLOOR(CAST(dw.n_tokens AS DOUBLE) * 1000000.0
+         |      / CAST(cl.cluster_size AS DOUBLE)) AS BIGINT) AS eff6
+         |  FROM dw JOIN cl ON dw.doc_id = cl.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dup_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS raw_tokens,
+         |  ${val6("CAST(SUM(eff6) AS DOUBLE) / 1000000.0")}
+         |    AS effective_tokens,
+         |  ${val6("CAST(SUM(n_tokens) AS DOUBLE) / " +
+             "(CAST(SUM(eff6) AS DOUBLE) / 1000000.0)")} AS inflation
+         |FROM xw GROUP BY 1
+         |ORDER BY source NULLS FIRST""".stripMargin,
+
+    // q211: bigram LM — ln once per distinct bigram, nano-floor-scaled
+    // before the per-doc integer sums (the q178 discipline).
+    "q211_bigram_lm" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+         |    SELECT doc_id, UNNEST(list_transform(range(1, len(ws)),
+         |      i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS p
+         |    FROM w WHERE len(ws) >= 2)),
+         |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |  FROM bg GROUP BY 1, 2),
+         |cc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1
+         |  FROM bg GROUP BY 1),
+         |vv AS (SELECT CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM (
+         |  SELECT UNNEST(string_split(text, ' ')) AS t FROM documents)),
+         |lp AS (SELECT w1, w2,
+         |    CAST(FLOOR(ln(CAST(c12 + 1 AS DOUBLE)
+         |      / CAST(c1 + v AS DOUBLE))
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS lp9
+         |  FROM bc JOIN cc USING (w1) CROSS JOIN vv),
+         |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(lp9) AS BIGINT) AS slp9
+         |  FROM bg JOIN lp USING (w1, w2)
+         |  WHERE doc_id < 100 GROUP BY 1),
+         |f AS (SELECT doc_id, n_bigrams,
+         |    -(CAST(slp9 AS DOUBLE) / 1000000000.0) / n_bigrams
+         |      AS nll FROM s)
+         |SELECT doc_id, n_bigrams, ${val6("nll")} AS nll_nats,
+         |  nll <= 7.0 AS keep
+         |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin,
 
     // q195: embedding drift — q169's PSI arithmetic over q185's
     // projections, label<5 vs label>=5 populations, clamped

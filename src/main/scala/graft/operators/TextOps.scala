@@ -1580,4 +1580,94 @@ object TextOps {
           .as("fertility"))
       .orderBy("doc_id")
   }
+
+  /** q210 — dedup-aware sampling weights at source grain: instead of
+    * DROPPING near-duplicates (q159's retention policy), weight every
+    * copy by 1/cluster_size so a document's content carries the same
+    * total sampling mass however many times it was crawled — the
+    * soft-dedup mixture correction (the public alternative to hard
+    * removal when near-dups carry distinct metadata). Reports, per
+    * source, raw vs EFFECTIVE token volume and the duplication
+    * inflation the mixture planner must divide out.
+    *
+    * Determinism: per-doc effective mass tokens/cluster_size is a
+    * rational — floor-scaled to micro-units per doc (one IEEE divide +
+    * floor, identical in both engines), then summed as integers.
+    * Scale: rides the q65 closure the dedup pass already ran; the scan
+    * side is one map + source-grain reduce. */
+  def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = Graphs.dedupClusters(spark, dir)
+      .select(col("doc_id"), col("cluster_size"))
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+    d.join(clusters, "doc_id")
+      .withColumn("eff6",
+        floor(col("n_tokens").cast("double") * lit(1000000.0)
+          / col("cluster_size").cast("double")).cast("long"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L))
+          .as("n_dup_docs"),
+        sum("n_tokens").as("raw_tokens"),
+        sum("eff6").as("eff6"))
+      .select(col("source"), col("n_docs"), col("n_dup_docs"),
+        col("raw_tokens"),
+        graft.util.Portable.val6(
+          col("eff6").cast("double") / lit(1000000.0))
+          .as("effective_tokens"),
+        graft.util.Portable.val6(
+          col("raw_tokens").cast("double")
+            / (col("eff6").cast("double") / lit(1000000.0)))
+          .as("inflation"))
+      .orderBy("source")
+  }
+
+  /** q211 — bigram language-model scoring (add-one smoothing), the
+    * fluency filter one step up from q178's unigram LM: a doc of
+    * common words in an impossible ORDER scores fine under unigrams
+    * but poorly here — word-salad detection. P(w2|w1) =
+    * (c(w1,w2)+1) / (c(w1·)+V); per-doc mean negative log-likelihood
+    * over its bigram occurrences.
+    *
+    * The ln runs once per DISTINCT bigram (vocabulary²-bounded, in
+    * practice Heaps-sublinear) and is nano-floor-scaled BEFORE the
+    * per-doc integer sums — the q110/q178 transcendental discipline.
+    * Counts are corpus-wide; the scored side prunes to the reporting
+    * shard before the join. Scale: two vocabulary-grain aggregates +
+    * one join keyed on the bigram; at 100 TB the bigram table is the
+    * stored LM artifact (q196's posting discipline). */
+  def bigramLmScore(spark: SparkSession, dir: String,
+      maxDocId: Long = 100, cutNats: Double = 7.0): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bg = w.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      .localCheckpoint() // counts (2 aggs) + the scored occurrences
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cc = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .agg(countDistinct("t")).collect()(0).getLong(0)
+    val lp = bc.join(cc, "w1")
+      .select(col("w1"), col("w2"),
+        floor(log((col("c12") + 1).cast("double")
+          / (col("c1") + lit(v)).cast("double"))
+          * lit(1000000000.0) + lit(0.5)).cast("long").as("lp9"))
+    bg.filter(col("doc_id") < maxDocId)
+      .join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp9").as("slp9"))
+      .withColumn("nll_nats",
+        -(col("slp9").cast("double") / lit(1000000000.0))
+          / col("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.util.Portable.val6(col("nll_nats")).as("nll_nats"),
+        (col("nll_nats") <= cutNats).as("keep"))
+      .orderBy("doc_id")
+  }
 }

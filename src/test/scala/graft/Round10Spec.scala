@@ -103,6 +103,36 @@ class Round10Spec extends SparkSpec {
     assert(rowsBelow <= 4 * groupsBelow)
   }
 
+  test("q210: effective mass bounded by raw; singleton sources unscaled") {
+    val r = graft.operators.TextOps.dedupWeights(spark, dir).cache()
+    assert(r.agg(sum("n_docs")).as[Long].head() ==
+      Tables.documents(spark, dir).count())
+    assert(r.filter($"effective_tokens" > $"raw_tokens" + 1e-6).count() == 0)
+    assert(r.filter($"inflation" < 1.0 - 1e-9).count() == 0)
+    // a source with no dup member keeps its full mass (up to the
+    // micro-floor, one millionth per doc)
+    val clean = r.filter($"n_dup_docs" === 0)
+    assert(clean.filter(
+      $"raw_tokens" - $"effective_tokens" > $"n_docs" * 1e-6 + 1e-9)
+      .count() == 0)
+    r.unpersist()
+  }
+
+  test("q211: bigram scores positive; dup docs score identically") {
+    val r = graft.operators.TextOps.bigramLmScore(spark, dir).cache()
+    assert(r.filter($"nll_nats" <= 0.0).count() == 0)
+    assert(r.filter(($"nll_nats" <= 7.0) =!= $"keep").count() == 0)
+    // exact-duplicate texts must land on the identical score
+    val dup = Tables.documents(spark, dir).filter($"doc_id" < 100)
+      .groupBy("text").agg(collect_list("doc_id").as("ids"))
+      .filter(size($"ids") > 1)
+      .select(explode($"ids").as("doc_id"), md5($"text").as("h"))
+    val per = dup.join(r, "doc_id")
+      .groupBy("h").agg(countDistinct("nll_nats").as("nv"))
+    assert(per.filter($"nv" =!= 1).count() == 0)
+    r.unpersist()
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
