@@ -261,6 +261,8 @@ object SparkEntry {
     "q209_containment_join" -> ((s, d) => PrefixJoin.containmentJoin(s, d)),
     "q210_dedup_weights" -> ((s, d) => TextOps.dedupWeights(s, d)),
     "q211_bigram_lm" -> ((s, d) => TextOps.bigramLmScore(s, d)),
+    "q212_streaming_decontaminate" ->
+      ((s, d) => graft.streaming.StreamingDecontam.containmentStream(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -358,6 +360,28 @@ object SparkEntry {
     s"WITH $bpeCtes\n" +
       stats.mkString("\nUNION ALL\n") + "\nORDER BY iteration"
   }
+
+  /** Relational exact containment (shared by q209's batch join and
+    * q212's drained streaming monitor — one contract, two run modes). */
+  private lazy val containmentOracle: String =
+    s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |s AS (SELECT doc_id, list_distinct($shingleExpr) AS shs FROM d),
+       |ta AS (SELECT doc_id, UNNEST(shs) AS tok FROM s
+       |  WHERE doc_id % 25 = 0),
+       |sa AS (SELECT doc_id, len(shs) AS m FROM s
+       |  WHERE doc_id % 25 = 0),
+       |tb AS (SELECT doc_id, UNNEST(shs) AS tok FROM s),
+       |ov AS (SELECT a.doc_id AS eval_id, b.doc_id AS doc_id,
+       |    CAST(COUNT(*) AS DOUBLE) AS c
+       |  FROM ta a JOIN tb b ON a.tok = b.tok
+       |    AND a.doc_id <> b.doc_id
+       |  GROUP BY 1, 2),
+       |j AS (SELECT eval_id, ov.doc_id, c / sa.m AS cont
+       |  FROM ov JOIN sa ON ov.eval_id = sa.doc_id)
+       |SELECT eval_id, doc_id, ${val6("cont")} AS containment
+       |FROM j WHERE cont >= 0.5
+       |ORDER BY eval_id NULLS FIRST, doc_id NULLS FIRST""".stripMargin
 
   /** DuckDB mirror of TextOps.shingles over `text` and `ws` columns. */
   private val shingleExpr =
@@ -2097,26 +2121,11 @@ object SparkEntry {
     // q209: exact containment join — the oracle is the relational
     // exact form (eval-side shingles joined against the full corpus
     // index); Spark reaches the identical pair set through the
-    // one-sided prefix + positional filters.
-    "q209_containment_join" ->
-      s"""WITH d AS (SELECT doc_id, text, string_split(text, ' ') AS ws
-         |  FROM documents),
-         |s AS (SELECT doc_id, list_distinct($shingleExpr) AS shs FROM d),
-         |ta AS (SELECT doc_id, UNNEST(shs) AS tok FROM s
-         |  WHERE doc_id % 25 = 0),
-         |sa AS (SELECT doc_id, len(shs) AS m FROM s
-         |  WHERE doc_id % 25 = 0),
-         |tb AS (SELECT doc_id, UNNEST(shs) AS tok FROM s),
-         |ov AS (SELECT a.doc_id AS eval_id, b.doc_id AS doc_id,
-         |    CAST(COUNT(*) AS DOUBLE) AS c
-         |  FROM ta a JOIN tb b ON a.tok = b.tok
-         |    AND a.doc_id <> b.doc_id
-         |  GROUP BY 1, 2),
-         |j AS (SELECT eval_id, ov.doc_id, c / sa.m AS cont
-         |  FROM ov JOIN sa ON ov.eval_id = sa.doc_id)
-         |SELECT eval_id, doc_id, ${val6("cont")} AS containment
-         |FROM j WHERE cont >= 0.5
-         |ORDER BY eval_id NULLS FIRST, doc_id NULLS FIRST""".stripMargin,
+    // one-sided prefix + positional filters. q212 drains the same
+    // contract from the ingest-side streaming monitor.
+    "q209_containment_join" -> containmentOracle,
+
+    "q212_streaming_decontaminate" -> containmentOracle,
 
     // q210: dedup-aware sampling weights — rides the q65 closure;
     // per-doc effective mass micro-floor-scales before the source sums.

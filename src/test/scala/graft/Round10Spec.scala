@@ -133,6 +133,21 @@ class Round10Spec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q212: drained streaming monitor ≡ batch containment join") {
+    val streamed = graft.streaming.StreamingDecontam
+      .containmentStream(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    val batch = graft.operators.PrefixJoin.containmentJoin(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(streamed == batch)
+    // the landing really was sliced: the monitor processed >1 batch
+    val land = graft.streaming.FixtureStaging.stageOnce("decon-split",
+      sf("sf0.001") + "/documents.parquet", "/tmp/graft-decon")(_ => ())
+    val n = new java.io.File(land).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(n == 4, s"staged $n slices")
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
