@@ -263,6 +263,8 @@ object SparkEntry {
     "q211_bigram_lm" -> ((s, d) => TextOps.bigramLmScore(s, d)),
     "q212_streaming_decontaminate" ->
       ((s, d) => graft.streaming.StreamingDecontam.containmentStream(s, d)),
+    "q213_curriculum" -> ((s, d) => TextOps.curriculumStages(s, d)),
+    "q214_cross_source_dups" -> ((s, d) => TextOps.crossSourceDups(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2126,6 +2128,48 @@ object SparkEntry {
     "q209_containment_join" -> containmentOracle,
 
     "q212_streaming_decontaminate" -> containmentOracle,
+
+    // q213: curriculum staging — q178's difficulty integers, NTILE
+    // quartiles over the (difficulty, doc_id) total order; Spark's
+    // closed-form stage from the two-phase rank must match NTILE.
+    "q213_curriculum" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents),
+         |vocab AS (SELECT t, COUNT(*) AS c FROM tok GROUP BY 1),
+         |tot AS (SELECT (SELECT COUNT(*) FROM tok) AS n,
+         |               (SELECT COUNT(*) FROM vocab) AS v),
+         |lp AS (SELECT tok.doc_id,
+         |    CAST(FLOOR(ln(CAST(c + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS lp9
+         |  FROM tok JOIN vocab USING (t) CROSS JOIN tot),
+         |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(lp9) AS BIGINT) AS slp9 FROM lp GROUP BY 1),
+         |dd AS (SELECT doc_id, n_tokens,
+         |    CAST(FLOOR(CAST(0 - slp9 AS DOUBLE) / n_tokens / 1000.0)
+         |      AS BIGINT) AS dm
+         |  FROM s),
+         |r AS (SELECT dd.*, doc.source,
+         |    NTILE(4) OVER (ORDER BY dm, dd.doc_id) AS stage
+         |  FROM dd JOIN documents doc ON dd.doc_id = doc.doc_id)
+         |SELECT CAST(stage AS INT) AS stage, source,
+         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  ${val6("CAST(SUM(dm) AS DOUBLE) / COUNT(*) / 1000000.0")}
+         |    AS mean_nll
+         |FROM r GROUP BY 1, 2
+         |ORDER BY stage NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    // q214: cross-source duplication matrix over the q33 pair graph.
+    "q214_cross_source_dups" ->
+      s"""WITH $minhashPairsCtes,
+         |px AS (SELECT LEAST(da.source, db.source) AS source_a,
+         |    GREATEST(da.source, db.source) AS source_b
+         |  FROM pairs JOIN documents da ON pairs.ida = da.doc_id
+         |  JOIN documents db ON pairs.idb = db.doc_id)
+         |SELECT source_a, source_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM px GROUP BY 1, 2
+         |ORDER BY source_a NULLS FIRST, source_b NULLS FIRST"""
+        .stripMargin,
 
     // q210: dedup-aware sampling weights — rides the q65 closure;
     // per-doc effective mass micro-floor-scales before the source sums.

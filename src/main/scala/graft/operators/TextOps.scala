@@ -1623,6 +1623,85 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q213 — curriculum staging: the corpus ordered easy → hard by the
+    * unigram-LM difficulty (q178's per-doc NLL, kept as an integer
+    * micro-nat key) and cut into exact global quartile stages, reported
+    * as a (stage × source) composition mart — the schedule a
+    * curriculum-learning run feeds from, with per-stage token budgets.
+    *
+    * Exactness without a global sort: ranks come from
+    * [[Relational.globalRankedPrefixSum]]'s two-phase range-partition
+    * rank over the total key (difficulty, doc_id) — no
+    * Exchange SinglePartition — and the stage is the closed-form NTILE
+    * assignment from the rank (first n mod k stages take ⌈n/k⌉), so
+    * the oracle's NTILE window lands on identical buckets. */
+  def curriculumStages(spark: SparkSession, dir: String,
+      stages: Int = 4): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = tok.agg(count(lit(1)).as("n"),
+      countDistinct("t").as("v")).collect()(0)
+    val (nTok, v) = (totals.getLong(0), totals.getLong(1))
+    val lp9 = floor(
+      log((col("c") + 1).cast("double") / lit((nTok + v).toDouble))
+        * lit(1000000000.0) + lit(0.5)).cast("long")
+    val perDoc = tok.join(broadcast(vocab), "t")
+      .select(col("doc_id"), lp9.as("lp9"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp9").as("slp9"))
+      .withColumn("dm", floor((lit(0L) - col("slp9")).cast("double")
+        / col("n_tokens") / lit(1000.0)).cast("long"))
+    val scored = perDoc
+      .join(Tables.documents(spark, dir).select("doc_id", "source"),
+        "doc_id")
+      .withColumn("_key", struct(col("dm"), col("doc_id")))
+
+    val n = scored.count()
+    val k = stages.toLong
+    val q = n / k; val rem = n % k
+    val ranked = Relational.globalRankedPrefixSum(
+      scored, "_key", "n_tokens", "rank", "cum_tokens")
+    val r = col("rank")
+    val stage = when(r <= lit(rem * (q + 1)),
+        ((r - lit(1L)) / lit((q + 1).toDouble)).cast("long") + 1)
+      .otherwise(lit(rem) +
+        ((r - lit(rem * (q + 1)) - lit(1L)) / lit(q.toDouble))
+          .cast("long") + 1)
+    ranked.withColumn("stage", stage.cast("int"))
+      .groupBy("stage", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("dm").as("sdm"))
+      .select(col("stage"), col("source"), col("n_docs"), col("n_tokens"),
+        graft.util.Portable.val6(col("sdm").cast("double")
+          / col("n_docs").cast("double") / lit(1000000.0))
+          .as("mean_nll"))
+      .orderBy("stage", "source")
+  }
+
+  /** q214 — cross-source duplication matrix: the q33 near-dup pair
+    * graph restated at (source, source) grain — which ingest sources
+    * mirror each other's content. The off-diagonal cells are what a
+    * mixture planner reads before weighting two "independent" sources
+    * that are actually the same crawl twice; the diagonal is
+    * within-source redundancy. Rides the already-bounded banded pair
+    * list; the matrix reduce is source²-grain metadata. */
+  def crossSourceDups(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = minhashNearDups(spark, dir).select("ida", "idb")
+    val src = Tables.documents(spark, dir).select("doc_id", "source")
+    pairs
+      .join(src.select(col("doc_id").as("ida"), col("source").as("sa")),
+        "ida")
+      .join(src.select(col("doc_id").as("idb"), col("source").as("sb")),
+        "idb")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   /** q211 — bigram language-model scoring (add-one smoothing), the
     * fluency filter one step up from q178's unigram LM: a doc of
     * common words in an impossible ORDER scores fine under unigrams

@@ -148,6 +148,33 @@ class Round10Spec extends SparkSpec {
     assert(n == 4, s"staged $n slices")
   }
 
+  test("q213: stages partition the corpus; difficulty is monotone") {
+    val r = graft.operators.TextOps.curriculumStages(spark, dir).cache()
+    val total = Tables.documents(spark, dir).count()
+    assert(r.agg(sum("n_docs")).as[Long].head() == total)
+    // NTILE balance: stage sizes differ by at most one
+    val sizes = r.groupBy("stage").agg(sum("n_docs").as("n"))
+      .as[(Int, Long)].collect().toMap
+    assert(sizes.size == 4)
+    assert(sizes.values.max - sizes.values.min <= 1, sizes.toString)
+    // later stages are harder: per-stage weighted mean NLL non-decreasing
+    val means = r.select($"stage", $"mean_nll" * $"n_docs", $"n_docs")
+      .toDF("stage", "w", "n").groupBy("stage")
+      .agg((sum("w") / sum("n")).as("m"))
+      .as[(Int, Double)].collect().sortBy(_._1).map(_._2)
+    assert(means.sliding(2).forall { case Array(a, b) => b >= a - 1e-9 },
+      means.mkString(","))
+    r.unpersist()
+  }
+
+  test("q214: matrix accounts for every near-dup pair, normalized") {
+    val m = graft.operators.TextOps.crossSourceDups(spark, dir).cache()
+    val total = graft.operators.TextOps.minhashNearDups(spark, dir).count()
+    assert(m.agg(sum("n_pairs")).as[Long].head() == total)
+    assert(m.filter($"source_a" > $"source_b").count() == 0)
+    m.unpersist()
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
