@@ -265,6 +265,8 @@ object SparkEntry {
       ((s, d) => graft.streaming.StreamingDecontam.containmentStream(s, d)),
     "q213_curriculum" -> ((s, d) => TextOps.curriculumStages(s, d)),
     "q214_cross_source_dups" -> ((s, d) => TextOps.crossSourceDups(s, d)),
+    "q215_split_divergence" -> ((s, d) => TextOps.splitDivergence(s, d)),
+    "q216_split_integrity" -> ((s, d) => Graphs.splitIntegrity(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2158,6 +2160,96 @@ object SparkEntry {
          |    AS mean_nll
          |FROM r GROUP BY 1, 2
          |ORDER BY stage NULLS FIRST, source NULLS FIRST""".stripMargin,
+
+    // q215: split distribution shift — add-one KL(split ‖ train) over
+    // the corpus vocabulary; per-(token, split) terms nano-floor-scale
+    // before the per-split sums. Train vs itself telescopes to 0.
+    "q215_split_divergence" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT ida AS s, idb AS d FROM pairs
+         |  UNION SELECT idb, ida FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.id, e.d FROM reach w JOIN edges e ON w.r = e.s),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+         |  FROM reach GROUP BY id),
+         |assigned AS (SELECT doc.doc_id,
+         |    COALESCE(c.component, doc.doc_id) AS component
+         |  FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id),
+         |bkt AS (SELECT doc_id,
+         |    CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      CAST(${h32("CAST(component AS VARCHAR)")} % 10 AS INT)
+         |        AS b
+         |    FROM assigned)),
+         |tk AS (SELECT bkt.split, x.t FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |    FROM documents) x JOIN bkt USING (doc_id)),
+         |cnt AS (SELECT split, t, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tk GROUP BY 1, 2),
+         |voc AS (SELECT DISTINCT t FROM cnt),
+         |vv AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM voc),
+         |nt AS (SELECT split, CAST(SUM(c) AS BIGINT) AS n
+         |  FROM cnt GROUP BY 1),
+         |tr AS (SELECT t, c AS ct FROM cnt WHERE split = 'train'),
+         |ntr AS (SELECT n AS ntrain FROM nt WHERE split = 'train'),
+         |x2 AS (SELECT g.split, g.n, COALESCE(c2.c, 0) AS c0,
+         |    COALESCE(tr.ct, 0) AS ct, vv.v, ntr.ntrain
+         |  FROM (SELECT voc.t, nt.split, nt.n
+         |    FROM voc CROSS JOIN nt) g
+         |  LEFT JOIN cnt c2 ON g.split = c2.split AND g.t = c2.t
+         |  LEFT JOIN tr ON g.t = tr.t
+         |  CROSS JOIN vv CROSS JOIN ntr),
+         |t9 AS (SELECT split,
+         |    CAST(FLOOR((CAST(c0 + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))
+         |      * ln((CAST(c0 + 1 AS DOUBLE) / CAST(n + v AS DOUBLE))
+         |        / (CAST(ct + 1 AS DOUBLE)
+         |           / CAST(ntrain + v AS DOUBLE)))
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS k9
+         |  FROM x2),
+         |kl AS (SELECT split, CAST(SUM(k9) AS BIGINT) AS sk9
+         |  FROM t9 GROUP BY 1),
+         |nd AS (SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM bkt GROUP BY 1)
+         |SELECT nd.split, nd.n_docs, nt.n AS n_tokens,
+         |  ${val6("CAST(kl.sk9 AS DOUBLE) / 1000000000.0")}
+         |    AS kl_vs_train
+         |FROM nd JOIN nt USING (split) JOIN kl USING (split)
+         |ORDER BY split NULLS FIRST""".stripMargin,
+
+    // q216: split-integrity audit — the leakage-safety proof as a
+    // query: near-dup pairs reduced to a (split, split) matrix whose
+    // off-diagonal must be empty under component-hash splitting.
+    "q216_split_integrity" ->
+      s"""WITH RECURSIVE $minhashPairsCtes,
+         |edges AS (SELECT ida AS s, idb AS d FROM pairs
+         |  UNION SELECT idb, ida FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.id, e.d FROM reach w JOIN edges e ON w.r = e.s),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+         |  FROM reach GROUP BY id),
+         |assigned AS (SELECT doc.doc_id,
+         |    COALESCE(c.component, doc.doc_id) AS component
+         |  FROM documents doc LEFT JOIN comp c ON doc.doc_id = c.id),
+         |bkt AS (SELECT doc_id,
+         |    CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |      CAST(${h32("CAST(component AS VARCHAR)")} % 10 AS INT)
+         |        AS b
+         |    FROM assigned)),
+         |px AS (SELECT LEAST(ba.split, bb.split) AS split_a,
+         |    GREATEST(ba.split, bb.split) AS split_b
+         |  FROM pairs JOIN bkt ba ON pairs.ida = ba.doc_id
+         |  JOIN bkt bb ON pairs.idb = bb.doc_id)
+         |SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+         |FROM px GROUP BY 1, 2
+         |ORDER BY split_a NULLS FIRST, split_b NULLS FIRST"""
+        .stripMargin,
 
     // q214: cross-source duplication matrix over the q33 pair graph.
     "q214_cross_source_dups" ->

@@ -321,6 +321,32 @@ object Graphs {
          |ORDER BY hops, brand""".stripMargin)
   }
 
+  /** q216 — split-integrity audit: the PROOF obligation behind q165's
+    * leakage-safety claim, stated as a query. Every near-dup pair's two
+    * endpoints are joined to their split assignments and reduced to a
+    * (split, split) matrix — component-hash splitting guarantees the
+    * off-diagonal is EMPTY (cluster members share a component, hence a
+    * bucket), and the gate verifies that against the oracle's
+    * independent recomputation. Run it per release: a refactor that
+    * breaks the invariant (e.g. splitting on doc hash instead of
+    * component hash) surfaces as crossing rows, not as silent eval
+    * contamination. Cost: the pair list the dedup pass already built +
+    * two id-keyed joins + a ≤|splits|²-row reduce. */
+  def splitIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.minhashNearDups(spark, dir).select("ida", "idb")
+    val sp = leakageSafeSplit(spark, dir).select("doc_id", "split")
+    pairs
+      .join(sp.select(col("doc_id").as("ida"), col("split").as("sa")),
+        "ida")
+      .join(sp.select(col("doc_id").as("idb"), col("split").as("sb")),
+        "idb")
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("split_a", "split_b")
+  }
+
   /** q204 — triangle counting + local clustering coefficients on the
     * part co-order graph (parts are linked when some order contains
     * both), the graph-health statistic behind community detection and

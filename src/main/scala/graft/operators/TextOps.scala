@@ -1702,6 +1702,61 @@ object TextOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** q215 — distribution shift between splits: add-one-smoothed
+    * KL(split ‖ train) over the corpus vocabulary, per split of the
+    * leakage-safe assignment (q165). A near-zero value certifies the
+    * component-hash split didn't skew content (the random-split
+    * premise); a large one flags a val/test set that no longer
+    * represents training — the audit run before trusting any held-out
+    * metric.
+    *
+    * Determinism: per-(token, split) KL terms q·ln(q/p) nano-floor-
+    * scale before the per-split integer sums (the q110/q178
+    * discipline); train vs itself telescopes to exactly 0. Scale: token
+    * counts reduce at (split, vocab) grain with map-side combine; the
+    * term grid is vocab × |splits| — Heaps-sublinear — and everything
+    * after is a 3-row reduce. */
+  def splitDivergence(spark: SparkSession, dir: String): DataFrame = {
+    val sp = Graphs.leakageSafeSplit(spark, dir)
+      .select(col("doc_id"), col("split"))
+      .localCheckpoint() // doc counts + the token join
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .join(sp, "doc_id")
+    val cnt = tok.groupBy("split", "t").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // vocab, totals, train slice, grid probe
+    val voc = cnt.select("t").distinct()
+    val v = voc.count()
+    val nt = cnt.groupBy("split").agg(sum("c").as("n"))
+    val tr = cnt.filter(col("split") === "train")
+      .select(col("t"), col("c").as("ct"))
+    val nTrain = nt.filter(col("split") === "train")
+      .select(col("n").as("ntrain"))
+
+    val grid = voc.crossJoin(broadcast(nt))
+      .join(cnt, Seq("split", "t"), "left")
+      .join(tr, Seq("t"), "left")
+      .crossJoin(broadcast(nTrain))
+      .select(col("split"), col("n"),
+        coalesce(col("c"), lit(0L)).as("c0"),
+        coalesce(col("ct"), lit(0L)).as("ct"), col("ntrain"))
+    val qd = (col("c0") + 1).cast("double")
+      ./((col("n") + lit(v)).cast("double"))
+    val pd = (col("ct") + 1).cast("double")
+      ./((col("ntrain") + lit(v)).cast("double"))
+    val k9 = floor(qd * log(qd / pd) * lit(1000000000.0) + lit(0.5))
+      .cast("long")
+    val kl = grid.select(col("split"), k9.as("k9"))
+      .groupBy("split").agg(sum("k9").as("sk9"))
+    val nd = sp.groupBy("split").agg(count(lit(1)).as("n_docs"))
+    nd.join(nt, "split").join(kl, "split")
+      .select(col("split"), col("n_docs"), col("n").as("n_tokens"),
+        graft.util.Portable.val6(
+          col("sk9").cast("double") / lit(1000000000.0))
+          .as("kl_vs_train"))
+      .orderBy("split")
+  }
+
   /** q211 — bigram language-model scoring (add-one smoothing), the
     * fluency filter one step up from q178's unigram LM: a doc of
     * common words in an impossible ORDER scores fine under unigrams

@@ -53,7 +53,8 @@ class PlanAuditSpec extends SparkSpec {
     // sanctioned here so removing the checkpoint stays a non-event
     "q203_label_noise",
     "q202_target_encoding",  // cross join of the 1-row grand total
-    "q205_purged_split")     // cross join of the 1-row date bounds
+    "q205_purged_split",     // cross join of the 1-row date bounds
+    "q215_split_divergence") // vocab × 3-row split totals + 1-row train
 
   // reviewed single-partition sites: global scalar finals + windows
   // over aggregate-grain frames (input cardinality is bounded by the

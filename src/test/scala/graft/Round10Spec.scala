@@ -175,6 +175,26 @@ class Round10Spec extends SparkSpec {
     m.unpersist()
   }
 
+  test("q215: train-vs-train KL is exactly zero; others non-negative") {
+    val r = graft.operators.TextOps.splitDivergence(spark, dir).cache()
+    assert(r.filter($"split" === "train" && $"kl_vs_train" =!= 0.0)
+      .count() == 0)
+    // KL ≥ 0 mathematically; the nano-rounding of each term can leave
+    // at most vocab · 5e-10 of drift
+    assert(r.filter($"kl_vs_train" < -1e-5).count() == 0)
+    assert(r.agg(sum("n_docs")).as[Long].head() ==
+      Tables.documents(spark, dir).count())
+    r.unpersist()
+  }
+
+  test("q216: no near-dup pair crosses a split boundary") {
+    val m = graft.operators.Graphs.splitIntegrity(spark, dir).cache()
+    assert(m.filter($"split_a" =!= $"split_b").count() == 0)
+    assert(m.agg(sum("n_pairs")).as[Long].head() ==
+      graft.operators.TextOps.minhashNearDups(spark, dir).count())
+    m.unpersist()
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
