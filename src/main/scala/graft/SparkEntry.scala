@@ -267,6 +267,7 @@ object SparkEntry {
     "q214_cross_source_dups" -> ((s, d) => TextOps.crossSourceDups(s, d)),
     "q215_split_divergence" -> ((s, d) => TextOps.splitDivergence(s, d)),
     "q216_split_integrity" -> ((s, d) => Graphs.splitIntegrity(s, d)),
+    "q217_triplet_mining" -> ((s, d) => Analytics.tripletMining(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2250,6 +2251,35 @@ object SparkEntry {
          |FROM px GROUP BY 1, 2
          |ORDER BY split_a NULLS FIRST, split_b NULLS FIRST"""
         .stripMargin,
+
+    // q217: contrastive triplet mining — support-max positive per
+    // anchor, first valid hash probe as the deterministic negative.
+    "q217_triplet_mining" ->
+      s"""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |co AS (SELECT a.pk AS a, b.pk AS b,
+         |    CAST(COUNT(*) AS BIGINT) AS support
+         |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.pk <> b.pk
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |best AS (SELECT a AS anchor_id, b AS pos_id, support FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY a
+         |      ORDER BY support DESC, b) AS rn FROM co)
+         |  WHERE rn = 1),
+         |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM part),
+         |pr AS (SELECT anchor_id, CAST(j AS INT) AS j,
+         |    ${h32("CAST(anchor_id AS VARCHAR) || ':' || " +
+             "CAST(j AS VARCHAR)")} % m AS cand
+         |  FROM best CROSS JOIN mm, range(0, 5) t(j)),
+         |valid AS (SELECT pr.anchor_id, pr.j, pr.cand
+         |  FROM pr LEFT JOIN co
+         |    ON co.a = pr.anchor_id AND co.b = pr.cand
+         |  WHERE co.a IS NULL AND pr.cand <> pr.anchor_id),
+         |pick AS (SELECT anchor_id, MIN(j) AS j FROM valid GROUP BY 1),
+         |neg AS (SELECT v.anchor_id, v.cand AS neg_id
+         |  FROM valid v JOIN pick USING (anchor_id, j))
+         |SELECT b.anchor_id, b.pos_id, b.support, n.neg_id
+         |FROM best b JOIN neg n USING (anchor_id)
+         |ORDER BY anchor_id NULLS FIRST""".stripMargin,
 
     // q214: cross-source duplication matrix over the q33 pair graph.
     "q214_cross_source_dups" ->

@@ -309,4 +309,65 @@ object Analytics {
       .union(statsFor("l_suppkey"))
       .orderBy("join_key")
   }
+
+  /** q217 — contrastive TRIPLET mining for a two-tower recommendation
+    * embedding: per anchor part, one POSITIVE (its strongest co-order
+    * partner — support-max, id tie-break) and one deterministic
+    * NEGATIVE (the first hash probe that is not a known positive) — the
+    * (anchor, positive, negative) training rows a retrieval/recsys
+    * embedding model consumes. The negative draw is hash-sequenced, not
+    * random: probe j is h32(anchor:j) mod |parts|, and the first probe
+    * outside the anchor's positive set wins — reproducible across runs
+    * and engines, which is what makes the training SET itself a
+    * verifiable artifact (the corpus-release discipline applied to
+    * supervised pairs).
+    *
+    * Scale: co-order support rides the in-row basket explosion (q68's
+    * argument, [[MaxBasketWidth]]-bounded); positives and probes are
+    * anchor-grain; the negative rejection check is a left-anti join
+    * against the pair list, probes-bounded per anchor. No stage touches
+    * |parts|² — rejection sampling against the positive set replaces
+    * the "all parts minus positives" complement a naive miner builds. */
+  def tripletMining(spark: SparkSession, dir: String,
+      minSupport: Long = 2, probes: Int = 5): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(slice(array_sort(collect_set(col("l_partkey"))),
+        1, MaxBasketWidth).as("parts"))
+    val co = baskets
+      .select(explode(col("parts")).as("a"), col("parts"))
+      .select(col("a"), explode(col("parts")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .localCheckpoint() // best-positive rank + negative rejection
+
+    val w = Window.partitionBy("a").orderBy(desc("support"), asc("b"))
+    val best = co.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("a").as("anchor_id"), col("b").as("pos_id"),
+        col("support"))
+
+    val m = Tables.part(spark, dir).count()
+    val cand = best.select(col("anchor_id"))
+      .select(col("anchor_id"),
+        explode(sequence(lit(0), lit(probes - 1))).as("j"))
+      .withColumn("cand",
+        pmod(portable32(concat(col("anchor_id").cast("string"),
+          lit(":"), col("j").cast("string"))), lit(m)))
+    val valid = cand
+      .join(co.select(col("a").as("anchor_id"), col("b").as("cand")),
+        Seq("anchor_id", "cand"), "left_anti")
+      .filter(col("cand") =!= col("anchor_id"))
+      .localCheckpoint() // min-j pick + the value lookup
+    val neg = valid
+      .join(valid.groupBy("anchor_id").agg(min("j").as("j")),
+        Seq("anchor_id", "j"))
+      .select(col("anchor_id"), col("cand").as("neg_id"))
+
+    best.join(neg, "anchor_id")
+      .select(col("anchor_id"), col("pos_id"), col("support"),
+        col("neg_id"))
+      .orderBy("anchor_id")
+  }
 }

@@ -195,6 +195,33 @@ class Round10Spec extends SparkSpec {
     m.unpersist()
   }
 
+  test("q217: triplets — valid positives, rejected negatives, determinism") {
+    val t = graft.operators.Analytics.tripletMining(spark, dir).cache()
+    // rebuild the positive pair set independently
+    val ob = Tables.lineitem(spark, dir)
+      .select($"l_orderkey".as("ok"), $"l_partkey".as("pk")).distinct()
+    val co = ob.as("a").join(ob.as("b"),
+        $"a.ok" === $"b.ok" && $"a.pk" =!= $"b.pk")
+      .groupBy($"a.pk".as("a"), $"b.pk".as("b"))
+      .agg(count(lit(1)).as("s")).filter($"s" >= 2).cache()
+    // the chosen positive has the anchor's max support
+    val mx = co.groupBy("a").agg(max("s").as("mx"))
+    assert(t.join(mx, $"anchor_id" === $"a")
+      .filter($"support" =!= $"mx").count() == 0)
+    // the negative is never a positive partner and never the anchor
+    assert(t.join(co,
+      $"anchor_id" === $"a" && $"neg_id" === $"b", "left_semi")
+      .count() == 0)
+    assert(t.filter($"neg_id" === $"anchor_id").count() == 0)
+    // one triplet per anchor; rerun is bit-identical
+    assert(t.groupBy("anchor_id").count().filter($"count" > 1)
+      .count() == 0)
+    val again = graft.operators.Analytics.tripletMining(spark, dir)
+    assert(t.exceptAll(again).count() == 0 &&
+      again.exceptAll(t).count() == 0)
+    co.unpersist(); t.unpersist()
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
