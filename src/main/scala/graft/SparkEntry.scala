@@ -268,6 +268,8 @@ object SparkEntry {
     "q215_split_divergence" -> ((s, d) => TextOps.splitDivergence(s, d)),
     "q216_split_integrity" -> ((s, d) => Graphs.splitIntegrity(s, d)),
     "q217_triplet_mining" -> ((s, d) => Analytics.tripletMining(s, d)),
+    "q218_rag_context" ->
+      ((s, d) => operators.Retrieval.ragContext(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -365,6 +367,76 @@ object SparkEntry {
     s"WITH $bpeCtes\n" +
       stats.mkString("\nUNION ALL\n") + "\nORDER BY iteration"
   }
+
+  /** q191's full MMR oracle — also the base subquery of q218. */
+  private lazy val mmrOracle: String =
+    s"""WITH $docVecCtes,
+         |rdots AS (SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
+         |    SUM(a.w * b.w) AS dot
+         |  FROM dvec a JOIN dvec b ON a.dim = b.dim
+         |  WHERE a.doc_id % 100 = 0 AND a.doc_id <> b.doc_id
+         |  GROUP BY 1, 2),
+         |rel0 AS (SELECT qn.doc_id AS query_id, cn.doc_id,
+         |    CAST(COALESCE(d.dot, 0) AS DOUBLE)
+         |      / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+         |      AS rel
+         |  FROM dnorm qn JOIN dnorm cn
+         |    ON qn.doc_id % 100 = 0 AND cn.doc_id <> qn.doc_id
+         |  LEFT JOIN rdots d ON d.query_id = qn.doc_id
+         |    AND d.doc_id = cn.doc_id
+         |  WHERE qn.n2 > 0 AND cn.n2 > 0),
+         |pool AS (SELECT query_id, doc_id, rel FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC NULLS LAST, doc_id) AS rr
+         |    FROM rel0) WHERE rr <= 10),
+         |pids AS (SELECT DISTINCT doc_id FROM pool),
+         |pvec AS (SELECT v.* FROM dvec v JOIN pids USING (doc_id)),
+         |pdots AS (SELECT a.doc_id AS da, b.doc_id AS db,
+         |    SUM(a.w * b.w) AS dot
+         |  FROM pvec a JOIN pvec b ON a.dim = b.dim
+         |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
+         |psim AS (SELECT p1.query_id, p1.doc_id AS da, p2.doc_id AS db,
+         |    CAST(COALESCE(d.dot, 0) AS DOUBLE)
+         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         |      AS sim
+         |  FROM pool p1 JOIN pool p2 ON p1.query_id = p2.query_id
+         |    AND p1.doc_id <> p2.doc_id
+         |  JOIN dnorm na ON na.doc_id = p1.doc_id
+         |  JOIN dnorm nb ON nb.doc_id = p2.doc_id
+         |  LEFT JOIN pdots d ON d.da = p1.doc_id AND d.db = p2.doc_id),
+         |s1 AS (SELECT query_id, doc_id AS d1, 0.7 * rel AS score1
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rel DESC NULLS LAST, doc_id) AS rn
+         |    FROM pool) WHERE rn = 1),
+         |m2 AS (SELECT p.query_id, p.doc_id, s1.d1, s1.score1,
+         |    0.7 * p.rel - 0.3 * ps.sim AS mmr2
+         |  FROM pool p JOIN s1 USING (query_id)
+         |  JOIN psim ps ON ps.query_id = p.query_id
+         |    AND ps.da = p.doc_id AND ps.db = s1.d1
+         |  WHERE p.doc_id <> s1.d1),
+         |s2 AS (SELECT query_id, d1, score1, doc_id AS d2, mmr2 AS score2
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY mmr2 DESC NULLS LAST, doc_id) AS rn
+         |    FROM m2) WHERE rn = 1),
+         |m3 AS (SELECT p.query_id, p.doc_id, s2.d1, s2.d2, s2.score1,
+         |    s2.score2,
+         |    0.7 * p.rel - 0.3 * GREATEST(pa.sim, pb.sim) AS mmr3
+         |  FROM pool p JOIN s2 USING (query_id)
+         |  JOIN psim pa ON pa.query_id = p.query_id
+         |    AND pa.da = p.doc_id AND pa.db = s2.d1
+         |  JOIN psim pb ON pb.query_id = p.query_id
+         |    AND pb.da = p.doc_id AND pb.db = s2.d2
+         |  WHERE p.doc_id <> s2.d1 AND p.doc_id <> s2.d2),
+         |s3 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY mmr3 DESC NULLS LAST,
+         |      doc_id) AS rn
+         |    FROM m3) WHERE rn = 1),
+         |u AS (SELECT query_id, 1 AS pick_no, d1 AS doc_id,
+         |    score1 AS score FROM s3
+         |  UNION ALL SELECT query_id, 2, d2, score2 FROM s3
+         |  UNION ALL SELECT query_id, 3, doc_id, mmr3 FROM s3)
+         |SELECT query_id, pick_no, doc_id, ${val6("score")} AS score
+         |FROM u ORDER BY query_id, pick_no""".stripMargin
 
   /** Relational exact containment (shared by q209's batch join and
     * q212's drained streaming monitor — one contract, two run modes). */
@@ -1682,74 +1754,26 @@ object SparkEntry {
     // dense top-10 pool, unrolled as fixed argmax steps. rel/sim are
     // exact-integer cosines; 0.7/0.3 are shared decimal literals;
     // every argmax ties on doc_id.
-    "q191_mmr" ->
-      s"""WITH $docVecCtes,
-         |rdots AS (SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
-         |    SUM(a.w * b.w) AS dot
-         |  FROM dvec a JOIN dvec b ON a.dim = b.dim
-         |  WHERE a.doc_id % 100 = 0 AND a.doc_id <> b.doc_id
-         |  GROUP BY 1, 2),
-         |rel0 AS (SELECT qn.doc_id AS query_id, cn.doc_id,
-         |    CAST(COALESCE(d.dot, 0) AS DOUBLE)
-         |      / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
-         |      AS rel
-         |  FROM dnorm qn JOIN dnorm cn
-         |    ON qn.doc_id % 100 = 0 AND cn.doc_id <> qn.doc_id
-         |  LEFT JOIN rdots d ON d.query_id = qn.doc_id
-         |    AND d.doc_id = cn.doc_id
-         |  WHERE qn.n2 > 0 AND cn.n2 > 0),
-         |pool AS (SELECT query_id, doc_id, rel FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY rel DESC NULLS LAST, doc_id) AS rr
-         |    FROM rel0) WHERE rr <= 10),
-         |pids AS (SELECT DISTINCT doc_id FROM pool),
-         |pvec AS (SELECT v.* FROM dvec v JOIN pids USING (doc_id)),
-         |pdots AS (SELECT a.doc_id AS da, b.doc_id AS db,
-         |    SUM(a.w * b.w) AS dot
-         |  FROM pvec a JOIN pvec b ON a.dim = b.dim
-         |  WHERE a.doc_id <> b.doc_id GROUP BY 1, 2),
-         |psim AS (SELECT p1.query_id, p1.doc_id AS da, p2.doc_id AS db,
-         |    CAST(COALESCE(d.dot, 0) AS DOUBLE)
-         |      / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
-         |      AS sim
-         |  FROM pool p1 JOIN pool p2 ON p1.query_id = p2.query_id
-         |    AND p1.doc_id <> p2.doc_id
-         |  JOIN dnorm na ON na.doc_id = p1.doc_id
-         |  JOIN dnorm nb ON nb.doc_id = p2.doc_id
-         |  LEFT JOIN pdots d ON d.da = p1.doc_id AND d.db = p2.doc_id),
-         |s1 AS (SELECT query_id, doc_id AS d1, 0.7 * rel AS score1
-         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY rel DESC NULLS LAST, doc_id) AS rn
-         |    FROM pool) WHERE rn = 1),
-         |m2 AS (SELECT p.query_id, p.doc_id, s1.d1, s1.score1,
-         |    0.7 * p.rel - 0.3 * ps.sim AS mmr2
-         |  FROM pool p JOIN s1 USING (query_id)
-         |  JOIN psim ps ON ps.query_id = p.query_id
-         |    AND ps.da = p.doc_id AND ps.db = s1.d1
-         |  WHERE p.doc_id <> s1.d1),
-         |s2 AS (SELECT query_id, d1, score1, doc_id AS d2, mmr2 AS score2
-         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY mmr2 DESC NULLS LAST, doc_id) AS rn
-         |    FROM m2) WHERE rn = 1),
-         |m3 AS (SELECT p.query_id, p.doc_id, s2.d1, s2.d2, s2.score1,
-         |    s2.score2,
-         |    0.7 * p.rel - 0.3 * GREATEST(pa.sim, pb.sim) AS mmr3
-         |  FROM pool p JOIN s2 USING (query_id)
-         |  JOIN psim pa ON pa.query_id = p.query_id
-         |    AND pa.da = p.doc_id AND pa.db = s2.d1
-         |  JOIN psim pb ON pb.query_id = p.query_id
-         |    AND pb.da = p.doc_id AND pb.db = s2.d2
-         |  WHERE p.doc_id <> s2.d1 AND p.doc_id <> s2.d2),
-         |s3 AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
-         |      PARTITION BY query_id ORDER BY mmr3 DESC NULLS LAST,
-         |      doc_id) AS rn
-         |    FROM m3) WHERE rn = 1),
-         |u AS (SELECT query_id, 1 AS pick_no, d1 AS doc_id,
-         |    score1 AS score FROM s3
-         |  UNION ALL SELECT query_id, 2, d2, score2 FROM s3
-         |  UNION ALL SELECT query_id, 3, doc_id, mmr3 FROM s3)
-         |SELECT query_id, pick_no, doc_id, ${val6("score")} AS score
-         |FROM u ORDER BY query_id, pick_no""".stripMargin,
+    "q191_mmr" -> mmrOracle,
+
+    // q218: RAG context assembly — the q191 picks joined with token
+    // counts, cumulative in pick order, kept while the running total
+    // fits the context-window budget. The q191 oracle nests verbatim
+    // as the base subquery, so the two contracts can never drift.
+    "q218_rag_context" ->
+      s"""WITH base AS ($mmrOracle),
+         |tk AS (SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |x AS (SELECT base.query_id, base.pick_no, base.doc_id,
+         |    tk.n_tokens,
+         |    CAST(SUM(tk.n_tokens) OVER (PARTITION BY base.query_id
+         |      ORDER BY base.pick_no) AS BIGINT) AS cum_tokens
+         |  FROM base JOIN tk USING (doc_id))
+         |SELECT query_id, pick_no, doc_id, n_tokens, cum_tokens,
+         |  cum_tokens <= 120 AS kept
+         |FROM x ORDER BY query_id NULLS FIRST, pick_no NULLS FIRST"""
+        .stripMargin,
 
     // q192: redundancy profile — the q33 candidate pairs swept over
     // three Jaccard thresholds; zero-pair thresholds still emit a row.

@@ -321,4 +321,28 @@ object Retrieval {
         graft.util.Portable.val6(col("cos")).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
+
+  /** q218 — RAG context assembly, the last mile of the retrieval path:
+    * the diversity-ranked picks (q191's MMR) packed into a fixed
+    * context-window token budget in pick order. `kept` marks the greedy
+    * prefix that fits — cumulative tokens are monotone, so
+    * `cum ≤ budget` IS the take-while-fits rule a serving layer
+    * applies. Composes two gated contracts (MMR picks, whitespace
+    * token counts) with one window at QUERY grain — the budget math
+    * adds no corpus-sized work to the retrieval it rides. */
+  def ragContext(spark: SparkSession, dir: String,
+      budget: Long = 120): DataFrame = {
+    val picks = mmrRetrieve(spark, dir)
+    val tk = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    picks.join(tk, "doc_id")
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(Window.partitionBy("query_id")
+          .orderBy("pick_no")))
+      .select(col("query_id"), col("pick_no"), col("doc_id"),
+        col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= budget).as("kept"))
+      .orderBy("query_id", "pick_no")
+  }
 }

@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     "q166_int8_knn", "q171_maxsim", "q174_retrieval", "q175_pq_knn",
     "q186_ann_recall_audit", // composes q35's brute side, same ≤10-row set
     "q191_mmr",              // rel stage = the q35 broadcast-query scorer
+    "q218_rag_context",      // rides q191's sanctioned rel stage
     "q197_retrieval_eval",   // same composed brute side as q186
     // q141 deliberately NOT here: the at-scale dedup's candidate
     // generation is an equi-join on the IVF bucket id — if it ever

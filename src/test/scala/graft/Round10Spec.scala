@@ -222,6 +222,27 @@ class Round10Spec extends SparkSpec {
     co.unpersist(); t.unpersist()
   }
 
+  test("q218: kept is a budget-bounded prefix of the MMR order") {
+    val r = graft.operators.Retrieval.ragContext(spark, dir).cache()
+    // cum is the running sum in pick order
+    val bad = r.groupBy("query_id")
+      .agg(sum("n_tokens").as("s"), max("cum_tokens").as("mx"))
+      .filter($"s" =!= $"mx")
+    assert(bad.count() == 0)
+    // kept ⟺ cum ≤ 120, and it forms a prefix (no kept after a drop)
+    assert(r.filter(($"cum_tokens" <= 120) =!= $"kept").count() == 0)
+    val perQ = r.select($"query_id", $"pick_no", $"kept")
+      .as[(Long, Int, Boolean)].collect().groupBy(_._1)
+    perQ.values.foreach { rows =>
+      val ks = rows.sortBy(_._2).map(_._3)
+      assert(!ks.zip(ks.drop(1)).exists { case (a, b) => !a && b },
+        rows.toSeq.toString)
+    }
+    // docs are ≤100 tokens, so the first pick always fits a 120 budget
+    assert(r.filter($"pick_no" === 1 && !$"kept").count() == 0)
+    r.unpersist()
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
