@@ -270,6 +270,7 @@ object SparkEntry {
     "q217_triplet_mining" -> ((s, d) => Analytics.tripletMining(s, d)),
     "q218_rag_context" ->
       ((s, d) => operators.Retrieval.ragContext(s, d)),
+    "q219_coreset" -> ((s, d) => VectorOps.coresetSelect(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -701,6 +702,23 @@ object SparkEntry {
        |SELECT vec_id, cid, ${val6("d")} AS dist2,
        |  COUNT(*) OVER (PARTITION BY cid) AS cluster_size
        |FROM a2 ORDER BY vec_id NULLS FIRST""".stripMargin
+
+  /** q219: coreset selection — the q76 trainer + assignment, ranked
+    * per cluster on the micro-floor-scaled integer distance (the only
+    * cross-engine-total key) with vec_id tie-break. */
+  private val coresetSql: String =
+    s"""WITH ${kmTrainCtes(8, 64, "")},
+       |${kmAssignCte(64)("embeddings", "c2", "a2")},
+       |r AS (SELECT cid, vec_id,
+       |    CAST(FLOOR(d * 1000000.0 + 0.5) AS BIGINT) AS d6
+       |  FROM a2),
+       |rk AS (SELECT cid, vec_id, d6, ROW_NUMBER() OVER (
+       |    PARTITION BY cid ORDER BY d6 ASC, vec_id ASC) AS rn
+       |  FROM r)
+       |SELECT cid, CAST(rn AS INT) AS "rank", vec_id,
+       |  CAST(d6 AS DOUBLE) / 1000000.0 AS dist2
+       |FROM rk WHERE rn <= 5
+       |ORDER BY cid NULLS FIRST, rn NULLS FIRST""".stripMargin
 
   /** q175: per-subspace Lloyd training (the q76 CTEs over sliced
     * virtual sources), code assignment, and the ADC sum of nano-scaled
@@ -2996,6 +3014,8 @@ object SparkEntry {
          |GROUP BY 1 ORDER BY event_type NULLS FIRST""".stripMargin,
 
     "q76_kmeans_vq" -> kmeansSql,
+
+    "q219_coreset" -> coresetSql,
 
     // Spark session_window semantics: an event exactly `gap` after the
     // previous STARTS a new session (strict containment in [ts, ts+gap)),

@@ -1310,6 +1310,36 @@ object VectorOps {
   /** One L2 argmin assignment pass (strict <, ties → the first/lowest
     * cid in the sorted centroid array) — the map-only kernel both the
     * Lloyd update loop and [[kmeansQuantize]]'s final output share. */
+  /** q219 — coreset / prototype selection: the `per` members CLOSEST
+    * to their trained k-means centroid, per cluster — the data-pruning
+    * move that keeps a small, geometry-covering core of each region
+    * (prototypes for few-shot eval, seeds for active learning, or the
+    * kept set when pruning to a budget). Complements q179/q203, which
+    * REMOVE anomalies: this keeps the most central.
+    *
+    * Ranking determinism: raw L2 doubles are only guaranteed equal
+    * across engines to the gate's 6-decimal contract, so the rank key
+    * is the micro-floor-scaled INTEGER distance with vec_id as the
+    * total tie-break — never the raw double. Scale: trainer + one
+    * assignment pass (centroids broadcast, map-only) + a top-`per`
+    * window at cluster grain. */
+  def coresetSelect(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 2, per: Int = 5): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val cents = lloydRounds(spark, ds, k, iters)
+    val w = Window.partitionBy("cid").orderBy(asc("d6"), asc("vec_id"))
+    kmeansAssign(spark, ds, cents)
+      .withColumn("d6",
+        floor(col("dist2") * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= per)
+      .select(col("cid"), col("rn").as("rank"), col("vec_id"),
+        (col("d6").cast("double") / lit(1000000.0)).as("dist2"))
+      .orderBy("cid", "rank")
+  }
+
   private def kmeansAssign(spark: SparkSession,
       ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
       cents: Array[(Long, Array[Double])]): DataFrame = {

@@ -243,6 +243,36 @@ class Round10Spec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q219: coreset members are their cluster's nearest, ranks tight") {
+    val r = graft.operators.VectorOps.coresetSelect(spark, dir).cache()
+    // per cluster: ranks 1..min(per, size), distance non-decreasing
+    val perC = r.as[(Long, Int, Long, Double)].collect()
+      .groupBy(_._1).values
+    perC.foreach { rows =>
+      val s = rows.sortBy(_._2)
+      assert(s.map(_._2).toSeq == (1 to s.length).toSeq)
+      assert(s.sliding(2).forall {
+        case Array(a, b) => b._4 >= a._4; case _ => true
+      })
+    }
+    // every selected member really belongs to at most distance of the
+    // full assignment's per-cluster 5th smallest: cross-check against
+    // the q76 assignment
+    val asg = graft.operators.VectorOps.kmeansQuantize(spark, dir)
+      .select($"cid", $"vec_id", $"dist2")
+    val fifth = asg.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("cid").orderBy(asc("dist2"), asc("vec_id"))))
+      .filter($"rn" <= 5)
+      .groupBy("cid").agg(max("dist2").as("mx"), count(lit(1)).as("n"))
+    val joined = r.groupBy("cid")
+      .agg(max("dist2").as("sel_mx"), count(lit(1)).as("sel_n"))
+      .join(fifth, "cid")
+    assert(joined.filter($"sel_n" =!= $"n").count() == 0)
+    assert(joined.filter($"sel_mx" > $"mx" + 1e-6).count() == 0)
+    r.unpersist()
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
