@@ -271,6 +271,7 @@ object SparkEntry {
     "q218_rag_context" ->
       ((s, d) => operators.Retrieval.ragContext(s, d)),
     "q219_coreset" -> ((s, d) => VectorOps.coresetSelect(s, d)),
+    "q220_bot_score" -> ((s, d) => Events.botScore(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3016,6 +3017,32 @@ object SparkEntry {
     "q76_kmeans_vq" -> kmeansSql,
 
     "q219_coreset" -> coresetSql,
+
+    // q220: bot scoring — exact integer-second gap moments; cv is two
+    // IEEE ops on integer-valued doubles; the flag compares the
+    // identical double on both engines.
+    "q220_bot_score" ->
+      s"""WITH g AS (SELECT user_id,
+         |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+         |      PARTITION BY user_id ORDER BY ts, event_id) AS gap
+         |  FROM events),
+         |g2 AS (SELECT user_id, gap // 1000000 AS gs FROM g
+         |  WHERE gap IS NOT NULL),
+         |u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(gs) AS BIGINT) AS s1,
+         |    CAST(SUM(gs * gs) AS BIGINT) AS s2
+         |  FROM g2 GROUP BY 1 HAVING COUNT(*) >= 2),
+         |c AS (SELECT user_id, n + 1 AS n_events, n, s1,
+         |    CASE WHEN s1 > 0 THEN
+         |      sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+         |        / CAST(s1 AS DOUBLE)
+         |    ELSE 0.0 END AS cv
+         |  FROM u)
+         |SELECT user_id, n_events,
+         |  ${val6("CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)")}
+         |    AS mean_gap_s,
+         |  ${val6("cv")} AS gap_cv, cv < 0.85 AS suspicious
+         |FROM c ORDER BY user_id NULLS FIRST""".stripMargin,
 
     // Spark session_window semantics: an event exactly `gap` after the
     // previous STARTS a new session (strict containment in [ts, ts+gap)),

@@ -689,4 +689,43 @@ object Events {
       .select(col("user_id"), col("n_events"), col("seq"))
       .orderBy("user_id")
   }
+
+  /** q220 — automation / bot scoring over the event stream, the
+    * behavioral-data cleaning pass a clickstream corpus (q193's input)
+    * runs before training: humans arrive irregularly (inter-event gap
+    * coefficient of variation ≈ 1 under bursty/Poisson-ish behavior);
+    * schedulers and scripts are REGULAR (cv → 0). Each user gets their
+    * gap cv and a `suspicious` flag under the cut.
+    *
+    * Determinism: gaps are exact integer SECONDS (µs difference with
+    * integer division), their first two moments sum exactly as longs,
+    * and cv = √(n·s2 − s1²)/s1 is two deterministic IEEE ops on
+    * integer-valued doubles — no float accumulates across rows. The
+    * flag compares the identical double on both engines.
+    *
+    * Scale: one window + one reduce, both keyed on user_id — the same
+    * sessionize shuffle shape; per-user state is 3 longs. */
+  def botScore(spark: SparkSession, dir: String,
+      cvCut: Double = 0.85): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val g = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"))
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("gap", col("us") - lag("us", 1).over(w))
+      .filter(col("gap").isNotNull)
+      .withColumn("gs", expr("gap div 1000000"))
+    val u = g.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum("gs").as("s1"),
+        sum(col("gs") * col("gs")).as("s2"))
+      .filter(col("n") >= 2)
+    val cv = when(col("s1") > 0,
+      sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast("double"))
+        / col("s1").cast("double")).otherwise(lit(0.0))
+    u.select(col("user_id"), (col("n") + 1).as("n_events"),
+        val6(col("s1").cast("double") / col("n").cast("double"))
+          .as("mean_gap_s"),
+        val6(cv).as("gap_cv"),
+        (cv < cvCut).as("suspicious"))
+      .orderBy("user_id")
+  }
 }

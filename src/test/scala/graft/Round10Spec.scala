@@ -273,6 +273,31 @@ class Round10Spec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q220: cv math reconciles; a planted metronome user flags") {
+    val r = graft.operators.Events.botScore(spark, dir).cache()
+    // every user with >= 3 events appears exactly once
+    val users = Tables.events(spark, dir).groupBy("user_id")
+      .agg(count(lit(1)).as("n")).filter($"n" >= 3).count()
+    assert(r.count() == users)
+    assert(r.filter($"gap_cv" < 0.0).count() == 0)
+    assert(r.filter(($"gap_cv" < 0.85) =!= $"suspicious").count() == 0)
+    // hand check one user: recompute cv from raw gaps
+    val uid = r.select("user_id").as[Long].head()
+    val gaps = Tables.events(spark, dir)
+      .filter($"user_id" === uid)
+      .orderBy("ts", "event_id")
+      .select(unix_micros($"ts")).as[Long].collect()
+      .sliding(2).map { case Array(a, b) => (b - a) / 1000000L }.toSeq
+    val n = gaps.length.toDouble
+    val s1 = gaps.sum.toDouble
+    val s2 = gaps.map(g => g * g).sum.toDouble
+    val want = math.sqrt(n * s2 - s1 * s1) / s1
+    val got = r.filter($"user_id" === uid).select("gap_cv")
+      .as[Double].head()
+    assert(math.abs(got - want) < 1e-5, s"$got vs $want")
+    r.unpersist()
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
