@@ -272,6 +272,7 @@ object SparkEntry {
       ((s, d) => operators.Retrieval.ragContext(s, d)),
     "q219_coreset" -> ((s, d) => VectorOps.coresetSelect(s, d)),
     "q220_bot_score" -> ((s, d) => Events.botScore(s, d)),
+    "q221_woe_iv" -> ((s, d) => Features.woeIv(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3017,6 +3018,50 @@ object SparkEntry {
     "q76_kmeans_vq" -> kmeansSql,
 
     "q219_coreset" -> coresetSql,
+
+    // q221: WOE/IV screening — one ln per bin on a ratio of exact
+    // integer products, micro-floor-scaled; the IV numerator
+    // accumulates as exact longs and divides out once.
+    "q221_woe_iv" ->
+      s"""WITH f AS (
+         |  SELECT 'quantity' AS feature,
+         |    CAST(FLOOR((l_quantity - 1) / 10.0) AS BIGINT) AS bin,
+         |    l_returnflag = 'R' AS is_bad FROM lineitem
+         |  UNION ALL SELECT 'discount',
+         |    CAST(FLOOR(l_discount * 50.0) AS BIGINT),
+         |    l_returnflag = 'R' FROM lineitem
+         |  UNION ALL SELECT 'price',
+         |    CAST(LEAST(FLOOR(l_extendedprice / 20000.0), 4.0)
+         |      AS BIGINT),
+         |    l_returnflag = 'R' FROM lineitem),
+         |g AS (SELECT feature, bin,
+         |    CAST(SUM(CASE WHEN is_bad THEN 0 ELSE 1 END) AS BIGINT)
+         |      AS g,
+         |    CAST(SUM(CASE WHEN is_bad THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS b
+         |  FROM f GROUP BY 1, 2),
+         |t AS (SELECT
+         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END)
+         |      AS BIGINT) AS gt,
+         |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS bt
+         |  FROM lineitem),
+         |s AS (SELECT feature, bin, g.g, g.b, t.gt, t.bt,
+         |    CAST(FLOOR(ln(CAST(g.g * t.bt AS DOUBLE)
+         |      / CAST(g.b * t.gt AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT) AS woe6
+         |  FROM g CROSS JOIN t WHERE g.g > 0 AND g.b > 0),
+         |i AS (SELECT feature,
+         |    CAST(SUM((g * bt - b * gt) * woe6) AS BIGINT) AS ivnum,
+         |    MAX(gt) AS gt2, MAX(bt) AS bt2
+         |  FROM s GROUP BY 1)
+         |SELECT s.feature, s.bin, s.g + s.b AS n, s.b AS n_bad,
+         |  ${val6("CAST(woe6 AS DOUBLE) / 1000000.0")} AS woe,
+         |  ${val6("CAST(i.ivnum AS DOUBLE) / " +
+             "(CAST(i.gt2 AS DOUBLE) * CAST(i.bt2 AS DOUBLE)) " +
+             "/ 1000000.0")} AS iv
+         |FROM s JOIN i USING (feature)
+         |ORDER BY feature NULLS FIRST, bin NULLS FIRST""".stripMargin,
 
     // q220: bot scoring — exact integer-second gap moments; cv is two
     // IEEE ops on integer-valued doubles; the flag compares the

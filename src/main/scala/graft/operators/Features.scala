@@ -133,6 +133,66 @@ object Features {
 
   val EmbargoDays = 7
 
+  /** q221 — WOE / IV feature screening (weight of evidence +
+    * information value — the credit-scoring-lineage filter for "which
+    * features separate the classes at all", run before any model):
+    * against the binary return outcome (l_returnflag = 'R'), each
+    * candidate feature is binned and scored
+    *   WOE_b = ln((g_b/G)/(b_b/B)) = ln(g_b·B / (b_b·G)),
+    *   IV    = Σ_b (g_b/G − b_b/B) · WOE_b,
+    * IV < 0.02 ⟹ the feature is noise; ≥ 0.1 ⟹ worth a model's time.
+    *
+    * Exactness: the WOE argument is a ratio of exact integer products,
+    * so ONE ln per bin, micro-floor-scaled; the IV numerator
+    * Σ (g_b·B − b_b·G)·woe6 accumulates as exact longs and divides out
+    * once — no float crosses a row boundary. Scale: one stacked
+    * (feature, bin) reduce over the fact scan (map-side combined,
+    * |features|·|bins| grain), everything after is metadata. */
+  def woeIv(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val feats = li.select(
+        explode(array(
+          struct(lit("quantity").as("feature"),
+            floor((col("l_quantity") - 1) / lit(10.0)).cast("long")
+              .as("bin")),
+          struct(lit("discount").as("feature"),
+            floor(col("l_discount") * lit(50.0)).cast("long").as("bin")),
+          struct(lit("price").as("feature"),
+            least(floor(col("l_extendedprice") / lit(20000.0)), lit(4.0))
+              .cast("long").as("bin")))).as("f"),
+        (col("l_returnflag") === "R").as("is_bad"))
+      .select(col("f.feature").as("feature"), col("f.bin").as("bin"),
+        col("is_bad"))
+    val g = feats.groupBy("feature", "bin")
+      .agg(sum(when(col("is_bad"), 0L).otherwise(1L)).as("g"),
+        sum(when(col("is_bad"), 1L).otherwise(0L)).as("b"))
+    val row = li.agg(
+      sum(when(col("l_returnflag") === "R", 0L).otherwise(1L)),
+      sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))).collect()(0)
+    val (gTot, bTot) = (row.getLong(0), row.getLong(1))
+    val woe6 = floor(
+      log((col("g") * lit(bTot)).cast("double")
+        / (col("b") * lit(gTot)).cast("double"))
+        * lit(1000000.0) + lit(0.5)).cast("long")
+    // single-class bins have undefined WOE — dropped on both sides
+    // (standard practice is merging them; none exist at gate SFs)
+    val scored = g.filter(col("g") > 0 && col("b") > 0)
+      .withColumn("woe6", woe6)
+      .withColumn("num", (col("g") * lit(bTot) - col("b") * lit(gTot))
+        * col("woe6"))
+    val iv = scored.groupBy("feature").agg(sum("num").as("ivnum"))
+      .withColumn("iv", Portable.val6(col("ivnum").cast("double")
+        / lit(gTot.toDouble * bTot.toDouble) / lit(1000000.0)))
+      .select("feature", "iv")
+    scored.join(iv, "feature")
+      .select(col("feature"), col("bin"), (col("g") + col("b")).as("n"),
+        col("b").as("n_bad"),
+        Portable.val6(col("woe6").cast("double") / lit(1000000.0))
+          .as("woe"),
+        col("iv"))
+      .orderBy("feature", "bin")
+  }
+
   /** q208 — k-anonymity audit over quasi-identifiers (Sweeney's
     * re-identification model — public literature): a table is
     * k-anonymous when every combination of quasi-identifier values

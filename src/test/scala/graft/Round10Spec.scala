@@ -298,6 +298,28 @@ class Round10Spec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q221: WOE signs track bin composition; IV non-negative") {
+    val r = graft.operators.Features.woeIv(spark, dir).cache()
+    // IV = Σ (p−q)·ln(p/q) ≥ 0 term-wise (up to micro-rounding)
+    assert(r.filter($"iv" < -1e-5).count() == 0)
+    // bins account for every lineitem row, per feature
+    val total = Tables.lineitem(spark, dir).count()
+    val perF = r.groupBy("feature").agg(sum("n").as("s"))
+      .filter($"s" =!= total)
+    assert(perF.count() == 0)
+    // WOE > 0 ⟺ the bin is good-heavier than the population
+    val (g, b) = Tables.lineitem(spark, dir).agg(
+      sum(when($"l_returnflag" === "R", 0L).otherwise(1L)),
+      sum(when($"l_returnflag" === "R", 1L).otherwise(0L)))
+      .as[(Long, Long)].head()
+    val bad = r.filter(
+      ($"woe" > 1e-6) =!=
+        (($"n" - $"n_bad") * b > $"n_bad" * g))
+      .filter($"woe" =!= 0.0)
+    assert(bad.count() == 0)
+    r.unpersist()
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
