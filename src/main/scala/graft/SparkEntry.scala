@@ -273,6 +273,8 @@ object SparkEntry {
     "q219_coreset" -> ((s, d) => VectorOps.coresetSelect(s, d)),
     "q220_bot_score" -> ((s, d) => Events.botScore(s, d)),
     "q221_woe_iv" -> ((s, d) => Features.woeIv(s, d)),
+    "q222_mutual_info" -> ((s, d) => Features.mutualInfo(s, d)),
+    "q223_benford" -> ((s, d) => Features.benfordAudit(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3062,6 +3064,61 @@ object SparkEntry {
              "/ 1000000.0")} AS iv
          |FROM s JOIN i USING (feature)
          |ORDER BY feature NULLS FIRST, bin NULLS FIRST""".stripMargin,
+
+    // q222: pairwise MI — one ln per cell on an exact integer ratio,
+    // nano-floor-scaled, exact long cross-cell sums.
+    "q222_mutual_info" ->
+      s"""WITH st AS (
+         |  SELECT 'returnflag~linestatus' AS pair, l_returnflag AS x,
+         |    l_linestatus AS y FROM lineitem
+         |  UNION ALL SELECT 'returnflag~qbin', l_returnflag,
+         |    CAST(CAST(FLOOR((l_quantity - 1) / 10.0) AS BIGINT)
+         |      AS VARCHAR) FROM lineitem
+         |  UNION ALL SELECT 'linestatus~qbin', l_linestatus,
+         |    CAST(CAST(FLOOR((l_quantity - 1) / 10.0) AS BIGINT)
+         |      AS VARCHAR) FROM lineitem),
+         |c AS (SELECT pair, x, y, CAST(COUNT(*) AS BIGINT) AS cxy
+         |  FROM st GROUP BY 1, 2, 3),
+         |mx AS (SELECT pair, x, CAST(SUM(cxy) AS BIGINT) AS cx
+         |  FROM c GROUP BY 1, 2),
+         |my AS (SELECT pair, y, CAST(SUM(cxy) AS BIGINT) AS cy
+         |  FROM c GROUP BY 1, 2),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem),
+         |t AS (SELECT c.pair,
+         |    CAST(FLOOR(CAST(cxy AS DOUBLE)
+         |      * ln(CAST(cxy * n AS DOUBLE) / CAST(cx * cy AS DOUBLE))
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS t9, nn.n AS nv
+         |  FROM c JOIN mx USING (pair, x) JOIN my USING (pair, y)
+         |  CROSS JOIN nn)
+         |SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_cells,
+         |  ${val6("CAST(SUM(t9) AS DOUBLE) / 1000000000.0 " +
+             "/ CAST(MAX(nv) AS DOUBLE)")} AS mi_nats
+         |FROM t GROUP BY 1
+         |ORDER BY pair NULLS FIRST""".stripMargin,
+
+    // q223: Benford audit — first digit from the integer string (no
+    // log10 on data); the nine expected shares are the SAME Scala
+    // doubles rendered as literals on both sides.
+    "q223_benford" -> {
+      val ps = graft.operators.Features.BenfordP.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+      s"""WITH d AS (SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice)
+         |      AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM orders),
+         |g AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+         |  FROM d GROUP BY 1),
+         |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+         |e(digit, p) AS (VALUES $ps)
+         |SELECT g.digit, g.n_obs,
+         |  ${val6("CAST(n_obs AS DOUBLE) / CAST(nn.n AS DOUBLE)")}
+         |    AS obs_share,
+         |  ${val6("e.p")} AS benford_p,
+         |  ${val6("(CAST(n_obs AS DOUBLE) - CAST(nn.n AS DOUBLE) * e.p)"
+             + " * (CAST(n_obs AS DOUBLE) - CAST(nn.n AS DOUBLE) * e.p)"
+             + " / (CAST(nn.n AS DOUBLE) * e.p)")} AS chi2_part
+         |FROM g JOIN e USING (digit) CROSS JOIN nn
+         |ORDER BY digit NULLS FIRST""".stripMargin
+    },
 
     // q220: bot scoring — exact integer-second gap moments; cv is two
     // IEEE ops on integer-valued doubles; the flag compares the

@@ -193,6 +193,89 @@ object Features {
       .orderBy("feature", "bin")
   }
 
+  /** q222 — pairwise mutual information between categorical features:
+    * the REDUNDANCY complement of q221's target screening (two
+    * features can both carry high IV yet say the same thing — MI
+    * between them reveals it before a model wastes capacity). For each
+    * feature pair, MI = Σ_cells p(x,y)·ln(N·c_xy / (c_x·c_y)) — the
+    * ln argument is exact integers, so one ln per CELL nano-scales and
+    * the cross-cell sum is exact longs.
+    *
+    * Scale: one stacked (pair, x, y) reduce with map-side combine;
+    * marginals re-aggregate the cell grain; everything after is
+    * cells-sized metadata. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val qbin = floor((col("l_quantity") - 1) / lit(10.0)).cast("long")
+      .cast("string")
+    val stacked = li.select(explode(array(
+        struct(lit("returnflag~linestatus").as("pair"),
+          col("l_returnflag").as("x"), col("l_linestatus").as("y")),
+        struct(lit("returnflag~qbin").as("pair"),
+          col("l_returnflag").as("x"), qbin.as("y")),
+        struct(lit("linestatus~qbin").as("pair"),
+          col("l_linestatus").as("x"), qbin.as("y")))).as("f"))
+      .select(col("f.pair").as("pair"), col("f.x").as("x"),
+        col("f.y").as("y"))
+    val cells = stacked.groupBy("pair", "x", "y")
+      .agg(count(lit(1)).as("cxy"))
+      .localCheckpoint() // marginals ×2 + the term pass
+    val mx = cells.groupBy("pair", "x").agg(sum("cxy").as("cx"))
+    val my = cells.groupBy("pair", "y").agg(sum("cxy").as("cy"))
+    val n = li.count()
+    val term9 = floor(
+      col("cxy").cast("double")
+        * log((col("cxy") * lit(n)).cast("double")
+          / (col("cx") * col("cy")).cast("double"))
+        * lit(1000000000.0) + lit(0.5)).cast("long")
+    cells.join(mx, Seq("pair", "x")).join(my, Seq("pair", "y"))
+      .withColumn("t9", term9)
+      .groupBy("pair")
+      .agg(count(lit(1)).as("n_cells"), sum("t9").as("s9"))
+      .select(col("pair"), col("n_cells"),
+        Portable.val6(col("s9").cast("double") / lit(1000000000.0)
+          / lit(n.toDouble)).as("mi_nats"))
+      .orderBy("pair")
+  }
+
+  /** q223 — Benford first-digit audit: the classic
+    * fabricated-numbers / unit-mix data-quality test. Money amounts
+    * spanning orders of magnitude follow log10(1+1/d) first-digit
+    * frequencies; a corpus whose digits deviate hard was truncated,
+    * synthesized, or mixed across units. Reports per-digit observed vs
+    * expected shares and each digit's χ² contribution.
+    *
+    * Portability: the first digit comes from the INTEGER STRING of
+    * ⌊price⌋ (no log10 on data); the nine expected shares are Scala
+    * doubles embedded as literals in both plans, so every float is a
+    * per-digit expression over exact counts. One digit-grain reduce. */
+  def benfordAudit(spark: SparkSession, dir: String): DataFrame = {
+    val digits = Tables.orders(spark, dir)
+      .select(substring(floor(col("o_totalprice")).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val n = Tables.orders(spark, dir).count()
+    val expect = BenfordP.zipWithIndex
+      .map { case (p, i) => (i + 1, p) }
+      .foldLeft(lit(0.0)) { case (acc, (d, p)) =>
+        when(col("digit") === d, lit(p)).otherwise(acc)
+      }
+    digits
+      .withColumn("p", expect)
+      .select(col("digit"), col("n_obs"),
+        Portable.val6(col("n_obs").cast("double") / lit(n.toDouble))
+          .as("obs_share"),
+        Portable.val6(col("p")).as("benford_p"),
+        Portable.val6(
+          (col("n_obs").cast("double") - lit(n.toDouble) * col("p"))
+            * (col("n_obs").cast("double") - lit(n.toDouble) * col("p"))
+            / (lit(n.toDouble) * col("p"))).as("chi2_part"))
+      .orderBy("digit")
+  }
+
+  /** log10(1 + 1/d) for d = 1..9 — shared verbatim with the oracle. */
+  val BenfordP: Seq[Double] = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+
   /** q208 — k-anonymity audit over quasi-identifiers (Sweeney's
     * re-identification model — public literature): a table is
     * k-anonymous when every combination of quasi-identifier values

@@ -320,6 +320,31 @@ class Round10Spec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q222: MI non-negative, bounded by the smaller marginal entropy") {
+    val r = graft.operators.Features.mutualInfo(spark, dir).cache()
+    assert(r.count() == 3)
+    assert(r.filter($"mi_nats" < -1e-5).count() == 0)
+    // MI(X;Y) ≤ min(H(X), H(Y)) ≤ ln(min cardinality); all features
+    // here have ≤ 5 categories
+    assert(r.filter($"mi_nats" > math.log(5.0) + 1e-6).count() == 0)
+    r.unpersist()
+  }
+
+  test("q223: Benford shares and chi2 reconcile") {
+    val r = graft.operators.Features.benfordAudit(spark, dir).cache()
+    val n = Tables.orders(spark, dir).count()
+    assert(r.agg(sum("n_obs")).as[Long].head() == n)
+    // expected shares are the true Benford constants and sum to 1
+    assert(math.abs(graft.operators.Features.BenfordP.sum - 1.0) < 1e-12)
+    assert(r.filter($"benford_p" <= 0.0 || $"benford_p" >= 0.31)
+      .count() == 0)
+    assert(r.filter($"chi2_part" < 0.0).count() == 0)
+    // observed shares sum to ~1 (val6 rounding only)
+    val s = r.agg(sum("obs_share")).as[Double].head()
+    assert(math.abs(s - 1.0) < 1e-4, s.toString)
+    r.unpersist()
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
