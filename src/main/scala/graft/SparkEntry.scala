@@ -275,6 +275,7 @@ object SparkEntry {
     "q221_woe_iv" -> ((s, d) => Features.woeIv(s, d)),
     "q222_mutual_info" -> ((s, d) => Features.mutualInfo(s, d)),
     "q223_benford" -> ((s, d) => Features.benfordAudit(s, d)),
+    "q224_bootstrap_se" -> ((s, d) => Analytics.bootstrapSe(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3064,6 +3065,49 @@ object SparkEntry {
              "/ 1000000.0")} AS iv
          |FROM s JOIN i USING (feature)
          |ORDER BY feature NULLS FIRST, bin NULLS FIRST""".stripMargin,
+
+    // q224: Poisson bootstrap — hash-drawn inverse-CDF weights
+    // (thresholds are shared Scala constants), exact integer
+    // per-replicate sums, milli-scaled means into integer-moment
+    // variance.
+    "q224_bootstrap_se" -> {
+      val cs = graft.operators.Analytics.PoissonCdf
+      s"""WITH o AS (SELECT o_orderkey,
+         |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |g AS (SELECT o.o_orderkey, o.cents, CAST(r AS INT) AS r
+         |  FROM o, range(0, 32) t(r)),
+         |w AS (SELECT r, cents,
+         |    CASE WHEN u < ${cs(0)} THEN 0 WHEN u < ${cs(1)} THEN 1
+         |         WHEN u < ${cs(2)} THEN 2 WHEN u < ${cs(3)} THEN 3
+         |         ELSE 4 END AS k
+         |  FROM (SELECT r, cents,
+         |      CAST(${h32("CAST(o_orderkey AS VARCHAR) || ':' || " +
+             "CAST(r AS VARCHAR)")} AS DOUBLE) / 4294967296.0 AS u
+         |    FROM g)),
+         |pr AS (SELECT r, CAST(SUM(k * cents) AS BIGINT) AS num,
+         |    CAST(SUM(k) AS BIGINT) AS den
+         |  FROM w GROUP BY 1),
+         |m AS (SELECT r, CAST(FLOOR(CAST(num AS DOUBLE) / 100.0
+         |    / CAST(den AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS m3
+         |  FROM pr),
+         |ov AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    CAST(SUM(cents) AS DOUBLE) / 100.0 / COUNT(*)
+         |      AS mean_value
+         |  FROM o),
+         |agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_reps,
+         |    CAST(SUM(d3) AS BIGINT) AS s1,
+         |    CAST(SUM(d3 * d3) AS BIGINT) AS s2
+         |  FROM (SELECT m.m3 - CAST(FLOOR(ov.mean_value * 1000.0 + 0.5)
+         |      AS BIGINT) AS d3
+         |    FROM m CROSS JOIN ov))
+         |SELECT ov.n_rows, agg.n_reps,
+         |  ${val6("ov.mean_value")} AS mean_value,
+         |  ${val6("sqrt(CAST(agg.n_reps * agg.s2 - agg.s1 * agg.s1 " +
+             "AS DOUBLE) / CAST(agg.n_reps * (agg.n_reps - 1) " +
+             "AS DOUBLE)) / 1000.0")} AS bootstrap_se
+         |FROM agg CROSS JOIN ov""".stripMargin
+    },
 
     // q222: pairwise MI — one ln per cell on an exact integer ratio,
     // nano-floor-scaled, exact long cross-cell sums.

@@ -310,6 +310,71 @@ object Analytics {
       .orderBy("join_key")
   }
 
+  /** q224 — Poisson-bootstrap standard error of a corpus statistic
+    * (here: mean order value), in ONE pass. The classic bootstrap
+    * resamples n rows with replacement — impossible to coordinate
+    * across a cluster; the Poisson bootstrap (public technique, used
+    * for exactly this at web scale) gives each row an independent
+    * Poisson(1) weight per replicate, which needs NO coordination: a
+    * row's 32 replicate weights derive from its own key hash, so the
+    * whole uncertainty estimate is one scan + a replicate-grain reduce.
+    *
+    * Determinism end-to-end: the Poisson draw is inverse-CDF over the
+    * portable hash (thresholds are shared Scala constants, truncated at
+    * k = 4); per-replicate sums are exact longs (integer cents ×
+    * integer weights); replicate means milli-floor-scale before the
+    * across-replicate variance, which is integer-moment arithmetic —
+    * no float ever crosses a row boundary in any order. */
+  def bootstrapSe(spark: SparkSession, dir: String,
+      reps: Int = 32): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), cents2(col("o_totalprice")).as("cents"))
+    val rep = o.select(col("o_orderkey"), col("cents"),
+      explode(sequence(lit(0), lit(reps - 1))).as("r"))
+    val u = portable32(concat(col("o_orderkey").cast("string"),
+      lit(":"), col("r").cast("string"))).cast("double") / lit(4294967296.0)
+    // build innermost-first (largest threshold) so the final expression
+    // tests the SMALLEST threshold first — the inverse-CDF order
+    val k = PoissonCdf.zipWithIndex.reverse
+      .foldLeft(lit(PoissonCdf.length): org.apache.spark.sql.Column) {
+        case (acc, (c, i)) => when(u < lit(c), lit(i)).otherwise(acc)
+      }
+    val perRep = rep.withColumn("k", k.cast("long"))
+      .groupBy("r")
+      .agg(sum(col("k") * col("cents")).as("num"), sum("k").as("den"))
+      .withColumn("m3", floor(col("num").cast("double") / lit(100.0)
+        / col("den").cast("double") * lit(1000.0) + lit(0.5))
+        .cast("long"))
+    val overall = o.agg(count(lit(1)).as("n_rows"),
+      (sum("cents").cast("double") / lit(100.0) / count(lit(1)))
+        .as("mean_value"))
+    // center replicate means on the overall mean before the integer
+    // moments (variance is shift-invariant; uncentered m3² would
+    // overflow longs at 32 replicates × (1.5e8)²)
+    perRep
+      .crossJoin(broadcast(overall))
+      .withColumn("d3", col("m3")
+        - floor(col("mean_value") * lit(1000.0) + lit(0.5)).cast("long"))
+      .groupBy("n_rows", "mean_value")
+      .agg(count(lit(1)).as("n_reps"), sum("d3").as("s1"),
+        sum(col("d3") * col("d3")).as("s2"))
+      .select(col("n_rows"), col("n_reps"),
+        val6(col("mean_value")).as("mean_value"),
+        val6(
+          sqrt(((col("n_reps") * col("s2") - col("s1") * col("s1"))
+            .cast("double"))
+            / (col("n_reps") * (col("n_reps") - 1)).cast("double"))
+            / lit(1000.0)).as("bootstrap_se"))
+  }
+
+  /** Poisson(1) inverse-CDF thresholds (cumulative pmf at k=0..3) —
+    * shared verbatim with the oracle; draws ≥ the last threshold
+    * truncate to k = 4. */
+  val PoissonCdf: Seq[Double] = {
+    val e = math.exp(-1.0)
+    Seq(e, 2 * e, 2.5 * e, 8.0 / 3.0 * e)
+  }
+
   /** q217 — contrastive TRIPLET mining for a two-tower recommendation
     * embedding: per anchor part, one POSITIVE (its strongest co-order
     * partner — support-max, id tie-break) and one deterministic

@@ -345,6 +345,23 @@ class Round10Spec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q224: bootstrap SE ~ CLT prediction; determinism") {
+    val r = graft.operators.Analytics.bootstrapSe(spark, dir)
+      .as[(Long, Long, Double, Double)].head()
+    val (n, reps, mean, se) = r
+    assert(reps == 32 && mean > 0 && se > 0)
+    // CLT: SE(mean) ≈ sd/√n — bootstrap must land within 3× either way
+    val stats = Tables.orders(spark, dir)
+      .agg(stddev_pop($"o_totalprice"), count(lit(1)))
+      .as[(Double, Long)].head()
+    val clt = stats._1 / math.sqrt(stats._2.toDouble)
+    assert(se > clt / 3 && se < clt * 3, s"se=$se clt=$clt")
+    // pure function of the data: a rerun is bit-identical
+    val again = graft.operators.Analytics.bootstrapSe(spark, dir)
+      .as[(Long, Long, Double, Double)].head()
+    assert(again == r)
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
