@@ -276,6 +276,9 @@ object SparkEntry {
     "q222_mutual_info" -> ((s, d) => Features.mutualInfo(s, d)),
     "q223_benford" -> ((s, d) => Features.benfordAudit(s, d)),
     "q224_bootstrap_se" -> ((s, d) => Analytics.bootstrapSe(s, d)),
+    "q225_capture_recapture" ->
+      ((s, d) => Analytics.captureRecapture(s, d)),
+    "q226_unseen_mass" -> ((s, d) => TextOps.unseenMass(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3065,6 +3068,58 @@ object SparkEntry {
              "/ 1000000.0")} AS iv
          |FROM s JOIN i USING (feature)
          |ORDER BY feature NULLS FIRST, bin NULLS FIRST""".stripMargin,
+
+    // q225: Chapman capture–recapture — exact set cardinalities from
+    // two half-period windows, one integer product + one division.
+    "q225_capture_recapture" ->
+      """WITH b AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS d0,
+        |    MAX(CAST(o_orderdate AS DATE)) AS d1 FROM orders),
+        |s AS (SELECT DISTINCT
+        |    CASE WHEN (CAST(o_orderdate AS DATE) - b.d0) * 2
+        |      <= (b.d1 - b.d0) THEN 1 ELSE 2 END AS half,
+        |    l_partkey
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  CROSS JOIN b),
+        |n1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n1 FROM s
+        |  WHERE half = 1),
+        |n2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n2 FROM s
+        |  WHERE half = 2),
+        |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM (
+        |    SELECT l_partkey FROM s WHERE half = 1
+        |    INTERSECT SELECT l_partkey FROM s WHERE half = 2)),
+        |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS truth FROM part),
+        |e AS (SELECT n1, n2, m, truth,
+        |    CAST(n1 + 1 AS DOUBLE) * CAST(n2 + 1 AS DOUBLE)
+        |      / CAST(m + 1 AS DOUBLE) - 1.0 AS est
+        |  FROM n1 CROSS JOIN n2 CROSS JOIN m CROSS JOIN tr)
+        |SELECT n1 AS n_first_half, n2 AS n_second_half,
+        |  m AS n_overlap,
+        |  CAST(FLOOR(est * 1000000.0 + 0.5) AS BIGINT) / 1000000.0
+        |    AS chapman_estimate,
+        |  truth AS n_catalog,
+        |  CAST(FLOOR(est / CAST(truth AS DOUBLE) * 1000000.0 + 0.5)
+        |    AS BIGINT) / 1000000.0 AS est_over_truth
+        |FROM e""".stripMargin,
+
+    // q226: Good–Turing unseen mass — one vocabulary-grain reduce,
+    // exact integers, one division at the edge.
+    "q226_unseen_mass" ->
+      """WITH v AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        |  WHERE t <> '' GROUP BY 1)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_types,
+        |  CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_doubletons,
+        |  CAST(FLOOR(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS unseen_mass,
+        |  CAST(FLOOR(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+        |    * 1000000.0 + 0.5) AS BIGINT) / 1000000.0 AS hapax_share
+        |FROM v""".stripMargin,
 
     // q224: Poisson bootstrap — hash-drawn inverse-CDF weights
     // (thresholds are shared Scala constants), exact integer

@@ -375,6 +375,55 @@ object Analytics {
     Seq(e, 2 * e, 2.5 * e, 8.0 / 3.0 * e)
   }
 
+  /** q225 — capture–recapture catalog estimation (Chapman's
+    * bias-corrected Lincoln–Petersen — the ecology estimator that
+    * data-world reuses to answer "how many distinct entities EXIST,
+    * beyond what we've crawled"): two overlapping observation windows
+    * (parts ordered in the first vs second half of the date range)
+    * estimate the full catalog as N̂ = (n1+1)(n2+1)/(m+1) − 1. Against
+    * TPC-H's known part count the estimator's error is itself part of
+    * the mart — the calibration a production crawl-coverage model
+    * needs.
+    *
+    * All counts are exact set cardinalities (distinct reduces); the
+    * estimate is one integer product and one division. Scale: two
+    * distinct aggregations over the fact scan + metadata arithmetic. */
+  def captureRecapture(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+          .select(col("o_orderkey").as("l_orderkey"),
+            to_date(col("o_orderdate")).as("day")),
+        "l_orderkey")
+    val bounds = Tables.orders(spark, dir)
+      .agg(min(to_date(col("o_orderdate"))).as("d0"),
+        max(to_date(col("o_orderdate"))).as("d1"))
+    val seen = base.crossJoin(broadcast(bounds))
+      .withColumn("half",
+        when(datediff(col("day"), col("d0")) * 2
+          <= datediff(col("d1"), col("d0")), 1).otherwise(2))
+      .select(col("half"), col("l_partkey"))
+      .distinct()
+      .localCheckpoint() // window counts + the overlap semi-join
+    val n1 = seen.filter(col("half") === 1)
+      .agg(count(lit(1)).as("n1"))
+    val n2 = seen.filter(col("half") === 2)
+      .agg(count(lit(1)).as("n2"))
+    val m = seen.filter(col("half") === 1).select("l_partkey")
+      .join(seen.filter(col("half") === 2).select("l_partkey"),
+        Seq("l_partkey"), "left_semi")
+      .agg(count(lit(1)).as("m"))
+    val truth = Tables.part(spark, dir).agg(count(lit(1)).as("truth"))
+    val est = (col("n1") + 1).cast("double")
+      .*((col("n2") + 1).cast("double"))
+      ./((col("m") + 1).cast("double")) - lit(1.0)
+    n1.crossJoin(n2).crossJoin(m).crossJoin(broadcast(truth))
+      .select(col("n1").as("n_first_half"),
+        col("n2").as("n_second_half"), col("m").as("n_overlap"),
+        val6(est).as("chapman_estimate"),
+        col("truth").as("n_catalog"),
+        val6(est / col("truth").cast("double")).as("est_over_truth"))
+  }
+
   /** q217 — contrastive TRIPLET mining for a two-tower recommendation
     * embedding: per anchor part, one POSITIVE (its strongest co-order
     * partner — support-max, id tie-break) and one deterministic

@@ -1702,6 +1702,35 @@ object TextOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** q226 — Good–Turing unseen-mass estimation: the probability that
+    * the NEXT token drawn from the stream is a type never seen before
+    * is ≈ N₁/N (hapax count over total tokens) — Turing's estimator,
+    * the quantity behind "how much new vocabulary will the next ingest
+    * bring" and the smoothing mass every open-vocabulary LM reserves.
+    * Ships with the doubleton count (the next Good–Turing term) and the
+    * hapax share of the vocabulary (Heaps-regime indicator: a corpus
+    * still at ~50% hapax is nowhere near vocabulary saturation).
+    *
+    * One vocabulary-grain reduce; every statistic is exact integers
+    * with one division at the edge. */
+  def unseenMass(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("t").agg(count(lit(1)).as("c"))
+    vocab.agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("n_doubletons"))
+      .select(col("n_tokens"), col("n_types"), col("n_hapax"),
+        col("n_doubletons"),
+        graft.util.Portable.val6(col("n_hapax").cast("double")
+          / col("n_tokens").cast("double")).as("unseen_mass"),
+        graft.util.Portable.val6(col("n_hapax").cast("double")
+          / col("n_types").cast("double")).as("hapax_share"))
+  }
+
   /** q215 — distribution shift between splits: add-one-smoothed
     * KL(split ‖ train) over the corpus vocabulary, per split of the
     * leakage-safe assignment (q165). A near-zero value certifies the

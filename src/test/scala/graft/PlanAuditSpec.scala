@@ -56,7 +56,8 @@ class PlanAuditSpec extends SparkSpec {
     "q202_target_encoding",  // cross join of the 1-row grand total
     "q205_purged_split",     // cross join of the 1-row date bounds
     "q215_split_divergence", // vocab × 3-row split totals + 1-row train
-    "q224_bootstrap_se")     // 1-row overall mean cross joins
+    "q224_bootstrap_se",     // 1-row overall mean cross joins
+    "q225_capture_recapture") // four 1-row count scalars cross joined
 
   // reviewed single-partition sites: global scalar finals + windows
   // over aggregate-grain frames (input cardinality is bounded by the
@@ -85,7 +86,9 @@ class PlanAuditSpec extends SparkSpec {
     "q202_target_encoding",   // grand total: 1-row final over 25 groups
     "q205_purged_split",      // date bounds: 1-row global min/max final
     "q208_k_anonymity",       // 1-row card final over the QI-group grain
-    "q224_bootstrap_se")      // 32-row replicate + 1-row finals
+    "q224_bootstrap_se",      // 32-row replicate + 1-row finals
+    "q225_capture_recapture", // 1-row window-count finals
+    "q226_unseen_mass")       // 1-row vocabulary-stat final
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is

@@ -362,6 +362,30 @@ class Round10Spec extends SparkSpec {
     assert(again == r)
   }
 
+  test("q225: Chapman estimate brackets the known catalog") {
+    val r = graft.operators.Analytics.captureRecapture(spark, dir)
+      .as[(Long, Long, Long, Double, Long, Double)].head()
+    val (n1, n2, m, est, truth, ratio) = r
+    assert(m <= math.min(n1, n2))
+    // the estimator can't fall below what was directly observed
+    assert(est >= math.max(n1, n2) - 1e-6)
+    // with dense TPC-H coverage it should land within 2× of truth
+    assert(ratio > 0.5 && ratio < 2.0, s"ratio $ratio")
+  }
+
+  test("q226: Good–Turing identities") {
+    val r = graft.operators.TextOps.unseenMass(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double)].head()
+    val (nTok, nTyp, hapax, dbl, mass, share) = r
+    assert(hapax + dbl <= nTyp && nTyp <= nTok)
+    assert(mass >= 0.0 && mass <= 1.0 && share >= 0.0 && share <= 1.0)
+    // hand-recompute hapax from the corpus
+    val h = Tables.documents(spark, dir)
+      .select(explode(split($"text", " ")).as("t")).filter($"t" =!= "")
+      .groupBy("t").count().filter($"count" === 1).count()
+    assert(h == hapax)
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
