@@ -279,6 +279,8 @@ object SparkEntry {
     "q225_capture_recapture" ->
       ((s, d) => Analytics.captureRecapture(s, d)),
     "q226_unseen_mass" -> ((s, d) => TextOps.unseenMass(s, d)),
+    "q227_seasonal_decompose" ->
+      ((s, d) => Analytics.seasonalDecompose(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3068,6 +3070,45 @@ object SparkEntry {
              "/ 1000000.0")} AS iv
          |FROM s JOIN i USING (feature)
          |ORDER BY feature NULLS FIRST, bin NULLS FIRST""".stripMargin,
+
+    // q227: seasonal decomposition — detrending multiplies through by
+    // the window width to stay integer; weekday means and σ divide out
+    // of exact moments; whole-dollar residual quantization (milli
+    // would overflow the squared sums at day grain).
+    "q227_seasonal_decompose" ->
+      s"""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |t AS (SELECT day, cents,
+         |    CAST(SUM(cents) OVER w AS BIGINT) AS sum7,
+         |    COUNT(*) OVER w AS cnt7
+         |  FROM d WINDOW w AS (ORDER BY day
+         |    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+         |t2 AS (SELECT day, cents, sum7, cents * 7 - sum7 AS d1,
+         |    isodow(day) - 1 AS dow
+         |  FROM t WHERE cnt7 = 7),
+         |seas AS (SELECT dow, CAST(SUM(d1) AS DOUBLE) / COUNT(*)
+         |    / 7.0 / 100.0 AS seasonal
+         |  FROM t2 GROUP BY 1),
+         |sc AS (SELECT t2.*, seas.seasonal,
+         |    CAST(d1 AS DOUBLE) / 700.0 - seas.seasonal AS residual
+         |  FROM t2 JOIN seas USING (dow)),
+         |sc2 AS (SELECT sc.*,
+         |    CAST(FLOOR(residual + 0.5) AS BIGINT) AS r0 FROM sc),
+         |sig AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(r0) AS BIGINT) AS s1,
+         |    CAST(SUM(r0 * r0) AS BIGINT) AS s2 FROM sc2)
+         |SELECT day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+         |  ${val6("CAST(sum7 AS DOUBLE) / 700.0")} AS trend,
+         |  ${val6("seasonal")} AS seasonal,
+         |  ${val6("residual")} AS residual,
+         |  abs(residual) > 2.0
+         |    * sqrt(CAST(sig.s2 AS DOUBLE) / CAST(sig.n AS DOUBLE)
+         |      - (CAST(sig.s1 AS DOUBLE) / CAST(sig.n AS DOUBLE))
+         |        * (CAST(sig.s1 AS DOUBLE) / CAST(sig.n AS DOUBLE)))
+         |    AS is_anomaly
+         |FROM sc2 CROSS JOIN sig ORDER BY day NULLS FIRST""".stripMargin,
 
     // q225: Chapman capture–recapture — exact set cardinalities from
     // two half-period windows, one integer product + one division.

@@ -310,6 +310,60 @@ object Analytics {
       .orderBy("join_key")
   }
 
+  /** q227 — classical seasonal decomposition of daily revenue with
+    * anomaly flags: trend = centered 7-row moving average, seasonal =
+    * per-weekday mean of the detrended series, residual = the rest,
+    * anomaly = |residual| beyond 2σ. The time-series health view the
+    * reference's dashboard family implies (daily KPI with "is today
+    * weird?") — and the residual feed for any alerting rule.
+    *
+    * Exactness discipline: the detrended value is kept as the INTEGER
+    * 7·cents − Σ₇cents (multiplying through by the window width avoids
+    * a rational mid-pipeline), weekday means and σ divide out of exact
+    * integer moments, and the residual milli-scales before the
+    * variance. Windows run over DAY grain (a few thousand rows at any
+    * corpus scale — the q47 aggregate-grain class). */
+  def seasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents2(col("o_totalprice"))).as("cents"))
+    val w = Window.orderBy("day").rowsBetween(-3, 3)
+    val t = d
+      .withColumn("sum7", sum("cents").over(w))
+      .withColumn("cnt7", count(lit(1)).over(w))
+      .filter(col("cnt7") === 7)
+      .withColumn("d1", col("cents") * 7 - col("sum7")) // 700ths of $
+      .withColumn("dow", weekday(col("day")))
+      .localCheckpoint() // weekday means + the residual pass
+    val seas = t.groupBy("dow")
+      .agg((sum("d1").cast("double") / count(lit(1))
+        / lit(7.0) / lit(100.0)).as("seasonal"))
+    val scored = t.join(broadcast(seas), "dow")
+      .withColumn("residual",
+        col("d1").cast("double") / lit(700.0) - col("seasonal"))
+      // whole-dollar quantization: day-grain residuals reach ±1e6
+      // dollars, so milli-scaling would overflow the squared moments
+      .withColumn("r0",
+        floor(col("residual") + lit(0.5)).cast("long"))
+    val sig = scored.agg(count(lit(1)).as("n"), sum("r0").as("s1"),
+      sum(col("r0") * col("r0")).as("s2"))
+    // moments convert exactly to doubles (both < 2^53); the n·s2
+    // integer form would overflow longs at sf0.1's residual scale
+    scored.crossJoin(broadcast(sig))
+      .withColumn("sigma",
+        sqrt(col("s2").cast("double") / col("n").cast("double")
+          - (col("s1").cast("double") / col("n").cast("double"))
+            * (col("s1").cast("double") / col("n").cast("double"))))
+      .select(col("day"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        val6(col("sum7").cast("double") / lit(700.0)).as("trend"),
+        val6(col("seasonal")).as("seasonal"),
+        val6(col("residual")).as("residual"),
+        (abs(col("residual")) > lit(2.0) * col("sigma"))
+          .as("is_anomaly"))
+      .orderBy("day")
+  }
+
   /** q224 — Poisson-bootstrap standard error of a corpus statistic
     * (here: mean order value), in ONE pass. The classic bootstrap
     * resamples n rows with replacement — impossible to coordinate

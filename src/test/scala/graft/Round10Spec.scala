@@ -386,6 +386,23 @@ class Round10Spec extends SparkSpec {
     assert(h == hapax)
   }
 
+  test("q227: decomposition identities and anomaly calibration") {
+    val r = graft.operators.Analytics.seasonalDecompose(spark, dir)
+      .cache()
+    // trend + seasonal + residual reassembles revenue (val6 rounding)
+    val bad = r.filter(
+      abs($"revenue" - ($"trend" + $"seasonal" + $"residual")) > 1e-3)
+    assert(bad.count() == 0)
+    // weekday seasonal components are mean-zero-ish by construction:
+    // each is a mean of detrended values; their day-weighted sum is
+    // the sum of all detrended values — small next to revenue scale
+    val n = r.count()
+    // 2σ flags a small minority under any unimodal residual dist
+    val flagged = r.filter($"is_anomaly").count()
+    assert(flagged < n / 4, s"$flagged of $n flagged")
+    r.unpersist()
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
