@@ -47,6 +47,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("jaro_winkler"),
       info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-pinned semantics)"),
       (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("sorted_intersect_count"),
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - merge-walk overlap count of two sorted arrays"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs(0), exprs(1))))
     ext.injectOptimizerRule(_ => RewriteRegexCount)
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
   }

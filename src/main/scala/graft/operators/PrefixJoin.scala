@@ -122,14 +122,15 @@ object PrefixJoin {
       .select(col("a.doc_id").as("eval_id"), col("b.doc_id").as("doc_id"))
       .distinct()
 
-    val sets = docs.select(col("doc_id"), col("toks"),
-      size(col("toks")).as("m"))
+    val sets = docs.select(col("doc_id"),
+      sort_array(col("toks")).as("toks"), size(col("toks")).as("m"))
     cand
       .join(sets.select(col("doc_id").as("eval_id"), col("toks").as("ta"),
         col("m").as("ma")), "eval_id")
       .join(sets.select(col("doc_id"), col("toks").as("tb")), "doc_id")
       .withColumn("c",
-        size(array_intersect(col("ta"), col("tb"))).cast("double"))
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("ta"), col("tb")).cast("double"))
       .withColumn("containment", col("c") / col("ma"))
       .filter(col("containment") >= threshold)
       .select(col("eval_id"), col("doc_id"),
@@ -187,16 +188,20 @@ object PrefixJoin {
       .distinct()
 
     // exact verify: same arithmetic shape as the oracle —
-    // c / (ma + mb − c) in doubles, 6-decimal portable rounding
-    val sets = docs.select(col("doc_id"), col("toks"),
-      size(col("toks")).as("m"))
+    // c / (ma + mb − c) in doubles, 6-decimal portable rounding. The
+    // overlap count runs through the codegen'd merge-walk kernel
+    // (functions/SortedIntersectCount) over sort_array'd sets — Spark's
+    // sort_array uses the same UTF8 byte order the kernel compares by
+    val sets = docs.select(col("doc_id"),
+      sort_array(col("toks")).as("toks"), size(col("toks")).as("m"))
     cand
       .join(sets.select(col("doc_id").as("ida"), col("toks").as("ta"),
         col("m").as("ma")), "ida")
       .join(sets.select(col("doc_id").as("idb"), col("toks").as("tb"),
         col("m").as("mb")), "idb")
       .withColumn("c",
-        size(array_intersect(col("ta"), col("tb"))).cast("double"))
+        graft.functions.SortedIntersectCount
+          .sortedIntersectCount(col("ta"), col("tb")).cast("double"))
       .withColumn("jaccard",
         col("c") / ((col("ma") + col("mb")).cast("double") - col("c")))
       .filter(col("jaccard") >= threshold)
