@@ -281,6 +281,7 @@ object SparkEntry {
     "q226_unseen_mass" -> ((s, d) => TextOps.unseenMass(s, d)),
     "q227_seasonal_decompose" ->
       ((s, d) => Analytics.seasonalDecompose(s, d)),
+    "q228_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3070,6 +3071,30 @@ object SparkEntry {
              "/ 1000000.0")} AS iv
          |FROM s JOIN i USING (feature)
          |ORDER BY feature NULLS FIRST, bin NULLS FIRST""".stripMargin,
+
+    // q228: exact cross-source content overlap — fingerprint-keyed
+    // self-join, source-grain sizes, exact set Jaccard.
+    "q228_source_overlap" ->
+      s"""WITH fps AS (SELECT DISTINCT source, $fpSqlExpr AS fp
+         |  FROM documents),
+         |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM fps GROUP BY 1),
+         |iv AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT * FROM (
+         |  SELECT iv.source_a, iv.source_b, sa.n AS na, sb.n AS nb,
+         |    iv.n_shared,
+         |    ${val6("CAST(n_shared AS DOUBLE) / " +
+             "(CAST(sa.n + sb.n AS DOUBLE) - CAST(n_shared AS DOUBLE))")}
+         |      AS jaccard
+         |  FROM iv JOIN sz sa ON iv.source_a = sa.source
+         |    JOIN sz sb ON iv.source_b = sb.source
+         |  UNION ALL
+         |  SELECT source, source, n, n, n, 1.0 FROM sz)
+         |ORDER BY source_a NULLS FIRST, source_b NULLS FIRST"""
+        .stripMargin,
 
     // q227: seasonal decomposition — detrending multiplies through by
     // the window width to stay integer; weekday means and σ divide out

@@ -1702,6 +1702,51 @@ object TextOps {
       .orderBy("source_a", "source_b")
   }
 
+  /** q228 — exact content-overlap matrix between sources: for every
+    * source pair, the Jaccard of their CONTENT-FINGERPRINT sets (the
+    * q30 [[contentFp]] key) — the exact-duplication complement of
+    * q214's near-dup pair counts. A high cell means two "independent"
+    * ingest feeds are the same crawl; the mixture planner reads this
+    * before assigning them separate weights, and the dedup budget
+    * planner reads it to predict cross-source drop volume.
+    *
+    * Shape: distinct (source, fp) pairs (one reduce), pair
+    * intersections from a self-join keyed on the FINGERPRINT (bucket
+    * size = how many sources share one content item — bounded by
+    * \|sources\|), source set sizes re-aggregate the same grain. Never
+    * \|sources\|² × corpus work. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(spark, dir)
+      .select(col("source"), contentFp(col("text")).as("fp"))
+      .distinct()
+      .localCheckpoint() // sizes + both self-join sides
+    val sizes = fps.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = fps.as("a")
+      .join(fps.as("b"),
+        col("a.fp") === col("b.fp") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"),
+        col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    val cross = inter
+      .join(sizes.select(col("source").as("source_a"), col("n").as("na")),
+        "source_a")
+      .join(sizes.select(col("source").as("source_b"), col("n").as("nb")),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("na"), col("nb"),
+        col("n_shared"),
+        graft.util.Portable.val6(col("n_shared").cast("double")
+          / ((col("na") + col("nb")).cast("double")
+            - col("n_shared").cast("double"))).as("jaccard"))
+    // diagonal rows keep the matrix total (every source always
+    // reports), and their n_shared = the source's distinct-content
+    // size — a clean-corpus gate never degenerates to zero rows
+    val diag = sizes.select(col("source").as("source_a"),
+      col("source").as("source_b"), col("n").as("na"),
+      col("n").as("nb"), col("n").as("n_shared"),
+      lit(1.0).as("jaccard"))
+    cross.unionByName(diag).orderBy("source_a", "source_b")
+  }
+
   /** q226 — Good–Turing unseen-mass estimation: the probability that
     * the NEXT token drawn from the stream is a type never seen before
     * is ≈ N₁/N (hapax count over total tokens) — Turing's estimator,

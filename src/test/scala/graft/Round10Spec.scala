@@ -403,6 +403,22 @@ class Round10Spec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q228: overlap matrix — diagonal complete, cross cells bounded") {
+    val r = graft.operators.TextOps.sourceOverlap(spark, dir).cache()
+    val nSources = Tables.documents(spark, dir)
+      .select("source").distinct().count()
+    assert(r.filter($"source_a" === $"source_b").count() == nSources)
+    assert(r.filter($"source_a" === $"source_b" && $"jaccard" =!= 1.0)
+      .count() == 0)
+    val cross = r.filter($"source_a" < $"source_b")
+    assert(cross.filter($"n_shared" < 1).count() == 0) // cross rows only when shared
+    assert(cross.filter(
+      $"n_shared" > least($"na", $"nb")).count() == 0)
+    assert(cross.filter($"jaccard" <= 0.0 || $"jaccard" > 1.0)
+      .count() == 0)
+    r.unpersist()
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
