@@ -282,6 +282,8 @@ object SparkEntry {
     "q227_seasonal_decompose" ->
       ((s, d) => Analytics.seasonalDecompose(s, d)),
     "q228_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
+    "q229_cluster_balanced" ->
+      ((s, d) => VectorOps.clusterBalancedSample(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3027,6 +3029,34 @@ object SparkEntry {
     "q76_kmeans_vq" -> kmeansSql,
 
     "q219_coreset" -> coresetSql,
+
+    // q229: cluster-balanced sampling — q184's √-weight exact-quota
+    // arithmetic over the q76 trainer's assignment.
+    "q229_cluster_balanced" ->
+      s"""WITH ${kmTrainCtes(8, 64, "")},
+         |${kmAssignCte(64)("embeddings", "c2", "a2")},
+         |asg AS (SELECT vec_id, cid FROM a2),
+         |cc AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM asg GROUP BY 1),
+         |w AS (SELECT cid, c,
+         |    CAST(FLOOR(sqrt(CAST(c AS DOUBLE)) * 1000000000.0 + 0.5)
+         |      AS BIGINT) AS w9
+         |  FROM cc),
+         |tot AS (SELECT CAST(SUM(w9) AS BIGINT) AS ww,
+         |    (SELECT COUNT(*) // 2 FROM embeddings) AS b FROM w),
+         |t AS (SELECT cid, c, (b * w9) // ww AS n_target
+         |  FROM w CROSS JOIN tot),
+         |r AS (SELECT vec_id, cid,
+         |    CAST('0x' || substr(md5('cbal:' || vec_id), 1, 8) AS BIGINT)
+         |      AS hk
+         |  FROM asg),
+         |rk AS (SELECT vec_id, cid, ROW_NUMBER() OVER (
+         |    PARTITION BY cid ORDER BY hk, vec_id) AS rn
+         |  FROM r)
+         |SELECT rk.vec_id, rk.cid, t.c AS cluster_size, t.n_target,
+         |  CAST(rn AS INT) AS "rank", rn <= t.n_target AS keep
+         |FROM rk JOIN t USING (cid)
+         |ORDER BY vec_id NULLS FIRST""".stripMargin,
 
     // q221: WOE/IV screening — one ln per bin on a ratio of exact
     // integer products, micro-floor-scaled; the IV numerator

@@ -1340,6 +1340,47 @@ object VectorOps {
       .orderBy("cid", "rank")
   }
 
+  /** q229 — cluster-balanced sampling: the q184 temperature-mixture
+    * discipline applied to EMBEDDING-SPACE clusters instead of
+    * language labels — the "cluster-balanced curation" step the
+    * cluster data card (q190) exists to budget. Per trained cluster,
+    * an exact integer quota ∝ √size (temperature 0.5 flattens the
+    * head, upsamples the tail), filled by the smallest seeded-hash
+    * members — exact-count selection, not Bernoulli thresholds, and
+    * reproducible across runs and engines.
+    *
+    * Scale: one assignment pass (centroids broadcast), cluster-grain
+    * quota metadata, and one per-cluster rank window. */
+  def clusterBalancedSample(spark: SparkSession, dir: String,
+      k: Int = 8, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val cents = lloydRounds(spark, ds, k, iters)
+    val asg = kmeansAssign(spark, ds, cents)
+      .select(col("vec_id"), col("cid"))
+      .localCheckpoint() // counts + the ranked selection
+    val b = asg.count() / 2
+    val c = asg.groupBy("cid").agg(count(lit(1)).as("c"))
+    val w = c.withColumn("w9",
+      floor(sqrt(col("c").cast("double")) * lit(1000000000.0) + lit(0.5))
+        .cast("long"))
+    val tot = w.agg(sum("w9").as("ww"))
+    val t = w.crossJoin(broadcast(tot))
+      .withColumn("n_target", expr(s"($b * w9) div ww"))
+      .select(col("cid"), col("c"), col("n_target"))
+    val rk = asg
+      .withColumn("hk", graft.util.Portable.portable32(
+        concat(lit("cbal:"), col("vec_id").cast("string"))))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cid").orderBy(asc("hk"), asc("vec_id"))))
+    rk.join(broadcast(t), "cid")
+      .select(col("vec_id"), col("cid"), col("c").as("cluster_size"),
+        col("n_target"), col("rn").cast("int").as("rank"),
+        (col("rn") <= col("n_target")).as("keep"))
+      .orderBy("vec_id")
+  }
+
   private def kmeansAssign(spark: SparkSession,
       ds: org.apache.spark.sql.Dataset[(Long, Array[Float])],
       cents: Array[(Long, Array[Double])]): DataFrame = {

@@ -58,7 +58,8 @@ class PlanAuditSpec extends SparkSpec {
     "q215_split_divergence", // vocab × 3-row split totals + 1-row train
     "q224_bootstrap_se",     // 1-row overall mean cross joins
     "q225_capture_recapture", // four 1-row count scalars cross joined
-    "q227_seasonal_decompose") // 1-row sigma + 7-row weekday means
+    "q227_seasonal_decompose", // 1-row sigma + 7-row weekday means
+    "q229_cluster_balanced")   // 1-row weight-total cross join
 
   // reviewed single-partition sites: global scalar finals + windows
   // over aggregate-grain frames (input cardinality is bounded by the
@@ -90,7 +91,8 @@ class PlanAuditSpec extends SparkSpec {
     "q224_bootstrap_se",      // 32-row replicate + 1-row finals
     "q225_capture_recapture", // 1-row window-count finals
     "q226_unseen_mass",       // 1-row vocabulary-stat final
-    "q227_seasonal_decompose") // windows over DAY grain (q47 class)
+    "q227_seasonal_decompose", // windows over DAY grain (q47 class)
+    "q229_cluster_balanced")   // 1-row quota-weight final (K-grain in)
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is

@@ -419,6 +419,26 @@ class Round10Spec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q229: quotas exact, tail upsampled, kept counts match") {
+    val r = graft.operators.VectorOps.clusterBalancedSample(spark, dir)
+      .cache()
+    // exactly n_target kept per cluster (quota ≤ size by construction)
+    val perC = r.groupBy("cid").agg(
+      sum(when($"keep", 1L).otherwise(0L)).as("kept"),
+      max("n_target").as("tgt"), max("cluster_size").as("sz"))
+    assert(perC.filter($"kept" =!= $"tgt").count() == 0)
+    assert(perC.filter($"tgt" > $"sz").count() == 0)
+    // √-weighting: keep RATE decreases with cluster size (head
+    // flattened, tail upsampled) — compare the largest vs smallest
+    val rates = perC
+      .select($"sz", $"tgt".cast("double") / $"sz".cast("double"))
+      .as[(Long, Double)].collect().sortBy(_._1)
+    if (rates.length >= 2 && rates.head._1 < rates.last._1)
+      assert(rates.head._2 >= rates.last._2 - 1e-9,
+        rates.mkString(","))
+    r.unpersist()
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
