@@ -284,6 +284,8 @@ object SparkEntry {
     "q228_source_overlap" -> ((s, d) => TextOps.sourceOverlap(s, d)),
     "q229_cluster_balanced" ->
       ((s, d) => VectorOps.clusterBalancedSample(s, d)),
+    "q230_cardinality_audit" ->
+      ((s, d) => Analytics.cardinalityAudit(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3101,6 +3103,39 @@ object SparkEntry {
              "/ 1000000.0")} AS iv
          |FROM s JOIN i USING (feature)
          |ORDER BY feature NULLS FIRST, bin NULLS FIRST""".stripMargin,
+
+    // q230: CBO join-cardinality audit — textbook estimate vs the
+    // counted join; FLOOR(x + 0.5) rounding mirrored.
+    "q230_cardinality_audit" -> {
+      def one(name: String, a: String, ka: String,
+          b: String, kb: String) =
+        s"""SELECT '$name' AS join_key,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $a) AS n_left,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $b) AS n_right,
+           |  (SELECT CAST(GREATEST(
+           |      (SELECT COUNT(DISTINCT $ka) FROM $a),
+           |      (SELECT COUNT(DISTINCT $kb) FROM $b)) AS BIGINT))
+           |    AS ndv_max,
+           |  (SELECT CAST(COUNT(*) AS BIGINT)
+           |   FROM $a JOIN $b ON $ka = $kb) AS actual""".stripMargin
+      s"""WITH u AS (
+         |${one("orders~customer", "orders", "o_custkey",
+             "customer", "c_custkey")}
+         |UNION ALL
+         |${one("lineitem~orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey")}
+         |UNION ALL
+         |${one("lineitem~part", "lineitem", "l_partkey",
+             "part", "p_partkey")}),
+         |e AS (SELECT *,
+         |    CAST(FLOOR(CAST(n_left * n_right AS DOUBLE)
+         |      / CAST(ndv_max AS DOUBLE) + 0.5) AS BIGINT) AS estimate
+         |  FROM u)
+         |SELECT join_key, n_left, n_right, ndv_max, estimate, actual,
+         |  ${val6("CAST(estimate AS DOUBLE) / CAST(actual AS DOUBLE)")}
+         |    AS est_over_actual
+         |FROM e ORDER BY join_key NULLS FIRST""".stripMargin
+    },
 
     // q228: exact cross-source content overlap — fingerprint-keyed
     // self-join, source-grain sizes, exact set Jaccard.

@@ -364,6 +364,48 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** q230 — join-cardinality estimation audit: the textbook CBO
+    * formula |A⋈B| ≈ |A|·|B| / max(ndv_A, ndv_B) evaluated against the
+    * TRUE join cardinality for the three fact joins — the estimator
+    * every cost-based optimizer (Spark's included) runs on ANALYZE
+    * stats before choosing a join order. The ratio column is the
+    * calibration a planner reads: ≈1 under the uniformity+containment
+    * assumptions the formula encodes, drifting exactly where real key
+    * distributions violate them (the q199 skew advisor's territory).
+    *
+    * Inputs are four exact scalars per join (row counts + distinct key
+    * counts — at 100 TB these come from the stats catalog, not a
+    * scan); the actual is one counted join. One integer multiply and
+    * two divisions per row. */
+  def cardinalityAudit(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    def audit(name: String, a: DataFrame, ka: String,
+        b: DataFrame, kb: String): (String, Long, Long, Long, Long) = {
+      val na = a.count(); val nb = b.count()
+      val da = a.select(ka).distinct().count()
+      val db = b.select(kb).distinct().count()
+      val actual = a.join(b, a(ka) === b(kb)).count()
+      (name, na, nb, math.max(da, db), actual)
+    }
+    val li = Tables.lineitem(spark, dir)
+    val rows = Seq(
+      audit("orders~customer", Tables.orders(spark, dir), "o_custkey",
+        Tables.customer(spark, dir), "c_custkey"),
+      audit("lineitem~orders", li, "l_orderkey",
+        Tables.orders(spark, dir), "o_orderkey"),
+      audit("lineitem~part", li, "l_partkey",
+        Tables.part(spark, dir), "p_partkey"))
+    rows.toDF("join_key", "n_left", "n_right", "ndv_max", "actual")
+      .withColumn("estimate",
+        floor((col("n_left") * col("n_right")).cast("double")
+          / col("ndv_max").cast("double") + lit(0.5)).cast("long"))
+      .select(col("join_key"), col("n_left"), col("n_right"),
+        col("ndv_max"), col("estimate"), col("actual"),
+        val6(col("estimate").cast("double") / col("actual").cast("double"))
+          .as("est_over_actual"))
+      .orderBy("join_key")
+  }
+
   /** q224 — Poisson-bootstrap standard error of a corpus statistic
     * (here: mean order value), in ONE pass. The classic bootstrap
     * resamples n rows with replacement — impossible to coordinate

@@ -439,6 +439,22 @@ class Round10Spec extends SparkSpec {
     r.unpersist()
   }
 
+  test("q230: PK-FK joins estimate exactly; formula reconciles") {
+    val r = graft.operators.Analytics.cardinalityAudit(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Double)]
+      .collect().map(t => t._1 -> t).toMap
+    // under a foreign-key join with full containment, the formula is
+    // EXACT: |A ⋈ B| = |A| when B is the PK side and every key matches
+    for ((_, (_, nl, nr, ndv, est, actual, ratio)) <- r) {
+      assert(est == math.floor(nl.toDouble * nr / ndv + 0.5).toLong)
+      assert(actual > 0 && ratio > 0.0)
+    }
+    // lineitem~orders: every lineitem has an order → actual = |lineitem|
+    val lo = r("lineitem~orders")
+    assert(lo._6 == Tables.lineitem(spark, dir).count())
+    assert(math.abs(lo._7 - 1.0) < 0.05, lo.toString)
+  }
+
   test("q205: splits partition orders; embargo gap holds") {
     val s = Features.purgedTemporalSplit(spark, dir).cache()
     val total = Tables.orders(spark, dir).count()
