@@ -286,6 +286,10 @@ object SparkEntry {
       ((s, d) => VectorOps.clusterBalancedSample(s, d)),
     "q230_cardinality_audit" ->
       ((s, d) => Analytics.cardinalityAudit(s, d)),
+    "q231_embedding_dedup_deletes" ->
+      ((s, d) => VectorOps.embeddingDedupWithDeletes(s, d)),
+    "q232_posting_stats_deletes" ->
+      (TextOps.postingStatsWithDeletes _),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -2078,10 +2082,17 @@ object SparkEntry {
 
     // q204: triangle stats — the oracle counts triangles id-ordered
     // (e1(a,b) ⋈ e2(b,c) ⋈ e3(a,c)); Spark's degree-oriented plan must
-    // land on the identical triangle set.
+    // land on the identical triangle set. The ol CTE mirrors the Spark
+    // side's MaxBasketWidth=32 cap (slice of the id-sorted part set per
+    // order) so a fixture with a >32-part order diverges LOUDLY in
+    // neither engine rather than silently in one.
     "q204_triangle_stats" ->
-      """WITH ol AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-        |  FROM lineitem),
+      """WITH ol AS (SELECT ok, pk FROM (
+        |    SELECT l_orderkey AS ok, l_partkey AS pk,
+        |      ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |        ORDER BY l_partkey) AS rn
+        |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+        |  WHERE rn <= 32),
         |e AS (SELECT DISTINCT a.pk AS u, b.pk AS v
         |  FROM ol a JOIN ol b ON a.ok = b.ok AND a.pk < b.pk),
         |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS deg FROM (
@@ -2311,9 +2322,14 @@ object SparkEntry {
 
     // q217: contrastive triplet mining — support-max positive per
     // anchor, first valid hash probe as the deterministic negative.
+    // ob mirrors the Spark side's MaxBasketWidth=32 basket cap.
     "q217_triplet_mining" ->
-      s"""WITH ob AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
-         |  FROM lineitem),
+      s"""WITH ob AS (SELECT ok, pk FROM (
+         |    SELECT l_orderkey AS ok, l_partkey AS pk,
+         |      ROW_NUMBER() OVER (PARTITION BY l_orderkey
+         |        ORDER BY l_partkey) AS rn
+         |    FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem))
+         |  WHERE rn <= 32),
          |co AS (SELECT a.pk AS a, b.pk AS b,
          |    CAST(COUNT(*) AS BIGINT) AS support
          |  FROM ob a JOIN ob b ON a.ok = b.ok AND a.pk <> b.pk
@@ -2325,7 +2341,7 @@ object SparkEntry {
          |mm AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM part),
          |pr AS (SELECT anchor_id, CAST(j AS INT) AS j,
          |    ${h32("CAST(anchor_id AS VARCHAR) || ':' || " +
-             "CAST(j AS VARCHAR)")} % m AS cand
+             "CAST(j AS VARCHAR)")} % m + 1 AS cand
          |  FROM best CROSS JOIN mm, range(0, 5) t(j)),
          |valid AS (SELECT pr.anchor_id, pr.j, pr.cand
          |  FROM pr LEFT JOIN co
@@ -3136,6 +3152,61 @@ object SparkEntry {
          |    AS est_over_actual
          |FROM e ORDER BY join_key NULLS FIRST""".stripMargin
     },
+
+    // q231: delete maintenance of the dedup clusters. Spark answers
+    // INCREMENTALLY (stored full-corpus artifacts + DeltaLog tombstone
+    // feed + affected-cluster-only re-closure); the oracle recomputes
+    // the FULL chain over the POST-DELETE corpus against the index's
+    // FROZEN centroids (the full corpus's first-16 — frozen even where
+    // a centroid vector is itself deleted, the q158 contract). Hash
+    // match proves retraction-by-delta ≡ rebuild.
+    "q231_embedding_dedup_deletes" ->
+      s"""WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 16),
+         |e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 7 <> 3),
+         |ac AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosCols("e.embedding", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+         |    FROM ac) WHERE rn <= 4),
+         |p AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    ${cosCols("a.embedding", "b.embedding")} AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT DISTINCT ida, idb FROM p WHERE cos >= 0.4),
+         |edges AS (SELECT ida AS s, idb AS d FROM pairs
+         |  UNION SELECT idb, ida FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.id, e2.d FROM reach w JOIN edges e2 ON w.r = e2.s),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+         |  FROM reach GROUP BY id)
+         |SELECT v.vec_id,
+         |  COALESCE(c2.component, v.vec_id) AS component,
+         |  COUNT(*) OVER (PARTITION BY COALESCE(c2.component, v.vec_id))
+         |    AS cluster_size,
+         |  v.vec_id = COALESCE(c2.component, v.vec_id) AS is_canonical
+         |FROM e v LEFT JOIN comp c2 ON v.vec_id = c2.id
+         |ORDER BY v.vec_id NULLS FIRST""".stripMargin,
+
+    // q232: posting-stats delete maintenance. Spark subtracts the
+    // deleted docs' term stats from the stored full-corpus artifact
+    // (DeltaLog tombstone feed, df=0 rows dropped); the oracle
+    // recomputes the post-delete corpus from scratch.
+    "q232_posting_stats_deletes" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |tf0 AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+        |  CAST(SUM(c) AS BIGINT) AS tf
+        |FROM tf0 GROUP BY t ORDER BY t""".stripMargin,
 
     // q228: exact cross-source content overlap — fingerprint-keyed
     // self-join, source-grain sizes, exact set Jaccard.

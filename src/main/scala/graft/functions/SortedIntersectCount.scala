@@ -21,8 +21,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * invariant, as with any merge join.
   *
   * Supports string and bigint element types (the shingle and id-set
-  * cases). DuckDB oracle mirror: length(list_intersect(a, b)) — counts
-  * agree because both inputs are distinct sets.
+  * cases). Null ELEMENTS are defined to never intersect (skipped by the
+  * merge walk) — the function is registered session-wide as SQL
+  * `sorted_intersect_count`, so arbitrary user arrays must not read
+  * null slots as garbage. DuckDB oracle mirror:
+  * length(list_intersect(a, b)) — counts agree because both inputs are
+  * distinct sets.
   */
 case class SortedIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -52,12 +56,20 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     var i = 0; var j = 0; var c = 0
     val str = elemType == StringType
     while (i < x.numElements() && j < y.numElements()) {
-      val cmp =
-        if (str) x.getUTF8String(i).compareTo(y.getUTF8String(j))
-        else java.lang.Long.compare(x.getLong(i), y.getLong(j))
-      if (cmp == 0) { c += 1; i += 1; j += 1 }
-      else if (cmp < 0) i += 1
-      else j += 1
+      // the function is registered session-wide as SQL
+      // `sorted_intersect_count`, so a user can hand it
+      // array('a', NULL, 'b'); null slots are DEFINED to never
+      // intersect and are skipped rather than read as garbage
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val cmp =
+          if (str) x.getUTF8String(i).compareTo(y.getUTF8String(j))
+          else java.lang.Long.compare(x.getLong(i), y.getLong(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -78,9 +90,13 @@ case class SortedIntersectCount(left: Expression, right: Expression)
       s"""
          |int $i = 0; int $j = 0; int $c = 0;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
-         |  int $k = ${cmp(a, i, b, j)};
-         |  if ($k == 0) { $c++; $i++; $j++; }
-         |  else if ($k < 0) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    int $k = ${cmp(a, i, b, j)};
+         |    if ($k == 0) { $c++; $i++; $j++; }
+         |    else if ($k < 0) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

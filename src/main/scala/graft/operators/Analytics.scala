@@ -562,9 +562,12 @@ object Analytics {
     val cand = best.select(col("anchor_id"))
       .select(col("anchor_id"),
         explode(sequence(lit(0), lit(probes - 1))).as("j"))
+      // +1 maps the probe into the ACTUAL 1-based p_partkey domain
+      // [1, m] — pmod alone draws from [0, m-1], which can emit a
+      // neg_id of 0 (no such part) and can never sample part m
       .withColumn("cand",
         pmod(portable32(concat(col("anchor_id").cast("string"),
-          lit(":"), col("j").cast("string"))), lit(m)))
+          lit(":"), col("j").cast("string"))), lit(m)) + lit(1L))
     val valid = cand
       .join(co.select(col("a").as("anchor_id"), col("b").as("cand")),
         Seq("anchor_id", "cand"), "left_anti")

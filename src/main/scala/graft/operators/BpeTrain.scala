@@ -30,6 +30,19 @@ import graft.sources.Tables
   * the positional rebuild is order-independent and engine-portable —
   * the oracle replays the identical CASE per position.
   *
+  * CONTRACT LIMITATION — deviation from stock BPE: Sennrich et al.
+  * (and sentencepiece/HF trainers) DO admit self-pairs, merging runs
+  * like "aa"/"ee" leftmost-greedily (⌊run/2⌋ merges per run). On a
+  * corpus whose global argmax is a self-pair, this trainer's merge
+  * table therefore differs from a stock trainer's from that round on.
+  * The exclusion is deliberate: it is what makes the round rebuild a
+  * position-independent relational map (portable to any engine, and to
+  * the DuckDB oracle) instead of a per-word sequential scan. Natural-
+  * language corpora put character self-pairs far below the top digram
+  * counts in early rounds, so the learned table matches stock BPE in
+  * practice; a consumer needing bit-exact sentencepiece parity should
+  * treat the merge table, not the trainer, as the interchange artifact.
+  *
   * Driver-side state per round is one argmax row + one count —
   * metadata-sized by design, like the k-means centroid loop (q76).
   * `localCheckpoint` truncates the per-round lineage so round N does

@@ -110,7 +110,13 @@ object PrefixJoin {
 
     val prefixA = ranked
       .filter(pmod(col("doc_id"), lit(TextOps.EvalMod.toLong)) === 0)
-      .filter(col("pos") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
+      // downward 1e-9 slack: ⌈t·m⌉ in IEEE doubles can round UP past an
+      // exact integer (t=0.1, m=30 → 3.0000000000000004 → ceil 4),
+      // silently shortening the prefix and dropping a true pair. The
+      // slack only ever LENGTHENS the prefix — over-admitting is safe,
+      // the verify stage is exact.
+      .filter(col("pos") <=
+        col("m") - ceil(lit(threshold) * col("m") - lit(1e-9)) + 1)
     val cand = prefixA.as("a")
       .join(ranked.as("b"),
         col("a.tok") === col("b.tok")
@@ -159,10 +165,14 @@ object PrefixJoin {
 
     // prefix length m − ⌈t·m⌉ + 1; ceil() on the Spark side only feeds
     // candidate GENERATION (a longer prefix is merely slower, never
-    // wrong), so no cross-engine float contract is needed here.
+    // wrong), so no cross-engine float contract is needed here — but it
+    // still needs the downward 1e-9 slack: t·m can round UP past an
+    // exact integer in doubles (t=0.1, m=30 → 3.0000000000000004 →
+    // ceil 4), which would SHORTEN the prefix and drop a true pair.
     // Checkpointed: the self-join below consumes it twice.
     val prefix = ranked
-      .filter(col("pos") <= col("m") - ceil(lit(threshold) * col("m")) + 1)
+      .filter(col("pos") <=
+        col("m") - ceil(lit(threshold) * col("m") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("tok"), col("pos"), col("m"))
       .localCheckpoint()
 
@@ -174,9 +184,11 @@ object PrefixJoin {
       .join(prefix.as("b"),
         col("a.tok") === col("b.tok")
           && col("a.doc_id") < col("b.doc_id")
-          // length filter: J ≥ t ⟹ min(ma,mb) ≥ t·max(ma,mb)
-          && col("a.m") >= lit(threshold) * col("b.m")
-          && col("b.m") >= lit(threshold) * col("a.m")
+          // length filter: J ≥ t ⟹ min(ma,mb) ≥ t·max(ma,mb); same
+          // downward slack as the positional filter so a boundary pair
+          // (J exactly t with t·m rounding up in doubles) never prunes
+          && col("a.m") >= lit(threshold) * col("b.m") - lit(1e-9)
+          && col("b.m") >= lit(threshold) * col("a.m") - lit(1e-9)
           // positional filter (PPJoin): counting from the pair's FIRST
           // shared token w (which the prefix lemma puts in both
           // prefixes), the overlap is at most 1 + what remains after w

@@ -1456,6 +1456,48 @@ object TextOps {
       .orderBy("t")
   }
 
+  /** q232: posting-stats DELETE maintenance — the retraction half of
+    * q196 (whose additive merge covers appends): the full corpus's
+    * (t, df, tf) statistics are the STORED artifact; a tombstone batch
+    * arrives through the keyed [[graft.sources.DeltaLog]] change feed
+    * (the q231 plumbing, document-keyed) and the index updates by
+    * SUBTRACTION — re-tokenize ONLY the deleted documents, decrement
+    * df/tf at vocabulary grain, drop terms whose df reaches zero (a
+    * term whose last document was retracted must not linger with a
+    * zero row — BM25 reads this table and df=0 is a divide-by-zero).
+    *
+    * Scale: the corpus-sized work happened once at artifact build; per
+    * retraction batch the work is tokenizing the deleted docs (batch-
+    * sized) plus a vocabulary-grain merge — df/tf are additive, so
+    * subtraction is exact, no census rebuild. The driver gate proves
+    * it: the oracle recomputes the stats of the post-delete corpus
+    * from scratch. */
+  def postingStatsWithDeletes(spark: SparkSession, dir: String): DataFrame = {
+    val fixture = s"$dir/documents.parquet"
+    val staged = graft.streaming.FixtureStaging.stageOnce(
+      "posting_stats_full", fixture,
+      s"${System.getProperty("java.io.tmpdir")}/graft_posting_full") { d =>
+      postingStatsOf(Tables.documents(spark, dir))
+        .write.mode("overwrite").parquet(d.resolve("stats").toString)
+    }
+    val stored = spark.read.parquet(s"$staged/stats")
+      .select(col("t"), col("df").as("dfp"), col("tf").as("tfp"))
+    val tomb = graft.sources.DeltaLog.stagedTombstones(spark, "docdel",
+      fixture, Tables.documents(spark, dir).select(col("doc_id")),
+      col("doc_id") % 7 === 3, "doc_id")
+    val del = postingStatsOf(
+        Tables.documents(spark, dir).join(tomb, "doc_id"))
+      .select(col("t"), col("df").as("dfd"), col("tf").as("tfd"))
+    // left join: a delete can only touch terms the stored vocabulary
+    // already has — a term appearing only in deleted docs is in both
+    stored.join(del, Seq("t"), "left")
+      .select(col("t"),
+        (col("dfp") - coalesce(col("dfd"), lit(0L))).as("df"),
+        (col("tfp") - coalesce(col("tfd"), lit(0L))).as("tf"))
+      .filter(col("df") > 0)
+      .orderBy("t")
+  }
+
   /** q200: corpus release manifest — the one-row card stamped onto a
     * training-data release: ingest volume, scored volume (eval
     * registry held out), released volume with the yield rate, how

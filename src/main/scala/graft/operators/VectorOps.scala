@@ -421,6 +421,119 @@ object VectorOps {
       comp = spark.read.parquet(s"$root/comp"))
   }
 
+  /** Stored artifacts of the FULL-corpus index build — the starting
+    * state of tombstone-delete maintenance (q231): the same
+    * (assigned, pairs, comp) triple as [[stagedIvfPrev]] but over every
+    * vector, centroids frozen at the full corpus's first-K. Pairs are
+    * stored UNCAPPED for the same reason stagedIvfPrev's are. */
+  def stagedIvfFull(spark: SparkSession, dir: String, nCentroids: Int,
+      nProbe: Int, threshold: Double): IvfPrevArtifacts = {
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents = centroidsOf(all, nCentroids)
+    val root = graft.streaming.FixtureStaging
+      .stageOnce(s"ivffull:$nCentroids:$nProbe:$threshold",
+        s"$dir/embeddings.parquet", "/tmp/graft-ivffull") { d =>
+        assignWithCentroids(spark, all, cents, nProbe)
+          .write.mode("overwrite").parquet(s"$d/assigned")
+        pairsFromAssigned(spark.read.parquet(s"$d/assigned"), threshold,
+            nProbe, maxBucket = Long.MaxValue)
+          .write.mode("overwrite").parquet(s"$d/pairs")
+        all.select("vec_id")
+          .join(Graphs.components(spark.read.parquet(s"$d/pairs"),
+            "ida", "idb").withColumnRenamed("id", "vec_id"),
+            Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("comp"), col("vec_id")).as("component"))
+          .write.mode("overwrite").parquet(s"$d/comp")
+      }
+    IvfPrevArtifacts(cents,
+      assigned = spark.read.parquet(s"$root/assigned"),
+      pairs = spark.read.parquet(s"$root/pairs"),
+      comp = spark.read.parquet(s"$root/comp"))
+  }
+
+  /** q231 — incremental embedding dedup after DELETES: the retraction
+    * half of the index-maintenance story (q158 covers appends). A
+    * tombstone batch arrives through the keyed [[graft.sources.DeltaLog]]
+    * change feed (the same log q162's continuous curation commits to —
+    * a GDPR takedown or re-crawl retraction is a DELTA operation, not a
+    * rebuild) and the stored dedup state updates in delta-sized work:
+    *
+    *  1. tombstones: CDC `delete` rows from the staged retraction log
+    *     ([[graft.sources.DeltaLog.stagedTombstones]]);
+    *  2. a stored cluster is AFFECTED iff it contains a tombstoned
+    *     vector; every other cluster keeps its stored label untouched
+    *     (deletes can only remove edges, never create them — the dual
+    *     of q158's additions-never-retire-edges invariant);
+    *  3. affected clusters re-close on their SURVIVING edges only —
+    *     a deleted bridge vector splits its cluster, and a deleted
+    *     canonical (min-id) promotes the smallest survivor, both
+    *     falling out of the min-label closure with no special cases;
+    *  4. assignment rows and stored pairs retire by keyed anti-join —
+    *     at deployment scale a bucketed delete in the index table,
+    *     never a corpus rewrite.
+    *
+    * Exactness: assignment is per-vector against FROZEN centroids
+    * (frozen even when a centroid vector is itself deleted — the q158
+    * contract: centroid refresh is a re-train, q155's story), so the
+    * survivor corpus's pair set is exactly the stored pairs with both
+    * endpoints surviving, and stored components are edge-closed, so no
+    * surviving edge crosses an affected/unaffected boundary. The driver
+    * gate proves it: the oracle recomputes the FULL chain (assignment,
+    * pairs, closure) over the post-delete corpus from scratch. */
+  def embeddingDedupWithDeletes(spark: SparkSession, dir: String,
+      nCentroids: Int = 16, threshold: Double = 0.4,
+      nProbe: Int = 4): DataFrame = {
+    val art = stagedIvfFull(spark, dir, nCentroids, nProbe, threshold)
+    val tomb = graft.sources.DeltaLog.stagedTombstones(spark, "ivfdel",
+        s"$dir/embeddings.parquet",
+        Tables.embeddings(spark, dir).select(col("vec_id")),
+        col("vec_id") % 7 === 3, "vec_id")
+      .localCheckpoint() // feeds the affected set + three anti-joins
+    deletesApplied(art, tomb)
+  }
+
+  /** The delete-maintenance core over stored artifacts + a tombstone
+    * frame — factored out so IncrementalIvfSpec can drive it with
+    * hand-built states (canonical deletion, bridge split). */
+  private[graft] def deletesApplied(art: IvfPrevArtifacts,
+      tomb: DataFrame): DataFrame = {
+    val affComps = broadcast(art.comp.join(tomb, "vec_id")
+      .select("component").distinct())
+    val affSurvivors = art.comp.join(affComps, "component")
+      .join(tomb, Seq("vec_id"), "left_anti").select("vec_id")
+      .localCheckpoint() // subgraph filter + closure guard + label join
+    val subEdges = art.pairs
+      .join(tomb.withColumnRenamed("vec_id", "ida"), Seq("ida"), "left_anti")
+      .join(tomb.withColumnRenamed("vec_id", "idb"), Seq("idb"), "left_anti")
+      .join(affSurvivors.withColumnRenamed("vec_id", "ida"),
+        Seq("ida"), "left_semi")
+    // Edge-closure guard (the q158 discipline): stored components are
+    // edge-closed, so a surviving edge out of an affected component
+    // cannot exist — fail loudly if a pair source ever breaks that.
+    val stray = subEdges
+      .join(affSurvivors.withColumnRenamed("vec_id", "idb"),
+        Seq("idb"), "left_anti")
+    if (!stray.isEmpty)
+      throw new IllegalStateException(
+        "delete maintenance: affected subgraph is not edge-closed " +
+          "(a surviving edge leaves an affected component)")
+    val subComp = Graphs.components(subEdges, "ida", "idb")
+      .withColumnRenamed("id", "vec_id")
+    val unaffected = art.comp
+      .join(affComps, Seq("component"), "left_anti")
+      .select("vec_id", "component")
+    val reclosed = affSurvivors.join(subComp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("component"))
+    unaffected.unionByName(reclosed)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component")))
+      .withColumn("is_canonical", col("vec_id") === col("component"))
+      .orderBy("vec_id")
+  }
+
   /** q141's candidate generator, exposed for precision/recall testing:
     * pairs sharing an IVF bucket whose cosine clears `threshold`. Every
     * emitted pair is a TRUE above-threshold pair (the bucketing can

@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Log-structured keyed state table: per-epoch DELTA commits (keyed
@@ -186,6 +186,36 @@ object DeltaLog {
         valCols.map(c =>
           when(col("change_type") === "delete", lit(null))
             .otherwise(col(c)).as(c)): _*))
+  }
+
+  /** Stage a two-epoch retraction log once per (fixture signature,
+    * process) and return its CDC DELETE feed — the tombstone plumbing
+    * the incremental index maintainers consume (q231 IVF, q232 posting
+    * stats): epoch 1 upserts the corpus key set (the index's key state
+    * as of its build), epoch 2 commits `keys.filter(tombPred)` as
+    * key-only deletes (a GDPR takedown / re-crawl retraction batch).
+    * The feed is read back through [[changes]] — the maintainer sees
+    * exactly what a production CDC consumer would: net `delete` rows
+    * for keys that existed in the pre-snapshot, nothing else.
+    *
+    * Scale: both commits are delta-sized writes (keys only); the change
+    * feed moves the tombstone batch plus one keyed probe of the
+    * pre-snapshot. Nothing corpus-sized rewrites — that is the entire
+    * point of routing deletes through the log instead of a rebuild. */
+  def stagedTombstones(spark: SparkSession, tag: String,
+      fixturePath: String, keys: DataFrame, tombPred: Column,
+      keyCol: String): DataFrame = {
+    val root = graft.streaming.FixtureStaging.stageOnce(tag, fixturePath,
+      s"${System.getProperty("java.io.tmpdir")}/graft_$tag") { d =>
+      commit(spark, s"$d/log", 1L, keys, None, Seq(keyCol))
+      commit(spark, s"$d/log", 2L, keys.limit(0),
+        Some(keys.filter(tombPred)), Seq(keyCol))
+    }
+    changes(spark, s"$root/log", Seq(keyCol), 2L, 3L)
+      .getOrElse(throw new IllegalStateException(
+        s"tombstone log at $root/log has no committed epoch 2"))
+      .filter(col("change_type") === "delete")
+      .select(keyCol)
   }
 
   /** Fold fully-superseded epochs (everything but the newest) into a

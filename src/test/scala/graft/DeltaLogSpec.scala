@@ -80,4 +80,20 @@ class DeltaLogSpec extends SparkSpec {
     // the newest epoch is never folded (crash-replay needs as-of-N-1)
     assert(names.contains(f"e${n - 1}%010d"))
   }
+
+  test("stagedTombstones yields exactly the pre-existing tombstoned keys") {
+    // keyed on the sf0.001 embeddings fixture: epoch 1 upserts the key
+    // set, epoch 2 tombstones vec_id % 7 == 3; the CDC feed must return
+    // exactly those keys (they all pre-exist) and nothing else
+    val dir = sf("sf0.001")
+    val keys = graft.sources.Tables.embeddings(spark, dir)
+      .select(col("vec_id"))
+    val got = DeltaLog.stagedTombstones(spark, "tombspec",
+        s"$dir/embeddings.parquet", keys, col("vec_id") % 7 === 3,
+        "vec_id")
+      .as[Long].collect().toSet
+    val want = keys.filter(col("vec_id") % 7 === 3)
+      .as[Long].collect().toSet
+    assert(got == want && got.nonEmpty)
+  }
 }

@@ -53,6 +53,36 @@ class IncrementalIvfSpec extends SparkSpec {
     assert(appended == full)
   }
 
+  test("delete maintenance: a deleted canonical promotes a survivor; " +
+      "a deleted bridge splits its cluster; untouched clusters keep labels") {
+    import org.apache.spark.sql.Row
+    // hand-built stored state: cluster {1,5,9} (canonical 1),
+    // chain cluster {10-11-12} (11 is the only bridge),
+    // untouched cluster {20,21}, singleton 30
+    def df(rows: Seq[(Long, Long)], a: String, b: String) =
+      rows.toDF(a, b)
+    val comp = df(Seq(1L -> 1L, 5L -> 1L, 9L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L), "vec_id", "component")
+    val pairs = df(Seq(1L -> 5L, 1L -> 9L, 5L -> 9L,
+      10L -> 11L, 11L -> 12L, 20L -> 21L), "ida", "idb")
+    val art = VectorOps.IvfPrevArtifacts(Array.empty,
+      assigned = spark.emptyDataFrame, pairs = pairs, comp = comp)
+    val tomb = Seq(1L, 11L).toDF("vec_id") // the canonical + the bridge
+    val out = VectorOps.deletesApplied(art, tomb)
+      .select("vec_id", "component", "cluster_size", "is_canonical")
+      .collect().toSeq
+    val expected = Seq(
+      Row(5L, 5L, 2L, true),   // survivor 5 promoted to canonical
+      Row(9L, 5L, 2L, false),
+      Row(10L, 10L, 1L, true), // bridge gone → {10} and {12} split
+      Row(12L, 12L, 1L, true),
+      Row(20L, 20L, 2L, true), // untouched cluster: stored labels kept
+      Row(21L, 20L, 2L, false),
+      Row(30L, 30L, 1L, true))
+    assert(out == expected)
+  }
+
   test("the delta probe broadcasts the delta side — no corpus-side shuffle") {
     val art = VectorOps.stagedIvfPrev(spark, dir, 16, 4, 0.4)
     val delta = allVecs.filter($"vec_id" % 6 === 0)

@@ -59,10 +59,33 @@ class PrefixJoinPropertySpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
   }
 
+  test("float-boundary threshold keeps the exact-J pair (t=0.1, m=30)") {
+    // t·m = 0.1·30 evaluates to 3.0000000000000004 in doubles: without
+    // the downward slack the length filter prunes the pair outright AND
+    // ceil shortens B's prefix from 28 to 27 — a silent false negative
+    // on an EXACT-threshold pair (J = 3/30 = 0.1). The slack must keep
+    // it; brute force is the referee.
+    val a = (0L, (0 until 3).map(i => s"t$i").toArray)
+    val b = (25L, (0 until 30).map(i => s"t$i").toArray) // superset
+    val docs = Seq(a, b).toDF("doc_id", "toks").cache()
+    val got = PrefixJoin.similarityJoinOf(docs, 0.1)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 25L)))
+    // containment side: C(A→B)=1 trivially, but C(B→A)=3/30=0.1 with
+    // eval doc B (id 25? no — eval ids are ≡0 mod 25, use A at id 0
+    // reversed): make B the eval doc instead
+    val docs2 = Seq((0L, b._2), (7L, a._2)).toDF("doc_id", "toks").cache()
+    val cont = PrefixJoin.containmentJoinOf(docs2, 0.1)
+      .select("eval_id", "doc_id").as[(Long, Long)].collect().toSet
+    assert(cont.contains((0L, 7L)),
+      "containment C(eval 30-tok → 3-tok subset) = 0.1 must survive t=0.1")
+    docs.unpersist(); docs2.unpersist()
+  }
+
   test("similarity join ≡ brute force on random dense corpora") {
     drive(corpusGen, 12).zipWithIndex.foreach { case (rows, i) =>
       val docs = rows.toDF("doc_id", "toks").cache()
-      for (t <- Seq(0.25, 0.5, 0.75)) {
+      for (t <- Seq(0.1, 0.25, 0.5, 0.75)) {
         val got = PrefixJoin.similarityJoinOf(docs, t)
           .select("ida", "idb").as[(Long, Long)].collect().toSet
         assert(got == bruteSim(docs, t), s"corpus $i threshold $t")
@@ -74,7 +97,7 @@ class PrefixJoinPropertySpec extends SparkSpec {
   test("containment join ≡ brute force on random dense corpora") {
     drive(corpusGen, 12).zipWithIndex.foreach { case (rows, i) =>
       val docs = rows.toDF("doc_id", "toks").cache()
-      for (t <- Seq(0.34, 0.67, 1.0)) {
+      for (t <- Seq(0.1, 0.34, 0.67, 1.0)) {
         val got = PrefixJoin.containmentJoinOf(docs, t)
           .select("eval_id", "doc_id").as[(Long, Long)].collect().toSet
         assert(got == bruteCont(docs, t), s"corpus $i threshold $t")

@@ -69,5 +69,16 @@ class SortedIntersectSpec extends SparkSpec {
     assert(spark.sql(
       "SELECT sorted_intersect_count(a, b) FROM sic_t")
       .as[Int].head() == 2)
+    // null ELEMENTS (reachable via the session-wide SQL registration)
+    // are defined to never intersect — not read as garbage
+    def nullElems(): Int = spark.sql(
+      "SELECT sorted_intersect_count(array(NULL, 'a', 'b'), " +
+        "array('b', 'c'))").first().getInt(0)
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      assert(nullElems() == 1)
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      assert(nullElems() == 1)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", before)
   }
 }
