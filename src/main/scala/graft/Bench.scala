@@ -115,15 +115,26 @@ object Bench {
     def fmt(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // stdout line stays under ~2 KB by keying on the unique qNN prefix;
-    // the full-name record (same values) goes to BENCH_full.json in the
-    // working directory for human reading
-    val qsShort = results
+    // The driver records only the LAST 2000 bytes of stdout and parses
+    // the JSON line found there — at 210+ queries a full per-query map
+    // overflows it and the round record ends up unparsed (r6's
+    // "parsed": null). The stdout line therefore carries the
+    // PERF-RELEVANT subset — every query ≥ 0.5 s, capped at the 110
+    // heaviest (110 × ~14 B + overhead < 1.9 KB) — plus a rollup of
+    // what was omitted, so the recorded total still reconciles. The
+    // COMPLETE map (same values, full names) goes to BENCH_full.json.
+    val byTime = results.sortBy(-_._2)
+    val kept = byTime.filter(_._2 >= 0.5).take(110)
+    val keptNames = kept.map(_._1).toSet
+    val omitted = results.filterNot { case (n, _) => keptNames(n) }
+    val qsShort = kept.sortBy(_._1)
       .map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v) }
       .mkString("{", ",", "}")
+    val omittedJson =
+      s"""{"n":${omitted.size},"sum":${fmt(omitted.map(_._2).sum)}}"""
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsShort,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qsShort,"omitted_fast":$omittedJson,"sf":"$sfDir"}""")
     try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""".stripMargin
         .getBytes("UTF-8"))
