@@ -125,14 +125,26 @@ object Retrieval {
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
+    // dl materializes once (doc-grain, small) and serves three
+    // consumers: the scoring join, and — replacing what used to be two
+    // more actions (a full documents re-scan for nd, a tf re-aggregate
+    // for Σtokens) — ONE driver-side reduction of its checkpointed
+    // rows. Every doc emits ≥1 tf row (split of "" is [""]), so
+    // count(dl) = nd exactly.
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-    val totals = Tables.documents(spark, dir)
-      .agg(count(lit(1)).as("nd")).collect()(0).getLong(0)
-    val ntok = tf.agg(sum("tf")).collect()(0).getLong(0)
+      .localCheckpoint()
+    val statsRow = dl
+      .agg(count(lit(1)).as("nd"), sum("dl").as("ntok")).collect()(0)
+    val totals = statsRow.getLong(0)
+    val ntok = statsRow.getLong(1)
     val avgdl = ntok.toDouble / totals
     val q = tf.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("query_id"), col("t"))
+    // df only needs QUERY terms (the scoring join restricts to them
+    // anyway): semi-restricting the aggregate input first shrinks the
+    // broadcast build from vocabulary grain to the query vocabulary
+    val df = tf.join(broadcast(q.select("t").distinct()), "t")
+      .groupBy("t").agg(count(lit(1)).as("df"))
     val idf = log(((lit(totals) - col("df")).cast("double") + lit(0.5))
       / (col("df").cast("double") + lit(0.5)) + lit(1.0))
     val tfn = (col("tf").cast("double") * lit(2.2)) /

@@ -1231,23 +1231,38 @@ object TextOps {
     * combined), one semi-join back — both at shingle grain, never
     * all-pairs. */
   def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
-    val sh = Tables.documents(spark, dir)
-      .select(col("doc_id"),
-        explode(array_distinct(shingles(col("text")))).as("g"))
-    // (doc_id, g) is unique after array_distinct, so the document
-    // frequency is a plain per-shingle COUNT — stated as a window so
-    // the (expensive) shingle expansion runs ONCE and df rides the
-    // same shuffle instead of a re-scan + aggregate + join (8.0 s →
-    // ~2 s at sf0.1; the countDistinct form also defeated partial
-    // aggregation)
-    val w = Window.partitionBy("g")
-    sh.withColumn("df", count(lit(1)).over(w))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
-      .select(col("doc_id"), col("n_shingles"), col("n_unique"),
+    import spark.implicits._
+    // Shingle through the typed kernel (the q201 discipline — the
+    // Column form re-evaluates split() per emitted element, O(n²) in
+    // a document's token count), once, checkpointed for its two
+    // consumers. Earlier shapes shuffled the FULL (doc_id, shingle)
+    // expansion (first via agg+join, then via a window — 8.0 s and
+    // ~4.9 s at sf0.1). The trick that removes the fat shuffle
+    // entirely: a shingle with df = 1 has exactly ONE owning document,
+    // so min(doc_id) riding the df aggregate IS the owner — per-doc
+    // unique counts come from re-aggregating only the df=1 rows
+    // (shingle-grain, map-side combined) with no join back to the
+    // expansion, and n_shingles is scan-local (array size).
+    val sig = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, t) =>
+        (id, shinglesOf(t).distinct)
+      })
+      .toDF("doc_id", "toks")
+      .localCheckpoint()
+    val perDoc = sig.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_shingles"))
+    val uniq = sig.select(col("doc_id"), explode(col("toks")).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_unique"))
+    perDoc.join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_unique"), lit(0L)).as("n_unique"),
         graft.util.Portable.val6(
-          col("n_unique").cast("double") / col("n_shingles"))
+          coalesce(col("n_unique"), lit(0L)).cast("double")
+            / col("n_shingles"))
           .as("novelty"))
       .orderBy("doc_id")
   }
