@@ -1960,22 +1960,30 @@ object SparkEntry {
     // q200: release manifest — the curation verdicts (q145), released
     // token budget, dedup-stage drops, and leakage-safe split sizes
     // (q165's component-hash rule) composed into one release card.
+    // Delete-aware since round 7: rel0 is the curation-eligible set,
+    // the tombstone feed (doc_id % 7 = 3, the q231/q232 retraction
+    // log) splits it into shipped (rel) vs retracted (rm); released
+    // volumes and splits are post-delete.
     "q200_release_manifest" ->
       s"""WITH RECURSIVE $curationCtes,
-         |rel AS (SELECT doc_id FROM v
+         |rel0 AS (SELECT doc_id FROM v
          |  WHERE lang_ok AND quality_ok AND rep_ok AND decon_ok
          |    AND dedup_ok),
+         |rel AS (SELECT doc_id FROM rel0 WHERE doc_id % 7 <> 3),
+         |rm AS (SELECT doc_id FROM rel0 WHERE doc_id % 7 = 3),
          |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_scored,
-         |    CAST(SUM(CASE WHEN lang_ok AND quality_ok AND rep_ok
-         |      AND decon_ok AND dedup_ok THEN 1 ELSE 0 END) AS BIGINT)
-         |      AS n_released,
          |    CAST(SUM(CASE WHEN lang_ok AND quality_ok AND rep_ok
          |      AND decon_ok AND NOT dedup_ok THEN 1 ELSE 0 END)
          |      AS BIGINT) AS n_dup_dropped
          |  FROM v),
-         |tk AS (SELECT CAST(SUM(len(string_split(d.text, ' ')))
+         |tk AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_released,
+         |    CAST(SUM(len(string_split(d.text, ' ')))
          |    AS BIGINT) AS n_tokens_released
          |  FROM documents d JOIN rel USING (doc_id)),
+         |rms AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_removed,
+         |    CAST(COALESCE(SUM(len(string_split(d.text, ' '))), 0)
+         |    AS BIGINT) AS n_tokens_removed
+         |  FROM documents d JOIN rm USING (doc_id)),
          |sp AS (SELECT r.doc_id,
          |    CAST(${h32("CAST(COALESCE(c.component, r.doc_id) AS VARCHAR)")}
          |      % 10 AS INT) AS bucket
@@ -1992,8 +2000,10 @@ object SparkEntry {
          |  FROM documents)
          |SELECT n_ingested, n_scored, n_released,
          |  CAST(n_released AS DOUBLE) / n_scored AS release_rate,
-         |  n_dup_dropped, n_tokens_released, n_train, n_val, n_test
-         |FROM nn CROSS JOIN vs CROSS JOIN tk CROSS JOIN spc""".stripMargin,
+         |  n_dup_dropped, n_removed, n_tokens_removed,
+         |  n_tokens_released, n_train, n_val, n_test
+         |FROM nn CROSS JOIN vs CROSS JOIN tk CROSS JOIN rms
+         |  CROSS JOIN spc""".stripMargin,
 
     // q201: EXACT similarity self-join — the oracle is the relational
     // exact form (overlap counts via a shingle equi-join); the Spark

@@ -1516,13 +1516,19 @@ object TextOps {
   /** q200: corpus release manifest — the one-row card stamped onto a
     * training-data release: ingest volume, scored volume (eval
     * registry held out), released volume with the yield rate, how
-    * many near-dup copies the dedup stage alone removed, the released
-    * token budget, and the leakage-safe train/val/test sizes. Every
-    * number derives from already-gated stages (q145 verdicts, q165
-    * splits) — the manifest is their composition, which is exactly
-    * what a release pipeline publishes alongside the shards.
+    * many near-dup copies the dedup stage alone removed, REMOVED
+    * content (tombstoned retractions — count and token mass — the
+    * GDPR/re-crawl accounting a release card must reconcile, fed by
+    * the same [[graft.sources.DeltaLog]] retraction log q232's
+    * posting-stats maintenance consumes), the released token budget,
+    * and the leakage-safe train/val/test sizes. Every number derives
+    * from already-gated stages (q145 verdicts, q165 splits, q231/q232
+    * tombstones) — the manifest is their composition, which is
+    * exactly what a release pipeline publishes alongside the shards.
+    * Released volumes and splits are POST-DELETE: a retracted document
+    * never ships, whatever its curation verdict said.
     *
-    * Scale: three 1-row reductions plus one doc-keyed join; nothing
+    * Scale: four 1-row reductions plus doc-keyed joins; nothing
     * beyond the verdict chain's own cost. */
   def releaseManifest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
@@ -1538,16 +1544,28 @@ object TextOps {
     val ded = Graphs.dedupClustersFromComp(spark, dir, comp)
       .select(col("doc_id"), col("is_canonical").as("dedup_ok"))
     val v = curationVerdictsWithDed(spark, dir, ded)
-    val released = v.filter(col("keep")).select("doc_id")
+    val tomb = graft.sources.DeltaLog.stagedTombstones(spark, "docdel",
+      s"$dir/documents.parquet", docs.select(col("doc_id")),
+      col("doc_id") % 7 === 3, "doc_id")
+    // release-eligible per curation; the tombstones then split it into
+    // shipped vs retracted — the two masses the card reconciles
+    val eligible = v.filter(col("keep")).select("doc_id")
+      .localCheckpoint()
+    val released = eligible.join(tomb, Seq("doc_id"), "left_anti")
+      .localCheckpoint() // token mass + splits both consume it
+    val removed = eligible.join(tomb, Seq("doc_id"), "left_semi")
+    val nTok = sum(size(split(col("text"), " ")).cast("long"))
     val scored = v.agg(
       count(lit(1)).as("n_scored"),
-      sum(when(col("keep"), 1L).otherwise(0L)).as("n_released"),
       sum(when(col("lang_ok") && col("quality_ok") && col("rep_ok")
         && col("decon_ok") && !col("dedup_ok"), 1L).otherwise(0L))
         .as("n_dup_dropped"))
-    val toks = docs.join(released, "doc_id")
-      .agg(sum(size(split(col("text"), " ")).cast("long"))
-        .as("n_tokens_released"))
+    val relStats = docs.join(released, "doc_id")
+      .agg(count(lit(1)).as("n_released"),
+        nTok.as("n_tokens_released"))
+    val rmStats = docs.join(removed, "doc_id")
+      .agg(count(lit(1)).as("n_removed"),
+        coalesce(nTok, lit(0L)).as("n_tokens_removed"))
     val splits = Graphs.leakageSafeSplitFromComp(spark, dir, comp)
       .join(released, "doc_id")
       .agg(
@@ -1555,11 +1573,13 @@ object TextOps {
         sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
         sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
     val n = docs.agg(count(lit(1)).as("n_ingested"))
-    n.crossJoin(scored).crossJoin(toks).crossJoin(splits)
+    n.crossJoin(scored).crossJoin(relStats).crossJoin(rmStats)
+      .crossJoin(splits)
       .select(col("n_ingested"), col("n_scored"), col("n_released"),
         (col("n_released").cast("double") / col("n_scored"))
           .as("release_rate"),
-        col("n_dup_dropped"), col("n_tokens_released"),
+        col("n_dup_dropped"), col("n_removed"), col("n_tokens_removed"),
+        col("n_tokens_released"),
         col("n_train"), col("n_val"), col("n_test"))
   }
 

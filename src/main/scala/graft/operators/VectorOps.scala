@@ -1149,6 +1149,138 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** RESIDUAL IVFADC — the full FAISS composition (Jégou et al.) that
+    * q177 documents as its one divergence: PQ codebooks train on, and
+    * codes encode, the RESIDUAL r = v − c(v) of each vector against
+    * its coarse centroid, and each query builds a distance table PER
+    * PROBED LIST from its own residual r_q = q − c_list. Residual
+    * energy is what remains after the coarse quantizer explains its
+    * share, so the same (m × kSub) code budget spends on a tighter
+    * distribution — the reason the textbook stack is coarse+residual,
+    * not coarse+raw.
+    *
+    * Gated by SPEC, not hash (Round8Spec): residual training runs in
+    * double precision per subspace and the oracle cannot replay the
+    * float-slice parity q175/q177 rely on — the verdict's asked-for
+    * trade. The spec pins: determinism across runs, recall@k vs the
+    * exact L2 ground truth at least that of the raw-PQ q177, and mean
+    * rank displacement no worse.
+    *
+    * Scale shape is identical to q177: codebooks/centroids are
+    * metadata-sized broadcasts, codes are the stored artifact, the
+    * serve path reads ~nProbe/K of the codes table and touches no
+    * floats. The residual step adds one subtraction per row at encode
+    * time and nProbe table builds per query — nothing new shuffles. */
+  def ivfAdcKnnResidual(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 4, kSub: Int = 4, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val dim = ds.head()._2.length
+    val sub = dim / m
+
+    // ---- coarse quantizer: q177's arithmetic, plus the residual ----
+    val cents: Array[(Long, Array[Float])] =
+      ds.filter(_._1 < nCentroids).collect().sortBy(_._1)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val rdf = ds.mapPartitions { it =>
+      val cs = bcC.value
+      it.map { case (id, v) =>
+        var bestC = -1L; var best = Double.NegativeInfinity
+        var bi = -1; var i = 0
+        while (i < cs.length) {
+          val s = cosOf(v, cs(i)._2)
+          if (s > best) { best = s; bestC = cs(i)._1; bi = i }
+          i += 1
+        }
+        val cv = cs(bi)._2
+        val r = new Array[Float](v.length)
+        var j = 0
+        while (j < v.length) { r(j) = v(j) - cv(j); j += 1 }
+        (id, bestC, r)
+      }
+    }.toDF("vec_id", "cid", "resid")
+      .localCheckpoint() // feeds codebook training AND encoding
+    val rds = rdf.select(col("vec_id"), col("resid"))
+      .as[(Long, Array[Float])]
+
+    // ---- fine quantizer over RESIDUAL slices ----
+    val books: Array[Array[(Long, Array[Double])]] =
+      (0 until m).map { s =>
+        lloydRounds(spark,
+          rds.map { case (id, r) => (id, r.slice(s * sub, (s + 1) * sub)) },
+          kSub, iters)
+      }.toArray
+    val bcB = spark.sparkContext.broadcast(books)
+    val codes = rds.mapPartitions { it =>
+      val bs = bcB.value
+      it.map { case (id, r) =>
+        val cs = new Array[Long](bs.length)
+        var s = 0
+        while (s < bs.length) {
+          val slice = java.util.Arrays.copyOfRange(r, s * sub, (s + 1) * sub)
+          var bestC = Long.MaxValue; var best = Double.PositiveInfinity
+          var i = 0
+          while (i < bs(s).length) {
+            val d = distSq(slice, bs(s)(i)._2)
+            if (d < best) { best = d; bestC = bs(s)(i)._1 }
+            i += 1
+          }
+          cs(s) = bestC
+          s += 1
+        }
+        (id, cs)
+      }
+    }.toDF("vec_id", "codes")
+
+    // ---- per-(query, probed list) residual distance tables ----
+    val queryDts = ds.filter(_._1 < nQueries).mapPartitions { it =>
+      val cs = bcC.value; val bs = bcB.value
+      it.flatMap { case (qid, qv) =>
+        cs.map { case (cid, cv) => (cid, cosOf(qv, cv)) }
+          .sortBy { case (cid, s) => (-s, cid) }
+          .take(nProbe)
+          .map { case (cid, _) =>
+            val cv = cs.find(_._1 == cid).get._2
+            val rq = new Array[Float](qv.length)
+            var j = 0
+            while (j < qv.length) { rq(j) = qv(j) - cv(j); j += 1 }
+            val dt = bs.zipWithIndex.map { case (book, s) =>
+              val slice =
+                java.util.Arrays.copyOfRange(rq, s * sub, (s + 1) * sub)
+              book.map { case (bcid, c) =>
+                (bcid, math.floor(distSq(slice, c) * 1e9 + 0.5).toLong)
+              }.toMap
+            }
+            (qid, cid, dt)
+          }
+      }
+    }.toDF("query_id", "cid", "dtables")
+
+    // ---- serve: bucket-restrict, residual-table lookup score ----
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adist9"), asc("neighbor_id"))
+    broadcast(queryDts)
+      .join(rdf.select(col("vec_id"), col("cid")), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(codes, "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("dtables"), col("codes"))
+      .as[(Long, Long, Array[Map[Long, Long]], Array[Long])]
+      .mapPartitions(_.map { case (qi, ni, dts, cs) =>
+        var s = 0; var a = 0L
+        while (s < cs.length) { a += dts(s)(cs(s)); s += 1 }
+        (qi, ni, a)
+      })
+      .toDF("query_id", "neighbor_id", "adist9")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        (col("adist9").cast("double") / 1e9).as("adist"))
+      .orderBy("query_id", "rank")
+  }
+
   /** q179: embedding-space outlier detection per label — the
     * mislabeled-example filter a supervised-data pipeline runs before
     * training: each vector's squared distance to ITS OWN label's

@@ -253,6 +253,53 @@ class Round8Spec extends SparkSpec {
       .filter($"count" =!= 5).count() == 0)
   }
 
+  test("residual ivfadc: deterministic; recall and rank fidelity " +
+      "at least raw-PQ's (the q177 divergence, closed)") {
+    val res1 = VectorOps.ivfAdcKnnResidual(spark, dir).collect().toSeq
+    val res2 = VectorOps.ivfAdcKnnResidual(spark, dir).collect().toSeq
+    // double-precision residual training is still deterministic
+    assert(res1 == res2)
+    // serving invariants: full rank lists, never self
+    val byQ = res1.groupBy(_.getLong(0))
+    assert(byQ.nonEmpty && byQ.values.forall(_.size == 5))
+    assert(res1.forall(r => r.getLong(0) != r.getLong(2)))
+    // exact L2 ground truth, driver-side (sf0.001 is tiny)
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val exactOrder: Map[Long, Seq[Long]] = vecs.filter(_._1 < 10)
+      .map { case (qid, qv) =>
+        qid -> vecs.filter(_._1 != qid)
+          .map { case (id, v) => (id, l2(qv, v)) }
+          .sortBy { case (id, d) => (d, id) }.map(_._1).toSeq
+      }.toMap
+    def recallAt5(rows: Seq[org.apache.spark.sql.Row]): Double = {
+      val g = rows.groupBy(_.getLong(0))
+      g.map { case (q, rs) =>
+        rs.map(_.getLong(2)).toSet
+          .intersect(exactOrder(q).take(5).toSet).size
+      }.sum.toDouble / (g.size * 5)
+    }
+    // mean exact-rank of the returned neighbors: how deep in the TRUE
+    // ordering the served list reaches (lower = higher rank fidelity)
+    def meanExactRank(rows: Seq[org.apache.spark.sql.Row]): Double = {
+      val rs = rows.map(r =>
+        exactOrder(r.getLong(0)).indexOf(r.getLong(2)).toDouble)
+      rs.sum / rs.size
+    }
+    val raw = VectorOps.ivfAdcKnn(spark, dir).collect().toSeq
+    val (rRes, rRaw) = (recallAt5(res1), recallAt5(raw))
+    assert(rRes >= rRaw,
+      s"residual recall@5 $rRes must be >= raw-PQ's $rRaw")
+    val (dRes, dRaw) = (meanExactRank(res1), meanExactRank(raw))
+    assert(dRes <= dRaw,
+      s"residual mean exact-rank $dRes must be <= raw-PQ's $dRaw")
+  }
+
   test("unigram lm: rare-token soup scores worse than common text") {
     val s = graft.operators.TextOps.unigramLmScore(spark, dir).cache()
     // NLL is positive (probabilities < 1) and finite everywhere

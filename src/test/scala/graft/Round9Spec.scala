@@ -300,14 +300,24 @@ class Round9Spec extends SparkSpec {
     assert(m.getAs[Long]("n_ingested") == docs.count())
     val v = graft.operators.TextOps.curationVerdicts(spark, dir).cache()
     assert(m.getAs[Long]("n_scored") == v.count())
-    val released = v.filter($"keep")
+    // delete-aware accounting: eligible = shipped + retracted, and the
+    // retraction feed is the doc-keyed tombstone rule (doc_id % 7 = 3)
+    val eligible = v.filter($"keep")
+    val released = eligible.filter($"doc_id" % 7 =!= 3)
+    val removed = eligible.filter($"doc_id" % 7 === 3)
     assert(m.getAs[Long]("n_released") == released.count())
+    assert(m.getAs[Long]("n_removed") == removed.count())
+    assert(m.getAs[Long]("n_released") + m.getAs[Long]("n_removed")
+      == eligible.count())
     assert(m.getAs[Long]("n_train") + m.getAs[Long]("n_val") +
       m.getAs[Long]("n_test") == m.getAs[Long]("n_released"))
-    val toks = docs.join(released.select("doc_id"), "doc_id")
-      .select(sum(size(split($"text", " ")).cast("long")))
-      .as[Long].head()
-    assert(m.getAs[Long]("n_tokens_released") == toks)
+    def tokMass(ids: org.apache.spark.sql.DataFrame): Long =
+      docs.join(ids.select("doc_id"), "doc_id")
+        .select(coalesce(sum(size(split($"text", " ")).cast("long")),
+          lit(0L)))
+        .as[Long].head()
+    assert(m.getAs[Long]("n_tokens_released") == tokMass(released))
+    assert(m.getAs[Long]("n_tokens_removed") == tokMass(removed))
     v.unpersist()
   }
 
