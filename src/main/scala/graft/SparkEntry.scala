@@ -290,6 +290,10 @@ object SparkEntry {
       ((s, d) => VectorOps.embeddingDedupWithDeletes(s, d)),
     "q232_posting_stats_deletes" ->
       (TextOps.postingStatsWithDeletes _),
+    "q233_dedup_upsert_delete" ->
+      ((s, d) => VectorOps.embeddingDedupUpsertDelete(s, d)),
+    "q234_bm25_after_deletes" ->
+      ((s, d) => operators.Retrieval.bm25AfterDeletes(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3206,6 +3210,63 @@ object SparkEntry {
          |FROM e v LEFT JOIN comp c2 ON v.vec_id = c2.id
          |ORDER BY v.vec_id NULLS FIRST""".stripMargin,
 
+    // q233: one epoch, both CDC verbs — appends (vec_id % 6 = 0)
+    // land while prev keys (% 6 <> 0 AND % 7 = 3) retract. Spark
+    // composes the q158 append path with the q231 delete path over
+    // the stored prev artifacts; the oracle recomputes the full chain
+    // over the POST-EPOCH corpus with the frozen prev centroids
+    // (first-16 of the prev snapshot — frozen even where deleted).
+    "q233_dedup_upsert_delete" ->
+      s"""WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id < 16 AND vec_id % 6 <> 0),
+         |e AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE vec_id % 6 = 0 OR vec_id % 7 <> 3),
+         |ac AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosCols("e.embedding", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+         |    FROM ac) WHERE rn <= 4),
+         |p AS (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |    ${cosCols("a.embedding", "b.embedding")} AS cos
+         |  FROM assign a JOIN assign b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+         |pairs AS (SELECT DISTINCT ida, idb FROM p WHERE cos >= 0.4),
+         |edges AS (SELECT ida AS s, idb AS d FROM pairs
+         |  UNION SELECT idb, ida FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT s, d FROM edges
+         |  UNION
+         |  SELECT w.id, e2.d FROM reach w JOIN edges e2 ON w.r = e2.s),
+         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+         |  FROM reach GROUP BY id)
+         |SELECT v.vec_id,
+         |  COALESCE(c2.component, v.vec_id) AS component,
+         |  COUNT(*) OVER (PARTITION BY COALESCE(c2.component, v.vec_id))
+         |    AS cluster_size,
+         |  v.vec_id = COALESCE(c2.component, v.vec_id) AS is_canonical,
+         |  CASE WHEN v.vec_id % 6 = 0 THEN 'appended' ELSE 'retained' END
+         |    AS status
+         |FROM e v LEFT JOIN comp c2 ON v.vec_id = c2.id
+         |ORDER BY v.vec_id NULLS FIRST""".stripMargin,
+
+    // q234: BM25 served from the delete-maintained posting stats —
+    // Spark reads df from the q232 artifact; the oracle recomputes
+    // the whole retrieval over the post-delete corpus from scratch.
+    "q234_bm25_after_deletes" ->
+      s"""WITH ${bm25CtesFor("WHERE doc_id % 7 <> 3")},
+         |r AS (SELECT query_id, doc_id, s9,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY s9 DESC, doc_id) AS rank
+         |  FROM bs)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+         |  CAST(s9 AS DOUBLE) / 1000000000.0 AS score
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     // q232: posting-stats delete maintenance. Spark subtracts the
     // deleted docs' term stats from the stored full-corpus artifact
     // (DeltaLog tombstone feed, df=0 rows dropped); the oracle
@@ -4826,14 +4887,17 @@ object SparkEntry {
   /** The q182 BM25 scoring replay (k1=1.2, b=0.75), ending at CTE
     * `bs` = (query_id, doc_id, s9) — shared by q182 and the q188
     * hard-negative miner. */
-  private lazy val bm25Ctes: String =
+  /** BM25 CTE chain over an optionally-filtered corpus — `where` is
+    * the survivor predicate for the delete-maintained variant (q234);
+    * empty for q182/q188. */
+  private def bm25CtesFor(where: String): String =
     s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
-       |  FROM documents),
+       |  FROM documents $where),
        |tf AS (SELECT doc_id, t, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
        |dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
        |  FROM tok GROUP BY 1),
        |dfq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
-       |tot AS (SELECT (SELECT COUNT(*) FROM documents) AS nd,
+       |tot AS (SELECT (SELECT COUNT(*) FROM documents $where) AS nd,
        |               (SELECT COUNT(*) FROM tok) AS nt),
        |q AS (SELECT DISTINCT doc_id AS query_id, t FROM tok
        |  WHERE doc_id % 100 = 0),
@@ -4852,6 +4916,9 @@ object SparkEntry {
        |  WHERE tf.doc_id <> q.query_id),
        |bs AS (SELECT query_id, doc_id, CAST(SUM(c9) AS BIGINT) AS s9
        |  FROM c GROUP BY 1, 2)""".stripMargin
+
+  private lazy val bm25Ctes: String = bm25CtesFor("")
+
 
   /** The q50/q161 IVF serve replay (first-16 centroids, single-probe
     * assignment, top-4 probes, candidates ranked), shared by q161 and

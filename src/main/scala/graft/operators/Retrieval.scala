@@ -334,6 +334,63 @@ object Retrieval {
       .orderBy("query_id", "rank")
   }
 
+  /** q234 — BM25 SERVED from the delete-maintained posting stats: the
+    * end-to-end proof that q232's subtraction-maintained artifact
+    * actually serves. Document frequencies come from the MAINTAINED
+    * (t, df, tf) table — never recomputed from the corpus — while
+    * tf/dl read the surviving postings; the hash gate then matches a
+    * from-scratch BM25 over the post-delete corpus, which is exactly
+    * the claim an incremental index makes: maintenance is invisible
+    * to the query layer.
+    *
+    * Scale: identical to q182 plus one vocabulary-grain artifact read
+    * (semi-restricted to query terms before the broadcast). A
+    * tombstoned query document stops being a query — its terms left
+    * the postings. */
+  def bm25AfterDeletes(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val surv = Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 =!= 3)
+    val tf = surv
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .localCheckpoint()
+    val statsRow = dl
+      .agg(count(lit(1)).as("nd"), sum("dl").as("ntok")).collect()(0)
+    val totals = statsRow.getLong(0)
+    val avgdl = statsRow.getLong(1).toDouble / totals
+    val q = tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("t"))
+    // df: READ from the maintained artifact, not recomputed — the gate
+    // rides on q232's subtraction being exact
+    val df = TextOps.postingStatsWithDeletes(spark, dir)
+      .select(col("t"), col("df"))
+      .join(broadcast(q.select("t").distinct()), "t")
+    val idf = log(((lit(totals) - col("df")).cast("double") + lit(0.5))
+      / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfn = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+    val c9 = floor(idf * tfn * lit(1000000000.0) + lit(0.5)).cast("long")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("s9"), asc("doc_id"))
+    broadcast(q)
+      .join(tf, "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), "t")
+      .join(dl, "doc_id")
+      .select(col("query_id"), col("doc_id"), c9.as("c9"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c9").as("s9"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("s9").cast("double") / lit(1000000000.0)).as("score"))
+      .orderBy("query_id", "rank")
+  }
+
   /** q218 — RAG context assembly, the last mile of the retrieval path:
     * the diversity-ranked picks (q191's MMR) packed into a fixed
     * context-window token budget in pick order. `kept` marks the greedy

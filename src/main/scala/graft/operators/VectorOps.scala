@@ -421,6 +421,88 @@ object VectorOps {
       comp = spark.read.parquet(s"$root/comp"))
   }
 
+  /** q233 — ONE maintenance epoch carrying BOTH CDC verbs: appends
+    * (q158's delta) and tombstone deletes (q231's retraction feed)
+    * land together, the way a real change-feed batch arrives. The two
+    * key sets are disjoint by construction (appends are vec_id ≡ 0
+    * mod 6; tombstones are prev-corpus keys ≡ 3 mod 7), honoring the
+    * DeltaLog contract that one epoch never upserts and deletes the
+    * same key.
+    *
+    * Composition rules, each load-bearing for exactness:
+    *   - the delta probes the SURVIVING index ∪ itself — a new vector
+    *     must never link THROUGH a retracted one (the tombstone is
+    *     gone before the epoch's pairs exist);
+    *   - a cluster is affected if a tombstone retires one of its
+    *     members OR a new edge touches it; appends are affected by
+    *     definition. Affected clusters re-close on surviving stored
+    *     edges ∪ new edges; everyone else keeps stored labels;
+    *   - assignment stays frozen to the prev centroids for both verbs
+    *     (centroid refresh is a re-train — q155's story).
+    *
+    * The driver gate proves the whole epoch: the oracle recomputes the
+    * full chain over the POST-EPOCH corpus (prev ∖ tombs ∪ appends)
+    * against the frozen prev centroids. */
+  def embeddingDedupUpsertDelete(spark: SparkSession, dir: String,
+      nCentroids: Int = 16, threshold: Double = 0.4,
+      nProbe: Int = 4): DataFrame = {
+    val all = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val appends = all.filter(col("vec_id") % 6 === 0)
+    val art = stagedIvfPrev(spark, dir, nCentroids, nProbe, threshold)
+    val tomb = graft.sources.DeltaLog.stagedTombstones(spark, "ivfud",
+        s"$dir/embeddings.parquet",
+        all.filter(col("vec_id") % 6 =!= 0).select(col("vec_id")),
+        col("vec_id") % 7 === 3, "vec_id")
+      .localCheckpoint() // affected set + three anti-joins
+    val deltaAssigned = assignWithCentroids(spark, appends,
+      art.centroids, nProbe).localCheckpoint()
+    val survAssigned = art.assigned.select("vec_id", "cid", "embedding")
+      .join(tomb, Seq("vec_id"), "left_anti")
+    val newPairs = deltaPairs(deltaAssigned,
+        survAssigned.unionByName(deltaAssigned), threshold)
+      .localCheckpoint() // touched set AND the edge union
+
+    val appendIds = appends.select("vec_id")
+    val touched = appendIds
+      .unionByName(newPairs.select(col("ida").as("vec_id")))
+      .unionByName(newPairs.select(col("idb").as("vec_id")))
+      .unionByName(tomb)
+      .distinct()
+    val affComps = art.comp.join(touched, "vec_id")
+      .select("component").distinct()
+    val affIds = art.comp.join(affComps, "component").select("vec_id")
+      .join(tomb, Seq("vec_id"), "left_anti")
+      .unionByName(appendIds).distinct()
+      .localCheckpoint() // subgraph filter + closure guard + labels
+    val survStored = art.pairs
+      .join(tomb.withColumnRenamed("vec_id", "ida"), Seq("ida"), "left_anti")
+      .join(tomb.withColumnRenamed("vec_id", "idb"), Seq("idb"), "left_anti")
+    val pairsV2 = survStored.unionByName(newPairs).distinct()
+    val subEdges = pairsV2
+      .join(affIds.withColumnRenamed("vec_id", "ida"), Seq("ida"), "left_semi")
+    val stray = subEdges
+      .join(affIds.withColumnRenamed("vec_id", "idb"), Seq("idb"), "left_anti")
+    if (!stray.isEmpty)
+      throw new IllegalStateException(
+        "upsert+delete maintenance: affected subgraph is not edge-closed")
+    val subComp = Graphs.components(subEdges, "ida", "idb")
+      .withColumnRenamed("id", "vec_id")
+    val unaffected = art.comp
+      .join(affComps, Seq("component"), "left_anti")
+      .select("vec_id", "component")
+    val reclosed = affIds.join(subComp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("component"))
+    unaffected.unionByName(reclosed)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component")))
+      .withColumn("is_canonical", col("vec_id") === col("component"))
+      .withColumn("status",
+        when(col("vec_id") % 6 === 0, "appended").otherwise("retained"))
+      .orderBy("vec_id")
+  }
+
   /** Stored artifacts of the FULL-corpus index build — the starting
     * state of tombstone-delete maintenance (q231): the same
     * (assigned, pairs, comp) triple as [[stagedIvfPrev]] but over every

@@ -83,6 +83,31 @@ class IncrementalIvfSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("one epoch with BOTH verbs (appends + tombstones) equals the " +
+      "full post-epoch rebuild with frozen prev centroids") {
+    val all = allVecs
+    val prev = prevVecs
+    val cents = VectorOps.centroidsOf(prev, 16)
+    val post = all.filter($"vec_id" % 6 === 0 || $"vec_id" % 7 =!= 3)
+    val inc = VectorOps.embeddingDedupUpsertDelete(spark, dir)
+      .collect().toSeq
+    val full = VectorOps
+      .dedupVerdict(post.select("vec_id"),
+        VectorOps.pairsFromAssigned(
+          VectorOps.assignWithCentroids(spark, post, cents, 4), 0.4, 4))
+      .withColumn("status",
+        when($"vec_id" % 6 === 0, "appended").otherwise("retained"))
+      .orderBy("vec_id")
+      .collect().toSeq
+    assert(inc == full, "upsert+delete epoch must equal the rebuild")
+    // the epoch really exercised both verbs on this fixture
+    assert(inc.exists(_.getString(4) == "appended"))
+    val postIds = post.select("vec_id").as[Long].collect().toSet
+    val prevIds = prev.select("vec_id").as[Long].collect().toSet
+    assert((prevIds -- postIds).nonEmpty,
+      "fixture must contain at least one retired tombstone")
+  }
+
   test("the delta probe broadcasts the delta side — no corpus-side shuffle") {
     val art = VectorOps.stagedIvfPrev(spark, dir, 16, 4, 0.4)
     val delta = allVecs.filter($"vec_id" % 6 === 0)
