@@ -455,27 +455,61 @@ object VectorOps {
         all.filter(col("vec_id") % 6 =!= 0).select(col("vec_id")),
         col("vec_id") % 7 === 3, "vec_id")
       .localCheckpoint() // affected set + three anti-joins
-    val deltaAssigned = assignWithCentroids(spark, appends,
-      art.centroids, nProbe).localCheckpoint()
-    val survAssigned = art.assigned.select("vec_id", "cid", "embedding")
-      .join(tomb, Seq("vec_id"), "left_anti")
+    val d = ivfEpochStep(spark, art.centroids,
+      art.assigned.select("vec_id", "cid", "embedding"),
+      art.pairs, art.comp, appends, tomb, threshold, nProbe)
+    d.unaffected.unionByName(d.reclosed)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component")))
+      .withColumn("is_canonical", col("vec_id") === col("component"))
+      .withColumn("status",
+        when(col("vec_id") % 6 === 0, "appended").otherwise("retained"))
+      .orderBy("vec_id")
+  }
+
+  /** One maintenance epoch's keyed DELTAS against the index state —
+    * what the epoch COMMITS (to [[graft.sources.DeltaLog]] tables in
+    * the streaming maintainer) or assembles into the post-epoch verdict
+    * (q233). Upsert/retire frames per state table; `unaffected` is the
+    * complement read (stored labels the epoch never touched). */
+  private[graft] case class IvfEpochDeltas(
+      deltaAssigned: DataFrame, retiredAssigned: DataFrame,
+      newPairs: DataFrame, retiredPairs: DataFrame,
+      reclosed: DataFrame, unaffected: DataFrame)
+
+  /** The CDC epoch-step core shared by q233 (one staged epoch) and the
+    * q235 streaming maintainer (a drained sequence of them): apply one
+    * batch of upserts + tombstones to the stored (assigned, pairs,
+    * comp) index state against frozen `centroids`. The composition
+    * rules documented on [[embeddingDedupUpsertDelete]] live HERE —
+    * delta probes the surviving index ∪ itself, affected = tombstoned
+    * ∪ edge-touched ∪ appended, re-closure on surviving ∪ new edges.
+    * `tomb` must already be checkpointed by the caller (it fans into
+    * the affected set and three anti-joins). */
+  private[graft] def ivfEpochStep(spark: SparkSession,
+      centroids: Array[(Long, Array[Float])], assigned: DataFrame,
+      pairs: DataFrame, comp: DataFrame, ups: DataFrame, tomb: DataFrame,
+      threshold: Double, nProbe: Int): IvfEpochDeltas = {
+    val deltaAssigned = assignWithCentroids(spark, ups,
+      centroids, nProbe).localCheckpoint()
+    val survAssigned = assigned.join(tomb, Seq("vec_id"), "left_anti")
     val newPairs = deltaPairs(deltaAssigned,
         survAssigned.unionByName(deltaAssigned), threshold)
       .localCheckpoint() // touched set AND the edge union
 
-    val appendIds = appends.select("vec_id")
-    val touched = appendIds
+    val upIds = ups.select("vec_id")
+    val touched = upIds
       .unionByName(newPairs.select(col("ida").as("vec_id")))
       .unionByName(newPairs.select(col("idb").as("vec_id")))
       .unionByName(tomb)
       .distinct()
-    val affComps = art.comp.join(touched, "vec_id")
+    val affComps = comp.join(touched, "vec_id")
       .select("component").distinct()
-    val affIds = art.comp.join(affComps, "component").select("vec_id")
+    val affIds = comp.join(affComps, "component").select("vec_id")
       .join(tomb, Seq("vec_id"), "left_anti")
-      .unionByName(appendIds).distinct()
+      .unionByName(upIds).distinct()
       .localCheckpoint() // subgraph filter + closure guard + labels
-    val survStored = art.pairs
+    val survStored = pairs
       .join(tomb.withColumnRenamed("vec_id", "ida"), Seq("ida"), "left_anti")
       .join(tomb.withColumnRenamed("vec_id", "idb"), Seq("idb"), "left_anti")
     val pairsV2 = survStored.unionByName(newPairs).distinct()
@@ -488,19 +522,21 @@ object VectorOps {
         "upsert+delete maintenance: affected subgraph is not edge-closed")
     val subComp = Graphs.components(subEdges, "ida", "idb")
       .withColumnRenamed("id", "vec_id")
-    val unaffected = art.comp
+    val unaffected = comp
       .join(affComps, Seq("component"), "left_anti")
       .select("vec_id", "component")
     val reclosed = affIds.join(subComp, Seq("vec_id"), "left")
       .select(col("vec_id"),
         coalesce(col("comp"), col("vec_id")).as("component"))
-    unaffected.unionByName(reclosed)
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy("component")))
-      .withColumn("is_canonical", col("vec_id") === col("component"))
-      .withColumn("status",
-        when(col("vec_id") % 6 === 0, "appended").otherwise("retained"))
-      .orderBy("vec_id")
+    val retiredAssigned = assigned
+      .join(tomb, Seq("vec_id"), "left_semi").select("vec_id", "cid")
+    val retiredPairs = pairs
+      .join(tomb.withColumnRenamed("vec_id", "ida"), Seq("ida"), "left_semi")
+      .unionByName(pairs
+        .join(tomb.withColumnRenamed("vec_id", "idb"), Seq("idb"), "left_semi"))
+      .select("ida", "idb").distinct()
+    IvfEpochDeltas(deltaAssigned, retiredAssigned,
+      newPairs, retiredPairs, reclosed, unaffected)
   }
 
   /** Stored artifacts of the FULL-corpus index build — the starting
