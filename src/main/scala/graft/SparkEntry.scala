@@ -294,6 +294,8 @@ object SparkEntry {
       ((s, d) => VectorOps.embeddingDedupUpsertDelete(s, d)),
     "q234_bm25_after_deletes" ->
       ((s, d) => operators.Retrieval.bm25AfterDeletes(s, d)),
+    "q235_streaming_ivf_maintain" ->
+      ((s, d) => streaming.StreamingIvfMaintainer.maintainerStream(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -840,6 +842,49 @@ object SparkEntry {
     * Spark's `aggregate` order (and the typed kernel's independent
     * accumulators), so the doubles are bit-identical. `a`/`b` are any
     * list-typed SQL expressions. */
+  /** Full rebuild over the POST-EPOCH corpus (prev ∖ tombstones ∪
+    * appends) with the frozen prev centroids (first-16 of the prev
+    * snapshot — frozen even where deleted) — the shared oracle for the
+    * staged one-shot epoch (q233) and the streaming maintainer's
+    * drained replay of the same epoch (q235). */
+  private def ivfPostEpochOracle: String =
+    s"""WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 16 AND vec_id % 6 <> 0),
+       |e AS (SELECT vec_id, embedding FROM embeddings
+       |  WHERE vec_id % 6 = 0 OR vec_id % 7 <> 3),
+       |ac AS (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    ${cosCols("e.embedding", "c.cv")} AS ccos
+       |  FROM e CROSS JOIN c),
+       |assign AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+       |    FROM ac) WHERE rn <= 4),
+       |p AS (
+       |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+       |    ${cosCols("a.embedding", "b.embedding")} AS cos
+       |  FROM assign a JOIN assign b
+       |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
+       |pairs AS (SELECT DISTINCT ida, idb FROM p WHERE cos >= 0.4),
+       |edges AS (SELECT ida AS s, idb AS d FROM pairs
+       |  UNION SELECT idb, ida FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT s, d FROM edges
+       |  UNION
+       |  SELECT w.id, e2.d FROM reach w JOIN edges e2 ON w.r = e2.s),
+       |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
+       |  FROM reach GROUP BY id)
+       |SELECT v.vec_id,
+       |  COALESCE(c2.component, v.vec_id) AS component,
+       |  COUNT(*) OVER (PARTITION BY COALESCE(c2.component, v.vec_id))
+       |    AS cluster_size,
+       |  v.vec_id = COALESCE(c2.component, v.vec_id) AS is_canonical,
+       |  CASE WHEN v.vec_id % 6 = 0 THEN 'appended' ELSE 'retained' END
+       |    AS status
+       |FROM e v LEFT JOIN comp c2 ON v.vec_id = c2.id
+       |ORDER BY v.vec_id NULLS FIRST""".stripMargin
+
   private def cosCols(a: String, b: String) =
     s"""list_reduce(list_transform(range(1, len($a) + 1),
        |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
@@ -3216,43 +3261,14 @@ object SparkEntry {
     // the stored prev artifacts; the oracle recomputes the full chain
     // over the POST-EPOCH corpus with the frozen prev centroids
     // (first-16 of the prev snapshot — frozen even where deleted).
-    "q233_dedup_upsert_delete" ->
-      s"""WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cv
-         |  FROM embeddings WHERE vec_id < 16 AND vec_id % 6 <> 0),
-         |e AS (SELECT vec_id, embedding FROM embeddings
-         |  WHERE vec_id % 6 = 0 OR vec_id % 7 <> 3),
-         |ac AS (
-         |  SELECT e.vec_id, e.embedding, c.cid,
-         |    ${cosCols("e.embedding", "c.cv")} AS ccos
-         |  FROM e CROSS JOIN c),
-         |assign AS (
-         |  SELECT vec_id, embedding, cid FROM (
-         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
-         |    FROM ac) WHERE rn <= 4),
-         |p AS (
-         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
-         |    ${cosCols("a.embedding", "b.embedding")} AS cos
-         |  FROM assign a JOIN assign b
-         |    ON a.cid = b.cid AND a.vec_id < b.vec_id),
-         |pairs AS (SELECT DISTINCT ida, idb FROM p WHERE cos >= 0.4),
-         |edges AS (SELECT ida AS s, idb AS d FROM pairs
-         |  UNION SELECT idb, ida FROM pairs),
-         |reach(id, r) AS (
-         |  SELECT s, d FROM edges
-         |  UNION
-         |  SELECT w.id, e2.d FROM reach w JOIN edges e2 ON w.r = e2.s),
-         |comp AS (SELECT id, LEAST(id, MIN(r)) AS component
-         |  FROM reach GROUP BY id)
-         |SELECT v.vec_id,
-         |  COALESCE(c2.component, v.vec_id) AS component,
-         |  COUNT(*) OVER (PARTITION BY COALESCE(c2.component, v.vec_id))
-         |    AS cluster_size,
-         |  v.vec_id = COALESCE(c2.component, v.vec_id) AS is_canonical,
-         |  CASE WHEN v.vec_id % 6 = 0 THEN 'appended' ELSE 'retained' END
-         |    AS status
-         |FROM e v LEFT JOIN comp c2 ON v.vec_id = c2.id
-         |ORDER BY v.vec_id NULLS FIRST""".stripMargin,
+    "q233_dedup_upsert_delete" -> ivfPostEpochOracle,
+
+    // q235: the streaming maintainer drains the SAME epoch as a
+    // two-batch replay (seed build + CDC batch) against DeltaLog
+    // state tables and must land on the identical post-epoch state —
+    // the gate proves streaming-incremental ≡ staged-incremental
+    // (q233) ≡ the oracle's full rebuild.
+    "q235_streaming_ivf_maintain" -> ivfPostEpochOracle,
 
     // q234: BM25 served from the delete-maintained posting stats —
     // Spark reads df from the q232 artifact; the oracle recomputes

@@ -1,0 +1,218 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.operators.{Graphs, VectorOps}
+import graft.sources.DeltaLog
+
+/** CONTINUOUS IVF index maintenance (q235) — q233's one-epoch
+  * upsert+delete step as a running process: vector batches (upserts +
+  * tombstones) land on a file source and every micro-batch applies one
+  * [[VectorOps.ivfEpochStep]] against the persisted index state via
+  * `foreachBatch`, committing ONLY the epoch's keyed deltas into four
+  * log-structured [[DeltaLog]] tables — the deployment shape of a
+  * living ANN/dedup index under a CDC feed (GDPR retractions, re-crawl
+  * replacements, daily appends):
+  *
+  *   - batch 0 seeds the index: the full build chain (assign →
+  *     bucketed pairs → components) over the first snapshot, with
+  *     centroids frozen at the snapshot's first-K and committed as a
+  *     state table of their own;
+  *   - batch 1+ delivers CDC epochs: upserts assign against the FROZEN
+  *     centroids and probe the surviving index, tombstones retire
+  *     their assignment and pair rows additively, and only the
+  *     affected clusters re-close ([[VectorOps.ivfEpochStep]]'s
+  *     composition rules);
+  *   - per state table, a batch commits upserts of changed rows and
+  *     deletes of retired keys — write I/O is delta-sized, matching
+  *     the delta-sized compute; DeltaLog's epoch discipline
+  *     (`_READY`-marked epoch dirs, replay-safe `< batchId`
+  *     resolution) makes a crashed batch invisible and a replayed one
+  *     idempotent, exactly q162's crash story.
+  *
+  * The gate proves the whole lifecycle: after the drain, the resolved
+  * component table must equal q233's one-shot epoch — and therefore
+  * the oracle's FULL rebuild over the post-epoch corpus — bit-for-bit
+  * (streaming-incremental ≡ staged-incremental ≡ full).
+  *
+  * Scale: the seed batch is the one corpus-sized write (any index is
+  * built once); every later batch touches delta ∪ affected-cluster
+  * rows only. State tables are parquet DeltaLogs here and real tables
+  * in deployment; auto-compaction bounds the log fold.
+  */
+object StreamingIvfMaintainer {
+
+  private val NCentroids = 16
+  private val Threshold = 0.4
+  private val NProbe = 4
+
+  private val vecSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("deleted", BooleanType)))
+
+  /** Stage the two-batch landing dir per fixture signature: b0 = prev
+    * corpus snapshot (vec_id % 6 ≠ 0), b1 = the CDC epoch — appends
+    * (% 6 = 0) as upserts plus tombstones for the prev keys with
+    * vec_id % 7 = 3 (q231/q233's retraction feed). Mtimes ascend so
+    * the file source replays the epochs in order. */
+  private def stagedLanding(spark: SparkSession, dir: String): String =
+    FixtureStaging.stageOnce("ivfstream", s"$dir/embeddings.parquet",
+      "/tmp/graft-ivfstream") { d =>
+      import java.nio.file.Files
+      val all = graft.sources.Tables.embeddings(spark, dir)
+        .select(col("vec_id"), col("embedding"))
+      val prev = all.filter(col("vec_id") % 6 =!= 0)
+      val seed = prev.withColumn("deleted", lit(false))
+      val epoch = all.filter(col("vec_id") % 6 === 0)
+        .withColumn("deleted", lit(false))
+        .unionByName(prev.filter(col("vec_id") % 7 === 3)
+          .select(col("vec_id"),
+            lit(null).cast(ArrayType(FloatType)).as("embedding"))
+          .withColumn("deleted", lit(true)))
+      def land(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft-ivfstream").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        Files.copy(part.toPath, d.resolve(name))
+        d.resolve(name).toFile.setLastModified(mtime)
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      }
+      val t0 = System.currentTimeMillis() - 60000
+      land(seed, "0000_seed.parquet", t0)
+      land(epoch, "0001_epoch.parquet", t0 + 30000)
+    }
+
+  /** Per-run scratch root (state logs + checkpoint), per fixture
+    * signature AND pid — exposed so the spec can audit per-batch
+    * commit sizes on disk. */
+  def runRoot(dir: String): String = {
+    val key = FixtureStaging.key("ivfstream-state", s"$dir/embeddings.parquet")
+    val pid = ProcessHandle.current().pid()
+    s"/tmp/graft-ivfstream-run-$key-p$pid"
+  }
+
+  /** ONE maintainer step: resolve the four state tables as of epochs
+    * `< batchId` (replay-safe), seed on first contact (full build
+    * chain), otherwise run [[VectorOps.ivfEpochStep]] and commit only
+    * its keyed deltas. */
+  def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    def log(t: String) = s"$root/state/$t"
+    // the epoch step consumes assigned twice, pairs thrice and comp
+    // three times — checkpoint each resolution once per batch; the
+    // four independent resolutions run concurrently (one resolution
+    // latency per batch, not four)
+    def resolved(t: String, keys: Seq[String]) = Future(
+      DeltaLog.read(spark, log(t), keys, Some(batchId))
+        .map(_.localCheckpoint()))
+    val rs = Await.result(Future.sequence(Seq(
+      resolved("centroids", Seq("cid")),
+      resolved("assigned", Seq("vec_id", "cid")),
+      resolved("pairs", Seq("ida", "idb")),
+      resolved("comp", Seq("vec_id")))), Duration.Inf)
+    val ups = batch.filter(!col("deleted")).select("vec_id", "embedding")
+    rs.head match {
+      case None =>
+        // seed epoch: the full build chain — the one corpus-sized
+        // commit an index pays exactly once in its life
+        val cents = VectorOps.centroidsOf(ups, NCentroids)
+        val assigned = VectorOps
+          .assignWithCentroids(spark, ups, cents, NProbe)
+          .localCheckpoint()
+        // uncapped, matching the epoch step's deltaPairs (capped
+        // stored pairs + an uncapped delta probe would diverge)
+        val pairs = VectorOps.pairsFromAssigned(assigned, Threshold,
+            NProbe, maxBucket = Long.MaxValue)
+          .localCheckpoint()
+        val comp = ups.select("vec_id")
+          .join(Graphs.components(pairs, "ida", "idb")
+            .withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+          .select(col("vec_id"),
+            coalesce(col("comp"), col("vec_id")).as("component"))
+        val centsDf = {
+          import spark.implicits._
+          spark.createDataset(cents.toSeq).toDF("cid", "cv")
+        }
+        Await.result(Future.sequence(Seq(
+          Future(DeltaLog.commit(spark, log("centroids"), batchId,
+            centsDf, None, Seq("cid"))),
+          Future(DeltaLog.commit(spark, log("assigned"), batchId,
+            assigned, None, Seq("vec_id", "cid"))),
+          Future(DeltaLog.commit(spark, log("pairs"), batchId,
+            pairs, None, Seq("ida", "idb"))),
+          Future(DeltaLog.commit(spark, log("comp"), batchId,
+            comp, None, Seq("vec_id"))))), Duration.Inf)
+      case Some(centsDf) =>
+        import spark.implicits._
+        val cents = centsDf.select(col("cid"), col("cv"))
+          .as[(Long, Array[Float])].collect().sortBy(_._1)
+        val tomb = batch.filter(col("deleted")).select("vec_id")
+          .localCheckpoint() // fans into the affected set + anti-joins
+        val d = VectorOps.ivfEpochStep(spark, cents, rs(1).get,
+          rs(2).get, rs(3).get, ups, tomb, Threshold, NProbe)
+        Await.result(Future.sequence(Seq(
+          Future(DeltaLog.commit(spark, log("assigned"), batchId,
+            d.deltaAssigned, Some(d.retiredAssigned), Seq("vec_id", "cid"))),
+          Future(DeltaLog.commit(spark, log("pairs"), batchId,
+            d.newPairs, Some(d.retiredPairs), Seq("ida", "idb"))),
+          Future(DeltaLog.commit(spark, log("comp"), batchId,
+            d.reclosed, Some(tomb), Seq("vec_id"))))), Duration.Inf)
+    }
+    ()
+  }
+
+  /** Drain the two-batch replay and return the final cluster verdict —
+    * identical contract (and oracle) to q233's one-shot epoch. The
+    * verdict assembles at read time from the resolved component table;
+    * the corpus-sized materialization happens once at the END. */
+  def maintainerStream(spark: SparkSession, dir: String): DataFrame = {
+    val land = stagedLanding(spark, dir)
+    val root = runRoot(dir)
+    // deterministic end state: replay from scratch per invocation;
+    // state + checkpoint live and die together with the pid root
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    FixtureStaging.deleteOnExit(root)
+
+    val lastBatch =
+      new java.util.concurrent.atomic.AtomicReference[java.lang.Long](null)
+    val q = spark.readStream
+      .schema(vecSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(land)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, root, batch, batchId)
+        lastBatch.set(batchId)
+        ()
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    if (lastBatch.get() == null)
+      throw new IllegalStateException(
+        s"no batches drained from $land — the staged landing dir is " +
+          "empty (a foreign process blessed a half-staged dir?) or the " +
+          "fixture path is wrong")
+
+    val comp = DeltaLog.read(spark, s"$root/state/comp", Seq("vec_id")).get
+    comp
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy("component")))
+      .withColumn("is_canonical", col("vec_id") === col("component"))
+      .withColumn("status",
+        when(col("vec_id") % 6 === 0, "appended").otherwise("retained"))
+      .orderBy("vec_id")
+  }
+}

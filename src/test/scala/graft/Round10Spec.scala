@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Features, Graphs, VectorOps}
+import graft.operators.{Analytics, Features, Graphs, VectorOps}
 import graft.sources.Tables
 
 /** Round-10 operators (q202–q205): semantics pinned beyond the hash
@@ -472,5 +472,23 @@ class Round10Spec extends SparkSpec {
       assert(gapDays >= want, s"$a→$b gap $gapDays")
     }
     s.unpersist()
+  }
+
+  test("fixture baskets fit under MaxBasketWidth — the cap never binds, " +
+      "so the capped collect_set matches the oracle's uncapped DISTINCT") {
+    // q204/q217 slice baskets to Analytics.MaxBasketWidth while their
+    // oracles pair the uncapped DISTINCT set; on TPC-H shapes the cap
+    // never binds (≤7 lineitems/order). If a future fixture violates
+    // this, the gates would silently diverge — fail loudly here instead.
+    for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {
+      val maxWidth = Tables.lineitem(spark, d)
+        .groupBy("l_orderkey")
+        .agg(countDistinct("l_partkey").as("w"))
+        .agg(max("w")).as[Long].head()
+      assert(maxWidth <= Analytics.MaxBasketWidth,
+        s"$d: max distinct parts/order $maxWidth exceeds the " +
+          s"MaxBasketWidth=${Analytics.MaxBasketWidth} slice — the " +
+          "q204/q217 oracles no longer match the capped Spark side")
+    }
   }
 }
