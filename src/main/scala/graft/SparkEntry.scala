@@ -296,6 +296,8 @@ object SparkEntry {
       ((s, d) => operators.Retrieval.bm25AfterDeletes(s, d)),
     "q235_streaming_ivf_maintain" ->
       ((s, d) => streaming.StreamingIvfMaintainer.maintainerStream(s, d)),
+    "q236_streaming_posting_stats" ->
+      ((s, d) => streaming.StreamingPostingStats.statsStream(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3290,6 +3292,19 @@ object SparkEntry {
     "q232_posting_stats_deletes" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |  FROM documents WHERE doc_id % 7 <> 3),
+        |tf0 AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+        |  CAST(SUM(c) AS BIGINT) AS tf
+        |FROM tf0 GROUP BY t ORDER BY t""".stripMargin,
+
+    // q236: the streaming posting-stats maintainer drains a seed +
+    // CDC epoch (appends % 6 = 0, tombstones % 7 = 3 of the prev
+    // snapshot) against a DeltaLog vocabulary table and must land on
+    // the from-scratch stats of the post-epoch corpus — q196's
+    // additive merge and q232's subtraction as one running process.
+    "q236_streaming_posting_stats" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE doc_id % 6 = 0 OR doc_id % 7 <> 3),
         |tf0 AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2)
         |SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
         |  CAST(SUM(c) AS BIGINT) AS tf

@@ -1427,7 +1427,7 @@ object TextOps {
   /** Term-grain posting statistics (t, df, tf) of a corpus frame —
     * the stored artifact behind BM25 (q182) and the unit of
     * [[postingStatsIncremental]]'s merge. */
-  private def postingStatsOf(docs: DataFrame): DataFrame =
+  private[graft] def postingStatsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
       .groupBy("t")
