@@ -298,6 +298,8 @@ object SparkEntry {
       ((s, d) => streaming.StreamingIvfMaintainer.maintainerStream(s, d)),
     "q236_streaming_posting_stats" ->
       ((s, d) => streaming.StreamingPostingStats.statsStream(s, d)),
+    "q237_streaming_ivf_serve" ->
+      ((s, d) => streaming.StreamingIvfMaintainer.servedKnn(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -849,8 +851,11 @@ object SparkEntry {
     * snapshot — frozen even where deleted) — the shared oracle for the
     * staged one-shot epoch (q233) and the streaming maintainer's
     * drained replay of the same epoch (q235). */
-  private def ivfPostEpochOracle: String =
-    s"""WITH RECURSIVE c AS (SELECT vec_id AS cid, embedding AS cv
+  /** The post-epoch assignment replay shared by q233/q235/q237's
+    * oracles: frozen prev centroids, post-epoch corpus `e`, multi-probe
+    * (top-4) assignment `assign`. */
+  private def ivfPostEpochCtes: String =
+    s"""c AS (SELECT vec_id AS cid, embedding AS cv
        |  FROM embeddings WHERE vec_id < 16 AND vec_id % 6 <> 0),
        |e AS (SELECT vec_id, embedding FROM embeddings
        |  WHERE vec_id % 6 = 0 OR vec_id % 7 <> 3),
@@ -862,7 +867,10 @@ object SparkEntry {
        |  SELECT vec_id, embedding, cid FROM (
        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
        |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
-       |    FROM ac) WHERE rn <= 4),
+       |    FROM ac) WHERE rn <= 4)""".stripMargin
+
+  private def ivfPostEpochOracle: String =
+    s"""WITH RECURSIVE $ivfPostEpochCtes,
        |p AS (
        |  SELECT a.vec_id AS ida, b.vec_id AS idb,
        |    ${cosCols("a.embedding", "b.embedding")} AS cos
@@ -3296,6 +3304,37 @@ object SparkEntry {
         |SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
         |  CAST(SUM(c) AS BIGINT) AS tf
         |FROM tf0 GROUP BY t ORDER BY t""".stripMargin,
+
+    // q237: ANN served from the streaming-maintained index state —
+    // the oracle recomputes multi-probe probe-and-rank over the
+    // post-epoch corpus from scratch; a hash match proves the
+    // delta-maintained inverted lists (assigned + centroids state
+    // tables) ARE the post-epoch index. Both sides multi-probe, so
+    // candidates dedupe (DISTINCT) before ranking.
+    "q237_streaming_ivf_serve" ->
+      s"""WITH $ivfPostEpochCtes,
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+         |      WHERE vec_id < 10),
+         |qc AS (
+         |  SELECT query_id, qv, cid FROM (
+         |    SELECT q.query_id, q.qv, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosCols("q.qv", "c.cv")} DESC NULLS LAST,
+         |                 c.cid NULLS FIRST) AS rn
+         |    FROM q CROSS JOIN c) WHERE rn <= 4),
+         |cand AS (
+         |  SELECT DISTINCT query_id, a.vec_id AS neighbor_id,
+         |    ${cosCols("qc.qv", "a.embedding")} AS cos
+         |  FROM qc JOIN assign a USING (cid)
+         |  WHERE a.vec_id <> qc.query_id),
+         |r AS (
+         |  SELECT query_id, neighbor_id, cos,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST) AS rn
+         |  FROM cand)
+         |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
+         |FROM r WHERE rn <= 5
+         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
 
     // q236: the streaming posting-stats maintainer drains a seed +
     // CDC epoch (appends % 6 = 0, tombstones % 7 = 3 of the prev

@@ -170,14 +170,25 @@ object StreamingIvfMaintainer {
     ()
   }
 
-  /** Drain the two-batch replay and return the final cluster verdict —
-    * identical contract (and oracle) to q233's one-shot epoch. The
-    * verdict assembles at read time from the resolved component table;
-    * the corpus-sized materialization happens once at the END. */
-  def maintainerStream(spark: SparkSession, dir: String): DataFrame = {
+  /** Fixture dir → drained state root: the replay runs ONCE per
+    * process per fixture (the end state is deterministic), then every
+    * consumer — the q235 verdict, the q237 serve — reads the same
+    * committed state. computeIfAbsent also serializes concurrent
+    * first-callers (the Verify harness runs queries in parallel): two
+    * drains racing on one pid root would clobber each other's
+    * checkpoint. */
+  private val drained =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Drain the two-batch replay (once per process) and return the
+    * state root holding the four committed DeltaLog tables. */
+  def drainedStateRoot(spark: SparkSession, dir: String): String =
+    drained.computeIfAbsent(dir, _ => drain(spark, dir))
+
+  private def drain(spark: SparkSession, dir: String): String = {
     val land = stagedLanding(spark, dir)
     val root = runRoot(dir)
-    // deterministic end state: replay from scratch per invocation;
+    // deterministic end state: replay from scratch per process;
     // state + checkpoint live and die together with the pid root
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     FixtureStaging.deleteOnExit(root)
@@ -205,7 +216,15 @@ object StreamingIvfMaintainer {
         s"no batches drained from $land — the staged landing dir is " +
           "empty (a foreign process blessed a half-staged dir?) or the " +
           "fixture path is wrong")
+    root
+  }
 
+  /** q235: the final cluster verdict — identical contract (and oracle)
+    * to q233's one-shot epoch. The verdict assembles at read time from
+    * the resolved component table; the corpus-sized materialization
+    * happens once at the END, not once per batch. */
+  def maintainerStream(spark: SparkSession, dir: String): DataFrame = {
+    val root = drainedStateRoot(spark, dir)
     val comp = DeltaLog.read(spark, s"$root/state/comp", Seq("vec_id")).get
     comp
       .withColumn("cluster_size",
@@ -214,5 +233,65 @@ object StreamingIvfMaintainer {
       .withColumn("status",
         when(col("vec_id") % 6 === 0, "appended").otherwise("retained"))
       .orderBy("vec_id")
+  }
+
+  /** q237: ANN SERVED from the maintained state — the read that makes
+    * the maintainer worth running: after the drain, top-k queries are
+    * answered from the resolved `assigned` state table (multi-probe
+    * rows, tombstones retired, appends present) against the frozen
+    * `centroids` state, never touching the original corpus. This gates
+    * the state tables q235's verdict doesn't reach (assigned +
+    * centroids): the oracle recomputes probe-and-rank over the
+    * post-epoch corpus from scratch, so a hash match proves the
+    * delta-maintained inverted lists ARE the post-epoch index.
+    *
+    * Both sides are multi-probe (the state stores each vector in its
+    * top-`nProbe` buckets, q233's assignment discipline), so a
+    * (query, neighbor) pair can meet in several probed buckets —
+    * candidates dedupe before ranking, mirrored by the oracle's
+    * DISTINCT. Scale: probe lists are driver-side metadata
+    * (nQueries × nProbe); the serve is one broadcast equi-join on cid
+    * over ~nProbe²/K of the index plus a per-query top-k window. */
+  def servedKnn(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val root = drainedStateRoot(spark, dir)
+    val assigned =
+      DeltaLog.read(spark, s"$root/state/assigned", Seq("vec_id", "cid")).get
+    val cents = DeltaLog.read(spark, s"$root/state/centroids", Seq("cid")).get
+      .select(col("cid"), col("cv"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // queries: the first ids still in the post-epoch corpus — served
+    // from the state itself (vec_id grain), embeddings read per query
+    val qids = assigned.select("vec_id").distinct()
+      .filter(col("vec_id") < nQueries)
+    val queries = assigned.join(qids, Seq("vec_id"), "left_semi")
+      .groupBy("vec_id").agg(first("embedding").as("qv"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val probesLocal = queries.flatMap { case (qid, qv) =>
+      cents.map { case (cid, cv) => (cid, VectorOps.cosOf(qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(NProbe)
+        .map { case (cid, _) => (qid, cid, qv) }
+    }
+    val probes = probesLocal.toDF("query_id", "cid", "qv")
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(probes)
+      .join(assigned, "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (qi, ni, qv, v) =>
+        (qi, ni, VectorOps.cosOf(qv, v)) })
+      .toDF("query_id", "neighbor_id", "cos")
+      .distinct() // multi-probe × multi-probe: pairs meet in >1 bucket
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        graft.util.Portable.val6(col("cos")).as("cos_sim"))
+      .orderBy("query_id", "rank")
   }
 }
