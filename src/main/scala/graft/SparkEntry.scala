@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Events, Features, Gold, Graphs, PrefixJoin, Relational, Scd2, TextOps, VectorOps}
+import graft.operators.{Analytics, Events, Features, Gold, Graphs, PrefixJoin, Privacy, Relational, Scd2, TextOps, VectorOps}
 import graft.sources.Bucketing
 import graft.streaming.{StatefulFunnel, StreamingFunnel, TwsUserStats}
 import graft.util.Portable.Sql._
@@ -300,6 +300,8 @@ object SparkEntry {
       ((s, d) => streaming.StreamingPostingStats.statsStream(s, d)),
     "q237_streaming_ivf_serve" ->
       ((s, d) => streaming.StreamingIvfMaintainer.servedKnn(s, d)),
+    "q238_pii_redaction" -> ((s, d) => Privacy.piiRedaction(s, d)),
+    "q239_k_anonymity" -> ((s, d) => Privacy.kAnonymity(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3335,6 +3337,40 @@ object SparkEntry {
          |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
          |FROM r WHERE rn <= 5
          |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q238: PII pseudonymization mart — deterministic keyed pseudonym
+    // (md5), digit-masked display name, $1000 banding of the sensitive
+    // balance (cents discipline + double floor, identical expression
+    // tree both engines).
+    "q238_pii_redaction" ->
+      """SELECT c_custkey, md5(c_name) AS name_hash,
+        |  regexp_replace(c_name, '[0-9]', '*', 'g') AS name_masked,
+        |  CAST(FLOOR(CAST(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)
+        |    AS DOUBLE) / 100000.0) AS BIGINT) AS acct_band,
+        |  c_nationkey, c_mktsegment
+        |FROM customer
+        |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    // q239: k-anonymity audit with one-step lattice generalization —
+    // (nation, segment) cells under k merge to nation grain
+    // ('generalized') or are withheld ('suppressed').
+    "q239_k_anonymity" ->
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |mer AS (SELECT c_nationkey, SUM(n) AS n
+        |  FROM cells WHERE n < 5 GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT c_nationkey, c_mktsegment AS segment,
+        |    CAST(n AS BIGINT) AS n, 0 AS gen_level,
+        |    'released' AS status
+        |  FROM cells WHERE n >= 5
+        |  UNION ALL
+        |  SELECT c_nationkey, '*' AS segment, CAST(n AS BIGINT) AS n,
+        |    CASE WHEN n >= 5 THEN 1 ELSE 2 END AS gen_level,
+        |    CASE WHEN n >= 5 THEN 'generalized' ELSE 'suppressed' END
+        |      AS status
+        |  FROM mer)
+        |ORDER BY c_nationkey NULLS FIRST, segment NULLS FIRST""".stripMargin,
 
     // q236: the streaming posting-stats maintainer drains a seed +
     // CDC epoch (appends % 6 = 0, tombstones % 7 = 3 of the prev

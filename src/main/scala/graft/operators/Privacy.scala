@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Privacy-preserving release operators — the sibling stage of the
+  * GDPR tombstone plumbing (q231–q236 retract what must be FORGOTTEN;
+  * these transform what may be SHARED). Both are scan-local or
+  * one-aggregate shapes: nothing here costs more than a groupBy at
+  * any scale. */
+object Privacy {
+
+  /** q238: PII pseudonymization mart — the redacted customer
+    * dimension a pipeline ships to analysts / model training when the
+    * raw table is restricted:
+    *
+    *   - direct identifier: `c_name` leaves as a keyed PSEUDONYM
+    *     (md5 — deterministic so joins still work across marts) plus
+    *     a digit-masked display form;
+    *   - sensitive numeric: `c_acctbal` is GENERALIZED to a $1000
+    *     band (k-anonymity's value generalization for a continuous
+    *     attribute) via the Portable cents discipline — never float
+    *     floor on a raw double quotient;
+    *   - quasi-identifiers (nation, segment) pass through — q239
+    *     audits their re-identification risk.
+    *
+    * Scale: map-only over the dimension; codegen'd hash + regexp. */
+  def piiRedaction(spark: SparkSession, dir: String): DataFrame = {
+    val cents = floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+    Tables.customer(spark, dir)
+      .select(
+        col("c_custkey"),
+        md5(col("c_name")).as("name_hash"),
+        regexp_replace(col("c_name"), "[0-9]", "*").as("name_masked"),
+        floor(cents.cast("double") / lit(100000.0)).cast("long")
+          .as("acct_band"),
+        col("c_nationkey").cast("int").as("c_nationkey"),
+        col("c_mktsegment"))
+      .orderBy("c_custkey")
+  }
+
+  /** q239: k-anonymity audit with one-step generalization — the
+    * release gate on q238's quasi-identifiers. Cells of the
+    * (nation, segment) contingency table with fewer than `k` members
+    * are re-identification risks; the standard lattice climb
+    * generalizes the finer attribute away (segment → '*') and
+    * re-checks at nation grain; cells still under k are SUPPRESSED
+    * (would be withheld from the release):
+    *
+    *   - level 0 `released`:     (nation, segment) with n ≥ k;
+    *   - level 1 `generalized`:  violating cells merged per nation,
+    *     merged size ≥ k;
+    *   - level 2 `suppressed`:   merged size still < k.
+    *
+    * Scale: two aggregates over the dimension — the second runs on
+    * the violating cells only (cell grain, ≤ |nations|×|segments|
+    * rows — metadata-sized whatever the table size). */
+  def kAnonymity(spark: SparkSession, dir: String, k: Long = 5): DataFrame = {
+    val cells = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("int").as("c_nationkey"),
+        col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+    val released = cells.filter(col("n") >= k)
+      .select(col("c_nationkey"), col("c_mktsegment").as("segment"),
+        col("n"), lit(0).as("gen_level"), lit("released").as("status"))
+    val merged = cells.filter(col("n") < k)
+      .groupBy("c_nationkey")
+      .agg(sum("n").as("n"))
+      .select(col("c_nationkey"), lit("*").as("segment"), col("n"),
+        when(col("n") >= k, lit(1)).otherwise(lit(2)).as("gen_level"),
+        when(col("n") >= k, lit("generalized"))
+          .otherwise(lit("suppressed")).as("status"))
+    released.unionByName(merged)
+      .orderBy("c_nationkey", "segment")
+  }
+}
