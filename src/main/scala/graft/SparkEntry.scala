@@ -302,6 +302,8 @@ object SparkEntry {
       ((s, d) => streaming.StreamingIvfMaintainer.servedKnn(s, d)),
     "q238_pii_redaction" -> ((s, d) => Privacy.piiRedaction(s, d)),
     "q239_k_anonymity" -> ((s, d) => Privacy.kAnonymity(s, d)),
+    "q240_shared_substrings" ->
+      ((s, d) => TextOps.sharedSubstringSpans(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3337,6 +3339,34 @@ object SparkEntry {
          |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
          |FROM r WHERE rn <= 5
          |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q240: exact shared-substring spans (Lee et al. ExactSubstr as
+    // window-grain dataflow) — k-token windows shared by 2..100 docs
+    // (the df cap mirrors Spark's super-frequent skip), position
+    // pairs merged into maximal spans per diagonal by
+    // gaps-and-islands.
+    "q240_shared_substrings" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ts
+        |  FROM documents),
+        |win AS (SELECT doc_id, i AS pos,
+        |    array_to_string(ts[i+1:i+8], ' ') AS w
+        |  FROM d, UNNEST(range(0, len(ts) - 7)) AS u(i)),
+        |df AS (SELECT w FROM win GROUP BY w
+        |  HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 100),
+        |sw AS (SELECT win.* FROM win JOIN df USING (w)),
+        |p AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+        |    a.pos AS posa, b.pos AS posb
+        |  FROM sw a JOIN sw b ON a.w = b.w AND a.doc_id < b.doc_id),
+        |i AS (SELECT ida, idb, posa - posb AS diag, posa,
+        |    posa - ROW_NUMBER() OVER (PARTITION BY ida, idb, posa - posb
+        |      ORDER BY posa) AS grp
+        |  FROM p)
+        |SELECT ida, idb, CAST(MIN(posa) AS BIGINT) AS start_a,
+        |  CAST(MIN(posa) - diag AS BIGINT) AS start_b,
+        |  CAST(MAX(posa) - MIN(posa) + 8 AS BIGINT) AS span_tokens
+        |FROM i GROUP BY ida, idb, diag, grp
+        |ORDER BY ida NULLS FIRST, idb NULLS FIRST,
+        |  start_a NULLS FIRST, start_b NULLS FIRST""".stripMargin,
 
     // q238: PII pseudonymization mart — deterministic keyed pseudonym
     // (md5), digit-masked display name, $1000 banding of the sensitive

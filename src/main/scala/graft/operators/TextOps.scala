@@ -1955,4 +1955,62 @@ object TextOps {
         (col("nll_nats") <= cutNats).as("keep"))
       .orderBy("doc_id")
   }
+
+  /** q240: EXACT shared-substring spans — the ExactSubstr half of
+    * training-data dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better"): find every maximal k-token span
+    * two documents share VERBATIM, with positions — what MinHash
+    * (q32, set-grain) structurally can't see, and the evidence a
+    * contamination/plagiarism audit needs (q142 flags the doc; this
+    * names the span).
+    *
+    * Lee et al. build a monolithic suffix array; the distributed
+    * re-derivation is window-grain dataflow: (1) a typed kernel emits
+    * every k-token window with its position (the suffix array's role
+    * is exactly to find repeated windows — a groupBy does that
+    * shuffled); (2) windows shared by 2..maxDf docs survive (the df
+    * cap is Lee et al.'s super-frequent-substring skip and the skew
+    * guard: boilerplate shared by m docs is m² pairs — real pipelines
+    * drop it as template text; the cap is MIRRORED in the oracle, the
+    * q204 basket lesson); (3) position pairs meet on the window
+    * value — one equi-join reusing the df shuffle's partitioning;
+    * (4) adjacent matches merge into maximal spans per (pair,
+    * diagonal) by gaps-and-islands arithmetic: consecutive posa on
+    * one diagonal share posa − row_number.
+    *
+    * Scale: everything is window-grain (Σ doc_len rows); the only
+    * fan-out is step 3, bounded by df ≤ maxDf. No suffix array, no
+    * driver state. */
+  def sharedSubstringSpans(spark: SparkSession, dir: String,
+      k: Int = 8, maxDf: Int = 100): DataFrame = {
+    import spark.implicits._
+    val kk = k
+    val wins = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, text) =>
+        val ts = text.split(" ")
+        (0 to ts.length - kk).iterator
+          .map(i => (id, i.toLong, ts.slice(i, i + kk).mkString(" ")))
+      })
+      .toDF("doc_id", "pos", "w")
+    val shared = wins.groupBy("w")
+      .agg(countDistinct("doc_id").as("dfw"))
+      .filter(col("dfw") >= 2 && col("dfw") <= maxDf)
+      .select("w")
+    val sw = wins.join(shared, "w")
+    val pairs = sw.as("a").join(sw.as("b"),
+        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
+        col("a.pos").as("posa"), col("b.pos").as("posb"))
+    val isl = Window.partitionBy("ida", "idb", "diag").orderBy("posa")
+    pairs.withColumn("diag", col("posa") - col("posb"))
+      .withColumn("grp", col("posa") - row_number().over(isl))
+      .groupBy("ida", "idb", "diag", "grp")
+      .agg(min("posa").as("start_a"),
+        (max("posa") - min("posa") + lit(kk.toLong)).as("span_tokens"))
+      .select(col("ida"), col("idb"), col("start_a"),
+        (col("start_a") - col("diag")).as("start_b"), col("span_tokens"))
+      .orderBy("ida", "idb", "start_a", "start_b")
+  }
 }
