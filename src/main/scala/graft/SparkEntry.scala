@@ -304,6 +304,8 @@ object SparkEntry {
     "q239_k_anonymity" -> ((s, d) => Privacy.kAnonymity(s, d)),
     "q240_shared_substrings" ->
       ((s, d) => TextOps.sharedSubstringSpans(s, d)),
+    "q241_anonymized_release" ->
+      ((s, d) => Privacy.anonymizedRelease(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3380,6 +3382,32 @@ object SparkEntry {
         |  c_nationkey, c_mktsegment
         |FROM customer
         |ORDER BY c_custkey NULLS FIRST""".stripMargin,
+
+    // q241: the k-anonymized release — q238's redaction shipped under
+    // q239's cell verdicts (released keep segment, generalized ship
+    // '*', suppressed don't ship).
+    "q241_anonymized_release" ->
+      """WITH cells AS (SELECT c_nationkey, c_mktsegment, COUNT(*) AS n
+        |  FROM customer GROUP BY 1, 2),
+        |mer AS (SELECT c_nationkey, SUM(n) AS n
+        |  FROM cells WHERE n < 5 GROUP BY 1),
+        |r AS (SELECT c_custkey, md5(c_name) AS name_hash,
+        |    regexp_replace(c_name, '[0-9]', '*', 'g') AS name_masked,
+        |    CAST(FLOOR(CAST(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)
+        |      AS DOUBLE) / 100000.0) AS BIGINT) AS acct_band,
+        |    c_nationkey, c_mktsegment
+        |  FROM customer)
+        |SELECT r.c_custkey, r.name_hash, r.name_masked, r.acct_band,
+        |  r.c_nationkey,
+        |  CASE WHEN c0.n IS NOT NULL THEN r.c_mktsegment ELSE '*' END
+        |    AS segment_out
+        |FROM r
+        |LEFT JOIN (SELECT * FROM cells WHERE n >= 5) c0
+        |  ON r.c_nationkey = c0.c_nationkey
+        |  AND r.c_mktsegment = c0.c_mktsegment
+        |LEFT JOIN mer ON r.c_nationkey = mer.c_nationkey
+        |WHERE c0.n IS NOT NULL OR mer.n >= 5
+        |ORDER BY r.c_custkey NULLS FIRST""".stripMargin,
 
     // q239: k-anonymity audit with one-step lattice generalization —
     // (nation, segment) cells under k merge to nation grain

@@ -75,4 +75,35 @@ object Privacy {
     released.unionByName(merged)
       .orderBy("c_nationkey", "segment")
   }
+
+  /** q241: the k-ANONYMIZED RELEASE — q238's redacted rows shipped
+    * under q239's cell verdicts, which is the table that actually
+    * leaves the building: rows in `released` cells keep their
+    * segment, rows in `generalized` cells ship with segment '*', rows
+    * in `suppressed` cells do not ship at all. The released table
+    * satisfies k-anonymity on (nation, segment) BY CONSTRUCTION —
+    * q239's spec proves the verdicts, this applies them.
+    *
+    * Scale: the verdict table is cell-grain (metadata-sized) →
+    * broadcast joins against the row scan; nothing shuffles the
+    * dimension. */
+  def anonymizedRelease(spark: SparkSession, dir: String,
+      k: Long = 5): DataFrame = {
+    val cells = kAnonymity(spark, dir, k)
+    val l0 = cells.filter(col("gen_level") === 0)
+      .select(col("c_nationkey"), col("segment").as("c_mktsegment"),
+        lit(true).as("rel0"))
+    val l1 = cells.filter(col("gen_level") >= 1)
+      .select(col("c_nationkey"),
+        (col("status") === "generalized").as("gen1"))
+    piiRedaction(spark, dir)
+      .join(broadcast(l0), Seq("c_nationkey", "c_mktsegment"), "left")
+      .join(broadcast(l1), Seq("c_nationkey"), "left")
+      .filter(col("rel0").isNotNull || col("gen1") === true)
+      .select(col("c_custkey"), col("name_hash"), col("name_masked"),
+        col("acct_band"), col("c_nationkey"),
+        when(col("rel0").isNotNull, col("c_mktsegment"))
+          .otherwise(lit("*")).as("segment_out"))
+      .orderBy("c_custkey")
+  }
 }

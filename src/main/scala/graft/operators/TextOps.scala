@@ -1994,15 +1994,23 @@ object TextOps {
           .map(i => (id, i.toLong, ts.slice(i, i + kk).mkString(" ")))
       })
       .toDF("doc_id", "pos", "w")
-    val shared = wins.groupBy("w")
-      .agg(countDistinct("doc_id").as("dfw"))
+    // ONE shuffle on the window value carries everything: occurrences
+    // collect per window (bounded by the df cap × per-doc repeats), df
+    // derives in-row, and position pairs expand in-row — no join-back,
+    // no self-join re-shuffle of the corpus-sized window table
+    val occ = wins.groupBy("w")
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("occ"))
+      .withColumn("dfw",
+        size(array_distinct(transform(col("occ"), o => o("doc_id")))))
       .filter(col("dfw") >= 2 && col("dfw") <= maxDf)
-      .select("w")
-    val sw = wins.join(shared, "w")
-    val pairs = sw.as("a").join(sw.as("b"),
-        col("a.w") === col("b.w") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"),
-        col("a.pos").as("posa"), col("b.pos").as("posb"))
+    val pairs = occ
+      .select(explode(flatten(transform(col("occ"), a =>
+        filter(
+          transform(col("occ"), b => struct(
+            a("doc_id").as("ida"), b("doc_id").as("idb"),
+            a("pos").as("posa"), b("pos").as("posb"))),
+          p => p("ida") < p("idb"))))).as("p"))
+      .select(col("p.ida"), col("p.idb"), col("p.posa"), col("p.posb"))
     val isl = Window.partitionBy("ida", "idb", "diag").orderBy("posa")
     pairs.withColumn("diag", col("posa") - col("posb"))
       .withColumn("grp", col("posa") - row_number().over(isl))

@@ -51,4 +51,22 @@ class PrivacySpec extends SparkSpec {
     assert(starDupes.count() == 0)
     a.unpersist()
   }
+
+  test("q241: the released table satisfies k-anonymity on its own " +
+      "quasi-identifiers by construction") {
+    val k = 5L
+    val rel = Privacy.anonymizedRelease(spark, dir, k).cache()
+    // every (nation, segment_out) cell in what actually ships has >= k
+    // members — the audit applied, not just reported
+    val thin = rel.groupBy("c_nationkey", "segment_out").count()
+      .filter(col("count") < k)
+    assert(thin.count() == 0, "released table has a cell under k")
+    // suppressed customers are absent; nobody else is
+    val audit = Privacy.kAnonymity(spark, dir, k)
+    val suppressed = audit.filter(col("status") === "suppressed")
+      .agg(sum("n")).as[Long].head()
+    assert(rel.count() ==
+      Tables.customer(spark, dir).count() - suppressed)
+    rel.unpersist()
+  }
 }
