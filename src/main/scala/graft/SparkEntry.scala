@@ -306,6 +306,8 @@ object SparkEntry {
       ((s, d) => TextOps.sharedSubstringSpans(s, d)),
     "q241_anonymized_release" ->
       ((s, d) => Privacy.anonymizedRelease(s, d)),
+    "q242_mp4_box_walk" ->
+      ((s, d) => graft.operators.Multimodal.mp4BoxWalk(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3341,6 +3343,86 @@ object SparkEntry {
          |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
          |FROM r WHERE rn <= 5
          |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q242: the ISO-BMFF box walk — the oracle reconstructs the same
+    // byte stream as a hex string and RE-WALKS it with data-driven
+    // offsets (every box size read from the string, q156's
+    // discipline); TRY_CAST turns truncated reads into NULLs that
+    // fail the validity predicate exactly where the JVM walker bails.
+    "q242_mp4_box_walk" ->
+      """WITH m AS (SELECT r AS media_id,
+        |    CAST(r * 7 % 900 + 100 AS INT) AS ts,
+        |    CAST(r * 13 % 100000 + 1000 AS INT) AS dur,
+        |    CAST(r % 11 AS INT) AS fl,
+        |    CAST(r % 37 AS INT) AS mp
+        |  FROM range(500) t(r)),
+        |c AS (SELECT media_id,
+        |    '0000001466747970' || '69736F6D' || '00000200' || '69736F6D' ||
+        |    CASE WHEN media_id % 3 = 0 THEN
+        |        lpad(to_hex(fl + 8), 8, '0') || '66726565' ||
+        |        repeat('00', fl)
+        |      ELSE '' END ||
+        |    '000000746D6F6F76' ||
+        |    '0000006C' || '6D766864' || '00000000' || '00000000' ||
+        |    '00000000' ||
+        |    lpad(to_hex(ts), 8, '0') || lpad(to_hex(dur), 8, '0') ||
+        |    '00010000' || '0100' || repeat('00', 10) ||
+        |    '000100000000000000000000' || '000000000001000000000000' ||
+        |    '000000000000000040000000' ||
+        |    repeat('00', 24) || '00000002' ||
+        |    lpad(to_hex(mp + 24), 8, '0') || '6D646174' ||
+        |    repeat('00', mp) || md5(media_id || ':g') AS full_hx
+        |  FROM m),
+        |x AS (SELECT media_id,
+        |    upper(CASE WHEN media_id % 17 = 0 THEN substring(full_hx, 1, 20)
+        |      ELSE full_hx END) AS hx
+        |  FROM c),
+        |w1 AS (SELECT media_id, hx, len(hx) // 2 AS n_bytes,
+        |    TRY_CAST('0x' || substring(hx, 1, 8) AS BIGINT) AS s1b,
+        |    substring(hx, 9, 8) AS f1
+        |  FROM x),
+        |w2 AS (SELECT *, 1 + 2 * s1b AS o2 FROM w1),
+        |w3 AS (SELECT *,
+        |    TRY_CAST('0x' || substring(hx, o2, 8) AS BIGINT) AS s2b,
+        |    substring(hx, o2 + 8, 8) = '66726565' AS hasfree
+        |  FROM w2),
+        |w4 AS (SELECT *,
+        |    CASE WHEN hasfree THEN o2 + 2 * s2b ELSE o2 END AS om
+        |  FROM w3),
+        |w5 AS (SELECT *,
+        |    TRY_CAST('0x' || substring(hx, om, 8) AS BIGINT) AS smb,
+        |    substring(hx, om + 8, 8) AS fm,
+        |    substring(hx, om + 24, 8) AS fmv,
+        |    substring(hx, om + 32, 2) AS ver,
+        |    TRY_CAST('0x' || substring(hx, om + 56, 8) AS BIGINT) AS tsv,
+        |    TRY_CAST('0x' || substring(hx, om + 64, 8) AS BIGINT) AS durv
+        |  FROM w4),
+        |w6 AS (SELECT *, om + 2 * smb AS od FROM w5),
+        |w7 AS (SELECT *,
+        |    TRY_CAST('0x' || substring(hx, od, 8) AS BIGINT) AS sdb,
+        |    substring(hx, od + 8, 8) AS fd
+        |  FROM w6),
+        |v AS (SELECT *,
+        |    COALESCE(f1 = '66747970' AND s1b >= 8
+        |      AND (NOT hasfree OR s2b >= 8)
+        |      AND fm = '6D6F6F76' AND smb >= 40
+        |      AND fmv = '6D766864' AND ver = '00'
+        |      AND fd = '6D646174' AND sdb >= 8
+        |      AND tsv > 0 AND od + 2 * sdb - 1 <= len(hx), FALSE) AS ok
+        |  FROM w7)
+        |SELECT media_id, CAST(n_bytes AS INT) AS n_bytes,
+        |  CASE WHEN ok THEN CAST(3 + CASE WHEN hasfree THEN 1 ELSE 0 END
+        |    AS INT) ELSE -1 END AS n_boxes,
+        |  COALESCE(ok AND hasfree, FALSE) AS has_free,
+        |  CASE WHEN ok THEN CAST(sdb - 8 AS BIGINT)
+        |    ELSE CAST(-1 AS BIGINT) END AS mdat_bytes,
+        |  CASE WHEN ok THEN CAST(tsv AS BIGINT)
+        |    ELSE CAST(-1 AS BIGINT) END AS timescale,
+        |  CASE WHEN ok THEN CAST(durv AS BIGINT)
+        |    ELSE CAST(-1 AS BIGINT) END AS duration,
+        |  CASE WHEN ok THEN CAST(durv * 1000 // tsv AS BIGINT)
+        |    ELSE CAST(-1 AS BIGINT) END AS dur_ms
+        |FROM v ORDER BY media_id NULLS FIRST""".stripMargin,
 
     // q240: exact shared-substring spans (Lee et al. ExactSubstr as
     // window-grain dataflow) — k-token windows shared by 2..100 docs

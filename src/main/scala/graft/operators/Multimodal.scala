@@ -387,4 +387,111 @@ object Multimodal {
         col("max_w"), col("max_h"))
       .orderBy("kind")
   }
+
+  /** Deterministic synthetic ISO-BMFF (MP4) corpus: every row is a
+    * spec-shaped box sequence `ftyp [free] moov(mvhd) mdat` with
+    * big-endian size+fourcc headers — timescale/duration live inside
+    * moov→mvhd exactly where ISO/IEC 14496-12 puts them (version-0
+    * layout). Ids ≡ 0 (mod 3) insert a variable-length `free` box
+    * before moov and mdat's payload length varies with the id, so a
+    * fixed-offset reader cannot fake the walk; ids ≡ 0 (mod 17)
+    * truncate to 10 bytes (corrupt-row degradation). Hex-concat
+    * construction keeps the corpus constructible in ANSI SQL — the
+    * oracle re-walks the SAME bytes from the string. */
+  def syntheticMp4Media(spark: SparkSession, n: Int): DataFrame = {
+    val df = spark.range(n.toLong).select(
+      col("id").as("media_id"),
+      (col("id") * 7 % 900 + 100).cast("int").as("ts"),
+      (col("id") * 13 % 100000 + 1000).cast("int").as("dur"),
+      (col("id") % 11).cast("int").as("fl"),   // free-box payload bytes
+      (col("id") % 37).cast("int").as("mp"))   // mdat pad bytes
+    val idStr = col("media_id").cast("string")
+    val matrixHex = "000100000000000000000000" +
+      "000000000001000000000000" + "000000000000000040000000"
+    val mvhdHex = concat(
+      lit("0000006C"), lit("6D766864"), // size 108, 'mvhd'
+      lit("00000000"),                  // version 0 + flags
+      lit("00000000"), lit("00000000"), // ctime, mtime
+      lpad(hex(col("ts")), 8, "0"), lpad(hex(col("dur")), 8, "0"),
+      lit("00010000"), lit("0100"),     // rate 1.0, volume 1.0
+      lit(("00" * 10) + matrixHex + ("00" * 24)), // reserved+matrix+predef
+      lit("00000002"))                  // next_track_id
+    val freeHex = when(col("media_id") % 3 === 0,
+      concat(lpad(hex(col("fl") + 8), 8, "0"), lit("66726565"),
+        expr("repeat('00', fl)"))).otherwise(lit(""))
+    val mdatHex = concat(
+      lpad(hex(col("mp") + 24), 8, "0"), lit("6D646174"), // 8 hdr + 16 md5
+      expr("repeat('00', mp)"), md5(concat(idStr, lit(":g"))))
+    val fullHex = concat(
+      lit("0000001466747970" + "69736F6D" + "00000200" + "69736F6D"),
+      freeHex,
+      lit("000000746D6F6F76"), mvhdHex, // moov = 8 + 108
+      mdatHex)
+    df.select(col("media_id"),
+      when(col("media_id") % 17 === 0, substring(unhex(fullHex), 1, 10))
+        .otherwise(unhex(fullHex)).as("bytes"))
+  }
+
+  /** q242: the ISO-BMFF box WALK — video-container metadata extraction
+    * without a decoder (the ffprobe subset a media ingest actually
+    * needs before deciding what to transcode): top-level boxes
+    * enumerate by size+fourcc, moov descends to mvhd for
+    * timescale/duration (version-0 offsets), mdat reports payload
+    * volume, and duration_ms derives by integer division. Malformed
+    * payloads (truncated mid-box, bad fourcc, size out of range)
+    * yield -1 sentinels — the corrupt-share input to the media card.
+    * The parse is scan-local in one mapPartitions; the only shuffle
+    * is the output ORDER BY. */
+  def mp4BoxWalk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticMp4Media(spark, 500)
+      .select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        def be32(i: Int): Long =
+          ((bytes(i) & 0xffL) << 24) | ((bytes(i + 1) & 0xffL) << 16) |
+            ((bytes(i + 2) & 0xffL) << 8) | (bytes(i + 3) & 0xffL)
+        def fourcc(i: Int): String =
+          new String(bytes, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+        var off = 0
+        var nBoxes = 0
+        var hasFree = false
+        var mdatBytes = -1L
+        var timescale = -1L
+        var duration = -1L
+        var ok = true
+        while (ok && off < bytes.length) {
+          if (off + 8 > bytes.length) ok = false
+          else {
+            val size = be32(off)
+            if (size < 8 || off + size > bytes.length) ok = false
+            else {
+              nBoxes += 1
+              fourcc(off) match {
+                case "free" => hasFree = true
+                case "mdat" => mdatBytes = size - 8
+                case "moov" =>
+                  // first child must be mvhd, version 0
+                  if (size >= 8 + 32 && fourcc(off + 8) == "mvhd" &&
+                      bytes(off + 16) == 0) {
+                    timescale = be32(off + 28)
+                    duration = be32(off + 32)
+                  } else ok = false
+                case "ftyp" => ()
+                case _ => ok = false
+              }
+              off += size.toInt
+            }
+          }
+        }
+        if (!ok || timescale <= 0 || mdatBytes < 0)
+          (id, bytes.length, -1, false, -1L, -1L, -1L, -1L)
+        else
+          (id, bytes.length, nBoxes, hasFree, mdatBytes, timescale,
+            duration, duration * 1000L / timescale)
+      })
+      .toDF("media_id", "n_bytes", "n_boxes", "has_free", "mdat_bytes",
+        "timescale", "duration", "dur_ms")
+      .orderBy("media_id")
+  }
 }
