@@ -308,6 +308,8 @@ object SparkEntry {
       ((s, d) => Privacy.anonymizedRelease(s, d)),
     "q242_mp4_box_walk" ->
       ((s, d) => graft.operators.Multimodal.mp4BoxWalk(s, d)),
+    "q243_label_propagation" ->
+      ((s, d) => Graphs.labelPropagation(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3343,6 +3345,38 @@ object SparkEntry {
          |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
          |FROM r WHERE rn <= 5
          |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q243: synchronous label propagation over the repeat-co-purchase
+    // part graph (edges = pairs co-bought in >= 2 orders), 3 unrolled
+    // rounds — mode of neighbor labels, ties to the smallest label.
+    "q243_label_propagation" -> {
+      def round(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT n.id, COALESCE(a.label, n.id) AS label
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT src AS id, label FROM (
+           |      SELECT e.src, l.label, COUNT(*) AS c,
+           |        ROW_NUMBER() OVER (PARTITION BY e.src
+           |          ORDER BY COUNT(*) DESC, l.label) AS rn
+           |      FROM edges e JOIN $prev l ON e.dst = l.id
+           |      GROUP BY 1, 2) WHERE rn = 1) a USING (id))"""
+          .stripMargin
+      s"""WITH nodes AS (SELECT DISTINCT p_partkey AS id FROM part),
+         |bo AS (SELECT DISTINCT l_orderkey AS okey, l_partkey AS id
+         |       FROM lineitem),
+         |edges AS (SELECT a.id AS src, b.id AS dst
+         |          FROM bo a JOIN bo b
+         |          ON a.okey = b.okey AND a.id <> b.id
+         |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |l0 AS (SELECT id, id AS label FROM nodes),
+         |${round("l0", "l1")},
+         |${round("l1", "l2")},
+         |${round("l2", "l3")}
+         |SELECT id AS part_id, label,
+         |  CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT)
+         |    AS community_size
+         |FROM l3 ORDER BY part_id NULLS FIRST""".stripMargin
+    },
 
     // q242: the ISO-BMFF box walk — the oracle reconstructs the same
     // byte stream as a hex string and RE-WALKS it with data-driven

@@ -453,4 +453,67 @@ object Graphs {
           .otherwise(lit(0.0)).as("local_cc"))
       .orderBy(desc("n_triangles"), asc("part_id"))
   }
+
+  /** q243: synchronous label propagation (Raghavan et al. 2007) over
+    * the REPEAT-co-purchase part graph — the community-detection
+    * complement of the closure family: [[components]] answers "what is
+    * CONNECTED", LPA answers "what clusters DENSELY" (connected
+    * components merge through a single bridge edge; LPA communities
+    * don't), which is the refinement dedup/fraud pipelines run after
+    * closure. Edges keep only pairs co-purchased in ≥ `minWeight`
+    * orders — the association-strength floor that separates signal
+    * from the dense random co-occurrence background (the unweighted
+    * graph is near-complete and LPA degenerates to one label; measured
+    * on TESTDATA, the thresholded graph yields 5/560/19k communities
+    * at the three SFs). Each node starts as its own label; each round
+    * every node adopts its neighbors' MODE label (ties → smallest —
+    * deterministic, so the fixed-round result is oracle-able, q111's
+    * fixed-iteration discipline).
+    *
+    * Scale shape: edge derivation is the q68 basket shape (one
+    * order-grain shuffle, in-row pair fan-out bounded by
+    * [[Analytics.MaxBasketWidth]], pair-grain count); then k
+    * synchronous rounds of (labels ⋈ edges → count → top-1 per node)
+    * — frontier-free Pregel, two label-message-grain shuffles per
+    * round, labels checkpointed so no round replays the chain. Same
+    * regime as q111/q121 (per-round floor at tiny SF, amortizes with
+    * data — round-21's measured 1.75×@10×). */
+  def labelPropagation(spark: SparkSession, dir: String,
+      rounds: Int = 3, minWeight: Long = 2): DataFrame = {
+    val nodes = Tables.part(spark, dir)
+      .select(col("p_partkey").as("id")).distinct().localCheckpoint()
+    val edges = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .groupBy(col("l_orderkey"))
+      .agg(slice(array_sort(collect_set(col("l_partkey"))),
+        1, Analytics.MaxBasketWidth).as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= minWeight)
+      .select("src", "dst")
+      .localCheckpoint()
+    val w = Window.partitionBy("src").orderBy(desc("c"), asc("label"))
+    var labels = nodes.withColumn("label", col("id"))
+    for (_ <- 1 to rounds) {
+      val adopted = edges
+        .join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy("src", "label").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("src").as("id"), col("label"))
+      labels = nodes
+        .join(adopted, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("label"), col("id")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+      .withColumn("community_size",
+        count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("id").as("part_id"), col("label"),
+        col("community_size"))
+      .orderBy("part_id")
+  }
 }
