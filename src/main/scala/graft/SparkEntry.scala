@@ -310,6 +310,8 @@ object SparkEntry {
       ((s, d) => graft.operators.Multimodal.mp4BoxWalk(s, d)),
     "q243_label_propagation" ->
       ((s, d) => Graphs.labelPropagation(s, d)),
+    "q244_prf_expansion" ->
+      ((s, d) => operators.Retrieval.prfBm25(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3377,6 +3379,51 @@ object SparkEntry {
          |    AS community_size
          |FROM l3 ORDER BY part_id NULLS FIRST""".stripMargin
     },
+
+    // q244: PRF/RM3-lite — BM25 pass 1, top-3 feedback docs, the 3
+    // heaviest non-query terms (Σtf, ties lexicographic) appended,
+    // re-scored with the identical nano-scaled contribution formula.
+    "q244_prf_expansion" ->
+      s"""WITH $bm25Ctes,
+         |fb AS (SELECT query_id, doc_id FROM (
+         |    SELECT query_id, doc_id, ROW_NUMBER() OVER (
+         |      PARTITION BY query_id ORDER BY s9 DESC, doc_id) AS rn
+         |    FROM bs) WHERE rn <= 3),
+         |ex AS (SELECT query_id, t FROM (
+         |    SELECT fb.query_id, tf.t, SUM(tf.tf) AS wt,
+         |      ROW_NUMBER() OVER (PARTITION BY fb.query_id
+         |        ORDER BY SUM(tf.tf) DESC, tf.t) AS rn
+         |    FROM fb JOIN tf ON fb.doc_id = tf.doc_id
+         |    LEFT JOIN q q0
+         |      ON q0.query_id = fb.query_id AND q0.t = tf.t
+         |    WHERE q0.t IS NULL
+         |    GROUP BY 1, 2) WHERE rn <= 3),
+         |qx AS (SELECT query_id, t FROM q
+         |       UNION SELECT query_id, t FROM ex),
+         |dfx AS (SELECT t, COUNT(*) AS df FROM tf
+         |  WHERE t IN (SELECT t FROM qx) GROUP BY 1),
+         |c2 AS (SELECT qx.query_id, tf.doc_id,
+         |    CAST(FLOOR(
+         |      ln((CAST(nd - df AS DOUBLE) + 0.5)
+         |          / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+         |      * ((CAST(tf AS DOUBLE) * 2.2)
+         |         / (CAST(tf AS DOUBLE) + 1.2
+         |            * (0.25 + 0.75
+         |               * (CAST(dl AS DOUBLE)
+         |                  / (CAST(nt AS DOUBLE) / nd)))))
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS c9
+         |  FROM qx JOIN tf USING (t) JOIN dfx USING (t)
+         |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN tot
+         |  WHERE tf.doc_id <> qx.query_id),
+         |bs2 AS (SELECT query_id, doc_id, CAST(SUM(c9) AS BIGINT) AS s9
+         |  FROM c2 GROUP BY 1, 2),
+         |r2 AS (SELECT query_id, doc_id, s9,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY s9 DESC, doc_id) AS rank
+         |  FROM bs2)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+         |  CAST(s9 AS DOUBLE) / 1000000000.0 AS score
+         |FROM r2 WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     // q242: the ISO-BMFF box walk — the oracle reconstructs the same
     // byte stream as a hex string and RE-WALKS it with data-driven

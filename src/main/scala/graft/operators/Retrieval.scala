@@ -115,50 +115,100 @@ object Retrieval {
     * storage trick as the q153 IVF index, applied to text. */
   /** The BM25 scoring core shared by [[bm25]] and [[hardNegatives]]:
     * (query_id, doc_id, s9) with s9 the nano-scaled integer score. */
-  private[operators] def bm25Scores(spark: SparkSession,
-      dir: String): DataFrame = {
-    // ONE scan+explode+partial-agg produces the tf table; everything
-    // else derives from it (dl = Σtf per doc, df = row count per
-    // term, query terms = the tf rows of query docs — already
-    // distinct). The naive form re-ran the tokenize scan four times.
+  /** The shared BM25 derivations — ONE scan+explode+partial-agg
+    * produces the tf table; everything else derives from it (dl = Σtf
+    * per doc, nd/avgdl from one driver reduction of dl's checkpointed
+    * rows). Shared by [[bm25Scores]] and the PRF re-scorer. */
+  private case class Bm25Parts(tf: DataFrame, dl: DataFrame,
+      nd: Long, avgdl: Double)
+
+  private def bm25Parts(spark: SparkSession, dir: String): Bm25Parts = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
       .localCheckpoint()
-    // dl materializes once (doc-grain, small) and serves three
-    // consumers: the scoring join, and — replacing what used to be two
-    // more actions (a full documents re-scan for nd, a tf re-aggregate
-    // for Σtokens) — ONE driver-side reduction of its checkpointed
-    // rows. Every doc emits ≥1 tf row (split of "" is [""]), so
-    // count(dl) = nd exactly.
+    // every doc emits ≥1 tf row (split of "" is [""]), so
+    // count(dl) = nd exactly
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
       .localCheckpoint()
     val statsRow = dl
       .agg(count(lit(1)).as("nd"), sum("dl").as("ntok")).collect()(0)
-    val totals = statsRow.getLong(0)
-    val ntok = statsRow.getLong(1)
-    val avgdl = ntok.toDouble / totals
-    val q = tf.filter(col("doc_id") % 100 === 0)
-      .select(col("doc_id").as("query_id"), col("t"))
-    // df only needs QUERY terms (the scoring join restricts to them
-    // anyway): semi-restricting the aggregate input first shrinks the
-    // broadcast build from vocabulary grain to the query vocabulary
-    val df = tf.join(broadcast(q.select("t").distinct()), "t")
+    Bm25Parts(tf, dl, statsRow.getLong(0),
+      statsRow.getLong(1).toDouble / statsRow.getLong(0))
+  }
+
+  /** Score one (query_id, t) term set against the corpus: df restricts
+    * to the given terms (the scoring join restricts to them anyway, so
+    * the broadcast build is query-vocabulary-grain), contributions
+    * floor-scale to nano BIGINTs before the per-(query, doc) sum. */
+  private def bm25ScoresFor(p: Bm25Parts, q: DataFrame): DataFrame = {
+    val df = p.tf.join(broadcast(q.select("t").distinct()), "t")
       .groupBy("t").agg(count(lit(1)).as("df"))
-    val idf = log(((lit(totals) - col("df")).cast("double") + lit(0.5))
+    val idf = log(((lit(p.nd) - col("df")).cast("double") + lit(0.5))
       / (col("df").cast("double") + lit(0.5)) + lit(1.0))
     val tfn = (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") + lit(1.2) *
-        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(p.avgdl))))
     val c9 = floor(idf * tfn * lit(1000000000.0) + lit(0.5)).cast("long")
     broadcast(q)
-      .join(tf, "t")
+      .join(p.tf, "t")
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(df), "t")
-      .join(dl, "doc_id")
+      .join(p.dl, "doc_id")
       .select(col("query_id"), col("doc_id"), c9.as("c9"))
       .groupBy("query_id", "doc_id")
       .agg(sum("c9").as("s9"))
+  }
+
+  private[operators] def bm25Scores(spark: SparkSession,
+      dir: String): DataFrame = {
+    val p = bm25Parts(spark, dir)
+    val q = p.tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("t"))
+    bm25ScoresFor(p, q)
+  }
+
+  /** q244: pseudo-relevance feedback (RM3-lite) query expansion — the
+    * classic two-pass retrieval upgrade (Rocchio/RM3 family): run
+    * BM25, treat each query's top-`fb` results as relevant, lift the
+    * `m` heaviest non-query terms from them (weight = Σ tf over the
+    * feedback docs — integer-exact, ties → lexicographic), append
+    * them to the query, and re-score. Recall widens to documents
+    * sharing the feedback vocabulary even when they miss the original
+    * terms — what "expand the query before the second pass" means in
+    * every production search stack.
+    *
+    * Scale: both passes are the q182 posting-list shape (broadcast
+    * query terms, term-restricted df); the feedback join touches
+    * fb × |queries| doc rows. The tf/dl artifacts derive once and
+    * serve both passes. */
+  def prfBm25(spark: SparkSession, dir: String, k: Int = 5,
+      fb: Int = 3, m: Int = 3): DataFrame = {
+    val p = bm25Parts(spark, dir)
+    val q = p.tf.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"), col("t"))
+      .localCheckpoint() // both passes + the expansion anti-join read it
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(desc("s9"), asc("doc_id"))
+    val fbDocs = bm25ScoresFor(p, q)
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= fb)
+      .select("query_id", "doc_id")
+    val expW = Window.partitionBy("query_id")
+      .orderBy(desc("wt"), asc("t"))
+    val expansion = fbDocs.join(p.tf, "doc_id")
+      .groupBy("query_id", "t").agg(sum("tf").as("wt"))
+      .join(q, Seq("query_id", "t"), "left_anti")
+      .withColumn("rn", row_number().over(expW))
+      .filter(col("rn") <= m)
+      .select("query_id", "t")
+    val qx = q.unionByName(expansion).distinct()
+    bm25ScoresFor(p, qx)
+      .withColumn("rank", row_number().over(rankW))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("s9").cast("double") / lit(1000000000.0)).as("score"))
+      .orderBy("query_id", "rank")
   }
 
   def bm25(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
