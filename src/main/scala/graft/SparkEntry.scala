@@ -312,6 +312,7 @@ object SparkEntry {
       ((s, d) => Graphs.labelPropagation(s, d)),
     "q244_prf_expansion" ->
       ((s, d) => operators.Retrieval.prfBm25(s, d)),
+    "q245_attribution" -> ((s, d) => Events.attribution(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -3379,6 +3380,40 @@ object SparkEntry {
          |    AS community_size
          |FROM l3 ORDER BY part_id NULLS FIRST""".stripMargin
     },
+
+    // q245: U-shaped multi-touch attribution — integer-cents credit,
+    // 40/40 first/last via integer div, 20% split across middles,
+    // touches window [p_ts - 7d, p_ts) after the previous purchase.
+    "q245_attribution" ->
+      """WITH p0 AS (SELECT user_id, ts AS p_ts, event_id AS p_id,
+        |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS v_cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |p AS (SELECT *, LAG(p_ts) OVER (PARTITION BY user_id
+        |    ORDER BY p_ts, p_id) AS prev_ts FROM p0),
+        |t AS (SELECT user_id, event_type, ts AS t_ts, event_id AS t_id
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |j AS (SELECT p.p_id, p.v_cents, t.event_type, t.t_ts, t.t_id
+        |  FROM p JOIN t ON p.user_id = t.user_id
+        |  WHERE t.t_ts < p.p_ts
+        |    AND t.t_ts >= p.p_ts - INTERVAL 7 DAY
+        |    AND (p.prev_ts IS NULL OR t.t_ts > p.prev_ts)),
+        |c AS (SELECT p_id, v_cents, event_type,
+        |    ROW_NUMBER() OVER (PARTITION BY p_id
+        |      ORDER BY t_ts, t_id) AS pos,
+        |    COUNT(*) OVER (PARTITION BY p_id) AS n
+        |  FROM j),
+        |cr AS (SELECT p_id, event_type,
+        |    CASE WHEN n = 1 THEN v_cents
+        |      WHEN pos = 1 OR pos = n THEN (v_cents * 2) // 5
+        |      ELSE (v_cents // 5) // (n - 2) END AS credit_cents
+        |  FROM c)
+        |SELECT event_type AS channel,
+        |  CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(COUNT(DISTINCT p_id) AS BIGINT) AS n_conversions,
+        |  CAST(SUM(credit_cents) AS BIGINT) AS attributed_cents,
+        |  CAST(SUM(credit_cents) AS DOUBLE) / 100.0 AS attributed
+        |FROM cr GROUP BY 1
+        |ORDER BY channel NULLS FIRST""".stripMargin,
 
     // q244: PRF/RM3-lite — BM25 pass 1, top-3 feedback docs, the 3
     // heaviest non-query terms (Σtf, ties lexicographic) appended,

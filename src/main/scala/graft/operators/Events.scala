@@ -728,4 +728,54 @@ object Events {
         (cv < cvCut).as("suspicious"))
       .orderBy("user_id")
   }
+
+  /** q245: position-based (U-shaped) multi-touch ATTRIBUTION — the
+    * channel-credit mart every e-commerce stack publishes: for each
+    * purchase, the view/click touches of the same user inside a 7-day
+    * lookback (and after the user's previous purchase, so a touch
+    * credits ONE conversion) split the revenue 40% first / 40% last /
+    * 20% across the middle; a single touch takes it all. Credit is
+    * integer-exact: revenue floors to cents, the splits are integer
+    * `div`s mirrored verbatim by the oracle (the 2-touch case credits
+    * 40+40 and the U-shape's middle remainder stays unattributed —
+    * the standard convention, stated rather than fudged).
+    *
+    * Scale: one (user ⋈ user) range join — per-user event counts
+    * bound the fan-out — then purchase-grain windows and a
+    * channel-grain rollup. All sums are integer cents; no
+    * order-dependent float adds. */
+  def attribution(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val pw = Window.partitionBy("user_id").orderBy("p_ts", "p_id")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_id"),
+        floor(col("value") * lit(100.0) + lit(0.5)).cast("long")
+          .as("v_cents"))
+      .withColumn("prev_ts", lag(col("p_ts"), 1).over(pw))
+    val touches = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type"),
+        col("ts").as("t_ts"), col("event_id").as("t_id"))
+    val joined = purchases.join(touches, Seq("user_id"))
+      .filter(col("t_ts") < col("p_ts")
+        && col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAYS")
+        && (col("prev_ts").isNull || col("t_ts") > col("prev_ts")))
+    val ow = Window.partitionBy("p_id").orderBy("t_ts", "t_id")
+    val nw = Window.partitionBy("p_id")
+    val credited = joined
+      .withColumn("pos", row_number().over(ow))
+      .withColumn("n", count(lit(1)).over(nw))
+      .withColumn("credit_cents",
+        when(col("n") === 1, col("v_cents"))
+          .when(col("pos") === 1 || col("pos") === col("n"),
+            expr("(v_cents * 2) div 5"))
+          .otherwise(expr("(v_cents div 5) div (n - 2)")))
+    credited.groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        countDistinct("p_id").as("n_conversions"),
+        sum("credit_cents").as("attributed_cents"))
+      .withColumn("attributed",
+        col("attributed_cents").cast("double") / lit(100.0))
+      .orderBy("channel")
+  }
 }
