@@ -313,6 +313,8 @@ object SparkEntry {
     "q244_prf_expansion" ->
       ((s, d) => operators.Retrieval.prfBm25(s, d)),
     "q245_attribution" -> ((s, d) => Events.attribution(s, d)),
+    "q246_robust_stats" -> ((s, d) => Analytics.robustStats(s, d)),
+    "q247_zipf_profile" -> ((s, d) => TextOps.zipfProfile(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -5550,5 +5552,54 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, (rk - 1) % 8 AS shard, (rk - 1) // 8 AS pos
         |FROM r ORDER BY doc_id NULLS FIRST""".stripMargin,
+
+    // q246: rank-based 10%-trimmed + winsorized means — no percentile
+    // interpolation; ties broken on o_orderkey so ranks are exact.
+    "q246_robust_stats" ->
+      """WITH j AS (SELECT c.c_mktsegment AS mktsegment, o.o_orderkey,
+        |    CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |r AS (SELECT mktsegment, cents,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY mktsegment
+        |      ORDER BY cents, o_orderkey) AS BIGINT) AS rk,
+        |    COUNT(*) OVER (PARTITION BY mktsegment) AS n
+        |  FROM j),
+        |k AS (SELECT mktsegment, cents, rk, n,
+        |    CAST(FLOOR(n * 0.1) AS BIGINT) AS k FROM r)
+        |SELECT mktsegment,
+        |  MAX(n) AS n_orders,
+        |  MAX(k) AS k_trim,
+        |  CAST(SUM(CASE WHEN rk > k AND rk <= n - k THEN cents END)
+        |      AS DOUBLE)
+        |    / 100.0 / CAST(MAX(n) - 2 * MAX(k) AS DOUBLE) AS trimmed_mean,
+        |  CAST(SUM(CASE WHEN rk > k AND rk <= n - k THEN cents END)
+        |      + MAX(k) * (MAX(CASE WHEN rk = k + 1 THEN cents END)
+        |                + MAX(CASE WHEN rk = n - k THEN cents END))
+        |      AS DOUBLE)
+        |    / 100.0 / CAST(MAX(n) AS DOUBLE) AS winsor_mean,
+        |  CAST(MAX(CASE WHEN rk = k + 1 THEN cents END) AS DOUBLE) / 100.0
+        |    AS lo_clamp,
+        |  CAST(MAX(CASE WHEN rk = n - k THEN cents END) AS DOUBLE) / 100.0
+        |    AS hi_clamp
+        |FROM k GROUP BY mktsegment
+        |ORDER BY mktsegment NULLS FIRST""".stripMargin,
+
+    // q247: Zipf doubling-rank profile — freq(r)/freq(2r) ≈ 2^s, one
+    // IEEE division val6-scaled; no libm ln anywhere (not bit-portable)
+    "q247_zipf_profile" ->
+      """WITH tf AS (SELECT token, COUNT(*) AS freq FROM (
+        |    SELECT UNNEST(string_split(text, ' ')) AS token
+        |    FROM documents) GROUP BY token),
+        |r AS (SELECT token, freq,
+        |    ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rk FROM tf),
+        |p AS (SELECT rk, token, freq FROM r
+        |  WHERE rk <= 8192 AND (rk & (rk - 1)) = 0)
+        |SELECT a.rk AS rk, a.token AS token, a.freq AS freq,
+        |  a.freq * a.rk AS zipf_product,
+        |  CAST(CAST(FLOOR(CAST(a.freq AS DOUBLE) / CAST(b.freq AS DOUBLE)
+        |      * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+        |    AS doubling_ratio
+        |FROM p a LEFT JOIN p b ON b.rk = a.rk * 2
+        |ORDER BY rk NULLS FIRST""".stripMargin,
   )
 }

@@ -583,4 +583,67 @@ object Analytics {
         col("neg_id"))
       .orderBy("anchor_id")
   }
+
+  /** q246 — robust location statistics (10% trimmed and winsorized
+    * means) of order value per market segment. Outlier-robust spend
+    * summaries are the form dashboards should ship when a handful of
+    * mega-orders would otherwise drag the plain mean — and robust
+    * per-stratum location is the same primitive corpus curation uses
+    * to set quality-score cutoffs that one viral document can't move.
+    *
+    * Quantiles are RANK-based, not interpolated: with per-segment
+    * counts n and k = ⌊0.1·n⌋, the trimmed mean averages ranks
+    * (k, n−k] and the winsorized mean clamps the k tail ranks on each
+    * side to the boundary-rank values. Ties break on o_orderkey, so
+    * the rank assignment — and therefore every output — is exactly
+    * reproducible on any engine; no percentile-interpolation floats
+    * anywhere. Money rides the [[graft.util.Portable]] integer-cents
+    * rail; the two final divisions are single IEEE ops.
+    *
+    * Scale shape: one broadcast dim join (customer segment), ONE
+    * shuffle on the 5-value segment key shared by the window and the
+    * final aggregate (same key → AQE reuses the exchange). Per-segment
+    * sorted partitions are the textbook skew worry at 100 TB; the cure
+    * is the same two-phase range-rank [[Relational.denseGlobalRank]]
+    * uses, applied per segment — at TPC-H's 5-segment grain a direct
+    * window is the honest local plan. */
+  def robustStats(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        cents2(col("o_totalprice")).as("cents"))
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("mktsegment"), col("o_orderkey"),
+        col("cents"))
+    val byValue = Window.partitionBy("mktsegment")
+      .orderBy(col("cents"), col("o_orderkey"))
+    val whole = Window.partitionBy("mktsegment")
+    val ranked = o
+      .withColumn("rk", row_number().over(byValue).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("k", floor(col("n") * lit(0.1)).cast("long"))
+    ranked.groupBy("mktsegment")
+      .agg(
+        max("n").as("n_orders"),
+        max("k").as("k_trim"),
+        sum(when(col("rk") > col("k") && col("rk") <= col("n") - col("k"),
+          col("cents"))).as("interior"),
+        max(when(col("rk") === col("k") + 1, col("cents"))).as("lo_c"),
+        max(when(col("rk") === col("n") - col("k"), col("cents")))
+          .as("hi_c"))
+      .select(
+        col("mktsegment"),
+        col("n_orders"),
+        col("k_trim"),
+        (col("interior").cast("double") / lit(100.0)
+          / (col("n_orders") - lit(2L) * col("k_trim")).cast("double"))
+          .as("trimmed_mean"),
+        ((col("interior") + col("k_trim") * (col("lo_c") + col("hi_c")))
+          .cast("double") / lit(100.0) / col("n_orders").cast("double"))
+          .as("winsor_mean"),
+        (col("lo_c").cast("double") / lit(100.0)).as("lo_clamp"),
+        (col("hi_c").cast("double") / lit(100.0)).as("hi_clamp"))
+      .orderBy("mktsegment")
+  }
 }

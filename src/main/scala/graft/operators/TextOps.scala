@@ -2021,4 +2021,50 @@ object TextOps {
         (col("start_a") - col("diag")).as("start_b"), col("span_tokens"))
       .orderBy("ida", "idb", "start_a", "start_b")
   }
+
+  /** q247 — Zipf rank–frequency profile of the corpus vocabulary at
+    * doubling ranks (1, 2, 4, …): the one-page fingerprint every
+    * corpus card should carry. A natural corpus follows freq ∝
+    * rank^(−s) with s ≈ 1, so the ratio freq(r)/freq(2r) sits near
+    * 2^s ≈ 2 at every doubling; machine-generated or template-heavy
+    * corpora bend the curve and show up immediately as drifting
+    * doubling ratios. Reported WITHOUT logarithms on purpose: libm
+    * `ln` is not guaranteed bit-identical across engines, while the
+    * doubling ratio is one IEEE division ([[Portable.val6]]-scaled) —
+    * the same determinism contract as every other gate float.
+    *
+    * Scale shape: vocabulary-grain counts (Heaps-law sublinear in the
+    * corpus), then the (count DESC, token) rank through the two-phase
+    * [[Relational.denseGlobalRank]] on q160's lexicographic key — no
+    * single-partition ORDER BY. The doubling self-join runs on the
+    * ≤14 power-of-two rows; everything after the one vocabulary
+    * shuffle is metadata-sized. */
+  def zipfProfile(spark: SparkSession, dir: String,
+      maxRank: Long = 8192L): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    // (freq DESC, token ASC) as one lexicographic key — q160's
+    // 19-digit zero-padded complement prefix (see vocabCoverage)
+    val keyed = counts.withColumn("_k",
+      concat(
+        lpad((lit(1000000000000000000L) - col("freq")).cast("string"),
+          19, "0"),
+        col("token")))
+    val p = Relational.denseGlobalRank(keyed, "_k", "rk", base = 0L)
+      .filter(col("rk") <= maxRank
+        && (col("rk").bitwiseAND(col("rk") - 1)) === 0L)
+      .select(col("rk"), col("token"), col("freq"))
+      .localCheckpoint() // both sides of the tiny doubling join
+    p.as("a")
+      .join(p.as("b"), col("b.rk") === col("a.rk") * 2, "left")
+      .select(
+        col("a.rk").as("rk"),
+        col("a.token").as("token"),
+        col("a.freq").as("freq"),
+        (col("a.freq") * col("a.rk")).as("zipf_product"),
+        Portable.val6(col("a.freq").cast("double")
+          / col("b.freq").cast("double")).as("doubling_ratio"))
+      .orderBy("rk")
+  }
 }
