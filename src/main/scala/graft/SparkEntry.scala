@@ -315,6 +315,9 @@ object SparkEntry {
     "q245_attribution" -> ((s, d) => Events.attribution(s, d)),
     "q246_robust_stats" -> ((s, d) => Analytics.robustStats(s, d)),
     "q247_zipf_profile" -> ((s, d) => TextOps.zipfProfile(s, d)),
+    "q248_l_diversity" -> ((s, d) => Privacy.lDiversity(s, d)),
+    "q249_item_recs" -> ((s, d) => Analytics.itemItemRecs(s, d)),
+    "q250_ewma_forecast" -> ((s, d) => Analytics.ewmaForecast(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -5601,5 +5604,80 @@ object SparkEntry {
         |    AS doubling_ratio
         |FROM p a LEFT JOIN p b ON b.rk = a.rk * 2
         |ORDER BY rk NULLS FIRST""".stripMargin,
+
+    // q248: l-diversity audit — band-grain count then cell-grain
+    // rollup; top_share is an exact-integer IEEE division.
+    "q248_l_diversity" ->
+      """WITH b AS (SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+        |    c_mktsegment,
+        |    CAST(FLOOR(CAST(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)
+        |      AS DOUBLE) / 100000.0) AS BIGINT) AS band
+        |  FROM customer),
+        |bf AS (SELECT c_nationkey, c_mktsegment, band,
+        |    CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM b GROUP BY 1, 2, 3)
+        |SELECT c_nationkey, c_mktsegment AS segment,
+        |  CAST(SUM(f) AS BIGINT) AS n,
+        |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+        |  CAST(MAX(f) AS BIGINT) AS max_f,
+        |  CAST(MAX(f) AS DOUBLE) / CAST(SUM(f) AS DOUBLE) AS top_share,
+        |  CASE WHEN COUNT(*) >= 3 THEN 'diverse' ELSE 'exposed' END
+        |    AS status
+        |FROM bf GROUP BY 1, 2
+        |ORDER BY c_nationkey NULLS FIRST, segment NULLS FIRST"""
+        .stripMargin,
+
+    // q249: item-item cosine recommendations — co/sqrt(du*dv) on
+    // exact integers; rank on the raw double, ties (co desc, v asc).
+    "q249_item_recs" ->
+      """WITH bo AS (SELECT DISTINCT l_orderkey AS okey,
+        |    l_partkey AS id FROM lineitem),
+        |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+        |  FROM bo GROUP BY 1),
+        |co AS (SELECT a.id AS u, b.id AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS co
+        |  FROM bo a JOIN bo b ON a.okey = b.okey AND a.id <> b.id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        |s AS (SELECT co.u, co.v, co.co,
+        |    CAST(co.co AS DOUBLE) / sqrt(CAST(du.d * dv.d AS DOUBLE))
+        |      AS cosine
+        |  FROM co JOIN deg du ON co.u = du.id
+        |          JOIN deg dv ON co.v = dv.id),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY u
+        |    ORDER BY cosine DESC, co DESC, v) AS BIGINT) AS rank
+        |  FROM s)
+        |SELECT u AS part_id, rank, v AS rec_part_id, co,
+        |  CAST(CAST(FLOOR(cosine * 1000000.0 + 0.5) AS BIGINT)
+        |    AS DOUBLE) / 1000000.0 AS cosine
+        |FROM r WHERE rank <= 5
+        |ORDER BY part_id NULLS FIRST, rank NULLS FIRST""".stripMargin,
+
+    // q250: EWMA one-step forecast — power-of-two weights over the 8
+    // trailing observed days keep num/den exact BIGINTs; the anomaly
+    // test cross-multiplies integers (2·cents·den vs 3·num / num).
+    "q250_ewma_forecast" -> {
+      val lags = (1 to 8).map { k =>
+        val wt = 1L << (8 - k)
+        (s"COALESCE(LAG(cents, $k) OVER w, 0) * $wt",
+          s"CASE WHEN LAG(cents, $k) OVER w IS NOT NULL THEN $wt ELSE 0 END")
+      }
+      s"""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |f AS (SELECT day, cents,
+         |    ${lags.map(_._1).mkString(" + ")} AS num,
+         |    ${lags.map(_._2).mkString(" + ")} AS den
+         |  FROM d WINDOW w AS (ORDER BY day))
+         |SELECT day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+         |  CAST(CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+         |    / 100.0 * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS forecast,
+         |  CASE WHEN cents * 2 * den > num * 3 THEN 'high'
+         |       WHEN cents * 2 * den < num THEN 'low'
+         |       ELSE 'ok' END AS flag
+         |FROM f WHERE den > 0
+         |ORDER BY day NULLS FIRST""".stripMargin
+    },
   )
 }

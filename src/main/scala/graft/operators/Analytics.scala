@@ -646,4 +646,109 @@ object Analytics {
         (col("hi_c").cast("double") / lit(100.0)).as("hi_clamp"))
       .orderBy("mktsegment")
   }
+
+  /** q249: item-item collaborative-filtering recommendations — cosine
+    * similarity over order co-occurrence (Sarwar et al. 2001, the
+    * "customers who bought X also bought" mart every commerce stack
+    * serves). For parts u, v with co-purchase support co(u,v) and
+    * order-degrees d(u), d(v):
+    *
+    *   cosine(u, v) = co(u,v) / √(d(u)·d(v))
+    *
+    * ranked per item (ties → higher support, then smaller partner id)
+    * and cut to the top `topN`. The `minCo ≥ 2` support floor is
+    * q243's association-strength argument: one shared order is random
+    * background, repeat co-purchase is signal — and it keeps the
+    * candidate pair set sparse.
+    *
+    * Exactness: co and the degrees are exact integers; d(u)·d(v) is an
+    * exact BIGINT product well under 2^53, so √ and the division are
+    * single correctly-rounded IEEE ops — bit-identical in any engine
+    * (the ranking happens on those exact doubles, the output rounds
+    * via the Portable 6-decimal form).
+    *
+    * Scale: pair fan-out is in-row and [[MaxBasketWidth]]-bounded (the
+    * q68 shape — linear in orders, never quadratic in a mega-basket;
+    * the fixture guard asserts the cap never binds so the uncapped
+    * oracle matches); support count is one pair-grain shuffle; degrees
+    * are vertex-grain → broadcast; the per-item top-N is one window
+    * over the support-filtered sparse pair set. */
+  def itemItemRecs(spark: SparkSession, dir: String, topN: Int = 5,
+      minCo: Long = 2): DataFrame = {
+    val bo = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val deg = bo.groupBy(col("l_partkey").as("id"))
+      .agg(count(lit(1)).as("d"))
+    val co = bo
+      .groupBy(col("l_orderkey"))
+      .agg(slice(array_sort(collect_set(col("l_partkey"))),
+        1, MaxBasketWidth).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+    val byItem = Window.partitionBy("u")
+      .orderBy(desc("cosine"), desc("co"), asc("v"))
+    co
+      .join(broadcast(deg.select(col("id").as("u"), col("d").as("du"))),
+        "u")
+      .join(broadcast(deg.select(col("id").as("v"), col("d").as("dv"))),
+        "v")
+      .withColumn("cosine", col("co").cast("double")
+        / sqrt((col("du") * col("dv")).cast("double")))
+      .withColumn("rank", row_number().over(byItem))
+      .filter(col("rank") <= topN)
+      .select(col("u").as("part_id"), col("rank").cast("long").as("rank"),
+        col("v").as("rec_part_id"), col("co"),
+        val6(col("cosine")).as("cosine"))
+      .orderBy("part_id", "rank")
+  }
+
+  /** q250: EWMA revenue forecast with anomaly flags — the exponential
+    * smoothing baseline (Holt's level-only form) every KPI alerting
+    * stack runs: tomorrow's expectation is a recency-weighted mean of
+    * the trailing window, and "today is weird" means actual strayed
+    * beyond a band around that expectation. Complements q227: the
+    * decomposition explains structure AFTER the fact; this is the
+    * one-step-ahead FORECAST (only prior days feed each prediction).
+    *
+    * Exactness — the whole point of the α = 1/2 choice: weights
+    * 2^(W−k) over the trailing W = 8 observed days make the forecast
+    * numerator/denominator EXACT BIGINTs (integer cents × powers of
+    * two), so the forecast is one deterministic IEEE division and the
+    * anomaly test cross-multiplies integers (high: actual·den >
+    * 3/2·num, i.e. 2·cents·den > 3·num — no float compare at all).
+    *
+    * Scale: the day-grain aggregate is the only full-data pass;
+    * everything after runs at day grain (a few thousand rows at ANY
+    * corpus scale — the q227 aggregate-grain class, so the
+    * single-partition window is metadata-sized by construction). */
+  def ewmaForecast(spark: SparkSession, dir: String): DataFrame = {
+    val window = 8
+    val d = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents2(col("o_totalprice"))).as("cents"))
+    val w = Window.orderBy("day")
+    val terms = (1 to window).map { k =>
+      val wt = 1L << (window - k)
+      (coalesce(lag(col("cents"), k).over(w), lit(0L)) * lit(wt),
+        when(lag(col("cents"), k).over(w).isNotNull, lit(wt))
+          .otherwise(lit(0L)))
+    }
+    d
+      .withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .filter(col("den") > 0)
+      .select(col("day"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        val6(col("num").cast("double") / col("den").cast("double")
+          / lit(100.0)).as("forecast"),
+        when(col("cents") * lit(2) * col("den") > col("num") * lit(3),
+          lit("high"))
+          .when(col("cents") * lit(2) * col("den") < col("num"),
+            lit("low"))
+          .otherwise(lit("ok")).as("flag"))
+      .orderBy("day")
+  }
 }

@@ -87,6 +87,47 @@ object Privacy {
     * Scale: the verdict table is cell-grain (metadata-sized) →
     * broadcast joins against the row scan; nothing shuffles the
     * dimension. */
+  /** q248: l-diversity audit — the attack k-anonymity does NOT stop:
+    * a cell can hold k≥5 members who all share the same sensitive
+    * value, so membership alone discloses it (Machanavajjhala et al.
+    * 2007's homogeneity attack). For each quasi-identifier cell of the
+    * q239 release ((nation, segment)) against q238's sensitive
+    * attribute (the $1000 account band), report:
+    *
+    *   - `l_distinct`: distinct sensitive values in the cell —
+    *     distinct l-diversity's l;
+    *   - `max_f` / `top_share`: the modal band's frequency — the
+    *     adversary's best-guess confidence (probabilistic flavor);
+    *   - `status`: `diverse` iff l_distinct ≥ l, else `exposed`.
+    *
+    * Together q239 (cell size) + q248 (cell diversity) are the two
+    * release gates a real anonymization pipeline runs before shipping.
+    *
+    * Scale: one band-grain aggregate over the dimension, then a
+    * cell-grain rollup (≤ |nations|×|segments| rows — metadata-sized
+    * whatever the table size). `top_share` is an exact-integer
+    * division (Portable discipline). */
+  def lDiversity(spark: SparkSession, dir: String, l: Long = 3): DataFrame = {
+    val cents = floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+    val bandFreq = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("int").as("c_nationkey"),
+        col("c_mktsegment"),
+        floor(cents.cast("double") / lit(100000.0)).cast("long")
+          .as("band"))
+      .groupBy("c_nationkey", "c_mktsegment", "band")
+      .agg(count(lit(1)).as("f"))
+    bandFreq.groupBy("c_nationkey", "c_mktsegment")
+      .agg(sum("f").as("n"), count(lit(1)).as("l_distinct"),
+        max("f").as("max_f"))
+      .select(col("c_nationkey"), col("c_mktsegment").as("segment"),
+        col("n"), col("l_distinct"), col("max_f"),
+        (col("max_f").cast("double") / col("n").cast("double"))
+          .as("top_share"),
+        when(col("l_distinct") >= l, lit("diverse"))
+          .otherwise(lit("exposed")).as("status"))
+      .orderBy("c_nationkey", "segment")
+  }
+
   def anonymizedRelease(spark: SparkSession, dir: String,
       k: Long = 5): DataFrame = {
     val cells = kAnonymity(spark, dir, k)

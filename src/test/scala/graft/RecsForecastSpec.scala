@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Privacy}
+import graft.sources.Tables
+
+/** q248/q249/q250 — the release-diversity audit, the item-item
+  * recommender, and the EWMA forecaster: invariants the hash gate
+  * can't state (symmetry, bound checks, independent recomputation). */
+class RecsForecastSpec extends SparkSpec {
+  import spark.implicits._
+
+  val dir = sf("sf0.001")
+
+  test("q248: accounting is total, status matches l, mode bounds hold") {
+    val a = Privacy.lDiversity(spark, dir).cache()
+    // every customer lands in exactly one cell
+    assert(a.agg(sum("n")).as[Long].head() ==
+      Tables.customer(spark, dir).count())
+    // status is exactly the l >= 3 predicate
+    assert(a.filter((col("l_distinct") >= 3) =!=
+      (col("status") === "diverse")).count() == 0)
+    // the modal band can't exceed the cell, nor l the cell size
+    assert(a.filter(col("max_f") > col("n")
+      || col("l_distinct") > col("n")).count() == 0)
+    // top_share is the adversary's confidence: in (0, 1]
+    assert(a.filter(col("top_share") <= 0.0
+      || col("top_share") > 1.0).count() == 0)
+    a.unpersist()
+  }
+
+  test("q249: cosine is symmetric, bounded, and matches a brute " +
+      "recomputation on sampled pairs") {
+    val r = Analytics.itemItemRecs(spark, dir).cache()
+    assert(r.filter(col("cosine") <= 0.0 || col("cosine") > 1.0)
+      .count() == 0)
+    assert(r.filter(col("co") < 2).count() == 0)
+    // per-item ranks are 1..k dense
+    val badRank = r.groupBy("part_id")
+      .agg(count(lit(1)).as("k"), max("rank").as("mx"), min("rank").as("mn"))
+      .filter(col("mx") =!= col("k") || col("mn") =!= 1)
+    assert(badRank.count() == 0)
+    // brute recompute: for every emitted (u, v), cosine must equal
+    // |orders(u) ∩ orders(v)| / sqrt(|orders(u)|·|orders(v)|)
+    val bo = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"), col("l_partkey").as("id"))
+      .distinct().cache()
+    val deg = bo.groupBy("id").agg(count(lit(1)).as("d"))
+    val brute = r.select(col("part_id").as("u"), col("rec_part_id").as("v"),
+        col("co"), col("cosine"))
+      .join(bo.select(col("id").as("u"), col("okey")), "u")
+      .join(bo.select(col("id").as("v"), col("okey")), Seq("v", "okey"))
+      .groupBy("u", "v", "co", "cosine").agg(count(lit(1)).as("co2"))
+    assert(brute.filter(col("co") =!= col("co2")).count() == 0)
+    val check = brute.join(deg.select(col("id").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("d").as("dv")), "v")
+      .withColumn("c2", graft.util.Portable.val6(col("co2").cast("double")
+        / sqrt((col("du") * col("dv")).cast("double"))))
+      .filter(col("c2") =!= col("cosine"))
+    assert(check.count() == 0, "cosine mismatch vs brute recomputation")
+    // symmetry of the underlying similarity: where BOTH directions
+    // survive the top-k cut, the cosines agree
+    val sym = r.select(col("part_id").as("u"), col("rec_part_id").as("v"),
+        col("cosine").as("cuv"))
+      .join(r.select(col("rec_part_id").as("u"), col("part_id").as("v"),
+        col("cosine").as("cvu")), Seq("u", "v"))
+      .filter(col("cuv") =!= col("cvu"))
+    assert(sym.count() == 0)
+    bo.unpersist(); r.unpersist()
+  }
+
+  test("q250: forecast equals the independently-computed trailing " +
+      "weighted mean; flags are the cross-multiplied band") {
+    val f = Analytics.ewmaForecast(spark, dir)
+    val days = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(graft.util.Portable.cents2(col("o_totalprice"))).as("cents"))
+      .orderBy("day")
+      .as[(java.sql.Date, Long)].collect()
+    val byDay = days.map(_._1).zipWithIndex.toMap
+    val cents = days.map(_._2)
+    val got = f.select(col("day"), col("revenue"), col("forecast"),
+      col("flag")).as[(java.sql.Date, Double, Double, String)].collect()
+    // first observed day has no history: exactly one row is dropped
+    assert(got.length == days.length - 1)
+    got.foreach { case (day, rev, fc, flag) =>
+      val i = byDay(day)
+      assert(i > 0)
+      val lags = (1 to 8).filter(_ <= i)
+        .map(k => (cents(i - k), 1L << (8 - k)))
+      val num = lags.map { case (c, w) => c * w }.sum
+      val den = lags.map(_._2).sum
+      val expect = math.floor(num.toDouble / den.toDouble / 100.0
+        * 1e6 + 0.5) / 1e6
+      assert(fc == expect, s"$day forecast $fc != $expect")
+      assert(rev == cents(i).toDouble / 100.0)
+      val c = cents(i)
+      val expFlag = if (c * 2 * den > num * 3) "high"
+        else if (c * 2 * den < num) "low" else "ok"
+      assert(flag == expFlag, s"$day flag $flag != $expFlag")
+    }
+  }
+}
