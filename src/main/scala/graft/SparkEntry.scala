@@ -318,6 +318,8 @@ object SparkEntry {
     "q248_l_diversity" -> ((s, d) => Privacy.lDiversity(s, d)),
     "q249_item_recs" -> ((s, d) => Analytics.itemItemRecs(s, d)),
     "q250_ewma_forecast" -> ((s, d) => Analytics.ewmaForecast(s, d)),
+    "q251_streaming_ewma" ->
+      ((s, d) => streaming.StreamingEwma.ewmaMonitor(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -5678,6 +5680,34 @@ object SparkEntry {
          |       ELSE 'ok' END AS flag
          |FROM f WHERE den > 0
          |ORDER BY day NULLS FIRST""".stripMargin
+    },
+
+    // q251: the continuous per-channel EWMA monitor — drained
+    // AvailableNow it must equal this batch recurrence bit-for-bit
+    // (q250's lag chain, PARTITION BY event_type over event-day cents).
+    "q251_streaming_ewma" -> {
+      val lags = (1 to 8).map { k =>
+        val wt = 1L << (8 - k)
+        (s"COALESCE(LAG(cents, $k) OVER w, 0) * $wt",
+          s"CASE WHEN LAG(cents, $k) OVER w IS NOT NULL THEN $wt ELSE 0 END")
+      }
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |f AS (SELECT event_type, day, cents,
+         |    ${lags.map(_._1).mkString(" + ")} AS num,
+         |    ${lags.map(_._2).mkString(" + ")} AS den
+         |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+         |  CAST(CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+         |    / 100.0 * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS forecast,
+         |  CASE WHEN cents * 2 * den > num * 3 THEN 'high'
+         |       WHEN cents * 2 * den < num THEN 'low'
+         |       ELSE 'ok' END AS flag
+         |FROM f WHERE den > 0
+         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
     },
   )
 }

@@ -725,11 +725,20 @@ object Analytics {
     * corpus scale — the q227 aggregate-grain class, so the
     * single-partition window is metadata-sized by construction). */
   def ewmaForecast(spark: SparkSession, dir: String): DataFrame = {
-    val window = 8
     val d = Tables.orders(spark, dir)
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(cents2(col("o_totalprice"))).as("cents"))
-    val w = Window.orderBy("day")
+    ewmaFrom(d, Nil).orderBy("day")
+  }
+
+  /** The EWMA lag-chain core shared by q250 and the q251 continuous
+    * monitor: `d` must carry integer `cents` at (partCols, day) grain;
+    * emits forecast/flag per row (first observed day per partition is
+    * dropped — no history). */
+  private[graft] def ewmaFrom(d: DataFrame,
+      partCols: Seq[String]): DataFrame = {
+    val window = 8
+    val w = Window.partitionBy(partCols.map(col): _*).orderBy("day")
     val terms = (1 to window).map { k =>
       val wt = 1L << (window - k)
       (coalesce(lag(col("cents"), k).over(w), lit(0L)) * lit(wt),
@@ -740,7 +749,7 @@ object Analytics {
       .withColumn("num", terms.map(_._1).reduce(_ + _))
       .withColumn("den", terms.map(_._2).reduce(_ + _))
       .filter(col("den") > 0)
-      .select(col("day"),
+      .select(partCols.map(col) ++ Seq(col("day"),
         (col("cents").cast("double") / lit(100.0)).as("revenue"),
         val6(col("num").cast("double") / col("den").cast("double")
           / lit(100.0)).as("forecast"),
@@ -748,7 +757,6 @@ object Analytics {
           lit("high"))
           .when(col("cents") * lit(2) * col("den") < col("num"),
             lit("low"))
-          .otherwise(lit("ok")).as("flag"))
-      .orderBy("day")
+          .otherwise(lit("ok")).as("flag")): _*)
   }
 }

@@ -1,0 +1,51 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.util.Portable
+
+/** q251: a CONTINUOUS KPI anomaly monitor — the streaming deployment
+  * of q250's EWMA forecaster: per-channel daily value maintained by a
+  * streaming keyed aggregation over the live event feed, with the
+  * one-step-ahead forecast and the anomaly band read off the
+  * maintained state at any time. Pairs with q176 (drift) and q187
+  * (top-k) as the third always-on dashboard widget: "is today's
+  * number weird, per channel?".
+  *
+  * State is the (event_type × day → integer cents) table —
+  * calendar-grain, independent of event rate; each micro-batch
+  * contributes one map-side-combined partial sum (the q187 argument).
+  * The EWMA lag-chain runs over the reduced state, never the feed —
+  * at any corpus scale the forecast pass touches (#channels × #days)
+  * rows. A production deployment would bound the day domain with a
+  * watermark-driven retention sweep; the fixture's ~30-day span keeps
+  * the full history metadata-sized here.
+  *
+  * Determinism: value accumulates as floor-scaled integer cents
+  * (exact under any micro-batch slicing — q187's discipline) and the
+  * shared [[graft.operators.Analytics.ewmaFrom]] core is
+  * integer-exact end-to-end, so the drained AvailableNow reading
+  * equals the batch recurrence bit-for-bit — the oracle states the
+  * batch form.
+  */
+object StreamingEwma {
+
+  def ewmaMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val agg = StreamingFunnel.eventsStream(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(Portable.cents2(col("value"))).as("cents"))
+    val name = "streaming_ewma_sink"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Analytics
+      .ewmaFrom(spark.table(name), Seq("event_type"))
+      .orderBy("event_type", "day")
+  }
+}
