@@ -320,6 +320,7 @@ object SparkEntry {
     "q250_ewma_forecast" -> ((s, d) => Analytics.ewmaForecast(s, d)),
     "q251_streaming_ewma" ->
       ((s, d) => streaming.StreamingEwma.ewmaMonitor(s, d)),
+    "q252_cuped" -> ((s, d) => Analytics.cupedExperiment(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -5708,6 +5709,57 @@ object SparkEntry {
          |       ELSE 'ok' END AS flag
          |FROM f WHERE den > 0
          |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+    },
+
+    // q252: CUPED — exact BIGINT power sums per arm + pooled; every
+    // scalar mirrors the Spark expression shape operand-for-operand
+    // (left-assoc +/-, CAST-to-DOUBLE first), val6 at the edge.
+    "q252_cuped" -> {
+      val mx = "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)"
+      val my = "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)"
+      val vy = s"CAST(syy AS DOUBLE) / CAST(n AS DOUBLE) - ($my) * ($my)"
+      val vx = s"CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE) - ($mx) * ($mx)"
+      val cxy = s"CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE) - ($mx) * ($my)"
+      s"""WITH u AS (SELECT user_id,
+         |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |        AND ts < TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END), 0)
+         |      AS x,
+         |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |        AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END), 0)
+         |      AS y
+         |  FROM events GROUP BY 1),
+         |a AS (SELECT CASE WHEN ${hash32("CAST(user_id AS VARCHAR)")} % 2
+         |      = 0 THEN 'control' ELSE 'treatment' END AS arm, x, y
+         |  FROM u),
+         |m AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(y * y) AS BIGINT) AS syy
+         |  FROM a GROUP BY 1),
+         |p AS (SELECT CAST(COUNT(*) AS BIGINT) AS pn,
+         |    CAST(SUM(x) AS BIGINT) AS px, CAST(SUM(y) AS BIGINT) AS py,
+         |    CAST(SUM(x * x) AS BIGINT) AS pxx,
+         |    CAST(SUM(x * y) AS BIGINT) AS pxy
+         |  FROM a),
+         |t AS (SELECT m.arm, m.n, m.sx, m.sy, m.sxx, m.sxy, m.syy,
+         |    p.pn, p.px, p.py, p.pxx, p.pxy,
+         |    (CAST(pn AS DOUBLE) * CAST(pxy AS DOUBLE)
+         |      - CAST(px AS DOUBLE) * CAST(py AS DOUBLE))
+         |    / (CAST(pn AS DOUBLE) * CAST(pxx AS DOUBLE)
+         |      - CAST(px AS DOUBLE) * CAST(px AS DOUBLE)) AS theta
+         |  FROM m CROSS JOIN p)
+         |SELECT arm, n,
+         |  ${val6(s"($mx) / 100.0")} AS pre_mean,
+         |  ${val6(s"($my) / 100.0")} AS post_mean,
+         |  ${val6(s"(($my) - theta * (($mx) - CAST(px AS DOUBLE)" +
+             " / CAST(pn AS DOUBLE))) / 100.0")} AS adj_post_mean,
+         |  ${val6("theta")} AS theta,
+         |  ${val6(s"(($vy) - 2.0 * theta * ($cxy)" +
+             s" + theta * theta * ($vx)) / ($vy)")} AS var_ratio
+         |FROM t ORDER BY arm NULLS FIRST""".stripMargin
     },
   )
 }

@@ -731,6 +731,70 @@ object Analytics {
     ewmaFrom(d, Nil).orderBy("day")
   }
 
+  /** q252: CUPED experiment readout (Deng et al. 2013) — the variance
+    * reduction every mature experimentation platform applies before
+    * calling a winner: adjust each user's post-period metric by their
+    * PRE-period covariate, Y' = Y − θ(X − X̄), with θ = cov(X,Y)/var(X)
+    * fitted POOLED (assignment-independent, so the adjustment is
+    * unbiased). Arms are the deterministic hash split a real platform
+    * uses (portable32(user_id) mod 2 — reproducible, joinable,
+    * oracle-mirrorable); the pre/post boundary is q169's
+    * [[DriftBoundary]]. Emits per arm: n, raw and adjusted means, θ,
+    * and the achieved variance ratio var(Y')/var(Y) — the number that
+    * says how much smaller the experiment could have been.
+    *
+    * Exactness (the q102 discipline): per-user X/Y are integer cents;
+    * the five power sums per arm are exact BIGINTs (order-independent
+    * under any partial agg); every downstream scalar (θ, means,
+    * variances) is ONE fixed-shape double expression over those exact
+    * operands — deterministic IEEE in any engine, val6 at the edge.
+    *
+    * Scale: one user-grain aggregate over events (map-side
+    * combinable), then arm-grain (2 rows) + a broadcast 1-row pooled
+    * frame. Nothing after the first aggregate touches data grain. */
+  def cupedExperiment(spark: SparkSession, dir: String): DataFrame = {
+    val isPurchase = col("event_type") === "purchase"
+    val user = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(isPurchase && col("ts") < DriftBoundary,
+          cents2(col("value")))), lit(0L)).as("x"),
+        coalesce(sum(when(isPurchase && col("ts") >= DriftBoundary,
+          cents2(col("value")))), lit(0L)).as("y"))
+      .withColumn("arm",
+        when(pmod(portable32(col("user_id").cast("string")), lit(2)) === 0,
+          lit("control")).otherwise(lit("treatment")))
+    def moments(g: org.apache.spark.sql.RelationalGroupedDataset) = g
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+    val arm = moments(user.groupBy("arm"))
+    val pooled = moments(user.groupBy())
+      .select(col("n").as("pn"), col("sx").as("px"), col("sy").as("py"),
+        col("sxx").as("pxx"), col("sxy").as("pxy"))
+    def d(c: String) = col(c).cast("double")
+    val theta = (d("pn") * d("pxy") - d("px") * d("py")) /
+      (d("pn") * d("pxx") - d("px") * d("px"))
+    val meanX = d("sx") / d("n")
+    val meanY = d("sy") / d("n")
+    val varY = d("syy") / d("n") - meanY * meanY
+    val varX = d("sxx") / d("n") - meanX * meanX
+    val covXY = d("sxy") / d("n") - meanX * meanY
+    val varAdj = varY - lit(2.0) * col("theta") * covXY +
+      col("theta") * col("theta") * varX
+    arm.crossJoin(broadcast(pooled))
+      .withColumn("theta", theta)
+      .select(col("arm"), col("n"),
+        val6(meanX / lit(100.0)).as("pre_mean"),
+        val6(meanY / lit(100.0)).as("post_mean"),
+        val6((meanY - col("theta") * (meanX - d("px") / d("pn")))
+          / lit(100.0)).as("adj_post_mean"),
+        val6(col("theta")).as("theta"),
+        val6(varAdj / varY).as("var_ratio"))
+      .orderBy("arm")
+  }
+
   /** The EWMA lag-chain core shared by q250 and the q251 continuous
     * monitor: `d` must carry integer `cents` at (partCols, day) grain;
     * emits forecast/flag per row (first observed day per partition is

@@ -70,6 +70,51 @@ class RecsForecastSpec extends SparkSpec {
     bo.unpersist(); r.unpersist()
   }
 
+  test("q252: CUPED preserves the pooled mean exactly, arms are a " +
+      "balanced deterministic split") {
+    val r = Analytics.cupedExperiment(spark, dir)
+      .select(col("arm"), col("n"), col("post_mean"),
+        col("adj_post_mean"), col("var_ratio"))
+      .as[(String, Long, Double, Double, Double)].collect()
+    assert(r.map(_._1).sorted.toSeq == Seq("control", "treatment"))
+    val total = r.map(_._2).sum
+    // the hash split is unbiased: neither arm under 40% on this fixture
+    r.foreach { case (arm, n, _, _, ratio) =>
+      assert(n > total * 0.4, s"$arm badly unbalanced: $n of $total")
+      assert(ratio > 0.0 && !ratio.isNaN, s"$arm degenerate ratio $ratio")
+    }
+    // θ is the POOLED optimum, so the pooled adjusted variance can
+    // never exceed the raw pooled variance (per-arm CAN inflate when
+    // the arm's own cov/var differs from pooled — that's expected).
+    // Recompute user-grain moments independently to state it.
+    val u = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(
+        coalesce(sum(when(col("event_type") === "purchase"
+          && col("ts") < Analytics.DriftBoundary,
+          graft.util.Portable.cents2(col("value")))), lit(0L)).as("x"),
+        coalesce(sum(when(col("event_type") === "purchase"
+          && col("ts") >= Analytics.DriftBoundary,
+          graft.util.Portable.cents2(col("value")))), lit(0L)).as("y"))
+      .select(col("x").cast("double"), col("y").cast("double"))
+      .as[(Double, Double)].collect()
+    val n = u.length.toDouble
+    val (mx, my) = (u.map(_._1).sum / n, u.map(_._2).sum / n)
+    val varX = u.map(p => (p._1 - mx) * (p._1 - mx)).sum / n
+    val varY = u.map(p => (p._2 - my) * (p._2 - my)).sum / n
+    val cov = u.map(p => (p._1 - mx) * (p._2 - my)).sum / n
+    val theta = cov / varX
+    val varAdj = varY - 2 * theta * cov + theta * theta * varX
+    assert(varAdj <= varY * (1 + 1e-12),
+      s"pooled CUPED inflated variance: $varAdj vs $varY")
+    // algebraic identity: Σ n·adj_mean = Σ n·mean (θ-weighted pre-term
+    // telescopes against the pooled X̄) — up to val6 rounding of means
+    val raw = r.map { case (_, n, m, _, _) => n * m }.sum
+    val adj = r.map { case (_, n, _, a, _) => n * a }.sum
+    assert(math.abs(raw - adj) <= total * 1e-6 * 2,
+      s"CUPED moved the pooled mean: raw $raw vs adj $adj")
+  }
+
   test("q250: forecast equals the independently-computed trailing " +
       "weighted mean; flags are the cross-multiplied band") {
     val f = Analytics.ewmaForecast(spark, dir)
