@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Events, Features, Gold, Graphs, PrefixJoin, Privacy, Relational, Scd2, TextOps, VectorOps}
+import graft.operators.{Analytics, Events, Expectations, Features, Gold, Graphs, PrefixJoin, Privacy, Relational, Scd2, TextOps, VectorOps}
 import graft.sources.Bucketing
 import graft.streaming.{StatefulFunnel, StreamingFunnel, TwsUserStats}
 import graft.util.Portable.Sql._
@@ -321,6 +321,8 @@ object SparkEntry {
     "q251_streaming_ewma" ->
       ((s, d) => streaming.StreamingEwma.ewmaMonitor(s, d)),
     "q252_cuped" -> ((s, d) => Analytics.cupedExperiment(s, d)),
+    "q253_conversion_z" -> ((s, d) => Analytics.conversionZ(s, d)),
+    "q254_expectations" -> ((s, d) => Expectations.expectations(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -5761,5 +5763,88 @@ object SparkEntry {
              s" + theta * theta * ($vx)) / ($vy)")} AS var_ratio
          |FROM t ORDER BY arm NULLS FIRST""".stripMargin
     },
+
+    // q253: two-proportion z — exact conversion counts, one
+    // fixed-shape IEEE expression; z value emitted (erf isn't
+    // bit-portable), ±1.96 stated as the boolean.
+    "q253_conversion_z" -> {
+      val p1 = "CAST(conv_control AS DOUBLE) / CAST(n_control AS DOUBLE)"
+      val p2 =
+        "CAST(conv_treatment AS DOUBLE) / CAST(n_treatment AS DOUBLE)"
+      val pp = "CAST(conv_control + conv_treatment AS DOUBLE)" +
+        " / CAST(n_control + n_treatment AS DOUBLE)"
+      val z = s"(($p2) - ($p1)) / sqrt(($pp) * (1.0 - ($pp)) *" +
+        " (1.0 / CAST(n_control AS DOUBLE)" +
+        " + 1.0 / CAST(n_treatment AS DOUBLE)))"
+      s"""WITH u AS (SELECT user_id,
+         |    COALESCE(SUM(CASE WHEN event_type = 'purchase'
+         |        AND ts >= TIMESTAMP '2024-01-16 00:00:00'
+         |      THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) END), 0)
+         |      AS cents
+         |  FROM events GROUP BY 1),
+         |a AS (SELECT
+         |    ${hash32("CAST(user_id AS VARCHAR)")} % 2 = 0 AS is_control,
+         |    cents >= 30000 AS converted FROM u),
+         |g AS (SELECT
+         |    CAST(SUM(CASE WHEN is_control THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS n_control,
+         |    CAST(SUM(CASE WHEN is_control AND converted THEN 1 ELSE 0
+         |      END) AS BIGINT) AS conv_control,
+         |    CAST(SUM(CASE WHEN NOT is_control THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_treatment,
+         |    CAST(SUM(CASE WHEN NOT is_control AND converted THEN 1
+         |      ELSE 0 END) AS BIGINT) AS conv_treatment
+         |  FROM a)
+         |SELECT n_control, conv_control, n_treatment, conv_treatment,
+         |  ${val6(p1)} AS rate_control,
+         |  ${val6(p2)} AS rate_treatment,
+         |  ${val6(z)} AS z,
+         |  abs($z) > 1.96 AS significant
+         |FROM g""".stripMargin
+    },
+
+    // q254: the expectation suite — one aggregate + one anti-join,
+    // unioned into the rule-grain report.
+    "q254_expectations" ->
+      """WITH b AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL OR l_partkey IS NULL
+        |      OR l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_null,
+        |    CAST(SUM(CASE WHEN NOT (l_quantity >= 1.0
+        |      AND l_quantity <= 50.0) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_qty,
+        |    CAST(SUM(CASE WHEN l_quantity > 45.0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_qty45,
+        |    CAST(SUM(CASE WHEN NOT (l_discount >= 0.0
+        |      AND l_discount <= 0.10) THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS v_disc,
+        |    CAST(SUM(CASE WHEN NOT (l_returnflag IN ('A', 'N', 'R')
+        |      AND l_linestatus IN ('O', 'F')) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS v_flag,
+        |    CAST(SUM(CASE WHEN NOT (l_tax >= 0.0 AND l_tax <= 0.08)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS v_tax,
+        |    CAST(SUM(CASE WHEN l_extendedprice <= 0.0 THEN 1 ELSE 0
+        |      END) AS BIGINT) AS v_price,
+        |    CAST(COUNT(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT)
+        |      AS n_distinct
+        |  FROM lineitem),
+        |fk AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_fk
+        |  FROM lineitem l LEFT JOIN orders o
+        |    ON l.l_orderkey = o.o_orderkey
+        |  WHERE o.o_orderkey IS NULL),
+        |r AS (
+        |  SELECT 'discount_range' AS check_name, n AS n_rows,
+        |    v_disc AS n_violations FROM b
+        |  UNION ALL SELECT 'fk_orderkey', n, v_fk FROM b CROSS JOIN fk
+        |  UNION ALL SELECT 'not_null_keys', n, v_null FROM b
+        |  UNION ALL SELECT 'positive_price', n, v_price FROM b
+        |  UNION ALL SELECT 'quantity_le_45', n, v_qty45 FROM b
+        |  UNION ALL SELECT 'quantity_range', n, v_qty FROM b
+        |  UNION ALL SELECT 'tax_range', n, v_tax FROM b
+        |  UNION ALL SELECT 'unique_line', n, n - n_distinct FROM b
+        |  UNION ALL SELECT 'valid_flags', n, v_flag FROM b)
+        |SELECT check_name, n_rows, n_violations,
+        |  n_violations = 0 AS pass
+        |FROM r ORDER BY check_name NULLS FIRST""".stripMargin,
   )
 }

@@ -795,6 +795,55 @@ object Analytics {
       .orderBy("arm")
   }
 
+  /** q253: two-proportion z readout — the significance call that
+    * follows q252's variance reduction: post-period purchase
+    * CONVERSION per arm (same deterministic hash split), pooled
+    * standard error, and the z statistic every experimentation
+    * dashboard prints next to the lift. The z VALUE is emitted, not a
+    * p-value — Φ⁻¹ needs erf, which is libm (not bit-portable); the
+    * ±1.96 decision threshold is stated as the boolean instead.
+    *
+    * Exactness: conversion counts are exact integers from one
+    * user-grain pass; z is a single fixed-shape expression over six
+    * exact operands (sqrt and divisions are correctly-rounded IEEE).
+    *
+    * Scale: one map-side-combinable aggregate over events to user
+    * grain, one 4-scalar global aggregate. Output is one row. */
+  def conversionZ(spark: SparkSession, dir: String): DataFrame = {
+    // "converted" = post-period purchase spend ≥ $300 — the fixture's
+    // every-user-buys density makes raw did-purchase degenerate
+    // (p̂ = 1 ⇒ zero pooled variance), so the readout is on a real
+    // revenue goal, which is what commerce experiments measure anyway
+    val user = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(coalesce(sum(when(col("event_type") === "purchase"
+        && col("ts") >= DriftBoundary, cents2(col("value")))), lit(0L))
+        .as("cents"))
+      .select(
+        (pmod(portable32(col("user_id").cast("string")), lit(2)) === 0)
+          .as("is_control"),
+        (col("cents") >= 30000L).as("converted"))
+    def d(c: Column) = c.cast("double")
+    val g = user.agg(
+      sum(when(col("is_control"), 1L).otherwise(0L)).as("n_control"),
+      sum(when(col("is_control") && col("converted"), 1L).otherwise(0L))
+        .as("conv_control"),
+      sum(when(!col("is_control"), 1L).otherwise(0L)).as("n_treatment"),
+      sum(when(!col("is_control") && col("converted"), 1L).otherwise(0L))
+        .as("conv_treatment"))
+    val p1 = d(col("conv_control")) / d(col("n_control"))
+    val p2 = d(col("conv_treatment")) / d(col("n_treatment"))
+    val pp = d(col("conv_control") + col("conv_treatment")) /
+      d(col("n_control") + col("n_treatment"))
+    val z = (p2 - p1) / sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / d(col("n_control")) + lit(1.0) / d(col("n_treatment"))))
+    g.select(col("n_control"), col("conv_control"),
+        col("n_treatment"), col("conv_treatment"),
+        val6(p1).as("rate_control"), val6(p2).as("rate_treatment"),
+        val6(z).as("z"),
+        (abs(z) > lit(1.96)).as("significant"))
+  }
+
   /** The EWMA lag-chain core shared by q250 and the q251 continuous
     * monitor: `d` must carry integer `cents` at (partCols, day) grain;
     * emits forecast/flag per row (first observed day per partition is
