@@ -323,6 +323,11 @@ object SparkEntry {
     "q252_cuped" -> ((s, d) => Analytics.cupedExperiment(s, d)),
     "q253_conversion_z" -> ((s, d) => Analytics.conversionZ(s, d)),
     "q254_expectations" -> ((s, d) => Expectations.expectations(s, d)),
+    "q255_forecast_backtest" ->
+      ((s, d) => Analytics.forecastBacktest(s, d)),
+    "q256_assoc_rules" -> ((s, d) => Analytics.associationRules(s, d)),
+    "q257_concentration" ->
+      ((s, d) => Analytics.revenueConcentration(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -5846,5 +5851,108 @@ object SparkEntry {
         |SELECT check_name, n_rows, n_violations,
         |  n_violations = 0 AS pass
         |FROM r ORDER BY check_name NULLS FIRST""".stripMargin,
+
+    // q255: forecast backtest — denominators cleared into exact
+    // integers (f = num/den), per-day ratios nano-floored before the
+    // mean so no float accumulates across rows.
+    "q255_forecast_backtest" -> {
+      val lags = (1 to 8).map { k =>
+        val wt = 1L << (8 - k)
+        (s"COALESCE(LAG(cents, $k) OVER w, 0) * $wt",
+          s"CASE WHEN LAG(cents, $k) OVER w IS NOT NULL THEN $wt ELSE 0 END")
+      }
+      s"""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day,
+         |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1),
+         |f AS (SELECT day, cents,
+         |    ${lags.map(_._1).mkString(" + ")} AS num,
+         |    ${lags.map(_._2).mkString(" + ")} AS den
+         |  FROM d WINDOW w AS (ORDER BY day)),
+         |s AS (SELECT
+         |    CAST(FLOOR(2.0 * abs(CAST(cents * den - num AS DOUBLE))
+         |      / CAST(cents * den + num AS DOUBLE) * 1000000000.0
+         |      + 0.5) AS BIGINT) AS smape9,
+         |    CAST(FLOOR(CAST(cents * den - num AS DOUBLE)
+         |      / CAST(cents * den + num AS DOUBLE) * 1000000000.0
+         |      + 0.5) AS BIGINT) AS bias9,
+         |    CASE WHEN cents * 2 * den > num * 3 THEN 1 ELSE 0 END
+         |      AS hi,
+         |    CASE WHEN cents * 2 * den < num THEN 1 ELSE 0 END AS lo
+         |  FROM f WHERE den > 0),
+         |g AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+         |    CAST(SUM(smape9) AS BIGINT) AS s9,
+         |    CAST(SUM(bias9) AS BIGINT) AS b9,
+         |    CAST(SUM(hi) AS BIGINT) AS n_high,
+         |    CAST(SUM(lo) AS BIGINT) AS n_low
+         |  FROM s)
+         |SELECT n_days,
+         |  ${val6("CAST(s9 AS DOUBLE) / CAST(n_days AS DOUBLE)" +
+             " / 1000000000.0")} AS smape,
+         |  ${val6("CAST(b9 AS DOUBLE) / CAST(n_days AS DOUBLE)" +
+             " / 1000000000.0")} AS bias,
+         |  n_high, n_low,
+         |  ${val6("CAST(n_high + n_low AS DOUBLE)" +
+             " / CAST(n_days AS DOUBLE)")} AS alert_rate
+         |FROM g""".stripMargin
+    },
+
+    // q256: association rules — support/confidence/lift over the q249
+    // co-purchase frame; global top-20 by raw lift, (co, u, v) ties.
+    "q256_assoc_rules" ->
+      s"""WITH bo AS (SELECT DISTINCT l_orderkey AS okey,
+         |    l_partkey AS id FROM lineitem),
+         |nb AS (SELECT CAST(COUNT(DISTINCT okey) AS BIGINT) AS n
+         |  FROM bo),
+         |deg AS (SELECT id, CAST(COUNT(*) AS BIGINT) AS d
+         |  FROM bo GROUP BY 1),
+         |co AS (SELECT a.id AS u, b.id AS v,
+         |    CAST(COUNT(*) AS BIGINT) AS co
+         |  FROM bo a JOIN bo b ON a.okey = b.okey AND a.id <> b.id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |s AS (SELECT co.u, co.v, co.co, du.d AS du, dv.d AS dv,
+         |    CAST(co.co * nb.n AS DOUBLE)
+         |      / CAST(du.d * dv.d AS DOUBLE) AS lift_raw
+         |  FROM co JOIN deg du ON co.u = du.id
+         |          JOIN deg dv ON co.v = dv.id
+         |          CROSS JOIN nb),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY
+         |    lift_raw DESC, co DESC, u, v) AS BIGINT) AS rank
+         |  FROM s)
+         |SELECT rank, u AS antecedent, v AS consequent, co AS support,
+         |  ${val6("CAST(co AS DOUBLE) / CAST(du AS DOUBLE)")}
+         |    AS confidence,
+         |  ${val6("lift_raw")} AS lift
+         |FROM r WHERE rank <= 20
+         |ORDER BY rank NULLS FIRST""".stripMargin,
+
+    // q257: Gini + top-decile share — exact BIGINT rank sums, ties on
+    // custkey (the q246 discipline), one IEEE division per output.
+    "q257_concentration" ->
+      s"""WITH cc AS (SELECT c.c_mktsegment AS mktsegment, o.o_custkey,
+         |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |  GROUP BY 1, 2),
+         |r AS (SELECT mktsegment, cents,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY mktsegment
+         |      ORDER BY cents, o_custkey) AS BIGINT) AS rk,
+         |    COUNT(*) OVER (PARTITION BY mktsegment) AS n
+         |  FROM cc),
+         |k AS (SELECT mktsegment, cents, rk, n,
+         |    CAST(FLOOR(n * 0.1) AS BIGINT) AS k FROM r),
+         |g AS (SELECT mktsegment, MAX(n) AS n, MAX(k) AS k,
+         |    CAST(SUM(cents) AS BIGINT) AS sx,
+         |    CAST(SUM(rk * cents) AS BIGINT) AS srx,
+         |    CAST(SUM(CASE WHEN rk > n - k THEN cents END) AS BIGINT)
+         |      AS topc
+         |  FROM k GROUP BY 1)
+         |SELECT mktsegment, n AS n_customers,
+         |  CAST(sx AS DOUBLE) / 100.0 AS revenue,
+         |  ${val6("CAST(2 * srx - (n + 1) * sx AS DOUBLE)" +
+             " / CAST(n * sx AS DOUBLE)")} AS gini,
+         |  ${val6("CAST(topc AS DOUBLE) / CAST(sx AS DOUBLE)")}
+         |    AS top_decile_share
+         |FROM g ORDER BY mktsegment NULLS FIRST""".stripMargin,
   )
 }

@@ -675,26 +675,9 @@ object Analytics {
     * over the support-filtered sparse pair set. */
   def itemItemRecs(spark: SparkSession, dir: String, topN: Int = 5,
       minCo: Long = 2): DataFrame = {
-    val bo = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val deg = bo.groupBy(col("l_partkey").as("id"))
-      .agg(count(lit(1)).as("d"))
-    val co = bo
-      .groupBy(col("l_orderkey"))
-      .agg(slice(array_sort(collect_set(col("l_partkey"))),
-        1, MaxBasketWidth).as("ps"))
-      .select(explode(col("ps")).as("u"), col("ps"))
-      .select(col("u"), explode(col("ps")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .groupBy("u", "v").agg(count(lit(1)).as("co"))
-      .filter(col("co") >= minCo)
     val byItem = Window.partitionBy("u")
       .orderBy(desc("cosine"), desc("co"), asc("v"))
-    co
-      .join(broadcast(deg.select(col("id").as("u"), col("d").as("du"))),
-        "u")
-      .join(broadcast(deg.select(col("id").as("v"), col("d").as("dv"))),
-        "v")
+    coSupport(spark, dir, minCo)
       .withColumn("cosine", col("co").cast("double")
         / sqrt((col("du") * col("dv")).cast("double")))
       .withColumn("rank", row_number().over(byItem))
@@ -703,6 +686,68 @@ object Analytics {
         col("v").as("rec_part_id"), col("co"),
         val6(col("cosine")).as("cosine"))
       .orderBy("part_id", "rank")
+  }
+
+  /** The directed co-purchase support frame shared by q249 and q256:
+    * (u, v, co, du, dv) over distinct (order, part) with the
+    * [[MaxBasketWidth]]-bounded in-row pair fan-out and vertex-grain
+    * degree broadcasts. `co ≥ minCo` keeps the pair set sparse. */
+  private[graft] def coSupport(spark: SparkSession, dir: String,
+      minCo: Long): DataFrame = {
+    val bo = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val deg = bo.groupBy(col("l_partkey").as("id"))
+      .agg(count(lit(1)).as("d"))
+    bo
+      .groupBy(col("l_orderkey"))
+      .agg(slice(array_sort(collect_set(col("l_partkey"))),
+        1, MaxBasketWidth).as("ps"))
+      .select(explode(col("ps")).as("u"), col("ps"))
+      .select(col("u"), explode(col("ps")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("co"))
+      .filter(col("co") >= minCo)
+      .join(broadcast(deg.select(col("id").as("u"), col("d").as("du"))),
+        "u")
+      .join(broadcast(deg.select(col("id").as("v"), col("d").as("dv"))),
+        "v")
+  }
+
+  /** q256: association rules — the market-basket classic (Agrawal &
+    * Srikant's support/confidence plus the lift correction): for each
+    * repeat-co-purchased directed pair u→v, confidence = co/d(u)
+    * (P(v|u)) and lift = co·N / (d(u)·d(v)) (observed-over-expected
+    * under independence, N = basket count). The global top-`topK` by
+    * lift is the rules mart a merchandiser reads; q249 is the same
+    * support frame ranked per-item by cosine — one candidate
+    * derivation, two serving views.
+    *
+    * Exactness: co·N and d(u)·d(v) are exact BIGINT products (< 2^53
+    * at these scales, deterministic casts beyond), each ratio ONE
+    * IEEE division, val6 at the edge; ranking on the raw lift with
+    * (co desc, u, v) ties.
+    *
+    * Scale: [[coSupport]]'s shapes plus a global top-k
+    * (TakeOrderedAndProject — a distributed heap, no full sort). */
+  def associationRules(spark: SparkSession, dir: String,
+      topK: Int = 20, minCo: Long = 2): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey")).distinct().count()
+    val lift = (col("co") * lit(baskets)).cast("double") /
+      (col("du") * col("dv")).cast("double")
+    val w = Window.orderBy(desc("lift_raw"), desc("co"), asc("u"),
+      asc("v"))
+    coSupport(spark, dir, minCo)
+      .withColumn("lift_raw", lift)
+      .orderBy(desc("lift_raw"), desc("co"), asc("u"), asc("v"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("u").as("antecedent"),
+        col("v").as("consequent"), col("co").as("support"),
+        val6(col("co").cast("double") / col("du").cast("double"))
+          .as("confidence"),
+        val6(col("lift_raw")).as("lift"))
+      .orderBy("rank")
   }
 
   /** q250: EWMA revenue forecast with anomaly flags — the exponential
@@ -842,6 +887,109 @@ object Analytics {
         val6(p1).as("rate_control"), val6(p2).as("rate_treatment"),
         val6(z).as("z"),
         (abs(z) > lit(1.96)).as("significant"))
+  }
+
+  /** q255: forecast BACKTEST — the evaluation loop that keeps q250
+    * honest: replay the one-step-ahead forecast over history and
+    * score it (sMAPE, signed bias, anomaly-flag rates). Without this
+    * a forecaster is vibes; with it, the alerting threshold is a
+    * measured trade-off.
+    *
+    * Exactness trick: the forecast is the RATIONAL num/den, so every
+    * per-day error term clears denominators into exact integers —
+    * sMAPE's |a−f| / ((a+f)/2) becomes 2·|a·den−num| / (a·den+num),
+    * ONE IEEE division per day — and per-day ratios floor-scale to
+    * nano units before the mean (order-independent sum, the BM25 c9
+    * discipline). No float accumulates across rows anywhere.
+    *
+    * Scale: q250's shapes — one full-data aggregate, then day grain. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame = {
+    val window = 8
+    val d = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(cents2(col("o_totalprice"))).as("cents"))
+    val w = Window.orderBy("day")
+    val terms = (1 to window).map { k =>
+      val wt = 1L << (window - k)
+      (coalesce(lag(col("cents"), k).over(w), lit(0L)) * lit(wt),
+        when(lag(col("cents"), k).over(w).isNotNull, lit(wt))
+          .otherwise(lit(0L)))
+    }
+    val ad = col("cents") * col("den") // a·den, exact
+    val scored = d
+      .withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .filter(col("den") > 0)
+      .select(
+        floor(lit(2.0) * abs(ad - col("num")).cast("double")
+          / (ad + col("num")).cast("double") * lit(1000000000.0)
+          + lit(0.5)).cast("long").as("smape9"),
+        floor((ad - col("num")).cast("double")
+          / (ad + col("num")).cast("double") * lit(1000000000.0)
+          + lit(0.5)).cast("long").as("bias9"),
+        when(col("cents") * lit(2) * col("den") > col("num") * lit(3),
+          1L).otherwise(0L).as("hi"),
+        when(col("cents") * lit(2) * col("den") < col("num"), 1L)
+          .otherwise(0L).as("lo"))
+    scored.agg(count(lit(1)).as("n_days"), sum("smape9").as("s9"),
+        sum("bias9").as("b9"), sum("hi").as("n_high"),
+        sum("lo").as("n_low"))
+      .select(col("n_days"),
+        val6(col("s9").cast("double") / col("n_days").cast("double")
+          / lit(1000000000.0)).as("smape"),
+        val6(col("b9").cast("double") / col("n_days").cast("double")
+          / lit(1000000000.0)).as("bias"),
+        col("n_high"), col("n_low"),
+        val6((col("n_high") + col("n_low")).cast("double")
+          / col("n_days").cast("double")).as("alert_rate"))
+  }
+
+  /** q257: revenue concentration — per-segment Gini coefficient and
+    * top-decile share over ACTIVE customers (the 80/20 readout behind
+    * every key-account strategy, and the skew diagnostic q199 reads
+    * at the partition level applied to the business itself). Gini via
+    * the rank formula G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the
+    * ascending (cents, custkey)-ranked spend.
+    *
+    * Exactness: spend is integer cents; Σ i·xᵢ, (n+1)·Σx, n·Σx are
+    * exact BIGINTs (≤ ~2^51 at sf0.1's grain); each output is one
+    * deterministic IEEE division, val6 at the edge. The q246 rank
+    * discipline: ties break on custkey so ranks are exact.
+    *
+    * Scale: customer-grain aggregate (map-side combinable), broadcast
+    * segment dim, then the per-segment window at customer grain —
+    * same shape as [[robustStats]], same two-phase range-rank cure if
+    * a single segment outgrows a partition. */
+  def revenueConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val cc = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(cents2(col("o_totalprice"))).as("cents"))
+      .join(broadcast(seg), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("mktsegment"), col("o_custkey"),
+        col("cents"))
+    val bySpend = Window.partitionBy("mktsegment")
+      .orderBy(col("cents"), col("o_custkey"))
+    val whole = Window.partitionBy("mktsegment")
+    val ranked = cc
+      .withColumn("rk", row_number().over(bySpend).cast("long"))
+      .withColumn("n", count(lit(1)).over(whole))
+      .withColumn("k", floor(col("n") * lit(0.1)).cast("long"))
+    ranked.groupBy("mktsegment")
+      .agg(max("n").as("n"), max("k").as("k"),
+        sum("cents").as("sx"),
+        sum(col("rk") * col("cents")).as("srx"),
+        sum(when(col("rk") > col("n") - col("k"), col("cents")))
+          .as("topc"))
+      .select(col("mktsegment"), col("n").as("n_customers"),
+        (col("sx").cast("double") / lit(100.0)).as("revenue"),
+        val6((lit(2L) * col("srx") - (col("n") + lit(1L)) * col("sx"))
+          .cast("double") / (col("n") * col("sx")).cast("double"))
+          .as("gini"),
+        val6(col("topc").cast("double") / col("sx").cast("double"))
+          .as("top_decile_share"))
+      .orderBy("mktsegment")
   }
 
   /** The EWMA lag-chain core shared by q250 and the q251 continuous

@@ -115,6 +115,61 @@ class RecsForecastSpec extends SparkSpec {
       s"CUPED moved the pooled mean: raw $raw vs adj $adj")
   }
 
+  test("q255: backtest flag counts equal the forecaster's own flags; " +
+      "scores are in-range") {
+    val bt = Analytics.forecastBacktest(spark, dir)
+      .select(col("n_days"), col("smape"), col("bias"), col("n_high"),
+        col("n_low"), col("alert_rate"))
+      .as[(Long, Double, Double, Long, Long, Double)].head()
+    val fc = Analytics.ewmaForecast(spark, dir).cache()
+    assert(bt._1 == fc.count())
+    assert(bt._4 == fc.filter(col("flag") === "high").count())
+    assert(bt._5 == fc.filter(col("flag") === "low").count())
+    // sMAPE is bounded in [0, 2]; |bias| can't exceed smape
+    assert(bt._2 >= 0.0 && bt._2 <= 2.0)
+    assert(math.abs(bt._3) <= bt._2 + 1e-9)
+    assert(bt._6 >= 0.0 && bt._6 <= 1.0)
+    fc.unpersist()
+  }
+
+  test("q256: rules are internally consistent and lift is symmetric " +
+      "in the underlying frame") {
+    val r = Analytics.associationRules(spark, dir).cache()
+    assert(r.count() == 20)
+    assert(r.filter(col("support") < 2).count() == 0)
+    assert(r.filter(col("confidence") <= 0.0 || col("confidence") > 1.0)
+      .count() == 0)
+    // lift must be decreasing in rank (ties broken deterministically)
+    val lifts = r.orderBy("rank").select("lift").as[Double].collect()
+    assert(lifts.zip(lifts.tail).forall { case (a, b) => a >= b })
+    // lift(u→v) = lift(v→u): where the mirrored rule also made top-k,
+    // the values agree (confidence is the asymmetric one)
+    val sym = r.select(col("antecedent").as("u"),
+        col("consequent").as("v"), col("lift").as("luv"))
+      .join(r.select(col("consequent").as("u"),
+        col("antecedent").as("v"), col("lift").as("lvu")), Seq("u", "v"))
+      .filter(col("luv") =!= col("lvu"))
+    assert(sym.count() == 0)
+    r.unpersist()
+  }
+
+  test("q257: Gini and decile-share bounds; revenue accounting is " +
+      "total over active customers") {
+    val g = Analytics.revenueConcentration(spark, dir).cache()
+    assert(g.filter(col("gini") < 0.0 || col("gini") >= 1.0)
+      .count() == 0)
+    // the top decile can never hold less than a tenth of revenue
+    assert(g.filter(col("top_decile_share") < 0.1 * 0.9).count() == 0)
+    assert(g.filter(col("top_decile_share") > 1.0).count() == 0)
+    val total = g.agg(sum("revenue")).as[Double].head()
+    val want = Tables.orders(spark, dir)
+      .agg(graft.util.Portable.sumMoney2(col("o_totalprice")))
+      .as[Double].head()
+    assert(math.abs(total - want) < 0.02 * g.count(),
+      s"segment revenues $total do not account for $want")
+    g.unpersist()
+  }
+
   test("q250: forecast equals the independently-computed trailing " +
       "weighted mean; flags are the cross-multiplied band") {
     val f = Analytics.ewmaForecast(spark, dir)
