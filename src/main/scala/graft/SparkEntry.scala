@@ -328,6 +328,8 @@ object SparkEntry {
     "q256_assoc_rules" -> ((s, d) => Analytics.associationRules(s, d)),
     "q257_concentration" ->
       ((s, d) => Analytics.revenueConcentration(s, d)),
+    "q258_purchase_gaps" -> ((s, d) => Analytics.purchaseGaps(s, d)),
+    "q259_geo_rollup" -> ((s, d) => Analytics.revenueByGeo(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -5954,5 +5956,61 @@ object SparkEntry {
          |  ${val6("CAST(topc AS DOUBLE) / CAST(sx AS DOUBLE)")}
          |    AS top_decile_share
          |FROM g ORDER BY mktsegment NULLS FIRST""".stripMargin,
+
+    // q258: inter-purchase gaps — exact µs lags, hour-grain bucketed
+    // CDF, integer cross-multiplied quantile thresholds.
+    "q258_purchase_gaps" ->
+      s"""WITH p AS (SELECT user_id, event_id,
+         |    epoch_us(ts) AS us
+         |  FROM events WHERE event_type = 'purchase'),
+         |g AS (SELECT us - LAG(us) OVER (PARTITION BY user_id
+         |    ORDER BY us, event_id) AS gap_us FROM p),
+         |gg AS (SELECT gap_us FROM g WHERE gap_us IS NOT NULL),
+         |b AS (SELECT gap_us // 3600000000 AS h,
+         |    CAST(COUNT(*) AS BIGINT) AS c,
+         |    CAST(SUM(gap_us) AS BIGINT) AS s
+         |  FROM gg GROUP BY 1),
+         |cb AS (SELECT h, c, s,
+         |    SUM(c) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM b),
+         |t AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+         |    CAST(SUM(s) AS BIGINT) AS sus FROM b)
+         |SELECT MAX(n) AS n_gaps,
+         |  MIN(CASE WHEN cum * 2 >= n THEN h END) AS median_gap_hours,
+         |  MIN(CASE WHEN cum * 10 >= n * 9 THEN h END)
+         |    AS p90_gap_hours,
+         |  MAX(h) AS max_gap_hours,
+         |  ${val6("CAST(MAX(sus) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)" +
+             " / 3600000000.0")} AS mean_gap_hours
+         |FROM cb CROSS JOIN t""".stripMargin,
+
+    // q259: share-of-parent geo rollup — nation-grain cents, window
+    // totals over the 25-row frame, one IEEE division per share.
+    "q259_geo_rollup" ->
+      s"""WITH bn AS (SELECT c.c_nationkey,
+         |    CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS cents,
+         |    CAST(COUNT(*) AS BIGINT) AS n_orders
+         |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         |  GROUP BY 1),
+         |j AS (SELECT r.r_name, n.n_name, bn.n_orders, bn.cents
+         |  FROM bn JOIN nation n ON bn.c_nationkey = n.n_nationkey
+         |          JOIN region r ON n.n_regionkey = r.r_regionkey),
+         |w AS (SELECT *,
+         |    SUM(cents) OVER (PARTITION BY r_name) AS rcents,
+         |    SUM(cents) OVER () AS wcents,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY r_name
+         |      ORDER BY cents DESC, n_name) AS BIGINT) AS rank_in_region
+         |  FROM j)
+         |SELECT r_name AS region, n_name AS nation, n_orders,
+         |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+         |  ${val6("CAST(cents AS DOUBLE) / CAST(rcents AS DOUBLE)")}
+         |    AS share_of_region,
+         |  rank_in_region,
+         |  ${val6("CAST(rcents AS DOUBLE) / CAST(wcents AS DOUBLE)")}
+         |    AS region_share
+         |FROM w
+         |ORDER BY region NULLS FIRST, rank_in_region NULLS FIRST"""
+        .stripMargin,
   )
 }

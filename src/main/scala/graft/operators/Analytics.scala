@@ -992,6 +992,93 @@ object Analytics {
       .orderBy("mktsegment")
   }
 
+  /** q258: inter-purchase interval profile — the cadence statistic
+    * behind replenishment reminders and churn horizons: per-user gaps
+    * between consecutive purchases, summarized as hour-grain
+    * quantiles + mean/max. Quantiles come from the BUCKETED CDF
+    * (hour-grain histogram, ~720 buckets for a 30-day span), not a
+    * global rank: the q160 argument — the only data-grain work is one
+    * per-user lag and one bucket-grain aggregate; the quantile walk
+    * runs on the metadata-sized bucket table, and the thresholds are
+    * INTEGER cross-multiplications (cum·2 ≥ n, cum·10 ≥ 9n — no
+    * float quantile anywhere).
+    *
+    * Exactness: gaps are exact µs integers (ties in the per-user
+    * order break on event_id); bucket = integer division; mean is the
+    * exact µs sum over one IEEE division chain. */
+  def purchaseGaps(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val gaps = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("prev", lag("us", 1).over(byUser))
+      .filter(col("prev").isNotNull)
+      .select((col("us") - col("prev")).as("gap_us"))
+    val b = gaps
+      .groupBy(expr("gap_us DIV 3600000000").as("h"))
+      .agg(count(lit(1)).as("c"), sum("gap_us").as("s"))
+    val cum = b
+      .withColumn("cum", sum("c").over(Window.orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val tot = b.agg(sum("c").as("n"), sum("s").as("sus"))
+    cum.crossJoin(broadcast(tot))
+      .agg(max("n").as("n_gaps"),
+        min(when(col("cum") * 2 >= col("n"), col("h"))).as("median_h"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("h"))).as("p90_h"),
+        max("h").as("max_h"), max("sus").as("sus"))
+      .select(col("n_gaps"), col("median_h").as("median_gap_hours"),
+        col("p90_h").as("p90_gap_hours"), col("max_h").as("max_gap_hours"),
+        val6(col("sus").cast("double") / col("n_gaps").cast("double")
+          / lit(3600000000.0)).as("mean_gap_hours"))
+  }
+
+  /** q259: hierarchical share-of-parent rollup — the drill-down table
+    * every revenue report renders: nation rows carrying their share
+    * of the parent region, their rank within it, and the region's
+    * share of the world. States the hierarchy ONCE at the leaf grain
+    * instead of three disconnected GROUP BYs.
+    *
+    * Exactness: integer-cents sums at nation grain; region and world
+    * totals are window sums over the 25-row nation frame (metadata-
+    * sized at any corpus scale); each share is one IEEE division.
+    *
+    * Scale: one fact aggregate to nation grain (broadcast dim joins),
+    * then everything runs on ≤ |nations| rows. */
+  def revenueByGeo(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val nation = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+    val region = Tables.region(spark, dir)
+      .select(col("r_regionkey"), col("r_name"))
+    val byNation = Tables.orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(cents2(col("o_totalprice"))).as("cents"),
+        count(lit(1)).as("n_orders"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+    val regionW = Window.partitionBy("r_name")
+    val worldW = Window.partitionBy(lit(1))
+    byNation
+      .withColumn("rcents", sum("cents").over(regionW))
+      .withColumn("wcents", sum("cents").over(worldW))
+      .withColumn("rank_in_region", row_number().over(
+        Window.partitionBy("r_name")
+          .orderBy(desc("cents"), asc("n_name"))).cast("long"))
+      .select(col("r_name").as("region"), col("n_name").as("nation"),
+        col("n_orders"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        val6(col("cents").cast("double") / col("rcents").cast("double"))
+          .as("share_of_region"),
+        col("rank_in_region"),
+        val6(col("rcents").cast("double") / col("wcents").cast("double"))
+          .as("region_share"))
+      .orderBy("region", "rank_in_region")
+  }
+
   /** The EWMA lag-chain core shared by q250 and the q251 continuous
     * monitor: `d` must carry integer `cents` at (partCols, day) grain;
     * emits forecast/flag per row (first observed day per partition is

@@ -170,6 +170,58 @@ class RecsForecastSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("q258: bucketed-CDF quantiles match brute hour-grain " +
+      "percentiles; mean is the exact ratio") {
+    val r = Analytics.purchaseGaps(spark, dir)
+      .as[(Long, Long, Long, Long, Double)].head()
+    val gapsUs = {
+      val byUser = Tables.events(spark, dir)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("us"))
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1)
+      byUser.values.flatMap { rows =>
+        val sorted = rows.map(x => (x._3, x._2)).toSeq.sorted
+        sorted.zip(sorted.tail).map { case ((a, _), (b, _)) => b - a }
+      }.toSeq.sorted
+    }
+    assert(r._1 == gapsUs.length)
+    val hours = gapsUs.map(_ / 3600000000L)
+    def q(p: Int, of: Int): Long = {
+      // smallest bucket h with cum·of >= n·p — recomputed brutely
+      val n = hours.length
+      hours.distinct.sorted.find(h =>
+        hours.count(_ <= h).toLong * of >= n.toLong * p).get
+    }
+    assert(r._2 == q(1, 2), "median bucket mismatch")
+    assert(r._3 == q(9, 10), "p90 bucket mismatch")
+    assert(r._4 == hours.max)
+    val mean = math.floor(gapsUs.map(BigInt(_)).sum.toDouble
+      / gapsUs.length.toDouble / 3.6e9 * 1e6 + 0.5) / 1e6
+    assert(r._5 == mean)
+  }
+
+  test("q259: shares telescope — nations sum to their region, " +
+      "regions sum to the world") {
+    val g = Analytics.revenueByGeo(spark, dir).cache()
+    val regionShareSums = g.groupBy("region")
+      .agg(sum("share_of_region").as("s"))
+      .as[(String, Double)].collect()
+    regionShareSums.foreach { case (rg, s) =>
+      assert(math.abs(s - 1.0) < 1e-4, s"$rg shares sum to $s")
+    }
+    val worldSum = g.select("region", "region_share").distinct()
+      .agg(sum("region_share")).as[Double].head()
+    assert(math.abs(worldSum - 1.0) < 1e-4)
+    // ranks are dense 1..k per region
+    val badRank = g.groupBy("region")
+      .agg(count(lit(1)).as("k"), max("rank_in_region").as("mx"))
+      .filter(col("mx") =!= col("k"))
+    assert(badRank.count() == 0)
+    g.unpersist()
+  }
+
   test("q250: forecast equals the independently-computed trailing " +
       "weighted mean; flags are the cross-multiplied band") {
     val f = Analytics.ewmaForecast(spark, dir)
