@@ -330,6 +330,11 @@ object SparkEntry {
       ((s, d) => Analytics.revenueConcentration(s, d)),
     "q258_purchase_gaps" -> ((s, d) => Analytics.purchaseGaps(s, d)),
     "q259_geo_rollup" -> ((s, d) => Analytics.revenueByGeo(s, d)),
+    "q260_session_trigrams" ->
+      ((s, d) => Events.sessionPathTrigrams(s, d)),
+    "q261_price_boxplot" -> ((s, d) => Analytics.brandPriceBoxplot(s, d)),
+    "q262_repeat_hazard" ->
+      ((s, d) => Analytics.repeatPurchaseHazard(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -6012,5 +6017,113 @@ object SparkEntry {
          |FROM w
          |ORDER BY region NULLS FIRST, rank_in_region NULLS FIRST"""
         .stripMargin,
+
+    // q260: session path trigrams — q17 sessionization, leads masked
+    // at the session boundary, rank ties broken lexically.
+    "q260_session_trigrams" ->
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+         |         THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
+         |sess AS (
+         |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM flagged),
+         |tri AS (
+         |  SELECT session_id, event_type AS step1,
+         |    lead(event_type, 1) OVER w2 AS step2,
+         |    lead(event_type, 2) OVER w2 AS step3,
+         |    lead(session_id, 2) OVER w2 AS s3
+         |  FROM sess
+         |  WINDOW w2 AS (PARTITION BY user_id
+         |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
+         |c AS (SELECT step1, step2, step3, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM tri WHERE s3 IS NOT NULL AND s3 = session_id
+         |  GROUP BY 1, 2, 3),
+         |r AS (SELECT *,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY n DESC,
+         |      step1 NULLS FIRST, step2 NULLS FIRST, step3 NULLS FIRST)
+         |      AS BIGINT) AS rank,
+         |    CAST(SUM(n) OVER () AS BIGINT) AS tot
+         |  FROM c)
+         |SELECT rank, step1, step2, step3, n,
+         |  ${val6("CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)")} AS share
+         |FROM r WHERE rank <= 20 ORDER BY rank NULLS FIRST""".stripMargin,
+
+    // q261: grouped exact quartiles off the per-brand cents histogram;
+    // Tukey fences scaled by 2 to stay integral.
+    "q261_price_boxplot" ->
+      s"""WITH hist AS (
+         |  SELECT p_brand AS brand,
+         |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         |    CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2),
+         |cum AS (SELECT *,
+         |    CAST(SUM(c) OVER (PARTITION BY brand ORDER BY cents
+         |      NULLS FIRST ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(SUM(c) OVER (PARTITION BY brand) AS BIGINT) AS n
+         |  FROM hist),
+         |q AS (SELECT brand, MAX(n) AS n_items,
+         |    MIN(CASE WHEN cum * 4 >= n THEN cents END) AS q1c,
+         |    MIN(CASE WHEN cum * 2 >= n THEN cents END) AS q2c,
+         |    MIN(CASE WHEN cum * 4 >= n * 3 THEN cents END) AS q3c
+         |  FROM cum GROUP BY brand),
+         |o AS (SELECT hist.brand,
+         |    COALESCE(SUM(CASE WHEN cents * 2 < q1c * 2 - (q3c - q1c) * 3
+         |        OR cents * 2 > q3c * 2 + (q3c - q1c) * 3
+         |      THEN c END), 0) AS n_outliers
+         |  FROM hist JOIN q ON hist.brand = q.brand
+         |  GROUP BY 1)
+         |SELECT q.brand, n_items,
+         |  CAST(q1c AS DOUBLE) / 100.0 AS p25,
+         |  CAST(q2c AS DOUBLE) / 100.0 AS median,
+         |  CAST(q3c AS DOUBLE) / 100.0 AS p75,
+         |  CAST(q3c - q1c AS DOUBLE) / 100.0 AS iqr,
+         |  CAST(n_outliers AS BIGINT) AS n_outliers
+         |FROM q JOIN o ON q.brand = o.brand
+         |ORDER BY q.brand NULLS FIRST""".stripMargin,
+
+    // q262: Nelson–Aalen cumulative hazard of the second purchase —
+    // integer day grain, floor-scaled nano-hazard running sum.
+    "q262_repeat_hazard" ->
+      s"""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us
+         |  FROM events WHERE event_type = 'purchase'),
+         |r AS (SELECT user_id, us,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY us NULLS FIRST, event_id NULLS FIRST) AS rn
+         |  FROM p),
+         |e AS (SELECT MAX(us) AS end_us FROM p),
+         |u AS (SELECT user_id,
+         |    MIN(CASE WHEN rn = 1 THEN us END) AS t1,
+         |    MIN(CASE WHEN rn = 2 THEN us END) AS t2
+         |  FROM r WHERE rn <= 2 GROUP BY user_id),
+         |s AS (SELECT
+         |    CASE WHEN t2 IS NOT NULL
+         |      THEN (t2 - t1) // 86400000000 END AS event_day,
+         |    CASE WHEN t2 IS NULL
+         |      THEN (end_us - t1) // 86400000000 END AS censor_day
+         |  FROM u CROSS JOIN e),
+         |h AS (SELECT COALESCE(event_day, censor_day) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS ended,
+         |    CAST(SUM(CASE WHEN event_day IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_converted
+         |  FROM s GROUP BY 1),
+         |w AS (SELECT *, CAST(SUM(ended) OVER (ORDER BY day DESC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk FROM h),
+         |z AS (SELECT day, n_risk, n_converted,
+         |    (n_converted * 1000000000) // n_risk AS nano_h
+         |  FROM w WHERE n_converted > 0),
+         |c AS (SELECT *, CAST(SUM(nano_h) OVER (ORDER BY day
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_nano FROM z)
+         |SELECT day, n_risk, n_converted,
+         |  ${val6("CAST(n_converted AS DOUBLE) / CAST(n_risk AS DOUBLE)")}
+         |    AS hazard,
+         |  CAST(cum_nano AS DOUBLE) / 1000000000.0 AS cum_hazard
+         |FROM c ORDER BY day NULLS FIRST""".stripMargin,
   )
 }

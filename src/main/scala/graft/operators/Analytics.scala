@@ -1079,6 +1079,110 @@ object Analytics {
       .orderBy("region", "rank_in_region")
   }
 
+  /** q261: per-brand price box-plot mart — grouped EXACT quartiles
+    * (p25/median/p75), IQR, and Tukey-fence outlier counts over
+    * lineitem extended prices, the distribution panel a pricing
+    * dashboard renders per brand. The q258 bucketed-CDF argument,
+    * GROUPED: quantiles come from the per-brand cents histogram
+    * (grouped running sum + integer cross-multiplied thresholds
+    * cum·4 ≥ n / cum·2 ≥ n / cum·4 ≥ 3n), never a per-row rank; the
+    * Tukey fences are kept integral by scaling the 1.5·IQR test by 2
+    * (2·cents vs 2·q ± 3·IQR), so the only IEEE ops are the final
+    * cents→dollars formatting divisions.
+    *
+    * Scale: one fact shuffle to (brand, cents) grain (map-side
+    * combined); everything after runs on the histogram, and the
+    * outlier pass joins the 25-row quartile table back broadcast. */
+  def brandPriceBoxplot(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    val hist = Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        cents2(col("l_extendedprice")).as("cents"))
+      .groupBy("brand", "cents")
+      .agg(count(lit(1)).as("c"))
+    val byBrand = Window.partitionBy("brand").orderBy("cents")
+    val q = hist
+      .withColumn("cum", sum("c").over(
+        byBrand.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("c").over(Window.partitionBy("brand")))
+      .groupBy("brand")
+      .agg(max("n").as("n_items"),
+        min(when(col("cum") * 4 >= col("n"), col("cents"))).as("q1c"),
+        min(when(col("cum") * 2 >= col("n"), col("cents"))).as("q2c"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("cents")))
+          .as("q3c"))
+    val outliers = hist.join(broadcast(q), "brand")
+      .groupBy("brand")
+      .agg(coalesce(sum(when(
+        col("cents") * 2 < col("q1c") * 2 - (col("q3c") - col("q1c")) * 3
+          || col("cents") * 2 >
+            col("q3c") * 2 + (col("q3c") - col("q1c")) * 3,
+        col("c"))), lit(0L)).as("n_outliers"))
+    q.join(outliers, "brand")
+      .select(col("brand"), col("n_items"),
+        (col("q1c").cast("double") / lit(100.0)).as("p25"),
+        (col("q2c").cast("double") / lit(100.0)).as("median"),
+        (col("q3c").cast("double") / lit(100.0)).as("p75"),
+        ((col("q3c") - col("q1c")).cast("double") / lit(100.0)).as("iqr"),
+        col("n_outliers"))
+      .orderBy("brand")
+  }
+
+  /** q262: repeat-purchase survival — the Nelson–Aalen cumulative
+    * hazard of converting a first purchase into a second, the curve
+    * behind "how long until a new customer comes back" and churn-
+    * horizon policies. Per user: time zero = first purchase; event =
+    * second purchase at day (t2−t1)/86400s; users with one purchase
+    * are right-censored at the last observed purchase timestamp.
+    * Risk sets come from the day-grain endpoint histogram (descending
+    * running sum), so after the one user-grain reduction everything is
+    * metadata-sized (≤ corpus-span days).
+    *
+    * Determinism: days are exact integer µs divisions; each hazard
+    * term is floor-scaled to integer NANO-hazard before the running
+    * sum (no float accumulation anywhere — the float sum order an
+    * engine pair can't agree on is exactly what this avoids), and the
+    * cumulative hazard is one final integer/1e9 division. */
+  def repeatPurchaseHazard(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val users = p.withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= 2)
+      .groupBy("user_id")
+      .agg(min(when(col("rn") === 1, col("us"))).as("t1"),
+        min(when(col("rn") === 2, col("us"))).as("t2"))
+    val obsEnd = p.agg(max("us").as("end_us"))
+    val hist = users.crossJoin(broadcast(obsEnd))
+      .select(
+        expr(s"CASE WHEN t2 IS NOT NULL THEN (t2 - t1) DIV $dayUs END")
+          .as("event_day"),
+        expr(s"CASE WHEN t2 IS NULL THEN (end_us - t1) DIV $dayUs END")
+          .as("censor_day"))
+      .groupBy(coalesce(col("event_day"), col("censor_day")).as("day"))
+      .agg(count(lit(1)).as("ended"),
+        sum(when(col("event_day").isNotNull, 1L).otherwise(0L))
+          .as("n_converted"))
+    hist
+      .withColumn("n_risk", sum("ended").over(Window.orderBy(desc("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("n_converted") > 0)
+      .withColumn("nano_h", expr("(n_converted * 1000000000) DIV n_risk"))
+      .withColumn("cum_nano", sum("nano_h").over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("day"), col("n_risk"), col("n_converted"),
+        val6(col("n_converted").cast("double") /
+          col("n_risk").cast("double")).as("hazard"),
+        (col("cum_nano").cast("double") / lit(1.0e9)).as("cum_hazard"))
+      .orderBy("day")
+  }
+
   /** The EWMA lag-chain core shared by q250 and the q251 continuous
     * monitor: `d` must carry integer `cents` at (partCols, day) grain;
     * emits forecast/flag per row (first observed day per partition is

@@ -778,4 +778,50 @@ object Events {
         col("attributed_cents").cast("double") / lit(100.0))
       .orderBy("channel")
   }
+
+  /** q260: top-k session path trigrams — the "what do users actually
+    * do" table behind every UX flow review: the most frequent 3-step
+    * event-type sequences WITHIN a session (30-min-gap sessions, the
+    * q17 semantics), ranked with their share of all trigrams.
+    *
+    * One shuffle: sessionization and the two `lead`s share the SAME
+    * (user_id)-partitioned (ts, event_id) window, so Spark reuses one
+    * exchange for all four window functions; trigrams that would cross
+    * a session boundary are masked by comparing the led session_id
+    * instead of re-partitioning by (user, session). The count then
+    * reduces to the ≤|types|³ trigram vocabulary — the rank/share
+    * windows run on that constant-size table.
+    *
+    * Determinism: rank ties break lexically on the three steps; share
+    * is one integer/integer division rounded via [[val6]]. */
+  def sessionPathTrigrams(spark: SparkSession, dir: String,
+      topK: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val tri = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1)
+          .over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("e2", lead(col("event_type"), 1).over(byUser))
+      .withColumn("e3", lead(col("event_type"), 2).over(byUser))
+      .withColumn("s3", lead(col("session_id"), 2).over(byUser))
+      .filter(col("s3").isNotNull && col("s3") === col("session_id"))
+      .groupBy(col("event_type").as("step1"), col("e2").as("step2"),
+        col("e3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+    tri
+      .withColumn("share", val6(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(lit(1))).cast("double")))
+      .withColumn("rank", row_number().over(Window.orderBy(desc("n"),
+        col("step1"), col("step2"), col("step3"))).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("rank"), col("step1"), col("step2"), col("step3"),
+        col("n"), col("share"))
+      .orderBy("rank")
+  }
 }

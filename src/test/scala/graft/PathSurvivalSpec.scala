@@ -1,0 +1,119 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Events}
+import graft.sources.Tables
+
+/** q260/q261/q262 — session path trigrams, grouped box-plot quartiles,
+  * and the Nelson–Aalen repeat-purchase hazard: each checked against a
+  * full driver-side brute recomputation at sf0.001 (the invariants the
+  * hash gate can't state are exactly "the distributed plan equals the
+  * obvious sequential algorithm"). */
+class PathSurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  val dir = sf("sf0.001")
+
+  private lazy val rawEvents: Seq[(Long, Long, Long, String)] =
+    Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  test("q260: equals the sequential sessionize-then-count algorithm") {
+    val gapUs = 30L * 60 * 1000000
+    val trigrams = rawEvents.groupBy(_._1).values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      // session ids by running count of >30-min gaps
+      val sess = sorted.zip(
+        sorted.map(_._2).sliding(2).map(p =>
+          if (p.length == 2 && p(1) - p(0) > gapUs) 1 else 0)
+          .scanLeft(0)(_ + _).toSeq)
+      sess.sliding(3).collect {
+        case Seq((a, sa), (b, _), (c, sc)) if sa == sc =>
+          (a._4, b._4, c._4)
+      }
+    }.toSeq
+    val counts = trigrams.groupBy(identity).view.mapValues(_.size)
+      .toSeq.map { case ((s1, s2, s3), n) => (s1, s2, s3, n.toLong) }
+    val expected = counts
+      .sortBy { case (s1, s2, s3, n) => (-n, s1, s2, s3) }
+      .take(20).zipWithIndex
+      .map { case ((s1, s2, s3, n), i) => (i + 1L, s1, s2, s3, n) }
+    val got = Events.sessionPathTrigrams(spark, dir)
+      .select("rank", "step1", "step2", "step3", "n")
+      .as[(Long, String, String, String, Long)].collect().toSeq
+    assert(got == expected)
+    // shares are n / total over ALL trigrams (not just the top 20)
+    val total = counts.map(_._4).sum
+    val shares = Events.sessionPathTrigrams(spark, dir)
+      .select("n", "share").as[(Long, Double)].collect()
+    shares.foreach { case (n, s) =>
+      assert(s == math.floor(n.toDouble / total * 1e6 + 0.5) / 1e6)
+    }
+  }
+
+  test("q261: grouped quartiles and Tukey fences equal the " +
+      "sequential per-brand computation") {
+    val rows = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+      .as[(String, Long)].collect().toSeq
+    val expected = rows.groupBy(_._1).toSeq.map { case (brand, vs) =>
+      val cents = vs.map(_._2).sorted
+      val n = cents.length.toLong
+      def qu(p: Int, of: Int): Long =
+        cents(((n * p + of - 1) / of - 1).toInt) // smallest c: rank*of >= n*p
+      val (q1, q2, q3) = (qu(1, 4), qu(1, 2), qu(3, 4))
+      val nOut = cents.count(c =>
+        c * 2 < q1 * 2 - (q3 - q1) * 3 || c * 2 > q3 * 2 + (q3 - q1) * 3)
+      (brand, n, q1 / 100.0, q2 / 100.0, q3 / 100.0,
+        (q3 - q1) / 100.0, nOut.toLong)
+    }.sortBy(_._1)
+    val got = Analytics.brandPriceBoxplot(spark, dir)
+      .as[(String, Long, Double, Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q262: Nelson-Aalen table equals the sequential estimator; " +
+      "risk sets shrink, cumulative hazard grows") {
+    val dayUs = 86400000000L
+    val purchases = rawEvents.filter(_._4 == "purchase")
+    val endUs = purchases.map(_._2).max
+    val spans = purchases.groupBy(_._1).values.map { evs =>
+      val ts = evs.sortBy(e => (e._2, e._3)).map(_._2)
+      if (ts.length >= 2) (Some((ts(1) - ts(0)) / dayUs), None)
+      else (None, Some((endUs - ts(0)) / dayUs))
+    }.toSeq
+    val endedAt = spans.groupBy { case (e, c) => e.getOrElse(c.get) }
+      .view.mapValues(_.size.toLong).toMap
+    val days = endedAt.keys.toSeq.sorted
+    var atRisk = spans.size.toLong
+    var cumNano = 0L
+    val expected = days.flatMap { d =>
+      val di = spans.count(_._1.contains(d)).toLong
+      val row = if (di > 0) {
+        cumNano += di * 1000000000L / atRisk
+        Some((d, atRisk, di,
+          math.floor(di.toDouble / atRisk * 1e6 + 0.5) / 1e6,
+          cumNano.toDouble / 1e9))
+      } else None
+      atRisk -= endedAt(d)
+      row
+    }
+    val got = Analytics.repeatPurchaseHazard(spark, dir)
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    assert(got == expected)
+    // monotonicity invariants
+    got.sliding(2).foreach {
+      case Seq(a, b) =>
+        assert(a._2 >= b._2, "risk set must shrink over time")
+        assert(a._5 <= b._5, "cumulative hazard must not decrease")
+      case _ =>
+    }
+  }
+}
