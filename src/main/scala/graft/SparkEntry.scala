@@ -335,6 +335,10 @@ object SparkEntry {
     "q261_price_boxplot" -> ((s, d) => Analytics.brandPriceBoxplot(s, d)),
     "q262_repeat_hazard" ->
       ((s, d) => Analytics.repeatPurchaseHazard(s, d)),
+    "q263_wilson_conversion" ->
+      ((s, d) => Analytics.weeklyConversionWilson(s, d)),
+    "q264_brand_share_shift" ->
+      ((s, d) => Analytics.brandShareShift(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -6125,5 +6129,64 @@ object SparkEntry {
          |    AS hazard,
          |  CAST(cum_nano AS DOUBLE) / 1000000000.0 AS cum_hazard
          |FROM c ORDER BY day NULLS FIRST""".stripMargin,
+
+    // q263: Wilson 95% interval — exact distinct counts, the bound a
+    // single fixed-shape IEEE expression mirrored tree-for-tree.
+    "q263_wilson_conversion" -> {
+      val n = "CAST(n_users AS DOUBLE)"
+      val k = "CAST(n_buyers AS DOUBLE)"
+      val phat = s"($k) / ($n)"
+      val denom = s"1.0 + (1.96 * 1.96) / ($n)"
+      val center = s"(($phat) + (1.96 * 1.96) / (2.0 * ($n))) / ($denom)"
+      val half = s"1.96 * sqrt(($phat) * (1.0 - ($phat)) / ($n)" +
+        s" + (1.96 * 1.96) / (4.0 * ($n) * ($n))) / ($denom)"
+      s"""WITH g AS (SELECT
+         |    CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+         |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         |    CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase'
+         |      THEN user_id END) AS BIGINT) AS n_buyers
+         |  FROM events GROUP BY 1)
+         |SELECT week, n_users, n_buyers,
+         |  ${val6(phat)} AS conversion,
+         |  ${val6(s"($center) - ($half)")} AS wilson_lo,
+         |  ${val6(s"($center) + ($half)")} AS wilson_hi
+         |FROM g ORDER BY week NULLS FIRST""".stripMargin
+    },
+
+    // q264: monthly brand share + MoM delta/rank move off the
+    // (month, brand) cents grain.
+    "q264_brand_share_shift" ->
+      s"""WITH m AS (SELECT
+         |    CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         |    p_brand AS brand,
+         |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS cents
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2),
+         |w AS (SELECT *,
+         |    CAST(SUM(cents) OVER (PARTITION BY month) AS BIGINT)
+         |      AS mtot,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY month
+         |      ORDER BY cents DESC, brand NULLS FIRST) AS BIGINT)
+         |      AS rank_in_month
+         |  FROM m),
+         |l AS (SELECT *,
+         |    lag(cents) OVER wb AS prev_cents,
+         |    lag(mtot) OVER wb AS prev_mtot,
+         |    lag(rank_in_month) OVER wb AS prev_rank
+         |  FROM w
+         |  WINDOW wb AS (PARTITION BY brand ORDER BY month NULLS FIRST))
+         |SELECT month, brand,
+         |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+         |  ${val6("CAST(cents AS DOUBLE) / CAST(mtot AS DOUBLE)")}
+         |    AS share,
+         |  rank_in_month,
+         |  CASE WHEN prev_cents IS NOT NULL THEN
+         |    ${val6("CAST(cents AS DOUBLE) / CAST(mtot AS DOUBLE)" +
+             " - CAST(prev_cents AS DOUBLE) / CAST(prev_mtot AS DOUBLE)")}
+         |  END AS share_delta,
+         |  prev_rank - rank_in_month AS rank_move
+         |FROM l
+         |ORDER BY month NULLS FIRST, brand NULLS FIRST""".stripMargin,
   )
 }

@@ -1183,6 +1183,81 @@ object Analytics {
       .orderBy("day")
   }
 
+  /** q263: weekly purchase-conversion rate with WILSON 95% bounds —
+    * the interval a rate dashboard should draw instead of ±z·se
+    * (Wilson stays inside [0,1] and behaves at small n; Wilson 1927,
+    * Brown–Cai–DasGupta 2001). Per week: n = distinct active users,
+    * k = distinct purchasers, both exact distincts off one pass.
+    *
+    * Portability: the bound is one fixed-shape expression over the two
+    * exact integers — divisions, one multiply chain, and sqrt, all
+    * correctly-rounded IEEE ops stated in the SAME tree shape on both
+    * engines (the q253 discipline), then [[val6]]. */
+  def weeklyConversionWilson(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val g = Tables.events(spark, dir)
+      .select(trunc(to_date(col("ts")), "week").as("week"),
+        col("user_id"), col("event_type"))
+      .groupBy("week")
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("event_type") === "purchase",
+          col("user_id"))).as("n_buyers"))
+    def d(c: Column) = c.cast("double")
+    val n = d(col("n_users"))
+    val k = d(col("n_buyers"))
+    val z = lit(1.96)
+    val z2 = lit(1.96) * lit(1.96)
+    val phat = k / n
+    val denom = lit(1.0) + z2 / n
+    val center = (phat + z2 / (lit(2.0) * n)) / denom
+    val half = z * sqrt(phat * (lit(1.0) - phat) / n
+      + z2 / (lit(4.0) * n * n)) / denom
+    g.select(col("week"), col("n_users"), col("n_buyers"),
+        val6(phat).as("conversion"),
+        val6(center - half).as("wilson_lo"),
+        val6(center + half).as("wilson_hi"))
+      .orderBy("week")
+  }
+
+  /** q264: brand market-share shift — monthly revenue share per brand
+    * with its month-over-month share delta and rank movement, the
+    * "who's winning" mart a category manager reads. One fact shuffle
+    * to (month, brand) grain; the share/rank windows run on that
+    * |months|×|brands| table and the lag chain keys on brand (delta is
+    * vs the previous OBSERVED month for the brand).
+    *
+    * Exactness: integer-cents revenue; each share is one IEEE
+    * division and the delta one subtraction of two such divisions,
+    * rounded via [[val6]]; rank moves are pure integers. */
+  def brandShareShift(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    val m = Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(trunc(col("l_shipdate"), "month").as("month"),
+        col("p_brand").as("brand"))
+      .agg(sum(cents2(col("l_extendedprice"))).as("cents"))
+    val byBrand = Window.partitionBy("brand").orderBy("month")
+    val share = col("cents").cast("double") / col("mtot").cast("double")
+    val prevShare =
+      col("prev_cents").cast("double") / col("prev_mtot").cast("double")
+    m.withColumn("mtot", sum("cents").over(Window.partitionBy("month")))
+      .withColumn("rank_in_month", row_number().over(
+        Window.partitionBy("month").orderBy(desc("cents"), col("brand")))
+        .cast("long"))
+      .withColumn("prev_cents", lag("cents", 1).over(byBrand))
+      .withColumn("prev_mtot", lag("mtot", 1).over(byBrand))
+      .withColumn("prev_rank", lag("rank_in_month", 1).over(byBrand))
+      .select(col("month"), col("brand"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        val6(share).as("share"),
+        col("rank_in_month"),
+        when(col("prev_cents").isNotNull, val6(share - prevShare))
+          .as("share_delta"),
+        (col("prev_rank") - col("rank_in_month")).as("rank_move"))
+      .orderBy("month", "brand")
+  }
+
   /** The EWMA lag-chain core shared by q250 and the q251 continuous
     * monitor: `d` must carry integer `cents` at (partCols, day) grain;
     * emits forecast/flag per row (first observed day per partition is

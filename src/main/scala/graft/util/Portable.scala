@@ -67,18 +67,23 @@ object Portable {
 
   /** DuckDB-side macro mirrors of the helpers above, for oracle SQL. */
   object Sql {
+    // NOTE: every helper parenthesizes ($x) before the scale multiply —
+    // without it, a caller passing an additive expression ("a - b")
+    // would have `* 100.0` bind to the last operand only (caught live
+    // by q263's Wilson `center - half`; division chains only survived
+    // because * and / share precedence).
     def sum2(x: String): String =
-      s"CAST(SUM(CAST(FLOOR($x * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
+      s"CAST(SUM(CAST(FLOOR(($x) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0"
     def sum4(x: String): String =
-      s"CAST(SUM(CAST(FLOOR($x * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0"
+      s"CAST(SUM(CAST(FLOOR(($x) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0"
     def val2(x: String): String =
-      s"CAST(CAST(FLOOR($x * 100.0 + 0.5) AS BIGINT) AS DOUBLE) / 100.0"
+      s"CAST(CAST(FLOOR(($x) * 100.0 + 0.5) AS BIGINT) AS DOUBLE) / 100.0"
     def val4(x: String): String =
-      s"CAST(CAST(FLOOR($x * 10000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0"
+      s"CAST(CAST(FLOOR(($x) * 10000.0 + 0.5) AS BIGINT) AS DOUBLE) / 10000.0"
     def val6(x: String): String =
-      s"CAST(CAST(FLOOR($x * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0"
+      s"CAST(CAST(FLOOR(($x) * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0"
     def avg2(x: String): String =
-      s"CAST(SUM(CAST(FLOOR($x * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT($x)"
+      s"CAST(SUM(CAST(FLOOR(($x) * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 / COUNT($x)"
     val hash32: String => String =
       x => s"CAST('0x' || substr(md5($x), 1, 8) AS BIGINT)"
   }

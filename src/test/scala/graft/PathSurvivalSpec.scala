@@ -116,4 +116,56 @@ class PathSurvivalSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("q263: Wilson bounds bracket the point estimate inside [0,1] " +
+      "and equal the sequential formula") {
+    val got = Analytics.weeklyConversionWilson(spark, dir)
+      .as[(java.sql.Date, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got.nonEmpty)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    got.foreach { case (_, nu, nb, conv, lo, hi) =>
+      val n = nu.toDouble; val k = nb.toDouble
+      val z = 1.96; val z2 = 1.96 * 1.96
+      val phat = k / n
+      val denom = 1.0 + z2 / n
+      val center = (phat + z2 / (2.0 * n)) / denom
+      val half = z * math.sqrt(phat * (1.0 - phat) / n
+        + z2 / (4.0 * n * n)) / denom
+      assert(conv == r6(phat))
+      assert(lo == r6(center - half) && hi == r6(center + half))
+      assert(lo >= 0.0 - 1e-9 && hi <= 1.0 + 1e-9,
+        "Wilson stays inside the unit interval")
+      assert(lo <= conv && conv <= hi)
+    }
+  }
+
+  test("q264: shares sum to 1 per month, ranks are dense, and the " +
+      "delta/rank-move chain matches the previous observed month") {
+    val g = Analytics.brandShareShift(spark, dir).cache()
+    g.groupBy("month").agg(sum("share").as("s"))
+      .as[(java.sql.Date, Double)].collect()
+      .foreach { case (m, s) =>
+        assert(math.abs(s - 1.0) < 1e-4, s"$m shares sum to $s") }
+    assert(g.groupBy("month")
+      .agg(count(lit(1)).as("k"), max("rank_in_month").as("mx"))
+      .filter(col("mx") =!= col("k")).count() == 0)
+    // recompute the lag chain sequentially
+    val rows = g.select("month", "brand", "share", "rank_in_month",
+        "share_delta", "rank_move")
+      .as[(java.sql.Date, String, Double, Long,
+        Option[Double], Option[Long])].collect().toSeq
+    rows.groupBy(_._2).values.foreach { bs =>
+      val seq = bs.sortBy(_._1.getTime)
+      assert(seq.head._5.isEmpty && seq.head._6.isEmpty)
+      seq.sliding(2).foreach {
+        case Seq(prev, cur) =>
+          assert(cur._6.contains(prev._4 - cur._4))
+          // deltas were rounded from unrounded shares: tolerance 2e-6
+          assert(math.abs(cur._5.get - (cur._3 - prev._3)) < 2e-6)
+        case _ =>
+      }
+    }
+    g.unpersist()
+  }
 }
