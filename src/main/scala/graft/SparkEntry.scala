@@ -339,6 +339,11 @@ object SparkEntry {
       ((s, d) => Analytics.weeklyConversionWilson(s, d)),
     "q264_brand_share_shift" ->
       ((s, d) => Analytics.brandShareShift(s, d)),
+    "q265_stage_latency" ->
+      ((s, d) => Analytics.funnelStageLatency(s, d)),
+    "q266_comparable_index" ->
+      ((s, d) => Analytics.comparableRevenueIndex(s, d)),
+    "q267_demand_movers" -> ((s, d) => Analytics.demandTrendMovers(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -6188,5 +6193,103 @@ object SparkEntry {
          |  prev_rank - rank_in_month AS rank_move
          |FROM l
          |ORDER BY month NULLS FIRST, brand NULLS FIRST""".stripMargin,
+
+    // q265: first-touch stage latencies — per-pair hour-grain bucketed
+    // CDF, integer cross-multiplied quantile thresholds.
+    "q265_stage_latency" ->
+      s"""WITH w AS (SELECT user_id,
+         |    MIN(CASE WHEN event_type = 'signup'
+         |      THEN epoch_us(ts) END) AS t_signup,
+         |    MIN(CASE WHEN event_type = 'view'
+         |      THEN epoch_us(ts) END) AS t_view,
+         |    MIN(CASE WHEN event_type = 'click'
+         |      THEN epoch_us(ts) END) AS t_click,
+         |    MIN(CASE WHEN event_type = 'purchase'
+         |      THEN epoch_us(ts) END) AS t_purchase
+         |  FROM events GROUP BY 1),
+         |lat AS (
+         |  SELECT 'signup_to_view' AS stage_pair,
+         |    t_view - t_signup AS gap_us FROM w
+         |  UNION ALL SELECT 'view_to_click', t_click - t_view FROM w
+         |  UNION ALL SELECT 'click_to_purchase',
+         |    t_purchase - t_click FROM w),
+         |f AS (SELECT * FROM lat
+         |  WHERE gap_us IS NOT NULL AND gap_us >= 0),
+         |b AS (SELECT stage_pair, gap_us // 3600000000 AS h,
+         |    CAST(COUNT(*) AS BIGINT) AS c,
+         |    CAST(SUM(gap_us) AS BIGINT) AS s
+         |  FROM f GROUP BY 1, 2),
+         |cb AS (SELECT *,
+         |    CAST(SUM(c) OVER (PARTITION BY stage_pair ORDER BY h
+         |      NULLS FIRST ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+         |    CAST(SUM(c) OVER (PARTITION BY stage_pair) AS BIGINT) AS n,
+         |    CAST(SUM(s) OVER (PARTITION BY stage_pair) AS BIGINT) AS sus
+         |  FROM b)
+         |SELECT stage_pair, MAX(n) AS n_users,
+         |  MIN(CASE WHEN cum * 2 >= n THEN h END) AS median_hours,
+         |  MIN(CASE WHEN cum * 10 >= n * 9 THEN h END) AS p90_hours,
+         |  ${val6("CAST(MAX(sus) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)" +
+             " / 3600000000.0")} AS mean_hours
+         |FROM cb GROUP BY stage_pair
+         |ORDER BY stage_pair NULLS FIRST""".stripMargin,
+
+    // q266: like-for-like MoM index — parts sold in both calendar-
+    // adjacent months, lag chain keyed on part.
+    "q266_comparable_index" ->
+      s"""WITH m AS (SELECT
+         |    CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+         |    l_partkey,
+         |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS cents
+         |  FROM lineitem GROUP BY 1, 2),
+         |mi AS (SELECT *, year(month) * 12 + month(month) AS mi FROM m),
+         |l AS (SELECT *, lag(cents) OVER wp AS prev_cents,
+         |    lag(mi) OVER wp AS prev_mi
+         |  FROM mi
+         |  WINDOW wp AS (PARTITION BY l_partkey ORDER BY mi NULLS FIRST)),
+         |g AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         |    CAST(SUM(CASE WHEN prev_mi IS NOT NULL AND prev_mi = mi - 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS n_comparable,
+         |    CAST(SUM(cents) AS BIGINT) AS tot_cents,
+         |    CAST(SUM(CASE WHEN prev_mi = mi - 1 THEN cents END)
+         |      AS BIGINT) AS comp_cents,
+         |    CAST(SUM(CASE WHEN prev_mi = mi - 1 THEN prev_cents END)
+         |      AS BIGINT) AS comp_prev_cents
+         |  FROM l GROUP BY 1)
+         |SELECT month, n_parts, n_comparable,
+         |  CAST(tot_cents AS DOUBLE) / 100.0 AS revenue,
+         |  ${val6("CAST(comp_cents AS DOUBLE)" +
+             " / CAST(comp_prev_cents AS DOUBLE)")} AS index_mom,
+         |  ${val6("CAST(comp_cents AS DOUBLE)" +
+             " / CAST(tot_cents AS DOUBLE)")} AS coverage
+         |FROM g WHERE n_comparable > 0
+         |ORDER BY month NULLS FIRST""".stripMargin,
+
+    // q267: per-part OLS demand slope from BIGINT power sums, top-20.
+    "q267_demand_movers" ->
+      s"""WITH a AS (SELECT MIN(l_shipdate) AS d0 FROM lineitem),
+         |x AS (SELECT l_partkey,
+         |    CAST(date_diff('day', d0, l_shipdate) AS BIGINT) AS x,
+         |    CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT) AS y
+         |  FROM lineitem CROSS JOIN a),
+         |s AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx
+         |  FROM x GROUP BY 1),
+         |f AS (SELECT * FROM s
+         |  WHERE n >= 2 AND n * sxx - sx * sx > 0),
+         |r AS (SELECT *,
+         |    ${val6("CAST(n * sxy - sx * sy AS DOUBLE) * 30.0" +
+             " / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0")}
+         |      AS slope_30d
+         |  FROM f),
+         |t AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY slope_30d
+         |    DESC, l_partkey NULLS FIRST) AS BIGINT) AS rank FROM r)
+         |SELECT rank, t.l_partkey AS partkey, p_brand AS brand,
+         |  n AS n_lines, CAST(sy AS DOUBLE) / 100.0 AS total_qty,
+         |  slope_30d
+         |FROM t JOIN part ON t.l_partkey = p_partkey
+         |WHERE rank <= 20 ORDER BY rank NULLS FIRST""".stripMargin,
   )
 }

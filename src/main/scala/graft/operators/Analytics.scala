@@ -1258,6 +1258,147 @@ object Analytics {
       .orderBy("month", "brand")
   }
 
+  /** q265: funnel stage-latency quantiles — how long users take
+    * between their FIRST touch of consecutive lifecycle stages
+    * (signup→view→click→purchase), the "where does the funnel stall"
+    * companion to the q09/q18 stage-count funnels. Per user, one
+    * aggregate pivots first-touch timestamps wide; each adjacent pair
+    * with a non-negative gap contributes one exact-µs latency; the
+    * quantiles come from the per-pair hour-grain bucketed CDF with
+    * integer cross-multiplied thresholds (the q258/q261 discipline —
+    * nothing ranks at data grain).
+    *
+    * Latencies where the later stage was first touched EARLIER are
+    * excluded (stated contract: out-of-order journeys measure a
+    * different thing), as is any pair the user never completed. */
+  def funnelStageLatency(spark: SparkSession, dir: String): DataFrame = {
+    val us = unix_micros(col("ts"))
+    def firstOf(t: String) =
+      min(when(col("event_type") === t, us)).as(s"t_$t")
+    val wide = Tables.events(spark, dir)
+      .groupBy("user_id")
+      .agg(firstOf("signup"), firstOf("view"), firstOf("click"),
+        firstOf("purchase"))
+    val pairs = Seq(("signup", "view"), ("view", "click"),
+      ("click", "purchase"))
+    val lat = wide.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(s"${a}_to_$b").as("stage_pair"),
+          (col(s"t_$b") - col(s"t_$a")).as("gap_us"))
+      }: _*)).as("x"))
+      .select(col("x.stage_pair").as("stage_pair"),
+        col("x.gap_us").as("gap_us"))
+      .filter(col("gap_us").isNotNull && col("gap_us") >= 0)
+    val b = lat
+      .groupBy(col("stage_pair"), expr("gap_us DIV 3600000000").as("h"))
+      .agg(count(lit(1)).as("c"), sum("gap_us").as("s"))
+    val byPair = Window.partitionBy("stage_pair").orderBy("h")
+    b.withColumn("cum", sum("c").over(
+        byPair.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("n", sum("c").over(Window.partitionBy("stage_pair")))
+      .withColumn("sus", sum("s").over(Window.partitionBy("stage_pair")))
+      .groupBy("stage_pair")
+      .agg(max("n").as("n_users"),
+        min(when(col("cum") * 2 >= col("n"), col("h")))
+          .as("median_hours"),
+        min(when(col("cum") * 10 >= col("n") * 9, col("h")))
+          .as("p90_hours"),
+        max("sus").as("sus"))
+      .select(col("stage_pair"), col("n_users"), col("median_hours"),
+        col("p90_hours"),
+        val6(col("sus").cast("double") / col("n_users").cast("double")
+          / lit(3600000000.0)).as("mean_hours"))
+      .orderBy("stage_pair")
+  }
+
+  /** q266: comparable-parts revenue index — the month-over-month
+    * growth index retailers quote as "like-for-like sales": for each
+    * month, the revenue ratio vs the previous CALENDAR month computed
+    * only over parts sold in BOTH (new and delisted parts excluded,
+    * so assortment churn doesn't masquerade as growth), plus how much
+    * of the month's revenue the comparable set covers.
+    *
+    * One fact shuffle to (month, part) cents grain; the lag chain
+    * keys on part with an integer month-index adjacency test; the
+    * month-grain rollup and its one division per ratio are exact. */
+  def comparableRevenueIndex(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val part = Tables.part(spark, dir).select(col("p_partkey"))
+    val m = Tables.lineitem(spark, dir)
+      .groupBy(trunc(col("l_shipdate"), "month").as("month"),
+        col("l_partkey"))
+      .agg(sum(cents2(col("l_extendedprice"))).as("cents"))
+      .withColumn("mi",
+        year(col("month")) * 12 + month(col("month")))
+    val byPart = Window.partitionBy("l_partkey").orderBy("mi")
+    val lagged = m
+      .withColumn("prev_cents", lag("cents", 1).over(byPart))
+      .withColumn("prev_mi", lag("mi", 1).over(byPart))
+      .withColumn("comparable",
+        col("prev_mi").isNotNull && col("prev_mi") === col("mi") - 1)
+    lagged.groupBy("month")
+      .agg(count(lit(1)).as("n_parts"),
+        sum(when(col("comparable"), 1L).otherwise(0L))
+          .as("n_comparable"),
+        sum("cents").as("tot_cents"),
+        sum(when(col("comparable"), col("cents"))).as("comp_cents"),
+        sum(when(col("comparable"), col("prev_cents")))
+          .as("comp_prev_cents"))
+      .filter(col("n_comparable") > 0)
+      .select(col("month"), col("n_parts"), col("n_comparable"),
+        (col("tot_cents").cast("double") / lit(100.0)).as("revenue"),
+        val6(col("comp_cents").cast("double") /
+          col("comp_prev_cents").cast("double")).as("index_mom"),
+        val6(col("comp_cents").cast("double") /
+          col("tot_cents").cast("double")).as("coverage"))
+      .orderBy("month")
+  }
+
+  /** q267: demand-trend movers — the top-20 parts whose DAILY demand
+    * is accelerating, by exact per-part OLS slope of quantity over
+    * the ship-day index (the q102 integer-power-sum discipline, per
+    * key): one map-side-combined aggregate collects (n, Σx, Σy, Σxy,
+    * Σx²) as BIGINTs (y = quantity in hundredths, x = days from the
+    * corpus's first ship date), then slope = (n·Σxy − Σx·Σy) /
+    * (n·Σx² − Σx·Σx) is one division, reported per 30 days. Ranking
+    * is over the computed double (bit-identical on both engines)
+    * with partkey tiebreak; nothing leaves part grain until the
+    * top-k. At 100 TB the power sums would ride DECIMAL(38) — the
+    * shape (one aggregate, top-k) is unchanged. */
+  def demandTrendMovers(spark: SparkSession, dir: String,
+      topK: Int = 20): DataFrame = {
+    val anchor = Tables.lineitem(spark, dir)
+      .agg(min(col("l_shipdate")).as("d0"))
+    val sums = Tables.lineitem(spark, dir)
+      .crossJoin(broadcast(anchor))
+      .select(col("l_partkey"),
+        datediff(col("l_shipdate"), col("d0")).cast("long").as("x"),
+        cents2(col("l_quantity")).as("y"))
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2 &&
+        col("n") * col("sxx") - col("sx") * col("sx") > 0)
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy"))
+      .cast("double") * lit(30.0) /
+      (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+    sums
+      .withColumn("slope_30d", val6(slope / lit(100.0)))
+      // distributed top-k (TakeOrderedAndProject), THEN rank the k
+      // survivors — never a global single-partition sort at part grain
+      .orderBy(desc("slope_30d"), col("l_partkey")).limit(topK)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        desc("slope_30d"), col("l_partkey"))).cast("long"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("rank"), col("l_partkey").as("partkey"),
+        col("p_brand").as("brand"), col("n").as("n_lines"),
+        (col("sy").cast("double") / lit(100.0)).as("total_qty"),
+        col("slope_30d"))
+      .orderBy("rank")
+  }
+
   /** The EWMA lag-chain core shared by q250 and the q251 continuous
     * monitor: `d` must carry integer `cents` at (partCols, day) grain;
     * emits forecast/flag per row (first observed day per partition is

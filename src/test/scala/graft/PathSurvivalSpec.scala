@@ -140,6 +140,100 @@ class PathSurvivalSpec extends SparkSpec {
     }
   }
 
+  test("q265: stage latencies equal the sequential first-touch " +
+      "pair computation") {
+    val stages = Seq("signup", "view", "click", "purchase")
+    val firsts = rawEvents.groupBy(_._1).values.map { evs =>
+      stages.map(t => evs.filter(_._4 == t) match {
+        case e if e.nonEmpty => Some(e.map(_._2).min)
+        case _ => None
+      })
+    }.toSeq
+    val pairNames = Seq("signup_to_view", "view_to_click",
+      "click_to_purchase")
+    val expected = pairNames.zipWithIndex.map { case (name, i) =>
+      val gaps = firsts.flatMap { f =>
+        for (a <- f(i); b <- f(i + 1) if b >= a) yield b - a
+      }.sorted
+      val hours = gaps.map(_ / 3600000000L)
+      val n = hours.length
+      def q(p: Int, of: Int) = hours.distinct.sorted.find(h =>
+        hours.count(_ <= h).toLong * of >= n.toLong * p).get
+      val mean = math.floor(gaps.map(BigInt(_)).sum.toDouble /
+        n / 3.6e9 * 1e6 + 0.5) / 1e6
+      (name, n.toLong, q(1, 2), q(9, 10), mean)
+    }.sortBy(_._1)
+    val got = Analytics.funnelStageLatency(spark, dir)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q266: the like-for-like index equals the sequential " +
+      "comparable-set computation and coverage is in (0, 1]") {
+    val rows = Tables.lineitem(spark, dir)
+      .select(trunc(col("l_shipdate"), "month").cast("string"),
+        col("l_partkey"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+      .as[(String, Long, Long)].collect().toSeq
+    val byMp = rows.groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    def mi(m: String) = m.substring(0, 4).toInt * 12 +
+      m.substring(5, 7).toInt
+    val months = byMp.keys.map(_._1).toSeq.distinct.sorted
+    val expected = months.flatMap { m =>
+      val cur = byMp.filter(_._1._1 == m)
+      // previous OBSERVED month per part must also be calendar-adjacent
+      val prevObs = byMp.keys.filter(k => mi(k._1) < mi(m))
+        .groupBy(_._2).view.mapValues(_.map(_._1).maxBy(mi)).toMap
+      val comp = cur.keys.filter(k =>
+        prevObs.get(k._2).exists(pm => mi(pm) == mi(m) - 1)).toSeq
+      if (comp.isEmpty) None else {
+        val tot = cur.values.sum
+        val cc = comp.map(k => byMp(k)).sum
+        val cp = comp.map(k => byMp((prevObs(k._2), k._2))).sum
+        def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+        Some((m, cur.size.toLong, comp.size.toLong, tot / 100.0,
+          r6(cc.toDouble / cp), r6(cc.toDouble / tot)))
+      }
+    }
+    val got = Analytics.comparableRevenueIndex(spark, dir)
+      .select(col("month").cast("string"), col("n_parts"),
+        col("n_comparable"), col("revenue"), col("index_mom"),
+        col("coverage"))
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == expected)
+    got.foreach { r => assert(r._6 > 0.0 && r._6 <= 1.0) }
+  }
+
+  test("q267: top movers equal the sequential per-part OLS ranking") {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), to_date(col("l_shipdate")).cast("string"),
+        floor(col("l_quantity") * 100.0 + 0.5).cast("long"))
+      .as[(Long, String, Long)].collect().toSeq
+    val d0 = li.map(_._2).min
+    def days(d: String) = java.time.temporal.ChronoUnit.DAYS.between(
+      java.time.LocalDate.parse(d0), java.time.LocalDate.parse(d))
+    val slopes = li.groupBy(_._1).toSeq.flatMap { case (pk, rs) =>
+      val xy = rs.map(r => (days(r._2), r._3))
+      val n = xy.length.toLong
+      val sx = xy.map(_._1).sum; val sy = xy.map(_._2).sum
+      val sxy = xy.map(p => p._1 * p._2).sum
+      val sxx = xy.map(p => p._1 * p._1).sum
+      val den = n * sxx - sx * sx
+      if (n >= 2 && den > 0) {
+        val s = math.floor((n * sxy - sx * sy).toDouble * 30.0 /
+          den.toDouble / 100.0 * 1e6 + 0.5) / 1e6
+        Some((pk, s))
+      } else None
+    }
+    val expected = slopes.sortBy { case (pk, s) => (-s, pk) }.take(20)
+      .zipWithIndex.map { case ((pk, s), i) => (i + 1L, pk, s) }
+    val got = Analytics.demandTrendMovers(spark, dir)
+      .select("rank", "partkey", "slope_30d")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("q264: shares sum to 1 per month, ranks are dense, and the " +
       "delta/rank-move chain matches the previous observed month") {
     val g = Analytics.brandShareShift(spark, dir).cache()
