@@ -344,6 +344,8 @@ object SparkEntry {
     "q266_comparable_index" ->
       ((s, d) => Analytics.comparableRevenueIndex(s, d)),
     "q267_demand_movers" -> ((s, d) => Analytics.demandTrendMovers(s, d)),
+    "q268_rank_sum_test" -> ((s, d) => Analytics.rankSumTest(s, d)),
+    "q269_ks_test" -> ((s, d) => Analytics.ksTest(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -6291,5 +6293,80 @@ object SparkEntry {
          |  slope_30d
          |FROM t JOIN part ON t.l_partkey = p_partkey
          |WHERE rank <= 20 ORDER BY rank NULLS FIRST""".stripMargin,
+
+    // q268: Mann–Whitney over the shared cents histogram — midranks
+    // double-scaled integral, tie-corrected variance, one z tree.
+    "q268_rank_sum_test" -> {
+      val n1d = "CAST(n1 AS DOUBLE)"
+      val n2d = "CAST(n2 AS DOUBLE)"
+      val nnd = "CAST(n1 + n2 AS DOUBLE)"
+      val u1x2 = "r1x2 - n1 * (n1 + 1)"
+      val varU = s"$n1d * $n2d / 12.0 * (($nnd + 1.0)" +
+        s" - CAST(ties AS DOUBLE) / ($nnd * ($nnd - 1.0)))"
+      val z = s"CAST($u1x2 - n1 * n2 AS DOUBLE) / (2.0 * sqrt($varU))"
+      s"""WITH j AS (SELECT (c_mktsegment = 'BUILDING') AS is_a,
+         |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         |h AS (SELECT cents,
+         |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c1,
+         |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c2
+         |  FROM j GROUP BY 1),
+         |c AS (SELECT *, c1 + c2 AS c,
+         |    CAST(SUM(c1 + c2) OVER (ORDER BY cents NULLS FIRST
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM h),
+         |g AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         |    CAST(SUM(c2) AS BIGINT) AS n2,
+         |    CAST(SUM(c1 * ((cum - c) * 2 + c + 1)) AS BIGINT) AS r1x2,
+         |    CAST(SUM(c * c * c - c) AS BIGINT) AS ties
+         |  FROM c)
+         |SELECT n1, n2,
+         |  CAST($u1x2 AS DOUBLE) / 2.0 AS u_stat,
+         |  ${val6(s"CAST($u1x2 AS DOUBLE) / (2.0 * $n1d * $n2d)")}
+         |    AS p_superior,
+         |  ${val6(z)} AS z,
+         |  abs($z) > 1.96 AS significant
+         |FROM g""".stripMargin
+    },
+
+    // q269: two-sample KS — exact integer argmax of |cum1·n2 − cum2·n1|
+    // over the shared CDF grain; two final divisions + one sqrt.
+    "q269_ks_test" -> {
+      val n1d = "CAST(n1 AS DOUBLE)"
+      val n2d = "CAST(n2 AS DOUBLE)"
+      val dstat = s"CAST(d_x AS DOUBLE) / ($n1d * $n2d)"
+      val dcrit = s"1.358 * sqrt(($n1d + $n2d) / ($n1d * $n2d))"
+      s"""WITH j AS (SELECT (c_mktsegment = 'BUILDING') AS is_a,
+         |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+         |h AS (SELECT cents,
+         |    CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c1,
+         |    CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS c2
+         |  FROM j GROUP BY 1),
+         |c AS (SELECT *,
+         |    CAST(SUM(c1 + c2) OVER w AS BIGINT) AS cum,
+         |    CAST(SUM(c1) OVER w AS BIGINT) AS cum1
+         |  FROM h
+         |  WINDOW w AS (ORDER BY cents NULLS FIRST
+         |    ROWS UNBOUNDED PRECEDING)),
+         |t AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+         |    CAST(SUM(c2) AS BIGINT) AS n2 FROM h),
+         |g AS (SELECT
+         |    CAST(MAX(ABS(cum1 * n2 - (cum - cum1) * n1)) AS BIGINT)
+         |      AS d_x,
+         |    MAX(n1) AS n1, MAX(n2) AS n2
+         |  FROM c CROSS JOIN t)
+         |SELECT n1, n2,
+         |  ${val6(dstat)} AS d_stat,
+         |  ${val6(dcrit)} AS d_crit_05,
+         |  ($dstat) > ($dcrit) AS significant
+         |FROM g""".stripMargin
+    },
   )
 }

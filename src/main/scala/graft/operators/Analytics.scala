@@ -1399,6 +1399,95 @@ object Analytics {
       .orderBy("rank")
   }
 
+  /** Shared core for the two-sample distribution tests (q268/q269):
+    * order-value cents histogram split by two customer segments, with
+    * BOTH groups' cumulative counts advanced over the same value order
+    * through ONE two-phase distributed prefix-sum
+    * ([[Relational.globalRankedPrefixSums]] — no single-partition
+    * window anywhere, and the histogram is checkpointed once). */
+  private def segmentCentsCdf(spark: SparkSession, dir: String,
+      segA: String, segB: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val hist = Tables.orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin(segA, segB))
+      .select((col("c_mktsegment") === lit(segA)).as("is_a"),
+        cents2(col("o_totalprice")).as("cents"))
+      .groupBy("cents")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("c1"),
+        sum(when(!col("is_a"), 1L).otherwise(0L)).as("c2"))
+      .withColumn("c", col("c1") + col("c2"))
+      // cents are positive: a 19-digit zero-pad makes the range
+      // partitioning's lexicographic order the numeric order
+      .withColumn("_k", lpad(col("cents").cast("string"), 19, "0"))
+    Relational.globalRankedPrefixSums(hist, "_k",
+      Seq("c" -> "cum", "c1" -> "cum1"), "_r")
+  }
+
+  /** q268: Mann–Whitney rank-sum test — does one customer segment
+    * spend stochastically more per order than another? The
+    * nonparametric two-sample test a skewed money distribution calls
+    * for (a t-test's mean is the wrong summary under heavy tails).
+    * Exactness at scale: ranks never materialize per row — the
+    * histogram grain carries tie counts, midranks double-scale to
+    * stay integral (2·midrank = 2·cum_before + t + 1), so the rank
+    * sum, U, and the tie-corrected variance all come from exact
+    * BIGINTs; z is one fixed-shape IEEE tree mirrored in the oracle.
+    * (Power sums can reach ~n·2N — at extreme corpus sizes the sums
+    * would ride DECIMAL(38), same shape.) */
+  def rankSumTest(spark: SparkSession, dir: String,
+      segA: String = "BUILDING", segB: String = "MACHINERY")
+      : DataFrame = {
+    val g = segmentCentsCdf(spark, dir, segA, segB)
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        sum(col("c1") * ((col("cum") - col("c")) * 2 + col("c") + 1))
+          .as("r1x2"),
+        sum(col("c") * col("c") * col("c") - col("c")).as("ties"))
+    def d(c: Column) = c.cast("double")
+    val u1x2 = col("r1x2") - col("n1") * (col("n1") + 1)
+    val nn = col("n1") + col("n2")
+    val varU = d(col("n1")) * d(col("n2")) / lit(12.0) *
+      ((d(nn) + lit(1.0)) -
+        d(col("ties")) / (d(nn) * (d(nn) - lit(1.0))))
+    val z = d(u1x2 - col("n1") * col("n2")) / (lit(2.0) * sqrt(varU))
+    g.select(col("n1"), col("n2"),
+      (d(u1x2) / lit(2.0)).as("u_stat"),
+      val6(d(u1x2) / (lit(2.0) * d(col("n1")) * d(col("n2"))))
+        .as("p_superior"),
+      val6(z).as("z"),
+      (abs(z) > lit(1.96)).as("significant"))
+  }
+
+  /** q269: two-sample Kolmogorov–Smirnov D — the distribution-shape
+    * companion to q268's location test, and FULLY integer until the
+    * final divisions: D = max |F1 − F2| is found as the exact BIGINT
+    * max of |cum1·n2 − cum2·n1| over the shared CDF grain (no float
+    * compare decides the argmax), then divided once by n1·n2; the
+    * 5% critical value is 1.358·√((n1+n2)/(n1·n2)) — sqrt is
+    * correctly-rounded IEEE, the q263 discipline. */
+  def ksTest(spark: SparkSession, dir: String,
+      segA: String = "BUILDING", segB: String = "MACHINERY")
+      : DataFrame = {
+    val cdf = segmentCentsCdf(spark, dir, segA, segB)
+      .withColumn("cum2", col("cum") - col("cum1"))
+    val tot = cdf.agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val g = cdf.crossJoin(broadcast(tot))
+      .agg(
+        max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+          .as("d_x"),
+        max("n1").as("n1"), max("n2").as("n2"))
+    def d(c: Column) = c.cast("double")
+    val dStat = d(col("d_x")) / (d(col("n1")) * d(col("n2")))
+    val dCrit = lit(1.358) *
+      sqrt((d(col("n1")) + d(col("n2"))) /
+        (d(col("n1")) * d(col("n2"))))
+    g.select(col("n1"), col("n2"),
+      val6(dStat).as("d_stat"),
+      val6(dCrit).as("d_crit_05"),
+      (dStat > dCrit).as("significant"))
+  }
+
   /** The EWMA lag-chain core shared by q250 and the q251 continuous
     * monitor: `d` must carry integer `cents` at (partCols, day) grain;
     * emits forecast/flag per row (first observed day per partition is

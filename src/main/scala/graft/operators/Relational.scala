@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 import graft.sources.Tables
 import graft.util.Portable._
@@ -299,32 +300,59 @@ object Relational {
     * shape every cumulative mart (vocab coverage, pack budgets, CDF
     * tables) needs at 100 TB. */
   def globalRankedPrefixSum(df: DataFrame, orderCol: String,
-      valueCol: String, rankName: String, cumName: String): DataFrame = {
+      valueCol: String, rankName: String, cumName: String): DataFrame =
+    globalRankedPrefixSums(df, orderCol,
+      Seq(valueCol -> cumName), rankName)
+
+  /** Multi-column form of [[globalRankedPrefixSum]]: one two-phase
+    * pass (one checkpoint, one offset collect of a few longs per
+    * partition) yields the running sum of EVERY (valueCol -> cumName)
+    * pair — the shape a two-sample CDF comparison (q269) needs, where
+    * both groups' cumulative counts must advance over the SAME value
+    * order and a second pass would checkpoint the histogram twice. */
+  def globalRankedPrefixSums(df: DataFrame, orderCol: String,
+      valueCols: Seq[(String, String)], rankName: String): DataFrame = {
     val spark = df.sparkSession
     // materialized once: all three jobs must see the same boundaries
     val parted = df.repartitionByRange(col(orderCol))
       .withColumn("_pid", spark_partition_id())
       .localCheckpoint()
     val stats = parted.groupBy("_pid")
-      .agg(count(lit(1)).as("_cnt"), sum(col(valueCol)).as("_s"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .agg(count(lit(1)).as("_cnt"),
+        valueCols.map { case (v, _) => sum(col(v)).as(s"_s_$v") }: _*)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        valueCols.indices.map(i => r.getLong(2 + i)).toVector))
       .sortBy(_._1)
-    val offsets = stats.scanLeft((0, 0L, 0L)) {
-      case ((_, accN, accS), (pid, n, s)) => (pid, accN + n, accS + s)
+    val zero = Vector.fill(valueCols.length)(0L)
+    val offsets = stats.scanLeft((0, 0L, zero)) {
+      case ((_, accN, accS), (pid, n, s)) =>
+        (pid, accN + n, accS.lazyZip(s).map(_ + _))
     }.tail.zip(stats).map { case ((pid, endN, endS), (_, n, s)) =>
-      (pid, endN - n, endS - s)
+      Row.fromSeq(pid +: (endN - n) +: endS.lazyZip(s).map(_ - _))
     }
-    val offsetDf = spark.createDataFrame(offsets.toSeq)
-      .toDF("_pid", "_offn", "_offs")
+    val offSchema = StructType(
+      StructField("_pid", IntegerType) +:
+      StructField("_offn", LongType) +:
+      valueCols.map { case (v, _) =>
+        StructField(s"_off_$v", LongType) })
+    val offsetDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets.toSeq, 1), offSchema)
     val w = Window.partitionBy("_pid").orderBy(orderCol)
-    parted
-      .withColumn("_lrn", row_number().over(w))
-      .withColumn("_lsum", sum(col(valueCol)).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .join(broadcast(offsetDf), "_pid")
-      .withColumn(rankName, col("_lrn") + col("_offn"))
-      .withColumn(cumName, col("_lsum") + col("_offs"))
-      .drop("_pid", "_lrn", "_lsum", "_offn", "_offs")
+    val localled = valueCols.foldLeft(
+      parted.withColumn("_lrn", row_number().over(w))) {
+      case (d, (v, _)) =>
+        d.withColumn(s"_ls_$v", sum(col(v)).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    }
+    val summed = valueCols.foldLeft(
+      localled.join(broadcast(offsetDf), "_pid")
+        .withColumn(rankName, col("_lrn") + col("_offn"))) {
+      case (d, (v, cumName)) =>
+        d.withColumn(cumName, col(s"_ls_$v") + col(s"_off_$v"))
+    }
+    summed.drop(Seq("_pid", "_lrn", "_offn") ++
+      valueCols.flatMap { case (v, _) => Seq(s"_ls_$v", s"_off_$v") }: _*)
   }
 
   /** [[denseGlobalRank]] for inputs whose lineage is CHEAP TO RE-EXECUTE

@@ -234,6 +234,63 @@ class PathSurvivalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  private lazy val segCents: (Seq[Long], Seq[Long]) = {
+    val rows = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select((col("c_mktsegment") === "BUILDING"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .as[(Boolean, Long)].collect().toSeq
+    (rows.filter(_._1).map(_._2), rows.filterNot(_._1).map(_._2))
+  }
+
+  test("q268: U and z equal the sequential midrank computation") {
+    val (a, b) = segCents
+    val n1 = a.length.toLong; val n2 = b.length.toLong
+    val all = (a.map((_, true)) ++ b.map((_, false))).sortBy(_._1)
+    // average ranks per tied value group
+    val r1 = all.zipWithIndex.groupBy(_._1._1).toSeq.map {
+      case (_, g) =>
+        val mid = g.map(_._2 + 1L).sum.toDouble / g.length
+        mid * g.count(_._1._2)
+    }.sum
+    val u1 = r1 - n1 * (n1 + 1) / 2.0
+    val ties = all.groupBy(_._1).values
+      .map(g => { val t = g.size.toLong; t * t * t - t }).sum
+    val nn = (n1 + n2).toDouble
+    val varU = n1.toDouble * n2 / 12.0 *
+      ((nn + 1.0) - ties / (nn * (nn - 1.0)))
+    val z = (u1 - n1.toDouble * n2 / 2.0) / math.sqrt(varU)
+    val got = Analytics.rankSumTest(spark, dir)
+      .as[(Long, Long, Double, Double, Double, Boolean)].head()
+    assert(got._1 == n1 && got._2 == n2)
+    assert(got._3 == u1, "U must be exact")
+    assert(math.abs(got._4 - u1 / (n1.toDouble * n2)) < 2e-6)
+    assert(math.abs(got._5 - z) < 2e-6)
+    assert(got._6 == (math.abs(z) > 1.96))
+  }
+
+  test("q269: D equals the sequential max CDF gap exactly") {
+    val (a, b) = segCents
+    val n1 = a.length.toLong; val n2 = b.length.toLong
+    val values = (a ++ b).distinct.sorted
+    val dx = values.map { v =>
+      val cum1 = a.count(_ <= v).toLong
+      val cum2 = b.count(_ <= v).toLong
+      math.abs(cum1 * n2 - cum2 * n1)
+    }.max
+    val got = Analytics.ksTest(spark, dir)
+      .as[(Long, Long, Double, Double, Boolean)].head()
+    assert(got._1 == n1 && got._2 == n2)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got._3 == r6(dx.toDouble / (n1.toDouble * n2.toDouble)),
+      "D must be the exact integer argmax ratio")
+    val crit = 1.358 * math.sqrt((n1.toDouble + n2.toDouble) /
+      (n1.toDouble * n2.toDouble))
+    assert(math.abs(got._4 - crit) < 2e-6)
+  }
+
   test("q264: shares sum to 1 per month, ranks are dense, and the " +
       "delta/rank-move chain matches the previous observed month") {
     val g = Analytics.brandShareShift(spark, dir).cache()
