@@ -346,6 +346,10 @@ object SparkEntry {
     "q267_demand_movers" -> ((s, d) => Analytics.demandTrendMovers(s, d)),
     "q268_rank_sum_test" -> ((s, d) => Analytics.rankSumTest(s, d)),
     "q269_ks_test" -> ((s, d) => Analytics.ksTest(s, d)),
+    "q270_cohort_ltv" -> ((s, d) => Analytics.cohortLtv(s, d)),
+    "q271_abc_classes" -> ((s, d) => Analytics.abcClassification(s, d)),
+    "q272_basket_dispersion" ->
+      ((s, d) => Analytics.basketDispersion(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -6367,6 +6371,81 @@ object SparkEntry {
          |  ${val6(dcrit)} AS d_crit_05,
          |  ($dstat) > ($dcrit) AS significant
          |FROM g""".stripMargin
+    },
+
+    // q270: cohort LTV — q66's week math, purchase cents, per-cohort
+    // running sum, (cum/100)/n in a fixed tree.
+    "q270_cohort_ltv" ->
+      s"""WITH p AS (SELECT user_id, CAST(ts AS DATE) AS day,
+         |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT user_id, CAST(date_trunc('week', MIN(day))
+         |    AS DATE) AS cohort_week FROM p GROUP BY 1),
+         |s AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+         |  FROM c GROUP BY 1),
+         |cells AS (SELECT cohort_week,
+         |    CAST(date_diff('day', cohort_week,
+         |      CAST(date_trunc('week', day) AS DATE)) / 7 AS INT)
+         |      AS weeks_since,
+         |    CAST(SUM(cents) AS BIGINT) AS cents
+         |  FROM p JOIN c USING (user_id) GROUP BY 1, 2),
+         |w AS (SELECT cells.*, n_users,
+         |    CAST(SUM(cents) OVER (PARTITION BY cells.cohort_week
+         |      ORDER BY weeks_since NULLS FIRST
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+         |  FROM cells JOIN s USING (cohort_week))
+         |SELECT cohort_week, weeks_since, n_users,
+         |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+         |  CAST(cum_cents AS DOUBLE) / 100.0 AS cum_revenue,
+         |  ${val6("CAST(cum_cents AS DOUBLE) / 100.0" +
+             " / CAST(n_users AS DOUBLE)")} AS ltv_per_user
+         |FROM w ORDER BY cohort_week NULLS FIRST,
+         |  weeks_since NULLS FIRST""".stripMargin,
+
+    // q271: ABC classes — (revenue DESC, partkey) rank + running sum,
+    // integer cross-multiplied 80/95 cuts.
+    "q271_abc_classes" ->
+      s"""WITH rev AS (SELECT l_partkey,
+         |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS cents
+         |  FROM lineitem GROUP BY 1),
+         |r AS (SELECT *, CAST(ROW_NUMBER() OVER o AS BIGINT) AS rank,
+         |    CAST(SUM(cents) OVER (o ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cum_cents
+         |  FROM rev
+         |  WINDOW o AS (ORDER BY cents DESC, l_partkey NULLS FIRST)),
+         |t AS (SELECT CAST(SUM(cents) AS BIGINT) AS tot FROM rev),
+         |c AS (SELECT *, CASE WHEN cum_cents * 5 <= tot * 4 THEN 'A'
+         |    WHEN cum_cents * 20 <= tot * 19 THEN 'B' ELSE 'C' END
+         |    AS abc_class
+         |  FROM r CROSS JOIN t)
+         |SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_parts,
+         |  CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE) / 100.0
+         |    AS revenue,
+         |  ${val6("CAST(CAST(SUM(cents) AS BIGINT) AS DOUBLE)" +
+             " / CAST(MAX(tot) AS DOUBLE)")} AS revenue_share,
+         |  MIN(rank) AS rank_from, MAX(rank) AS rank_to
+         |FROM c GROUP BY 1 ORDER BY abc_class NULLS FIRST""".stripMargin,
+
+    // q272: index of dispersion per priority from BIGINT power sums.
+    "q272_basket_dispersion" -> {
+      val mean = "CAST(sk AS DOUBLE) / CAST(n_orders AS DOUBLE)"
+      val vr = "CAST(n_orders * skk - sk * sk AS DOUBLE)" +
+        " / (CAST(n_orders AS DOUBLE) * (CAST(n_orders AS DOUBLE) - 1.0))"
+      s"""WITH k AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS k
+         |  FROM lineitem GROUP BY 1),
+         |g AS (SELECT o_orderpriority,
+         |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |    CAST(SUM(k) AS BIGINT) AS sk,
+         |    CAST(SUM(k * k) AS BIGINT) AS skk
+         |  FROM k JOIN orders ON l_orderkey = o_orderkey
+         |  GROUP BY 1)
+         |SELECT o_orderpriority AS priority, n_orders,
+         |  ${val6(mean)} AS mean_items,
+         |  ${val6(vr)} AS var_items,
+         |  ${val6(s"($vr) / ($mean)")} AS dispersion,
+         |  ($vr) / ($mean) > 1.0 AS overdispersed
+         |FROM g ORDER BY priority NULLS FIRST""".stripMargin
     },
   )
 }

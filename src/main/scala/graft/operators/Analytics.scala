@@ -1488,6 +1488,107 @@ object Analytics {
       (dStat > dCrit).as("significant"))
   }
 
+  /** q270: cohort LTV curve — the money companion to q66's retention
+    * matrix: cumulative purchase revenue per (first-purchase-week
+    * cohort, weeks-since), normalized per cohort user. One user-grain
+    * cohort aggregate, one user⋈user co-partitioned join (AQE reuses
+    * the first aggregation's exchange), and the cumulative window
+    * runs per cohort over ≤ corpus-span/7 rows. Exact cents
+    * throughout; LTV is (cum/100)/n — two IEEE divisions in a fixed
+    * tree, [[val6]]-scaled. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        cents2(col("value")).as("cents"))
+    val cohort = p.groupBy("user_id")
+      .agg(min("day").as("first_day"))
+      .select(col("user_id"),
+        trunc(col("first_day"), "week").as("cohort_week"))
+    val size = cohort.groupBy("cohort_week")
+      .agg(count(lit(1)).as("n_users"))
+    val cells = p.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(trunc(col("day"), "week"), col("cohort_week")) / 7)
+          .cast("int").as("weeks_since"))
+      .agg(sum("cents").as("cents"))
+    val wCum = Window.partitionBy("cohort_week").orderBy("weeks_since")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    cells.join(broadcast(size), "cohort_week")
+      .withColumn("cum_cents", sum("cents").over(wCum))
+      .select(col("cohort_week"), col("weeks_since"), col("n_users"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        (col("cum_cents").cast("double") / lit(100.0)).as("cum_revenue"),
+        val6(col("cum_cents").cast("double") / lit(100.0) /
+          col("n_users").cast("double")).as("ltv_per_user"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  /** q271: ABC inventory classification — parts bucketed A/B/C by
+    * cumulative revenue share (A ≤ 80%, B ≤ 95%, C the tail), the
+    * assortment-policy table behind stocking and delisting decisions.
+    * The descending revenue rank AND the running revenue both come
+    * from ONE two-phase [[Relational.globalRankedPrefixSum]] on a
+    * (revenue DESC, partkey) lexicographic key — no single-partition
+    * sort at part grain anywhere; the grand total is the LAST
+    * cumulative value (max), so no second fact pass exists. Class
+    * cuts are integer cross-multiplications (cum·5 ≤ tot·4). */
+  def abcClassification(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum(cents2(col("l_extendedprice"))).as("cents"))
+    val keyed = rev.withColumn("_k", concat(
+      lpad((lit(1000000000000000000L) - col("cents")).cast("string"),
+        19, "0"),
+      lpad(col("l_partkey").cast("string"), 19, "0")))
+    val ranked = Relational.globalRankedPrefixSum(
+      keyed, "_k", "cents", "rank", "cum_cents")
+    val tot = ranked.agg(max("cum_cents").as("tot"))
+    ranked.crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when(col("cum_cents") * 5 <= col("tot") * 4, "A")
+          .when(col("cum_cents") * 20 <= col("tot") * 19, "B")
+          .otherwise("C"))
+      .groupBy("abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum("cents").as("class_cents"),
+        max("tot").as("tot"),
+        min("rank").as("rank_from"), max("rank").as("rank_to"))
+      .select(col("abc_class"), col("n_parts"),
+        (col("class_cents").cast("double") / lit(100.0)).as("revenue"),
+        val6(col("class_cents").cast("double") /
+          col("tot").cast("double")).as("revenue_share"),
+        col("rank_from"), col("rank_to"))
+      .orderBy("abc_class")
+  }
+
+  /** q272: basket-size dispersion — is the per-order item count
+    * Poisson-like or clumped? Index of dispersion (variance/mean) per
+    * order priority from exact BIGINT power sums (the q82/q102
+    * discipline): one orderkey-grain count, one co-partitioned join
+    * to priorities, one 5-row aggregate; every ratio is a fixed IEEE
+    * tree over exact integers. */
+  def basketDispersion(spark: SparkSession, dir: String): DataFrame = {
+    val k = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("k"))
+    val pri = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val g = k.join(pri, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), sum("k").as("sk"),
+        sum(col("k") * col("k")).as("skk"))
+    def d(c: Column) = c.cast("double")
+    val mean = d(col("sk")) / d(col("n_orders"))
+    val vr = d(col("n_orders") * col("skk") - col("sk") * col("sk")) /
+      (d(col("n_orders")) * (d(col("n_orders")) - lit(1.0)))
+    g.select(col("o_orderpriority").as("priority"), col("n_orders"),
+        val6(mean).as("mean_items"),
+        val6(vr).as("var_items"),
+        val6(vr / mean).as("dispersion"),
+        (vr / mean > lit(1.0)).as("overdispersed"))
+      .orderBy("priority")
+  }
+
   /** The EWMA lag-chain core shared by q250 and the q251 continuous
     * monitor: `d` must carry integer `cents` at (partCols, day) grain;
     * emits forecast/flag per row (first observed day per partition is

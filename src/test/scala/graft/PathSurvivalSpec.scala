@@ -291,6 +291,93 @@ class PathSurvivalSpec extends SparkSpec {
     assert(math.abs(got._4 - crit) < 2e-6)
   }
 
+  test("q270: LTV telescopes per cohort and conserves total revenue") {
+    val g = Analytics.cohortLtv(spark, dir).cache()
+    val rows = g.select("cohort_week", "weeks_since", "n_users",
+        "revenue", "cum_revenue", "ltv_per_user")
+      .as[(java.sql.Date, Int, Long, Double, Double, Double)]
+      .collect().toSeq
+    rows.groupBy(_._1).values.foreach { cs =>
+      val seq = cs.sortBy(_._2)
+      var run = 0.0
+      seq.foreach { r =>
+        run += r._4
+        assert(math.abs(r._5 - run) < 1e-6,
+          "cum_revenue must be the running sum of revenue")
+        val ltv = math.floor(r._5 / r._3 * 1e6 + 0.5) / 1e6
+        assert(math.abs(r._6 - ltv) < 2e-6)
+      }
+    }
+    // conservation: last cum per cohort sums to total purchase revenue
+    val total = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum(floor(col("value") * 100.0 + 0.5).cast("long")))
+      .as[Long].head()
+    val lastSum = rows.groupBy(_._1).values
+      .map(_.maxBy(_._2)._5).sum
+    assert(math.abs(lastSum - total / 100.0) < 1e-4)
+    g.unpersist()
+  }
+
+  test("q271: ABC classes partition the parts with contiguous ranks " +
+      "and match the sequential classification") {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy("l_partkey")
+      .agg(sum(floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"))
+        .as("cents"))
+      .as[(Long, Long)].collect().toSeq
+    val sorted = rev.sortBy { case (pk, c) => (-c, pk) }
+    val tot = rev.map(_._2).sum
+    var cum = 0L
+    val classed = sorted.map { case (_, c) =>
+      cum += c
+      if (cum * 5 <= tot * 4) "A"
+      else if (cum * 20 <= tot * 19) "B" else "C"
+    }
+    val expected = classed.zip(sorted).groupBy(_._1).toSeq
+      .map { case (cl, xs) =>
+        (cl, xs.size.toLong, xs.map(_._2._2).sum) }
+      .sortBy(_._1)
+    val got = Analytics.abcClassification(spark, dir)
+      .select("abc_class", "n_parts", "revenue", "rank_from", "rank_to")
+      .as[(String, Long, Double, Long, Long)].collect().toSeq
+    assert(got.map(t => (t._1, t._2)) ==
+      expected.map(t => (t._1, t._2)))
+    got.zip(expected).foreach { case (g2, e) =>
+      assert(math.abs(g2._3 - e._3 / 100.0) < 1e-6)
+    }
+    // contiguous, complete rank coverage
+    val spans = got.sortBy(_._4)
+    assert(spans.head._4 == 1L)
+    spans.sliding(2).foreach {
+      case Seq(a, b) => assert(b._4 == a._5 + 1)
+      case _ =>
+    }
+    assert(spans.last._5 == rev.size.toLong)
+  }
+
+  test("q272: dispersion equals the sequential power-sum computation") {
+    val ks = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("k"))
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"), col("k"))
+      .as[(String, Long)].collect().toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = ks.groupBy(_._1).toSeq.map { case (p, xs) =>
+      val n = xs.size.toLong
+      val sk = xs.map(_._2).sum
+      val skk = xs.map(x => x._2 * x._2).sum
+      val mean = sk.toDouble / n
+      val vr = (n * skk - sk * sk).toDouble / (n.toDouble * (n - 1.0))
+      (p, n, r6(mean), r6(vr), r6(vr / mean), vr / mean > 1.0)
+    }.sortBy(_._1)
+    val got = Analytics.basketDispersion(spark, dir)
+      .as[(String, Long, Double, Double, Double, Boolean)]
+      .collect().toSeq
+    assert(got == expected)
+  }
+
   test("q264: shares sum to 1 per month, ranks are dense, and the " +
       "delta/rank-move chain matches the previous observed month") {
     val g = Analytics.brandShareShift(spark, dir).cache()
