@@ -350,9 +350,28 @@ object SparkEntry {
     "q271_abc_classes" -> ((s, d) => Analytics.abcClassification(s, d)),
     "q272_basket_dispersion" ->
       ((s, d) => Analytics.basketDispersion(s, d)),
+    "q273_new_vs_returning" ->
+      ((s, d) => Analytics.newVsReturning(s, d)),
+    "q274_entry_conversion" ->
+      ((s, d) => Analytics.entryTypeConversion(s, d)),
+    "q275_tier_migration" ->
+      ((s, d) => Analytics.spendQuartileMigration(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
+
+  /** The Wilson 95% tree (q263/q274) as SQL strings — mirrors
+    * `Analytics.wilson` expression-for-expression. Returns
+    * (phat, lo, hi). */
+  private def wilsonSql(n: String, k: String)
+      : (String, String, String) = {
+    val phat = s"($k) / ($n)"
+    val denom = s"1.0 + (1.96 * 1.96) / ($n)"
+    val center = s"(($phat) + (1.96 * 1.96) / (2.0 * ($n))) / ($denom)"
+    val half = s"1.96 * sqrt(($phat) * (1.0 - ($phat)) / ($n)" +
+      s" + (1.96 * 1.96) / (4.0 * ($n) * ($n))) / ($denom)"
+    (phat, s"($center) - ($half)", s"($center) + ($half)")
+  }
   // Money mirrors graft.util.Portable: floor(x*scale+0.5) scaled-integer
   // sums, divided back to double only at the output boundary. Every
   // multi-row result carries a total ORDER BY.
@@ -6144,13 +6163,8 @@ object SparkEntry {
     // q263: Wilson 95% interval — exact distinct counts, the bound a
     // single fixed-shape IEEE expression mirrored tree-for-tree.
     "q263_wilson_conversion" -> {
-      val n = "CAST(n_users AS DOUBLE)"
-      val k = "CAST(n_buyers AS DOUBLE)"
-      val phat = s"($k) / ($n)"
-      val denom = s"1.0 + (1.96 * 1.96) / ($n)"
-      val center = s"(($phat) + (1.96 * 1.96) / (2.0 * ($n))) / ($denom)"
-      val half = s"1.96 * sqrt(($phat) * (1.0 - ($phat)) / ($n)" +
-        s" + (1.96 * 1.96) / (4.0 * ($n) * ($n))) / ($denom)"
+      val (phat, lo, hi) = wilsonSql(
+        "CAST(n_users AS DOUBLE)", "CAST(n_buyers AS DOUBLE)")
       s"""WITH g AS (SELECT
          |    CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
          |    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
@@ -6159,8 +6173,8 @@ object SparkEntry {
          |  FROM events GROUP BY 1)
          |SELECT week, n_users, n_buyers,
          |  ${val6(phat)} AS conversion,
-         |  ${val6(s"($center) - ($half)")} AS wilson_lo,
-         |  ${val6(s"($center) + ($half)")} AS wilson_hi
+         |  ${val6(lo)} AS wilson_lo,
+         |  ${val6(hi)} AS wilson_hi
          |FROM g ORDER BY week NULLS FIRST""".stripMargin
     },
 
@@ -6447,5 +6461,115 @@ object SparkEntry {
          |  ($vr) / ($mean) > 1.0 AS overdispersed
          |FROM g ORDER BY priority NULLS FIRST""".stripMargin
     },
+
+    // q273: acquisition-vs-retention decomposition — first order month
+    // per customer, exact cents split.
+    "q273_new_vs_returning" ->
+      s"""WITH o AS (SELECT o_custkey,
+         |    CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+         |      AS DATE) AS month,
+         |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |f AS (SELECT o_custkey, MIN(month) AS first_month
+         |  FROM o GROUP BY 1),
+         |j AS (SELECT o.*, (month = first_month) AS is_new
+         |  FROM o JOIN f USING (o_custkey)),
+         |g AS (SELECT month, CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+         |    CAST(COUNT(DISTINCT CASE WHEN is_new THEN o_custkey END)
+         |      AS BIGINT) AS n_new_customers,
+         |    CAST(SUM(CASE WHEN is_new THEN cents ELSE 0 END)
+         |      AS BIGINT) AS new_cents,
+         |    CAST(SUM(cents) AS BIGINT) AS tot_cents
+         |  FROM j GROUP BY 1)
+         |SELECT month, n_orders, n_customers, n_new_customers,
+         |  CAST(tot_cents AS DOUBLE) / 100.0 AS revenue,
+         |  CAST(new_cents AS DOUBLE) / 100.0 AS new_revenue,
+         |  ${val6("CAST(new_cents AS DOUBLE)" +
+             " / CAST(tot_cents AS DOUBLE)")} AS new_share
+         |FROM g ORDER BY month NULLS FIRST""".stripMargin,
+
+    // q274: entry-type conversion with the q263 Wilson tree; the
+    // session's first event via rn=1 on the q17 session id.
+    "q274_entry_conversion" -> {
+      val (phat, lo, hi) = wilsonSql(
+        "CAST(n_sessions AS DOUBLE)", "CAST(n_converted AS DOUBLE)")
+      s"""WITH flagged AS (
+         |  SELECT user_id, ts, event_id, event_type,
+         |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+         |        > 1800000000
+         |      THEN 1 ELSE 0 END AS new_session
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id
+         |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
+         |sess AS (
+         |  SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id
+         |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+         |  FROM flagged),
+         |rn AS (SELECT user_id, session_id, event_type,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id, session_id
+         |      ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn
+         |  FROM sess),
+         |conv AS (SELECT user_id, session_id,
+         |    CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+         |      END) AS BIGINT) AS converted
+         |  FROM sess GROUP BY 1, 2),
+         |entry AS (SELECT user_id, session_id,
+         |    event_type AS entry_type FROM rn WHERE rn = 1),
+         |g AS (SELECT entry_type,
+         |    CAST(COUNT(*) AS BIGINT) AS n_sessions,
+         |    CAST(SUM(converted) AS BIGINT) AS n_converted
+         |  FROM entry JOIN conv USING (user_id, session_id)
+         |  GROUP BY 1)
+         |SELECT entry_type, n_sessions, n_converted,
+         |  ${val6(phat)} AS conversion,
+         |  ${val6(lo)} AS wilson_lo,
+         |  ${val6(hi)} AS wilson_hi
+         |FROM g ORDER BY entry_type NULLS FIRST""".stripMargin
+    },
+
+    // q275: tier migration — first-half quartile rubric (cross-
+    // multiplied cuts), both halves scored against it, tier 0 = absent.
+    "q275_tier_migration" ->
+      s"""WITH o AS (SELECT o_custkey,
+         |    CAST(o_orderdate AS DATE) AS day,
+         |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |b AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM o),
+         |sp AS (SELECT o_custkey,
+         |    CASE WHEN date_diff('day', d0, day) * 2
+         |        <= date_diff('day', d0, d1) THEN 1 ELSE 2 END AS h,
+         |    CAST(SUM(cents) AS BIGINT) AS cents
+         |  FROM o CROSS JOIN b GROUP BY 1, 2),
+         |hist AS (SELECT cents, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM sp WHERE h = 1 GROUP BY 1),
+         |r AS (SELECT *, CAST(SUM(c) OVER (ORDER BY cents NULLS FIRST
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM hist),
+         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM hist),
+         |cuts AS (SELECT
+         |    MIN(CASE WHEN cum * 4 >= n THEN cents END) AS q1,
+         |    MIN(CASE WHEN cum * 2 >= n THEN cents END) AS q2,
+         |    MIN(CASE WHEN cum * 4 >= n * 3 THEN cents END) AS q3
+         |  FROM r CROSS JOIN n),
+         |scored AS (SELECT o_custkey, h,
+         |    CASE WHEN cents <= q1 THEN 1 WHEN cents <= q2 THEN 2
+         |      WHEN cents <= q3 THEN 3 ELSE 4 END AS tier
+         |  FROM sp CROSS JOIN cuts),
+         |t1 AS (SELECT o_custkey, tier AS tier_h1 FROM scored
+         |  WHERE h = 1),
+         |t2 AS (SELECT o_custkey, tier AS tier_h2 FROM scored
+         |  WHERE h = 2),
+         |m AS (SELECT COALESCE(tier_h1, 0) AS tier_h1,
+         |    COALESCE(tier_h2, 0) AS tier_h2,
+         |    CAST(COUNT(*) AS BIGINT) AS n_customers
+         |  FROM t1 FULL OUTER JOIN t2 USING (o_custkey)
+         |  GROUP BY 1, 2),
+         |tt AS (SELECT CAST(SUM(n_customers) AS BIGINT) AS tot FROM m)
+         |SELECT tier_h1, tier_h2, n_customers,
+         |  ${val6("CAST(n_customers AS DOUBLE) / CAST(tot AS DOUBLE)")}
+         |    AS share
+         |FROM m CROSS JOIN tt
+         |ORDER BY tier_h1 NULLS FIRST, tier_h2 NULLS FIRST""".stripMargin,
   )
 }

@@ -1202,9 +1202,22 @@ object Analytics {
       .agg(countDistinct(col("user_id")).as("n_users"),
         countDistinct(when(col("event_type") === "purchase",
           col("user_id"))).as("n_buyers"))
+    val (phat, lo, hi) = wilson(col("n_users"), col("n_buyers"))
+    g.select(col("week"), col("n_users"), col("n_buyers"),
+        val6(phat).as("conversion"),
+        val6(lo).as("wilson_lo"),
+        val6(hi).as("wilson_hi"))
+      .orderBy("week")
+  }
+
+  /** The Wilson 95% tree shared by q263/q274 — one fixed expression
+    * shape over exact (n, k) integers; every oracle states the SAME
+    * tree verbatim (all ops correctly-rounded IEEE). */
+  private def wilson(nc: Column, kc: Column)
+      : (Column, Column, Column) = {
     def d(c: Column) = c.cast("double")
-    val n = d(col("n_users"))
-    val k = d(col("n_buyers"))
+    val n = d(nc)
+    val k = d(kc)
     val z = lit(1.96)
     val z2 = lit(1.96) * lit(1.96)
     val phat = k / n
@@ -1212,11 +1225,7 @@ object Analytics {
     val center = (phat + z2 / (lit(2.0) * n)) / denom
     val half = z * sqrt(phat * (lit(1.0) - phat) / n
       + z2 / (lit(4.0) * n * n)) / denom
-    g.select(col("week"), col("n_users"), col("n_buyers"),
-        val6(phat).as("conversion"),
-        val6(center - half).as("wilson_lo"),
-        val6(center + half).as("wilson_hi"))
-      .orderBy("week")
+    (phat, center - half, center + half)
   }
 
   /** q264: brand market-share shift — monthly revenue share per brand
@@ -1587,6 +1596,130 @@ object Analytics {
         val6(vr / mean).as("dispersion"),
         (vr / mean > lit(1.0)).as("overdispersed"))
       .orderBy("priority")
+  }
+
+  /** q273: new-vs-returning revenue decomposition — each month's
+    * revenue and customer counts split by whether the customer's FIRST
+    * order falls in that month, the growth-accounting mart behind
+    * "is growth acquisition or retention". One customer-grain first-
+    * month aggregate, one customer⋈customer co-partitioned join (AQE
+    * reuses the aggregation exchange), exact cents, one division per
+    * share. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        trunc(to_date(col("o_orderdate")), "month").as("month"),
+        cents2(col("o_totalprice")).as("cents"))
+    val first = o.groupBy("o_custkey")
+      .agg(min("month").as("first_month"))
+    val isNew = col("month") === col("first_month")
+    o.join(first, "o_custkey")
+      .groupBy("month")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(when(isNew, col("o_custkey")))
+          .as("n_new_customers"),
+        sum(when(isNew, col("cents")).otherwise(0L)).as("new_cents"),
+        sum("cents").as("tot_cents"))
+      .select(col("month"), col("n_orders"), col("n_customers"),
+        col("n_new_customers"),
+        (col("tot_cents").cast("double") / lit(100.0)).as("revenue"),
+        (col("new_cents").cast("double") / lit(100.0)).as("new_revenue"),
+        val6(col("new_cents").cast("double") /
+          col("tot_cents").cast("double")).as("new_share"))
+      .orderBy("month")
+  }
+
+  /** q274: session entry-type conversion — conversion rate of sessions
+    * by their FIRST event type (the landing-page question), with the
+    * q263 Wilson bounds per entry type. Sessionization is the q17
+    * window; the per-session reduction rides ONE (user, session)
+    * aggregate whose entry event is `min(struct(ts, event_id, type))`
+    * — no second window pass — and the final grain is ≤|types| rows. */
+  def entryTypeConversion(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 30L * 60 * 1000000
+    val sess = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"))
+      .withColumn("new_session",
+        when(unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1)
+          .over(byUser) > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("new_session"))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val perSession = sess.groupBy("user_id", "session_id")
+      .agg(min(struct(col("ts"), col("event_id"), col("event_type")))
+        .as("first_ev"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+      .select(col("first_ev.event_type").as("entry_type"),
+        col("converted"))
+    val g = perSession.groupBy("entry_type")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("converted").as("n_converted"))
+    val (phat, lo, hi) = wilson(col("n_sessions"), col("n_converted"))
+    g.select(col("entry_type"), col("n_sessions"), col("n_converted"),
+        val6(phat).as("conversion"),
+        val6(lo).as("wilson_lo"),
+        val6(hi).as("wilson_hi"))
+      .orderBy("entry_type")
+  }
+
+  /** q275: spend-quartile migration matrix — customers re-scored in
+    * the second half of the corpus against the FIRST half's quartile
+    * rubric (fixed cuts, so movement is absolute, not relative), plus
+    * tier 0 for customers absent from a half — the
+    * upgraded/downgraded/churned/acquired table a lifecycle program
+    * reads. The rubric comes from the first-half cents histogram via
+    * the two-phase [[Relational.globalRankedPrefixSum]] (no
+    * single-partition sort; cuts are integer cross-multiplications);
+    * scoring is a broadcast join of 1 row of cuts; the matrix is a
+    * full-outer customer⋈customer join at ≤ 5×5 output grain. */
+  def spendQuartileMigration(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).as("day"),
+        cents2(col("o_totalprice")).as("cents"))
+    val bounds = o.agg(min("day").as("d0"), max("day").as("d1"))
+    val spend = o.crossJoin(broadcast(bounds))
+      .withColumn("h",
+        when(datediff(col("day"), col("d0")) * 2 <=
+          datediff(col("d1"), col("d0")), 1).otherwise(2))
+      .groupBy(col("o_custkey"), col("h"))
+      .agg(sum("cents").as("cents"))
+    val hist = spend.filter(col("h") === 1)
+      .groupBy("cents").agg(count(lit(1)).as("c"))
+      .withColumn("_k", lpad(col("cents").cast("string"), 19, "0"))
+    // the two references to `ranked` re-execute only the cheap
+    // post-checkpoint window+offset-join lineage, not the scan
+    val ranked = Relational
+      .globalRankedPrefixSum(hist, "_k", "c", "_r", "cum")
+    val cuts = ranked
+      .crossJoin(broadcast(ranked.agg(max("cum").as("n"))))
+      .agg(min(when(col("cum") * 4 >= col("n"), col("cents"))).as("q1"),
+        min(when(col("cum") * 2 >= col("n"), col("cents"))).as("q2"),
+        min(when(col("cum") * 4 >= col("n") * 3, col("cents")))
+          .as("q3"))
+    val scored = spend.crossJoin(broadcast(cuts))
+      .select(col("o_custkey"), col("h"),
+        when(col("cents") <= col("q1"), 1)
+          .when(col("cents") <= col("q2"), 2)
+          .when(col("cents") <= col("q3"), 3).otherwise(4).as("tier"))
+    val t1 = scored.filter(col("h") === 1)
+      .select(col("o_custkey"), col("tier").as("tier_h1"))
+    val t2 = scored.filter(col("h") === 2)
+      .select(col("o_custkey"), col("tier").as("tier_h2"))
+    val m = t1.join(t2, Seq("o_custkey"), "full_outer")
+      .select(coalesce(col("tier_h1"), lit(0)).as("tier_h1"),
+        coalesce(col("tier_h2"), lit(0)).as("tier_h2"))
+      .groupBy("tier_h1", "tier_h2")
+      .agg(count(lit(1)).as("n_customers"))
+    m.crossJoin(broadcast(m.agg(sum("n_customers").as("tot"))))
+      .select(col("tier_h1"), col("tier_h2"), col("n_customers"),
+        val6(col("n_customers").cast("double") /
+          col("tot").cast("double")).as("share"))
+      .orderBy("tier_h1", "tier_h2")
   }
 
   /** The EWMA lag-chain core shared by q250 and the q251 continuous

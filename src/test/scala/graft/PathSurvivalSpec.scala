@@ -378,6 +378,101 @@ class PathSurvivalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  private lazy val rawOrders: Seq[(Long, String, Long)] =
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).cast("string"),
+        floor(col("o_totalprice") * 100.0 + 0.5).cast("long"))
+      .as[(Long, String, Long)].collect().toSeq
+
+  test("q273: the decomposition equals the sequential first-month " +
+      "split and conserves revenue") {
+    val om = rawOrders.map { case (ck, d, c) => (ck, d.substring(0, 7), c) }
+    val firstM = om.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = om.groupBy(_._2).toSeq.map { case (m, os) =>
+      val newOs = os.filter(o => firstM(o._1) == m)
+      val tot = os.map(_._3).sum
+      val nw = newOs.map(_._3).sum
+      (m, os.size.toLong, os.map(_._1).distinct.size.toLong,
+        newOs.map(_._1).distinct.size.toLong,
+        tot / 100.0, nw / 100.0, r6(nw.toDouble / tot))
+    }.sortBy(_._1)
+    val got = Analytics.newVsReturning(spark, dir)
+      .select(col("month").cast("string").substr(0, 7), col("n_orders"),
+        col("n_customers"), col("n_new_customers"), col("revenue"),
+        col("new_revenue"), col("new_share"))
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == expected)
+    // in a customer's first month every order is new: per-month new
+    // counts can never exceed totals, and the earliest month is all-new
+    assert(got.head._6 == got.head._5 && got.head._7 == 1.0)
+  }
+
+  test("q274: entry-type conversion equals the sequential " +
+      "sessionization with the q263 Wilson tree") {
+    val gapUs = 30L * 60 * 1000000
+    val sessions = rawEvents.groupBy(_._1).values.flatMap { evs =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      val sessIds = sorted.map(_._2).sliding(2).map(p =>
+        if (p.length == 2 && p(1) - p(0) > gapUs) 1 else 0)
+        .scanLeft(0)(_ + _).toSeq
+      sorted.zip(sessIds).groupBy(_._2).values.map { g =>
+        val inOrder = g.map(_._1)
+        (inOrder.head._4, inOrder.exists(_._4 == "purchase"))
+      }
+    }.toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = sessions.groupBy(_._1).toSeq.map { case (t, ss) =>
+      val n = ss.size.toLong
+      val k = ss.count(_._2).toLong
+      val nd = n.toDouble; val kd = k.toDouble
+      val z2 = 1.96 * 1.96
+      val phat = kd / nd
+      val denom = 1.0 + z2 / nd
+      val center = (phat + z2 / (2.0 * nd)) / denom
+      val half = 1.96 * math.sqrt(phat * (1.0 - phat) / nd
+        + z2 / (4.0 * nd * nd)) / denom
+      (t, n, k, r6(phat), r6(center - half), r6(center + half))
+    }.sortBy(_._1)
+    val got = Analytics.entryTypeConversion(spark, dir)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q275: the migration matrix equals the sequential rubric " +
+      "scoring and accounts for every customer once") {
+    val days = rawOrders.map(_._2).sorted
+    val d0 = java.time.LocalDate.parse(days.head)
+    val d1 = java.time.LocalDate.parse(days.last)
+    val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1)
+    val spend = rawOrders.groupBy { case (ck, d, _) =>
+      val off = java.time.temporal.ChronoUnit.DAYS.between(
+        d0, java.time.LocalDate.parse(d))
+      (ck, if (off * 2 <= span) 1 else 2)
+    }.view.mapValues(_.map(_._3).sum).toSeq
+    val h1 = spend.filter(_._1._2 == 1).map(_._2).sorted
+    def cut(p: Int, of: Int): Long =
+      h1(((h1.length.toLong * p + of - 1) / of - 1).toInt)
+    val (q1, q2, q3) = (cut(1, 4), cut(1, 2), cut(3, 4))
+    def tier(c: Long) =
+      if (c <= q1) 1 else if (c <= q2) 2 else if (c <= q3) 3 else 4
+    val byCust = spend.groupBy(_._1._1)
+    val cells = byCust.values.map { ss =>
+      val m = ss.map { case ((_, h), c) => h -> tier(c) }.toMap
+      (m.getOrElse(1, 0), m.getOrElse(2, 0))
+    }.toSeq
+    val tot = cells.size.toLong
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = cells.groupBy(identity).toSeq.map { case ((a, b), xs) =>
+      (a, b, xs.size.toLong, r6(xs.size.toDouble / tot))
+    }.sortBy(t => (t._1, t._2))
+    val got = Analytics.spendQuartileMigration(spark, dir)
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == tot, "every customer exactly once")
+  }
+
   test("q264: shares sum to 1 per month, ranks are dense, and the " +
       "delta/rank-move chain matches the previous observed month") {
     val g = Analytics.brandShareShift(spark, dir).cache()
