@@ -59,7 +59,15 @@ class PlanAuditSpec extends SparkSpec {
     "q224_bootstrap_se",     // 1-row overall mean cross joins
     "q225_capture_recapture", // four 1-row count scalars cross joined
     "q227_seasonal_decompose", // 1-row sigma + 7-row weekday means
-    "q229_cluster_balanced")   // 1-row weight-total cross join
+    "q229_cluster_balanced",   // 1-row weight-total cross join
+    "q252_cuped",             // 1-row pooled-θ scalar cross join
+    "q254_expectations",      // 1-row rule-aggregate cross join
+    "q258_purchase_gaps",     // 1-row (n, Σ) total vs the bucket CDF
+    "q262_repeat_hazard",     // 1-row obs-end scalar cross join
+    "q267_demand_movers",     // 1-row min-shipdate anchor (q205 class)
+    "q269_ks_test",           // 1-row (n1, n2) totals vs the CDF grain
+    "q271_abc_classes",       // 1-row grand-total (max cum) cross join
+    "q275_tier_migration")    // 1-row date bounds / cuts / matrix total
 
   // reviewed single-partition sites: global scalar finals + windows
   // over aggregate-grain frames (input cardinality is bounded by the
@@ -92,7 +100,24 @@ class PlanAuditSpec extends SparkSpec {
     "q225_capture_recapture", // 1-row window-count finals
     "q226_unseen_mass",       // 1-row vocabulary-stat final
     "q227_seasonal_decompose", // windows over DAY grain (q47 class)
-    "q229_cluster_balanced")   // 1-row quota-weight final (K-grain in)
+    "q229_cluster_balanced",   // 1-row quota-weight final (K-grain in)
+    "q250_ewma_forecast",     // lag chain over (type × day) grain —
+                              // ≤ |types|·span rows at any scale
+    "q252_cuped",             // 2-row arm finals + 1-row θ scalar
+    "q253_conversion_z",      // 1-row four-sum experiment final
+    "q254_expectations",      // 1-row nine-sum contract final
+    "q255_forecast_backtest", // day-grain error rollup (q250 class)
+    "q258_purchase_gaps",     // CDF walk over HOUR-grain buckets —
+                              // bounded by corpus time span, not rows
+    "q259_geo_rollup",        // share windows over the 25-nation frame
+    "q260_session_trigrams",  // rank/share over ≤|types|³ trigrams
+    "q262_repeat_hazard",     // NA running sums over DAY-grain risk sets
+    "q267_demand_movers",     // rank over the 20 post-limit survivors
+                              // (top-k itself is TakeOrderedAndProject)
+    "q268_rank_sum_test",     // 1-row (n, R, ties) final over histogram
+    "q269_ks_test",           // 1-row D-argmax final over the CDF grain
+    "q271_abc_classes",       // 3-row class rollup + 1-row total final
+    "q275_tier_migration")    // 1-row rubric cuts + ≤25-cell matrix
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is
