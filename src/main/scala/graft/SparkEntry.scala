@@ -356,6 +356,12 @@ object SparkEntry {
       ((s, d) => Analytics.entryTypeConversion(s, d)),
     "q275_tier_migration" ->
       ((s, d) => Analytics.spendQuartileMigration(s, d)),
+    "q276_ordered_funnel" -> ((s, d) => Events.orderedFunnel(s, d)),
+    "q277_windowed_funnel" -> ((s, d) => Events.windowedFunnel(s, d)),
+    "q278_traffic_heatmap" -> ((s, d) => Events.trafficHeatmap(s, d)),
+    "q279_brand_triples" -> ((s, d) => Analytics.brandTriples(s, d)),
+    "q280_brand_transitions" ->
+      ((s, d) => Analytics.brandTransitions(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -6571,5 +6577,146 @@ object SparkEntry {
          |    AS share
          |FROM m CROSS JOIN tt
          |ORDER BY tier_h1 NULLS FIRST, tier_h2 NULLS FIRST""".stripMargin,
+
+    // q276: strictly-ordered funnel — chained first-after-previous
+    // reductions, rollup over the 4-row stage frame.
+    "q276_ordered_funnel" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+         |  FROM events),
+         |t1 AS (SELECT user_id, MIN(us) AS t FROM e
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |t2 AS (SELECT e.user_id, MIN(us) AS t FROM e
+         |  JOIN (SELECT user_id, t AS tp FROM t1) p USING (user_id)
+         |  WHERE event_type = 'view' AND us > tp GROUP BY 1),
+         |t3 AS (SELECT e.user_id, MIN(us) AS t FROM e
+         |  JOIN (SELECT user_id, t AS tp FROM t2) p USING (user_id)
+         |  WHERE event_type = 'click' AND us > tp GROUP BY 1),
+         |t4 AS (SELECT e.user_id, MIN(us) AS t FROM e
+         |  JOIN (SELECT user_id, t AS tp FROM t3) p USING (user_id)
+         |  WHERE event_type = 'purchase' AND us > tp GROUP BY 1),
+         |c AS (
+         |  SELECT 'signup' AS stage, 1 AS stage_rank,
+         |    CAST(COUNT(*) AS BIGINT) AS n_reached FROM t1
+         |  UNION ALL SELECT 'view', 2, CAST(COUNT(*) AS BIGINT) FROM t2
+         |  UNION ALL SELECT 'click', 3, CAST(COUNT(*) AS BIGINT)
+         |    FROM t3
+         |  UNION ALL SELECT 'purchase', 4, CAST(COUNT(*) AS BIGINT)
+         |    FROM t4),
+         |w AS (SELECT *,
+         |    lag(n_reached) OVER (ORDER BY stage_rank NULLS FIRST)
+         |      AS prev,
+         |    CAST(SUM(CASE WHEN stage_rank = 1 THEN n_reached ELSE 0
+         |      END) OVER () AS BIGINT) AS n_first
+         |  FROM c)
+         |SELECT stage, stage_rank, n_reached,
+         |  CASE WHEN prev IS NOT NULL THEN
+         |    ${val6("CAST(n_reached AS DOUBLE) / CAST(prev AS DOUBLE)")}
+         |  END AS conv_from_prev,
+         |  ${val6("CAST(n_reached AS DOUBLE)" +
+             " / CAST(n_first AS DOUBLE)")} AS share_of_first
+         |FROM w ORDER BY stage_rank NULLS FIRST""".stripMargin,
+
+    // q277: q276 with the 72h conversion-window residual on each
+    // chained join.
+    "q277_windowed_funnel" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type
+         |  FROM events),
+         |t1 AS (SELECT user_id, MIN(us) AS t FROM e
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |t2 AS (SELECT e.user_id, MIN(us) AS t FROM e
+         |  JOIN (SELECT user_id, t AS tp FROM t1) p USING (user_id)
+         |  WHERE event_type = 'view' AND us > tp
+         |    AND us <= tp + 259200000000 GROUP BY 1),
+         |t3 AS (SELECT e.user_id, MIN(us) AS t FROM e
+         |  JOIN (SELECT user_id, t AS tp FROM t2) p USING (user_id)
+         |  WHERE event_type = 'click' AND us > tp
+         |    AND us <= tp + 259200000000 GROUP BY 1),
+         |t4 AS (SELECT e.user_id, MIN(us) AS t FROM e
+         |  JOIN (SELECT user_id, t AS tp FROM t3) p USING (user_id)
+         |  WHERE event_type = 'purchase' AND us > tp
+         |    AND us <= tp + 259200000000 GROUP BY 1),
+         |c AS (
+         |  SELECT 'signup' AS stage, 1 AS stage_rank,
+         |    CAST(COUNT(*) AS BIGINT) AS n_reached FROM t1
+         |  UNION ALL SELECT 'view', 2, CAST(COUNT(*) AS BIGINT) FROM t2
+         |  UNION ALL SELECT 'click', 3, CAST(COUNT(*) AS BIGINT)
+         |    FROM t3
+         |  UNION ALL SELECT 'purchase', 4, CAST(COUNT(*) AS BIGINT)
+         |    FROM t4),
+         |w AS (SELECT *,
+         |    lag(n_reached) OVER (ORDER BY stage_rank NULLS FIRST)
+         |      AS prev,
+         |    CAST(SUM(CASE WHEN stage_rank = 1 THEN n_reached ELSE 0
+         |      END) OVER () AS BIGINT) AS n_first
+         |  FROM c)
+         |SELECT stage, stage_rank, n_reached,
+         |  CASE WHEN prev IS NOT NULL THEN
+         |    ${val6("CAST(n_reached AS DOUBLE) / CAST(prev AS DOUBLE)")}
+         |  END AS conv_from_prev,
+         |  ${val6("CAST(n_reached AS DOUBLE)" +
+             " / CAST(n_first AS DOUBLE)")} AS share_of_first
+         |FROM w ORDER BY stage_rank NULLS FIRST""".stripMargin,
+
+    // q278: 7×24 heatmap — dow stated 0=Sunday on both engines.
+    "q278_traffic_heatmap" ->
+      s"""WITH g AS (SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+         |    CAST(date_part('hour', ts) AS INT) AS hour,
+         |    CAST(COUNT(*) AS BIGINT) AS n_events
+         |  FROM events GROUP BY 1, 2),
+         |w AS (SELECT *, CAST(SUM(n_events) OVER () AS BIGINT) AS tot,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY n_events DESC,
+         |      dow NULLS FIRST, hour NULLS FIRST) AS BIGINT) AS rank
+         |  FROM g)
+         |SELECT dow, hour, n_events,
+         |  ${val6("CAST(n_events AS DOUBLE) / CAST(tot AS DOUBLE)")}
+         |    AS share,
+         |  rank
+         |FROM w ORDER BY dow NULLS FIRST, hour NULLS FIRST""".stripMargin,
+
+    // q279: 3-itemsets — the oracle proves the in-row triple expansion
+    // against a relational 3-way self-join on the distinct basket.
+    "q279_brand_triples" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey, p_brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |t AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+        |    c.p_brand AS brand_c, CAST(COUNT(*) AS BIGINT) AS support
+        |  FROM ob a
+        |  JOIN ob b ON a.l_orderkey = b.l_orderkey
+        |    AND a.p_brand < b.p_brand
+        |  JOIN ob c ON a.l_orderkey = c.l_orderkey
+        |    AND b.p_brand < c.p_brand
+        |  GROUP BY 1, 2, 3)
+        |SELECT * FROM t WHERE support >= 4
+        |ORDER BY brand_a NULLS FIRST, brand_b NULLS FIRST,
+        |  brand_c NULLS FIRST""".stripMargin,
+
+    // q280: next-order brand lead chain; order represented by its
+    // highest-value line (ties: lowest partkey).
+    "q280_brand_transitions" ->
+      """WITH li AS (SELECT l_orderkey, p_brand,
+        |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+        |      AS cents,
+        |    l_partkey
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |rep AS (SELECT l_orderkey, p_brand FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+        |      ORDER BY cents DESC, l_partkey NULLS FIRST) AS rn
+        |    FROM li) WHERE rn = 1),
+        |o AS (SELECT o_custkey, o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS day, p_brand
+        |  FROM orders JOIN rep ON o_orderkey = l_orderkey),
+        |tr AS (SELECT p_brand AS from_brand,
+        |    lead(p_brand) OVER (PARTITION BY o_custkey
+        |      ORDER BY day NULLS FIRST, o_orderkey NULLS FIRST)
+        |      AS to_brand
+        |  FROM o),
+        |c AS (SELECT from_brand, to_brand,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM tr WHERE to_brand IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n DESC,
+        |    from_brand NULLS FIRST, to_brand NULLS FIRST) AS BIGINT)
+        |    AS rank FROM c)
+        |SELECT rank, from_brand, to_brand, n FROM r
+        |WHERE rank <= 20 ORDER BY rank NULLS FIRST""".stripMargin,
   )
 }

@@ -1722,6 +1722,74 @@ object Analytics {
       .orderBy("tier_h1", "tier_h2")
   }
 
+  /** q279: frequent brand TRIPLES — the 3-itemset extension of q68's
+    * pair mining (bundle design needs triads, not just pairs). The
+    * candidate expansion is IN-ROW (three chained explodes over the
+    * sorted, [[MaxBasketWidth]]-capped basket with a<b<c masks), so
+    * per-order work is bounded by cap³ regardless of basket skew and
+    * map-side combine reduces to the ≤|brands|³ key domain before any
+    * shuffle; the oracle proves the expansion against a relational
+    * 3-way self-join. */
+  def brandTriples(spark: SparkSession, dir: String,
+      minSupport: Long = 4): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(slice(array_sort(collect_set(col("p_brand"))),
+        1, MaxBasketWidth).as("bs"))
+    baskets
+      .select(explode(col("bs")).as("brand_a"), col("bs"))
+      .select(col("brand_a"), explode(col("bs")).as("brand_b"),
+        col("bs"))
+      .filter(col("brand_a") < col("brand_b"))
+      .select(col("brand_a"), col("brand_b"),
+        explode(col("bs")).as("brand_c"))
+      .filter(col("brand_b") < col("brand_c"))
+      .groupBy("brand_a", "brand_b", "brand_c")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .orderBy("brand_a", "brand_b", "brand_c")
+  }
+
+  /** q280: next-order brand transitions — which brand a customer's
+    * NEXT order leads with, the cross-sell sequencing table (q123's
+    * Markov idea lifted from event types to purchase content). Each
+    * order is represented by its highest-value lineitem's brand
+    * (ties: lowest partkey); the lead chain keys on customer; top-20
+    * via distributed TakeOrderedAndProject with rank assigned after
+    * the limit (the q267 discipline). */
+  def brandTransitions(spark: SparkSession, dir: String,
+      topK: Int = 20): DataFrame = {
+    val rep = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"),
+        cents2(col("l_extendedprice")).as("cents"), col("l_partkey"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("l_orderkey")
+        .orderBy(desc("cents"), col("l_partkey"))))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("p_brand"))
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("day"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("day"))
+      .join(rep, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("next_brand", lead("p_brand", 1).over(byCust))
+      .filter(col("next_brand").isNotNull)
+      .groupBy(col("p_brand").as("from_brand"),
+        col("next_brand").as("to_brand"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("from_brand"), col("to_brand"))
+      .limit(topK)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        desc("n"), col("from_brand"), col("to_brand"))).cast("long"))
+      .select(col("rank"), col("from_brand"), col("to_brand"), col("n"))
+      .orderBy("rank")
+  }
+
   /** The EWMA lag-chain core shared by q250 and the q251 continuous
     * monitor: `d` must carry integer `cents` at (partCols, day) grain;
     * emits forecast/flag per row (first observed day per partition is

@@ -779,6 +779,123 @@ object Events {
       .orderBy("channel")
   }
 
+  /** q276: ORDERED funnel — users counted at stage k only if they hit
+    * the stages strictly in sequence (each stage's first qualifying
+    * event AFTER the previous stage's), the batch twin of q42's
+    * streaming stateful funnel and the semantics q09's unordered
+    * stage counts can't express (a user who purchases before ever
+    * clicking does NOT complete click→purchase here).
+    *
+    * Shape: k−1 chained user-grain reductions — filter stage, join
+    * the previous stage's (user, t) frame, keep events after it, min.
+    * Every join keys on user_id against an already-reduced frame, so
+    * AQE reuses the exchanges; k is a fixed constant (4), not data.
+    * The rollup windows run on the 4-row stage frame. */
+  def orderedFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    def firstStage(stage: String): DataFrame =
+      ev.filter(col("event_type") === stage)
+        .groupBy("user_id").agg(min("us").as("t"))
+    def nextStage(prev: DataFrame, stage: String): DataFrame =
+      ev.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("tp")), "user_id")
+        .filter(col("us") > col("tp"))
+        .groupBy("user_id").agg(min("us").as("t"))
+    val stageNames = stages.map(_._1)
+    val reached = stageNames.tail.scanLeft(firstStage(stageNames.head)) {
+      (p, s) => nextStage(p, s)
+    }
+    val counts = stageNames.zipWithIndex.zip(reached).map {
+      case ((s, i), df) =>
+        df.agg(count(lit(1)).as("n_reached"))
+          .select(lit(s).as("stage"), lit(i + 1).as("stage_rank"),
+            col("n_reached"))
+    }.reduce(_ unionByName _)
+    val w = Window.orderBy("stage_rank")
+    counts
+      .withColumn("prev", lag("n_reached", 1).over(w))
+      .withColumn("n_first",
+        sum(when(col("stage_rank") === 1, col("n_reached"))
+          .otherwise(0L)).over(Window.partitionBy(lit(1))))
+      .select(col("stage"), col("stage_rank"), col("n_reached"),
+        when(col("prev").isNotNull,
+          val6(col("n_reached").cast("double") /
+            col("prev").cast("double"))).as("conv_from_prev"),
+        val6(col("n_reached").cast("double") /
+          col("n_first").cast("double")).as("share_of_first"))
+      .orderBy("stage_rank")
+  }
+
+  /** q277: ordered funnel with a CONVERSION WINDOW — q276's strict
+    * sequence plus the product-analytics default: stage k counts only
+    * if it lands within `windowHours` of stage k−1 (a purchase three
+    * weeks after the click is organic, not funnel conversion). Same
+    * chained user-grain reduction shape; only the residual predicate
+    * on the already-keyed join changes. */
+  def windowedFunnel(spark: SparkSession, dir: String,
+      windowHours: Int = 72): DataFrame = {
+    val winUs = windowHours * 3600000000L
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_type"))
+    def firstStage(stage: String): DataFrame =
+      ev.filter(col("event_type") === stage)
+        .groupBy("user_id").agg(min("us").as("t"))
+    def nextStage(prev: DataFrame, stage: String): DataFrame =
+      ev.filter(col("event_type") === stage)
+        .join(prev.select(col("user_id"), col("t").as("tp")), "user_id")
+        .filter(col("us") > col("tp") && col("us") <= col("tp") + winUs)
+        .groupBy("user_id").agg(min("us").as("t"))
+    val stageNames = stages.map(_._1)
+    val reached = stageNames.tail.scanLeft(firstStage(stageNames.head)) {
+      (p, s) => nextStage(p, s)
+    }
+    val counts = stageNames.zipWithIndex.zip(reached).map {
+      case ((s, i), df) =>
+        df.agg(count(lit(1)).as("n_reached"))
+          .select(lit(s).as("stage"), lit(i + 1).as("stage_rank"),
+            col("n_reached"))
+    }.reduce(_ unionByName _)
+    val w = Window.orderBy("stage_rank")
+    counts
+      .withColumn("prev", lag("n_reached", 1).over(w))
+      .withColumn("n_first",
+        sum(when(col("stage_rank") === 1, col("n_reached"))
+          .otherwise(0L)).over(Window.partitionBy(lit(1))))
+      .select(col("stage"), col("stage_rank"), col("n_reached"),
+        when(col("prev").isNotNull,
+          val6(col("n_reached").cast("double") /
+            col("prev").cast("double"))).as("conv_from_prev"),
+        val6(col("n_reached").cast("double") /
+          col("n_first").cast("double")).as("share_of_first"))
+      .orderBy("stage_rank")
+  }
+
+  /** q278: weekday × hour traffic heatmap — the load-pattern panel
+    * every ops dashboard renders, with each cell's share of the week
+    * and its busyness rank. One map-side-combined aggregate to the
+    * fixed 7×24 grain; day-of-week is stated as 0=Sunday explicitly
+    * on BOTH engines (Spark's dayofweek is 1-based, DuckDB's dow is
+    * 0-based — the −1 normalization is the contract). */
+  def trafficHeatmap(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.events(spark, dir)
+      .groupBy((dayofweek(col("ts")) - 1).as("dow"),
+        hour(col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    g
+      .withColumn("tot",
+        sum("n_events").over(Window.partitionBy(lit(1))))
+      .withColumn("rank", row_number().over(Window.orderBy(
+        desc("n_events"), col("dow"), col("hour"))).cast("long"))
+      .select(col("dow"), col("hour"), col("n_events"),
+        val6(col("n_events").cast("double") / col("tot").cast("double"))
+          .as("share"),
+        col("rank"))
+      .orderBy("dow", "hour")
+  }
+
   /** q260: top-k session path trigrams — the "what do users actually
     * do" table behind every UX flow review: the most frequent 3-step
     * event-type sequences WITHIN a session (30-min-gap sessions, the

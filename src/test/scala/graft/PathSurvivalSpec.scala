@@ -473,6 +473,137 @@ class PathSurvivalSpec extends SparkSpec {
     assert(got.map(_._3).sum == tot, "every customer exactly once")
   }
 
+  test("q276: ordered-funnel counts equal the sequential " +
+      "first-after-previous walk and never exceed unordered reach") {
+    val stages = Seq("signup", "view", "click", "purchase")
+    val byUser = rawEvents.groupBy(_._1)
+    val reach = Array.fill(4)(0L)
+    byUser.values.foreach { evs =>
+      var prevT = Long.MinValue
+      var stageIdx = 0
+      var continue = true
+      while (stageIdx < 4 && continue) {
+        val cand = evs.filter(e => e._4 == stages(stageIdx) &&
+          (if (stageIdx == 0) true else e._2 > prevT))
+        if (cand.isEmpty) continue = false
+        else {
+          prevT = cand.map(_._2).min
+          reach(stageIdx) += 1
+          stageIdx += 1
+        }
+      }
+    }
+    val got = Events.orderedFunnel(spark, dir)
+      .select("stage_rank", "n_reached")
+      .as[(Int, Long)].collect().toMap
+    (1 to 4).foreach { r => assert(got(r) == reach(r - 1)) }
+    // ordered reach is monotone non-increasing
+    (2 to 4).foreach { r => assert(got(r) <= got(r - 1)) }
+    // and bounded by the unordered per-stage user counts
+    val unordered = rawEvents.groupBy(_._4).view
+      .mapValues(_.map(_._1).distinct.size.toLong).toMap
+    stages.zipWithIndex.foreach { case (s, i) =>
+      assert(got(i + 1) <= unordered.getOrElse(s, 0L))
+    }
+  }
+
+  test("q277: the windowed funnel equals the sequential walk and is " +
+      "dominated by the unwindowed q276") {
+    val stages = Seq("signup", "view", "click", "purchase")
+    val winUs = 72L * 3600000000L
+    val reach = Array.fill(4)(0L)
+    rawEvents.groupBy(_._1).values.foreach { evs =>
+      var prevT = Long.MinValue
+      var i = 0
+      var go = true
+      while (i < 4 && go) {
+        val cand = evs.filter(e => e._4 == stages(i) &&
+          (i == 0 || (e._2 > prevT && e._2 <= prevT + winUs)))
+        if (cand.isEmpty) go = false
+        else { prevT = cand.map(_._2).min; reach(i) += 1; i += 1 }
+      }
+    }
+    val got = Events.windowedFunnel(spark, dir)
+      .select("stage_rank", "n_reached").as[(Int, Long)].collect().toMap
+    (1 to 4).foreach { r => assert(got(r) == reach(r - 1)) }
+    val unwindowed = Events.orderedFunnel(spark, dir)
+      .select("stage_rank", "n_reached").as[(Int, Long)].collect().toMap
+    (1 to 4).foreach { r => assert(got(r) <= unwindowed(r)) }
+  }
+
+  test("q278: heatmap cells equal the sequential count and cover " +
+      "every event exactly once") {
+    val got = Events.trafficHeatmap(spark, dir)
+      .select("dow", "hour", "n_events")
+      .as[(Int, Int, Long)].collect().toSeq
+    assert(got.map(_._3).sum == rawEvents.size.toLong)
+    // recompute a sample cell sequentially via the same 0=Sunday math
+    val byCell = Tables.events(spark, dir)
+      .select((dayofweek(col("ts")) - 1), hour(col("ts")))
+      .as[(Int, Int)].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    got.foreach { case (d, h, n) => assert(byCell((d, h)) == n) }
+    assert(got.forall(c => c._1 >= 0 && c._1 <= 6 &&
+      c._2 >= 0 && c._2 <= 23))
+  }
+
+  test("q279: in-row triple expansion equals the sequential " +
+      "3-subset count over distinct baskets") {
+    val ob = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand")).distinct()
+      .as[(Long, String)].collect().toSeq
+    val counts = scala.collection.mutable.Map
+      .empty[(String, String, String), Long]
+    ob.groupBy(_._1).values.foreach { rows =>
+      val bs = rows.map(_._2).distinct.sorted
+      for {
+        i <- bs.indices; j <- (i + 1) until bs.size
+        k <- (j + 1) until bs.size
+      } {
+        val key = (bs(i), bs(j), bs(k))
+        counts(key) = counts.getOrElse(key, 0L) + 1
+      }
+    }
+    val expected = counts.toSeq.filter(_._2 >= 4)
+      .map { case ((a, b, c), s) => (a, b, c, s) }
+      .sortBy(t => (t._1, t._2, t._3))
+    val got = Analytics.brandTriples(spark, dir)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q280: transition top-20 equals the sequential rep-brand " +
+      "lead chain") {
+    val rep = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long"),
+        col("l_partkey"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+      .groupBy(_._1).view.mapValues(rs =>
+        rs.minBy(r => (-r._3, r._4))._2).toMap
+    val rows = Tables.orders(spark, dir)
+      .select(col("o_custkey"), to_date(col("o_orderdate")).cast("string"),
+        col("o_orderkey"))
+      .as[(Long, String, Long)].collect().toSeq
+      .filter(r => rep.contains(r._3))
+    val trans = rows.groupBy(_._1).values.flatMap { os =>
+      val seq = os.sortBy(o => (o._2, o._3)).map(o => rep(o._3))
+      seq.zip(seq.tail)
+    }.toSeq
+    val counts = trans.groupBy(identity).view.mapValues(_.size.toLong)
+    val expected = counts.toSeq
+      .map { case ((f, t), n) => (f, t, n) }
+      .sortBy { case (f, t, n) => (-n, f, t) }.take(20).zipWithIndex
+      .map { case ((f, t, n), i) => (i + 1L, f, t, n) }
+    val got = Analytics.brandTransitions(spark, dir)
+      .as[(Long, String, String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("q264: shares sum to 1 per month, ranks are dense, and the " +
       "delta/rank-move chain matches the previous observed month") {
     val g = Analytics.brandShareShift(spark, dir).cache()

@@ -117,7 +117,11 @@ class PlanAuditSpec extends SparkSpec {
     "q268_rank_sum_test",     // 1-row (n, R, ties) final over histogram
     "q269_ks_test",           // 1-row D-argmax final over the CDF grain
     "q271_abc_classes",       // 3-row class rollup + 1-row total final
-    "q275_tier_migration")    // 1-row rubric cuts + ≤25-cell matrix
+    "q275_tier_migration",    // 1-row rubric cuts + ≤25-cell matrix
+    "q276_ordered_funnel",    // lag over the 4-row stage frame (q18)
+    "q277_windowed_funnel",   // same 4-row stage frame
+    "q278_traffic_heatmap",   // share/rank over the fixed 7×24 grid
+    "q280_brand_transitions") // rank over the 20 post-limit survivors
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is
