@@ -362,6 +362,8 @@ object SparkEntry {
     "q279_brand_triples" -> ((s, d) => Analytics.brandTriples(s, d)),
     "q280_brand_transitions" ->
       ((s, d) => Analytics.brandTransitions(s, d)),
+    "q281_chi_square" ->
+      ((s, d) => Analytics.chiSquareIndependence(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -6718,5 +6720,37 @@ object SparkEntry {
         |    AS rank FROM c)
         |SELECT rank, from_brand, to_brand, n FROM r
         |WHERE rank <= 20 ORDER BY rank NULLS FIRST""".stripMargin,
+
+    // q281: χ² + Cramér's V — per-cell terms floor-scaled to integer
+    // nanos so the cross-cell sum is order-independent.
+    "q281_chi_square" -> {
+      val diff = "CAST(o * n - r * c AS DOUBLE)"
+      val term = s"CAST(FLOOR($diff * $diff / (CAST(n AS DOUBLE)" +
+        " * CAST(r AS DOUBLE) * CAST(c AS DOUBLE)) * 1.0E9) AS BIGINT)"
+      val chi2 = "CAST(chi_nano AS DOUBLE) / 1.0E9"
+      val v = s"sqrt(($chi2) / CAST(n * LEAST(nr - 1, nc - 1)" +
+        " AS DOUBLE))"
+      s"""WITH cells AS (SELECT c_mktsegment AS seg,
+         |    o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS o
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2),
+         |t AS (SELECT *,
+         |    CAST(SUM(o) OVER (PARTITION BY seg) AS BIGINT) AS r,
+         |    CAST(SUM(o) OVER (PARTITION BY pri) AS BIGINT) AS c,
+         |    CAST(SUM(o) OVER () AS BIGINT) AS n
+         |  FROM cells),
+         |g AS (SELECT CAST(SUM($term) AS BIGINT) AS chi_nano,
+         |    MAX(n) AS n,
+         |    CAST(COUNT(DISTINCT seg) AS BIGINT) AS nr,
+         |    CAST(COUNT(DISTINCT pri) AS BIGINT) AS nc
+         |  FROM t)
+         |SELECT n AS n_orders, nr AS n_segments, nc AS n_priorities,
+         |  (nr - 1) * (nc - 1) AS dof,
+         |  ${val6(chi2)} AS chi2,
+         |  ${val6(v)} AS cramers_v,
+         |  CASE WHEN (nr - 1) * (nc - 1) = 16
+         |    THEN ($chi2) > 26.296 END AS significant_05
+         |FROM g""".stripMargin
+    },
   )
 }

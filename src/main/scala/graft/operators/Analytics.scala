@@ -1790,6 +1790,50 @@ object Analytics {
       .orderBy("rank")
   }
 
+  /** q281: chi-square independence test + Cramér's V over the
+    * (market segment × order priority) contingency table — "does
+    * segment drive priority mix", the categorical companion to
+    * q268/q269. Portability device: each cell's χ² term is computed
+    * as ONE fixed IEEE tree over exact integers (diff = o·N − r·c is
+    * exact BIGINT arithmetic) and floor-scaled to integer NANOS
+    * before summing, so the cross-cell accumulation is an
+    * order-independent integer sum — the float-sum-order hazard a
+    * 25-cell Σ would otherwise carry. (At extreme corpus sizes o·N
+    * would ride DECIMAL(38); same shape.) The 5%-level verdict is
+    * stated only for the fixture's dof=16 table (literal critical
+    * value 26.296); other shapes emit NULL rather than a wrong
+    * threshold. */
+  def chiSquareIndependence(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val cells = Tables.orders(spark, dir)
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("seg"),
+        col("o_orderpriority").as("pri"))
+      .agg(count(lit(1)).as("o"))
+    def d(x: Column) = x.cast("double")
+    val diff = d(col("o") * col("n") - col("r") * col("c"))
+    val termNano = floor(diff * diff /
+      (d(col("n")) * d(col("r")) * d(col("c"))) * lit(1.0e9))
+      .cast("long")
+    val g = cells
+      .withColumn("r", sum("o").over(Window.partitionBy("seg")))
+      .withColumn("c", sum("o").over(Window.partitionBy("pri")))
+      .withColumn("n", sum("o").over(Window.partitionBy(lit(1))))
+      .withColumn("tn", termNano)
+      .agg(sum("tn").as("chi_nano"), max("n").as("n"),
+        countDistinct("seg").as("nr"), countDistinct("pri").as("nc"))
+    val chi2 = d(col("chi_nano")) / lit(1.0e9)
+    val dof = (col("nr") - 1) * (col("nc") - 1)
+    val v = sqrt(chi2 / d(col("n") * least(col("nr") - 1,
+      col("nc") - 1)))
+    g.select(col("n").as("n_orders"), col("nr").as("n_segments"),
+      col("nc").as("n_priorities"), dof.as("dof"),
+      val6(chi2).as("chi2"), val6(v).as("cramers_v"),
+      when(dof === 16, chi2 > lit(26.296)).as("significant_05"))
+  }
+
   /** The EWMA lag-chain core shared by q250 and the q251 continuous
     * monitor: `d` must carry integer `cents` at (partCols, day) grain;
     * emits forecast/flag per row (first observed day per partition is

@@ -604,6 +604,37 @@ class PathSurvivalSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("q281: chi-square equals the sequential contingency " +
+      "computation; V sits in [0, 1]") {
+    val cells = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("o"))
+      .as[(String, String, Long)].collect().toSeq
+    val n = cells.map(_._3).sum
+    val rT = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cT = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val chiNano = cells.map { case (s, p, o) =>
+      val diff = (o * n - rT(s) * cT(p)).toDouble
+      math.floor(diff * diff /
+        (n.toDouble * rT(s).toDouble * cT(p).toDouble) * 1.0e9).toLong
+    }.sum
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val chi2 = chiNano.toDouble / 1.0e9
+    val nr = rT.size.toLong; val nc = cT.size.toLong
+    val v = math.sqrt(chi2 / (n * math.min(nr - 1, nc - 1)).toDouble)
+    val got = Analytics.chiSquareIndependence(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double, Option[Boolean])]
+      .head()
+    assert(got._1 == n && got._2 == nr && got._3 == nc)
+    assert(got._4 == (nr - 1) * (nc - 1))
+    assert(got._5 == r6(chi2))
+    assert(got._6 == r6(v))
+    assert(got._5 >= 0.0 && got._6 >= 0.0 && got._6 <= 1.0)
+    if (got._4 == 16) assert(got._7.contains(chi2 > 26.296))
+  }
+
   test("q264: shares sum to 1 per month, ranks are dense, and the " +
       "delta/rank-move chain matches the previous observed month") {
     val g = Analytics.brandShareShift(spark, dir).cache()

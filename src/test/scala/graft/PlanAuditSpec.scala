@@ -121,7 +121,8 @@ class PlanAuditSpec extends SparkSpec {
     "q276_ordered_funnel",    // lag over the 4-row stage frame (q18)
     "q277_windowed_funnel",   // same 4-row stage frame
     "q278_traffic_heatmap",   // share/rank over the fixed 7×24 grid
-    "q280_brand_transitions") // rank over the 20 post-limit survivors
+    "q280_brand_transitions", // rank over the 20 post-limit survivors
+    "q281_chi_square")        // totals over the ≤25-cell contingency
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is
