@@ -364,6 +364,10 @@ object SparkEntry {
       ((s, d) => Analytics.brandTransitions(s, d)),
     "q281_chi_square" ->
       ((s, d) => Analytics.chiSquareIndependence(s, d)),
+    "q282_segment_affinity" ->
+      ((s, d) => Analytics.segmentBrandAffinity(s, d)),
+    "q283_value_histogram" ->
+      ((s, d) => Analytics.valueHistogramLog2(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -6752,5 +6756,50 @@ object SparkEntry {
          |    THEN ($chi2) > 26.296 END AS significant_05
          |FROM g""".stripMargin
     },
+
+    // q282: lift = o·N/(r·c) over the (segment, brand) purchase-line
+    // contingency, top-20 above the support floor.
+    "q282_segment_affinity" -> {
+      val lift = "CAST(o AS DOUBLE) * CAST(n AS DOUBLE)" +
+        " / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"
+      s"""WITH cells AS (SELECT c_mktsegment AS segment,
+         |    p_brand AS brand, CAST(COUNT(*) AS BIGINT) AS o
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN part ON l_partkey = p_partkey
+         |  GROUP BY 1, 2),
+         |t AS (SELECT *,
+         |    CAST(SUM(o) OVER (PARTITION BY segment) AS BIGINT) AS r,
+         |    CAST(SUM(o) OVER (PARTITION BY brand) AS BIGINT) AS c,
+         |    CAST(SUM(o) OVER () AS BIGINT) AS n
+         |  FROM cells),
+         |f AS (SELECT *, ${val6(lift)} AS lift FROM t WHERE o >= 50),
+         |rr AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY lift DESC,
+         |    segment NULLS FIRST, brand NULLS FIRST) AS BIGINT) AS rank
+         |  FROM f)
+         |SELECT rank, segment, brand, o AS n_lines, lift FROM rr
+         |WHERE rank <= 20 ORDER BY rank NULLS FIRST""".stripMargin
+    },
+
+    // q283: ⌊log₂ cents⌋ buckets via bit length — no float log.
+    "q283_value_histogram" ->
+      s"""WITH c AS (SELECT
+         |    CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |g AS (SELECT CAST(length(bin(cents)) - 1 AS BIGINT) AS bucket,
+         |    CAST(COUNT(*) AS BIGINT) AS n_orders,
+         |    CAST(SUM(cents) AS BIGINT) AS cents
+         |  FROM c WHERE cents > 0 GROUP BY 1),
+         |w AS (SELECT *, CAST(SUM(n_orders) OVER () AS BIGINT) AS tot
+         |  FROM g)
+         |SELECT bucket,
+         |  CAST(CAST(1 AS BIGINT) << CAST(bucket AS INT) AS DOUBLE)
+         |    / 100.0 AS lo_dollars,
+         |  n_orders,
+         |  CAST(cents AS DOUBLE) / 100.0 AS revenue,
+         |  ${val6("CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE)")}
+         |    AS share
+         |FROM w ORDER BY bucket NULLS FIRST""".stripMargin,
   )
 }

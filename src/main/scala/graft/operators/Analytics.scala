@@ -1834,6 +1834,69 @@ object Analytics {
       when(dof === 16, chi2 > lit(26.296)).as("significant_05"))
   }
 
+  /** q282: segment × brand affinity — which customer segments
+    * over-index on which brands, the merchandising targeting mart:
+    * lift = observed·N / (rowTotal·colTotal) over the (segment,
+    * brand) purchase-line contingency, top-20 by lift above a
+    * support floor. All counts exact BIGINTs from one fact pass
+    * (orderkey-co-partitioned orders join, broadcast dims); lift is
+    * one fixed tree per row; top-k via TakeOrderedAndProject, rank
+    * after the limit (the q267 discipline). Ordering ties on the
+    * val6-rounded lift break lexically. */
+  def segmentBrandAffinity(spark: SparkSession, dir: String,
+      minSupport: Long = 50, topK: Int = 20): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    val cells = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir)
+        .select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("p_brand").as("brand"))
+      .agg(count(lit(1)).as("o"))
+    val lift = val6(col("o").cast("double") * col("n").cast("double") /
+      (col("r").cast("double") * col("c").cast("double")))
+    cells
+      .withColumn("r", sum("o").over(Window.partitionBy("segment")))
+      .withColumn("c", sum("o").over(Window.partitionBy("brand")))
+      .withColumn("n", sum("o").over(Window.partitionBy(lit(1))))
+      .filter(col("o") >= minSupport)
+      .withColumn("lift", lift)
+      .orderBy(desc("lift"), col("segment"), col("brand")).limit(topK)
+      .withColumn("rank", row_number().over(Window.orderBy(
+        desc("lift"), col("segment"), col("brand"))).cast("long"))
+      .select(col("rank"), col("segment"), col("brand"),
+        col("o").as("n_lines"), col("lift"))
+      .orderBy("rank")
+  }
+
+  /** q283: power-of-two order-value histogram — the log-scale money
+    * distribution panel, EXACT without any float log: the bucket is
+    * the bit length of the integer cents (length(bin(x)) − 1 =
+    * ⌊log₂ x⌋ on both engines), bucket bounds are integer shifts.
+    * One map-side-combined aggregate to ≤64 buckets. */
+  def valueHistogramLog2(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .select(cents2(col("o_totalprice")).as("cents"))
+      .filter(col("cents") > 0)
+      .groupBy((length(bin(col("cents"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"), sum("cents").as("cents"))
+    g
+      .withColumn("tot", sum("n_orders").over(Window.partitionBy(lit(1))))
+      .select(col("bucket"),
+        (expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket AS INT))")
+          .cast("double") / lit(100.0)).as("lo_dollars"),
+        col("n_orders"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        val6(col("n_orders").cast("double") / col("tot").cast("double"))
+          .as("share"))
+      .orderBy("bucket")
+  }
+
   /** The EWMA lag-chain core shared by q250 and the q251 continuous
     * monitor: `d` must carry integer `cents` at (partCols, day) grain;
     * emits forecast/flag per row (first observed day per partition is

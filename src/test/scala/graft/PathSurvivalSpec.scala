@@ -635,6 +635,48 @@ class PathSurvivalSpec extends SparkSpec {
     if (got._4 == 16) assert(got._7.contains(chi2 > 26.296))
   }
 
+  test("q282: affinity top-20 equals the sequential lift ranking") {
+    val cells = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("c_mktsegment"), col("p_brand"))
+      .agg(count(lit(1)).as("o"))
+      .as[(String, String, Long)].collect().toSeq
+    val n = cells.map(_._3).sum
+    val rT = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val cT = cells.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = cells.filter(_._3 >= 50).map { case (s, b, o) =>
+      (s, b, o, r6(o.toDouble * n.toDouble /
+        (rT(s).toDouble * cT(b).toDouble)))
+    }.sortBy { case (s, b, _, l) => (-l, s, b) }.take(20).zipWithIndex
+      .map { case ((s, b, o, l), i) => (i + 1L, s, b, o, l) }
+    val got = Analytics.segmentBrandAffinity(spark, dir)
+      .as[(Long, String, String, Long, Double)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q283: log2 buckets are exact bit lengths and cover every " +
+      "order once") {
+    val cents = rawOrders.map(_._3).filter(_ > 0)
+    val byBucket = cents.groupBy(c => 63 - java.lang.Long
+      .numberOfLeadingZeros(c)).view.mapValues(v =>
+        (v.size.toLong, v.sum)).toMap
+    val got = Analytics.valueHistogramLog2(spark, dir)
+      .as[(Long, Double, Long, Double, Double)].collect().toSeq
+    assert(got.map(_._3).sum == cents.size.toLong)
+    got.foreach { case (b, lo, nn, rev, _) =>
+      val (en, es) = byBucket(b.toInt)
+      assert(nn == en && rev == es / 100.0)
+      assert(lo == (1L << b).toDouble / 100.0)
+    }
+    assert(byBucket.keySet == got.map(_._1.toInt).toSet)
+  }
+
   test("q264: shares sum to 1 per month, ranks are dense, and the " +
       "delta/rank-move chain matches the previous observed month") {
     val g = Analytics.brandShareShift(spark, dir).cache()

@@ -122,7 +122,9 @@ class PlanAuditSpec extends SparkSpec {
     "q277_windowed_funnel",   // same 4-row stage frame
     "q278_traffic_heatmap",   // share/rank over the fixed 7×24 grid
     "q280_brand_transitions", // rank over the 20 post-limit survivors
-    "q281_chi_square")        // totals over the ≤25-cell contingency
+    "q281_chi_square",        // totals over the ≤25-cell contingency
+    "q282_segment_affinity",  // totals over the ≤|seg|·|brand| cells
+    "q283_value_histogram")   // share over the ≤64 log2 buckets
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is
