@@ -368,6 +368,9 @@ object SparkEntry {
       ((s, d) => Analytics.segmentBrandAffinity(s, d)),
     "q283_value_histogram" ->
       ((s, d) => Analytics.valueHistogramLog2(s, d)),
+    "q284_cohort_repeat" -> ((s, d) => Analytics.cohortRepeatRate(s, d)),
+    "q285_discount_response" ->
+      ((s, d) => Analytics.discountResponse(s, d)),
   )
 
   // ---- DuckDB oracle SQL ------------------------------------------------
@@ -6801,5 +6804,46 @@ object SparkEntry {
          |  ${val6("CAST(n_orders AS DOUBLE) / CAST(tot AS DOUBLE)")}
          |    AS share
          |FROM w ORDER BY bucket NULLS FIRST""".stripMargin,
+
+    // q284: per-cohort repeat rate with the shared Wilson tree.
+    "q284_cohort_repeat" -> {
+      val (phat, lo, hi) = wilsonSql(
+        "CAST(n_customers AS DOUBLE)", "CAST(n_repeaters AS DOUBLE)")
+      s"""WITH u AS (SELECT o_custkey,
+         |    MIN(CAST(date_trunc('month', CAST(o_orderdate AS DATE))
+         |      AS DATE)) AS cohort_month,
+         |    CAST(COUNT(*) AS BIGINT) AS n_orders
+         |  FROM orders GROUP BY 1),
+         |g AS (SELECT cohort_month,
+         |    CAST(COUNT(*) AS BIGINT) AS n_customers,
+         |    CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_repeaters
+         |  FROM u GROUP BY 1)
+         |SELECT cohort_month, n_customers, n_repeaters,
+         |  ${val6(phat)} AS repeat_rate,
+         |  ${val6(lo)} AS wilson_lo,
+         |  ${val6(hi)} AS wilson_hi
+         |FROM g ORDER BY cohort_month NULLS FIRST""".stripMargin
+    },
+
+    // q285: integer-percent discount bands, exact-ratio averages.
+    "q285_discount_response" ->
+      s"""WITH g AS (SELECT
+         |    CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS pct,
+         |    CAST(COUNT(*) AS BIGINT) AS n_lines,
+         |    CAST(SUM(CAST(FLOOR(l_quantity * 100.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS sq,
+         |    CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5)
+         |      AS BIGINT)) AS BIGINT) AS sc
+         |  FROM lineitem GROUP BY 1),
+         |w AS (SELECT *, CAST(SUM(n_lines) OVER () AS BIGINT) AS tot
+         |  FROM g)
+         |SELECT pct, n_lines,
+         |  ${val6("CAST(n_lines AS DOUBLE) / CAST(tot AS DOUBLE)")}
+         |    AS line_share,
+         |  ${val6("CAST(sq AS DOUBLE) / 100.0" +
+             " / CAST(n_lines AS DOUBLE)")} AS avg_qty,
+         |  CAST(sc AS DOUBLE) / 100.0 AS revenue
+         |FROM w ORDER BY pct NULLS FIRST""".stripMargin,
   )
 }

@@ -1897,6 +1897,54 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  /** q284: acquisition-cohort repeat rate — per first-order month:
+    * how many of that month's new customers EVER ordered again, with
+    * the q263 Wilson bounds (cohort sizes shrink at the edges — the
+    * interval matters). One customer-grain aggregate (first month +
+    * order count), one month-grain rollup. */
+  def cohortRepeatRate(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        trunc(to_date(col("o_orderdate")), "month").as("month"))
+      .groupBy("o_custkey")
+      .agg(min("month").as("cohort_month"),
+        count(lit(1)).as("n_orders"))
+      .groupBy("cohort_month")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("n_orders") >= 2, 1L).otherwise(0L))
+          .as("n_repeaters"))
+    val (phat, lo, hi) = wilson(col("n_customers"), col("n_repeaters"))
+    g.select(col("cohort_month"), col("n_customers"),
+        col("n_repeaters"),
+        val6(phat).as("repeat_rate"),
+        val6(lo).as("wilson_lo"),
+        val6(hi).as("wilson_hi"))
+      .orderBy("cohort_month")
+  }
+
+  /** q285: discount-depth response curve — per integer discount
+    * percent: line share, exact average quantity, and revenue — the
+    * "does discounting move volume" readout. One map-side-combined
+    * aggregate to the ≤101-band grain; avg is one exact-int ratio. */
+  def discountResponse(spark: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(spark, dir)
+      .select(
+        floor(col("l_discount") * 100.0 + 0.5).cast("long").as("pct"),
+        cents2(col("l_quantity")).as("qc"),
+        cents2(col("l_extendedprice")).as("cents"))
+      .groupBy("pct")
+      .agg(count(lit(1)).as("n_lines"), sum("qc").as("sq"),
+        sum("cents").as("sc"))
+    g.withColumn("tot", sum("n_lines").over(Window.partitionBy(lit(1))))
+      .select(col("pct"), col("n_lines"),
+        val6(col("n_lines").cast("double") / col("tot").cast("double"))
+          .as("line_share"),
+        val6(col("sq").cast("double") / lit(100.0) /
+          col("n_lines").cast("double")).as("avg_qty"),
+        (col("sc").cast("double") / lit(100.0)).as("revenue"))
+      .orderBy("pct")
+  }
+
   /** The EWMA lag-chain core shared by q250 and the q251 continuous
     * monitor: `d` must carry integer `cents` at (partCols, day) grain;
     * emits forecast/flag per row (first observed day per partition is

@@ -677,6 +677,51 @@ class PathSurvivalSpec extends SparkSpec {
     assert(byBucket.keySet == got.map(_._1.toInt).toSet)
   }
 
+  test("q284: cohort repeat rates equal the sequential split with " +
+      "the q263 Wilson tree") {
+    val byCust = rawOrders.groupBy(_._1)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expected = byCust.values.map { os =>
+      (os.map(_._2.substring(0, 7)).min, os.size >= 2)
+    }.toSeq.groupBy(_._1).toSeq.map { case (m, cs) =>
+      val n = cs.size.toLong; val k = cs.count(_._2).toLong
+      val nd = n.toDouble; val kd = k.toDouble
+      val z2 = 1.96 * 1.96
+      val phat = kd / nd
+      val denom = 1.0 + z2 / nd
+      val center = (phat + z2 / (2.0 * nd)) / denom
+      val half = 1.96 * math.sqrt(phat * (1.0 - phat) / nd
+        + z2 / (4.0 * nd * nd)) / denom
+      (m, n, k, r6(phat), r6(center - half), r6(center + half))
+    }.sortBy(_._1)
+    val got = Analytics.cohortRepeatRate(spark, dir)
+      .select(col("cohort_month").cast("string").substr(0, 7),
+        col("n_customers"), col("n_repeaters"), col("repeat_rate"),
+        col("wilson_lo"), col("wilson_hi"))
+      .as[(String, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == expected)
+  }
+
+  test("q285: discount bands cover every lineitem once with exact " +
+      "average quantities") {
+    val rows = Tables.lineitem(spark, dir)
+      .select(floor(col("l_discount") * 100.0 + 0.5).cast("long"),
+        floor(col("l_quantity") * 100.0 + 0.5).cast("long"))
+      .as[(Long, Long)].collect().toSeq
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = Analytics.discountResponse(spark, dir)
+      .select("pct", "n_lines", "avg_qty")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.map(_._2).sum == rows.size.toLong)
+    val byPct = rows.groupBy(_._1)
+    got.foreach { case (p, n, avg) =>
+      val xs = byPct(p)
+      assert(n == xs.size.toLong)
+      assert(avg == r6(xs.map(_._2).sum.toDouble / 100.0 / xs.size))
+    }
+  }
+
   test("q264: shares sum to 1 per month, ranks are dense, and the " +
       "delta/rank-move chain matches the previous observed month") {
     val g = Analytics.brandShareShift(spark, dir).cache()

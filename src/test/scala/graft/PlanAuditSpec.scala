@@ -124,7 +124,8 @@ class PlanAuditSpec extends SparkSpec {
     "q280_brand_transitions", // rank over the 20 post-limit survivors
     "q281_chi_square",        // totals over the ≤25-cell contingency
     "q282_segment_affinity",  // totals over the ≤|seg|·|brand| cells
-    "q283_value_histogram")   // share over the ≤64 log2 buckets
+    "q283_value_histogram",   // share over the ≤64 log2 buckets
+    "q285_discount_response") // share over the ≤101 discount bands
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is
