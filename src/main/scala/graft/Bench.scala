@@ -135,7 +135,13 @@ object Bench {
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qsShort,"omitted_fast":$omittedJson,"sf":"$sfDir"}""")
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_full.json"),
+    // Targeted probes (any name filter) must NOT clobber the full-pass
+    // record — r7 lost full-pass records between sweeps this way. Probe
+    // runs write BENCH_probe_<filter>.json instead.
+    val outFile =
+      if (args.isEmpty) "BENCH_full.json"
+      else s"BENCH_probe_${args.mkString("_").replaceAll("[^A-Za-z0-9_-]", "")}.json"
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""".stripMargin
         .getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full record write failed: $e") }

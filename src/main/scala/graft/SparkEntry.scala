@@ -3595,7 +3595,7 @@ object SparkEntry {
         |      AND fm = '6D6F6F76' AND smb >= 40
         |      AND fmv = '6D766864' AND ver = '00'
         |      AND fd = '6D646174' AND sdb >= 8
-        |      AND tsv > 0 AND od + 2 * sdb - 1 <= len(hx), FALSE) AS ok
+        |      AND tsv > 0 AND od + 2 * sdb - 1 = len(hx), FALSE) AS ok
         |  FROM w7)
         |SELECT media_id, CAST(n_bytes AS INT) AS n_bytes,
         |  CASE WHEN ok THEN CAST(3 + CASE WHEN hasfree THEN 1 ELSE 0 END
@@ -6737,10 +6737,15 @@ object SparkEntry {
       val chi2 = "CAST(chi_nano AS DOUBLE) / 1.0E9"
       val v = s"sqrt(($chi2) / CAST(n * LEAST(nr - 1, nc - 1)" +
         " AS DOUBLE))"
-      s"""WITH cells AS (SELECT c_mktsegment AS seg,
+      s"""WITH observed AS (SELECT c_mktsegment AS seg,
          |    o_orderpriority AS pri, CAST(COUNT(*) AS BIGINT) AS o
          |  FROM orders JOIN customer ON o_custkey = c_custkey
          |  GROUP BY 1, 2),
+         |cells AS (SELECT s.seg, p.pri,
+         |    CAST(COALESCE(ob.o, 0) AS BIGINT) AS o
+         |  FROM (SELECT DISTINCT seg FROM observed) s
+         |  CROSS JOIN (SELECT DISTINCT pri FROM observed) p
+         |  LEFT JOIN observed ob ON ob.seg = s.seg AND ob.pri = p.pri),
          |t AS (SELECT *,
          |    CAST(SUM(o) OVER (PARTITION BY seg) AS BIGINT) AS r,
          |    CAST(SUM(o) OVER (PARTITION BY pri) AS BIGINT) AS c,

@@ -1799,7 +1799,11 @@ object Analytics {
     * before summing, so the cross-cell accumulation is an
     * order-independent integer sum — the float-sum-order hazard a
     * 25-cell Σ would otherwise carry. (At extreme corpus sizes o·N
-    * would ride DECIMAL(38); same shape.) The 5%-level verdict is
+    * would ride DECIMAL(38); same shape.) The cell grid is DENSIFIED
+    * (distinct segs × distinct pris, observed coalesced to 0) so an
+    * empty cell contributes its expected mass r·c/N — the textbook
+    * statistic, not the observed-cells-only understatement. The
+    * 5%-level verdict is
     * stated only for the fixture's dof=16 table (literal critical
     * value 26.296); other shapes emit NULL rather than a wrong
     * threshold. */
@@ -1807,11 +1811,19 @@ object Analytics {
       : DataFrame = {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"))
-    val cells = Tables.orders(spark, dir)
+    val observed = Tables.orders(spark, dir)
       .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("seg"),
         col("o_orderpriority").as("pri"))
       .agg(count(lit(1)).as("o"))
+    // Densify: an EMPTY (seg, pri) cell still contributes its expected
+    // count e = r·c/N to the statistic (its χ² term is (0−e)²/e = e).
+    // The grid is bounded metadata (distinct segs × distinct pris —
+    // 25 cells on this schema), so the cross join is broadcast-safe.
+    val cells = observed.select("seg").distinct()
+      .crossJoin(broadcast(observed.select("pri").distinct()))
+      .join(observed, Seq("seg", "pri"), "left")
+      .withColumn("o", coalesce(col("o"), lit(0L)))
     def d(x: Column) = x.cast("double")
     val diff = d(col("o") * col("n") - col("r") * col("c"))
     val termNano = floor(diff * diff /

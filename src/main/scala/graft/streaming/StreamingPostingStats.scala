@@ -139,10 +139,24 @@ object StreamingPostingStats {
     ()
   }
 
+  /** Fixture dir → drained state root: the replay runs ONCE per
+    * process per fixture (the end state is deterministic).
+    * computeIfAbsent also serializes concurrent first-callers (the
+    * Verify harness runs queries in parallel): two drains racing on
+    * one pid root would clobber each other's state dir and checkpoint
+    * — the same hazard the IVF maintainer's drainedStateRoot guards. */
+  private val drained =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Drain the two-batch replay and return the final (t, df, tf)
     * table — identical contract to q232's, over the post-epoch
     * corpus. */
-  def statsStream(spark: SparkSession, dir: String): DataFrame = {
+  def statsStream(spark: SparkSession, dir: String): DataFrame =
+    DeltaLog.read(spark,
+      s"${drained.computeIfAbsent(dir, _ => drain(spark, dir))}/state/stats",
+      Seq("t")).get.orderBy("t")
+
+  private def drain(spark: SparkSession, dir: String): String = {
     val land = stagedLanding(spark, dir)
     val root = runRoot(dir)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
@@ -171,8 +185,6 @@ object StreamingPostingStats {
         s"no batches drained from $land — the staged landing dir is " +
           "empty (a foreign process blessed a half-staged dir?) or the " +
           "fixture path is wrong")
-
-    DeltaLog.read(spark, s"$root/state/stats", Seq("t")).get
-      .orderBy("t")
+    root
   }
 }

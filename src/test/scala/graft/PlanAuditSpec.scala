@@ -67,7 +67,8 @@ class PlanAuditSpec extends SparkSpec {
     "q267_demand_movers",     // 1-row min-shipdate anchor (q205 class)
     "q269_ks_test",           // 1-row (n1, n2) totals vs the CDF grain
     "q271_abc_classes",       // 1-row grand-total (max cum) cross join
-    "q275_tier_migration")    // 1-row date bounds / cuts / matrix total
+    "q275_tier_migration",    // 1-row date bounds / cuts / matrix total
+    "q281_chi_square")        // ≤5×5 seg×pri grid densify cross join
 
   // reviewed single-partition sites: global scalar finals + windows
   // over aggregate-grain frames (input cardinality is bounded by the

@@ -476,11 +476,19 @@ class Round10Spec extends SparkSpec {
 
   test("fixture baskets fit under MaxBasketWidth — the cap never binds, " +
       "so the capped collect_set matches the oracle's uncapped DISTINCT") {
-    // q204/q217 slice baskets to Analytics.MaxBasketWidth while their
-    // oracles pair the uncapped DISTINCT set; on TPC-H shapes the cap
-    // never binds (≤7 lineitems/order). If a future fixture violates
-    // this, the gates would silently diverge — fail loudly here instead.
-    for (d <- Seq(sf("sf0.001"), sf("sf0.01"))) {
+    // q204/q217/q243/q249/q256/q279 slice baskets to
+    // Analytics.MaxBasketWidth while their oracles pair the uncapped
+    // DISTINCT set; on TPC-H shapes the cap never binds (≤7
+    // lineitems/order). If a future fixture violates this, the gates
+    // would silently diverge — fail loudly here instead. Guard EVERY
+    // gated fixture (incl. sf0.1) plus the ScaleGen 10× probe fixture
+    // when it exists — the probe replicates per-order shape, but the
+    // guard is what proves that, not the construction comment.
+    val scaleDir = s"${System.getProperty("java.io.tmpdir")}/graft_sf1"
+    val dirs = Seq(sf("sf0.001"), sf("sf0.01"), sf("sf0.1")) ++
+      (if (new java.io.File(s"$scaleDir/lineitem.parquet").exists())
+         Seq(scaleDir) else Nil)
+    for (d <- dirs) {
       val maxWidth = Tables.lineitem(spark, d)
         .groupBy("l_orderkey")
         .agg(countDistinct("l_partkey").as("w"))
