@@ -537,50 +537,54 @@ object Analytics {
     * anchor-grain; the negative rejection check is a left-anti join
     * against the pair list, probes-bounded per anchor. No stage touches
     * |parts|² — rejection sampling against the positive set replaces
-    * the "all parts minus positives" complement a naive miner builds. */
+    * the "all parts minus positives" complement a naive miner builds.
+    *
+    * Plan shape (the round-8 collapse — was 2 localCheckpoints + a
+    * min-j self-join + a final best⋈neg join): ONE forward pipeline.
+    * The best positive is a `max_by` over (support, −b) in the
+    * anchor-grain aggregate (no window), pos_id/support ride the probe
+    * explosion as payload so the surviving min-j row IS the output row
+    * (no join back), and min-j itself is one row_number window on the
+    * probes-bounded valid set. co still materializes once per consumer
+    * pass via exchange reuse rather than an eager checkpoint barrier. */
   def tripletMining(spark: SparkSession, dir: String,
       minSupport: Long = 2, probes: Int = 5): DataFrame = {
-    val baskets = Tables.lineitem(spark, dir)
+    val co = Tables.lineitem(spark, dir)
       .groupBy(col("l_orderkey"))
       .agg(slice(array_sort(collect_set(col("l_partkey"))),
         1, MaxBasketWidth).as("parts"))
-    val co = baskets
       .select(explode(col("parts")).as("a"), col("parts"))
       .select(col("a"), explode(col("parts")).as("b"))
       .filter(col("a") =!= col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
-      .localCheckpoint() // best-positive rank + negative rejection
 
-    val w = Window.partitionBy("a").orderBy(desc("support"), asc("b"))
-    val best = co.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("a").as("anchor_id"), col("b").as("pos_id"),
-        col("support"))
+    // support-max positive, id tie-break: max over the (support, −b)
+    // struct ordering ≡ the old (support desc, b asc) rank-1 window,
+    // without the per-anchor sort
+    val best = co.groupBy(col("a").as("anchor_id"))
+      .agg(max_by(col("b"), struct(col("support"), -col("b")))
+          .as("pos_id"),
+        max(col("support")).as("support"))
 
     val m = Tables.part(spark, dir).count()
-    val cand = best.select(col("anchor_id"))
-      .select(col("anchor_id"),
-        explode(sequence(lit(0), lit(probes - 1))).as("j"))
+    val cand = best
+      .withColumn("j", explode(sequence(lit(0), lit(probes - 1))))
       // +1 maps the probe into the ACTUAL 1-based p_partkey domain
       // [1, m] — pmod alone draws from [0, m-1], which can emit a
       // neg_id of 0 (no such part) and can never sample part m
       .withColumn("cand",
         pmod(portable32(concat(col("anchor_id").cast("string"),
           lit(":"), col("j").cast("string"))), lit(m)) + lit(1L))
-    val valid = cand
+    cand
       .join(co.select(col("a").as("anchor_id"), col("b").as("cand")),
         Seq("anchor_id", "cand"), "left_anti")
       .filter(col("cand") =!= col("anchor_id"))
-      .localCheckpoint() // min-j pick + the value lookup
-    val neg = valid
-      .join(valid.groupBy("anchor_id").agg(min("j").as("j")),
-        Seq("anchor_id", "j"))
-      .select(col("anchor_id"), col("cand").as("neg_id"))
-
-    best.join(neg, "anchor_id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("anchor_id").orderBy("j")))
+      .filter(col("rn") === 1)
       .select(col("anchor_id"), col("pos_id"), col("support"),
-        col("neg_id"))
+        col("cand").as("neg_id"))
       .orderBy("anchor_id")
   }
 
@@ -691,17 +695,23 @@ object Analytics {
   /** The directed co-purchase support frame shared by q249 and q256:
     * (u, v, co, du, dv) over distinct (order, part) with the
     * [[MaxBasketWidth]]-bounded in-row pair fan-out and vertex-grain
-    * degree broadcasts. `co ≥ minCo` keeps the pair set sparse. */
+    * degree broadcasts. `co ≥ minCo` keeps the pair set sparse.
+    * `withBasketCount` additionally carries the basket total N as an
+    * `n_baskets` column via a broadcast 1-row cross join — the basket
+    * frame's own count, so q256's lift denominator rides THIS dag
+    * (exchange-reused) instead of a separate driver-side
+    * `distinct().count()` action. */
   private[graft] def coSupport(spark: SparkSession, dir: String,
-      minCo: Long): DataFrame = {
+      minCo: Long, withBasketCount: Boolean = false): DataFrame = {
     val bo = Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val deg = bo.groupBy(col("l_partkey").as("id"))
       .agg(count(lit(1)).as("d"))
-    bo
+    val baskets = bo
       .groupBy(col("l_orderkey"))
       .agg(slice(array_sort(collect_set(col("l_partkey"))),
         1, MaxBasketWidth).as("ps"))
+    val pairs = baskets
       .select(explode(col("ps")).as("u"), col("ps"))
       .select(col("u"), explode(col("ps")).as("v"))
       .filter(col("u") =!= col("v"))
@@ -711,6 +721,9 @@ object Analytics {
         "u")
       .join(broadcast(deg.select(col("id").as("v"), col("d").as("dv"))),
         "v")
+    if (!withBasketCount) pairs
+    else pairs.crossJoin(
+      broadcast(baskets.agg(count(lit(1)).as("n_baskets"))))
   }
 
   /** q256: association rules — the market-basket classic (Agrawal &
@@ -728,16 +741,16 @@ object Analytics {
     * (co desc, u, v) ties.
     *
     * Scale: [[coSupport]]'s shapes plus a global top-k
-    * (TakeOrderedAndProject — a distributed heap, no full sort). */
+    * (TakeOrderedAndProject — a distributed heap, no full sort). The
+    * basket total N rides the coSupport dag as a broadcast 1-row
+    * column (withBasketCount) — no separate count action. */
   def associationRules(spark: SparkSession, dir: String,
       topK: Int = 20, minCo: Long = 2): DataFrame = {
-    val baskets = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey")).distinct().count()
-    val lift = (col("co") * lit(baskets)).cast("double") /
+    val lift = (col("co") * col("n_baskets")).cast("double") /
       (col("du") * col("dv")).cast("double")
     val w = Window.orderBy(desc("lift_raw"), desc("co"), asc("u"),
       asc("v"))
-    coSupport(spark, dir, minCo)
+    coSupport(spark, dir, minCo, withBasketCount = true)
       .withColumn("lift_raw", lift)
       .orderBy(desc("lift_raw"), desc("co"), asc("u"), asc("v"))
       .limit(topK)

@@ -67,6 +67,7 @@ class PlanAuditSpec extends SparkSpec {
     "q267_demand_movers",     // 1-row min-shipdate anchor (q205 class)
     "q269_ks_test",           // 1-row (n1, n2) totals vs the CDF grain
     "q271_abc_classes",       // 1-row grand-total (max cum) cross join
+    "q256_assoc_rules",       // 1-row basket-total (N) cross join
     "q275_tier_migration",    // 1-row date bounds / cuts / matrix total
     "q281_chi_square")        // ≤5×5 seg×pri grid densify cross join
 
@@ -108,6 +109,7 @@ class PlanAuditSpec extends SparkSpec {
     "q253_conversion_z",      // 1-row four-sum experiment final
     "q254_expectations",      // 1-row nine-sum contract final
     "q255_forecast_backtest", // day-grain error rollup (q250 class)
+    "q256_assoc_rules",       // 1-row basket-total final (N scalar)
     "q258_purchase_gaps",     // CDF walk over HOUR-grain buckets —
                               // bounded by corpus time span, not rows
     "q259_geo_rollup",        // share windows over the 25-nation frame
