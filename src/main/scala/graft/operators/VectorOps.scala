@@ -220,12 +220,41 @@ object VectorOps {
     * the candidate edges only — each stage is the shape that already
     * ships here, just with the write in between. */
   def embeddingDedupIvf(spark: SparkSession, dir: String,
-      nCentroids: Int = 16, threshold: Double = 0.4,
+      nCentroids: Int = AdaptiveCentroids, threshold: Double = 0.4,
       nProbe: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val pairs = ivfCandidatePairs(spark, e, nCentroids, threshold, nProbe)
+    val k = resolveK(spark, dir, nCentroids)
+    val pairs = ivfCandidatePairs(spark, e, k, threshold, nProbe)
     dedupVerdict(e.select("vec_id"), pairs)
   }
+
+  /** Sentinel default for `nCentroids`: derive K from the corpus size
+    * at build time via [[adaptiveK]] instead of a fixed literal. */
+  val AdaptiveCentroids: Int = -1
+
+  /** The √n-class coarse-quantizer policy (the round-7 probe's named
+    * fix for the q141/q153 exponents): K = max(16, ⌈√(n/8)⌉). Fixed
+    * K=16 over a growing corpus makes bucket sizes grow ~n and
+    * bucket-local pair work ~n² — the regime every IVF deployment
+    * avoids by growing the centroid count with the corpus (FAISS's
+    * nlist ~ √n guidance). The 1/8 calibration puts the gate corpora
+    * (500/500/2000 vectors) exactly at the 16 floor, so every DuckDB
+    * oracle's literal-16 centroid set stays bit-identical; the 10×
+    * ScaleGen fixture (20k vectors) resolves to K=50 and the 100×
+    * fixture to K=159 — bucket-local pair work then grows ~n·√n
+    * instead of ~n². */
+  def adaptiveK(n: Long): Int =
+    math.max(16, math.ceil(math.sqrt(n / 8.0)).toInt)
+
+  /** Resolve an `nCentroids` argument: the [[AdaptiveCentroids]]
+    * sentinel reads the corpus count (a parquet-metadata-cheap action,
+    * paid once per index build / dedup run) through [[adaptiveK]];
+    * explicit values pass through untouched. */
+  private def resolveK(spark: SparkSession, dir: String,
+      nCentroids: Int): Int =
+    if (nCentroids == AdaptiveCentroids)
+      adaptiveK(Tables.embeddings(spark, dir).count())
+    else nCentroids
 
   /** The verdict layer shared by every dedup variant: close candidate
     * pairs into clusters ([[Graphs.components]]) and give every id its
@@ -258,10 +287,10 @@ object VectorOps {
     * without reshuffling the corpus — the index write amortizes across
     * every downstream probe. */
   def embeddingDedupIvfIndexed(spark: SparkSession, dir: String,
-      nCentroids: Int = 16, threshold: Double = 0.4,
+      nCentroids: Int = AdaptiveCentroids, threshold: Double = 0.4,
       nProbe: Int = 4, maxBucket: Long = DefaultMaxBucket): DataFrame = {
-    val assigned =
-      graft.sources.IvfIndex.table(spark, dir, nCentroids, nProbe)
+    val assigned = graft.sources.IvfIndex.table(spark, dir,
+      resolveK(spark, dir, nCentroids), nProbe)
     val pairs =
       pairsFromAssigned(assigned, threshold, nProbe, maxBucket)
     val ids = Tables.embeddings(spark, dir).select("vec_id")
@@ -1523,7 +1552,8 @@ object VectorOps {
     * from-scratch dataflow. */
   def ivfKnnUnified(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5,
-      nCentroids: Int = 16, iters: Int = 2, nProbe: Int = 4): DataFrame = {
+      nCentroids: Int = AdaptiveCentroids, iters: Int = 2,
+      nProbe: Int = 4): DataFrame = {
     import spark.implicits._
     val h = graft.sources.IvfIndex.unified(spark, dir, nCentroids, iters)
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
@@ -1865,10 +1895,12 @@ object VectorOps {
     * the first-K index at the same nProbe — TrainedIvfSpec pins it),
     * which is exactly why real deployments pay the training pass. */
   def embeddingDedupIvfTrained(spark: SparkSession, dir: String,
-      nCentroids: Int = 16, iters: Int = 2, threshold: Double = 0.4,
+      nCentroids: Int = AdaptiveCentroids, iters: Int = 2,
+      threshold: Double = 0.4,
       nProbe: Int = 4): DataFrame = {
     val e = Tables.embeddings(spark, dir).select(col("vec_id"), col("embedding"))
-    val cents = trainCentroids(spark, dir, nCentroids, iters)
+    val cents =
+      trainCentroids(spark, dir, resolveK(spark, dir, nCentroids), iters)
     val pairs = pairsFromAssigned(
       ivfAssignTrained(spark, e, cents, nProbe), threshold, nProbe)
     dedupVerdict(e.select("vec_id"), pairs)

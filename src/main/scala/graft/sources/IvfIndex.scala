@@ -83,15 +83,23 @@ object IvfIndex {
       String, Array[(Long, Array[Double])]]()
 
   def unified(spark: SparkSession, dir: String,
-      nCentroids: Int, iters: Int): Handle = {
+      nCentroidsArg: Int, iters: Int): Handle = {
     import org.apache.spark.sql.functions.col
     val V = graft.operators.VectorOps
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val sig = graft.streaming.FixtureStaging
       .key("ivfuni", s"$dir/embeddings.parquet")
-    val name = s"b_ivfu_c${nCentroids}_i${iters}_s${sig}_$tag"
     val all = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
+    // Build-time √n coarse-quantizer policy: the AdaptiveCentroids
+    // sentinel resolves K from the corpus count AS OF BUILD TIME
+    // (V.adaptiveK — 16 at the gate SFs, ~√n beyond), and the resolved
+    // K is baked into the table name, so an index built at one corpus
+    // size is never silently served at another K.
+    val nCentroids =
+      if (nCentroidsArg == V.AdaptiveCentroids) V.adaptiveK(all.count())
+      else nCentroidsArg
+    val name = s"b_ivfu_c${nCentroids}_i${iters}_s${sig}_$tag"
     val prev = all.filter(col("vec_id") % 6 =!= 0)
     val delta = all.filter(col("vec_id") % 6 === 0)
     // trained once per (fixture signature, JVM): K×dim doubles

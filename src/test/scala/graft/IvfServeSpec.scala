@@ -38,7 +38,7 @@ class IvfServeSpec extends SparkSpec {
       "append equals the from-scratch full assignment") {
     import org.apache.spark.sql.functions.col
     val h = graft.sources.IvfIndex.unified(spark, dir,
-      nCentroids = 16, iters = 2)
+      nCentroidsArg = 16, iters = 2)
     val all = graft.sources.Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val full = VectorOps.ivfAssignTrained(spark, all, h.centroids, 1)
