@@ -300,6 +300,8 @@ object SparkEntry {
       ((s, d) => streaming.StreamingPostingStats.statsStream(s, d)),
     "q237_streaming_ivf_serve" ->
       ((s, d) => streaming.StreamingIvfMaintainer.servedKnn(s, d)),
+    "q286_streaming_ivf_pruned_serve" ->
+      ((s, d) => streaming.StreamingIvfMaintainer.servedKnnPruned(s, d)),
     "q238_pii_redaction" -> ((s, d) => Privacy.piiRedaction(s, d)),
     "q239_k_anonymity" -> ((s, d) => Privacy.kAnonymity(s, d)),
     "q240_shared_substrings" ->
@@ -978,6 +980,37 @@ object SparkEntry {
        |    AS status
        |FROM e v LEFT JOIN comp c2 ON v.vec_id = c2.id
        |ORDER BY v.vec_id NULLS FIRST""".stripMargin
+
+  /** ANN from the post-epoch index state — the shared oracle for the
+    * full-state-scan serve (q237) and the published bucket-pruned
+    * serve (q286): multi-probe probe-and-rank recomputed over the
+    * post-epoch corpus from scratch. The two queries differ only in
+    * the Spark-side index representation; the result set must not
+    * move. */
+  private def ivfServeFromStateOracle: String =
+    s"""WITH $ivfPostEpochCtes,
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
+       |      WHERE vec_id < 10),
+       |qc AS (
+       |  SELECT query_id, qv, cid FROM (
+       |    SELECT q.query_id, q.qv, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosCols("q.qv", "c.cv")} DESC NULLS LAST,
+       |                 c.cid NULLS FIRST) AS rn
+       |    FROM q CROSS JOIN c) WHERE rn <= 4),
+       |cand AS (
+       |  SELECT DISTINCT query_id, a.vec_id AS neighbor_id,
+       |    ${cosCols("qc.qv", "a.embedding")} AS cos
+       |  FROM qc JOIN assign a USING (cid)
+       |  WHERE a.vec_id <> qc.query_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST) AS rn
+       |  FROM cand)
+       |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
+       |FROM r WHERE rn <= 5
+       |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin
 
   private def cosCols(a: String, b: String) =
     s"""list_reduce(list_transform(range(1, len($a) + 1),
@@ -3395,30 +3428,14 @@ object SparkEntry {
     // delta-maintained inverted lists (assigned + centroids state
     // tables) ARE the post-epoch index. Both sides multi-probe, so
     // candidates dedupe (DISTINCT) before ranking.
-    "q237_streaming_ivf_serve" ->
-      s"""WITH $ivfPostEpochCtes,
-         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e
-         |      WHERE vec_id < 10),
-         |qc AS (
-         |  SELECT query_id, qv, cid FROM (
-         |    SELECT q.query_id, q.qv, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
-         |        ORDER BY ${cosCols("q.qv", "c.cv")} DESC NULLS LAST,
-         |                 c.cid NULLS FIRST) AS rn
-         |    FROM q CROSS JOIN c) WHERE rn <= 4),
-         |cand AS (
-         |  SELECT DISTINCT query_id, a.vec_id AS neighbor_id,
-         |    ${cosCols("qc.qv", "a.embedding")} AS cos
-         |  FROM qc JOIN assign a USING (cid)
-         |  WHERE a.vec_id <> qc.query_id),
-         |r AS (
-         |  SELECT query_id, neighbor_id, cos,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST) AS rn
-         |  FROM cand)
-         |SELECT query_id, rn AS "rank", neighbor_id, ${val6("cos")} AS cos_sim
-         |FROM r WHERE rn <= 5
-         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+    "q237_streaming_ivf_serve" -> ivfServeFromStateOracle,
+
+    // q286: the same serve contract answered from the PUBLISHED
+    // cid-bucketed artifact with plan-time bucket pruning — the oracle
+    // is identical (the representation is Spark-side; the result set
+    // must not move), so a hash match proves pruned-read-of-published
+    // ≡ full-state-scan ≡ post-epoch rebuild.
+    "q286_streaming_ivf_pruned_serve" -> ivfServeFromStateOracle,
 
     // q243: synchronous label propagation over the repeat-co-purchase
     // part graph (edges = pairs co-bought in >= 2 orders), 3 unrolled

@@ -252,6 +252,94 @@ object StreamingIvfMaintainer {
     * DISTINCT. Scale: probe lists are driver-side metadata
     * (nQueries × nProbe); the serve is one broadcast equi-join on cid
     * over ~nProbe²/K of the index plus a per-query top-k window. */
+  /** READ-OPTIMIZED PUBLISH of the delete-maintained index — the
+    * round-7 review's "unify the two representations" step: the
+    * resolved post-epoch `assigned` state written ONCE as a
+    * cid-bucketed, cid-sorted table in the same
+    * [[graft.sources.Bucketing]] layout the append-only index artifact
+    * (q153/q163) serves from. The DeltaLog state tables remain the
+    * WRITE path (delta-sized commits, crash-safe epoch replay); this
+    * publish is the READ path — the Lucene/RocksDB segment-publish
+    * analog, giving the delete-maintained index q161's plan-time
+    * bucket pruning instead of q237's full-state scan.
+    *
+    * At 100 TB the publish rewrite is restricted to the epoch's
+    * AFFECTED buckets: the per-epoch DeltaLog commits already carry
+    * the touched cid set (deltaAssigned ∪ retiredAssigned keys), and
+    * hashing those cids to bucket ids names exactly the bucket files
+    * to rewrite — every untouched bucket's files carry over. Here the
+    * drained two-batch state publishes in one write, amortized per
+    * fixture signature across processes by [[Bucketing.ensure]]'s
+    * catalog + file-lock discipline (the end state is deterministic,
+    * so any process publishes identical content). */
+  def publishedIndex(spark: SparkSession, dir: String): DataFrame = {
+    val root = drainedStateRoot(spark, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val sig = FixtureStaging.key("ivfmpub", s"$dir/embeddings.parquet")
+    val name = s"b_ivfmpub_s${sig}_$tag"
+    graft.sources.Bucketing.ensure(spark, name,
+      DeltaLog.read(spark, s"$root/state/assigned",
+        Seq("vec_id", "cid")).get,
+      "cid", sweep = Some(("b_ivfmpub_s", s"_$tag")))
+    spark.table(name)
+  }
+
+  /** q286: bucket-PRUNED ANN served from the delete-maintained index —
+    * [[servedKnn]]'s exact contract (same oracle: multi-probe
+    * probe-and-rank recomputed over the post-epoch corpus) answered
+    * from the [[publishedIndex]] artifact with q161's serving
+    * discipline: per-query probe lists computed driver-side against
+    * the frozen `centroids` state (metadata-sized), and the probed cid
+    * set reaching the scan as a LITERAL IN-filter so the bucketed
+    * table prunes to the probed buckets at PLAN time
+    * (`SelectedBucketsCount` — StreamingIvfPrunedServeSpec pins the
+    * strict subset). The serve reads ~nProbe·nQueries/K of the
+    * post-delete index ON DISK — deletes and pruning together, where
+    * q161 had pruning without deletes and q237 deletes without
+    * pruning. */
+  def servedKnnPruned(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val root = drainedStateRoot(spark, dir)
+    val idx = publishedIndex(spark, dir)
+    val cents = DeltaLog.read(spark, s"$root/state/centroids", Seq("cid")).get
+      .select(col("cid"), col("cv"))
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    // queries: the first ids still in the post-epoch corpus, read off
+    // the published index itself (multi-probe rows dedupe to one
+    // embedding per vec_id). At scale this is a key lookup against the
+    // vec_id-keyed state, not an index scan.
+    val queries = idx.filter(col("vec_id") < nQueries)
+      .groupBy("vec_id").agg(first("embedding").as("qv"))
+      .as[(Long, Array[Float])].collect().toSeq
+    val probesLocal = queries.flatMap { case (qid, qv) =>
+      cents.map { case (cid, cv) => (cid, VectorOps.cosOf(qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }
+        .take(NProbe)
+        .map { case (cid, _) => (qid, cid, qv) }
+    }
+    val probedCids = probesLocal.map(_._2).distinct.sorted
+    val probes = probesLocal.toDF("query_id", "cid", "qv")
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(probes)
+      .join(idx.filter(col("cid").isin(probedCids: _*)), "cid")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qv"), col("embedding"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (qi, ni, qv, v) =>
+        (qi, ni, VectorOps.cosOf(qv, v)) })
+      .toDF("query_id", "neighbor_id", "cos")
+      .distinct() // multi-probe × multi-probe: pairs meet in >1 bucket
+      .withColumn("rn", row_number().over(rankW))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        graft.util.Portable.val6(col("cos")).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   def servedKnn(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5): DataFrame = {
     import spark.implicits._
