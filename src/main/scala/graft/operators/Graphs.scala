@@ -62,6 +62,46 @@ object Graphs {
     labels
   }
 
+  /** [[components]] with a driver-side escape hatch for DELTA-SIZED
+    * subgraphs: the incremental maintainers re-close only the epoch's
+    * AFFECTED clusters, a subgraph bounded by the delta — paying
+    * O(diameter) distributed rounds (each ~2 fixed-latency jobs) to
+    * close a few hundred edges is pure scheduling overhead. Below
+    * `driverEdgeLimit` edges (~3 MB collected at the default), the
+    * closure runs as one collect + union-find with min-root merging —
+    * EXACTLY [[components]]' semantics (component = min reachable id),
+    * so every oracle-gated result is bit-identical; above it, the
+    * distributed loop runs unchanged. The count that picks the path is
+    * one job over the already-checkpointed edge frame — the same guard
+    * discipline as [[graft.operators.VectorOps]]'s withBucketCap. */
+  def componentsAuto(edges: DataFrame, src: String, dst: String,
+      driverEdgeLimit: Long = 200000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(src).cast("long").as("src"),
+      col(dst).cast("long").as("dst")).localCheckpoint()
+    if (e.count() > driverEdgeLimit) components(e, "src", "dst")
+    else {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x // path compression: point the walked chain at the root
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      e.as[(Long, Long)].collect().foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        // min-union: larger root hangs under smaller, so a component's
+        // root IS its minimum id — components' min-label fixpoint
+        if (ra < rb) parent(rb) = ra
+        else if (rb < ra) parent(ra) = rb
+      }
+      parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "comp")
+    }
+  }
+
   /** Alternating large-star/small-star connected components (the
     * MapReduce CC of Kiveris et al., "Connected Components in MapReduce
     * and Beyond") — the scale path [[components]]' Scaladoc promises:

@@ -544,12 +544,16 @@ object VectorOps {
     val pairsV2 = survStored.unionByName(newPairs).distinct()
     val subEdges = pairsV2
       .join(affIds.withColumnRenamed("vec_id", "ida"), Seq("ida"), "left_semi")
+      .localCheckpoint() // stray guard + closure read one materialization
     val stray = subEdges
       .join(affIds.withColumnRenamed("vec_id", "idb"), Seq("idb"), "left_anti")
     if (!stray.isEmpty)
       throw new IllegalStateException(
         "upsert+delete maintenance: affected subgraph is not edge-closed")
-    val subComp = Graphs.components(subEdges, "ida", "idb")
+    // the affected subgraph is delta-sized by construction —
+    // componentsAuto closes it driver-side below its edge bound
+    // (identical min-label semantics), distributed above it
+    val subComp = Graphs.componentsAuto(subEdges, "ida", "idb")
       .withColumnRenamed("id", "vec_id")
     val unaffected = comp
       .join(affComps, Seq("component"), "left_anti")

@@ -121,6 +121,24 @@ object DeltaLog {
     Some(resolved.select(cols.map(col): _*))
   }
 
+  /** Read back exactly one committed epoch's delta — (upserts,
+    * deleteKeys if any); None if the epoch is not committed. The
+    * epoch must still be live (the newest epoch never compacts, so
+    * reading back the epoch just committed is always safe) — this is
+    * what lets a maintainer fold its own commit into an in-memory
+    * snapshot instead of re-resolving the whole log next batch. */
+  def epochDelta(spark: SparkSession, root: String, epoch: Long)
+      : Option[(DataFrame, Option[DataFrame])] = {
+    val f = fs(spark, root)
+    val dir = epochDir(root, epoch)
+    if (!f.exists(new Path(dir, "_READY"))) return None
+    val dels =
+      if (f.exists(new Path(s"$dir/del")))
+        Some(spark.read.parquet(s"$dir/del"))
+      else None
+    Some((spark.read.parquet(s"$dir/up"), dels))
+  }
+
   /** Change feed over the epoch range `[fromInclusive, toExclusive)` —
     * the CDC read a downstream consumer (index maintainer, cache
     * invalidator, replication target) runs between two points in time:

@@ -97,10 +97,52 @@ object StreamingIvfMaintainer {
     s"/tmp/graft-ivfstream-run-$key-p$pid"
   }
 
+  /** In-memory snapshot of the four resolved state tables as of epoch
+    * `upTo` (exclusive), each localCheckpointed — the cross-batch
+    * cache that removes the per-batch log-resolution floor: a running
+    * maintainer resolves from the DeltaLog only on FIRST contact
+    * (restart/recovery — the crash story is unchanged, the log stays
+    * the source of truth), then advances the snapshot by folding in
+    * each epoch's own committed delta (a broadcast anti-join + union —
+    * map-only over the in-memory parent, no log re-read, no
+    * resolve-shuffle). A replay of an older batch (cache ahead) falls
+    * back to the log's `< batchId` snapshot read and never regresses
+    * the cache. */
+  private case class Snapshot(upTo: Long, centroids: DataFrame,
+      assigned: DataFrame, pairs: DataFrame, comp: DataFrame)
+  private val snapshots =
+    new java.util.concurrent.ConcurrentHashMap[String, Snapshot]()
+
+  /** Advance the cached snapshot monotonically (a replayed older batch
+    * recomputes an old snapshot — never let it clobber a newer one). */
+  private def advance(root: String, s: Snapshot): Unit =
+    snapshots.merge(root, s,
+      (old, nw) => if (nw.upTo > old.upTo) nw else old)
+
+  /** stored + one epoch's committed (upserts, deletes) → the next
+    * resolved state: touched keys leave, upserts enter. The touched
+    * key set is delta-sized → broadcast, so the fold is ONE map-only
+    * pass over the stored snapshot. */
+  private def foldDelta(stored: DataFrame, delta: Option[
+      (DataFrame, Option[DataFrame])], keys: Seq[String]): DataFrame =
+    delta match {
+      case None => stored
+      case Some((ups, dels)) =>
+        val k = keys.map(col)
+        val touched = ups.select(k: _*)
+          .unionByName(dels.map(_.select(k: _*))
+            .getOrElse(ups.select(k: _*).limit(0)))
+          .distinct()
+        stored.join(broadcast(touched), keys, "left_anti")
+          .unionByName(ups)
+    }
+
   /** ONE maintainer step: resolve the four state tables as of epochs
-    * `< batchId` (replay-safe), seed on first contact (full build
-    * chain), otherwise run [[VectorOps.ivfEpochStep]] and commit only
-    * its keyed deltas. */
+    * `< batchId` (from the in-memory snapshot when it is current,
+    * from the log on restart/replay), seed on first contact (full
+    * build chain), otherwise run [[VectorOps.ivfEpochStep]] and commit
+    * only its keyed deltas — then fold those committed deltas into the
+    * snapshot so the next batch skips the log resolution. */
   def applyBatch(spark: SparkSession, root: String, batch: DataFrame,
       batchId: Long): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
@@ -108,17 +150,24 @@ object StreamingIvfMaintainer {
     implicit val ec: ExecutionContext = ExecutionContext.global
     def log(t: String) = s"$root/state/$t"
     // the epoch step consumes assigned twice, pairs thrice and comp
-    // three times — checkpoint each resolution once per batch; the
-    // four independent resolutions run concurrently (one resolution
-    // latency per batch, not four)
+    // three times — each frame is localCheckpointed once per batch
+    // (at snapshot-advance time on the hot path, at resolution time on
+    // the restart path); the four independent resolutions run
+    // concurrently (one resolution latency per batch, not four)
     def resolved(t: String, keys: Seq[String]) = Future(
       DeltaLog.read(spark, log(t), keys, Some(batchId))
         .map(_.localCheckpoint()))
-    val rs = Await.result(Future.sequence(Seq(
-      resolved("centroids", Seq("cid")),
-      resolved("assigned", Seq("vec_id", "cid")),
-      resolved("pairs", Seq("ida", "idb")),
-      resolved("comp", Seq("vec_id")))), Duration.Inf)
+    val rs = Option(snapshots.get(root)).filter(_.upTo == batchId) match {
+      case Some(s) =>
+        Seq(Some(s.centroids), Some(s.assigned), Some(s.pairs),
+          Some(s.comp))
+      case None =>
+        Await.result(Future.sequence(Seq(
+          resolved("centroids", Seq("cid")),
+          resolved("assigned", Seq("vec_id", "cid")),
+          resolved("pairs", Seq("ida", "idb")),
+          resolved("comp", Seq("vec_id")))), Duration.Inf)
+    }
     val ups = batch.filter(!col("deleted")).select("vec_id", "embedding")
     rs.head match {
       case None =>
@@ -151,6 +200,8 @@ object StreamingIvfMaintainer {
             pairs, None, Seq("ida", "idb"))),
           Future(DeltaLog.commit(spark, log("comp"), batchId,
             comp, None, Seq("vec_id"))))), Duration.Inf)
+        advance(root, Snapshot(batchId + 1, centsDf.localCheckpoint(),
+          assigned, pairs, comp.localCheckpoint()))
       case Some(centsDf) =>
         import spark.implicits._
         val cents = centsDf.select(col("cid"), col("cv"))
@@ -166,6 +217,20 @@ object StreamingIvfMaintainer {
             d.newPairs, Some(d.retiredPairs), Seq("ida", "idb"))),
           Future(DeltaLog.commit(spark, log("comp"), batchId,
             d.reclosed, Some(tomb), Seq("vec_id"))))), Duration.Inf)
+        // advance the snapshot by folding in the deltas JUST COMMITTED,
+        // read back from the log (the source of truth — a replayed
+        // batch folds the ORIGINAL committed delta, not its recompute);
+        // the three folds checkpoint concurrently
+        def folded(stored: DataFrame, t: String, keys: Seq[String]) =
+          Future(foldDelta(stored,
+            DeltaLog.epochDelta(spark, log(t), batchId), keys)
+            .localCheckpoint())
+        val nf = Await.result(Future.sequence(Seq(
+          folded(rs(1).get, "assigned", Seq("vec_id", "cid")),
+          folded(rs(2).get, "pairs", Seq("ida", "idb")),
+          folded(rs(3).get, "comp", Seq("vec_id")))), Duration.Inf)
+        advance(root,
+          Snapshot(batchId + 1, rs.head.get, nf(0), nf(1), nf(2)))
     }
     ()
   }
