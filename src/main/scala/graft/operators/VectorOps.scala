@@ -356,12 +356,13 @@ object VectorOps {
     * invariant (prev assignment ∪ delta assignment ≡ full assignment)
     * is pinned separately by IncrementalIvfSpec. */
   def embeddingDedupIncremental(spark: SparkSession, dir: String,
-      nCentroids: Int = 16, threshold: Double = 0.4,
+      nCentroids: Int = AdaptiveCentroids, threshold: Double = 0.4,
       nProbe: Int = 4): DataFrame = {
     val all = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val delta = all.filter(col("vec_id") % 6 === 0)
-    val art = stagedIvfPrev(spark, dir, nCentroids, nProbe, threshold)
+    val art = stagedIvfPrev(spark, dir, resolveK(spark, dir, nCentroids),
+      nProbe, threshold)
     val deltaAssigned = assignWithCentroids(spark, delta,
       art.centroids, nProbe).localCheckpoint()
     val unionAssigned = art.assigned
@@ -473,12 +474,13 @@ object VectorOps {
     * full chain over the POST-EPOCH corpus (prev ∖ tombs ∪ appends)
     * against the frozen prev centroids. */
   def embeddingDedupUpsertDelete(spark: SparkSession, dir: String,
-      nCentroids: Int = 16, threshold: Double = 0.4,
+      nCentroids: Int = AdaptiveCentroids, threshold: Double = 0.4,
       nProbe: Int = 4): DataFrame = {
     val all = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
     val appends = all.filter(col("vec_id") % 6 === 0)
-    val art = stagedIvfPrev(spark, dir, nCentroids, nProbe, threshold)
+    val art = stagedIvfPrev(spark, dir, resolveK(spark, dir, nCentroids),
+      nProbe, threshold)
     val tomb = graft.sources.DeltaLog.stagedTombstones(spark, "ivfud",
         s"$dir/embeddings.parquet",
         all.filter(col("vec_id") % 6 =!= 0).select(col("vec_id")),
@@ -634,9 +636,10 @@ object VectorOps {
     * gate proves it: the oracle recomputes the FULL chain (assignment,
     * pairs, closure) over the post-delete corpus from scratch. */
   def embeddingDedupWithDeletes(spark: SparkSession, dir: String,
-      nCentroids: Int = 16, threshold: Double = 0.4,
+      nCentroids: Int = AdaptiveCentroids, threshold: Double = 0.4,
       nProbe: Int = 4): DataFrame = {
-    val art = stagedIvfFull(spark, dir, nCentroids, nProbe, threshold)
+    val art = stagedIvfFull(spark, dir, resolveK(spark, dir, nCentroids),
+      nProbe, threshold)
     val tomb = graft.sources.DeltaLog.stagedTombstones(spark, "ivfdel",
         s"$dir/embeddings.parquet",
         Tables.embeddings(spark, dir).select(col("vec_id")),
