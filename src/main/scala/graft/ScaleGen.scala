@@ -107,10 +107,17 @@ object ScaleGen {
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
     replicate("embeddings") { (d, c) =>
-      val e =
-        if (c == 0) col("embedding")
-        else concat(slice(col("embedding"), c + 1, 64 - c),
-          slice(col("embedding"), 1, c))
+      // rotate by c positions (c < 64); past a full rotation (c ≥ 64,
+      // the 100× fixture) rotate by c-64 AND negate — cos(-x, x) = -1,
+      // so late copies still share NO near-dup structure with their
+      // rotation twins, norms and in-copy pairwise cosines unchanged
+      // (cos(-x, -y) = cos(x, y))
+      val r = c % 64
+      val rot =
+        if (r == 0) col("embedding")
+        else concat(slice(col("embedding"), r + 1, 64 - r),
+          slice(col("embedding"), 1, r))
+      val e = if (c < 64) rot else transform(rot, v => -v)
       d.withColumn("vec_id", col("vec_id") + lit(c * OffVec))
         .withColumn("embedding", e)
     }

@@ -1,0 +1,254 @@
+package graft.oracles
+
+import graft.operators.{Analytics, Events, Expectations, Features, Gold, Graphs, PrefixJoin, Privacy, Relational, Scd2, TextOps, VectorOps}
+import graft.util.Portable.Sql._
+import graft.oracles.OracleDialect._
+
+/** DuckDB oracle SQL — streaming gates (batch-oracle replays of drained streams). Entries moved verbatim from the
+  * pre-split SparkEntry registry; keys and strings unchanged
+  * (CORRECTNESS gates hash every one of them).
+  */
+object StreamingOracles {
+
+  val map: Map[String, String] = Map(
+    "q37_streaming_funnel" -> funnelSql,
+
+    "q38_streaming_last_event" -> lastEventSql,
+
+    "q42_streaming_stateful_funnel" ->
+      """SELECT user_id,
+        |  MAX(CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+        |      WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END)
+        |    AS max_stage,
+        |  CAST(SUM(CASE WHEN event_type IN ('signup','view','click','purchase')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel_events,
+        |  MAX(CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+        |      WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END) = 4
+        |    AS completed
+        |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    "q44_streaming_windowed_counts" ->
+      s"""SELECT
+         |  make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+         |    AS window_start,
+         |  make_timestamp(((epoch_us(ts) // 21600000000) + 1) * 21600000000)
+         |    AS window_end,
+         |  COUNT(*) AS n_events,
+         |  ${sum2("value")} AS window_value
+         |FROM events
+         |GROUP BY 1, 2
+         |ORDER BY 1 NULLS FIRST""".stripMargin,
+
+    // sliding windows: every event belongs to the two 6h windows whose
+    // 3h-aligned starts cover it — replayed as a UNION ALL of shifted
+    // 3h floors (10800000000 us = 3h, 21600000000 us = 6h),
+    "q148_streaming_sliding_window" ->
+      s"""WITH w AS (
+         |  SELECT make_timestamp((epoch_us(ts) // 10800000000)
+         |      * 10800000000) AS window_start, value FROM events
+         |  UNION ALL
+         |  SELECT make_timestamp(((epoch_us(ts) // 10800000000) - 1)
+         |      * 10800000000), value FROM events)
+         |SELECT window_start,
+         |  make_timestamp(epoch_us(window_start) + 21600000000)
+         |    AS window_end,
+         |  COUNT(*) AS n_events,
+         |  ${sum2("value")} AS window_value
+         |FROM w GROUP BY 1, 2
+         |ORDER BY 1 NULLS FIRST""".stripMargin,
+
+    "q212_streaming_decontaminate" -> containmentOracle,
+
+    // q213: curriculum staging — q178's difficulty integers, NTILE
+    // quartiles over the (difficulty, doc_id) total order; Spark's
+    // closed-form stage from the two-phase rank must match NTILE.,
+    "q187_streaming_topk" ->
+      """WITH p AS (SELECT user_id, COUNT(*) AS n_purchases,
+        |    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |r AS (SELECT *, ROW_NUMBER() OVER (
+        |    ORDER BY cents DESC, user_id) AS rn FROM p)
+        |SELECT CAST(rn AS INTEGER) AS rank, user_id, n_purchases,
+        |  CAST(cents AS DOUBLE) / 100.0 AS revenue
+        |FROM r WHERE rn <= 10 ORDER BY rank""".stripMargin,
+
+    // q185: distributed power iteration (2 steps), projections onto
+    // the leading principal direction. Step math replayed verbatim;
+    // max-|component| normalization keeps every cross-row reduction
+    // integer.,
+    "q176_streaming_drift" -> psiDriftSql,
+
+    "q53_streaming_enriched" ->
+      s"""WITH stages(stage, stage_rank) AS
+         |  (VALUES ('signup', 1), ('view', 2), ('click', 3), ('purchase', 4))
+         |SELECT stage, stage_rank, COUNT(*) AS n_events,
+         |  ${sum2("value")} AS stage_value
+         |FROM events JOIN stages ON event_type = stage
+         |GROUP BY stage, stage_rank
+         |ORDER BY stage_rank NULLS FIRST""".stripMargin,
+
+    "q55_streaming_scd2" ->
+      s"""WITH $scd2Ctes,
+         |hist AS (
+         |$scd2HistSelect)
+         |SELECT order_id, order_status, total_price, priority,
+         |  valid_from, valid_to, is_current
+         |FROM hist
+         |ORDER BY order_id NULLS FIRST, valid_from NULLS FIRST""".stripMargin,
+
+    "q70_streaming_dedup" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+        |FROM events GROUP BY 1
+        |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // The oracle REGENERATES the custom source's rows from range() with
+    // the identical md5 arithmetic — the connector's output is
+    // hash-verified end-to-end, not just row-counted.,
+    "q74_streaming_eventgen" ->
+      s"""WITH g AS (SELECT i AS event_id,
+         |    ${h32("CAST(i AS VARCHAR)")} AS h
+         |  FROM range(0, 50000) t(i)),
+         |e AS (SELECT
+         |    ['view','cart','purchase','refund','support']
+         |      [CAST((h // 500) % 5 AS INT) + 1] AS event_type,
+         |    CAST(h % 10000 AS DOUBLE) / 100.0 AS value
+         |  FROM g)
+         |SELECT event_type, COUNT(*) AS n_events,
+         |  ${sum2("value")} AS total_value
+         |FROM e GROUP BY 1
+         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // Salted join must equal the PLAIN join — the salt never escapes.,
+    "q235_streaming_ivf_maintain" -> ivfPostEpochOracle,
+
+    // q234: BM25 served from the delete-maintained posting stats —
+    // Spark reads df from the q232 artifact; the oracle recomputes
+    // the whole retrieval over the post-delete corpus from scratch.,
+    "q237_streaming_ivf_serve" -> ivfServeFromStateOracle,
+
+    // q286: the same serve contract answered from the PUBLISHED
+    // cid-bucketed artifact with plan-time bucket pruning — the oracle
+    // is identical (the representation is Spark-side; the result set
+    // must not move), so a hash match proves pruned-read-of-published
+    // ≡ full-state-scan ≡ post-epoch rebuild.,
+    "q286_streaming_ivf_pruned_serve" -> ivfServeFromStateOracle,
+
+    // q243: synchronous label propagation over the repeat-co-purchase
+    // part graph (edges = pairs co-bought in >= 2 orders), 3 unrolled
+    // rounds — mode of neighbor labels, ties to the smallest label.,
+    "q236_streaming_posting_stats" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |  FROM documents WHERE doc_id % 6 = 0 OR doc_id % 7 <> 3),
+        |tf0 AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2)
+        |SELECT t, CAST(COUNT(*) AS BIGINT) AS df,
+        |  CAST(SUM(c) AS BIGINT) AS tf
+        |FROM tf0 GROUP BY t ORDER BY t""".stripMargin,
+
+    // q228: exact cross-source content overlap — fingerprint-keyed
+    // self-join, source-grain sizes, exact set Jaccard.,
+    "q106_streaming_session" -> sessionWindowOracle,
+
+    "q88_streaming_join" ->
+      """SELECT p.user_id, p.ts AS purchase_ts, v.ts AS view_ts
+        |FROM events p JOIN events v
+        |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND p.user_id = v.user_id
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |ORDER BY p.user_id ASC NULLS FIRST, purchase_ts ASC NULLS FIRST,
+        |  view_ts ASC NULLS FIRST""".stripMargin,
+
+    // the sentinel row advances the drain's watermark past all real
+    // data, so every purchase resolves (matches or one null row) and
+    // the oracle is the plain batch left range join,
+    "q152_streaming_left_outer_join" ->
+      """SELECT p.user_id, p.ts AS purchase_ts, v.ts AS view_ts
+        |FROM (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, ts FROM events
+        |      WHERE event_type = 'view') v
+        |  ON p.user_id = v.user_id
+        |  AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+        |ORDER BY p.user_id ASC NULLS FIRST, purchase_ts ASC NULLS FIRST,
+        |  view_ts ASC NULLS FIRST""".stripMargin,
+
+    // q153 reads the PERSISTED cid-bucketed IVF index instead of
+    // assigning live; the assignment is deterministic, so the verdict
+    // contract — and therefore the oracle — is exactly q141's. The
+    // oracle has no idea the index exists, which is the point: storage
+    // layout must never change results.,
+    "q126_streaming_tws_stats" ->
+      s"""SELECT user_id, COUNT(*) AS n_events,
+         |  ${sum2("value")} AS total_value,
+         |  CAST(MAX(CASE event_type WHEN 'signup' THEN 1 WHEN 'view' THEN 2
+         |    WHEN 'click' THEN 3 WHEN 'purchase' THEN 4 ELSE 0 END) AS INT)
+         |    AS max_stage
+         |FROM events GROUP BY user_id ORDER BY user_id NULLS FIRST""".stripMargin,
+
+    // Inverted-index cosine: integer tf dot products; cosine is three
+    // correctly-rounded IEEE ops on exact integers, then floor-scaled.,
+    "q135_streaming_foreachbatch" ->
+      s"""SELECT event_type, COUNT(*) AS n, ${sum2("value")} AS total_value
+         |FROM events GROUP BY event_type
+         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
+    // Sequence packing: running token sum per source shard, pack id by
+    // integer division — identical window + DIV on both engines.,
+    "q139_streaming_golden" ->
+      """SELECT event_type AS stage,
+        |  CASE event_type WHEN 'order_created' THEN 1
+        |    WHEN 'order_paid' THEN 2 WHEN 'order_shipped' THEN 3
+        |    WHEN 'order_delivered' THEN 4 END AS stage_rank,
+        |  COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(FLOOR(COALESCE(payment_value, 0) * 100.0 + 0.5)
+        |    AS BIGINT)) AS DOUBLE) / 100.0 AS total_payment
+        |FROM read_csv('/root/reference/Data Sets/Raw Datasets/synthetic_order_lifecycle.csv')
+        |GROUP BY event_type ORDER BY stage_rank""".stripMargin,
+
+    // Embedding-cosine dedup: q36's exact pair derivation closed into
+    // components with the same recursive-CTE closure as q65/q104.,
+    "q162_streaming_curation" -> incrementalCurationOracle,
+
+    "q147_streaming_doc_dedup" ->
+      """WITH dc AS (SELECT DISTINCT source,
+        |    md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |    len(string_split(regexp_replace(lower(text), '\s+', ' ', 'g'),
+        |      ' ')) AS tl
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(tl) AS BIGINT) AS n_tokens
+        |FROM dc GROUP BY source
+        |ORDER BY source NULLS FIRST""".stripMargin,
+
+    // per-language keep rate as pure integer math over the portable
+    // hash — both engines derive the identical verdict per doc,
+    "q251_streaming_ewma" -> {
+      val lags = (1 to 8).map { k =>
+        val wt = 1L << (8 - k)
+        (s"COALESCE(LAG(cents, $k) OVER w, 0) * $wt",
+          s"CASE WHEN LAG(cents, $k) OVER w IS NOT NULL THEN $wt ELSE 0 END")
+      }
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |f AS (SELECT event_type, day, cents,
+         |    ${lags.map(_._1).mkString(" + ")} AS num,
+         |    ${lags.map(_._2).mkString(" + ")} AS den
+         |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day))
+         |SELECT event_type, day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+         |  CAST(CAST(FLOOR(CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+         |    / 100.0 * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0
+         |    AS forecast,
+         |  CASE WHEN cents * 2 * den > num * 3 THEN 'high'
+         |       WHEN cents * 2 * den < num THEN 'low'
+         |       ELSE 'ok' END AS flag
+         |FROM f WHERE den > 0
+         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+    },
+
+    // q252: CUPED — exact BIGINT power sums per arm + pooled; every
+    // scalar mirrors the Spark expression shape operand-for-operand
+    // (left-assoc +/-, CAST-to-DOUBLE first), val6 at the edge.,
+  )
+}
