@@ -373,6 +373,11 @@ object SparkEntry {
     "q284_cohort_repeat" -> ((s, d) => Analytics.cohortRepeatRate(s, d)),
     "q285_discount_response" ->
       ((s, d) => Analytics.discountResponse(s, d)),
+    "q287_matryoshka_recall" ->
+      ((s, d) => VectorOps.matryoshkaRecall(s, d)),
+    "q288_kcore" -> ((s, d) => Graphs.kCore(s, d)),
+    "q289_tar_member_walk" ->
+      ((s, d) => graft.operators.Multimodal.tarMemberWalk(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

@@ -494,4 +494,191 @@ object Multimodal {
         "timescale", "duration", "dur_ms")
       .orderBy("media_id")
   }
+
+  /** ASCII → hex pairs (generator constants). */
+  private def hx(s: String): String =
+    s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      .map(b => f"$b%02X").mkString
+
+  /** Byte sum of the fixed (name/size-independent) POSIX ustar header
+    * fields, with the chksum field counted as 8 spaces per the spec:
+    * mode+uid+gid (octal ASCII, NUL-terminated), mtime (11 octal
+    * digits + space), typeflag '0', magic "ustar\0", version "00".
+    * Used by the generator's analytic checksum; the WALKER re-derives
+    * the sum from the raw 512 bytes, so a wrong constant here fails
+    * the gate loudly. */
+  private[graft] val TarFixedSum: Int =
+    ("0000644\u0000" + "0000000\u0000" + "0000000\u0000" +
+      "00000000000 " + "        " + "0" + "ustar\u0000" + "00")
+      .map(_.toInt).sum
+
+  /** Deterministic synthetic POSIX-ustar (tar) shard corpus — the
+    * WebDataset packaging shape: each shard holds 2–4 members named
+    * `s<shard>/d<j>.<ext>`, sizes 0–199 bytes, payload = repeated md5
+    * hex of "shard:j", data blocks NUL-padded to the 512 boundary,
+    * two zero trailer blocks. Header fields are spec-placed (name@0,
+    * size@124 as 11-digit octal + space, chksum@148 as 6-digit octal
+    * + NUL + space over the header with chksum spaces, typeflag@156,
+    * magic "ustar\0" @257). Shards ≡ 0 (mod 17) truncate to 100
+    * bytes (mid-header) for the degradation path. Hex-concat
+    * construction keeps the corpus reproducible in ANSI SQL. */
+  def syntheticTarShards(spark: SparkSession, n: Int): DataFrame = {
+    val mem = spark.range(n.toLong).select(col("id").as("sid"))
+      .select(col("sid"),
+        explode(sequence(lit(0L), col("sid") % 3 + 1)).as("j"))
+      .withColumn("name",
+        concat(lit("s"), col("sid").cast("string"),
+          lit("/d"), col("j").cast("string"), lit("."),
+          element_at(array(lit("txt"), lit("json"), lit("jpg")),
+            (col("j") % 3 + 1).cast("int"))))
+      .withColumn("sz", (col("sid") * 31 + col("j") * 17) % 200)
+      // 11-digit zero-padded octal size: sz < 512 → only the last
+      // three octal digits can be non-zero
+      .withColumn("d2", expr("sz div 64 % 8"))
+      .withColumn("d1", expr("sz div 8 % 8"))
+      .withColumn("d0", expr("sz % 8"))
+      .withColumn("oct11", concat(lit("00000000"),
+        col("d2").cast("string"), col("d1").cast("string"),
+        col("d0").cast("string")))
+      .withColumn("namesum", expr(
+        "aggregate(transform(sequence(1, length(name))," +
+          " i -> ascii(substring(name, i, 1))), 0, (acc, x) -> acc + x)"))
+      // checksum = fixed fields + size field (11 '0'-based digits +
+      // space) + name bytes
+      .withColumn("chk",
+        lit(TarFixedSum + 32 + 11 * 48L) + col("d2") + col("d1") +
+          col("d0") + col("namesum"))
+      .withColumn("oct6", concat(
+        expr("cast(chk div 32768 % 8 as string)"),
+        expr("cast(chk div 4096 % 8 as string)"),
+        expr("cast(chk div 512 % 8 as string)"),
+        expr("cast(chk div 64 % 8 as string)"),
+        expr("cast(chk div 8 % 8 as string)"),
+        expr("cast(chk % 8 as string)")))
+    val headerHex = concat(
+      rpad(hex(col("name")), 200, "0"),              // name[100]
+      lit(hx("0000644\u0000")),                      // mode[8]
+      lit(hx("0000000\u0000")),                      // uid[8]
+      lit(hx("0000000\u0000")),                      // gid[8]
+      hex(col("oct11")), lit("20"),                  // size[12]
+      lit(hx("00000000000 ")),                       // mtime[12]
+      hex(col("oct6")), lit("0020"),                 // chksum[8]
+      lit("30"),                                     // typeflag '0'
+      lit("00" * 100),                               // linkname[100]
+      lit(hx("ustar") + "00"),                       // magic[6]
+      lit(hx("00")),                                 // version[2]
+      lit("00" * 247))                               // uname..pad[247]
+    val blockHex = concat(headerHex,
+      expr("substr(repeat(md5(concat(cast(sid as string), ':'," +
+        " cast(j as string))), 13), 1, cast(sz * 2 as int))"),
+      expr("repeat('00', cast(case when sz = 0 then 0" +
+        " else 512 - sz end as int))"))
+    mem.withColumn("block", blockHex)
+      .groupBy("sid")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(j, block)))," +
+          " x -> x.block)"), "").as("body"))
+      .select(col("sid").as("shard_id"),
+        when(col("sid") % 17 === 0,
+          substring(unhex(concat(col("body"), lit("00" * 1024))), 1, 100))
+          .otherwise(unhex(concat(col("body"), lit("00" * 1024))))
+          .as("bytes"))
+  }
+
+  /** q289: the tar member WALK — WebDataset-style shard indexing
+    * without extraction (the listing a multimodal loader builds once
+    * per shard so training reads members by offset): sequential
+    * 512-byte ustar headers, name up to NUL, octal size field, magic/
+    * typeflag validation, CHECKSUM verification (byte sum with the
+    * chksum field as spaces), data offset accounting with 512-padding,
+    * and the two-zero-block end-of-archive test. Malformed shards
+    * (truncated mid-header, bad magic, checksum mismatch, garbage
+    * trailer) yield one -1-sentinel row. Each member row carries the
+    * hex of its first 8 payload bytes, read from the computed offset —
+    * so the gate pins the offset arithmetic against the oracle's
+    * analytic layout, not just the header decode.
+    *
+    * Scan-local in one mapPartitions (shards are independent); the
+    * only shuffle is the output ORDER BY. At 100 TB the walk runs
+    * where the shard bytes already live and emits the byte-range
+    * index that makes member reads seekable. */
+  def tarMemberWalk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticTarShards(spark, 500)
+      .select(col("shard_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (sid, bytes) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, String, Long, Long, String)]
+        def corrupt = Seq((sid, -1, "", -1L, -1L, ""))
+        def zeroBlock(off: Int): Boolean = {
+          var i = off; var z = true
+          while (z && i < off + 512) { if (bytes(i) != 0) z = false; i += 1 }
+          z
+        }
+        var off = 0
+        var ok = true
+        var done = false
+        var idx = 0
+        while (ok && !done) {
+          if (off + 512 > bytes.length) ok = false
+          else if (zeroBlock(off)) {
+            // end-of-archive: exactly one more zero block
+            done = bytes.length == off + 1024 && zeroBlock(off + 512)
+            ok = done
+          } else {
+            // name: bytes to first NUL within 100
+            var ne = off
+            while (ne < off + 100 && bytes(ne) != 0) ne += 1
+            val name = new String(bytes, off, ne - off,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            // size: octal digits at 124, up to space/NUL
+            var sz = 0L; var si = off + 124; var szOk = true
+            while (szOk && si < off + 136 && bytes(si) != 0 &&
+                bytes(si) != ' ') {
+              val c = bytes(si)
+              if (c < '0' || c > '7') szOk = false
+              else { sz = sz * 8 + (c - '0'); si += 1 }
+            }
+            // magic + version + typeflag
+            val magic = new String(bytes, off + 257, 5,
+              java.nio.charset.StandardCharsets.US_ASCII)
+            val magicOk = magic == "ustar" && bytes(off + 262) == 0 &&
+              bytes(off + 263) == '0' && bytes(off + 264) == '0' &&
+              bytes(off + 156) == '0'
+            // checksum: parse field, re-sum header with field as spaces
+            var chkParsed = 0L; var ci = off + 148; var chkOk = true
+            while (chkOk && ci < off + 156 && bytes(ci) != 0 &&
+                bytes(ci) != ' ') {
+              val c = bytes(ci)
+              if (c < '0' || c > '7') chkOk = false
+              else { chkParsed = chkParsed * 8 + (c - '0'); ci += 1 }
+            }
+            var sum = 0L
+            var bi = off
+            while (bi < off + 512) {
+              sum += (if (bi >= off + 148 && bi < off + 156) 32
+                      else bytes(bi) & 0xff)
+              bi += 1
+            }
+            val pad = if (sz == 0) 0L else ((sz + 511) / 512) * 512
+            if (!szOk || !magicOk || !chkOk || sum != chkParsed ||
+                off + 512 + pad > bytes.length) ok = false
+            else {
+              val dataOff = off + 512L
+              val headLen = math.min(8L, sz).toInt
+              val head = (0 until headLen)
+                .map(i => f"${bytes(dataOff.toInt + i)}%02X").mkString
+              out += ((sid, idx, name, sz, dataOff, head))
+              idx += 1
+              off += (512 + pad).toInt
+            }
+          }
+        }
+        if (ok) out else corrupt
+      })
+      .toDF("shard_id", "member_idx", "name", "size_bytes",
+        "data_offset", "payload_head")
+      .orderBy("shard_id", "member_idx")
+  }
 }

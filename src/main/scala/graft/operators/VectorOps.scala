@@ -2260,4 +2260,93 @@ object VectorOps {
         (col("n_disagree") * lit(2L) > lit(k.toLong)).as("suspect"))
       .orderBy("query_id")
   }
+
+  /** Prefix cosine similarities in ONE pass: cos over a(0..d-1) for
+    * each d in `prefixes` (ascending). The partial accumulators at a
+    * prefix boundary ARE the prefix fold — same left-to-right IEEE
+    * order as [[cosOf]] and DuckDB's `list_reduce` over
+    * `range(1, d+1)`, so every prefix cosine is oracle-portable. */
+  private[graft] def cosPrefixes(a: Array[Float], b: Array[Float],
+      prefixes: Array[Int]): Array[Double] = {
+    val out = new Array[Double](prefixes.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0; var p = 0
+    while (i < a.length && p < prefixes.length) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+      if (i == prefixes(p)) {
+        out(p) = dot / (math.sqrt(na) * math.sqrt(nb))
+        p += 1
+      }
+    }
+    out
+  }
+
+  /** q287: matryoshka-truncation recall audit — how much ANN quality
+    * survives serving from a PREFIX of each embedding (the
+    * Matryoshka-representation deployment question: store 64 dims,
+    * serve from the first 8/16/32 to cut index bytes and dot-product
+    * cost). For each prefix d, exact top-k by prefix-d cosine is
+    * compared against the full-dimension top-k (the truth set);
+    * recall@k per prefix is the integer hit count over |Q|·k.
+    *
+    * Scale shape: ONE broadcast-query pass over the corpus computes
+    * all prefix cosines simultaneously (the prefix folds are partial
+    * accumulators of the full fold — no extra arithmetic beyond the
+    * snapshot), then one per-(prefix, query) top-k window over the
+    * candidate rows. At 100 TB the corpus-side scan reads the
+    * embedding column once for all prefixes; the decision output —
+    * which prefix clears the recall bar — is what sizes the serving
+    * index. All ranking keys are deterministic (IEEE-identical
+    * prefix folds, neighbor_id tiebreak); recall is an exact integer
+    * ratio, so the DuckDB oracle matches bit-for-bit. */
+  def matryoshkaRecall(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5,
+      prefixes: Seq[Int] = Seq(8, 16, 32, 64)): DataFrame = {
+    import spark.implicits._
+    val pfx = prefixes.sorted.toArray
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("cv"))
+    val pairs = broadcast(q)
+      .join(c, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("cv"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        it.flatMap { case (qi, ni, qv, cv) =>
+          val cs = cosPrefixes(qv, cv, pfx)
+          var p = 0
+          val rows = new Array[(Long, Long, Int, Double)](pfx.length)
+          while (p < pfx.length) {
+            rows(p) = (qi, ni, pfx(p), cs(p)); p += 1
+          }
+          rows
+        }
+      }
+      .toDF("query_id", "neighbor_id", "prefix_dim", "cos")
+    val w = Window.partitionBy("prefix_dim", "query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    val top = pairs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("prefix_dim"), col("query_id"), col("neighbor_id"))
+      .localCheckpoint() // consumed per-prefix AND as the d=full truth
+    val full = pfx.last
+    val truth = top.filter(col("prefix_dim") === full)
+      .select(col("query_id").as("tq"), col("neighbor_id").as("tn"))
+    top.join(truth,
+        col("query_id") === col("tq") && col("neighbor_id") === col("tn"),
+        "left")
+      .groupBy("prefix_dim")
+      .agg(count(col("tn")).as("hits"),
+        countDistinct(col("query_id")).as("n_queries"))
+      .select(col("prefix_dim"), col("hits"), col("n_queries"),
+        (col("hits").cast("double") /
+          (col("n_queries") * lit(k.toLong)).cast("double"))
+          .as("recall_at_k"))
+      .orderBy("prefix_dim")
+  }
 }

@@ -443,6 +443,42 @@ object AnalyticsOracles {
          |FROM l3 ORDER BY part_id NULLS FIRST""".stripMargin
     },
 
+    // q288: the same q243 edge CTE, then 10 unrolled peel rounds
+    // (degree within the surviving set, HAVING >= k). The Spark loop
+    // runs the same 10 rounds and Round11Spec asserts the fixpoint
+    // lands before round 10 on every gated fixture — a non-converged
+    // unroll diverges loudly. k=2: the strongest non-degenerate core
+    // across the fixtures' densities (see Graphs.kCore).,
+    "q288_kcore" -> {
+      val k = 2
+      val rounds = 10
+      // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+      // each a_i is referenced twice in round i+1 — inlining doubles
+      // the evaluation tree per round (2^rounds edge-derivations).
+      def peel(prev: String, i: Int) =
+        s"""d$i AS MATERIALIZED (
+           |  SELECT e.src, CAST(COUNT(*) AS BIGINT) AS deg
+           |  FROM edges e JOIN $prev s ON e.src = s.id
+           |  JOIN $prev t ON e.dst = t.id
+           |  GROUP BY e.src HAVING COUNT(*) >= $k),
+           |a$i AS MATERIALIZED (SELECT src AS id FROM d$i)""".stripMargin
+      val chain = (1 to rounds)
+        .map(i => peel(if (i == 1) "a0" else s"a${i - 1}", i))
+        .mkString(",\n")
+      s"""WITH bo AS MATERIALIZED (
+         |       SELECT DISTINCT l_orderkey AS okey, l_partkey AS id
+         |       FROM lineitem),
+         |edges AS MATERIALIZED (
+         |          SELECT a.id AS src, b.id AS dst
+         |          FROM bo a JOIN bo b
+         |          ON a.okey = b.okey AND a.id <> b.id
+         |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+         |a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM edges),
+         |$chain
+         |SELECT src AS part_id, deg AS core_degree
+         |FROM d$rounds ORDER BY part_id NULLS FIRST""".stripMargin
+    },
+
     // q245: U-shaped multi-touch attribution — integer-cents credit,
     // 40/40 first/last via integer div, 20% split across middles,
     // touches window [p_ts - 7d, p_ts) after the previous purchase.,

@@ -663,6 +663,22 @@ object OracleDialect {
   private[graft] def cosExpr(a: String, b: String) =
     cosCols(s"$a.embedding", s"$b.embedding")
 
+  /** Prefix-d cosine (q287): the same left-to-right folds as
+    * [[cosCols]] but over the first `d` positions only — mirrors
+    * `VectorOps.cosPrefixes`' partial-accumulator snapshots
+    * expression-for-expression. */
+  private[graft] def cosColsPrefix(a: String, b: String, d: Int) =
+    s"""list_reduce(list_transform(range(1, ${d + 1}),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+       |      (x, y) -> x + y)
+       |  / (sqrt(list_reduce(list_transform(range(1, ${d + 1}),
+       |       i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)),
+       |       (x, y) -> x + y))
+       |   * sqrt(list_reduce(list_transform(range(1, ${d + 1}),
+       |       i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+       |       (x, y) -> x + y)))"""
+      .stripMargin
+
   /** DuckDB mirror of [[graft.operators.Scd2.ordersHistory]]: the WITH
     * body (shared by q23 and the q43 as-of lookup) … */
   private[graft] val scd2Ctes: String =

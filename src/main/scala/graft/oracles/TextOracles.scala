@@ -1507,5 +1507,45 @@ object TextOracles {
 
     // q249: item-item cosine recommendations — co/sqrt(du*dv) on
     // exact integers; rank on the raw double, ties (co desc, v asc).,
+
+    // q289: the tar member walk — the oracle derives the ustar layout
+    // analytically from the same generative parameters (name/size
+    // formulas, 512-byte header + NUL-padded data blocks, offsets via
+    // a windowed prefix sum of padded sizes) and the payload head
+    // from the same md5-repeat payload; the Spark side extracts those
+    // bytes by genuinely parsing headers (octal size field, checksum
+    // re-sum, magic/typeflag, end-of-archive zero blocks), so any
+    // drift between walker arithmetic and layout fails the hash.
+    // Shards ≡ 0 (mod 17) truncate mid-header → sentinel rows.,
+    "q289_tar_member_walk" ->
+      """WITH shards AS (SELECT r AS sid FROM range(500) t(r)),
+        |mem AS (SELECT sid, UNNEST(range(0, sid % 3 + 2)) AS j
+        |  FROM shards),
+        |base AS (SELECT sid, j,
+        |    's' || CAST(sid AS VARCHAR) || '/d' || CAST(j AS VARCHAR)
+        |      || '.' || CASE j % 3 WHEN 0 THEN 'txt'
+        |        WHEN 1 THEN 'json' ELSE 'jpg' END AS name,
+        |    (sid * 31 + j * 17) % 200 AS sz
+        |  FROM mem),
+        |off AS (SELECT sid, j, name, sz,
+        |    512 * (j + 1) + COALESCE(SUM(CASE WHEN sz = 0 THEN 0
+        |        ELSE ((sz + 511) // 512) * 512 END)
+        |      OVER (PARTITION BY sid ORDER BY j
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS doff
+        |  FROM base)
+        |SELECT sid AS shard_id, CAST(j AS INT) AS member_idx, name,
+        |  CAST(sz AS BIGINT) AS size_bytes,
+        |  CAST(doff AS BIGINT) AS data_offset,
+        |  upper(substr(repeat(md5(CAST(sid AS VARCHAR) || ':'
+        |      || CAST(j AS VARCHAR)), 13),
+        |    1, CAST(LEAST(16, sz * 2) AS INT))) AS payload_head
+        |FROM off WHERE sid % 17 <> 0
+        |UNION ALL
+        |SELECT sid, CAST(-1 AS INT), '', CAST(-1 AS BIGINT),
+        |  CAST(-1 AS BIGINT), ''
+        |FROM shards WHERE sid % 17 = 0
+        |ORDER BY shard_id NULLS FIRST, member_idx NULLS FIRST"""
+        .stripMargin,
   )
 }

@@ -706,5 +706,41 @@ object VectorOracles {
     // eval membership (doc_id % 25 = 0) and the 4-gram construction are
     // both deterministic, so the oracle rebuilds the exact same
     // contamination set,
+
+    // q287: per-prefix exact top-k vs the full-dim truth set; every
+    // prefix cosine is the identical left-to-right fold (cosColsPrefix
+    // mirrors VectorOps.cosPrefixes' accumulator snapshots), recall is
+    // an exact integer ratio.,
+    "q287_matryoshka_recall" -> {
+      val prefixes = Seq(8, 16, 32, 64)
+      val tops = prefixes.map { d =>
+        s"""t$d AS (SELECT $d AS prefix_dim, query_id, neighbor_id
+           |  FROM (SELECT query_id, neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY query_id
+           |      ORDER BY ${cosColsPrefix("qv", "cv", d)} DESC NULLS LAST,
+           |      neighbor_id NULLS FIRST) AS rn
+           |  FROM p) WHERE rn <= 5)""".stripMargin
+      }.mkString(",\n")
+      val union = prefixes
+        .map(d => s"SELECT * FROM t$d").mkString("\n  UNION ALL ")
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    q.embedding AS qv, c.embedding AS cv
+         |  FROM e q JOIN e c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |$tops,
+         |tops AS ($union),
+         |truth AS (SELECT query_id, neighbor_id
+         |  FROM t${prefixes.last})
+         |SELECT t.prefix_dim,
+         |  CAST(COUNT(tr.neighbor_id) AS BIGINT) AS hits,
+         |  CAST(COUNT(DISTINCT t.query_id) AS BIGINT) AS n_queries,
+         |  CAST(COUNT(tr.neighbor_id) AS DOUBLE)
+         |    / CAST(COUNT(DISTINCT t.query_id) * 5 AS DOUBLE)
+         |    AS recall_at_k
+         |FROM tops t LEFT JOIN truth tr
+         |  ON t.query_id = tr.query_id AND t.neighbor_id = tr.neighbor_id
+         |GROUP BY t.prefix_dim
+         |ORDER BY t.prefix_dim NULLS FIRST""".stripMargin
+    },
   )
 }

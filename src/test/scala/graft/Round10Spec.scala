@@ -476,7 +476,7 @@ class Round10Spec extends SparkSpec {
 
   test("fixture baskets fit under MaxBasketWidth — the cap never binds, " +
       "so the capped collect_set matches the oracle's uncapped DISTINCT") {
-    // q204/q217/q243/q249/q256/q279 slice baskets to
+    // q204/q217/q243/q249/q256/q279/q288 slice baskets to
     // Analytics.MaxBasketWidth while their oracles pair the uncapped
     // DISTINCT set; on TPC-H shapes the cap never binds (≤7
     // lineitems/order). If a future fixture violates this, the gates
