@@ -378,6 +378,9 @@ object SparkEntry {
     "q288_kcore" -> ((s, d) => Graphs.kCore(s, d)),
     "q289_tar_member_walk" ->
       ((s, d) => graft.operators.Multimodal.tarMemberWalk(s, d)),
+    "q290_rrf_fusion" ->
+      ((s, d) => operators.Retrieval.rrfFusion(s, d)),
+    "q291_epoch_mix" -> ((s, d) => TextOps.epochMixPlan(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

@@ -53,7 +53,11 @@ object Retrieval {
 
   /** q174: top-k chunk retrieval for the registry queries (every 100th
     * document retrieves against everyone else's chunks). */
-  def retrieve(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+  /** The q174 chunk-grain dense scores (query_id, doc_id, chunk_idx,
+    * score) — extracted so [[rrfFusion]] can fold them to doc grain
+    * without re-deriving the hash-trick vectors. */
+  private[operators] def chunkScores(spark: SparkSession,
+      dir: String): DataFrame = {
     import spark.implicits._
     val chunkVecs = TextOps.chunkDocs(spark, dir)
       .select(col("doc_id"), col("chunk_idx"), col("chunk_text"))
@@ -74,7 +78,7 @@ object Retrieval {
       }
       .filter(_._2.exists(_ != 0L))
       .toDF("query_id", "qv")
-    val scored = broadcast(queryVecs)
+    broadcast(queryVecs)
       .join(chunkVecs, col("doc_id") =!= col("query_id"))
       .select(col("query_id"), col("doc_id"), col("chunk_idx"),
         col("qv"), col("cv"))
@@ -83,6 +87,10 @@ object Retrieval {
         (qi, di, ci, cosLL(qv, cv))
       })
       .toDF("query_id", "doc_id", "chunk_idx", "score")
+  }
+
+  def retrieve(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val scored = chunkScores(spark, dir)
     val w = Window.partitionBy("query_id")
       .orderBy(desc("score"), asc("doc_id"), asc("chunk_idx"))
     scored.withColumn("rn", row_number().over(w))
@@ -463,5 +471,64 @@ object Retrieval {
         col("n_tokens"), col("cum_tokens"),
         (col("cum_tokens") <= budget).as("kept"))
       .orderBy("query_id", "pick_no")
+  }
+
+  /** q290: reciprocal-rank fusion of the lexical (BM25, q182) and
+    * dense (hash-embedding cosine, q174) rankings — hybrid retrieval,
+    * the standard production fix for lexical misses on paraphrase and
+    * dense misses on rare exact terms. Each system contributes
+    * 1/(60 + rank) for its top-`pool` per query (Cormack et al.'s
+    * RRF with the canonical k=60); absent = 0. The quotients are
+    * INTEGER nano-units (`10⁹ div (60 + rank)`) so fused scores and
+    * the final ranking are exact on both engines.
+    *
+    * Scale: both input rankings are already bounded per query (pool
+    * heaps over the posting-list join / the broadcast dense pass);
+    * the fusion itself touches only 2·pool rows per query — a
+    * full-outer join on (query, doc) plus one window. At 100 TB the
+    * two systems serve from their stored artifacts (term-bucketed
+    * postings, the IVF handle) and this stage's cost is unchanged. */
+  def rrfFusion(spark: SparkSession, dir: String,
+      pool: Int = 20, k: Int = 5): DataFrame = {
+    val lexW = Window.partitionBy("query_id")
+      .orderBy(desc("s9"), asc("doc_id"))
+    val lex = bm25Scores(spark, dir)
+      .withColumn("lex_rank", row_number().over(lexW))
+      .filter(col("lex_rank") <= pool)
+      .select(col("query_id"), col("doc_id"),
+        col("lex_rank").cast("long").as("lex_rank"))
+    val denseW = Window.partitionBy("query_id")
+      .orderBy(desc("ds"), asc("doc_id"))
+    val dense = chunkScores(spark, dir)
+      .groupBy("query_id", "doc_id")
+      .agg(max("score").as("ds")) // doc = its best chunk; IEEE max is
+                                  // order-independent, oracle-portable
+      .withColumn("dense_rank", row_number().over(denseW))
+      .filter(col("dense_rank") <= pool)
+      .select(col("query_id").as("dq"), col("doc_id").as("dd"),
+        col("dense_rank").cast("long").as("dense_rank"))
+    val fused = lex.join(dense,
+        col("query_id") === col("dq") && col("doc_id") === col("dd"),
+        "full_outer")
+      .select(
+        coalesce(col("query_id"), col("dq")).as("query_id"),
+        coalesce(col("doc_id"), col("dd")).as("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(-1L)).as("dense_rank"))
+      .withColumn("rrf9",
+        when(col("lex_rank") > 0,
+          expr("cast(1000000000 as bigint) div (60 + lex_rank)"))
+          .otherwise(lit(0L)) +
+        when(col("dense_rank") > 0,
+          expr("cast(1000000000 as bigint) div (60 + dense_rank)"))
+          .otherwise(lit(0L)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("rrf9"), asc("doc_id"))
+    fused.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").cast("long").as("rank"),
+        col("doc_id"), col("lex_rank"), col("dense_rank"), col("rrf9"),
+        (col("rrf9").cast("double") / lit(1e9)).as("rrf_score"))
+      .orderBy("query_id", "rank")
   }
 }

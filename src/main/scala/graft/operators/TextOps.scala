@@ -2067,4 +2067,43 @@ object TextOps {
           / col("b.freq").cast("double")).as("doubling_ratio"))
       .orderBy("rk")
   }
+
+  /** q291: token-budget epoch-mix plan — the per-source repeat-factor
+    * schedule a pretraining run derives before sampling (the Llama-
+    * style "epochs per source" table): given a token budget (half the
+    * corpus here) split into uniform per-source targets, each source
+    * repeats until it fills its target or hits the epoch cap
+    * (4 epochs), whichever first. Repeat factors are micro-scaled
+    * integers (`target·10⁶ div tokens`, floor), planned tokens divide
+    * back — every cell is exact integer arithmetic, so the plan is
+    * bit-reproducible and auditable (shortfall = target − planned is
+    * the mass a capped source leaves for a rebalancing pass).
+    *
+    * Scale: one scan → per-source token sums (map-side combinable),
+    * one broadcast of the 1-row corpus totals — the plan table is
+    * source-grain metadata regardless of corpus size. */
+  def epochMixPlan(spark: SparkSession, dir: String,
+      budgetDen: Long = 2L, maxEpochsMicro: Long = 4000000L): DataFrame = {
+    val bySource = Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
+    val totals = bySource.agg(
+      sum("n_tokens").as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    bySource.crossJoin(broadcast(totals))
+      .withColumn("target_tokens",
+        expr(s"total_tokens div $budgetDen div n_sources"))
+      .withColumn("repeat_micro",
+        least(lit(maxEpochsMicro),
+          expr("target_tokens * 1000000 div n_tokens")))
+      .withColumn("planned_tokens",
+        expr("n_tokens * repeat_micro div 1000000"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("target_tokens"), col("repeat_micro"), col("planned_tokens"),
+        (col("repeat_micro") === maxEpochsMicro).as("capped"),
+        (col("target_tokens") - col("planned_tokens")).as("shortfall"))
+      .orderBy("source")
+  }
 }

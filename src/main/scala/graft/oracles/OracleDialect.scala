@@ -745,6 +745,47 @@ object OracleDialect {
 
 
   /** The q157/q162 oracle: full recompute of the CURRENT snapshot. */
+  /** The q174 chunk-grain dense scoring CTEs (hash-trick vectors over
+    * 50-token chunks, cosine vs the %100 query set), ending at `p`
+    * (query_id, doc_id, chunk_idx, score) — shared by q174 and the
+    * q290 RRF fusion. Moved verbatim from the q174 oracle string. */
+  private[graft] lazy val denseChunkCtes: String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |o AS (SELECT doc_id, ws,
+       |  UNNEST(range(0, GREATEST(len(ws), 1), 40)) AS off FROM t),
+       |ch AS (SELECT doc_id, CAST(off // 40 AS BIGINT) AS chunk_idx,
+       |    list_slice(ws, off + 1, off + 50) AS cw FROM o),
+       |ctok AS (SELECT doc_id, chunk_idx, UNNEST(cw) AS tk FROM ch),
+       |cdim AS (SELECT doc_id, chunk_idx, ${h32("tk")} % 16 AS dim,
+       |    CASE WHEN (${h32("tk")} // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg
+       |  FROM ctok),
+       |cvec AS (SELECT doc_id, chunk_idx, dim, CAST(SUM(sg) AS BIGINT) AS w
+       |  FROM cdim GROUP BY 1, 2, 3),
+       |cnorm AS (SELECT doc_id, chunk_idx, SUM(w * w) AS n2
+       |  FROM cvec GROUP BY 1, 2),
+       |qtok AS (SELECT doc_id AS query_id,
+       |    UNNEST(string_split(text, ' ')) AS tk
+       |  FROM documents WHERE doc_id % 100 = 0),
+       |qdim AS (SELECT query_id, ${h32("tk")} % 16 AS dim,
+       |    CASE WHEN (${h32("tk")} // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg
+       |  FROM qtok),
+       |qvec AS (SELECT query_id, dim, CAST(SUM(sg) AS BIGINT) AS w
+       |  FROM qdim GROUP BY 1, 2),
+       |qnorm AS (SELECT query_id, SUM(w * w) AS n2 FROM qvec GROUP BY 1),
+       |dots AS (SELECT q.query_id, c.doc_id, c.chunk_idx,
+       |    SUM(q.w * c.w) AS dot
+       |  FROM qvec q JOIN cvec c ON q.dim = c.dim GROUP BY 1, 2, 3),
+       |p AS (SELECT qn.query_id, cn.doc_id, cn.chunk_idx,
+       |    CAST(COALESCE(d.dot, 0) AS DOUBLE)
+       |      / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
+       |      AS score
+       |  FROM qnorm qn CROSS JOIN cnorm cn
+       |  LEFT JOIN dots d ON d.query_id = qn.query_id
+       |    AND d.doc_id = cn.doc_id AND d.chunk_idx = cn.chunk_idx
+       |  WHERE cn.doc_id <> qn.query_id AND qn.n2 > 0 AND cn.n2 > 0)"""
+      .stripMargin
+
   /** Doc-grain hash-trick vector CTEs (q174's arithmetic): `dvec`
     * (doc_id, dim, w) and `dnorm` (doc_id, n2) — shared by q188 and
     * q191. */

@@ -106,40 +106,7 @@ object TextOracles {
     // top-k. The oracle states the sparse (dim, weight) formulation;
     // the Spark kernel's dense 16-long fold sums the same integers.,
     "q174_retrieval" ->
-      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
-         |  FROM documents),
-         |o AS (SELECT doc_id, ws,
-         |  UNNEST(range(0, GREATEST(len(ws), 1), 40)) AS off FROM t),
-         |ch AS (SELECT doc_id, CAST(off // 40 AS BIGINT) AS chunk_idx,
-         |    list_slice(ws, off + 1, off + 50) AS cw FROM o),
-         |ctok AS (SELECT doc_id, chunk_idx, UNNEST(cw) AS tk FROM ch),
-         |cdim AS (SELECT doc_id, chunk_idx, ${h32("tk")} % 16 AS dim,
-         |    CASE WHEN (${h32("tk")} // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg
-         |  FROM ctok),
-         |cvec AS (SELECT doc_id, chunk_idx, dim, CAST(SUM(sg) AS BIGINT) AS w
-         |  FROM cdim GROUP BY 1, 2, 3),
-         |cnorm AS (SELECT doc_id, chunk_idx, SUM(w * w) AS n2
-         |  FROM cvec GROUP BY 1, 2),
-         |qtok AS (SELECT doc_id AS query_id,
-         |    UNNEST(string_split(text, ' ')) AS tk
-         |  FROM documents WHERE doc_id % 100 = 0),
-         |qdim AS (SELECT query_id, ${h32("tk")} % 16 AS dim,
-         |    CASE WHEN (${h32("tk")} // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg
-         |  FROM qtok),
-         |qvec AS (SELECT query_id, dim, CAST(SUM(sg) AS BIGINT) AS w
-         |  FROM qdim GROUP BY 1, 2),
-         |qnorm AS (SELECT query_id, SUM(w * w) AS n2 FROM qvec GROUP BY 1),
-         |dots AS (SELECT q.query_id, c.doc_id, c.chunk_idx,
-         |    SUM(q.w * c.w) AS dot
-         |  FROM qvec q JOIN cvec c ON q.dim = c.dim GROUP BY 1, 2, 3),
-         |p AS (SELECT qn.query_id, cn.doc_id, cn.chunk_idx,
-         |    CAST(COALESCE(d.dot, 0) AS DOUBLE)
-         |      / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
-         |      AS score
-         |  FROM qnorm qn CROSS JOIN cnorm cn
-         |  LEFT JOIN dots d ON d.query_id = qn.query_id
-         |    AND d.doc_id = cn.doc_id AND d.chunk_idx = cn.chunk_idx
-         |  WHERE cn.doc_id <> qn.query_id AND qn.n2 > 0 AND cn.n2 > 0),
+      s"""WITH $denseChunkCtes,
          |r AS (SELECT query_id, doc_id, chunk_idx, score,
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY score DESC NULLS LAST, doc_id NULLS FIRST,
@@ -233,6 +200,50 @@ object TextOracles {
          |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
          |  CAST(s9 AS DOUBLE) / 1000000000.0 AS score
          |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
+    // q290: reciprocal-rank fusion of the q182 lexical and q174
+    // dense rankings — each system's top-20 contributes
+    // 10^9 div (60 + rank) nano-units (integer floor division, so
+    // fused scores and ranks are exact on both engines); dense docs
+    // rank by their best chunk (IEEE MAX is order-independent).,
+    "q290_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+         |$denseChunkCtes,
+         |lexr AS (SELECT query_id, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY s9 DESC NULLS LAST, doc_id NULLS FIRST)
+         |      AS BIGINT) AS lr
+         |  FROM bs),
+         |lexk AS (SELECT * FROM lexr WHERE lr <= 20),
+         |dd AS (SELECT query_id, doc_id, MAX(score) AS ds
+         |  FROM p GROUP BY 1, 2),
+         |dr AS (SELECT query_id, doc_id,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ds DESC NULLS LAST, doc_id NULLS FIRST)
+         |      AS BIGINT) AS dnr
+         |  FROM dd),
+         |dk AS (SELECT * FROM dr WHERE dnr <= 20),
+         |fused AS (SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+         |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+         |    COALESCE(l.lr, -1) AS lex_rank,
+         |    COALESCE(d.dnr, -1) AS dense_rank
+         |  FROM lexk l FULL OUTER JOIN dk d
+         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+         |scored AS (SELECT query_id, doc_id, lex_rank, dense_rank,
+         |    CAST(CASE WHEN lex_rank > 0
+         |        THEN 1000000000 // (60 + lex_rank) ELSE 0 END
+         |      + CASE WHEN dense_rank > 0
+         |        THEN 1000000000 // (60 + dense_rank) ELSE 0 END
+         |      AS BIGINT) AS rrf9
+         |  FROM fused),
+         |fr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf9 DESC NULLS LAST, doc_id NULLS FIRST)
+         |      AS BIGINT) AS rn
+         |  FROM scored)
+         |SELECT query_id, rn AS "rank", doc_id, lex_rank, dense_rank,
+         |  rrf9, CAST(rrf9 AS DOUBLE) / 1000000000.0 AS rrf_score
+         |FROM fr WHERE rn <= 5
+         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
 
     // q188: hard negatives = the dense-most-distant members of the
     // BM25 top-20 pool. Composes the q182 CTEs with q174's
@@ -1507,6 +1518,30 @@ object TextOracles {
 
     // q249: item-item cosine recommendations — co/sqrt(du*dv) on
     // exact integers; rank on the raw double, ties (co desc, v asc).,
+
+    // q291: epoch-mix plan — pure integer arithmetic over per-source
+    // token sums; floor divisions stated identically on both engines.,
+    "q291_epoch_mix" ->
+      """WITH s AS (SELECT source,
+        |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_sources FROM s),
+        |plan AS (SELECT source, n_docs, n_tokens,
+        |    total_tokens // 2 // n_sources AS target_tokens,
+        |    LEAST(4000000,
+        |      (total_tokens // 2 // n_sources) * 1000000 // n_tokens)
+        |      AS repeat_micro
+        |  FROM s CROSS JOIN tot)
+        |SELECT source, n_docs, n_tokens, target_tokens,
+        |  CAST(repeat_micro AS BIGINT) AS repeat_micro,
+        |  CAST(n_tokens * repeat_micro // 1000000 AS BIGINT)
+        |    AS planned_tokens,
+        |  repeat_micro = 4000000 AS capped,
+        |  CAST(target_tokens - n_tokens * repeat_micro // 1000000
+        |    AS BIGINT) AS shortfall
+        |FROM plan ORDER BY source NULLS FIRST""".stripMargin,
 
     // q289: the tar member walk — the oracle derives the ustar layout
     // analytically from the same generative parameters (name/size

@@ -157,4 +157,48 @@ class Round11Spec extends SparkSpec {
     assert(extracted == 0, "tar -xOf failed on the generated shard")
     assert(sz == 175)
   }
+
+  // ---- q290 RRF fusion ----------------------------------------------
+
+  test("q290: rrf math, rank bounds, and both-system dominance") {
+    val dir = sf("sf0.01")
+    val rows = graft.operators.Retrieval.rrfFusion(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, rank, _, lr, dr, rrf9, score) =>
+      assert(rank >= 1 && rank <= 5)
+      assert(lr == -1 || (lr >= 1 && lr <= 20))
+      assert(dr == -1 || (dr >= 1 && dr <= 20))
+      assert(lr != -1 || dr != -1, "a fused row must come from a system")
+      val expect = (if (lr > 0) 1000000000L / (60 + lr) else 0L) +
+        (if (dr > 0) 1000000000L / (60 + dr) else 0L)
+      assert(rrf9 == expect, "rrf9 must be the exact integer quotients")
+      assert(score == rrf9.toDouble / 1e9)
+    }
+    // a doc ranked #1 by BOTH systems must be fused #1 for its query
+    rows.groupBy(_._1).foreach { case (_, qr) =>
+      qr.find(r => r._4 == 1 && r._5 == 1)
+        .foreach(r => assert(r._2 == 1L, "double-#1 doc not fused #1"))
+    }
+  }
+
+  // ---- q291 epoch-mix plan -------------------------------------------
+
+  test("q291: plan arithmetic invariants") {
+    val dir = sf("sf0.01")
+    val rows = graft.operators.TextOps.epochMixPlan(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long, Boolean, Long)].collect()
+    assert(rows.nonEmpty)
+    val target = rows.head._4
+    rows.foreach { case (_, _, toks, tgt, rep, planned, capped, short) =>
+      assert(tgt == target, "uniform per-source targets")
+      assert(rep >= 0 && rep <= 4000000L)
+      assert(capped == (rep == 4000000L))
+      assert(planned == toks * rep / 1000000L)
+      assert(short == tgt - planned && (capped || short >= 0))
+      // uncapped sources fill their target up to integer-floor slack
+      if (!capped) assert(short <= toks / 1000000L + 1,
+        s"uncapped source leaves more than floor slack: $short")
+    }
+  }
 }
