@@ -69,7 +69,10 @@ class PlanAuditSpec extends SparkSpec {
     "q271_abc_classes",       // 1-row grand-total (max cum) cross join
     "q256_assoc_rules",       // 1-row basket-total (N) cross join
     "q275_tier_migration",    // 1-row date bounds / cuts / matrix total
-    "q281_chi_square")        // ≤5×5 seg×pri grid densify cross join
+    "q281_chi_square",        // ≤5×5 seg×pri grid densify cross join
+    "q290_rrf_fusion",        // dense side rides q174's sanctioned
+                              // broadcast-query scorer (≤10-row set)
+    "q291_epoch_mix")         // 1-row corpus-totals cross join
 
   // reviewed single-partition sites: global scalar finals + windows
   // over aggregate-grain frames (input cardinality is bounded by the
@@ -128,7 +131,9 @@ class PlanAuditSpec extends SparkSpec {
     "q281_chi_square",        // totals over the ≤25-cell contingency
     "q282_segment_affinity",  // totals over the ≤|seg|·|brand| cells
     "q283_value_histogram",   // share over the ≤64 log2 buckets
-    "q285_discount_response") // share over the ≤101 discount bands
+    "q285_discount_response", // share over the ≤101 discount bands
+    "q291_epoch_mix")         // 1-row corpus-totals (Σtokens, |src|)
+                              // final over the source grain
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is
