@@ -381,6 +381,22 @@ object SparkEntry {
     "q290_rrf_fusion" ->
       ((s, d) => operators.Retrieval.rrfFusion(s, d)),
     "q291_epoch_mix" -> ((s, d) => TextOps.epochMixPlan(s, d)),
+    "q292_streaming_bm25_serve" ->
+      ((s, d) => streaming.StreamingBm25Index.servedBm25(s, d)),
+    "q293_ivfadc_rerank" -> ((s, d) => VectorOps.ivfAdcRerank(s, d)),
+    "q294_kcenter_select" -> ((s, d) => VectorOps.kcenterSelect(s, d)),
+    "q295_brand_hits" -> ((s, d) => Analytics.brandHits(s, d)),
+    "q296_holt_forecast" -> ((s, d) => Analytics.holtForecast(s, d)),
+    "q297_price_mad" -> ((s, d) => Analytics.brandPriceMad(s, d)),
+    "q298_tokenizer_fertility" ->
+      ((s, d) => TextOps.tokenizerFertility(s, d)),
+    "q299_funnel_absorption" ->
+      ((s, d) => Events.funnelAbsorption(s, d)),
+    "q300_markov_attribution" ->
+      ((s, d) => Events.markovAttribution(s, d)),
+    "q301_t_closeness" -> ((s, d) => Privacy.tCloseness(s, d)),
+    "q302_zip_member_walk" ->
+      ((s, d) => graft.operators.Multimodal.zipMemberWalk(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

@@ -1998,4 +1998,170 @@ object Analytics {
             lit("low"))
           .otherwise(lit("ok")).as("flag")): _*)
   }
+
+  /** q295 — HITS hubs & authorities (Kleinberg) over the q280
+    * brand-transition graph: a brand is a strong HUB when customers
+    * move FROM it to strong authorities, a strong AUTHORITY when
+    * strong hubs feed INTO it — the two-sided centrality PageRank's
+    * single score can't express (a gateway brand and a destination
+    * brand look the same to PageRank's inflow-only view).
+    *
+    * Determinism (q111's fixed-point discipline, adapted to HITS's
+    * normalization): edge weights become per-source transition
+    * probabilities in micro-units (n·10⁶ div out), scores live in
+    * micro-units, each half-step floors per edge BEFORE the
+    * order-independent integer sum, and each round renormalizes by
+    * the round's max (raw·10⁶ div max) — so every value is bounded by
+    * the VOCABULARY (≤10⁶·|V| intermediate), never the data size, at
+    * any scale, and both engines produce identical BIGINTs.
+    *
+    * Scale: the edge derivation is q280's — one representative-item
+    * window + one lead over (customer, day) — and the iterations are
+    * joins over the |V|²-bounded probability table: vocabulary-grain
+    * metadata work after one corpus pass. */
+  def brandHits(spark: SparkSession, dir: String,
+      iters: Int = 2): DataFrame = {
+    val rep = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("p_brand"),
+        cents2(col("l_extendedprice")).as("cents"), col("l_partkey"))
+      .withColumn("rn", row_number().over(Window
+        .partitionBy("l_orderkey")
+        .orderBy(desc("cents"), col("l_partkey"))))
+      .filter(col("rn") === 1)
+      .select(col("l_orderkey"), col("p_brand"))
+    val byCust = Window.partitionBy("o_custkey")
+      .orderBy(col("day"), col("o_orderkey"))
+    val edges = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        to_date(col("o_orderdate")).as("day"))
+      .join(rep, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("next_brand", lead("p_brand", 1).over(byCust))
+      .filter(col("next_brand").isNotNull)
+      .groupBy(col("p_brand").as("from_brand"),
+        col("next_brand").as("to_brand"))
+      .agg(count(lit(1)).as("n"))
+    val out = edges.groupBy("from_brand").agg(sum("n").as("out_n"))
+    val p6 = edges.join(out, "from_brand")
+      .select(col("from_brand"), col("to_brand"),
+        expr("(n * 1000000L) div out_n").as("p6"))
+      .localCheckpoint() // every round reuses the static edge table
+    val nodes = p6.select(col("from_brand").as("brand"))
+      .unionByName(p6.select(col("to_brand").as("brand")))
+      .distinct().localCheckpoint()
+    def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
+      val mx = raw.agg(max("raw").as("mx"))
+      nodes.join(broadcast(raw), Seq("brand"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("brand"),
+          expr(s"(coalesce(raw, 0L) * 1000000L) div mx").as(scoreCol))
+    }
+    var hub = nodes.select(col("brand"), lit(1000000L).as("h"))
+    var auth = nodes.select(col("brand"), lit(0L).as("a"))
+    for (_ <- 1 to iters) {
+      auth = normalized(
+        p6.join(broadcast(hub.withColumnRenamed("brand", "from_brand")),
+            "from_brand")
+          .groupBy(col("to_brand").as("brand"))
+          .agg(sum(expr("(p6 * h) div 1000000")).as("raw")), "a")
+      hub = normalized(
+        p6.join(broadcast(auth.withColumnRenamed("brand", "to_brand")),
+            "to_brand")
+          .groupBy(col("from_brand").as("brand"))
+          .agg(sum(expr("(p6 * a) div 1000000")).as("raw")), "h")
+    }
+    hub.join(auth, "brand")
+      .select(col("brand"), col("h").as("hub_i"), col("a").as("auth_i"),
+        (col("h").cast("double") / lit(1000000.0)).as("hub"),
+        (col("a").cast("double") / lit(1000000.0)).as("authority"))
+      .orderBy(desc("auth_i"), col("brand"))
+  }
+
+  /** q296 — Holt double-exponential smoothing (level + TREND), the
+    * forecasting upgrade over q250's flat EWMA: a trending series
+    * systematically lags a level-only forecast; Holt tracks the slope
+    * and extrapolates it one step ahead.
+    *
+    * EXACT dyadic arithmetic: with α = β = ½ the recurrences
+    *   l_t = (y_t + l_{t−1} + b_{t−1}) / 2
+    *   b_t = (y_t − l_{t−1} + 3·b_{t−1}) / 4   (substituted form)
+    * stay in BIGINTs when tracked at scale 4^t:
+    *   L_t = 2·4^{t−1}·y_t + 2·L_{t−1} + 2·Q_{t−1}
+    *   Q_t =    4^{t−1}·y_t −   L_{t−1} + 3·Q_{t−1}
+    * — no division until the single IEEE cast at the edge (÷4⁷·100 for
+    * dollars), so both engines produce identical integers and the one
+    * final double bit-matches. Initialized over an 8-day lag window
+    * (l₀ = y₀, b₀ = 0), 7 unrolled steps per row.
+    *
+    * Scale: one map-side-combined shuffle to (type × day) grain, then
+    * a lag chain over that bounded frame — q250's exact shape with a
+    * second state variable. */
+  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    var f = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(cents2(col("value"))).as("cents"))
+      .withColumn("y7", col("cents"))
+    for (i <- 0 to 6)
+      f = f.withColumn(s"y$i", lag(col("cents"), 7 - i).over(w))
+    f = f.withColumn("l0", col("y0")).withColumn("q0", lit(0L))
+    for (t <- 1 to 7) {
+      val s = 1L << (2 * (t - 1)) // 4^(t−1)
+      f = f
+        .withColumn(s"l$t", lit(2L * s) * col(s"y$t")
+          + lit(2L) * col(s"l${t - 1}") + lit(2L) * col(s"q${t - 1}"))
+        .withColumn(s"q$t", lit(s) * col(s"y$t")
+          - col(s"l${t - 1}") + lit(3L) * col(s"q${t - 1}"))
+    }
+    f.filter(col("y0").isNotNull)
+      .select(col("event_type"), col("day"),
+        (col("cents").cast("double") / lit(100.0)).as("revenue"),
+        (col("l7").cast("double") / lit(1638400.0)).as("level"),
+        (col("q7").cast("double") / lit(1638400.0)).as("trend"),
+        ((col("l7") + col("q7")).cast("double") / lit(1638400.0))
+          .as("forecast"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q297 — MAD-based robust outlier audit per brand: median absolute
+    * deviation is the robust dispersion gauge (50% breakdown point —
+    * one bad price can move a stddev arbitrarily, never the MAD), and
+    * `|x − median| > 3·MAD` is the classic contamination flag for
+    * price-book audits.
+    *
+    * Exactness: prices are cents; an exact median is ?.0 or ?.5, so
+    * DOUBLED medians are integers — deviations live in half-cents
+    * (dev2 = |2·price − 2·median|), the MAD in quarter-cents (mad4 =
+    * 2·median(dev2)), and the 3×-rule is the pure-integer predicate
+    * 2·dev2 > 3·mad4 (which also degrades correctly to dev2 > 0 when
+    * MAD = 0). No IEEE op until the display casts.
+    *
+    * Scale: two exact per-group medians (sort-based aggregation at
+    * brand grain) + broadcast joins of the 25-row brand stats — the
+    * approximate path at extreme scale is q119's GK sketch. */
+  def brandPriceMad(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+      .select(col("p_brand").as("brand"),
+        cents2(col("p_retailprice")).as("cents"))
+    val med = p.groupBy("brand")
+      .agg((expr("median(cents)") * lit(2.0)).cast("long").as("m2"))
+    val dev = p.join(broadcast(med), "brand")
+      .withColumn("dev2", abs(col("cents") * lit(2L) - col("m2")))
+    val mad = dev.groupBy("brand")
+      .agg((expr("median(dev2)") * lit(2.0)).cast("long").as("mad4"))
+    dev.join(broadcast(mad), "brand")
+      .groupBy("brand")
+      .agg(count(lit(1)).as("n_parts"),
+        max("m2").as("m2"), max("mad4").as("mad4"),
+        sum(when(col("dev2") * lit(2L) > col("mad4") * lit(3L), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        max("dev2").as("maxdev2"))
+      .select(col("brand"), col("n_parts"),
+        (col("m2").cast("double") / lit(200.0)).as("median_price"),
+        (col("mad4").cast("double") / lit(400.0)).as("mad"),
+        col("n_outliers"),
+        (col("maxdev2").cast("double") / lit(200.0)).as("max_dev"))
+      .orderBy("brand")
+  }
 }

@@ -941,4 +941,152 @@ object Events {
         col("n"), col("share"))
       .orderBy("rank")
   }
+
+  /** q299 — Markov absorption: P(reach `purchase` within ≤ k steps)
+    * from every event-type state, under the q123 empirical transition
+    * matrix with `purchase` made ABSORBING — the chain-level
+    * conversion gauge q123's one-step probabilities can't answer
+    * (a state may rarely convert directly yet almost surely within a
+    * few hops).
+    *
+    * Determinism: transition probabilities are micro-unit integers
+    * (n·10⁶ div out), the value vector lives in micro-units, and each
+    * step floors per edge BEFORE the order-independent integer sum —
+    * v_t(s) = Σ_j (p6(s,j)·v_{t−1}(j)) div 10⁶, purchase pinned at
+    * 10⁶. Both engines unroll the same k steps on identical BIGINTs.
+    *
+    * Scale: the matrix derivation is q123's one lead + one shuffle to
+    * the ≤|types|² grain; the k iterations are metadata-sized joins
+    * over that bounded matrix. */
+  /** The q123 matrix in micro-units + its state set — shared by
+    * [[funnelAbsorption]] and [[markovAttribution]]. Both frames are
+    * checkpointed (≤|types|² rows; every iteration round reuses them). */
+  private def transitionMatrix(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
+    val seq = Tables.events(spark, dir)
+      .withColumn("next_type", lead(col("event_type"), 1).over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("next_type").isNotNull)
+    val counts = seq.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val out = counts.groupBy("from_type").agg(sum("n").as("out_n"))
+    val p6 = counts.join(out, "from_type")
+      .select(col("from_type"), col("to_type"),
+        expr("(n * 1000000L) div out_n").as("p6"))
+      .localCheckpoint()
+    val nodes = p6.select(col("from_type").as("state"))
+      .unionByName(p6.select(col("to_type").as("state")))
+      .distinct().localCheckpoint()
+    (p6, nodes)
+  }
+
+  def funnelAbsorption(spark: SparkSession, dir: String,
+      steps: Int = 4): DataFrame = {
+    val (p6, nodes) = transitionMatrix(spark, dir)
+    var v = nodes.select(col("state"),
+      when(col("state") === "purchase", lit(1000000L))
+        .otherwise(lit(0L)).as("v"))
+    var acc = nodes
+    for (t <- 1 to steps) {
+      val inflow = p6
+        .join(broadcast(v.withColumnRenamed("state", "to_type")),
+          "to_type")
+        .groupBy(col("from_type").as("state"))
+        .agg(sum(expr("(p6 * v) div 1000000")).as("inflow"))
+      v = nodes.join(broadcast(inflow), Seq("state"), "left")
+        .select(col("state"),
+          when(col("state") === "purchase", lit(1000000L))
+            .otherwise(coalesce(col("inflow"), lit(0L))).as("v"))
+        .localCheckpoint() // ≤|types| rows; keeps round lineage flat
+      acc = acc.join(v.withColumnRenamed("v", s"r$t"), "state")
+    }
+    acc.select((col("state") +: (1 to steps).map(t => col(s"r$t"))) :+
+        (col(s"r$steps").cast("double") / lit(1000000.0))
+          .as(s"p_within_$steps"): _*)
+      .orderBy("state")
+  }
+
+  /** q300 — Markov removal-effect attribution (the data-driven
+    * multi-touch model): a channel's credit is how much the chain's
+    * conversion probability DROPS when every path through that channel
+    * dies — remove the channel's edges (no renormalization: walks into
+    * a removed channel are lost, the standard removal semantics),
+    * rerun the q299 absorption, and weight start states by the
+    * empirical first-event distribution. Unlike last-touch (q245's
+    * family), a channel that only ever feeds conversions indirectly
+    * still earns its share.
+    *
+    * Determinism: q299's integer value iteration, replicated per
+    * candidate channel by a CHANNEL KEY on the ≤|types|²-row matrix —
+    * micro-unit probabilities, per-edge floors before integer sums,
+    * removal effect as 10⁶ − (p_rem·10⁶ div p_base). Everything after
+    * the two corpus passes (lead chain; first-event distribution) is
+    * vocabulary-bounded metadata work at any scale. */
+  def markovAttribution(spark: SparkSession, dir: String,
+      steps: Int = 4): DataFrame = {
+    val (p6, nodes) = transitionMatrix(spark, dir)
+    // base conversion: the q299 chain, final step only
+    var vb = nodes.select(col("state"),
+      when(col("state") === "purchase", lit(1000000L))
+        .otherwise(lit(0L)).as("v"))
+    for (_ <- 1 to steps) {
+      val inflow = p6
+        .join(broadcast(vb.withColumnRenamed("state", "to_type")),
+          "to_type")
+        .groupBy(col("from_type").as("state"))
+        .agg(sum(expr("(p6 * v) div 1000000")).as("inflow"))
+      vb = nodes.join(broadcast(inflow), Seq("state"), "left")
+        .select(col("state"),
+          when(col("state") === "purchase", lit(1000000L))
+            .otherwise(coalesce(col("inflow"), lit(0L))).as("v"))
+        .localCheckpoint()
+    }
+    // per-channel removed chains, channel-keyed over the tiny matrix
+    val channels = nodes.filter(col("state") =!= "purchase")
+      .select(col("state").as("channel")).localCheckpoint()
+    val pc = p6.join(broadcast(channels),
+        col("from_type") =!= col("channel") &&
+          col("to_type") =!= col("channel"))
+      .localCheckpoint()
+    var w = channels.crossJoin(nodes)
+      .select(col("channel"), col("state"),
+        when(col("state") === "purchase", lit(1000000L))
+          .otherwise(lit(0L)).as("v"))
+    for (_ <- 1 to steps) {
+      val inflow = pc
+        .join(broadcast(w.withColumnRenamed("state", "to_type")),
+          Seq("channel", "to_type"))
+        .groupBy(col("channel"), col("from_type").as("state"))
+        .agg(sum(expr("(p6 * v) div 1000000")).as("inflow"))
+      w = channels.crossJoin(nodes)
+        .join(broadcast(inflow), Seq("channel", "state"), "left")
+        .select(col("channel"), col("state"),
+          when(col("state") === "purchase", lit(1000000L))
+            .otherwise(coalesce(col("inflow"), lit(0L))).as("v"))
+        .localCheckpoint()
+    }
+    // first-event start distribution, micro-units
+    val fe = Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))))
+      .filter(col("rn") === 1)
+      .groupBy(col("event_type").as("state"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = fe.agg(sum("cnt").as("users"))
+    val pi6 = fe.crossJoin(broadcast(tot))
+      .select(col("state"), expr("(cnt * 1000000L) div users").as("pi6"))
+      .localCheckpoint()
+    val pBase = vb.join(broadcast(pi6), "state")
+      .agg(sum(expr("(pi6 * v) div 1000000")).as("p_base6"))
+    val re6 = lit(1000000L) - expr("(p_rem6 * 1000000L) div p_base6")
+    w.join(broadcast(pi6), "state")
+      .groupBy("channel")
+      .agg(sum(expr("(pi6 * v) div 1000000")).as("p_rem6"))
+      .crossJoin(broadcast(pBase))
+      .select(col("channel"), col("p_base6"), col("p_rem6"),
+        re6.as("re6"),
+        (re6.cast("double") / lit(1000000.0)).as("removal_effect"))
+      .orderBy("channel")
+  }
 }

@@ -681,4 +681,175 @@ object Multimodal {
         "data_offset", "payload_head")
       .orderBy("shard_id", "member_idx")
   }
+
+  /** q302's synthetic ZIP shard corpus — the same member population as
+    * the tar shards (names, sizes, md5-stream payloads, every 17th
+    * shard truncated) laid out as REAL PKZIP bytes: per-member local
+    * file headers (stored method, true CRC-32 over the payload),
+    * a central directory whose entries carry the local-header
+    * offsets, and the end-of-central-directory record. Generated in a
+    * deterministic scan-local kernel (CRC-32 has no SQL closed form —
+    * the oracle re-derives the LISTING from the generator's
+    * parameters and the walker must agree after validating the CRCs
+    * itself). */
+  def syntheticZipShards(spark: SparkSession, n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).as[Long].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { sid =>
+        val nm = (sid % 3 + 2).toInt
+        val bos = new java.io.ByteArrayOutputStream()
+        def le2(v: Int): Unit = {
+          bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+        }
+        def le4(v: Long): Unit = {
+          var i = 0
+          while (i < 4) { bos.write(((v >> (8 * i)) & 0xff).toInt); i += 1 }
+        }
+        val names = (0 until nm).map(j => s"s$sid/d$j." +
+          (j % 3 match { case 0 => "txt"; case 1 => "json"; case _ => "jpg" }))
+        val sizes = (0 until nm).map(j => ((sid * 31 + j * 17) % 200).toInt)
+        def payload(j: Int, sz: Int): Array[Byte] = {
+          md.reset()
+          val h = md.digest(s"$sid:$j".getBytes("US-ASCII"))
+            .map(b => f"$b%02x").mkString
+          (h * 13).substring(0, sz * 2).grouped(2)
+            .map(s => Integer.parseInt(s, 16).toByte).toArray
+        }
+        val locals = new Array[Int](nm)
+        val crcs = new Array[Long](nm)
+        (0 until nm).foreach { j =>
+          locals(j) = bos.size()
+          val nb = names(j).getBytes("US-ASCII")
+          val pl = payload(j, sizes(j))
+          val c = new java.util.zip.CRC32(); c.update(pl)
+          crcs(j) = c.getValue
+          le4(0x04034b50L); le2(20); le2(0); le2(0); le2(0); le2(0x0021)
+          le4(crcs(j)); le4(sizes(j).toLong); le4(sizes(j).toLong)
+          le2(nb.length); le2(0)
+          bos.write(nb); bos.write(pl)
+        }
+        val cdOff = bos.size()
+        (0 until nm).foreach { j =>
+          val nb = names(j).getBytes("US-ASCII")
+          le4(0x02014b50L); le2(20); le2(20); le2(0); le2(0); le2(0)
+          le2(0x0021)
+          le4(crcs(j)); le4(sizes(j).toLong); le4(sizes(j).toLong)
+          le2(nb.length); le2(0); le2(0); le2(0); le2(0); le4(0L)
+          le4(locals(j).toLong)
+          bos.write(nb)
+        }
+        val cdSize = bos.size() - cdOff
+        le4(0x06054b50L); le2(0); le2(0); le2(nm); le2(nm)
+        le4(cdSize.toLong); le4(cdOff.toLong); le2(0)
+        val full = bos.toByteArray
+        val bytes =
+          if (sid % 17 == 0) java.util.Arrays.copyOf(full, 100)
+          else full
+        (sid, bytes)
+      }
+    }.toDF("shard_id", "bytes")
+  }
+
+  /** q302 — ZIP / OOXML-class central-directory walk, the random-
+    * access sibling of the q289 sequential tar walk (a WebDataset
+    * reader streams; a zip reader SEEKS — EOCD from the tail, then
+    * the central directory, then each member's local header): locate
+    * the end-of-central-directory by the spec's backward scan
+    * (signature + self-consistent comment length), walk the central
+    * directory entries, CROSS-CHECK each against its local file
+    * header (signature, name), recompute the payload's CRC-32 against
+    * the stored field, and emit the member listing with true data
+    * offsets. Any structural break — no EOCD (the truncated shards),
+    * bad signature, offset past the buffer, CRC mismatch — yields the
+    * sentinel row, q289's degradation contract.
+    *
+    * Scale: one scan-local kernel pass; each shard's walk is
+    * independent and allocation-light. */
+  def zipMemberWalk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticZipShards(spark, 500)
+      .select(col("shard_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (sid, bytes) =>
+        val out = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, String, Long, Long, String, Boolean)]
+        def corrupt = Seq((sid, -1, "", -1L, -1L, "", false))
+        def u16(o: Int): Int =
+          (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+        def u32(o: Int): Long = {
+          var v = 0L; var i = 3
+          while (i >= 0) { v = (v << 8) | (bytes(o + i) & 0xff); i -= 1 }
+          v
+        }
+        // EOCD: backward scan (max comment 65535), sig + the comment
+        // length must land exactly on the buffer end
+        var eocd = -1
+        var p = bytes.length - 22
+        val floorP = math.max(0, bytes.length - 22 - 65535)
+        while (eocd < 0 && p >= floorP) {
+          if (bytes(p) == 0x50 && bytes(p + 1) == 0x4b &&
+              bytes(p + 2) == 0x05 && bytes(p + 3) == 0x06 &&
+              p + 22 + u16(p + 20) == bytes.length) eocd = p
+          p -= 1
+        }
+        if (eocd < 0) corrupt
+        else {
+          val nEntries = u16(eocd + 10)
+          val cdOff = u32(eocd + 16).toInt
+          val cdSize = u32(eocd + 12).toInt
+          var off = cdOff
+          var ok = cdOff + cdSize <= eocd
+          var idx = 0
+          while (ok && idx < nEntries) {
+            if (off + 46 > eocd || u32(off) != 0x02014b50L) ok = false
+            else {
+              val crc = u32(off + 16)
+              val csize = u32(off + 20)
+              val usize = u32(off + 24)
+              val nameLen = u16(off + 28)
+              val extraLen = u16(off + 30)
+              val commentLen = u16(off + 32)
+              val method = u16(off + 10)
+              val localOff = u32(off + 42).toInt
+              if (off + 46 + nameLen > eocd || method != 0 ||
+                  csize != usize || localOff + 30 > bytes.length)
+                ok = false
+              else {
+                val name = new String(bytes, off + 46, nameLen,
+                  java.nio.charset.StandardCharsets.US_ASCII)
+                val lNameLen = u16(localOff + 26)
+                val lExtraLen = u16(localOff + 28)
+                val dataOff = localOff + 30 + lNameLen + lExtraLen
+                val lName =
+                  if (localOff + 30 + lNameLen <= bytes.length)
+                    new String(bytes, localOff + 30, lNameLen,
+                      java.nio.charset.StandardCharsets.US_ASCII)
+                  else ""
+                if (u32(localOff) != 0x04034b50L || lName != name ||
+                    dataOff + usize > bytes.length) ok = false
+                else {
+                  val c = new java.util.zip.CRC32()
+                  c.update(bytes, dataOff, usize.toInt)
+                  if (c.getValue != crc) ok = false
+                  else {
+                    val headLen = math.min(8L, usize).toInt
+                    val head = (0 until headLen)
+                      .map(i => f"${bytes(dataOff + i)}%02X").mkString
+                    out += ((sid, idx, name, usize, dataOff.toLong,
+                      head, true))
+                    idx += 1
+                    off += 46 + nameLen + extraLen + commentLen
+                  }
+                }
+              }
+            }
+          }
+          if (ok && idx == nEntries) out else corrupt
+        }
+      })
+      .toDF("shard_id", "member_idx", "name", "size_bytes",
+        "data_offset", "payload_head", "crc_ok")
+      .orderBy("shard_id", "member_idx")
+  }
 }

@@ -147,4 +147,65 @@ object Privacy {
           .otherwise(lit("*")).as("segment_out"))
       .orderBy("c_custkey")
   }
+
+  /** q301 — t-closeness audit (Li et al.), the escalation past
+    * k-anonymity (q239) and l-diversity (q248): a cell can be large
+    * AND diverse yet still leak — if its sensitive-value DISTRIBUTION
+    * sits far from the table's, membership alone shifts an attacker's
+    * posterior. For the ORDERED sensitive attribute (the q248 $1000
+    * acctbal bands) the distance is the Earth-Mover's Distance, which
+    * for ordered categories is the mean |cumulative-share gap|:
+    * EMD = Σ_i |P_cell(≤ band_i) − P_table(≤ band_i)| / (m − 1).
+    *
+    * Determinism: cumulative shares are micro-unit integer divisions
+    * (cum·10⁶ div n), the gap sum is an order-independent integer
+    * sum, and the final mean is one more integer div — so the audit
+    * is exact on both engines, and every intermediate is bounded by
+    * the band VOCABULARY (≤10⁶·m), never the data size.
+    *
+    * Scale: one aggregate to (cell × band) grain, a bounded
+    * cells × bands densify (cumulative sums need the zero rows), and
+    * windows over that vocabulary-grain frame. */
+  def tCloseness(spark: SparkSession, dir: String,
+      tMicro: Long = 200000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = floor(col("c_acctbal") * lit(100.0) + lit(0.5)).cast("long")
+    val bandFreq = Tables.customer(spark, dir)
+      .select(col("c_nationkey").cast("int").as("c_nationkey"),
+        col("c_mktsegment"),
+        floor(cents.cast("double") / lit(100000.0)).cast("long")
+          .as("band"))
+      .groupBy("c_nationkey", "c_mktsegment", "band")
+      .agg(count(lit(1)).as("f"))
+      .localCheckpoint() // cells × bands grain feeds three derivations
+    // global band distribution + its cumulative micro-shares (the
+    // band set is a handful of rows; the ordered cum runs there)
+    val gw = Window.orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val global = bandFreq.groupBy("band").agg(sum("f").as("g"))
+      .withColumn("cum_g", sum("g").over(gw))
+      .crossJoin(broadcast(bandFreq.agg(sum("f").as("nn"),
+        countDistinct("band").as("m"))))
+      .select(col("band"), col("m"),
+        expr("(cum_g * 1000000L) div nn").as("pg6"))
+    val cells = bandFreq.select("c_nationkey", "c_mktsegment").distinct()
+    val cw = Window.partitionBy("c_nationkey", "c_mktsegment")
+      .orderBy("band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.crossJoin(broadcast(global))
+      .join(bandFreq, Seq("c_nationkey", "c_mktsegment", "band"), "left")
+      .withColumn("cum_f", sum(coalesce(col("f"), lit(0L))).over(cw))
+      .withColumn("n", sum(coalesce(col("f"), lit(0L))).over(
+        Window.partitionBy("c_nationkey", "c_mktsegment")))
+      .groupBy(col("c_nationkey"), col("c_mktsegment").as("segment"))
+      .agg(max("n").as("n"), max("m").as("m"),
+        sum(abs(expr("(cum_f * 1000000L) div n") - col("pg6")))
+          .as("gap6"))
+      .select(col("c_nationkey"), col("segment"), col("n"),
+        expr("gap6 div (m - 1)").as("emd6"),
+        (expr("gap6 div (m - 1)").cast("double") / lit(1000000.0))
+          .as("emd"),
+        (expr("gap6 div (m - 1)") <= tMicro).as("t_close"))
+      .orderBy("c_nationkey", "segment")
+  }
 }

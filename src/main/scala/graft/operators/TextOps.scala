@@ -2106,4 +2106,35 @@ object TextOps {
         (col("target_tokens") - col("planned_tokens")).as("shortfall"))
       .orderBy("source")
   }
+
+  /** q298 — tokenizer fertility by language: tokens-per-word (the
+    * FERTILITY a tokenizer team tracks per language — high fertility
+    * means the vocabulary under-serves that language and its documents
+    * burn more context window per sentence) and chars-per-token, using
+    * q56's regex pre-tokenizer as the subword proxy against the
+    * whitespace word count. The canonical multilingual-budget gauge:
+    * ratios are language-grain integers (micro-unit div), so the mart
+    * is exact at any corpus size.
+    *
+    * Scale: ONE scan — both token counts are scan-local regex/split
+    * kernels — into a map-side-combined language-grain aggregate. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    def n(pat: String): Column =
+      size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+    Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        n("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]").as("tk"),
+        length(col("text")).cast("long").as("ch"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("n_words"),
+        sum("tk").as("n_tokens"), sum("ch").as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_words"),
+        col("n_tokens"), col("n_chars"),
+        (expr("(n_tokens * 1000000L) div n_words").cast("double")
+          / lit(1000000.0)).as("fertility"),
+        (expr("(n_chars * 1000000L) div n_tokens").cast("double")
+          / lit(1000000.0)).as("chars_per_token"))
+      .orderBy("lang")
+  }
 }

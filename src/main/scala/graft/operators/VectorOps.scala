@@ -1205,6 +1205,23 @@ object VectorOps {
   def ivfAdcKnn(spark: SparkSession, dir: String,
       nQueries: Int = 10, k: Int = 5, nCentroids: Int = 16, nProbe: Int = 4,
       m: Int = 4, kSub: Int = 4, iters: Int = 2): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(asc("adist9"), asc("neighbor_id"))
+    adcCandidates(spark, dir, nQueries, nCentroids, nProbe, m, kSub, iters)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        (col("adist9").cast("double") / 1e9).as("adist"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** The IVFADC candidate scores (query_id, neighbor_id, adist9) — the
+    * probe → bucket-restrict → distance-table-lookup pipeline shared
+    * by [[ivfAdcKnn]] (ranks the approximate scores directly) and
+    * [[ivfAdcRerank]] (shortlists on them, then refines exactly). */
+  private[operators] def adcCandidates(spark: SparkSession, dir: String,
+      nQueries: Int, nCentroids: Int, nProbe: Int,
+      m: Int, kSub: Int, iters: Int): DataFrame = {
     import spark.implicits._
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding"))
@@ -1280,8 +1297,6 @@ object VectorOps {
     }.toDF("query_id", "dtables")
 
     // ---- serve: bucket-restrict, then table-lookup score ----
-    val w = Window.partitionBy("query_id")
-      .orderBy(asc("adist9"), asc("neighbor_id"))
     broadcast(probes)
       .join(assigned, "cid")
       .filter(col("vec_id") =!= col("query_id"))
@@ -1296,10 +1311,54 @@ object VectorOps {
         (qi, ni, a)
       })
       .toDF("query_id", "neighbor_id", "adist9")
-      .withColumn("rn", row_number().over(w))
+  }
+
+  /** q293 — two-stage ANN serve: IVFADC shortlist + EXACT re-rank,
+    * the production serving pattern (FAISS's refine / RefineFlat
+    * stage): the compressed index (codes, ~dim/8 of the float bytes)
+    * produces a `shortN` candidate shortlist per query at full speed,
+    * and only those shortN rows fetch their raw vectors for an exact
+    * cosine — the final ranking is exact over the shortlist, fixing
+    * quantization rank-inversions at a cost of shortN vector reads
+    * per query instead of a corpus scan.
+    *
+    * Scale: stage 1 reads ~nProbe/K of the CODES table (q177's
+    * contract); stage 2 is a shortN·|queries|-row equi-join against
+    * the vector store — a key-lookup batch, never a scan. The
+    * shortlist window is a bounded per-key heap (TopKPerKey's
+    * pattern). Ref has no ANN at all; this rounds out the
+    * quantization ladder q166→q175→q177 with the read path a real
+    * deployment serves from. */
+  def ivfAdcRerank(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, shortN: Int = 20,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 4, kSub: Int = 4, iters: Int = 2): DataFrame = {
+    import spark.implicits._
+    val shortW = Window.partitionBy("query_id")
+      .orderBy(asc("adist9"), asc("neighbor_id"))
+    val short = adcCandidates(spark, dir, nQueries, nCentroids, nProbe,
+        m, kSub, iters)
+      .withColumn("rn", row_number().over(shortW))
+      .filter(col("rn") <= shortN)
+      .select("query_id", "neighbor_id")
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val rankW = Window.partitionBy("query_id")
+      .orderBy(desc("cos"), asc("neighbor_id"))
+    short
+      .join(e.select(col("vec_id").as("query_id"),
+        col("embedding").as("qv")), "query_id")
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")), "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (qi, ni, qv, nv) =>
+        (qi, ni, cosOf(qv, nv)) })
+      .toDF("query_id", "neighbor_id", "cos")
+      .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
-        (col("adist9").cast("double") / 1e9).as("adist"))
+        graft.util.Portable.val6(col("cos")).as("cos_sim"))
       .orderBy("query_id", "rank")
   }
 
@@ -2348,5 +2407,70 @@ object VectorOps {
           (col("n_queries") * lit(k.toLong)).cast("double"))
           .as("recall_at_k"))
       .orderBy("prefix_dim")
+  }
+
+  /** Micro-scaled integer cosine DISTANCE — floor((1−cos)·10⁶ + 0.5),
+    * the cross-engine-total ordering key for [[kcenterSelect]];
+    * mirrors the oracle's expression operand-for-operand. */
+  private def cosDist6(a: Array[Float], b: Array[Float]): Long =
+    math.floor((1.0 - cosOf(a, b)) * 1000000.0 + 0.5).toLong
+
+  /** q294 — greedy k-center (Gonzalez 2-approximation): the classic
+    * DIVERSE-subset selection for training data — where the coreset
+    * (q219) picks cluster-typical points, k-center picks maximally
+    * SPREAD ones (each round adds the point farthest from everything
+    * chosen so far), covering the embedding space's extremes with k
+    * exemplars and bounding every point's distance to its nearest
+    * center within 2× optimal.
+    *
+    * Scale: each of the k−1 rounds is ONE map-side pass (the ≤k
+    * selected vectors travel in the task closure) + a
+    * TakeOrderedAndProject argmax — k·O(n/p) work, no shuffle of the
+    * corpus, no pairwise blow-up; the per-round 1-row collect is
+    * metadata-grain (the q76 trainer's discipline). Distances are
+    * micro-scaled BIGINTs so argmax/argmin ordering is exact on both
+    * engines; ties break on vec_id.
+    *
+    * Output: every vector assigned to its nearest selected center
+    * (pick_no = selection order) — `dist`'s max over rows IS the
+    * coverage radius the 2-approximation bounds. */
+  def kcenterSelect(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    import spark.implicits._
+    val ds = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+    val seed = ds.filter(_._1 == 0L).head()
+    var selected = Vector[(Int, Long, Array[Float])]((0, seed._1, seed._2))
+    for (pick <- 1 until k) {
+      val bc = spark.sparkContext.broadcast(selected)
+      val next = ds.mapPartitions { it =>
+          val sel = bc.value
+          it.map { case (id, v) =>
+            (id, sel.iterator.map(c => cosDist6(v, c._3)).min, v)
+          }
+        }
+        .toDF("vec_id", "dmin6", "embedding")
+        .filter(!col("vec_id").isin(selected.map(_._2): _*))
+        .orderBy(desc("dmin6"), asc("vec_id"))
+        .as[(Long, Long, Array[Float])]
+        .head()
+      selected :+= ((pick, next._1, next._3))
+    }
+    val bcFinal = spark.sparkContext.broadcast(selected)
+    ds.mapPartitions { it =>
+        val sel = bcFinal.value
+        it.map { case (id, v) =>
+          // argmin over (d6 ASC, pick_no ASC) — the oracle's ordering
+          val best = sel.iterator
+            .map(c => (cosDist6(v, c._3), c._1, c._2)).min
+          (id, best._3, best._2, best._1)
+        }
+      }
+      .toDF("vec_id", "center_id", "pick_no", "d6")
+      .select(col("vec_id"), col("center_id"),
+        col("pick_no").cast("int").as("pick_no"),
+        (col("d6").cast("double") / lit(1000000.0)).as("dist"))
+      .orderBy("vec_id")
   }
 }

@@ -1753,5 +1753,112 @@ object AnalyticsOracles {
              " / CAST(n_lines AS DOUBLE)")} AS avg_qty,
          |  CAST(sc AS DOUBLE) / 100.0 AS revenue
          |FROM w ORDER BY pct NULLS FIRST""".stripMargin,
+
+    // q295: HITS over the q280 transition graph — micro-unit edge
+    // probabilities, per-edge floor before the integer sum, max-
+    // renormalization per half-step; two rounds unrolled (a1 h1 a2 h2)
+    // mirroring Analytics.brandHits' fixed point BIGINT-for-BIGINT.,
+    "q295_brand_hits" -> {
+      def halfStep(name: String, group: String, join: String,
+          prev: String, inScore: String, outScore: String): String =
+        s"""${name}r AS (SELECT $group AS brand,
+           |    CAST(SUM((p6 * $prev.$inScore) // 1000000) AS BIGINT)
+           |      AS raw
+           |  FROM p JOIN $prev ON $prev.brand = p.$join GROUP BY 1),
+           |$name AS (SELECT nn.brand,
+           |    (COALESCE(r.raw, 0) * 1000000)
+           |      // (SELECT MAX(raw) FROM ${name}r) AS $outScore
+           |  FROM nodes nn LEFT JOIN ${name}r r USING (brand))"""
+          .stripMargin
+      s"""WITH li AS (SELECT l_orderkey, p_brand,
+         |    CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)
+         |      AS cents,
+         |    l_partkey
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+         |rep AS (SELECT l_orderkey, p_brand FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey
+         |      ORDER BY cents DESC, l_partkey NULLS FIRST) AS rn
+         |    FROM li) WHERE rn = 1),
+         |o AS (SELECT o_custkey, o_orderkey,
+         |    CAST(o_orderdate AS DATE) AS day, p_brand
+         |  FROM orders JOIN rep ON o_orderkey = l_orderkey),
+         |trx AS (SELECT p_brand AS from_brand,
+         |    lead(p_brand) OVER (PARTITION BY o_custkey
+         |      ORDER BY day NULLS FIRST, o_orderkey NULLS FIRST)
+         |      AS to_brand
+         |  FROM o),
+         |c AS (SELECT from_brand, to_brand,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM trx WHERE to_brand IS NOT NULL GROUP BY 1, 2),
+         |outd AS (SELECT from_brand, CAST(SUM(n) AS BIGINT) AS out_n
+         |  FROM c GROUP BY 1),
+         |p AS (SELECT from_brand, to_brand, (n * 1000000) // out_n AS p6
+         |  FROM c JOIN outd USING (from_brand)),
+         |nodes AS (SELECT from_brand AS brand FROM p
+         |  UNION SELECT to_brand FROM p),
+         |h0 AS (SELECT brand, CAST(1000000 AS BIGINT) AS h FROM nodes),
+         |${halfStep("a1", "p.to_brand", "from_brand", "h0", "h", "a")},
+         |${halfStep("h1", "p.from_brand", "to_brand", "a1", "a", "h")},
+         |${halfStep("a2", "p.to_brand", "from_brand", "h1", "h", "a")},
+         |${halfStep("h2", "p.from_brand", "to_brand", "a2", "a", "h")}
+         |SELECT nodes.brand, h2.h AS hub_i, a2.a AS auth_i,
+         |  CAST(h2.h AS DOUBLE) / 1000000.0 AS hub,
+         |  CAST(a2.a AS DOUBLE) / 1000000.0 AS authority
+         |FROM nodes JOIN h2 USING (brand) JOIN a2 USING (brand)
+         |ORDER BY auth_i DESC, brand NULLS FIRST""".stripMargin
+    },
+
+    // q296: Holt level+trend at α=β=½ — the dyadic recurrences tracked
+    // at scale 4^t stay BIGINT (L_t = 2·4^{t−1}y_t + 2L + 2Q,
+    // Q_t = 4^{t−1}y_t − L + 3Q); 7 unrolled CTE steps, one IEEE cast
+    // at the edge.,
+    "q296_holt_forecast" -> {
+      val lagCols = (0 to 6)
+        .map(i => s"LAG(cents, ${7 - i}) OVER w AS y$i").mkString(", ")
+      val steps = (1 to 7).map { t =>
+        val s = 1L << (2 * (t - 1))
+        s"""f$t AS (SELECT *, ${2 * s} * y$t + 2 * l${t - 1}
+           |    + 2 * q${t - 1} AS l$t,
+           |  $s * y$t - l${t - 1} + 3 * q${t - 1} AS q$t FROM f${t - 1})"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |f0 AS (SELECT event_type, day, cents, $lagCols,
+         |    cents AS y7, LAG(cents, 7) OVER w AS l0,
+         |    CAST(0 AS BIGINT) AS q0
+         |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |$steps
+         |SELECT event_type, day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+         |  CAST(l7 AS DOUBLE) / 1638400.0 AS level,
+         |  CAST(q7 AS DOUBLE) / 1638400.0 AS trend,
+         |  CAST(l7 + q7 AS DOUBLE) / 1638400.0 AS forecast
+         |FROM f7 WHERE y0 IS NOT NULL
+         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+    },
+
+    // q297: MAD outlier audit — doubled/quadrupled integer medians
+    // (exact medians of cents are ?.0/?.5, so 2× is BIGINT) and the
+    // pure-integer 3×-rule 2·dev2 > 3·mad4.,
+    "q297_price_mad" ->
+      """WITH p AS (SELECT p_brand AS brand,
+        |    CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM part),
+        |m AS (SELECT brand, CAST(median(cents) * 2.0 AS BIGINT) AS m2
+        |  FROM p GROUP BY 1),
+        |d AS (SELECT p.brand, m.m2, ABS(p.cents * 2 - m.m2) AS dev2
+        |  FROM p JOIN m USING (brand)),
+        |md AS (SELECT brand, CAST(median(dev2) * 2.0 AS BIGINT) AS mad4
+        |  FROM d GROUP BY 1)
+        |SELECT d.brand, CAST(COUNT(*) AS BIGINT) AS n_parts,
+        |  CAST(MAX(d.m2) AS DOUBLE) / 200.0 AS median_price,
+        |  CAST(MAX(md.mad4) AS DOUBLE) / 400.0 AS mad,
+        |  CAST(SUM(CASE WHEN d.dev2 * 2 > md.mad4 * 3 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  CAST(MAX(d.dev2) AS DOUBLE) / 200.0 AS max_dev
+        |FROM d JOIN md USING (brand)
+        |GROUP BY d.brand ORDER BY d.brand NULLS FIRST""".stripMargin,
   )
 }

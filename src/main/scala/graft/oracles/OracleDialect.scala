@@ -529,8 +529,12 @@ object OracleDialect {
   /** q177 — IVFADC: the q50 coarse quantizer restricts candidates to
     * the query's probed buckets; the PQ ADC sum (same CTEs as q175)
     * re-scores only those. */
-  private[graft] val ivfadcSql: String =
-    s"""WITH $pqCtes,
+  /** The IVFADC candidate CTEs shared by q177 and the q293 re-rank:
+    * PQ codes + distance tables ([[pqCtes]]), the coarse assignment,
+    * the queries' probe lists, and the per-candidate ADC sum as
+    * `scored(query_id, neighbor_id, adist9)`. */
+  private[graft] val ivfadcCandCtes: String =
+    s"""$pqCtes,
        |e2 AS (SELECT vec_id, embedding FROM embeddings),
        |cc AS (SELECT vec_id AS cid, embedding AS cv FROM e2
        |  WHERE vec_id < 16),
@@ -556,7 +560,11 @@ object OracleDialect {
        |scored AS (
        |  SELECT c.query_id, c.neighbor_id, adc.adist9
        |  FROM cand c JOIN adc
-       |    ON adc.query_id = c.query_id AND adc.neighbor_id = c.neighbor_id),
+       |    ON adc.query_id = c.query_id AND adc.neighbor_id = c.neighbor_id)"""
+      .stripMargin
+
+  private[graft] val ivfadcSql: String =
+    s"""WITH $ivfadcCandCtes,
        |r AS (SELECT query_id, neighbor_id, adist9,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY adist9 ASC, neighbor_id NULLS FIRST) AS rn
@@ -565,6 +573,67 @@ object OracleDialect {
        |  CAST(adist9 AS DOUBLE) / 1000000000.0 AS adist
        |FROM r WHERE rn <= 5
        |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
+  /** q293 — the ADC shortlist (top-20 by approximate distance, q177's
+    * exact ordering) refined by an EXACT cosine over the raw vectors,
+    * re-ranked; only the shortlist rows ever touch floats. */
+  private[graft] val ivfadcRerankSql: String =
+    s"""WITH $ivfadcCandCtes,
+       |short AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY adist9 ASC, neighbor_id NULLS FIRST) AS rn
+       |    FROM scored) WHERE rn <= 20),
+       |rr AS (SELECT s.query_id, s.neighbor_id,
+       |    ${cosCols("q.embedding", "n.embedding")} AS cos
+       |  FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings n ON n.vec_id = s.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST) AS rn
+       |  FROM rr)
+       |SELECT query_id, rn AS "rank", neighbor_id,
+       |  ${val6("cos")} AS cos_sim
+       |FROM r WHERE rn <= 5
+       |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin
+
+  /** q294 — Gonzalez greedy k-center unrolled: seed = vec_id 0, each
+    * round picks the not-yet-selected vector with the max min-distance
+    * (micro-scaled integer cosine distance, vec_id tie-break) to the
+    * selected set, then every vector assigns to its nearest center
+    * (d6 ASC, pick_no ASC). Mirrors `VectorOps.kcenterSelect`
+    * round-for-round. */
+  private[graft] val kcenterSql: String = {
+    val k = 8
+    def d6(v: String, c: String) =
+      s"""CAST(FLOOR((1.0 - (${cosCols(v, c)}))
+         |    * 1000000.0 + 0.5) AS BIGINT)""".stripMargin
+    val rounds = (1 until k).map { t =>
+      s"""m$t AS (SELECT e.vec_id,
+         |    MIN(${d6("e.embedding", "s.cv")}) AS dmin6
+         |  FROM embeddings e CROSS JOIN s${t - 1} s
+         |  WHERE e.vec_id NOT IN (SELECT cid FROM s${t - 1})
+         |  GROUP BY e.vec_id),
+         |p$t AS (SELECT $t AS pick_no, w.vec_id AS cid, e2.embedding AS cv
+         |  FROM (SELECT vec_id FROM m$t
+         |        ORDER BY dmin6 DESC, vec_id LIMIT 1) w
+         |  JOIN embeddings e2 ON e2.vec_id = w.vec_id),
+         |s$t AS (SELECT * FROM s${t - 1} UNION ALL SELECT * FROM p$t)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH s0 AS (SELECT 0 AS pick_no, vec_id AS cid, embedding AS cv
+       |  FROM embeddings WHERE vec_id = 0),
+       |$rounds,
+       |ad AS (SELECT e.vec_id, s.cid, s.pick_no,
+       |    ${d6("e.embedding", "s.cv")} AS d6
+       |  FROM embeddings e CROSS JOIN s${k - 1} s),
+       |asg AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |    ORDER BY d6 ASC, pick_no ASC) AS rn FROM ad)
+       |SELECT vec_id, cid AS center_id, CAST(pick_no AS INT) AS pick_no,
+       |  CAST(d6 AS DOUBLE) / 1000000.0 AS dist
+       |FROM asg WHERE rn = 1 ORDER BY vec_id NULLS FIRST""".stripMargin
+  }
 
   /** DuckDB mirror of VectorOps.dot/norm/cosine: left folds match
     * Spark's `aggregate` order (and the typed kernel's independent

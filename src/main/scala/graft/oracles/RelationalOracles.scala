@@ -1100,6 +1100,119 @@ object RelationalOracles {
         |SELECT user_id, bitmap, CAST(bit_count(bitmap) AS INT) AS active_slots
         |FROM b ORDER BY user_id NULLS FIRST""".stripMargin,
 
+    // q299: Markov absorption over q123's matrix, purchase absorbing —
+    // micro-unit transition probabilities, per-edge floor before each
+    // integer sum, 4 unrolled value-iteration rounds (correlated
+    // scalar sums over the ≤|types|² matrix).,
+    "q299_funnel_absorption" -> {
+      val rounds = (1 to 4).map { t =>
+        s"""v$t AS (SELECT s.state,
+           |    CASE WHEN s.state = 'purchase' THEN CAST(1000000 AS BIGINT)
+           |    ELSE COALESCE((SELECT CAST(SUM((p.p6 * w.v) // 1000000)
+           |        AS BIGINT)
+           |      FROM p JOIN v${t - 1} w ON w.state = p.to_type
+           |      WHERE p.from_type = s.state), 0) END AS v
+           |  FROM st s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type, lead(event_type) OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS next_type
+         |  FROM events),
+         |c AS (
+         |  SELECT event_type AS from_type, next_type AS to_type,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |outd AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS out_n
+         |  FROM c GROUP BY 1),
+         |p AS (SELECT from_type, to_type, (n * 1000000) // out_n AS p6
+         |  FROM c JOIN outd USING (from_type)),
+         |st AS (SELECT from_type AS state FROM p
+         |  UNION SELECT to_type FROM p),
+         |v0 AS (SELECT state, CASE WHEN state = 'purchase'
+         |    THEN CAST(1000000 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS v FROM st),
+         |$rounds
+         |SELECT st.state, v1.v AS r1, v2.v AS r2, v3.v AS r3, v4.v AS r4,
+         |  CAST(v4.v AS DOUBLE) / 1000000.0 AS p_within_4
+         |FROM st JOIN v1 USING (state) JOIN v2 USING (state)
+         |  JOIN v3 USING (state) JOIN v4 USING (state)
+         |ORDER BY state NULLS FIRST""".stripMargin
+    },
+
+    // q300: Markov removal-effect attribution — the q299 machinery
+    // plus a channel-keyed removed-chain value iteration (CROSS JOIN
+    // over the ≤|types| channel set) and a first-event start
+    // distribution; removal effect = 10⁶ − (p_rem·10⁶ // p_base).,
+    "q300_markov_attribution" -> {
+      val baseRounds = (1 to 4).map { t =>
+        s"""v$t AS (SELECT s.state,
+           |    CASE WHEN s.state = 'purchase' THEN CAST(1000000 AS BIGINT)
+           |    ELSE COALESCE((SELECT CAST(SUM((p.p6 * w.v) // 1000000)
+           |        AS BIGINT)
+           |      FROM p JOIN v${t - 1} w ON w.state = p.to_type
+           |      WHERE p.from_type = s.state), 0) END AS v
+           |  FROM st s)""".stripMargin
+      }.mkString(",\n")
+      val chanRounds = (1 to 4).map { t =>
+        s"""w$t AS (SELECT c.channel, s.state,
+           |    CASE WHEN s.state = 'purchase' THEN CAST(1000000 AS BIGINT)
+           |    ELSE COALESCE((SELECT CAST(SUM((p.p6 * w.v) // 1000000)
+           |        AS BIGINT)
+           |      FROM p JOIN w${t - 1} w ON w.channel = c.channel
+           |        AND w.state = p.to_type
+           |      WHERE p.from_type = s.state AND p.from_type <> c.channel
+           |        AND p.to_type <> c.channel), 0) END AS v
+           |  FROM ch c CROSS JOIN st s)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH seq AS (
+         |  SELECT user_id, event_type, lead(event_type) OVER (
+         |    PARTITION BY user_id
+         |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS next_type
+         |  FROM events),
+         |c AS (
+         |  SELECT event_type AS from_type, next_type AS to_type,
+         |    CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+         |outd AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS out_n
+         |  FROM c GROUP BY 1),
+         |p AS (SELECT from_type, to_type, (n * 1000000) // out_n AS p6
+         |  FROM c JOIN outd USING (from_type)),
+         |st AS (SELECT from_type AS state FROM p
+         |  UNION SELECT to_type FROM p),
+         |ch AS (SELECT state AS channel FROM st
+         |  WHERE state <> 'purchase'),
+         |v0 AS (SELECT state, CASE WHEN state = 'purchase'
+         |    THEN CAST(1000000 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS v FROM st),
+         |$baseRounds,
+         |w0 AS (SELECT c.channel, s.state, CASE WHEN s.state = 'purchase'
+         |    THEN CAST(1000000 AS BIGINT)
+         |    ELSE CAST(0 AS BIGINT) END AS v
+         |  FROM ch c CROSS JOIN st s),
+         |$chanRounds,
+         |fe AS (SELECT event_type AS state FROM (
+         |    SELECT event_type, ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS rn
+         |    FROM events) WHERE rn = 1),
+         |pi AS (SELECT state, CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM fe GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS users FROM pi),
+         |pi6 AS (SELECT state, (cnt * 1000000) // users AS pi6
+         |  FROM pi CROSS JOIN tot),
+         |pb AS (SELECT CAST(SUM((pi6.pi6 * v4.v) // 1000000) AS BIGINT)
+         |    AS p_base6
+         |  FROM pi6 JOIN v4 USING (state)),
+         |pr AS (SELECT channel,
+         |    CAST(SUM((pi6.pi6 * w4.v) // 1000000) AS BIGINT) AS p_rem6
+         |  FROM w4 JOIN pi6 USING (state) GROUP BY 1)
+         |SELECT channel, p_base6, p_rem6,
+         |  1000000 - (p_rem6 * 1000000) // p_base6 AS re6,
+         |  CAST(1000000 - (p_rem6 * 1000000) // p_base6 AS DOUBLE)
+         |    / 1000000.0 AS removal_effect
+         |FROM pr CROSS JOIN pb ORDER BY channel NULLS FIRST""".stripMargin
+    },
+
     "q123_markov_transitions" ->
       s"""WITH seq AS (
          |  SELECT user_id, event_type, lead(event_type) OVER (

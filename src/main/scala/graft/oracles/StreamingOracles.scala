@@ -134,9 +134,22 @@ object StreamingOracles {
     // ≡ full-state-scan ≡ post-epoch rebuild.,
     "q286_streaming_ivf_pruned_serve" -> ivfServeFromStateOracle,
 
-    // q243: synchronous label propagation over the repeat-co-purchase
-    // part graph (edges = pairs co-bought in >= 2 orders), 3 unrolled
-    // rounds — mode of neighbor labels, ties to the smallest label.,
+    // q292: BM25 served from the delete-maintained FULL inverted index
+    // (postings + doclen + totals state, published term-bucketed) —
+    // the oracle recomputes the whole retrieval over the post-epoch
+    // corpus from scratch with q182's exact arithmetic; a hash match
+    // proves the maintained serving representation (not just df) is
+    // invisible to the query layer.,
+    "q292_streaming_bm25_serve" ->
+      s"""WITH ${bm25CtesFor("WHERE doc_id % 6 = 0 OR doc_id % 7 <> 3")},
+         |r AS (SELECT query_id, doc_id, s9,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY s9 DESC, doc_id) AS rank
+         |  FROM bs)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+         |  CAST(s9 AS DOUBLE) / 1000000000.0 AS score
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q236_streaming_posting_stats" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |  FROM documents WHERE doc_id % 6 = 0 OR doc_id % 7 <> 3),

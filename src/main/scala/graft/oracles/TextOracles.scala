@@ -752,6 +752,28 @@ object TextOracles {
     // then split = hash(component) % 10 so near-dup cluster members
     // can never straddle a split boundary. The hash mirrors
     // Portable.portable32 exactly (q64's precedent).,
+    // q298: tokenizer fertility by language — q56's regex pre-token
+    // count vs whitespace words, ratios as exact micro-unit integer
+    // divisions at language grain.,
+    "q298_tokenizer_fertility" ->
+      """WITH t AS (SELECT lang,
+        |    len(string_split(text, ' ')) AS w,
+        |    len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+        |      AS tk,
+        |    length(text) AS ch
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |    CAST(SUM(w) AS BIGINT) AS n_words,
+        |    CAST(SUM(tk) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(ch) AS BIGINT) AS n_chars
+        |  FROM t GROUP BY 1)
+        |SELECT lang, n_docs, n_words, n_tokens, n_chars,
+        |  CAST((n_tokens * 1000000) // n_words AS DOUBLE) / 1000000.0
+        |    AS fertility,
+        |  CAST((n_chars * 1000000) // n_tokens AS DOUBLE) / 1000000.0
+        |    AS chars_per_token
+        |FROM g ORDER BY lang NULLS FIRST""".stripMargin,
+
     "q56_regex_tokens" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_ws_tokens,
@@ -1516,6 +1538,53 @@ object TextOracles {
         |ORDER BY c_nationkey NULLS FIRST, segment NULLS FIRST"""
         .stripMargin,
 
+    // q301: t-closeness — EMD over ordered acctbal bands as the mean
+    // |cumulative micro-share gap| between each cell's distribution
+    // and the table's; every share a BIGINT micro division, the gap
+    // sum order-independent.,
+    "q301_t_closeness" ->
+      """WITH b AS (SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+        |    c_mktsegment,
+        |    CAST(FLOOR(CAST(CAST(FLOOR(c_acctbal * 100.0 + 0.5) AS BIGINT)
+        |      AS DOUBLE) / 100000.0) AS BIGINT) AS band
+        |  FROM customer),
+        |bf AS (SELECT c_nationkey, c_mktsegment, band,
+        |    CAST(COUNT(*) AS BIGINT) AS f
+        |  FROM b GROUP BY 1, 2, 3),
+        |gd AS (SELECT band, CAST(SUM(f) AS BIGINT) AS g FROM bf
+        |  GROUP BY 1),
+        |gt AS (SELECT CAST(SUM(f) AS BIGINT) AS nn,
+        |    CAST(COUNT(DISTINCT band) AS BIGINT) AS m FROM bf),
+        |gcum AS (SELECT band, m,
+        |    (CAST(SUM(g) OVER (ORDER BY band
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) * 1000000) // nn AS pg6
+        |  FROM gd CROSS JOIN gt),
+        |cells AS (SELECT DISTINCT c_nationkey, c_mktsegment FROM bf),
+        |grid AS (SELECT c.c_nationkey, c.c_mktsegment, g.band, g.m,
+        |    g.pg6, COALESCE(bf.f, 0) AS f
+        |  FROM cells c CROSS JOIN gcum g
+        |  LEFT JOIN bf ON bf.c_nationkey = c.c_nationkey
+        |    AND bf.c_mktsegment = c.c_mktsegment AND bf.band = g.band),
+        |cum AS (SELECT *,
+        |    CAST(SUM(f) OVER (PARTITION BY c_nationkey, c_mktsegment
+        |      ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND CURRENT ROW) AS BIGINT) AS cum_f,
+        |    CAST(SUM(f) OVER (PARTITION BY c_nationkey, c_mktsegment)
+        |      AS BIGINT) AS n
+        |  FROM grid)
+        |SELECT c_nationkey, c_mktsegment AS segment,
+        |  CAST(MAX(n) AS BIGINT) AS n,
+        |  CAST(SUM(ABS((cum_f * 1000000) // n - pg6)) AS BIGINT)
+        |    // (MAX(m) - 1) AS emd6,
+        |  CAST(CAST(SUM(ABS((cum_f * 1000000) // n - pg6)) AS BIGINT)
+        |    // (MAX(m) - 1) AS DOUBLE) / 1000000.0 AS emd,
+        |  CAST(SUM(ABS((cum_f * 1000000) // n - pg6)) AS BIGINT)
+        |    // (MAX(m) - 1) <= 200000 AS t_close
+        |FROM cum GROUP BY 1, 2
+        |ORDER BY c_nationkey NULLS FIRST, segment NULLS FIRST"""
+        .stripMargin,
+
     // q249: item-item cosine recommendations — co/sqrt(du*dv) on
     // exact integers; rank on the raw double, ties (co desc, v asc).,
 
@@ -1552,6 +1621,43 @@ object TextOracles {
     // re-sum, magic/typeflag, end-of-archive zero blocks), so any
     // drift between walker arithmetic and layout fails the hash.
     // Shards ≡ 0 (mod 17) truncate mid-header → sentinel rows.,
+    // q302: zip central-directory walk — the oracle re-derives the
+    // member listing from the generator's closed-form parameters
+    // (data offset = running sum of 30 + name + payload per local
+    // header, + this member's 30 + name); CRC-32 has no SQL closed
+    // form, so its validation lives entirely in the walker (a CRC
+    // mismatch yields the sentinel row the oracle would not match).,
+    "q302_zip_member_walk" ->
+      """WITH shards AS (SELECT r AS sid FROM range(500) t(r)),
+        |mem AS (SELECT sid, UNNEST(range(0, sid % 3 + 2)) AS j
+        |  FROM shards),
+        |base AS (SELECT sid, j,
+        |    's' || CAST(sid AS VARCHAR) || '/d' || CAST(j AS VARCHAR)
+        |      || '.' || CASE j % 3 WHEN 0 THEN 'txt'
+        |        WHEN 1 THEN 'json' ELSE 'jpg' END AS name,
+        |    (sid * 31 + j * 17) % 200 AS sz
+        |  FROM mem),
+        |off AS (SELECT sid, j, name, sz,
+        |    COALESCE(SUM(30 + length(name) + sz)
+        |      OVER (PARTITION BY sid ORDER BY j
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + 30 + length(name) AS doff
+        |  FROM base)
+        |SELECT sid AS shard_id, CAST(j AS INT) AS member_idx, name,
+        |  CAST(sz AS BIGINT) AS size_bytes,
+        |  CAST(doff AS BIGINT) AS data_offset,
+        |  upper(substr(repeat(md5(CAST(sid AS VARCHAR) || ':'
+        |      || CAST(j AS VARCHAR)), 13),
+        |    1, CAST(LEAST(16, sz * 2) AS INT))) AS payload_head,
+        |  TRUE AS crc_ok
+        |FROM off WHERE sid % 17 <> 0
+        |UNION ALL
+        |SELECT sid, CAST(-1 AS INT), '', CAST(-1 AS BIGINT),
+        |  CAST(-1 AS BIGINT), '', FALSE
+        |FROM shards WHERE sid % 17 = 0
+        |ORDER BY shard_id NULLS FIRST, member_idx NULLS FIRST"""
+        .stripMargin,
+
     "q289_tar_member_walk" ->
       """WITH shards AS (SELECT r AS sid FROM range(500) t(r)),
         |mem AS (SELECT sid, UNNEST(range(0, sid % 3 + 2)) AS j

@@ -141,6 +141,16 @@ object VectorOracles {
     "q175_pq_knn" -> pqSql,
     "q177_ivfadc" -> ivfadcSql,
 
+    // q293: the ADC shortlist refined by exact cosine — stage 1 is
+    // q177's candidate pipeline verbatim; stage 2 re-scores only the
+    // top-20 shortlist rows with the raw vectors.,
+    "q293_ivfadc_rerank" -> ivfadcRerankSql,
+
+    // q294: Gonzalez greedy k-center — 7 unrolled max-min rounds over
+    // micro-scaled integer cosine distances, then nearest-center
+    // assignment; the oracle replays the selection round-for-round.,
+    "q294_kcenter_select" -> kcenterSql,
+
     // q178: unigram-LM scoring. Per-token ln p floor-scales to BIGINT
     // nano-units before the per-doc sum; the smoothed model
     // probabilities are exact rationals, one IEEE division each.,

@@ -72,7 +72,9 @@ class PlanAuditSpec extends SparkSpec {
     "q281_chi_square",        // ≤5×5 seg×pri grid densify cross join
     "q290_rrf_fusion",        // dense side rides q174's sanctioned
                               // broadcast-query scorer (≤10-row set)
-    "q291_epoch_mix")         // 1-row corpus-totals cross join
+    "q291_epoch_mix",         // 1-row corpus-totals cross join
+    "q295_brand_hits")        // per-round 1-row max-normalizer scalar
+                              // cross joins (HITS renormalization)
 
   // reviewed single-partition sites: global scalar finals + windows
   // over aggregate-grain frames (input cardinality is bounded by the
@@ -132,8 +134,10 @@ class PlanAuditSpec extends SparkSpec {
     "q282_segment_affinity",  // totals over the ≤|seg|·|brand| cells
     "q283_value_histogram",   // share over the ≤64 log2 buckets
     "q285_discount_response", // share over the ≤101 discount bands
-    "q291_epoch_mix")         // 1-row corpus-totals (Σtokens, |src|)
+    "q291_epoch_mix",         // 1-row corpus-totals (Σtokens, |src|)
                               // final over the source grain
+    "q295_brand_hits")        // 1-row max(raw) finals over the ≤|V|
+                              // score frame, once per half-step
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is

@@ -1,0 +1,224 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Events, TextOps, VectorOps}
+
+/** Round-8 additions, second batch: IVFADC exact re-rank (q293),
+  * greedy k-center (q294), HITS (q295), Holt forecast (q296), MAD
+  * outliers (q297), tokenizer fertility (q298), Markov absorption
+  * (q299). Each invariant here is INDEPENDENT of the oracle gate —
+  * driver-side replays with different arithmetic paths, cross-query
+  * consistency, and structural bounds.
+  */
+class Round12Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  // ---- q293 IVFADC exact re-rank ----------------------------------
+
+  test("q293: re-ranked cosines are the exact brute-force values and " +
+      "recall@5 is >= plain ADC's") {
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def bruteTop5(qi: Long): Seq[Long] =
+      e.toSeq.filter(_._1 != qi)
+        .map { case (ni, v) => (ni, VectorOps.cosOf(e(qi), v)) }
+        .sortBy { case (ni, c) => (-c, ni) }.take(5).map(_._1)
+    val truth = (0L until 10L).map(q => q -> bruteTop5(q).toSet).toMap
+
+    val rr = VectorOps.ivfAdcRerank(spark, dir)
+      .select($"query_id", $"rank", $"neighbor_id", $"cos_sim")
+      .as[(Long, Int, Long, Double)].collect()
+    def val6Of(x: Double): Double =
+      math.floor(x * 1000000.0 + 0.5).toLong.toDouble / 1000000.0
+    rr.foreach { case (qi, _, ni, cs) =>
+      val exact = val6Of(VectorOps.cosOf(e(qi), e(ni)))
+      assert(cs == exact, s"q$qi n$ni cos $cs != exact $exact")
+    }
+    val rrRecall = rr.count { case (qi, _, ni, _) => truth(qi)(ni) }
+    val adc = VectorOps.ivfAdcKnn(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    val adcRecall = adc.count { case (qi, ni) => truth(qi)(ni) }
+    assert(rrRecall >= adcRecall,
+      s"re-rank recall $rrRecall < ADC recall $adcRecall")
+    assert(rr.nonEmpty)
+  }
+
+  // ---- q294 greedy k-center ---------------------------------------
+
+  test("q294: selection and assignment match a driver-side replay") {
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().sortBy(_._1)
+    def d6(a: Array[Float], b: Array[Float]): Long =
+      math.floor((1.0 - VectorOps.cosOf(a, b)) * 1000000.0 + 0.5).toLong
+    var sel = Vector(e.find(_._1 == 0L).get)
+    for (_ <- 1 until 8) {
+      val selIds = sel.map(_._1).toSet
+      val next = e.filter(p => !selIds(p._1))
+        .map { case (id, v) => (id, sel.map(c => d6(v, c._2)).min) }
+        .maxBy { case (id, dm) => (dm, -id) }
+      sel :+= e.find(_._1 == next._1).get
+    }
+    val expected = e.map { case (id, v) =>
+      val best = sel.zipWithIndex
+        .map { case ((cid, cv), pick) => (d6(v, cv), pick, cid) }.min
+      id -> ((best._3, best._2, best._1))
+    }.toMap
+    val got = VectorOps.kcenterSelect(spark, dir)
+      .select($"vec_id", $"center_id", $"pick_no", $"dist")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.length == e.length)
+    got.foreach { case (id, cid, pick, dist) =>
+      val (ecid, epick, ed6) = expected(id)
+      assert(cid == ecid && pick == epick, s"vec $id: ($cid,$pick) " +
+        s"!= ($ecid,$epick)")
+      assert(dist == ed6.toDouble / 1000000.0, s"vec $id dist")
+    }
+  }
+
+  // ---- q295 HITS --------------------------------------------------
+
+  test("q295: scores are micro-bounded, each side's max is exactly " +
+      "10^6, and a driver-side replay agrees") {
+    val rows = Analytics.brandHits(spark, dir)
+      .select($"brand", $"hub_i", $"auth_i")
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (b, h, a) =>
+      assert(h >= 0 && h <= 1000000L, s"$b hub $h")
+      assert(a >= 0 && a <= 1000000L, s"$b auth $a")
+    }
+    assert(rows.map(_._2).max == 1000000L)
+    assert(rows.map(_._3).max == 1000000L)
+
+    // driver replay from the q280-grain transition counts
+    val tr = Analytics.brandTransitions(spark, dir, topK = Int.MaxValue)
+      .select($"from_brand", $"to_brand", $"n")
+      .as[(String, String, Long)].collect()
+    val outN = tr.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val p6 = tr.map { case (s, d, n) => (s, d, n * 1000000L / outN(s)) }
+    val nodes = (p6.map(_._1) ++ p6.map(_._2)).distinct.sorted
+    var h = nodes.map(_ -> 1000000L).toMap
+    var a = nodes.map(_ -> 0L).toMap
+    for (_ <- 1 to 2) {
+      val araw = nodes.map(d =>
+        d -> p6.filter(_._2 == d).map(e => e._3 * h(e._1) / 1000000L).sum)
+        .toMap
+      val amx = araw.values.max
+      a = nodes.map(d => d -> araw(d) * 1000000L / amx).toMap
+      val hraw = nodes.map(s =>
+        s -> p6.filter(_._1 == s).map(e => e._3 * a(e._2) / 1000000L).sum)
+        .toMap
+      val hmx = hraw.values.max
+      h = nodes.map(s => s -> hraw(s) * 1000000L / hmx).toMap
+    }
+    rows.foreach { case (b, hi, ai) =>
+      assert(hi == h(b), s"$b hub $hi != replay ${h(b)}")
+      assert(ai == a(b), s"$b auth $ai != replay ${a(b)}")
+    }
+  }
+
+  // ---- q296 Holt forecast -----------------------------------------
+
+  test("q296: the integer recurrence equals a driver-side dyadic " +
+      "double replay (alpha = beta = 1/2 is exact in both)") {
+    val daily = graft.sources.Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum(graft.util.Portable.cents2($"value")).as("cents"))
+      .select($"event_type", $"day".cast("string"), $"cents")
+      .as[(String, String, Long)].collect()
+      .groupBy(_._1).map { case (t, rs) =>
+        t -> rs.sortBy(_._2).map(r => (r._2, r._3))
+      }
+    val got = Analytics.holtForecast(spark, dir)
+      .select($"event_type", $"day".cast("string"), $"level", $"trend",
+        $"forecast")
+      .as[(String, String, Double, Double, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (t, day, level, trend, forecast) =>
+      val series = daily(t)
+      val i = series.indexWhere(_._1 == day)
+      assert(i >= 7, s"$t $day has full lag window")
+      val ys = series.slice(i - 7, i + 1).map(_._2)
+      // plain double recurrence: halves/quarters of integers stay
+      // exact in IEEE doubles at these magnitudes
+      var l = ys(0).toDouble; var b = 0.0
+      for (k <- 1 to 7) {
+        val y = ys(k).toDouble
+        val lNew = (y + l + b) / 2.0
+        b = (y - l + 3.0 * b) / 4.0
+        l = lNew
+      }
+      assert(level == l / 100.0, s"$t $day level $level != ${l / 100.0}")
+      assert(trend == b / 100.0, s"$t $day trend")
+      assert(forecast == (l + b) / 100.0, s"$t $day forecast")
+    }
+  }
+
+  // ---- q297 MAD outliers ------------------------------------------
+
+  test("q297: one brand's median/MAD/outliers match a sorted replay") {
+    val rows = Analytics.brandPriceMad(spark, dir)
+      .select($"brand", $"n_parts", $"median_price", $"mad",
+        $"n_outliers", $"max_dev")
+      .as[(String, Long, Double, Double, Long, Double)].collect()
+    assert(rows.nonEmpty)
+    val cents = graft.sources.Tables.part(spark, dir)
+      .select($"p_brand", graft.util.Portable.cents2($"p_retailprice"))
+      .as[(String, Long)].collect().groupBy(_._1)
+    def med2(xs: Seq[Long]): Long = { // doubled exact median
+      val s = xs.sorted
+      val n = s.length
+      if (n % 2 == 1) 2 * s(n / 2) else s(n / 2 - 1) + s(n / 2)
+    }
+    rows.foreach { case (b, n, mp, mad, outl, maxDev) =>
+      val xs = cents(b).map(_._2).toSeq
+      assert(n == xs.length)
+      val m2 = med2(xs)
+      val dev2 = xs.map(x => math.abs(2 * x - m2))
+      val mad4 = med2(dev2)
+      assert(mp == m2.toDouble / 200.0, s"$b median")
+      assert(mad == mad4.toDouble / 400.0, s"$b mad")
+      assert(outl == dev2.count(d => 2 * d > 3 * mad4).toLong, s"$b outl")
+      assert(maxDev == dev2.max.toDouble / 200.0, s"$b maxdev")
+    }
+  }
+
+  // ---- q298 tokenizer fertility -----------------------------------
+
+  test("q298: language sums reconcile with q56's per-document counts") {
+    val perDoc = TextOps.regexTokens(spark, dir)
+      .agg(sum($"n_ws_tokens"), sum($"n_regex_tokens"))
+      .as[(Long, Long)].head()
+    val mart = TextOps.tokenizerFertility(spark, dir)
+      .agg(sum($"n_words"), sum($"n_tokens")).as[(Long, Long)].head()
+    assert(mart == perDoc, s"mart $mart != per-doc $perDoc")
+    val rows = TextOps.tokenizerFertility(spark, dir)
+      .select($"n_tokens", $"n_words", $"fertility")
+      .as[(Long, Long, Double)].collect()
+    rows.foreach { case (tk, w, f) =>
+      assert(f == (tk * 1000000L / w).toDouble / 1000000.0)
+    }
+  }
+
+  // ---- q299 Markov absorption -------------------------------------
+
+  test("q299: absorption probabilities are monotone in steps, " +
+      "micro-bounded, and purchase is pinned at 10^6") {
+    val rows = Events.funnelAbsorption(spark, dir)
+      .select($"state", $"r1", $"r2", $"r3", $"r4")
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (s, r1, r2, r3, r4) =>
+      assert(r1 <= r2 && r2 <= r3 && r3 <= r4, s"$s monotone")
+      assert(r1 >= 0 && r4 <= 1000000L, s"$s bounds")
+      if (s == "purchase")
+        assert(r1 == 1000000L && r4 == 1000000L, "purchase absorbing")
+    }
+    assert(rows.exists(_._1 == "purchase"))
+  }
+}
