@@ -772,6 +772,18 @@ object Multimodal {
       .select(col("shard_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (sid, bytes) =>
+        walkZip(sid, bytes)
+      })
+      .toDF("shard_id", "member_idx", "name", "size_bytes",
+        "data_offset", "payload_head", "crc_ok")
+      .orderBy("shard_id", "member_idx")
+  }
+
+  /** The per-shard zip walk kernel — package-visible so the spec can
+    * drive it directly with tampered bytes. */
+  private[graft] def walkZip(sid: Long, bytes: Array[Byte])
+      : Seq[(Long, Int, String, Long, Long, String, Boolean)] = {
+    {
         val out = scala.collection.mutable.ArrayBuffer
           .empty[(Long, Int, String, Long, Long, String, Boolean)]
         def corrupt = Seq((sid, -1, "", -1L, -1L, "", false))
@@ -845,11 +857,8 @@ object Multimodal {
               }
             }
           }
-          if (ok && idx == nEntries) out else corrupt
+          if (ok && idx == nEntries) out.toSeq else corrupt
         }
-      })
-      .toDF("shard_id", "member_idx", "name", "size_bytes",
-        "data_offset", "payload_head", "crc_ok")
-      .orderBy("shard_id", "member_idx")
+    }
   }
 }

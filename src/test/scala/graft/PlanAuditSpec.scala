@@ -73,8 +73,13 @@ class PlanAuditSpec extends SparkSpec {
     "q290_rrf_fusion",        // dense side rides q174's sanctioned
                               // broadcast-query scorer (≤10-row set)
     "q291_epoch_mix",         // 1-row corpus-totals cross join
-    "q295_brand_hits")        // per-round 1-row max-normalizer scalar
+    "q295_brand_hits",        // per-round 1-row max-normalizer scalar
                               // cross joins (HITS renormalization)
+    "q300_markov_attribution", // channel×matrix / channel×state cross
+                               // joins over ≤|types|-bounded frames +
+                               // the 1-row p_base scalar
+    "q301_t_closeness")       // cells × band-vocabulary densify cross
+                              // join + the 1-row (n, m) totals
 
   // reviewed single-partition sites: global scalar finals + windows
   // over aggregate-grain frames (input cardinality is bounded by the
@@ -136,8 +141,12 @@ class PlanAuditSpec extends SparkSpec {
     "q285_discount_response", // share over the ≤101 discount bands
     "q291_epoch_mix",         // 1-row corpus-totals (Σtokens, |src|)
                               // final over the source grain
-    "q295_brand_hits")        // 1-row max(raw) finals over the ≤|V|
+    "q295_brand_hits",        // 1-row max(raw) finals over the ≤|V|
                               // score frame, once per half-step
+    "q300_markov_attribution", // 1-row first-event total + p_base
+                               // finals over vocabulary-grain frames
+    "q301_t_closeness")       // global cumulative window over the
+                              // ≤|bands| frame + 1-row (n, m) final
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is

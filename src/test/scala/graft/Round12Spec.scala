@@ -205,6 +205,159 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ---- q300 Markov removal attribution ----------------------------
+
+  test("q300: removal never helps (re6 >= 0), effects are " +
+      "micro-bounded, and a driver-side replay agrees") {
+    val rows = Events.markovAttribution(spark, dir)
+      .select($"channel", $"p_base6", $"p_rem6", $"re6")
+      .as[(String, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, pb, pr, re) =>
+      assert(pr <= pb, s"$c removed chain converts MORE ($pr > $pb)")
+      assert(re >= 0 && re <= 1000000L, s"$c re6 $re")
+      assert(re == 1000000L - pr * 1000000L / pb, s"$c re6 arithmetic")
+    }
+    // driver replay over the collected (vocabulary-sized) matrix
+    val tr = graft.sources.Tables.events(spark, dir)
+      .withColumn("next_type", lead($"event_type", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy($"ts", $"event_id")))
+      .filter($"next_type".isNotNull)
+      .groupBy($"event_type", $"next_type").agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect()
+    val outN = tr.groupBy(_._1).map { case (s, es) => s -> es.map(_._3).sum }
+    val p6 = tr.map { case (s, d, n) => (s, d, n * 1000000L / outN(s)) }
+    val states = (p6.map(_._1) ++ p6.map(_._2)).distinct
+    def vIter(alive: ((String, String, Long)) => Boolean)
+        : Map[String, Long] = {
+      var v = states.map(s =>
+        s -> (if (s == "purchase") 1000000L else 0L)).toMap
+      for (_ <- 1 to 4)
+        v = states.map { s =>
+          s -> (if (s == "purchase") 1000000L
+          else p6.filter(e => e._1 == s && alive(e))
+            .map(e => e._3 * v(e._2) / 1000000L).sum)
+        }.toMap
+      v
+    }
+    val firstEv = graft.sources.Tables.events(spark, dir)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy($"ts", $"event_id")))
+      .filter($"rn" === 1)
+      .groupBy($"event_type").agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect()
+    val users = firstEv.map(_._2).sum
+    val pi6 = firstEv.map { case (s, c) => (s, c * 1000000L / users) }
+    def weighted(v: Map[String, Long]): Long =
+      pi6.filter(p => v.contains(p._1))
+        .map { case (s, p) => p * v(s) / 1000000L }.sum
+    val pBase = weighted(vIter(_ => true))
+    rows.foreach { case (c, pb, pr, _) =>
+      assert(pb == pBase, s"$c p_base $pb != replay $pBase")
+      val pRem = weighted(vIter(e => e._1 != c && e._2 != c))
+      assert(pr == pRem, s"$c p_rem $pr != replay $pRem")
+    }
+  }
+
+  // ---- q301 t-closeness -------------------------------------------
+
+  test("q301: EMD is micro-bounded and matches a driver-side " +
+      "cumulative-gap replay per cell") {
+    val rows = graft.operators.Privacy.tCloseness(spark, dir)
+      .select($"c_nationkey", $"segment", $"n", $"emd6", $"t_close")
+      .as[(Int, String, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val bf = graft.sources.Tables.customer(spark, dir)
+      .select($"c_nationkey".cast("int"), $"c_mktsegment",
+        floor(floor($"c_acctbal" * 100.0 + 0.5).cast("long")
+          .cast("double") / 100000.0).cast("long"))
+      .as[(Int, String, Long)].collect()
+    val bands = bf.map(_._3).distinct.sorted
+    val nn = bf.length.toLong
+    val m = bands.length.toLong
+    val gCum = bands.map { b =>
+      b -> bf.count(_._3 <= b).toLong * 1000000L / nn
+    }.toMap
+    rows.foreach { case (nk, seg, n, emd6, tclose) =>
+      val cell = bf.filter(r => r._1 == nk && r._2 == seg)
+      assert(n == cell.length.toLong, s"($nk,$seg) n")
+      val gap = bands.map { b =>
+        math.abs(cell.count(_._3 <= b).toLong * 1000000L / n - gCum(b))
+      }.sum
+      assert(emd6 == gap / (m - 1), s"($nk,$seg) emd6")
+      assert(emd6 >= 0 && emd6 <= 1000000L, s"($nk,$seg) bounds")
+      assert(tclose == (emd6 <= 200000L), s"($nk,$seg) verdict")
+    }
+  }
+
+  // ---- q302 zip member walk ---------------------------------------
+
+  test("q302: generated shards are REAL zips — java.util.zip reads " +
+      "the same members, sizes, and payloads") {
+    val shards = graft.operators.Multimodal
+      .syntheticZipShards(spark, 40)
+      .select($"shard_id", $"bytes").as[(Long, Array[Byte])]
+      .collect().toMap
+    val walked = graft.operators.Multimodal.zipMemberWalk(spark, dir)
+      .filter($"shard_id" < 40 && $"member_idx" >= 0)
+      .select($"shard_id", $"member_idx", $"name", $"size_bytes",
+        $"data_offset", $"payload_head")
+      .as[(Long, Int, String, Long, Long, String)].collect()
+      .groupBy(_._1)
+    var checked = 0
+    for ((sid, bytes) <- shards if sid % 17 != 0) {
+      val zin = new java.util.zip.ZipInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val jdk = Iterator.continually(zin.getNextEntry)
+        .takeWhile(_ != null)
+        .map { e =>
+          val buf = zin.readAllBytes()
+          (e.getName, buf.length.toLong,
+            buf.take(8).map(b => f"$b%02X").mkString)
+        }.toSeq
+      val ours = walked(sid).sortBy(_._2)
+        .map(r => (r._3, r._4, r._6)).toSeq
+      assert(ours == jdk, s"shard $sid: $ours != jdk $jdk")
+      // offsets point at the actual payload bytes
+      walked(sid).foreach { case (_, _, _, sz, doff, head) =>
+        val fromOff = bytes.slice(doff.toInt,
+          doff.toInt + math.min(8L, sz).toInt)
+          .map(b => f"$b%02X").mkString
+        assert(head == fromOff)
+      }
+      checked += 1
+    }
+    assert(checked > 30)
+  }
+
+  test("q302: a flipped payload byte breaks the CRC cross-check and " +
+      "the shard degrades to the sentinel") {
+    val bytes = graft.operators.Multimodal.syntheticZipShards(spark, 2)
+      .filter($"shard_id" === 1).select($"bytes")
+      .as[Array[Byte]].head()
+    // first member's payload starts after its 30-byte local header +
+    // name; flip one payload byte (sizes are > 0 for shard 1)
+    val nameLen = (bytes(26) & 0xff) | ((bytes(27) & 0xff) << 8)
+    val tampered = bytes.clone()
+    tampered(30 + nameLen) = (tampered(30 + nameLen) ^ 0x01).toByte
+    // pristine bytes walk clean; the tampered byte breaks the CRC
+    // cross-check and the walker degrades the whole shard
+    val clean = graft.operators.Multimodal.walkZip(1L, bytes)
+    assert(clean.nonEmpty && clean.forall(_._2 >= 0))
+    val walked = graft.operators.Multimodal.walkZip(1L, tampered)
+    assert(walked == Seq((1L, -1, "", -1L, -1L, "", false)),
+      s"tampered shard should be the sentinel, got $walked")
+    // and the JDK's own CRC validation agrees
+    val zin = new java.util.zip.ZipInputStream(
+      new java.io.ByteArrayInputStream(tampered))
+    zin.getNextEntry
+    val failed = try { zin.readAllBytes(); false }
+    catch { case _: java.util.zip.ZipException => true }
+    assert(failed, "JDK zip should reject the tampered CRC")
+  }
+
   // ---- q299 Markov absorption -------------------------------------
 
   test("q299: absorption probabilities are monotone in steps, " +
