@@ -397,6 +397,11 @@ object SparkEntry {
     "q301_t_closeness" -> ((s, d) => Privacy.tCloseness(s, d)),
     "q302_zip_member_walk" ->
       ((s, d) => graft.operators.Multimodal.zipMemberWalk(s, d)),
+    "q303_chunk_near_dups" ->
+      ((s, d) => TextOps.chunkNearDups(s, d)),
+    "q304_dp_noisy_release" -> ((s, d) => Privacy.dpNoisyRelease(s, d)),
+    "q305_streaming_holt" ->
+      ((s, d) => streaming.StreamingEwma.holtMonitor(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

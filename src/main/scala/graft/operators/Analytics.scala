@@ -2097,11 +2097,18 @@ object Analytics {
     * Scale: one map-side-combined shuffle to (type × day) grain, then
     * a lag chain over that bounded frame — q250's exact shape with a
     * second state variable. */
-  def holtForecast(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("event_type").orderBy("day")
-    var f = Tables.events(spark, dir)
+  def holtForecast(spark: SparkSession, dir: String): DataFrame =
+    holtFrom(Tables.events(spark, dir)
       .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(cents2(col("value"))).as("cents"))
+      .agg(sum(cents2(col("value"))).as("cents")))
+
+  /** The Holt lag-chain core over a (event_type, day, cents) frame —
+    * shared by the batch q296 and the q305 streaming monitor (which
+    * maintains the day-grain frame as streaming state and reads the
+    * forecast off it, q251's deployment shape). */
+  def holtFrom(daily: DataFrame): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("day")
+    var f = daily
       .withColumn("y7", col("cents"))
     for (i <- 0 to 6)
       f = f.withColumn(s"y$i", lag(col("cents"), 7 - i).over(w))

@@ -208,4 +208,46 @@ object Privacy {
         (expr("gap6 div (m - 1)") <= tMicro).as("t_close"))
       .orderBy("c_nationkey", "segment")
   }
+
+  /** q304 — differentially-private noisy release: the last rung of
+    * the privacy ladder (pseudonymize q238 → k-anon q239 → l-diverse
+    * q248 → t-close q301 → PERTURB): per-cell counts released with
+    * two-sided-geometric (discrete Laplace) noise at ε = 1 and a
+    * small-cell suppression flag — the mechanism census-style
+    * releases actually ship.
+    *
+    * The noise is DETERMINISTIC here — inverse-CDF sampling driven by
+    * the portable hash of the cell key instead of a PRNG — for the
+    * same reason q48's sampler is: the gate must hash-match, and a
+    * deployment swaps the hash for a seeded generator without
+    * touching the dataflow. The inverse CDF truncates the geometric
+    * at the hash grid's resolution (|noise| ≤ 13 at the 10⁻⁶ grid) —
+    * documented, and immaterial to the mechanism's shape. Both
+    * engines evaluate the identical IEEE expression tree (one ln, a
+    * handful of mul/divs — the q182 determinism class) on identical
+    * integers, so noise values are bit-equal.
+    *
+    * Scale: one map-side-combined aggregate to the cell grain; the
+    * noise is a scalar expression per CELL, not per row. */
+  def dpNoisyRelease(spark: SparkSession, dir: String,
+      epsilon: Double = 1.0, suppressBelow: Long = 5L): DataFrame = {
+    import graft.util.Portable.portable32
+    val up = lit(2.0) * ((
+      (portable32(concat(col("c_nationkey").cast("string"), lit("|"),
+        col("segment"))) % lit(1000000L)).cast("double") + lit(0.5))
+      / lit(1000000.0)) - lit(1.0)
+    val noise = (signum(up).cast("long") *
+      floor(log(lit(1.0) - abs(up)) / lit(-epsilon)).cast("long"))
+      .as("noise")
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey").cast("int").as("c_nationkey"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("c_nationkey"), col("segment"), col("n"), noise)
+      .select(col("c_nationkey"), col("segment"), col("n"), col("noise"),
+        (col("n") + col("noise")).as("noisy_count"),
+        lit(epsilon).as("epsilon"),
+        (col("n") + col("noise") < suppressBelow).as("suppressed"))
+      .orderBy("c_nationkey", "segment")
+  }
 }

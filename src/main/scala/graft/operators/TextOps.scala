@@ -2107,6 +2107,40 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q303 — chunk-grain near-duplicate detection: the q33 MinHash/LSH
+    * machinery applied at the q93 CHUNK grain, surfacing document
+    * pairs that share near-identical PASSAGES even when the documents
+    * as a whole are distinct — boilerplate headers, quoted paragraphs,
+    * licence blocks: the duplication document-grain MinHash (q33) is
+    * structurally blind to (a shared paragraph inside two long
+    * documents moves whole-doc Jaccard a few percent; the paragraph
+    * itself is a 0.7+ chunk pair). The standard paragraph-dedup stage
+    * of a corpus-curation pipeline, reported as a doc-pair mart:
+    * shared-chunk count + the strongest chunk overlap.
+    *
+    * Scale: chunking is scan-local (q93); the chunk corpus rides the
+    * EXACT q33 path — banded signatures, bucket-capped band equi-join,
+    * exact Jaccard only on candidates — so cost is the q33 shape at
+    * chunk cardinality, never all-pairs. Chunk keys pack as
+    * doc_id·10⁵ + chunk_idx (the q93 window/stride bounds chunk_idx
+    * far below 10⁵ for any document a curation pipeline chunks
+    * whole). */
+  def chunkNearDups(spark: SparkSession, dir: String,
+      threshold: Double = NearDupJaccard): DataFrame = {
+    val chunks = chunkDocs(spark, dir)
+      .select((col("doc_id") * lit(100000L) + col("chunk_idx"))
+        .as("doc_id"),
+        col("chunk_text").as("text"))
+    minhashNearDupsOn(chunks, threshold)
+      .select(expr("ida div 100000").as("doc_a"),
+        expr("idb div 100000").as("doc_b"), col("jaccard"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_chunk_pairs"),
+        max("jaccard").as("max_jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** q298 — tokenizer fertility by language: tokens-per-word (the
     * FERTILITY a tokenizer team tracks per language — high fertility
     * means the vocabulary under-serves that language and its documents

@@ -598,6 +598,38 @@ object OracleDialect {
        |FROM r WHERE rn <= 5
        |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin
 
+  /** q296/q305 — Holt level+trend at α=β=½: the dyadic recurrences
+    * tracked at scale 4^t stay BIGINT (L_t = 2·4^{t−1}y_t + 2L + 2Q,
+    * Q_t = 4^{t−1}y_t − L + 3Q); 7 unrolled CTE steps, one IEEE cast
+    * at the edge. Shared verbatim by the batch form and the drained
+    * streaming monitor (maintenance must be invisible). */
+  private[graft] lazy val holtSql: String = {
+    val lagCols = (0 to 6)
+      .map(i => s"LAG(cents, ${7 - i}) OVER w AS y$i").mkString(", ")
+    val steps = (1 to 7).map { t =>
+      val s = 1L << (2 * (t - 1))
+      s"""f$t AS (SELECT *, ${2 * s} * y$t + 2 * l${t - 1}
+         |    + 2 * q${t - 1} AS l$t,
+         |  $s * y$t - l${t - 1} + 3 * q${t - 1} AS q$t FROM f${t - 1})"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+       |    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS cents
+       |  FROM events GROUP BY 1, 2),
+       |f0 AS (SELECT event_type, day, cents, $lagCols,
+       |    cents AS y7, LAG(cents, 7) OVER w AS l0,
+       |    CAST(0 AS BIGINT) AS q0
+       |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+       |$steps
+       |SELECT event_type, day, CAST(cents AS DOUBLE) / 100.0 AS revenue,
+       |  CAST(l7 AS DOUBLE) / 1638400.0 AS level,
+       |  CAST(q7 AS DOUBLE) / 1638400.0 AS trend,
+       |  CAST(l7 + q7 AS DOUBLE) / 1638400.0 AS forecast
+       |FROM f7 WHERE y0 IS NOT NULL
+       |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin
+  }
+
   /** q294 — Gonzalez greedy k-center unrolled: seed = vec_id 0, each
     * round picks the not-yet-selected vector with the max min-distance
     * (micro-scaled integer cosine distance, vec_id tie-break) to the

@@ -235,6 +235,10 @@ object StreamingOracles {
 
     // per-language keep rate as pure integer math over the portable
     // hash — both engines derive the identical verdict per doc,
+    // q305: the drained streaming Holt monitor must equal the batch
+    // q296 recurrence bit-for-bit — one shared oracle.,
+    "q305_streaming_holt" -> holtSql,
+
     "q251_streaming_ewma" -> {
       val lags = (1 to 8).map { k =>
         val wt = 1L << (8 - k)

@@ -1538,6 +1538,47 @@ object TextOracles {
         |ORDER BY c_nationkey NULLS FIRST, segment NULLS FIRST"""
         .stripMargin,
 
+    // q303: chunk-grain near-dups — the q33 MinHash CTE chain run over
+    // the q93 chunk derivation (keys packed doc_id*1e5 + chunk_idx),
+    // folded to cross-doc pairs with shared-chunk counts.,
+    "q303_chunk_near_dups" ->
+      s"""WITH tq AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |oq AS (SELECT doc_id, ws,
+         |  UNNEST(range(0, GREATEST(len(ws), 1), 40)) AS off FROM tq),
+         |ck AS (SELECT doc_id * 100000 + (off // 40) AS doc_id,
+         |    array_to_string(list_slice(ws, off + 1, off + 50), ' ')
+         |      AS text
+         |  FROM oq),
+         |${minhashPairsCtesFrom("ck")}
+         |SELECT ida // 100000 AS doc_a, idb // 100000 AS doc_b,
+         |  CAST(COUNT(*) AS BIGINT) AS n_chunk_pairs,
+         |  MAX(jaccard) AS max_jaccard
+         |FROM pairs WHERE ida // 100000 <> idb // 100000
+         |GROUP BY 1, 2
+         |ORDER BY doc_a NULLS FIRST, doc_b NULLS FIRST""".stripMargin,
+
+    // q304: DP noisy release — deterministic inverse-CDF two-sided
+    // geometric from the portable cell-key hash; one ln + IEEE
+    // mul/divs stated identically (the q182 determinism class).,
+    "q304_dp_noisy_release" ->
+      s"""WITH g AS (SELECT CAST(c_nationkey AS INT) AS c_nationkey,
+         |    c_mktsegment AS segment, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM customer GROUP BY 1, 2),
+         |w AS (SELECT *,
+         |    2.0 * ((CAST(${h32(
+              "CAST(c_nationkey AS VARCHAR) || '|' || segment")}
+         |      % 1000000 AS DOUBLE) + 0.5) / 1000000.0) - 1.0 AS up
+         |  FROM g),
+         |z AS (SELECT *, CAST(SIGN(up) AS BIGINT)
+         |    * CAST(FLOOR(ln(1.0 - ABS(up)) / -1.0) AS BIGINT) AS noise
+         |  FROM w)
+         |SELECT c_nationkey, segment, n, noise, n + noise AS noisy_count,
+         |  1.0 AS epsilon, n + noise < 5 AS suppressed
+         |FROM z
+         |ORDER BY c_nationkey NULLS FIRST, segment NULLS FIRST"""
+        .stripMargin,
+
     // q301: t-closeness — EMD over ordered acctbal bands as the mean
     // |cumulative micro-share gap| between each cell's distribution
     // and the table's; every share a BIGINT micro division, the gap

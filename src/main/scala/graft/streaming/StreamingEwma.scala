@@ -48,4 +48,29 @@ object StreamingEwma {
       .ewmaFrom(spark.table(name), Seq("event_type"))
       .orderBy("event_type", "day")
   }
+
+  /** q305: the CONTINUOUS Holt monitor — q296's level+trend forecast
+    * deployed exactly like [[ewmaMonitor]] deploys q250: the
+    * (event_type × day → cents) state maintained by a streaming keyed
+    * aggregation (calendar-grain, rate-independent), the dyadic
+    * integer lag chain read off the maintained state. Trend-aware
+    * monitoring catches the ramp the flat EWMA band flags late. The
+    * drained reading ≡ the batch recurrence bit-for-bit (shared
+    * [[graft.operators.Analytics.holtFrom]] core) — the oracle states
+    * the batch form. */
+  def holtMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val agg = StreamingFunnel.eventsStream(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(Portable.cents2(col("value"))).as("cents"))
+    val name = "streaming_holt_sink"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Analytics.holtFrom(spark.table(name))
+      .orderBy("event_type", "day")
+  }
 }

@@ -358,6 +358,81 @@ class Round12Spec extends SparkSpec {
     assert(failed, "JDK zip should reject the tampered CRC")
   }
 
+  // ---- q303 chunk-grain near-dups ---------------------------------
+
+  test("q303: a planted shared paragraph inside two otherwise-" +
+      "distinct documents surfaces as a chunk pair") {
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-q303").toString
+    val para = (0 until 50).map(i => s"shared$i").mkString(" ")
+    def filler(tag: String) =
+      (0 until 80).map(i => s"${tag}_w$i").mkString(" ")
+    val docs = Seq(
+      (0L, filler("a") + " " + para, "en", "web", 0L),
+      (1L, filler("b") + " " + para, "en", "web", 0L),
+      (2L, filler("c"), "en", "web", 0L))
+    spark.createDataFrame(docs)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = graft.operators.TextOps.chunkNearDups(spark, tmp)
+      .select($"doc_a", $"doc_b", $"n_chunk_pairs", $"max_jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(pairs.exists { case (a, b, n, j) =>
+      a == 0L && b == 1L && n >= 1 && j >= 0.7
+    }, s"planted paragraph pair missing: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      "the distinct doc must not pair")
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(tmp))
+  }
+
+  test("q303: every surfaced pair is cross-document with " +
+      "jaccard >= 0.7 and ordered ids") {
+    val rows = graft.operators.TextOps.chunkNearDups(spark, dir)
+      .select($"doc_a", $"doc_b", $"n_chunk_pairs", $"max_jaccard")
+      .as[(Long, Long, Long, Double)].collect()
+    rows.foreach { case (a, b, n, j) =>
+      assert(a < b, s"($a,$b) ordering")
+      assert(n >= 1 && j >= 0.7, s"($a,$b) n=$n j=$j")
+    }
+  }
+
+  // ---- q304 DP noisy release --------------------------------------
+
+  test("q304: noise is the deterministic inverse-CDF geometric of " +
+      "the cell hash; bounded; suppression matches the threshold") {
+    val rows = graft.operators.Privacy.dpNoisyRelease(spark, dir)
+      .select($"c_nationkey", $"segment", $"n", $"noise",
+        $"noisy_count", $"suppressed")
+      .as[(Int, String, Long, Long, Long, Boolean)].collect()
+    assert(rows.nonEmpty)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    rows.foreach { case (nk, seg, n, noise, nc, sup) =>
+      assert(math.abs(noise) <= 14, s"($nk,$seg) noise $noise")
+      assert(nc == n + noise)
+      assert(sup == (nc < 5L))
+      val h = graft.operators.TextOps.portable32Of(md, s"$nk|$seg")
+      val u = ((h % 1000000L).toDouble + 0.5) / 1000000.0
+      val up = 2.0 * u - 1.0
+      val expected = math.signum(up).toLong *
+        math.floor(math.log(1.0 - math.abs(up)) / -1.0).toLong
+      assert(noise == expected, s"($nk,$seg) noise $noise != $expected")
+    }
+    // the mechanism must actually perturb: some cell has nonzero noise
+    assert(rows.exists(_._4 != 0L))
+  }
+
+  // ---- q305 streaming Holt monitor --------------------------------
+
+  test("q305: the drained streaming Holt monitor equals the batch " +
+      "q296 recurrence bit-for-bit") {
+    val got = graft.streaming.StreamingEwma.holtMonitor(spark, dir)
+      .collect().toSeq
+    val expected = Analytics.holtForecast(spark, dir).collect().toSeq
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   // ---- q299 Markov absorption -------------------------------------
 
   test("q299: absorption probabilities are monotone in steps, " +
