@@ -402,6 +402,10 @@ object SparkEntry {
     "q304_dp_noisy_release" -> ((s, d) => Privacy.dpNoisyRelease(s, d)),
     "q305_streaming_holt" ->
       ((s, d) => streaming.StreamingEwma.holtMonitor(s, d)),
+    "q306_fused_rag_context" ->
+      ((s, d) => operators.Retrieval.fusedRagContext(s, d)),
+    "q307_retrieval_agreement" ->
+      ((s, d) => operators.Retrieval.retrievalAgreement(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

@@ -531,4 +531,76 @@ object Retrieval {
         (col("rrf9").cast("double") / lit(1e9)).as("rrf_score"))
       .orderBy("query_id", "rank")
   }
+
+  /** q306 — the hybrid-RAG last mile: the q290 FUSED picks packed into
+    * the q218 context-window token budget in fusion-rank order
+    * (cumulative tokens are monotone, so `cum ≤ budget` IS the greedy
+    * take-while-fits rule). The production read path end-to-end:
+    * lexical + dense retrieval → RRF → budget-packed context. Budget
+    * math is one window at QUERY grain over ≤k picks. */
+  def fusedRagContext(spark: SparkSession, dir: String,
+      budget: Long = 120): DataFrame = {
+    val picks = rrfFusion(spark, dir)
+      .select(col("query_id"), col("rank"), col("doc_id"))
+    val tk = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    picks.join(tk, "doc_id")
+      .withColumn("cum_tokens",
+        sum("n_tokens").over(Window.partitionBy("query_id")
+          .orderBy("rank")))
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("n_tokens"), col("cum_tokens"),
+        (col("cum_tokens") <= budget).as("kept"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q307 — retrieval-system agreement diagnostics: per query, the
+    * top-k overlaps between the lexical (q182), dense (q174 at doc
+    * grain) and fused (q290) rankings, plus `fused_new` — the fused
+    * top-k docs NEITHER component had in its own top-k. That last
+    * column is the fusion's reason to exist (pool-depth rescue: a doc
+    * ranked 6–20 by both systems outranks single-system #2 hits under
+    * RRF); a near-zero fused_new column says fusion is redundant for
+    * this corpus, which is exactly what the mart is for.
+    *
+    * Scale: three bounded top-k lists per query (each system's
+    * ranking is the already-gated posting-list / broadcast-query
+    * shape); the agreement joins touch ≤3k rows per query. */
+  def retrievalAgreement(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val lexW = Window.partitionBy("query_id")
+      .orderBy(desc("s9"), asc("doc_id"))
+    val lex5 = bm25Scores(spark, dir)
+      .withColumn("rn", row_number().over(lexW))
+      .filter(col("rn") <= k).select("query_id", "doc_id")
+      .localCheckpoint()
+    val denseW = Window.partitionBy("query_id")
+      .orderBy(desc("ds"), asc("doc_id"))
+    val dense5 = chunkScores(spark, dir)
+      .groupBy("query_id", "doc_id").agg(max("score").as("ds"))
+      .withColumn("rn", row_number().over(denseW))
+      .filter(col("rn") <= k).select("query_id", "doc_id")
+      .localCheckpoint()
+    val rrf5 = rrfFusion(spark, dir, k = k)
+      .select("query_id", "doc_id").localCheckpoint()
+    def cnt(df: DataFrame, name: String): DataFrame =
+      df.groupBy("query_id").agg(count(lit(1)).as(name))
+    cnt(rrf5, "n_fused")
+      .join(cnt(lex5.join(dense5, Seq("query_id", "doc_id"),
+        "left_semi"), "lex_dense"), Seq("query_id"), "left")
+      .join(cnt(rrf5.join(lex5, Seq("query_id", "doc_id"),
+        "left_semi"), "rrf_lex"), Seq("query_id"), "left")
+      .join(cnt(rrf5.join(dense5, Seq("query_id", "doc_id"),
+        "left_semi"), "rrf_dense"), Seq("query_id"), "left")
+      .join(cnt(rrf5.join(lex5, Seq("query_id", "doc_id"), "left_anti")
+        .join(dense5, Seq("query_id", "doc_id"), "left_anti"),
+        "fused_new"), Seq("query_id"), "left")
+      .select(col("query_id"), col("n_fused"),
+        coalesce(col("lex_dense"), lit(0L)).as("lex_dense"),
+        coalesce(col("rrf_lex"), lit(0L)).as("rrf_lex"),
+        coalesce(col("rrf_dense"), lit(0L)).as("rrf_dense"),
+        coalesce(col("fused_new"), lit(0L)).as("fused_new"))
+      .orderBy("query_id")
+  }
 }

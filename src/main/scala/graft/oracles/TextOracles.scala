@@ -10,6 +10,47 @@ import graft.oracles.OracleDialect._
   */
 object TextOracles {
 
+  /** The q290 fusion CTE chain (BM25 + dense-chunk scoring + both
+    * rank lists + the RRF-scored `fr`) — shared by q290, the q306
+    * fused RAG context, and the q307 agreement mart. Ends with:
+    * `lexr(query_id, doc_id, lr)` (full lexical ranks),
+    * `dr(query_id, doc_id, dnr)` (full dense ranks),
+    * `fr(query_id, doc_id, lex_rank, dense_rank, rrf9, rn)`. */
+  private lazy val rrfCtes: String =
+    s"""$bm25Ctes,
+       |$denseChunkCtes,
+       |lexr AS (SELECT query_id, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY s9 DESC NULLS LAST, doc_id NULLS FIRST)
+       |      AS BIGINT) AS lr
+       |  FROM bs),
+       |lexk AS (SELECT * FROM lexr WHERE lr <= 20),
+       |dd AS (SELECT query_id, doc_id, MAX(score) AS ds
+       |  FROM p GROUP BY 1, 2),
+       |dr AS (SELECT query_id, doc_id,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ds DESC NULLS LAST, doc_id NULLS FIRST)
+       |      AS BIGINT) AS dnr
+       |  FROM dd),
+       |dk AS (SELECT * FROM dr WHERE dnr <= 20),
+       |fused AS (SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+       |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       |    COALESCE(l.lr, -1) AS lex_rank,
+       |    COALESCE(d.dnr, -1) AS dense_rank
+       |  FROM lexk l FULL OUTER JOIN dk d
+       |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
+       |scored AS (SELECT query_id, doc_id, lex_rank, dense_rank,
+       |    CAST(CASE WHEN lex_rank > 0
+       |        THEN 1000000000 // (60 + lex_rank) ELSE 0 END
+       |      + CASE WHEN dense_rank > 0
+       |        THEN 1000000000 // (60 + dense_rank) ELSE 0 END
+       |      AS BIGINT) AS rrf9
+       |  FROM fused),
+       |fr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf9 DESC NULLS LAST, doc_id NULLS FIRST)
+       |      AS BIGINT) AS rn
+       |  FROM scored)""".stripMargin
+
   val map: Map[String, String] = Map(
     "q27_token_stats" ->
       """SELECT lang, COUNT(*) AS n_docs,
@@ -207,43 +248,63 @@ object TextOracles {
     // fused scores and ranks are exact on both engines); dense docs
     // rank by their best chunk (IEEE MAX is order-independent).,
     "q290_rrf_fusion" ->
-      s"""WITH $bm25Ctes,
-         |$denseChunkCtes,
-         |lexr AS (SELECT query_id, doc_id,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY s9 DESC NULLS LAST, doc_id NULLS FIRST)
-         |      AS BIGINT) AS lr
-         |  FROM bs),
-         |lexk AS (SELECT * FROM lexr WHERE lr <= 20),
-         |dd AS (SELECT query_id, doc_id, MAX(score) AS ds
-         |  FROM p GROUP BY 1, 2),
-         |dr AS (SELECT query_id, doc_id,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY ds DESC NULLS LAST, doc_id NULLS FIRST)
-         |      AS BIGINT) AS dnr
-         |  FROM dd),
-         |dk AS (SELECT * FROM dr WHERE dnr <= 20),
-         |fused AS (SELECT COALESCE(l.query_id, d.query_id) AS query_id,
-         |    COALESCE(l.doc_id, d.doc_id) AS doc_id,
-         |    COALESCE(l.lr, -1) AS lex_rank,
-         |    COALESCE(d.dnr, -1) AS dense_rank
-         |  FROM lexk l FULL OUTER JOIN dk d
-         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id),
-         |scored AS (SELECT query_id, doc_id, lex_rank, dense_rank,
-         |    CAST(CASE WHEN lex_rank > 0
-         |        THEN 1000000000 // (60 + lex_rank) ELSE 0 END
-         |      + CASE WHEN dense_rank > 0
-         |        THEN 1000000000 // (60 + dense_rank) ELSE 0 END
-         |      AS BIGINT) AS rrf9
-         |  FROM fused),
-         |fr AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY rrf9 DESC NULLS LAST, doc_id NULLS FIRST)
-         |      AS BIGINT) AS rn
-         |  FROM scored)
+      s"""WITH $rrfCtes
          |SELECT query_id, rn AS "rank", doc_id, lex_rank, dense_rank,
          |  rrf9, CAST(rrf9 AS DOUBLE) / 1000000000.0 AS rrf_score
          |FROM fr WHERE rn <= 5
          |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q306: the hybrid-RAG last mile — the q290 fused picks packed
+    // into the q218 token budget (running sum over pick order, greedy
+    // prefix-fits rule).,
+    "q306_fused_rag_context" ->
+      s"""WITH $rrfCtes,
+         |tk AS (SELECT doc_id, CAST(len(string_split(text, ' '))
+         |    AS BIGINT) AS n_tokens FROM documents),
+         |picks AS (SELECT query_id, rn, doc_id FROM fr WHERE rn <= 5),
+         |pw AS (SELECT p.query_id, p.rn, p.doc_id, tk.n_tokens,
+         |    CAST(SUM(tk.n_tokens) OVER (PARTITION BY p.query_id
+         |      ORDER BY p.rn ROWS BETWEEN UNBOUNDED PRECEDING
+         |      AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |  FROM picks p JOIN tk ON p.doc_id = tk.doc_id)
+         |SELECT query_id, rn AS "rank", doc_id, n_tokens, cum_tokens,
+         |  cum_tokens <= 120 AS kept
+         |FROM pw
+         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q307: retrieval-system agreement diagnostics — per query, the
+    // top-5 overlap between the lexical, dense, and fused rankings
+    // plus the docs fusion surfaced that NEITHER component had in its
+    // top-5 (the pool-depth rescue RRF exists to perform).,
+    "q307_retrieval_agreement" ->
+      s"""WITH $rrfCtes,
+         |lex5 AS (SELECT query_id, doc_id FROM lexr WHERE lr <= 5),
+         |dense5 AS (SELECT query_id, doc_id FROM dr WHERE dnr <= 5),
+         |rrf5 AS (SELECT query_id, doc_id FROM fr WHERE rn <= 5),
+         |base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_fused
+         |  FROM rrf5 GROUP BY 1),
+         |ld AS (SELECT l.query_id, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM lex5 l JOIN dense5 d USING (query_id, doc_id)
+         |  GROUP BY 1),
+         |rl AS (SELECT r.query_id, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM rrf5 r JOIN lex5 l USING (query_id, doc_id) GROUP BY 1),
+         |rd AS (SELECT r.query_id, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM rrf5 r JOIN dense5 d USING (query_id, doc_id)
+         |  GROUP BY 1),
+         |fn AS (SELECT r.query_id, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM rrf5 r
+         |  LEFT JOIN lex5 l USING (query_id, doc_id)
+         |  LEFT JOIN dense5 d USING (query_id, doc_id)
+         |  WHERE l.doc_id IS NULL AND d.doc_id IS NULL GROUP BY 1)
+         |SELECT base.query_id, base.n_fused,
+         |  COALESCE(ld.c, 0) AS lex_dense,
+         |  COALESCE(rl.c, 0) AS rrf_lex,
+         |  COALESCE(rd.c, 0) AS rrf_dense,
+         |  COALESCE(fn.c, 0) AS fused_new
+         |FROM base
+         |LEFT JOIN ld USING (query_id) LEFT JOIN rl USING (query_id)
+         |LEFT JOIN rd USING (query_id) LEFT JOIN fn USING (query_id)
+         |ORDER BY query_id NULLS FIRST""".stripMargin,
 
     // q188: hard negatives = the dense-most-distant members of the
     // BM25 top-20 pool. Composes the q182 CTEs with q174's

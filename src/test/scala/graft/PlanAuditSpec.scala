@@ -78,6 +78,8 @@ class PlanAuditSpec extends SparkSpec {
     "q300_markov_attribution", // channel×matrix / channel×state cross
                                // joins over ≤|types|-bounded frames +
                                // the 1-row p_base scalar
+    "q306_fused_rag_context",  // rides q290's sanctioned dense-side
+                               // broadcast-query scorer (≤10-row set)
     "q301_t_closeness")       // cells × band-vocabulary densify cross
                               // join + the 1-row (n, m) totals
 

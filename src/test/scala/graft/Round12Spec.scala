@@ -433,6 +433,53 @@ class Round12Spec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  // ---- q306 fused RAG context / q307 agreement --------------------
+
+  test("q306: picks are exactly q290's fused top-5 and the budget " +
+      "rule is the greedy prefix") {
+    val ctx = graft.operators.Retrieval.fusedRagContext(spark, dir)
+      .select($"query_id", $"rank", $"doc_id", $"n_tokens",
+        $"cum_tokens", $"kept")
+      .as[(Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(ctx.nonEmpty)
+    val fused = graft.operators.Retrieval.rrfFusion(spark, dir)
+      .select($"query_id", $"rank", $"doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ctx.map(r => (r._1, r._2, r._3)).toSet == fused)
+    ctx.groupBy(_._1).foreach { case (_, rows) =>
+      val ordered = rows.sortBy(_._2)
+      var cum = 0L
+      ordered.foreach { r =>
+        cum += r._4
+        assert(r._5 == cum, s"cum mismatch at $r")
+        assert(r._6 == (cum <= 120L), s"kept rule at $r")
+      }
+    }
+  }
+
+  test("q307: agreement counts reconcile with driver-side set " +
+      "algebra over the three gated rankings") {
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select($"query_id", $"doc_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (q, rs) => q -> rs.map(_._2).toSet }
+    val rrf5 = top5(graft.operators.Retrieval.rrfFusion(spark, dir))
+    val lex5 = top5(graft.operators.Retrieval.bm25(spark, dir))
+    val rows = graft.operators.Retrieval.retrievalAgreement(spark, dir)
+      .select($"query_id", $"n_fused", $"lex_dense", $"rrf_lex",
+        $"rrf_dense", $"fused_new")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (q, nf, ld, rl, rd, fn) =>
+      assert(nf == rrf5(q).size.toLong)
+      assert(rl == (rrf5(q) & lex5.getOrElse(q, Set.empty)).size.toLong,
+        s"q$q rrf_lex")
+      assert(Seq(ld, rl, rd, fn).forall(c => c >= 0 && c <= 5))
+      // fused_new + |rrf ∩ (lex ∪ dense)| = n_fused; with only lex
+      // available here: fused_new <= n_fused - rrf_lex
+      assert(fn <= nf - rl, s"q$q fused_new $fn > ${nf - rl}")
+    }
+  }
+
   // ---- q299 Markov absorption -------------------------------------
 
   test("q299: absorption probabilities are monotone in steps, " +
