@@ -406,6 +406,9 @@ object SparkEntry {
       ((s, d) => operators.Retrieval.fusedRagContext(s, d)),
     "q307_retrieval_agreement" ->
       ((s, d) => operators.Retrieval.retrievalAgreement(s, d)),
+    "q308_kn_bigram_lm" -> ((s, d) => TextOps.knBigramLmScore(s, d)),
+    "q309_decayed_covisitation" ->
+      ((s, d) => Analytics.decayedCovisitation(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

@@ -2078,6 +2078,54 @@ object Analytics {
       .orderBy(desc("auth_i"), col("brand"))
   }
 
+  /** q309 — time-decayed co-visitation: the q68 basket pairs weighted
+    * by recency — each order contributes 10⁶ >> (age_in_28d_windows)
+    * to its brand pairs, so a pair's score halves every four weeks of
+    * staleness and the ranking tracks CURRENT affinity instead of
+    * all-time counts (the decay every production co-visitation /
+    * "customers also bought" surface applies). The decay is an
+    * integer SHIFT on the micro weight — dyadic, exact, no float in
+    * the hot path; the anchor is the corpus max order date (1-row
+    * aggregate).
+    *
+    * Scale: q68's shape (one order-grain shuffle, in-row bounded pair
+    * fan-out) + one broadcast scalar; top-k via
+    * TakeOrderedAndProject. */
+  def decayedCovisitation(spark: SparkSession, dir: String,
+      topK: Int = 20): DataFrame = {
+    val baskets = Tables.lineitem(spark, dir)
+      .join(broadcast(Tables.part(spark, dir)),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(slice(array_sort(collect_set(col("p_brand"))),
+        1, MaxBasketWidth).as("brands"))
+    val od = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), to_date(col("o_orderdate")).as("day"))
+    val anchor = od.agg(max("day").as("maxd"))
+    val rankO = Seq(desc("w6sum"), col("brand_a"), col("brand_b"))
+    baskets
+      .join(od, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(anchor))
+      .withColumn("w6", expr("shiftright(1000000L, cast(" +
+        "least(cast(datediff(maxd, day) as bigint) div 28, 20L)" +
+        " as int))"))
+      .select(explode(col("brands")).as("brand_a"), col("brands"),
+        col("w6"))
+      .select(col("brand_a"), explode(col("brands")).as("brand_b"),
+        col("w6"))
+      .filter(col("brand_a") < col("brand_b"))
+      .groupBy("brand_a", "brand_b")
+      .agg(count(lit(1)).as("n_orders"), sum("w6").as("w6sum"))
+      .orderBy(rankO: _*)
+      .limit(topK)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(rankO: _*)).cast("long"))
+      .select(col("rank"), col("brand_a"), col("brand_b"),
+        col("n_orders"), col("w6sum"),
+        (col("w6sum").cast("double") / lit(1000000.0)).as("score"))
+      .orderBy("rank")
+  }
+
   /** q296 — Holt double-exponential smoothing (level + TREND), the
     * forecasting upgrade over q250's flat EWMA: a trending series
     * systematically lags a level-only forecast; Holt tracks the slope

@@ -2107,6 +2107,63 @@ object TextOps {
       .orderBy("source")
   }
 
+  /** q308 — Kneser–Ney smoothed bigram LM scoring: the modern
+    * smoothing next to q211's add-one — absolute discounting plus the
+    * CONTINUATION back-off (how many contexts a word follows, not how
+    * often: "francisco" is frequent but follows only "san", so its
+    * unigram back-off mass is tiny — the insight that makes KN the
+    * default in every n-gram stack):
+    *
+    *   p(w|v) = (c(vw) − d)/c(v·) + d·N1+(v·)/c(v·) · N1+(·w)/N1+(··)
+    *
+    * with d = 0.75 (= 3/4, so 4·c − 3 keeps the discounted numerator
+    * integral). Every count is an exact BIGINT; each bigram's log-prob
+    * evaluates ONE fixed IEEE tree (stated operand-for-operand in the
+    * oracle — the q263/q182 determinism class) and floor-scales to
+    * nano-units before the per-doc sum, so document NLLs are exact.
+    *
+    * Scale: bigram/context/continuation counts are three map-side-
+    * combinable aggregates off one explode pass; the scored slice
+    * joins only its own bigrams (q211's shape). */
+  def knBigramLmScore(spark: SparkSession, dir: String,
+      maxDocId: Long = 100, cutNats: Double = 7.0): DataFrame = {
+    val w = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2)
+    val bg = w.select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("ws")) - 1),
+          i => struct(element_at(col("ws"), i).as("w1"),
+            element_at(col("ws"), i + 1).as("w2")))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      .localCheckpoint() // three count aggs + the scored occurrences
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint() // feeds n1p, nc, ntypes AND the score join
+    val cc = bg.groupBy("w1").agg(count(lit(1)).as("c1b"))
+    val n1p = bc.groupBy("w1").agg(count(lit(1)).as("n1p"))
+    val nc = bc.groupBy("w2").agg(count(lit(1)).as("nc"))
+    val ntypes = bc.count() // driver scalar: N1+(··), the q211-v class
+    val p = ((col("c12") * 4 - 3).cast("double")
+        / (col("c1b") * 4).cast("double")) +
+      (lit(3.0) * col("n1p").cast("double")
+        / (col("c1b") * 4).cast("double")) *
+      (col("nc").cast("double") / lit(ntypes.toDouble))
+    val lp = bc.join(cc, "w1").join(n1p, "w1").join(nc, "w2")
+      .select(col("w1"), col("w2"),
+        floor(log(p) * lit(1000000000.0) + lit(0.5)).cast("long")
+          .as("lp9"))
+    bg.filter(col("doc_id") < maxDocId)
+      .join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp9").as("slp9"))
+      .withColumn("nll_nats",
+        -(col("slp9").cast("double") / lit(1000000000.0))
+          / col("n_bigrams"))
+      .select(col("doc_id"), col("n_bigrams"),
+        graft.util.Portable.val6(col("nll_nats")).as("nll_nats"),
+        (col("nll_nats") <= cutNats).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** q303 — chunk-grain near-duplicate detection: the q33 MinHash/LSH
     * machinery applied at the q93 CHUNK grain, surfacing document
     * pairs that share near-identical PASSAGES even when the documents

@@ -1814,6 +1814,32 @@ object AnalyticsOracles {
     // at the edge.,
     "q296_holt_forecast" -> holtSql,
 
+    // q309: time-decayed co-visitation — q68's DISTINCT pair self-join
+    // weighted by 10^6 >> (age // 28d, capped 20); dyadic shifts are
+    // exact on both engines; top-20 with (w6sum, pair) tie order.,
+    "q309_decayed_covisitation" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand AS brand
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |od AS (SELECT o_orderkey AS okey, CAST(o_orderdate AS DATE)
+        |    AS day FROM orders),
+        |mx AS (SELECT MAX(day) AS maxd FROM od),
+        |wts AS (SELECT okey,
+        |    1000000 >> CAST(LEAST(datediff('day', day, maxd) // 28, 20)
+        |      AS INT) AS w6
+        |  FROM od CROSS JOIN mx),
+        |p AS (SELECT a.brand AS brand_a, b.brand AS brand_b, w.w6
+        |  FROM ob a JOIN ob b ON a.okey = b.okey AND a.brand < b.brand
+        |  JOIN wts w ON w.okey = a.okey),
+        |g AS (SELECT brand_a, brand_b, CAST(COUNT(*) AS BIGINT)
+        |    AS n_orders, CAST(SUM(w6) AS BIGINT) AS w6sum
+        |  FROM p GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY w6sum DESC,
+        |    brand_a NULLS FIRST, brand_b NULLS FIRST) AS BIGINT)
+        |    AS rank FROM g)
+        |SELECT rank, brand_a, brand_b, n_orders, w6sum,
+        |  CAST(w6sum AS DOUBLE) / 1000000.0 AS score
+        |FROM r WHERE rank <= 20 ORDER BY rank""".stripMargin,
+
     // q297: MAD outlier audit — doubled/quadrupled integer medians
     // (exact medians of cents are ?.0/?.5, so 2× is BIGINT) and the
     // pure-integer 3×-rule 2·dev2 > 3·mad4.,

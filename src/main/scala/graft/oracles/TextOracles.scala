@@ -784,6 +784,45 @@ object TextOracles {
          |  nll <= 7.0 AS keep
          |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin,
 
+    // q308: Kneser-Ney bigram LM — absolute discount d = 3/4 keeps the
+    // numerator integral (4c - 3); continuation counts off the bigram
+    // TYPE table; one fixed IEEE tree per bigram, nano-floored before
+    // the per-doc sum.,
+    "q308_kn_bigram_lm" ->
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |  FROM documents),
+         |bg AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+         |    SELECT doc_id, UNNEST(list_transform(range(1, len(ws)),
+         |      i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS p
+         |    FROM w WHERE len(ws) >= 2)),
+         |bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+         |  FROM bg GROUP BY 1, 2),
+         |cc AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS c1b
+         |  FROM bg GROUP BY 1),
+         |np AS (SELECT w1, CAST(COUNT(*) AS BIGINT) AS n1p
+         |  FROM bc GROUP BY 1),
+         |ncw AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc
+         |  FROM bc GROUP BY 1),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS ntypes FROM bc),
+         |lp AS (SELECT w1, w2,
+         |    CAST(FLOOR(ln(
+         |      (CAST(c12 * 4 - 3 AS DOUBLE) / CAST(c1b * 4 AS DOUBLE))
+         |      + (3.0 * CAST(n1p AS DOUBLE) / CAST(c1b * 4 AS DOUBLE))
+         |        * (CAST(nc AS DOUBLE) / CAST(ntypes AS DOUBLE))
+         |    ) * 1000000000.0 + 0.5) AS BIGINT) AS lp9
+         |  FROM bc JOIN cc USING (w1) JOIN np USING (w1)
+         |  JOIN ncw USING (w2) CROSS JOIN nt),
+         |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+         |    CAST(SUM(lp9) AS BIGINT) AS slp9
+         |  FROM bg JOIN lp USING (w1, w2)
+         |  WHERE doc_id < 100 GROUP BY 1),
+         |f AS (SELECT doc_id, n_bigrams,
+         |    -(CAST(slp9 AS DOUBLE) / 1000000000.0) / n_bigrams
+         |      AS nll FROM s)
+         |SELECT doc_id, n_bigrams, ${val6("nll")} AS nll_nats,
+         |  nll <= 7.0 AS keep
+         |FROM f ORDER BY doc_id NULLS FIRST""".stripMargin,
+
     // q195: embedding drift — q169's PSI arithmetic over q185's
     // projections, label<5 vs label>=5 populations, clamped
     // projection buckets.,

@@ -80,6 +80,8 @@ class PlanAuditSpec extends SparkSpec {
                                // the 1-row p_base scalar
     "q306_fused_rag_context",  // rides q290's sanctioned dense-side
                                // broadcast-query scorer (≤10-row set)
+    "q309_decayed_covisitation", // 1-row max-order-date anchor cross
+                                 // join (the q205 date-bounds class)
     "q301_t_closeness")       // cells × band-vocabulary densify cross
                               // join + the 1-row (n, m) totals
 
@@ -147,8 +149,10 @@ class PlanAuditSpec extends SparkSpec {
                               // score frame, once per half-step
     "q300_markov_attribution", // 1-row first-event total + p_base
                                // finals over vocabulary-grain frames
-    "q301_t_closeness")       // global cumulative window over the
+    "q301_t_closeness",       // global cumulative window over the
                               // ≤|bands| frame + 1-row (n, m) final
+    "q309_decayed_covisitation") // 1-row max-date anchor final; rank
+                                 // window over the 20 post-limit rows
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is

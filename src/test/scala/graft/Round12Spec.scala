@@ -480,6 +480,91 @@ class Round12Spec extends SparkSpec {
     }
   }
 
+  // ---- q308 Kneser-Ney bigram LM ----------------------------------
+
+  test("q308: doc NLLs match a driver-side replay of the KN counts " +
+      "and formula; discounted per-context mass stays <= 1") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val bgs = docs.flatMap { case (id, t) =>
+      val ws = t.split(" ", -1)
+      if (ws.length < 2) Seq.empty
+      else ws.sliding(2).map(p => (id, p(0), p(1))).toSeq
+    }
+    val c12 = bgs.groupBy(b => (b._2, b._3)).view.mapValues(_.length.toLong).toMap
+    val c1b = bgs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n1p = c12.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ncw = c12.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nt = c12.size.toLong
+    def lp9(w1: String, w2: String): Long = {
+      val p = ((c12((w1, w2)) * 4 - 3).toDouble / (c1b(w1) * 4).toDouble) +
+        (3.0 * n1p(w1).toDouble / (c1b(w1) * 4).toDouble) *
+        (ncw(w2).toDouble / nt.toDouble)
+      math.floor(math.log(p) * 1000000000.0 + 0.5).toLong
+    }
+    val expected = bgs.filter(_._1 < 100).groupBy(_._1).map {
+      case (id, bs) =>
+        val slp = bs.map(b => lp9(b._2, b._3)).sum
+        val nll = -(slp.toDouble / 1000000000.0) / bs.length
+        id -> (bs.length.toLong,
+          math.floor(nll * 1000000.0 + 0.5).toLong.toDouble / 1000000.0)
+    }
+    val got = TextOps.knBigramLmScore(spark, dir)
+      .select($"doc_id", $"n_bigrams", $"nll_nats")
+      .as[(Long, Long, Double)].collect()
+    assert(got.nonEmpty && got.length == expected.size)
+    got.foreach { case (id, n, nll) =>
+      assert((n, nll) == expected(id), s"doc $id")
+    }
+    // discounted mass: sum over observed continuations of p(w|v) <= 1
+    val byV = c12.keys.toSeq.groupBy(_._1)
+    byV.take(50).foreach { case (v, ws) =>
+      val mass = ws.map { case (_, w2) =>
+        ((c12((v, w2)) * 4 - 3).toDouble / (c1b(v) * 4).toDouble) +
+          (3.0 * n1p(v).toDouble / (c1b(v) * 4).toDouble) *
+          (ncw(w2).toDouble / nt.toDouble)
+      }.sum
+      assert(mass <= 1.0 + 1e-9, s"context $v mass $mass")
+    }
+  }
+
+  // ---- q309 decayed co-visitation ---------------------------------
+
+  test("q309: the decayed ranking matches a driver-side replay with " +
+      "dyadic shift weights") {
+    val baskets = graft.sources.Tables.lineitem(spark, dir)
+      .join(broadcast(graft.sources.Tables.part(spark, dir)),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+      .as[(Long, String)].collect().groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).sorted.take(32) }
+    val days = graft.sources.Tables.orders(spark, dir)
+      .select($"o_orderkey", to_date($"o_orderdate").cast("string"))
+      .as[(Long, String)].collect().toMap
+    val maxd = java.time.LocalDate.parse(days.values.max)
+    def w6(ok: Long): Long = {
+      val age = java.time.temporal.ChronoUnit.DAYS
+        .between(java.time.LocalDate.parse(days(ok)), maxd)
+      1000000L >> math.min(age / 28, 20L).toInt
+    }
+    val agg = scala.collection.mutable.Map
+      .empty[(String, String), (Long, Long)]
+    baskets.foreach { case (ok, bs) =>
+      for (a <- bs; b <- bs if a < b) {
+        val (n, s) = agg.getOrElse((a, b), (0L, 0L))
+        agg((a, b)) = (n + 1, s + w6(ok))
+      }
+    }
+    val expected = agg.toSeq
+      .sortBy { case ((a, b), (_, s)) => (-s, a, b) }.take(20)
+      .zipWithIndex
+      .map { case (((a, b), (n, s)), i) => (i + 1L, a, b, n, s) }
+    val got = Analytics.decayedCovisitation(spark, dir)
+      .select($"rank", $"brand_a", $"brand_b", $"n_orders", $"w6sum")
+      .as[(Long, String, String, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   // ---- q299 Markov absorption -------------------------------------
 
   test("q299: absorption probabilities are monotone in steps, " +
