@@ -409,6 +409,8 @@ object SparkEntry {
     "q308_kn_bigram_lm" -> ((s, d) => TextOps.knBigramLmScore(s, d)),
     "q309_decayed_covisitation" ->
       ((s, d) => Analytics.decayedCovisitation(s, d)),
+    "q310_streaming_dlq" ->
+      ((s, d) => streaming.StreamingDlq.routedCounts(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

@@ -239,6 +239,25 @@ object StreamingOracles {
     // q296 recurrence bit-for-bit — one shared oracle.,
     "q305_streaming_holt" -> holtSql,
 
+    // q310: dead-letter routing — the drained two-sink state must
+    // reconcile with a batch classification by the same rule: nothing
+    // lost, nothing double-counted, quarantine carries the corrupt
+    // rows' identity.,
+    "q310_streaming_dlq" ->
+      """WITH c AS (SELECT event_id, event_type,
+        |    CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (SELECT 'main' AS sink, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(cents) AS BIGINT) AS cents
+        |  FROM c WHERE event_id % 13 <> 0 GROUP BY 2),
+        |d AS (SELECT 'dlq' AS sink, event_type,
+        |    CAST(COUNT(*) AS BIGINT) AS n, CAST(NULL AS BIGINT) AS cents
+        |  FROM c WHERE event_id % 13 = 0 GROUP BY 2)
+        |SELECT sink, event_type, n, cents FROM m
+        |UNION ALL SELECT sink, event_type, n, cents FROM d
+        |ORDER BY sink, event_type NULLS FIRST""".stripMargin,
+
     "q251_streaming_ewma" -> {
       val lags = (1 to 8).map { k =>
         val wt = 1L << (8 - k)
