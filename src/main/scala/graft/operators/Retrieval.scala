@@ -568,22 +568,54 @@ object Retrieval {
     * ranking is the already-gated posting-list / broadcast-query
     * shape); the agreement joins touch ≤3k rows per query. */
   def retrievalAgreement(spark: SparkSession, dir: String,
-      k: Int = 5): DataFrame = {
+      k: Int = 5, pool: Int = 20): DataFrame = {
+    // each system's scorer runs ONCE: the checkpointed top-`pool`
+    // lists feed both the top-k slices and the fused ranking (q290's
+    // arithmetic verbatim over the same pools)
     val lexW = Window.partitionBy("query_id")
       .orderBy(desc("s9"), asc("doc_id"))
-    val lex5 = bm25Scores(spark, dir)
-      .withColumn("rn", row_number().over(lexW))
-      .filter(col("rn") <= k).select("query_id", "doc_id")
+    val lexPool = bm25Scores(spark, dir)
+      .withColumn("lex_rank",
+        row_number().over(lexW).cast("long"))
+      .filter(col("lex_rank") <= pool)
+      .select("query_id", "doc_id", "lex_rank")
       .localCheckpoint()
     val denseW = Window.partitionBy("query_id")
       .orderBy(desc("ds"), asc("doc_id"))
-    val dense5 = chunkScores(spark, dir)
+    val densePool = chunkScores(spark, dir)
       .groupBy("query_id", "doc_id").agg(max("score").as("ds"))
-      .withColumn("rn", row_number().over(denseW))
+      .withColumn("dense_rank",
+        row_number().over(denseW).cast("long"))
+      .filter(col("dense_rank") <= pool)
+      .select("query_id", "doc_id", "dense_rank")
+      .localCheckpoint()
+    val lex5 = lexPool.filter(col("lex_rank") <= k)
+      .select("query_id", "doc_id")
+    val dense5 = densePool.filter(col("dense_rank") <= k)
+      .select("query_id", "doc_id")
+    val fused = lexPool
+      .join(densePool
+          .select(col("query_id").as("dq"), col("doc_id").as("dd"),
+            col("dense_rank")),
+        col("query_id") === col("dq") && col("doc_id") === col("dd"),
+        "full_outer")
+      .select(
+        coalesce(col("query_id"), col("dq")).as("query_id"),
+        coalesce(col("doc_id"), col("dd")).as("doc_id"),
+        coalesce(col("lex_rank"), lit(-1L)).as("lex_rank"),
+        coalesce(col("dense_rank"), lit(-1L)).as("dense_rank"))
+      .withColumn("rrf9",
+        when(col("lex_rank") > 0,
+          expr("cast(1000000000 as bigint) div (60 + lex_rank)"))
+          .otherwise(lit(0L)) +
+        when(col("dense_rank") > 0,
+          expr("cast(1000000000 as bigint) div (60 + dense_rank)"))
+          .otherwise(lit(0L)))
+    val fw = Window.partitionBy("query_id")
+      .orderBy(desc("rrf9"), asc("doc_id"))
+    val rrf5 = fused.withColumn("rn", row_number().over(fw))
       .filter(col("rn") <= k).select("query_id", "doc_id")
       .localCheckpoint()
-    val rrf5 = rrfFusion(spark, dir, k = k)
-      .select("query_id", "doc_id").localCheckpoint()
     def cnt(df: DataFrame, name: String): DataFrame =
       df.groupBy("query_id").agg(count(lit(1)).as(name))
     cnt(rrf5, "n_fused")
