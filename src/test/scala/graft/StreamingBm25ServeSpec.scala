@@ -70,6 +70,23 @@ class StreamingBm25ServeSpec extends SparkSpec {
       s"expected a strict subset of buckets: ${m.get.matched}")
   }
 
+  test("the serve itself reads the published table BUCKETED — the " +
+      "pruning machinery is active in the real plan") {
+    // the gate's batched query set covers the whole vocabulary, so
+    // the count here is 8-of-8; STRICT pruning under a narrow term
+    // set is pinned by the single-term probe above. This test pins
+    // that the serve's scan is not silently de-bucketed
+    // (DisableUnnecessaryBucketedScan) — i.e. the artifact's pruning
+    // would engage for any production single-query term set.
+    val plan = StreamingBm25Index.servedBm25(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("SelectedBucketsCount: (\\d+) out of (\\d+)".r
+      .findFirstMatchIn(plan).isDefined,
+      s"expected a bucketed scan in the serve plan:\n$plan")
+    assert(!plan.contains("Bucketed: false"),
+      "the serve's published-table scan was de-bucketed")
+  }
+
   test("served BM25 equals a from-scratch batch recompute over the " +
       "post-epoch corpus bit-for-bit") {
     import org.apache.spark.sql.expressions.Window
