@@ -411,6 +411,11 @@ object SparkEntry {
       ((s, d) => Analytics.decayedCovisitation(s, d)),
     "q310_streaming_dlq" ->
       ((s, d) => streaming.StreamingDlq.routedCounts(s, d)),
+    "q311_shapley_attribution" ->
+      ((s, d) => Events.shapleyAttribution(s, d)),
+    "q312_cusum_changepoints" ->
+      ((s, d) => Analytics.cusumChangepoints(s, d)),
+    "q313_kaplan_meier" -> ((s, d) => Analytics.kaplanMeier(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

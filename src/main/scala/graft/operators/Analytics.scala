@@ -2219,4 +2219,126 @@ object Analytics {
         (col("maxdev2").cast("double") / lit(200.0)).as("max_dev"))
       .orderBy("brand")
   }
+
+  /** q312 — CUSUM mean-shift changepoints per brand (Page 1954): the
+    * sequential detector behind "did this brand's daily revenue level
+    * SHIFT, and when" — the question q250's EWMA forecast (one-step
+    * surprise) and q227's seasonal decomposition don't answer. The
+    * textbook recursion S⁺_t = max(0, S⁺_{t−1} + x_t − k) is not a
+    * window function, but its closed form IS: with P_t = Σ_{i≤t}
+    * (x_i − k),   S⁺_t = P_t − min_{j≤t} P_j  and  S⁻_t = max_{j≤t}
+    * P_j − P_t — a grouped cumulative sum plus cumulative extrema,
+    * three frames over the same (brand × day) window. Allowance
+    * k = the brand's mean daily cents (integer div) and threshold
+    * h = 2k — both stated conventions, both exact integers, so every
+    * CUSUM statistic is an exact BIGINT in cents and the alarm
+    * predicate is integer comparison (no float anywhere before the
+    * output formatting).
+    *
+    * Scale: one fact shuffle to (brand, day) grain (map-side
+    * combined); the windows run on that ≤ |brands|·|days| frame —
+    * day-grain partitions bounded by the corpus date span, never by
+    * fact rows. Emits only alarm days with the breach direction. */
+  def cusumChangepoints(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    val daily = Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        to_date(col("l_shipdate")).as("day"),
+        cents2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("cents"))
+      .groupBy("brand", "day")
+      .agg(sum("cents").as("x"))
+    val byBrand = Window.partitionBy("brand")
+    val ordered = byBrand.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val withK = daily
+      .withColumn("k_allow",
+        expr("sum(x) over (partition by brand) div count(1) over (partition by brand)"))
+      .withColumn("p", sum(col("x") - col("k_allow")).over(ordered))
+    // the recursion's P_0 = 0 belongs in the extrema: an excursion
+    // that never dips below its start must still measure from 0
+    val alarms = withK
+      .withColumn("s_plus", col("p") - least(lit(0L), min("p").over(ordered)))
+      .withColumn("s_minus",
+        greatest(lit(0L), max("p").over(ordered)) - col("p"))
+    alarms
+      .select(col("brand"), col("day"), col("k_allow"),
+        col("s_plus").as("stat"), lit("up").as("direction"))
+      .unionAll(alarms.select(col("brand"), col("day"), col("k_allow"),
+        col("s_minus").as("stat"), lit("down").as("direction")))
+      .filter(col("stat") > col("k_allow") * 2)
+      .groupBy("brand", "direction")
+      .agg(count(lit(1)).as("n_alarm_days"),
+        min("day").as("first_alarm"),
+        max("stat").as("peak_c"))
+      .select(col("brand"), col("direction"), col("n_alarm_days"),
+        col("first_alarm"),
+        (col("peak_c").cast("double") / lit(100.0)).as("peak_stat"))
+      .orderBy("brand", "direction")
+  }
+
+  /** q313 — Kaplan–Meier repeat-purchase survival: the product-limit
+    * estimator S(t) = Π_{u≤t} (1 − d_u/n_u) over the SAME
+    * first→second-purchase cohort as q262's Nelson–Aalen hazard — the
+    * pair every survival readout publishes together (KM is the curve,
+    * NA its log-scale twin; they cross-check each other since
+    * S ≈ exp(−H)). Risk sets come from the identical day-grain
+    * endpoint histogram (descending running sum).
+    *
+    * Determinism: each factor's log is floor-scaled to integer nanos
+    * BEFORE the running sum — ln((n−d)/n) is one correctly-rounded
+    * IEEE op per event day, the accumulation is exact integer
+    * addition, and exp() runs once per emitted row on the summed
+    * integer (the q262/q308 nano-floor discipline — no float
+    * accumulation order for engines to disagree on). A day where
+    * d = n (everyone at risk converts) sends the survival to exact
+    * 0.0 from there on, guarded by a cumulative flag instead of
+    * ln(0). */
+  def kaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    val dayUs = 86400000000L
+    val p = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("us"))
+    val byUser = Window.partitionBy("user_id")
+      .orderBy(col("us"), col("event_id"))
+    val users = p.withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= 2)
+      .groupBy("user_id")
+      .agg(min(when(col("rn") === 1, col("us"))).as("t1"),
+        min(when(col("rn") === 2, col("us"))).as("t2"))
+    val obsEnd = p.agg(max("us").as("end_us"))
+    val hist = users.crossJoin(broadcast(obsEnd))
+      .select(
+        expr(s"CASE WHEN t2 IS NOT NULL THEN (t2 - t1) DIV $dayUs END")
+          .as("event_day"),
+        expr(s"CASE WHEN t2 IS NULL THEN (end_us - t1) DIV $dayUs END")
+          .as("censor_day"))
+      .groupBy(coalesce(col("event_day"), col("censor_day")).as("day"))
+      .agg(count(lit(1)).as("ended"),
+        sum(when(col("event_day").isNotNull, 1L).otherwise(0L))
+          .as("d"))
+    val upTo = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    hist
+      .withColumn("n_risk", sum("ended").over(Window.orderBy(desc("day"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("d") > 0)
+      .withColumn("l9",
+        when(col("d") < col("n_risk"),
+          floor(log((col("n_risk") - col("d")).cast("double")
+            / col("n_risk").cast("double")) * lit(1.0e9) + lit(0.5))
+            .cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("cum_l9", sum("l9").over(upTo))
+      .withColumn("hit_zero",
+        max(when(col("d") === col("n_risk"), 1).otherwise(0)).over(upTo))
+      .select(col("day"), col("n_risk"), col("d").as("n_converted"),
+        when(col("hit_zero") === 1, lit(0.0))
+          .otherwise(val6(exp(col("cum_l9").cast("double") / lit(1.0e9))))
+          .as("km_survival"))
+      .orderBy("day")
+  }
 }

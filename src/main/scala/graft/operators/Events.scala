@@ -1089,4 +1089,74 @@ object Events {
         (re6.cast("double") / lit(1000000.0)).as("removal_effect"))
       .orderBy("channel")
   }
+
+  /** q311 — exact SHAPLEY-value channel attribution: the third
+    * canonical multi-touch model beside q245's position-based split
+    * and q300's Markov removal effect. Every user collapses to the SET
+    * of non-purchase channels they touched (a 4-bit mask over
+    * click/error/signup/view) plus a converted flag; the coalition
+    * value v(S) = conversions among users whose touch set ⊆ S, and
+    * each channel's credit is the exact Shapley sum
+    *
+    *   φ_c = Σ_{S ⊆ C∖{c}} |S|!·(k−1−|S|)!/k! · (v(S∪{c}) − v(S)).
+    *
+    * With k = 4 every weight is a multiple of 1/24, so φ carries as
+    * the exact integer `phi24` end-to-end — the only floats are the
+    * output-boundary divisions. The efficiency axiom
+    * Σφ = v(C) − v(∅) is a spec invariant (Round13Spec), and v is
+    * monotone by construction so every marginal is ≥ 0.
+    *
+    * Scale: ONE user-grain aggregate (bit_or of per-row channel bits +
+    * a max converted flag, map-side combinable) collapses the corpus
+    * to ≤ 2^k mask rows; the subset lattice, coalition values, and the
+    * Shapley sum are joins between broadcast 16-row frames —
+    * metadata-grain at any corpus size. */
+  def shapleyAttribution(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bits = Seq("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+    val k = bits.length
+    val users = Tables.events(spark, dir)
+      .select(col("user_id"),
+        bits.map { case (t, b) =>
+          when(col("event_type") === t, lit(b)).otherwise(lit(0)) }
+          .reduce(_ + _).as("bit"),
+        when(col("event_type") === "purchase", lit(1L)).otherwise(lit(0L))
+          .as("conv"))
+      .groupBy("user_id")
+      .agg(expr("bit_or(bit)").as("mask"), max("conv").as("conv"))
+    val byMask = users.groupBy("mask")
+      .agg(count(lit(1)).as("mask_users"), sum("conv").as("mask_conv"))
+      .localCheckpoint() // ≤ 2^k rows: feeds v(S), the touch counts
+    val subsets = spark.range(1L << k).select(col("id").cast("int").as("s"))
+    val v = subsets.join(broadcast(byMask),
+        col("s").bitwiseAND(col("mask")) === col("mask"), "left")
+      .groupBy("s")
+      .agg(coalesce(sum("mask_conv"), lit(0L)).as("v"))
+    // 24·w(|S|) for k = 4: |S|!·(3−|S|)! = 6, 2, 2, 6
+    val w24 = when(expr("bit_count(s)") === 0, 6L)
+      .when(expr("bit_count(s)") === 1, 2L)
+      .when(expr("bit_count(s)") === 2, 2L)
+      .otherwise(6L)
+    val channels = bits.toDF("channel", "bit")
+    val phi = channels.crossJoin(subsets)
+      .filter(col("s").bitwiseAND(col("bit")) === 0)
+      .join(broadcast(v), Seq("s"))
+      .join(broadcast(v.select(col("s").as("s_with"), col("v").as("v_with"))),
+        col("s_with") === col("s").bitwiseOR(col("bit")))
+      .groupBy("channel")
+      .agg(sum(w24 * (col("v_with") - col("v"))).as("phi24"))
+    val touched = channels
+      .join(broadcast(byMask),
+        col("mask").bitwiseAND(col("bit")) =!= 0, "left")
+      .groupBy("channel")
+      .agg(coalesce(sum("mask_users"), lit(0L)).as("n_users"))
+    val tot = phi.agg(sum("phi24").as("t24"))
+    phi.join(touched, Seq("channel"))
+      .crossJoin(broadcast(tot))
+      .select(col("channel"), col("n_users"), col("phi24"),
+        val6(col("phi24").cast("double") / lit(24.0)).as("phi"),
+        val6(col("phi24").cast("double") / col("t24").cast("double"))
+          .as("share"))
+      .orderBy("channel")
+  }
 }

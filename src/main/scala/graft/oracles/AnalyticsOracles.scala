@@ -1861,5 +1861,84 @@ object AnalyticsOracles {
         |  CAST(MAX(d.dev2) AS DOUBLE) / 200.0 AS max_dev
         |FROM d JOIN md USING (brand)
         |GROUP BY d.brand ORDER BY d.brand NULLS FIRST""".stripMargin,
+
+    // q312: CUSUM mean-shift alarms — the recursion in closed form
+    // (prefix sum minus running min); allowance k = brand mean daily
+    // cents (integer div), threshold h = 2k; every statistic an exact
+    // BIGINT in cents.,
+    "q312_cusum_changepoints" ->
+      """WITH d AS (SELECT p.p_brand AS brand,
+        |    CAST(l.l_shipdate AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))
+        |      * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |k AS (SELECT brand, day, x,
+        |    SUM(x) OVER (PARTITION BY brand)
+        |      // COUNT(*) OVER (PARTITION BY brand) AS k_allow FROM d),
+        |pp AS (SELECT *, SUM(x - k_allow) OVER (PARTITION BY brand
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS p FROM k),
+        |s AS (SELECT *,
+        |    p - LEAST(0, MIN(p) OVER (PARTITION BY brand ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING)) AS s_plus,
+        |    GREATEST(0, MAX(p) OVER (PARTITION BY brand ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING)) - p AS s_minus FROM pp),
+        |a AS (SELECT brand, day, k_allow, s_plus AS stat,
+        |    'up' AS direction FROM s
+        |  UNION ALL SELECT brand, day, k_allow, s_minus AS stat,
+        |    'down' AS direction FROM s)
+        |SELECT brand, direction, CAST(COUNT(*) AS BIGINT) AS n_alarm_days,
+        |  MIN(day) AS first_alarm,
+        |  CAST(MAX(stat) AS DOUBLE) / 100.0 AS peak_stat
+        |FROM a WHERE stat > k_allow * 2
+        |GROUP BY 1, 2
+        |ORDER BY brand NULLS FIRST, direction NULLS FIRST""".stripMargin,
+
+    // q313: Kaplan-Meier product-limit survival — q262's endpoint
+    // histogram and risk sets verbatim; each factor's ln() nano-floored
+    // BEFORE the running sum, exp() once per row; d = n sends survival
+    // to exact 0.0 via the cumulative flag instead of ln(0).,
+    "q313_kaplan_meier" ->
+      s"""WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS us
+         |  FROM events WHERE event_type = 'purchase'),
+         |r AS (SELECT user_id, us,
+         |    ROW_NUMBER() OVER (PARTITION BY user_id
+         |      ORDER BY us NULLS FIRST, event_id NULLS FIRST) AS rn
+         |  FROM p),
+         |e AS (SELECT MAX(us) AS end_us FROM p),
+         |u AS (SELECT user_id,
+         |    MIN(CASE WHEN rn = 1 THEN us END) AS t1,
+         |    MIN(CASE WHEN rn = 2 THEN us END) AS t2
+         |  FROM r WHERE rn <= 2 GROUP BY user_id),
+         |s AS (SELECT
+         |    CASE WHEN t2 IS NOT NULL
+         |      THEN (t2 - t1) // 86400000000 END AS event_day,
+         |    CASE WHEN t2 IS NULL
+         |      THEN (end_us - t1) // 86400000000 END AS censor_day
+         |  FROM u CROSS JOIN e),
+         |h AS (SELECT COALESCE(event_day, censor_day) AS day,
+         |    CAST(COUNT(*) AS BIGINT) AS ended,
+         |    CAST(SUM(CASE WHEN event_day IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS d
+         |  FROM s GROUP BY 1),
+         |w AS (SELECT *, CAST(SUM(ended) OVER (ORDER BY day DESC
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_risk FROM h),
+         |z AS (SELECT day, n_risk, d,
+         |    CASE WHEN d < n_risk THEN CAST(FLOOR(
+         |        ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+         |        * 1000000000.0 + 0.5) AS BIGINT)
+         |      ELSE 0 END AS l9
+         |  FROM w WHERE d > 0),
+         |c AS (SELECT *,
+         |    CAST(SUM(l9) OVER (ORDER BY day
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_l9,
+         |    MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+         |      OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS hit_zero
+         |  FROM z)
+         |SELECT day, n_risk, d AS n_converted,
+         |  CASE WHEN hit_zero = 1 THEN 0.0
+         |    ELSE ${val6("exp(CAST(cum_l9 AS DOUBLE) / 1000000000.0)")}
+         |    END AS km_survival
+         |FROM c ORDER BY day NULLS FIRST""".stripMargin,
   )
 }

@@ -521,6 +521,46 @@ object RelationalOracles {
          |FROM orders JOIN customer ON o_custkey = c_custkey
          |GROUP BY 1 ORDER BY c_mktsegment NULLS FIRST""".stripMargin,
 
+    // q311: exact Shapley channel attribution — users collapse to a
+    // 4-bit touched-channel mask, v(S) = conversions with mask ⊆ S,
+    // weights carried as exact 24ths (k = 4); floats only at the
+    // output boundary.,
+    "q311_shapley_attribution" ->
+      s"""WITH u AS (SELECT user_id,
+         |    BIT_OR(CASE event_type WHEN 'click' THEN 1
+         |      WHEN 'error' THEN 2 WHEN 'signup' THEN 4
+         |      WHEN 'view' THEN 8 ELSE 0 END) AS mask,
+         |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+         |      AS conv
+         |  FROM events GROUP BY 1),
+         |m AS (SELECT mask, CAST(COUNT(*) AS BIGINT) AS mask_users,
+         |    CAST(SUM(conv) AS BIGINT) AS mask_conv FROM u GROUP BY 1),
+         |ss AS (SELECT CAST(i AS INT) AS s FROM range(16) t(i)),
+         |v AS (SELECT s,
+         |    CAST(COALESCE(SUM(m.mask_conv), 0) AS BIGINT) AS v
+         |  FROM ss LEFT JOIN m ON (ss.s & m.mask) = m.mask GROUP BY 1),
+         |ch(channel, bit) AS (VALUES ('click', 1), ('error', 2),
+         |  ('signup', 4), ('view', 8)),
+         |t AS (SELECT ch.channel,
+         |    CASE bit_count(ss.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+         |      WHEN 2 THEN 2 ELSE 6 END AS w24,
+         |    v2.v - v1.v AS marg
+         |  FROM ch JOIN ss ON (ss.s & ch.bit) = 0
+         |  JOIN v v1 ON v1.s = ss.s
+         |  JOIN v v2 ON v2.s = (ss.s | ch.bit)),
+         |phi AS (SELECT channel, CAST(SUM(w24 * marg) AS BIGINT)
+         |    AS phi24 FROM t GROUP BY 1),
+         |tu AS (SELECT ch.channel,
+         |    CAST(COALESCE(SUM(m.mask_users), 0) AS BIGINT) AS n_users
+         |  FROM ch LEFT JOIN m ON (m.mask & ch.bit) <> 0 GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(phi24) AS BIGINT) AS t24 FROM phi)
+         |SELECT phi.channel, tu.n_users, phi.phi24,
+         |  ${val6("CAST(phi24 AS DOUBLE) / 24.0")} AS phi,
+         |  ${val6("CAST(phi24 AS DOUBLE) / CAST(t24 AS DOUBLE)")}
+         |    AS share
+         |FROM phi JOIN tu USING (channel) CROSS JOIN tot
+         |ORDER BY channel NULLS FIRST""".stripMargin,
+
     // Stream-drain of the DSv2 micro-batch surface must equal batch
     // generation over the full id range (5 admission-controlled
     // triggers x 10k ids).,

@@ -82,8 +82,13 @@ class PlanAuditSpec extends SparkSpec {
                                // broadcast-query scorer (≤10-row set)
     "q309_decayed_covisitation", // 1-row max-order-date anchor cross
                                  // join (the q205 date-bounds class)
-    "q301_t_closeness")       // cells × band-vocabulary densify cross
+    "q301_t_closeness",       // cells × band-vocabulary densify cross
                               // join + the 1-row (n, m) totals
+    "q311_shapley_attribution", // subset-lattice joins: every frame is
+                                // the ≤2^k mask/subset table (k = 4)
+                                // or the 1-row φ-total scalar
+    "q313_kaplan_meier")      // 1-row obs-end scalar cross join
+                              // (q262's exact shape)
 
   // reviewed single-partition sites: global scalar finals + windows
   // over aggregate-grain frames (input cardinality is bounded by the
@@ -151,8 +156,12 @@ class PlanAuditSpec extends SparkSpec {
                                // finals over vocabulary-grain frames
     "q301_t_closeness",       // global cumulative window over the
                               // ≤|bands| frame + 1-row (n, m) final
-    "q309_decayed_covisitation") // 1-row max-date anchor final; rank
+    "q309_decayed_covisitation", // 1-row max-date anchor final; rank
                                  // window over the 20 post-limit rows
+    "q311_shapley_attribution",  // 16-row coalition-value aggregate +
+                                 // the 1-row φ-total final
+    "q313_kaplan_meier")      // KM running sums over DAY-grain risk
+                              // sets (q262's reviewed shape)
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is

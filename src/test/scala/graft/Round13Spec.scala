@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, Events}
+
+/** Round-8 additions, third batch: exact Shapley channel attribution
+  * (q311), CUSUM mean-shift changepoints (q312), Kaplan–Meier
+  * product-limit survival (q313). Every invariant is independent of
+  * the oracle gate: driver-side replays through DIFFERENT arithmetic
+  * (the literal textbook recursions), axioms (Shapley efficiency), and
+  * cross-estimator consistency (KM vs Nelson–Aalen).
+  */
+class Round13Spec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = sf("sf0.001")
+
+  // ---- q311 exact Shapley attribution ------------------------------
+
+  /** Driver-side replay: per-user masks from raw events, v(S) by
+    * direct subset enumeration, φ from the factorial-weight formula —
+    * a different code path end to end. */
+  private lazy val shapleyReplay: (Map[String, Long], Long, Long) = {
+    val bits = Seq("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+    val rows = graft.sources.Tables.events(spark, dir)
+      .select($"user_id", $"event_type").as[(Long, String)].collect()
+    val byUser = rows.groupBy(_._1).toSeq.map { case (_, es) =>
+      val types = es.map(_._2).toSet
+      val mask = bits.collect { case (t, b) if types(t) => b }.sum
+      (mask, if (types("purchase")) 1L else 0L)
+    }
+    def v(s: Int): Long =
+      byUser.collect { case (m, c) if (m & s) == m => c }.sum
+    val w24 = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L)
+    val phi = bits.map { case (ch, b) =>
+      ch -> (0 until 16).filter(s => (s & b) == 0).map { s =>
+        w24(Integer.bitCount(s)) * (v(s | b) - v(s))
+      }.sum
+    }.toMap
+    (phi, v(15), v(0))
+  }
+
+  test("q311: phi24 matches a driver-side subset-enumeration replay") {
+    val got = Events.shapleyAttribution(spark, dir)
+      .select($"channel", $"phi24").as[(String, Long)].collect().toMap
+    val (phi, _, _) = shapleyReplay
+    assert(got == phi, s"operator $got != replay $phi")
+  }
+
+  test("q311: efficiency axiom — credits sum to v(C) - v(empty), " +
+      "and monotone v makes every credit non-negative") {
+    val (phi, vFull, vEmpty) = shapleyReplay
+    assert(phi.values.sum == 24L * (vFull - vEmpty))
+    assert(phi.values.forall(_ >= 0L))
+    assert(vFull > 0L)
+  }
+
+  // ---- q312 CUSUM closed form vs the textbook recursion ------------
+
+  test("q312: the prefix-sum closed form equals the literal " +
+      "max(0, S + x - k) recursion, alarms and peaks included") {
+    val part = graft.sources.Tables.part(spark, dir)
+      .select($"p_partkey", $"p_brand")
+    val daily = graft.sources.Tables.lineitem(spark, dir)
+      .join(part, $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"), to_date($"l_shipdate").as("day"),
+        graft.util.Portable.cents2(
+          $"l_extendedprice" * (lit(1.0) - $"l_discount")).as("c"))
+      .groupBy("brand", "day").agg(sum("c").as("x"))
+      .select($"brand", $"day".cast("string"), $"x")
+      .as[(String, String, Long)].collect()
+    // literal Page (1954) recursion, per brand in day order
+    val expected = daily.groupBy(_._1).flatMap { case (brand, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val k = xs.sum / xs.length // integer div, same allowance
+      val h = 2 * k
+      var sp = 0L
+      var sm = 0L
+      val out = xs.zip(rows.sortBy(_._2).map(_._2)).flatMap {
+        case (x, day) =>
+          sp = math.max(0L, sp + x - k)
+          sm = math.max(0L, sm + k - x)
+          Seq((brand, "up", day, sp), (brand, "down", day, sm))
+            .filter(_._4 > h)
+      }
+      out.groupBy(t => (t._1, t._2)).map { case ((b, d), ts) =>
+        (b, d, ts.length.toLong, ts.map(_._3).min,
+          ts.map(_._4).max.toDouble / 100.0)
+      }
+    }.toSet
+    val got = Analytics.cusumChangepoints(spark, dir)
+      .select($"brand", $"direction", $"n_alarm_days",
+        $"first_alarm".cast("string"), $"peak_stat")
+      .as[(String, String, Long, String, Double)].collect().toSet
+    assert(got == expected,
+      s"closed form diverges: extra=${got -- expected} " +
+        s"missing=${expected -- got}")
+    assert(got.nonEmpty)
+  }
+
+  // ---- q313 Kaplan–Meier ------------------------------------------
+
+  test("q313: survival is non-increasing, in (0,1], and consistent " +
+      "with q262's Nelson-Aalen via S <= exp(-H) + eps") {
+    val km = Analytics.kaplanMeier(spark, dir)
+      .select($"day", $"km_survival").as[(Long, Double)].collect()
+      .sortBy(_._1)
+    assert(km.nonEmpty)
+    km.foreach { case (_, s) => assert(s >= 0.0 && s <= 1.0) }
+    km.sliding(2).foreach {
+      case Array((_, a), (_, b)) => assert(b <= a + 1e-9)
+      case _ =>
+    }
+    val na = Analytics.repeatPurchaseHazard(spark, dir)
+      .select($"day", $"cum_hazard").as[(Long, Double)].collect().toMap
+    km.foreach { case (day, s) =>
+      assert(s <= math.exp(-na(day)) + 1e-6,
+        s"day $day: KM $s > exp(-H) ${math.exp(-na(day))}")
+    }
+  }
+
+  test("q313: matches a driver-side product-limit replay from the " +
+      "endpoint histogram") {
+    val p = graft.sources.Tables.events(spark, dir)
+      .filter($"event_type" === "purchase")
+      .select($"user_id", $"event_id", unix_micros($"ts").as("us"))
+      .as[(Long, Long, Long)].collect()
+    val endUs = p.map(_._3).max
+    val dayUs = 86400000000L
+    val ends = p.groupBy(_._1).toSeq.map { case (_, es) =>
+      val ts = es.sortBy(e => (e._3, e._2)).map(_._3)
+      if (ts.length >= 2) ((ts(1) - ts(0)) / dayUs, true)
+      else ((endUs - ts(0)) / dayUs, false)
+    }
+    val days = ends.groupBy(_._1).toSeq.sortBy(_._1)
+    var atRisk = ends.size.toLong
+    var cumL9 = 0L
+    var hitZero = false
+    val expected = days.flatMap { case (day, es) =>
+      val d = es.count(_._2).toLong
+      val row = if (d > 0) {
+        if (d == atRisk) hitZero = true
+        else cumL9 += math.floor(
+          math.log((atRisk - d).toDouble / atRisk) * 1e9 + 0.5).toLong
+        val s = if (hitZero) 0.0
+          else math.floor(math.exp(cumL9 / 1e9) * 1e6 + 0.5) / 1e6
+        Some((day, atRisk, d, s))
+      } else None
+      atRisk -= es.size
+      row
+    }
+    val got = Analytics.kaplanMeier(spark, dir)
+      .select($"day", $"n_risk", $"n_converted", $"km_survival")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(got == expected)
+  }
+}
