@@ -416,6 +416,10 @@ object SparkEntry {
     "q312_cusum_changepoints" ->
       ((s, d) => Analytics.cusumChangepoints(s, d)),
     "q313_kaplan_meier" -> ((s, d) => Analytics.kaplanMeier(s, d)),
+    "q314_bq_knn" -> ((s, d) => VectorOps.bqKnn(s, d)),
+    "q315_ccnet_buckets" ->
+      ((s, d) => TextOps.ccnetPerplexityBuckets(s, d)),
+    "q316_bitext_margin" -> ((s, d) => VectorOps.bitextMargin(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

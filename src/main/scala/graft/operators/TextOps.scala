@@ -2228,4 +2228,66 @@ object TextOps {
           / lit(1000000.0)).as("chars_per_token"))
       .orderBy("lang")
   }
+
+  /** q315 — CCNet-style perplexity buckets (Wenzek et al. 2020): the
+    * head/middle/tail TERCILE split of each language's documents by
+    * language-model score that the CommonCrawl curation stack uses as
+    * its quality gate (keep head+middle, drop tail). Scoring is q178's
+    * exact integer unigram-LM derivation; the per-doc key is the
+    * integer per-token NLL (nano-nats, integer div — no float
+    * ordering), and the per-language tercile rank runs through ONE
+    * [[Relational.denseGlobalRank]] two-phase pass over the composite
+    * (lang, npt9, doc_id) key — per-language ranks recovered by
+    * subtracting the 5-row broadcast language-offset frame, so there
+    * is no per-language single-partition sort at any corpus size (the
+    * q21/q268 distributed-rank discipline).
+    *
+    * Emits the mart a curation run publishes: per (lang, bucket) doc
+    * and token volumes, the realized NLL band, language share, and
+    * the keep verdict. */
+  def ccnetPerplexityBuckets(spark: SparkSession, dir: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("t"))
+    val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val totals = tok.agg(count(lit(1)).as("n"),
+      countDistinct("t").as("v")).collect()(0)
+    val (n, v) = (totals.getLong(0), totals.getLong(1))
+    val lp9 = floor(
+      log((col("c") + 1).cast("double") / lit((n + v).toDouble))
+        * lit(1000000000.0) + lit(0.5)).cast("long")
+    val scored = tok.join(broadcast(vocab), "t")
+      .select(col("doc_id"), col("lang"), lp9.as("lp9"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_tokens"), sum("lp9").as("slp9"))
+      .withColumn("npt9", expr("(-slp9) div n_tokens"))
+    val key = concat_ws("|", rpad(col("lang"), 8, " "),
+      lpad(col("npt9").cast("string"), 15, "0"),
+      lpad(col("doc_id").cast("string"), 12, "0"))
+    val ranked = Relational.denseGlobalRank(
+      scored.withColumn("_k", key), "_k", "grk", 0L)
+    val offsets = scored.groupBy("lang").agg(count(lit(1)).as("n_lang"))
+      .withColumn("off", coalesce(sum("n_lang").over(
+        Window.orderBy("lang")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val bucketed = ranked.join(broadcast(offsets), "lang")
+      .withColumn("r", col("grk") - col("off"))
+      .withColumn("bucket",
+        when(col("r") * 3 <= col("n_lang"), lit("head"))
+          .when(col("r") * 3 <= col("n_lang") * 2, lit("middle"))
+          .otherwise(lit("tail")))
+    bucketed.groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"),
+        min("npt9").as("lo9"), max("npt9").as("hi9"),
+        max("n_lang").as("n_lang"))
+      .select(col("lang"), col("bucket"), col("n_docs"), col("n_tokens"),
+        (col("lo9").cast("double") / lit(1.0e9)).as("nll_lo"),
+        (col("hi9").cast("double") / lit(1.0e9)).as("nll_hi"),
+        graft.util.Portable.val6(col("n_docs").cast("double")
+          / col("n_lang").cast("double")).as("share"),
+        (col("bucket") =!= "tail").as("kept"))
+      .orderBy("lang", "bucket")
+  }
 }

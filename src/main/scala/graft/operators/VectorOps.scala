@@ -2473,4 +2473,154 @@ object VectorOps {
         (col("d6").cast("double") / lit(1000000.0)).as("dist"))
       .orderBy("vec_id")
   }
+
+  /** Sign-bit pack: one bit per dimension (set iff x ≥ 0), 32 dims per
+    * long word — the 1-bit BINARY QUANTIZATION every 2024-era vector
+    * store added (32× smaller than float32; Hamming distance between
+    * sign patterns tracks angular distance). Word layout is fixed
+    * little-endian-by-dimension so the oracle's power-of-two sums
+    * reproduce it bit-for-bit. */
+  def bqPack(v: Array[Float]): Array[Long] = {
+    val words = new Array[Long]((v.length + 31) / 32)
+    var i = 0
+    while (i < v.length) {
+      if (v(i) >= 0f) words(i >> 5) |= 1L << (i & 31)
+      i += 1
+    }
+    words
+  }
+
+  /** Hamming distance between two packed sign patterns. */
+  def bqHamming(a: Array[Long], b: Array[Long]): Int = {
+    var h = 0; var i = 0
+    while (i < a.length) { h += java.lang.Long.bitCount(a(i) ^ b(i)); i += 1 }
+    h
+  }
+
+  /** q314 — binary-quantization ANN serve: shortlist by Hamming
+    * distance over 1-bit sign codes (XOR + POPCNT on packed longs —
+    * 32× less I/O than the float corpus, the cheapest rung of the
+    * quantization ladder below int8 q166 / PQ q175), then re-rank the
+    * shortlist with exact float cosine. The response carries BOTH the
+    * Hamming shortlist rank evidence and the exact re-ranked cosine,
+    * so the gate pins the quantizer itself, not just the final order.
+    *
+    * Scale: the codes table is d/8 bytes per vector — at 100 TB of
+    * floats the sign-code sweep reads ~3 TB and the float table is
+    * touched only `shortN` rows per query (the q293 refine
+    * discipline); composes with IVF bucketing for the non-exhaustive
+    * path. Queries broadcast (the sanctioned ≤10-row q35 class); the
+    * shortlist/re-rank windows run per query on ≤shortN rows. */
+  def bqKnn(spark: SparkSession, dir: String,
+      nQueries: Int = 10, shortN: Int = 32, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val codes = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, bqPack(v), v) })
+      .toDF("vec_id", "code", "vec")
+    val q = codes.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"),
+        col("vec").as("qv"))
+    val ham = broadcast(q)
+      .join(codes, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qcode"), col("code"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (qi, ni, qc, nc) =>
+        (qi, ni, bqHamming(qc, nc)) })
+      .toDF("query_id", "neighbor_id", "hamming")
+    val short = ham.withColumn("hrn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(asc("hamming"), asc("neighbor_id"))))
+      .filter(col("hrn") <= shortN)
+    val rer = short
+      .join(q.select(col("query_id"), col("qv")), Seq("query_id"))
+      .join(codes.select(col("vec_id").as("neighbor_id"),
+        col("vec").as("nv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("qv"), col("nv"))
+      .as[(Long, Long, Int, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (qi, ni, h, qv, nv) =>
+        (qi, ni, h, cosOf(qv, nv)) })
+      .toDF("query_id", "neighbor_id", "hamming", "cos")
+    rer.withColumn("rn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        col("hamming"),
+        graft.util.Portable.val6(col("cos")).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** q316 — margin-based BITEXT MINING (Artetxe & Schwenk 2019): the
+    * candidate-pair scorer behind every mined parallel corpus
+    * (CCMatrix/LASER class). Treating label < 5 as the source side and
+    * label ≥ 5 as the target side, each source query's target
+    * candidates are scored by the RATIO margin
+    *
+    *   margin(x, y) = cos(x, y) / ((avgF(x) + avgB(y)) / 2)
+    *
+    * where avgF/avgB are the means of the k nearest cosines in each
+    * DIRECTION — the normalization that kills hub vectors a raw-cosine
+    * threshold can't. Every cosine nano-floors to an integer before
+    * the 4-term neighborhood sums, and the margin is ONE fixed IEEE
+    * tree over those exact integers (8·cos9 / (ΣF9 + ΣB9), micro-
+    * floored) — deterministic on both engines.
+    *
+    * Scale: both kNN legs are the broadcast-query-set scorer at gate
+    * scale and ride the IVF index (q161/q170) at corpus scale; the
+    * backward leg scores only the ≤ nQueries·k distinct candidates.
+    * Emits the best target per source with the accept flag at the
+    * standard 1.05 threshold. */
+  def bitextMargin(spark: SparkSession, dir: String,
+      nQueries: Int = 30, k: Int = 4): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+    val src = e.filter(col("label") < 5)
+      .select(col("vec_id"), col("embedding"))
+    val tgt = e.filter(col("label") >= 5)
+      .select(col("vec_id"), col("embedding"))
+    def cos9Pairs(qs: DataFrame, cs: DataFrame): DataFrame =
+      broadcast(qs.select(col("vec_id").as("qid"), col("embedding").as("qv")))
+        .join(cs.select(col("vec_id").as("cid"), col("embedding").as("cv")),
+          col("qid") =!= col("cid"))
+        .as[(Long, Array[Float], Long, Array[Float])]
+        .mapPartitions(_.map { case (qi, qv, ci, cv) =>
+          (qi, ci, math.floor(cosOf(qv, cv) * 1e9 + 0.5).toLong) })
+        .toDF("qid", "cid", "cos9")
+    val fwd = cos9Pairs(src.filter(col("vec_id") < nQueries), tgt)
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(desc("cos9"), asc("cid"))))
+      .filter(col("rn") <= k)
+      .localCheckpoint() // feeds ΣF9, the candidate set, and the picks
+    val sumF = fwd.groupBy("qid").agg(sum("cos9").as("sf9"))
+    val cands = fwd.select(col("cid")).distinct()
+    val bwd = cos9Pairs(
+        tgt.join(cands, tgt("vec_id") === cands("cid"), "left_semi"), src)
+      .withColumn("rn", row_number().over(Window.partitionBy("qid")
+        .orderBy(desc("cos9"), asc("cid"))))
+      .filter(col("rn") <= k)
+      .groupBy(col("qid").as("cand_id")).agg(sum("cos9").as("sb9"))
+    fwd.select(col("qid").as("src_id"), col("cid").as("tgt_id"),
+        col("cos9"))
+      .join(broadcast(sumF.withColumnRenamed("qid", "src_id")), Seq("src_id"))
+      .join(broadcast(bwd), col("tgt_id") === col("cand_id"))
+      // one fixed IEEE tree over exact integers (the q263 discipline);
+      // integer `div` would diverge from the oracle's floor-division
+      // on a negative-cosine pick
+      .withColumn("margin6",
+        floor((lit(8.0) * col("cos9").cast("double"))
+          / (col("sf9") + col("sb9")).cast("double")
+          * lit(1000000.0) + lit(0.5)).cast("long"))
+      .withColumn("mrn", row_number().over(Window.partitionBy("src_id")
+        .orderBy(desc("margin6"), asc("tgt_id"))))
+      .filter(col("mrn") === 1)
+      .select(col("src_id"), col("tgt_id"),
+        (col("cos9").cast("double") / lit(1.0e9)).as("cos_sim"),
+        (col("margin6").cast("double") / lit(1.0e6)).as("margin"),
+        (col("margin6") >= 1050000L).as("accepted"))
+      .orderBy("src_id")
+  }
 }

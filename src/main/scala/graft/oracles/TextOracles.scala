@@ -1829,5 +1829,39 @@ object TextOracles {
         |FROM shards WHERE sid % 17 = 0
         |ORDER BY shard_id NULLS FIRST, member_idx NULLS FIRST"""
         .stripMargin,
+
+    // q315: CCNet perplexity terciles — q178's exact integer LM score
+    // per doc, integer per-token NLL as the rank key, head/middle/tail
+    // by per-language rank thirds (3r <= n / 3r <= 2n).,
+    "q315_ccnet_buckets" ->
+      s"""WITH tok AS (SELECT doc_id, lang,
+         |    unnest(string_split(text, ' ')) AS t FROM documents),
+         |vo AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+         |  FROM tok GROUP BY 1),
+         |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(COUNT(DISTINCT t) AS BIGINT) AS v FROM tok),
+         |sc AS (SELECT doc_id, MIN(lang) AS lang,
+         |    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(CAST(FLOOR(
+         |      ln(CAST(vo.c + 1 AS DOUBLE) / CAST(tt.n + tt.v AS DOUBLE))
+         |      * 1000000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS slp9
+         |  FROM tok JOIN vo USING (t) CROSS JOIN tt GROUP BY doc_id),
+         |np AS (SELECT doc_id, lang, n_tokens,
+         |    (-slp9) // n_tokens AS npt9 FROM sc),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+         |    ORDER BY npt9 NULLS FIRST, doc_id NULLS FIRST) AS r,
+         |    COUNT(*) OVER (PARTITION BY lang) AS n_lang FROM np),
+         |b AS (SELECT *, CASE WHEN r * 3 <= n_lang THEN 'head'
+         |    WHEN r * 3 <= n_lang * 2 THEN 'middle'
+         |    ELSE 'tail' END AS bucket FROM r)
+         |SELECT lang, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+         |  CAST(MIN(npt9) AS DOUBLE) / 1000000000.0 AS nll_lo,
+         |  CAST(MAX(npt9) AS DOUBLE) / 1000000000.0 AS nll_hi,
+         |  ${val6("CAST(COUNT(*) AS DOUBLE) / CAST(MAX(n_lang) AS DOUBLE)")}
+         |    AS share,
+         |  (bucket <> 'tail') AS kept
+         |FROM b GROUP BY lang, bucket
+         |ORDER BY lang NULLS FIRST, bucket NULLS FIRST""".stripMargin,
   )
 }

@@ -752,5 +752,85 @@ object VectorOracles {
          |GROUP BY t.prefix_dim
          |ORDER BY t.prefix_dim NULLS FIRST""".stripMargin
     },
+
+    // q314: binary-quantization serve — sign bits packed 32/word as
+    // power-of-two sums, Hamming = bit_count(xor) over the two words,
+    // exact-cosine re-rank of the 32-deep shortlist.,
+    "q314_bq_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c AS (SELECT vec_id, embedding,
+         |    list_reduce(list_transform(range(1, 33),
+         |      i -> CASE WHEN embedding[i] >= 0
+         |        THEN CAST(1 AS BIGINT) << (i - 1)
+         |        ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y) AS w0,
+         |    list_reduce(list_transform(range(33, 65),
+         |      i -> CASE WHEN embedding[i] >= 0
+         |        THEN CAST(1 AS BIGINT) << (i - 33)
+         |        ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y) AS w1
+         |  FROM e),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    w0 AS q0, w1 AS q1 FROM c WHERE vec_id < 10),
+         |h AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    bit_count(xor(q.q0, c.w0)) + bit_count(xor(q.q1, c.w1))
+         |      AS hamming,
+         |    q.qv, c.embedding AS nv
+         |  FROM q JOIN c ON q.query_id <> c.vec_id),
+         |sh AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY hamming NULLS FIRST, neighbor_id NULLS FIRST)
+         |    AS hrn FROM h),
+         |rr AS (SELECT query_id, neighbor_id, hamming,
+         |    ${cosCols("qv", "nv")} AS cos
+         |  FROM sh WHERE hrn <= 32),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST)
+         |    AS rn FROM rr)
+         |SELECT query_id, rn AS "rank", neighbor_id, hamming,
+         |  ${val6("cos")} AS cos_sim
+         |FROM rk WHERE rn <= 5
+         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
+    // q316: margin-based bitext mining — nano-floored cosines, 4-NN
+    // neighborhood sums in each direction, the margin ONE fixed IEEE
+    // tree over exact integers, micro-floored before ranking.,
+    "q316_bitext_margin" ->
+      s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+         |s AS (SELECT vec_id, embedding FROM e WHERE label < 5),
+         |t AS (SELECT vec_id, embedding FROM e WHERE label >= 5),
+         |fp AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    CAST(FLOOR((${cosExpr("q", "c")})
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS cos9
+         |  FROM s q JOIN t c
+         |  ON q.vec_id < 30 AND q.vec_id <> c.vec_id),
+         |fr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos9 DESC NULLS LAST, cid NULLS FIRST) AS rn
+         |  FROM fp),
+         |fwd AS (SELECT qid, cid, cos9 FROM fr WHERE rn <= 4),
+         |sf AS (SELECT qid, CAST(SUM(cos9) AS BIGINT) AS sf9
+         |  FROM fwd GROUP BY 1),
+         |bp AS (SELECT q.vec_id AS qid, c.vec_id AS cid,
+         |    CAST(FLOOR((${cosExpr("q", "c")})
+         |      * 1000000000.0 + 0.5) AS BIGINT) AS cos9
+         |  FROM t q JOIN s c
+         |  ON q.vec_id IN (SELECT DISTINCT cid FROM fwd)
+         |    AND q.vec_id <> c.vec_id),
+         |br AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |    ORDER BY cos9 DESC NULLS LAST, cid NULLS FIRST) AS rn
+         |  FROM bp),
+         |sb AS (SELECT qid AS cand_id, CAST(SUM(cos9) AS BIGINT) AS sb9
+         |  FROM br WHERE rn <= 4 GROUP BY 1),
+         |m AS (SELECT fwd.qid AS src_id, fwd.cid AS tgt_id, fwd.cos9,
+         |    CAST(FLOOR((8.0 * CAST(fwd.cos9 AS DOUBLE))
+         |      / CAST(sf.sf9 + sb.sb9 AS DOUBLE)
+         |      * 1000000.0 + 0.5) AS BIGINT) AS margin6
+         |  FROM fwd JOIN sf USING (qid)
+         |  JOIN sb ON fwd.cid = sb.cand_id),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id
+         |    ORDER BY margin6 DESC NULLS LAST, tgt_id NULLS FIRST)
+         |    AS mrn FROM m)
+         |SELECT src_id, tgt_id,
+         |  CAST(cos9 AS DOUBLE) / 1000000000.0 AS cos_sim,
+         |  CAST(margin6 AS DOUBLE) / 1000000.0 AS margin,
+         |  margin6 >= 1050000 AS accepted
+         |FROM r WHERE mrn = 1 ORDER BY src_id NULLS FIRST""".stripMargin,
   )
 }

@@ -87,8 +87,12 @@ class PlanAuditSpec extends SparkSpec {
     "q311_shapley_attribution", // subset-lattice joins: every frame is
                                 // the ≤2^k mask/subset table (k = 4)
                                 // or the 1-row φ-total scalar
-    "q313_kaplan_meier")      // 1-row obs-end scalar cross join
+    "q313_kaplan_meier",      // 1-row obs-end scalar cross join
                               // (q262's exact shape)
+    "q314_bq_knn",            // broadcast ≤10-row query set vs the
+                              // code/corpus stream (the q35 class)
+    "q316_bitext_margin")     // both kNN legs are broadcast bounded
+                              // query sets (≤30 queries / ≤120 cands)
 
   // reviewed single-partition sites: global scalar finals + windows
   // over aggregate-grain frames (input cardinality is bounded by the
@@ -160,8 +164,11 @@ class PlanAuditSpec extends SparkSpec {
                                  // window over the 20 post-limit rows
     "q311_shapley_attribution",  // 16-row coalition-value aggregate +
                                  // the 1-row φ-total final
-    "q313_kaplan_meier")      // KM running sums over DAY-grain risk
+    "q313_kaplan_meier",      // KM running sums over DAY-grain risk
                               // sets (q262's reviewed shape)
+    "q315_ccnet_buckets")     // language-offset prefix window over the
+                              // ≤|langs| frame (the rank itself is the
+                              // two-phase distributed pass)
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is

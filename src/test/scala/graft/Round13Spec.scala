@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Analytics, Events}
+import graft.operators.{Analytics, Events, TextOps, VectorOps}
 
 /** Round-8 additions, third batch: exact Shapley channel attribution
   * (q311), CUSUM mean-shift changepoints (q312), Kaplan–Meier
@@ -154,5 +154,92 @@ class Round13Spec extends SparkSpec {
       .select($"day", $"n_risk", $"n_converted", $"km_survival")
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
     assert(got == expected)
+  }
+
+  // ---- q314 binary-quantization serve ------------------------------
+
+  test("q314: hamming matches the packed sign codes, re-ranked " +
+      "cosines are exact, and BQ recall@5 is a real signal") {
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    def bruteTop5(qi: Long): Set[Long] =
+      e.toSeq.filter(_._1 != qi)
+        .map { case (ni, v) => (ni, VectorOps.cosOf(e(qi), v)) }
+        .sortBy { case (ni, c) => (-c, ni) }.take(5).map(_._1).toSet
+    val got = VectorOps.bqKnn(spark, dir)
+      .select($"query_id", $"neighbor_id", $"hamming", $"cos_sim")
+      .as[(Long, Long, Int, Double)].collect()
+    got.foreach { case (qi, ni, h, cs) =>
+      val hx = VectorOps.bqHamming(
+        VectorOps.bqPack(e(qi)), VectorOps.bqPack(e(ni)))
+      assert(h == hx, s"q$qi n$ni hamming $h != packed $hx")
+      val exact =
+        math.floor(VectorOps.cosOf(e(qi), e(ni)) * 1e6 + 0.5) / 1e6
+      assert(cs == exact)
+      assert(h >= 0 && h <= e(qi).length)
+    }
+    val recall = got.count { case (qi, ni, _, _) => bruteTop5(qi)(ni) }
+    assert(recall >= got.length / 2,
+      s"BQ recall $recall/${got.length} below the half floor")
+  }
+
+  // ---- q315 CCNet perplexity buckets --------------------------------
+
+  test("q315: per-language tercile sizes are exact rank thirds and " +
+      "volumes reconcile with the corpus") {
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    val got = TextOps.ccnetPerplexityBuckets(spark, dir)
+      .select($"lang", $"bucket", $"n_docs", $"kept")
+      .as[(String, String, Long, Boolean)].collect()
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      val n = docs(lang)
+      val by = rows.map(r => r._2 -> r._3).toMap
+      // |head| = floor(n/3), |middle| = floor(2n/3) - floor(n/3)
+      assert(by.getOrElse("head", 0L) == n / 3, s"$lang head")
+      assert(by.getOrElse("middle", 0L) == 2 * n / 3 - n / 3,
+        s"$lang middle")
+      assert(by.getOrElse("tail", 0L) == n - 2 * n / 3, s"$lang tail")
+      assert(rows.map(_._3).sum == n)
+    }
+    got.foreach { case (_, b, _, kept) => assert(kept == (b != "tail")) }
+    assert(got.map(_._1).distinct.length == docs.size)
+  }
+
+  // ---- q316 margin-based bitext mining ------------------------------
+
+  test("q316: margins replay from brute-force directional " +
+      "neighborhoods and the accept flag is the stated threshold") {
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, Int, Array[Float])].collect()
+    val src = e.filter(_._2 < 5).map(t => t._1 -> t._3).toMap
+    val tgt = e.filter(_._2 >= 5).map(t => t._1 -> t._3).toMap
+    def cos9(a: Array[Float], b: Array[Float]): Long =
+      math.floor(VectorOps.cosOf(a, b) * 1e9 + 0.5).toLong
+    def top4(q: Array[Float], side: Map[Long, Array[Float]])
+        : Seq[(Long, Long)] =
+      side.toSeq.map { case (i, v) => (i, cos9(q, v)) }
+        .sortBy { case (i, c) => (-c, i) }.take(4)
+    val got = VectorOps.bitextMargin(spark, dir)
+      .select($"src_id", $"tgt_id", $"margin", $"accepted")
+      .as[(Long, Long, Double, Boolean)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (si, ti, m, acc) =>
+      assert(src.contains(si) && si < 30)
+      assert(tgt.contains(ti))
+      val fwd = top4(src(si), tgt)
+      val sf9 = fwd.map(_._2).sum
+      // the reported pick must be the best-margin member of fwd
+      val margins = fwd.map { case (ci, c9) =>
+        val sb9 = top4(tgt(ci), src).map(_._2).sum
+        (ci, math.floor(8.0 * c9 / (sf9 + sb9) * 1e6 + 0.5).toLong)
+      }
+      val best = margins.sortBy { case (ci, m6) => (-m6, ci) }.head
+      assert(ti == best._1 && m == best._2.toDouble / 1e6,
+        s"src $si: got ($ti, $m) want $best")
+      assert(acc == (best._2 >= 1050000L))
+    }
   }
 }
