@@ -420,6 +420,8 @@ object SparkEntry {
     "q315_ccnet_buckets" ->
       ((s, d) => TextOps.ccnetPerplexityBuckets(s, d)),
     "q316_bitext_margin" -> ((s, d) => VectorOps.bitextMargin(s, d)),
+    "q317_eventgen_agg_pushdown" ->
+      (graft.sources.v2.EventGen.aggPushSummary _),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

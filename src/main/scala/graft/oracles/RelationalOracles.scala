@@ -561,6 +561,26 @@ object RelationalOracles {
          |FROM phi JOIN tu USING (channel) CROSS JOIN tot
          |ORDER BY channel NULLS FIRST""".stripMargin,
 
+    // q317: the q71 generator arithmetic replayed under AGGREGATE
+    // pushdown — counts and user_id sums exact longs, min/max doubles
+    // order-free, so partial pre-aggregation in the readers cannot
+    // change a single value.,
+    "q317_eventgen_agg_pushdown" ->
+      s"""WITH g AS (SELECT i AS event_id,
+         |    ${h32("CAST(i AS VARCHAR)")} AS h
+         |  FROM range(20000, 80000) t(i)),
+         |e AS (SELECT event_id,
+         |    h % 500 AS user_id,
+         |    ['view','cart','purchase','refund','support']
+         |      [CAST((h // 500) % 5 AS INT) + 1] AS event_type,
+         |    CAST(h % 10000 AS DOUBLE) / 100.0 AS value
+         |  FROM g)
+         |SELECT event_type, COUNT(event_id) AS n_events,
+         |  CAST(SUM(user_id) AS BIGINT) AS sum_uid,
+         |  MIN(value) AS min_value, MAX(value) AS max_value
+         |FROM e GROUP BY 1
+         |ORDER BY event_type NULLS FIRST""".stripMargin,
+
     // Stream-drain of the DSv2 micro-batch surface must equal batch
     // generation over the full id range (5 admission-controlled
     // triggers x 10k ids).,

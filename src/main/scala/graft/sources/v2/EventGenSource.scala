@@ -6,8 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -78,6 +79,32 @@ object EventGen {
       .orderBy("event_type")
   }
 
+  /** q317: the SAME aggregate shape served by AGGREGATE PUSHDOWN
+    * (`SupportsPushDownAggregates`) — the GROUP BY event_type
+    * COUNT/SUM(user_id)/MIN/MAX(value) collapses inside each partition
+    * reader, so the scan emits ≤ partitions·|types| pre-aggregated
+    * rows instead of 60k generated events, composed UNDER the absorbed
+    * event_id range filters (pushdown only fires when no residual
+    * filter remains — the DSv2 contract). Spark's final merge
+    * aggregate makes it the partial-pushdown shape every JDBC-class
+    * connector implements; `Round13Spec` pins that the executed scan
+    * really served the aggregation and that a non-absorbable filter
+    * falls back to the row path with identical results. */
+  def aggPushSummary(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("graft-eventgen")
+      .option("rows", 100000L).option("partitions", 10)
+      .option("users", 500L).load()
+      .filter(col("event_id") >= 20000L && col("event_id") < 80000L)
+      .groupBy("event_type")
+      .agg(count(col("event_id")).as("n_events"),
+        sum("user_id").as("sum_uid"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+      .orderBy("event_type")
+  }
+
   /** q74: the SAME connector read as a rate-limited micro-batch stream
     * (5 triggers × 10k ids via admission control), aggregated and
     * drained with AvailableNow. The oracle regenerates the full id
@@ -141,12 +168,15 @@ class EventGenTable(options: CaseInsensitiveStringMap) extends Table with Suppor
 class EventGenScanBuilder(rows: Long, numPartitions: Int, users: Long,
     startSec: Long, batchRows: Long = 10000L)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = EventGen.schema
+  private var aggOps: Option[Seq[String]] = None
+  private var aggSchema: StructType = EventGen.schema
 
   /** Absorb event_id range/equality predicates into the generated
     * interval; everything else stays with Spark. An absorbed filter is
@@ -177,16 +207,67 @@ class EventGenScanBuilder(rows: Long, numPartitions: Int, users: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** Aggregate pushdown (`SupportsPushDownAggregates`): a
+    * GROUP BY event_type over COUNT(*)/COUNT(col), SUM(user_id),
+    * MIN(value), MAX(value) collapses in the reader — each partition
+    * emits ≤ |types| pre-aggregated rows instead of its id range, so
+    * the exchange carries partitions·|types| rows at ANY generated
+    * volume (the row-transfer win aggregate pushdown exists for; Spark
+    * still runs the final merge aggregate, so this is the PARTIAL
+    * contract and values stay exact). Composes with the absorbed
+    * event_id range filters: Spark only offers the aggregation once
+    * every pushed filter left no residual. Anything outside this shape
+    * (distinct, other columns, float sums whose partial order Spark
+    * may not fix) is declined and falls back to the row scan. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    def fieldOf(e: Expression): Option[String] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    val grpOk = aggregation.groupByExpressions.toSeq match {
+      case Seq(g) => fieldOf(g).contains("event_type")
+      case _ => false
+    }
+    if (!grpOk) return false
+    val ops: Seq[Option[(String, DataType)]] =
+      aggregation.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some("count_star" -> LongType)
+        case c: Count if !c.isDistinct
+            && fieldOf(c.column).contains("event_id") =>
+          Some("count_star" -> LongType) // event_id is never null
+        case s: Sum if !s.isDistinct
+            && fieldOf(s.column).contains("user_id") =>
+          Some("sum_user_id" -> LongType)
+        case m: Min if fieldOf(m.column).contains("value") =>
+          Some("min_value" -> DoubleType)
+        case m: Max if fieldOf(m.column).contains("value") =>
+          Some("max_value" -> DoubleType)
+        case _ => None
+      }
+    if (ops.exists(_.isEmpty)) return false
+    aggOps = Some(ops.flatten.map(_._1))
+    // the pushed-scan schema convention (positional): group-by columns
+    // first, then each aggregate in its pushed order
+    aggSchema = StructType(
+      StructField("event_type", StringType, nullable = false) +:
+        ops.flatten.map { case (n, t) =>
+          StructField(n, t, nullable = false) })
+    true
+  }
+
   override def build(): Scan =
     new EventGenScan(lo, math.max(lo, hi), numPartitions, users, startSec,
-      required, rows, batchRows)
+      if (aggOps.isDefined) aggSchema else required, rows, batchRows,
+      aggOps)
 }
 
 case class EventGenPartition(start: Long, end: Long) extends InputPartition
 
 class EventGenScan(lo: Long, hi: Long, numPartitions: Int, users: Long,
     startSec: Long, required: StructType, totalRows: Long,
-    batchRows: Long = 10000L) extends Scan with Batch {
+    batchRows: Long = 10000L, aggOps: Option[Seq[String]] = None)
+    extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def toMicroBatchStream(checkpointLocation: String)
@@ -194,7 +275,9 @@ class EventGenScan(lo: Long, hi: Long, numPartitions: Int, users: Long,
     new EventGenMicroBatchStream(lo, hi, numPartitions, users, startSec,
       required, batchRows)
   override def description(): String =
-    s"EventGen[range=[$lo,$hi), partitions<=$numPartitions, pruned=${required.fieldNames.mkString(",")}]"
+    s"EventGen[range=[$lo,$hi), partitions<=$numPartitions, " +
+      s"pruned=${required.fieldNames.mkString(",")}" +
+      aggOps.map(o => s", aggPushed=${o.mkString("+")}").getOrElse("") + "]"
 
   /** Chunk the FULL id space evenly, then intersect each chunk with the
     * pushed range — empty chunks are never scheduled (partition
@@ -211,7 +294,11 @@ class EventGenScan(lo: Long, hi: Long, numPartitions: Int, users: Long,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EventGenReaderFactory(users, startSec, required)
+    new EventGenReaderFactory(users, startSec, required, aggOps)
+
+  /** Exposed for the plan-shape spec: whether this scan serves a
+    * pushed aggregation. */
+  def aggPushed: Boolean = aggOps.isDefined
 }
 
 /** Streaming offset = position in the id space (a Kafka-offset
@@ -277,12 +364,65 @@ class EventGenMicroBatchStream(lo: Long, hi: Long, numPartitions: Int,
     new EventGenReaderFactory(users, startSec, required)
 }
 
-class EventGenReaderFactory(users: Long, startSec: Long, required: StructType)
+class EventGenReaderFactory(users: Long, startSec: Long,
+    required: StructType, aggOps: Option[Seq[String]] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[EventGenPartition]
-    new EventGenReader(p.start, p.end, users, startSec, required)
+    aggOps match {
+      case Some(ops) =>
+        new EventGenAggReader(p.start, p.end, users, ops)
+      case None =>
+        new EventGenReader(p.start, p.end, users, startSec, required)
+    }
   }
+}
+
+/** Serves a pushed partial aggregation: one generator pass over the
+  * partition's id range folds into per-type counters, then emits
+  * ≤ |types| rows in the pushed-aggregation schema (group column
+  * first, then each aggregate in its pushed order). Counts and
+  * user_id sums are exact longs; min/max are order-free — nothing
+  * here depends on fold order, so the partial contract is safe. */
+class EventGenAggReader(start: Long, end: Long, users: Long,
+    ops: Seq[String]) extends PartitionReader[InternalRow] {
+  private val it: Iterator[InternalRow] = {
+    val nTypes = EventGen.types.length
+    val counts = new Array[Long](nTypes)
+    val sums = new Array[Long](nTypes)
+    val mins = Array.fill(nTypes)(Double.MaxValue)
+    val maxs = Array.fill(nTypes)(Double.MinValue)
+    var id = start
+    while (id < end) {
+      val h = EventGen.hash32(id)
+      val t = ((h / users) % nTypes).toInt
+      counts(t) += 1
+      sums(t) += h % users
+      val v = (h % 10000L).toDouble / 100.0
+      if (v < mins(t)) mins(t) = v
+      if (v > maxs(t)) maxs(t) = v
+      id += 1
+    }
+    (0 until nTypes).iterator.filter(counts(_) > 0).map { t =>
+      // explicit boxing: a bare Long/Double match would LUB-widen the
+      // long branches to Double and corrupt the typed InternalRow
+      val vals: Seq[Any] = ops.map {
+        case "count_star" => java.lang.Long.valueOf(counts(t))
+        case "sum_user_id" => java.lang.Long.valueOf(sums(t))
+        case "min_value" => java.lang.Double.valueOf(mins(t))
+        case "max_value" => java.lang.Double.valueOf(maxs(t))
+      }
+      InternalRow.fromSeq(
+        UTF8String.fromString(EventGen.types(t)) +: vals)
+    }
+  }
+  private var row: InternalRow = _
+  override def next(): Boolean = {
+    if (!it.hasNext) return false
+    row = it.next(); true
+  }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 /** Generates only the pruned columns; md5 is skipped entirely when no

@@ -184,6 +184,64 @@ class Round13Spec extends SparkSpec {
       s"BQ recall $recall/${got.length} below the half floor")
   }
 
+  // ---- q317 DSv2 aggregate pushdown ---------------------------------
+
+  private def eventGenScans(df: org.apache.spark.sql.DataFrame)
+      : Seq[graft.sources.v2.EventGenScan] = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p match {
+        case a: AdaptiveSparkPlanExec => leaves(a.initialPlan)
+        case other => other.collectLeaves().flatMap {
+          case a: AdaptiveSparkPlanExec => leaves(a.initialPlan)
+          case l => Seq(l)
+        }
+      }
+    leaves(df.queryExecution.executedPlan).collect {
+      case b: BatchScanExec => b.scan
+    }.collect { case s: graft.sources.v2.EventGenScan => s }
+  }
+
+  test("q317: the executed scan serves the pushed aggregation, and a " +
+      "non-absorbable filter falls back to the row path with " +
+      "identical results") {
+    val pushed = graft.sources.v2.EventGen.aggPushSummary(spark, dir)
+    val scans = eventGenScans(pushed)
+    assert(scans.nonEmpty && scans.forall(_.aggPushed),
+      s"expected an agg-pushed EventGenScan, got ${scans.map(_.description())}")
+    // same aggregate with a residual (non-absorbable) filter: pushdown
+    // must decline, results must agree
+    val fallback = spark.read.format("graft-eventgen")
+      .option("rows", 100000L).option("partitions", 10)
+      .option("users", 500L).load()
+      .filter($"event_id" >= 20000L && $"event_id" < 80000L)
+      .filter(length($"event_type") > 0) // residual: blocks agg pushdown
+      .groupBy("event_type")
+      .agg(count($"event_id").as("n_events"),
+        sum("user_id").as("sum_uid"),
+        min("value").as("min_value"),
+        max("value").as("max_value"))
+    val fbScans = eventGenScans(fallback)
+    assert(fbScans.nonEmpty && fbScans.forall(!_.aggPushed))
+    val a = pushed.orderBy("event_type").collect().toSeq
+    val b = fallback.orderBy("event_type").collect().toSeq
+    assert(a == b, s"pushed $a != fallback $b")
+    assert(a.size == 5)
+  }
+
+  test("q317: distinct aggregates decline pushdown but stay correct") {
+    val distinctQ = spark.read.format("graft-eventgen")
+      .option("rows", 10000L).option("partitions", 4)
+      .option("users", 500L).load()
+      .groupBy("event_type")
+      .agg(countDistinct("user_id").as("n_users"))
+    assert(eventGenScans(distinctQ).forall(!_.aggPushed))
+    assert(distinctQ.collect().map(_.getLong(1)).forall(n =>
+      n > 0 && n <= 500))
+  }
+
   // ---- q315 CCNet perplexity buckets --------------------------------
 
   test("q315: per-language tercile sizes are exact rank thirds and " +
