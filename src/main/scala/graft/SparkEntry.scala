@@ -422,6 +422,8 @@ object SparkEntry {
     "q316_bitext_margin" -> ((s, d) => VectorOps.bitextMargin(s, d)),
     "q317_eventgen_agg_pushdown" ->
       (graft.sources.v2.EventGen.aggPushSummary _),
+    "q318_warc_record_walk" ->
+      ((s, d) => graft.operators.Multimodal.warcRecordWalk(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

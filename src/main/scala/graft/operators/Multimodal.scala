@@ -861,4 +861,135 @@ object Multimodal {
         }
     }
   }
+
+  /** q318's synthetic WARC shard corpus — the SAME member population
+    * as the tar/zip shards (per-shard record counts, md5-stream
+    * payloads, every 17th shard truncated) laid out as uncompressed
+    * WARC/1.0 records: CRLF-terminated named headers
+    * (WARC-Type/WARC-Target-URI/WARC-Date/Content-Length), a blank
+    * line, `Content-Length` payload bytes, and the mandatory
+    * double-CRLF record separator. Pure SQL expressions end to end
+    * (hex-assembled like the tar generator), so the oracle can
+    * re-derive the listing from the closed form. */
+  def syntheticWarcShards(spark: SparkSession, n: Int): DataFrame = {
+    val mem = spark.range(n.toLong).select(col("id").as("sid"))
+      .select(col("sid"),
+        explode(sequence(lit(0L), col("sid") % 3 + 1)).as("j"))
+      .withColumn("uri",
+        concat(lit("http://ex.com/s"), col("sid").cast("string"),
+          lit("/p"), col("j").cast("string")))
+      .withColumn("sz", (col("sid") * 37 + col("j") * 19) % 300)
+      .withColumn("hdr", concat(
+        lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: "),
+        col("uri"),
+        lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\nContent-Length: "),
+        col("sz").cast("string"), lit("\r\n\r\n")))
+      .withColumn("recHex", concat(hex(col("hdr")),
+        expr("substr(repeat(md5(concat(cast(sid as string), ':'," +
+          " cast(j as string))), 19), 1, cast(sz * 2 as int))"),
+        lit(hx("\r\n\r\n"))))
+    mem.groupBy("sid")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(j, recHex)))," +
+          " x -> x.recHex)"), "").as("body"))
+      .select(col("sid").as("shard_id"),
+        when(col("sid") % 17 === 0,
+          substring(unhex(col("body")), 1, 50))
+          .otherwise(unhex(col("body"))).as("bytes"))
+  }
+
+  /** q318 — the WARC record WALK: the container format the web-crawl
+    * corpus world actually ships (Common Crawl's carrier), completing
+    * the shard-walk family next to tar q289 (offset streams), zip
+    * q302 (central directory), mp4 q242 (box tree). The walker is a
+    * real parser: version line, CRLF header block with named-field
+    * extraction, Content-Length-driven payload skip, the double-CRLF
+    * separator check, and exact end-of-shard accounting; any
+    * violation (truncation, bad version, missing/non-numeric length,
+    * broken separator) degrades the shard to one -1-sentinel row.
+    * Each record row carries the hex of its first 8 payload bytes
+    * read from the computed offset, so the gate pins the offset
+    * arithmetic, not just the header decode.
+    *
+    * Scan-local in one mapPartitions (shards independent); the only
+    * shuffle is the output ORDER BY — at 100 TB the walk runs where
+    * the crawl bytes live and emits the seekable record index. */
+  def warcRecordWalk(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    syntheticWarcShards(spark, 500)
+      .select(col("shard_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (sid, bytes) =>
+        warcWalk(sid, bytes) })
+      .toDF("shard_id", "record_idx", "warc_type", "target_uri",
+        "content_length", "payload_head")
+      .orderBy("shard_id", "record_idx")
+  }
+
+  /** The q318 walker kernel, callable on raw bytes (spec surface). */
+  private[graft] def warcWalk(sid: Long, bytes: Array[Byte])
+      : Seq[(Long, Int, String, String, Long, String)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Int, String, String, Long, String)]
+    def corrupt = Seq((sid, -1, "", "", -1L, ""))
+    // reads one CRLF-terminated line; None on truncation
+    def line(off: Int): Option[(String, Int)] = {
+      var i = off
+      while (i + 1 < bytes.length &&
+          !(bytes(i) == '\r' && bytes(i + 1) == '\n')) i += 1
+      if (i + 1 >= bytes.length) None
+      else Some((new String(bytes, off, i - off,
+        java.nio.charset.StandardCharsets.US_ASCII), i + 2))
+    }
+    var off = 0
+    var ok = true
+    var idx = 0
+    while (ok && off < bytes.length) {
+      line(off) match {
+        case Some(("WARC/1.0", afterVersion)) =>
+          var p = afterVersion
+          var wtype = ""; var uri = ""; var len = -1L
+          var headersOk = true
+          var blank = false
+          while (headersOk && !blank) {
+            line(p) match {
+              case Some(("", np)) => blank = true; p = np
+              case Some((l, np)) =>
+                val c = l.indexOf(": ")
+                if (c <= 0) headersOk = false
+                else {
+                  val (k, v) = (l.substring(0, c), l.substring(c + 2))
+                  k match {
+                    case "WARC-Type" => wtype = v
+                    case "WARC-Target-URI" => uri = v
+                    case "Content-Length" =>
+                      if (v.nonEmpty && v.forall(_.isDigit))
+                        len = v.toLong
+                      else headersOk = false
+                    case _ => ()
+                  }
+                  p = np
+                }
+              case None => headersOk = false
+            }
+          }
+          if (!headersOk || len < 0 ||
+              p + len + 4 > bytes.length ||
+              bytes(p + len.toInt) != '\r' ||
+              bytes(p + len.toInt + 1) != '\n' ||
+              bytes(p + len.toInt + 2) != '\r' ||
+              bytes(p + len.toInt + 3) != '\n') ok = false
+          else {
+            val headLen = math.min(8L, len).toInt
+            val head = (0 until headLen)
+              .map(i => f"${bytes(p + i)}%02X").mkString
+            out += ((sid, idx, wtype, uri, len, head))
+            idx += 1
+            off = p + len.toInt + 4
+          }
+        case _ => ok = false
+      }
+    }
+    if (ok) out.toSeq else corrupt
+  }
 }

@@ -1830,6 +1830,32 @@ object TextOracles {
         |ORDER BY shard_id NULLS FIRST, member_idx NULLS FIRST"""
         .stripMargin,
 
+    // q318: WARC record walk — the oracle re-derives the listing from
+    // the generator's closed form (record population, sizes, md5
+    // payload streams); header/separator/offset validation lives in
+    // the walker.,
+    "q318_warc_record_walk" ->
+      """WITH shards AS (SELECT r AS sid FROM range(500) t(r)),
+        |mem AS (SELECT sid, UNNEST(range(0, sid % 3 + 2)) AS j
+        |  FROM shards),
+        |base AS (SELECT sid, j,
+        |    'http://ex.com/s' || CAST(sid AS VARCHAR) || '/p'
+        |      || CAST(j AS VARCHAR) AS uri,
+        |    (sid * 37 + j * 19) % 300 AS sz
+        |  FROM mem)
+        |SELECT sid AS shard_id, CAST(j AS INT) AS record_idx,
+        |  'response' AS warc_type, uri AS target_uri,
+        |  CAST(sz AS BIGINT) AS content_length,
+        |  upper(substr(repeat(md5(CAST(sid AS VARCHAR) || ':'
+        |      || CAST(j AS VARCHAR)), 19),
+        |    1, CAST(LEAST(16, sz * 2) AS INT))) AS payload_head
+        |FROM base WHERE sid % 17 <> 0
+        |UNION ALL
+        |SELECT sid, CAST(-1 AS INT), '', '', CAST(-1 AS BIGINT), ''
+        |FROM shards WHERE sid % 17 = 0
+        |ORDER BY shard_id NULLS FIRST, record_idx NULLS FIRST"""
+        .stripMargin,
+
     // q315: CCNet perplexity terciles — q178's exact integer LM score
     // per doc, integer per-token NLL as the rank key, head/middle/tail
     // by per-language rank thirds (3r <= n / 3r <= 2n).,

@@ -242,6 +242,68 @@ class Round13Spec extends SparkSpec {
       n > 0 && n <= 500))
   }
 
+  // ---- q318 WARC record walk ----------------------------------------
+
+  private def warcBytes(records: Seq[(String, Array[Byte])]): Array[Byte] =
+    records.flatMap { case (uri, payload) =>
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n")
+        .getBytes("US-ASCII") ++ payload ++ "\r\n\r\n".getBytes("US-ASCII")
+    }.toArray
+
+  test("q318: the walker parses hand-built WARC bytes and degrades " +
+      "every violation to the sentinel") {
+    import graft.operators.Multimodal.warcWalk
+    val good = warcBytes(Seq(
+      ("http://a/1", "hello".getBytes("US-ASCII")),
+      ("http://a/2", Array.empty[Byte]),
+      ("http://a/3", Array.tabulate(12)(_.toByte))))
+    assert(warcWalk(7L, good) == Seq(
+      (7L, 0, "response", "http://a/1", 5L, "68656C6C6F"),
+      (7L, 1, "response", "http://a/2", 0L, ""),
+      (7L, 2, "response", "http://a/3", 12L, "0001020304050607")))
+    val sentinel = Seq((7L, -1, "", "", -1L, ""))
+    // truncation mid-payload
+    assert(warcWalk(7L, good.dropRight(9)) == sentinel)
+    // broken record separator
+    val noSep = good.clone(); noSep(good.length - 1) = 'x'.toByte
+    assert(warcWalk(7L, noSep) == sentinel)
+    // bad version line
+    val badV = good.clone(); badV(5) = '2'.toByte
+    assert(warcWalk(7L, badV) == sentinel)
+    // non-numeric Content-Length
+    val cl = new String(good, "ISO-8859-1")
+      .replaceFirst("Content-Length: 5", "Content-Length: 5x")
+      .getBytes("ISO-8859-1")
+    assert(warcWalk(7L, cl) == sentinel)
+    // garbage trailer after a clean last record
+    assert(warcWalk(7L, good ++ Array[Byte](0)) == sentinel)
+  }
+
+  test("q318: the gated walk reconciles with the generator's closed " +
+      "form (record population and payload streams)") {
+    val got = graft.operators.Multimodal.warcRecordWalk(spark, dir)
+      .select($"shard_id", $"record_idx", $"target_uri",
+        $"content_length", $"payload_head")
+      .as[(Long, Int, String, Long, String)].collect()
+    val (bad, good) = got.partition(_._2 == -1)
+    assert(bad.map(_._1).toSet == (0L until 500L).filter(_ % 17 == 0).toSet)
+    good.groupBy(_._1).foreach { case (sid, rs) =>
+      assert(rs.length == (sid % 3 + 2).toInt, s"shard $sid count")
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    good.filter(_._1 < 40).foreach { case (sid, j, uri, len, head) =>
+      assert(uri == s"http://ex.com/s$sid/p$j")
+      assert(len == (sid * 37 + j * 19) % 300)
+      val hexStream = (1 to 19).map(_ =>
+        md.digest(s"$sid:$j".getBytes("UTF-8"))
+          .map(b => f"$b%02x").mkString).mkString
+      assert(head == hexStream.take(math.min(16L, len * 2).toInt)
+        .toUpperCase)
+    }
+  }
+
   // ---- q315 CCNet perplexity buckets --------------------------------
 
   test("q315: per-language tercile sizes are exact rank thirds and " +
