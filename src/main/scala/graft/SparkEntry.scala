@@ -424,6 +424,9 @@ object SparkEntry {
       (graft.sources.v2.EventGen.aggPushSummary _),
     "q318_warc_record_walk" ->
       ((s, d) => graft.operators.Multimodal.warcRecordWalk(s, d)),
+    "q319_did_lift" -> ((s, d) => Analytics.didPromoLift(s, d)),
+    "q320_streaming_cusum" ->
+      ((s, d) => streaming.StreamingEwma.cusumMonitor(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

@@ -2250,12 +2250,21 @@ object Analytics {
           .as("cents"))
       .groupBy("brand", "day")
       .agg(sum("cents").as("x"))
-    val byBrand = Window.partitionBy("brand")
-    val ordered = byBrand.orderBy("day")
+    cusumFrom(daily, "brand")
+  }
+
+  /** The q312/q320 CUSUM core: `d` must carry exact integer `x` cents
+    * at (keyCol, day) grain; emits the (key, direction) alarm mart.
+    * Shared by the batch changepoint scan and the streaming monitor —
+    * the drained maintained state must read off the identical
+    * statistic. */
+  private[graft] def cusumFrom(d: DataFrame, keyCol: String): DataFrame = {
+    val ordered = Window.partitionBy(keyCol).orderBy("day")
       .rowsBetween(Window.unboundedPreceding, 0)
-    val withK = daily
+    val withK = d
       .withColumn("k_allow",
-        expr("sum(x) over (partition by brand) div count(1) over (partition by brand)"))
+        expr(s"sum(x) over (partition by $keyCol)" +
+          s" div count(1) over (partition by $keyCol)"))
       .withColumn("p", sum(col("x") - col("k_allow")).over(ordered))
     // the recursion's P_0 = 0 belongs in the extrema: an excursion
     // that never dips below its start must still measure from 0
@@ -2263,20 +2272,103 @@ object Analytics {
       .withColumn("s_plus", col("p") - least(lit(0L), min("p").over(ordered)))
       .withColumn("s_minus",
         greatest(lit(0L), max("p").over(ordered)) - col("p"))
-    alarms
-      .select(col("brand"), col("day"), col("k_allow"),
+    val stats = alarms
+      .select(col(keyCol), col("day"), col("k_allow"),
         col("s_plus").as("stat"), lit("up").as("direction"))
-      .unionAll(alarms.select(col("brand"), col("day"), col("k_allow"),
+      .unionAll(alarms.select(col(keyCol), col("day"), col("k_allow"),
         col("s_minus").as("stat"), lit("down").as("direction")))
-      .filter(col("stat") > col("k_allow") * 2)
-      .groupBy("brand", "direction")
-      .agg(count(lit(1)).as("n_alarm_days"),
-        min("day").as("first_alarm"),
-        max("stat").as("peak_c"))
-      .select(col("brand"), col("direction"), col("n_alarm_days"),
-        col("first_alarm"),
-        (col("peak_c").cast("double") / lit(100.0)).as("peak_stat"))
-      .orderBy("brand", "direction")
+    // the mart always has a (key, direction) row — the peak excursion
+    // exists even when nothing breaches (a quiet series is a result,
+    // not an empty frame); alarms are the count over the threshold
+    val byKey = Window.partitionBy(keyCol, "direction")
+    stats
+      .withColumn("rn", row_number().over(
+        byKey.orderBy(desc("stat"), asc("day"))))
+      .withColumn("n_alarm_days",
+        sum(when(col("stat") > col("k_allow") * 2, 1L).otherwise(0L))
+          .over(byKey))
+      .filter(col("rn") === 1)
+      .select(col(keyCol), col("direction"), col("n_alarm_days"),
+        col("day").as("peak_day"),
+        (col("stat").cast("double") / lit(100.0)).as("peak_stat"))
+      .orderBy(keyCol, "direction")
+  }
+
+  /** q319 — difference-in-differences promo-lift readout: the causal
+    * 2×2 every experimentation-literate commerce team publishes when
+    * treatment wasn't randomized per-unit — (treat − control) change
+    * across a policy boundary, differencing out the common trend.
+    * Units are (brand, day) daily-revenue observations; assignment is
+    * the deterministic hash split a real platform uses
+    * (portable32(brand) mod 2 — reproducible, oracle-mirrorable, the
+    * q252 discipline) and the pre/post boundary is a stated calendar
+    * date. Per cell the exact BIGINT power sums (n, Σx, Σx²) feed
+    * fixed-shape IEEE means/variances (the q102/q252 class); the DiD
+    * estimate, its pooled SE (Σ s²ᵢ/nᵢ under cell independence), and
+    * the t statistic are one scalar tree each, val6 at the edge.
+    *
+    * Scale: one fact shuffle to (brand, day) grain, then a 4-row cell
+    * aggregate and a 1-row final — nothing after the first reduction
+    * touches data grain. */
+  def didPromoLift(spark: SparkSession, dir: String): DataFrame = {
+    val boundary = "1995-06-01"
+    val part = Tables.part(spark, dir)
+      .select(col("p_partkey"), col("p_brand"))
+    val daily = Tables.lineitem(spark, dir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand").as("brand"),
+        to_date(col("l_shipdate")).as("day"),
+        cents2(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("cents"))
+      .groupBy("brand", "day")
+      .agg(sum("cents").as("x"))
+      .select(
+        (portable32(col("brand")) % 2 === 1).as("treat"),
+        (col("day") >= lit(boundary).cast("date")).as("post"),
+        col("x"))
+    // Σx² in DECIMAL(38,0): daily-cents squares overflow BIGINT at
+    // corpus scale; the decimal sum is exact on both engines and only
+    // its one CAST-to-DOUBLE enters the variance tree
+    val cells = daily.groupBy("treat", "post")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x").cast("decimal(19,0)")
+          * col("x").cast("decimal(19,0)")).as("ss"))
+    def cell(t: Boolean, p: Boolean, c: String) =
+      max(when(col("treat") === t && col("post") === p, col(c)))
+    val one = cells.agg(
+      cell(true, false, "n").as("n_t_pre"), cell(true, false, "s").as("s_t_pre"),
+      cell(true, false, "ss").as("ss_t_pre"),
+      cell(true, true, "n").as("n_t_post"), cell(true, true, "s").as("s_t_post"),
+      cell(true, true, "ss").as("ss_t_post"),
+      cell(false, false, "n").as("n_c_pre"), cell(false, false, "s").as("s_c_pre"),
+      cell(false, false, "ss").as("ss_c_pre"),
+      cell(false, true, "n").as("n_c_post"), cell(false, true, "s").as("s_c_post"),
+      cell(false, true, "ss").as("ss_c_post"))
+    def m(s: String, n: String) =
+      col(s).cast("double") / col(n).cast("double")
+    def v(ss: String, s: String, n: String) = {
+      val num = col(ss).cast("double") -
+        col(s).cast("double") * col(s).cast("double") /
+          col(n).cast("double")
+      num / (col(n).cast("double") - lit(1.0))
+    }
+    val did = (m("s_t_post", "n_t_post") - m("s_t_pre", "n_t_pre")) -
+      (m("s_c_post", "n_c_post") - m("s_c_pre", "n_c_pre"))
+    val se = sqrt(
+      v("ss_t_post", "s_t_post", "n_t_post") / col("n_t_post").cast("double")
+        + v("ss_t_pre", "s_t_pre", "n_t_pre") / col("n_t_pre").cast("double")
+        + v("ss_c_post", "s_c_post", "n_c_post") / col("n_c_post").cast("double")
+        + v("ss_c_pre", "s_c_pre", "n_c_pre") / col("n_c_pre").cast("double"))
+    one.select(
+      col("n_t_pre"), col("n_t_post"), col("n_c_pre"), col("n_c_post"),
+      val6(m("s_t_pre", "n_t_pre") / lit(100.0)).as("mean_treat_pre"),
+      val6(m("s_t_post", "n_t_post") / lit(100.0)).as("mean_treat_post"),
+      val6(m("s_c_pre", "n_c_pre") / lit(100.0)).as("mean_ctrl_pre"),
+      val6(m("s_c_post", "n_c_post") / lit(100.0)).as("mean_ctrl_post"),
+      val6(did / lit(100.0)).as("did_estimate"),
+      val6(se / lit(100.0)).as("se"),
+      val6(did / se).as("t_stat"),
+      (abs(did / se) > lit(1.96)).as("significant"))
   }
 
   /** q313 — Kaplan–Meier repeat-purchase survival: the product-limit

@@ -1886,13 +1886,73 @@ object AnalyticsOracles {
         |a AS (SELECT brand, day, k_allow, s_plus AS stat,
         |    'up' AS direction FROM s
         |  UNION ALL SELECT brand, day, k_allow, s_minus AS stat,
-        |    'down' AS direction FROM s)
-        |SELECT brand, direction, CAST(COUNT(*) AS BIGINT) AS n_alarm_days,
-        |  MIN(day) AS first_alarm,
-        |  CAST(MAX(stat) AS DOUBLE) / 100.0 AS peak_stat
-        |FROM a WHERE stat > k_allow * 2
-        |GROUP BY 1, 2
+        |    'down' AS direction FROM s),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY brand, direction
+        |      ORDER BY stat DESC NULLS LAST, day NULLS FIRST) AS rn,
+        |    CAST(SUM(CASE WHEN stat > k_allow * 2 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY brand, direction) AS BIGINT)
+        |      AS n_alarm_days
+        |  FROM a)
+        |SELECT brand, direction, n_alarm_days, day AS peak_day,
+        |  CAST(stat AS DOUBLE) / 100.0 AS peak_stat
+        |FROM r WHERE rn = 1
         |ORDER BY brand NULLS FIRST, direction NULLS FIRST""".stripMargin,
+
+    // q319: difference-in-differences — hash-split brands across the
+    // stated boundary; exact BIGINT power sums per cell, every
+    // mean/variance/DiD/SE/t one fixed IEEE tree mirrored
+    // operand-for-operand.,
+    "q319_did_lift" -> {
+      def m(s: String, n: String) =
+        s"(CAST($s AS DOUBLE) / CAST($n AS DOUBLE))"
+      def v(ss: String, s: String, n: String) =
+        s"((CAST($ss AS DOUBLE) - CAST($s AS DOUBLE) * CAST($s AS DOUBLE)" +
+          s" / CAST($n AS DOUBLE)) / (CAST($n AS DOUBLE) - 1.0))"
+      val did = s"((${m("s_t_post", "n_t_post")} - ${m("s_t_pre", "n_t_pre")})" +
+        s" - (${m("s_c_post", "n_c_post")} - ${m("s_c_pre", "n_c_pre")}))"
+      val se = s"sqrt(${v("ss_t_post", "s_t_post", "n_t_post")}" +
+        s" / CAST(n_t_post AS DOUBLE)" +
+        s" + ${v("ss_t_pre", "s_t_pre", "n_t_pre")} / CAST(n_t_pre AS DOUBLE)" +
+        s" + ${v("ss_c_post", "s_c_post", "n_c_post")} / CAST(n_c_post AS DOUBLE)" +
+        s" + ${v("ss_c_pre", "s_c_pre", "n_c_pre")} / CAST(n_c_pre AS DOUBLE))"
+      s"""WITH d AS (SELECT p.p_brand AS brand,
+         |    CAST(l.l_shipdate AS DATE) AS day,
+         |    CAST(SUM(CAST(FLOOR((l_extendedprice * (1.0 - l_discount))
+         |      * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS x
+         |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+         |  GROUP BY 1, 2),
+         |u AS (SELECT ${h32("brand")} % 2 = 1 AS treat,
+         |    day >= DATE '1995-06-01' AS post, x FROM d),
+         |c AS (SELECT treat, post, CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS s,
+         |    SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS ss
+         |  FROM u GROUP BY 1, 2),
+         |one AS (SELECT
+         |  MAX(CASE WHEN treat AND NOT post THEN n END) AS n_t_pre,
+         |  MAX(CASE WHEN treat AND NOT post THEN s END) AS s_t_pre,
+         |  MAX(CASE WHEN treat AND NOT post THEN ss END) AS ss_t_pre,
+         |  MAX(CASE WHEN treat AND post THEN n END) AS n_t_post,
+         |  MAX(CASE WHEN treat AND post THEN s END) AS s_t_post,
+         |  MAX(CASE WHEN treat AND post THEN ss END) AS ss_t_post,
+         |  MAX(CASE WHEN NOT treat AND NOT post THEN n END) AS n_c_pre,
+         |  MAX(CASE WHEN NOT treat AND NOT post THEN s END) AS s_c_pre,
+         |  MAX(CASE WHEN NOT treat AND NOT post THEN ss END) AS ss_c_pre,
+         |  MAX(CASE WHEN NOT treat AND post THEN n END) AS n_c_post,
+         |  MAX(CASE WHEN NOT treat AND post THEN s END) AS s_c_post,
+         |  MAX(CASE WHEN NOT treat AND post THEN ss END) AS ss_c_post
+         |  FROM c)
+         |SELECT n_t_pre, n_t_post, n_c_pre, n_c_post,
+         |  ${val6(m("s_t_pre", "n_t_pre") + " / 100.0")} AS mean_treat_pre,
+         |  ${val6(m("s_t_post", "n_t_post") + " / 100.0")} AS mean_treat_post,
+         |  ${val6(m("s_c_pre", "n_c_pre") + " / 100.0")} AS mean_ctrl_pre,
+         |  ${val6(m("s_c_post", "n_c_post") + " / 100.0")} AS mean_ctrl_post,
+         |  ${val6(s"$did / 100.0")} AS did_estimate,
+         |  ${val6(s"$se / 100.0")} AS se,
+         |  ${val6(s"$did / $se")} AS t_stat,
+         |  abs($did / $se) > 1.96 AS significant
+         |FROM one""".stripMargin
+    },
 
     // q313: Kaplan-Meier product-limit survival — q262's endpoint
     // histogram and risk sets verbatim; each factor's ln() nano-floored

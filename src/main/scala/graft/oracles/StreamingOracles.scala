@@ -286,5 +286,42 @@ object StreamingOracles {
     // q252: CUPED — exact BIGINT power sums per arm + pooled; every
     // scalar mirrors the Spark expression shape operand-for-operand
     // (left-assoc +/-, CAST-to-DOUBLE first), val6 at the edge.,
+
+    // q320: the continuous CUSUM monitor — maintenance must be
+    // invisible, so the oracle is the BATCH closed form over the same
+    // (event_type x day) cents state the stream maintains.,
+    "q320_streaming_cusum" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |k AS (SELECT event_type, day, x,
+        |    SUM(x) OVER (PARTITION BY event_type)
+        |      // COUNT(*) OVER (PARTITION BY event_type) AS k_allow
+        |  FROM d),
+        |pp AS (SELECT *, SUM(x - k_allow) OVER (PARTITION BY event_type
+        |    ORDER BY day ROWS UNBOUNDED PRECEDING) AS p FROM k),
+        |s AS (SELECT *,
+        |    p - LEAST(0, MIN(p) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS UNBOUNDED PRECEDING)) AS s_plus,
+        |    GREATEST(0, MAX(p) OVER (PARTITION BY event_type
+        |      ORDER BY day ROWS UNBOUNDED PRECEDING)) - p AS s_minus
+        |  FROM pp),
+        |a AS (SELECT event_type, day, k_allow, s_plus AS stat,
+        |    'up' AS direction FROM s
+        |  UNION ALL SELECT event_type, day, k_allow, s_minus AS stat,
+        |    'down' AS direction FROM s),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, direction
+        |      ORDER BY stat DESC NULLS LAST, day NULLS FIRST) AS rn,
+        |    CAST(SUM(CASE WHEN stat > k_allow * 2 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY event_type, direction) AS BIGINT)
+        |      AS n_alarm_days
+        |  FROM a)
+        |SELECT event_type, direction, n_alarm_days, day AS peak_day,
+        |  CAST(stat AS DOUBLE) / 100.0 AS peak_stat
+        |FROM r WHERE rn = 1
+        |ORDER BY event_type NULLS FIRST, direction NULLS FIRST"""
+        .stripMargin,
   )
 }

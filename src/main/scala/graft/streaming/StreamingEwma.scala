@@ -73,4 +73,29 @@ object StreamingEwma {
     graft.operators.Analytics.holtFrom(spark.table(name))
       .orderBy("event_type", "day")
   }
+
+  /** q320: the CONTINUOUS CUSUM monitor — q312's mean-shift detector
+    * deployed exactly like [[ewmaMonitor]] deploys q250: the
+    * (event_type × day → cents) state maintained by a streaming keyed
+    * aggregation (calendar-grain, rate-independent), the prefix-sum
+    * closed form read off the maintained state. Where the EWMA band
+    * (q251) flags single weird days and Holt (q305) flags ramps,
+    * CUSUM accumulates small persistent shifts — the drift class both
+    * miss until late. The drained reading ≡ the batch statistic
+    * bit-for-bit (shared [[graft.operators.Analytics.cusumFrom]]
+    * core, all-integer) — the oracle states the batch form. */
+  def cusumMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val agg = StreamingFunnel.eventsStream(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(Portable.cents2(col("value"))).as("x"))
+    val name = "streaming_cusum_sink"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Analytics.cusumFrom(spark.table(name), "event_type")
+  }
 }

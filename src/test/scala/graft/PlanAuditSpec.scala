@@ -166,9 +166,11 @@ class PlanAuditSpec extends SparkSpec {
                                  // the 1-row φ-total final
     "q313_kaplan_meier",      // KM running sums over DAY-grain risk
                               // sets (q262's reviewed shape)
-    "q315_ccnet_buckets")     // language-offset prefix window over the
+    "q315_ccnet_buckets",     // language-offset prefix window over the
                               // ≤|langs| frame (the rank itself is the
                               // two-phase distributed pass)
+    "q319_did_lift")          // 1-row 2×2-cell final over the 4-row
+                              // cell aggregate (the q253 class)
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is

@@ -72,31 +72,96 @@ class Round13Spec extends SparkSpec {
       .as[(String, String, Long)].collect()
     // literal Page (1954) recursion, per brand in day order
     val expected = daily.groupBy(_._1).flatMap { case (brand, rows) =>
-      val xs = rows.sortBy(_._2).map(_._3)
+      val ordered = rows.sortBy(_._2)
+      val xs = ordered.map(_._3)
       val k = xs.sum / xs.length // integer div, same allowance
       val h = 2 * k
       var sp = 0L
       var sm = 0L
-      val out = xs.zip(rows.sortBy(_._2).map(_._2)).flatMap {
-        case (x, day) =>
-          sp = math.max(0L, sp + x - k)
-          sm = math.max(0L, sm + k - x)
-          Seq((brand, "up", day, sp), (brand, "down", day, sm))
-            .filter(_._4 > h)
+      val states = xs.zip(ordered.map(_._2)).map { case (x, day) =>
+        sp = math.max(0L, sp + x - k)
+        sm = math.max(0L, sm + k - x)
+        (day, sp, sm)
       }
-      out.groupBy(t => (t._1, t._2)).map { case ((b, d), ts) =>
-        (b, d, ts.length.toLong, ts.map(_._3).min,
-          ts.map(_._4).max.toDouble / 100.0)
+      Seq(("up", states.map(s => (s._1, s._2))),
+        ("down", states.map(s => (s._1, s._3)))).map {
+        case (dir, ss) =>
+          val peak = ss.sortBy { case (day, st) => (-st, day) }.head
+          (brand, dir, ss.count(_._2 > h).toLong, peak._1,
+            peak._2.toDouble / 100.0)
       }
     }.toSet
     val got = Analytics.cusumChangepoints(spark, dir)
       .select($"brand", $"direction", $"n_alarm_days",
-        $"first_alarm".cast("string"), $"peak_stat")
+        $"peak_day".cast("string"), $"peak_stat")
       .as[(String, String, Long, String, Double)].collect().toSet
     assert(got == expected,
       s"closed form diverges: extra=${got -- expected} " +
         s"missing=${expected -- got}")
-    assert(got.nonEmpty)
+    assert(got.nonEmpty && got.exists(_._3 > 0L))
+  }
+
+  // ---- q319 difference-in-differences -------------------------------
+
+  test("q319: the 2x2 scalars replay from driver-side cell sums and " +
+      "the significance flag is the stated threshold") {
+    val part = graft.sources.Tables.part(spark, dir)
+      .select($"p_partkey", $"p_brand")
+    val daily = graft.sources.Tables.lineitem(spark, dir)
+      .join(part, $"l_partkey" === $"p_partkey")
+      .select($"p_brand".as("brand"), to_date($"l_shipdate").as("day"),
+        graft.util.Portable.cents2(
+          $"l_extendedprice" * (lit(1.0) - $"l_discount")).as("c"))
+      .groupBy("brand", "day").agg(sum("c").as("x"))
+      .select($"brand", ($"day" >= lit("1995-06-01").cast("date"))
+        .as("post"), $"x")
+      .as[(String, Boolean, Long)].collect()
+    def hash32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        md.digest(s.getBytes("UTF-8")).take(4)
+          .map(b => f"$b%02x").mkString, 16)
+    }
+    val cells = daily.groupBy(r => (hash32(r._1) % 2 == 1, r._2))
+      .map { case (k, rs) =>
+        k -> (rs.length.toLong, rs.map(_._3).sum,
+          rs.map(r => BigInt(r._3) * BigInt(r._3)).sum)
+      }
+    def mv(t: Boolean, p: Boolean): (Double, Double, Long) = {
+      val (n, s, ss) = cells((t, p))
+      val m = s.toDouble / n.toDouble
+      val v = (ss.toDouble - s.toDouble * s.toDouble / n.toDouble) /
+        (n.toDouble - 1.0)
+      (m, v, n)
+    }
+    val (mtp, vtp, ntp) = mv(true, true)
+    val (mtr, vtr, ntr) = mv(true, false)
+    val (mcp, vcp, ncp) = mv(false, true)
+    val (mcr, vcr, ncr) = mv(false, false)
+    val did = (mtp - mtr) - (mcp - mcr)
+    val se = math.sqrt(vtp / ntp + vtr / ntr + vcp / ncp + vcr / ncr)
+    def v6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val row = Analytics.didPromoLift(spark, dir).collect()(0)
+    assert(row.getAs[Long]("n_t_post") == ntp)
+    assert(row.getAs[Double]("did_estimate") == v6(did / 100.0))
+    assert(row.getAs[Double]("se") == v6(se / 100.0))
+    assert(row.getAs[Double]("t_stat") == v6(did / se))
+    assert(row.getAs[Boolean]("significant") == (math.abs(did / se) > 1.96))
+  }
+
+  // ---- q320 streaming CUSUM monitor ---------------------------------
+
+  test("q320: the drained streaming reading equals the batch closed " +
+      "form bit-for-bit (maintenance is invisible)") {
+    val batch = graft.sources.Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum(graft.util.Portable.cents2($"value")).as("x"))
+    val expected = graft.operators.Analytics
+      .cusumFrom(batch, "event_type").collect().toSeq
+    val got = graft.streaming.StreamingEwma.cusumMonitor(spark, dir)
+      .collect().toSeq
+    assert(got == expected)
+    assert(got.size == 10) // 5 channels x 2 directions, always present
   }
 
   // ---- q313 Kaplan–Meier ------------------------------------------
