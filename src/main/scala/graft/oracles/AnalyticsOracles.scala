@@ -1954,6 +1954,68 @@ object AnalyticsOracles {
          |FROM one""".stripMargin
     },
 
+    // q321: in-engine logistic regression — the five gradient steps
+    // UNROLLED as a generated CTE chain from the same feature/step
+    // lists the operator trains with; integer logits, nano-floored
+    // residuals, truncating-division updates (// truncates toward
+    // zero, matching JVM long division), so every step is exact.,
+    "q321_quality_distill" -> {
+      val featSql = Seq(
+        "bias" -> "CAST(1 AS INT)",
+        "tok_lt_30" ->
+          "CAST(len(string_split(text, ' ')) < 30 AS INT)",
+        "tok_lt_45" ->
+          "CAST(len(string_split(text, ' ')) < 45 AS INT)",
+        "tok_lt_60" ->
+          "CAST(len(string_split(text, ' ')) < 60 AS INT)",
+        "tok_lt_80" ->
+          "CAST(len(string_split(text, ' ')) < 80 AS INT)",
+        "tok_lt_100" ->
+          "CAST(len(string_split(text, ' ')) < 100 AS INT)",
+        "chars_lt_300" -> "CAST(n_chars < 300 AS INT)",
+        "chars_lt_600" -> "CAST(n_chars < 600 AS INT)")
+      val k = featSql.size
+      val steps = 5
+      def z(w: String) =
+        (0 until k).map(i => s"x$i * $w.w$i").mkString(" + ")
+      def d9(w: String) = {
+        val zD = s"(CAST(${z(w)} AS DOUBLE) / 1000000000.0)"
+        s"CAST(FLOOR((0.5 + $zD / (2.0 * (1.0 + abs($zD)))" +
+          s" - CAST(y AS DOUBLE))" +
+          s" * 1000000000.0 + 0.5) AS BIGINT)"
+      }
+      val sb = new StringBuilder
+      sb ++= "WITH x AS (SELECT " +
+        "CAST(len(list_distinct(string_split(text, ' '))) * 20" +
+        " > len(string_split(text, ' ')) * 11 AS INT) AS y, "
+      sb ++= featSql.zipWithIndex.map { case ((_, f), i) =>
+        s"$f AS x$i" }.mkString(", ")
+      sb ++= " FROM documents),\n"
+      sb ++= "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),\n"
+      sb ++= "w0 AS (SELECT " + (0 until k)
+        .map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ") + "),\n"
+      for (s <- 0 until steps) {
+        sb ++= s"g$s AS (SELECT " + (0 until k).map(i =>
+          s"CAST(SUM(x$i * ${d9(s"w$s")}) AS BIGINT) AS g$i")
+          .mkString(", ") + s" FROM x CROSS JOIN w$s),\n"
+        sb ++= s"w${s + 1} AS (SELECT " + (0 until k).map(i =>
+          s"w$i - g$i // n AS w$i").mkString(", ") +
+          s" FROM w$s CROSS JOIN g$s CROSS JOIN nn),\n"
+      }
+      sb ++= s"acc AS (SELECT CAST(SUM(CASE WHEN " +
+        s"CAST(${z(s"w$steps")} > 0 AS INT) = y THEN 1 ELSE 0 END)" +
+        s" AS BIGINT) AS correct FROM x CROSS JOIN w$steps),\n"
+      sb ++= "wr AS (" + featSql.zipWithIndex.map { case ((name, _), i) =>
+        s"SELECT CAST($i AS INT) AS feature_idx, '$name' AS feature," +
+          s" w$i AS w9 FROM w$steps" }.mkString(" UNION ALL ") + ")\n"
+      sb ++= "SELECT feature_idx, feature, w9, " +
+        "CAST(w9 AS DOUBLE) / 1000000000.0 AS weight, n AS train_n, " +
+        s"${val6("CAST(correct AS DOUBLE) / CAST(n AS DOUBLE)")}" +
+        " AS train_acc FROM wr CROSS JOIN acc CROSS JOIN nn " +
+        "ORDER BY feature_idx NULLS FIRST"
+      sb.toString
+    },
+
     // q313: Kaplan-Meier product-limit survival — q262's endpoint
     // histogram and risk sets verbatim; each factor's ln() nano-floored
     // BEFORE the running sum, exp() once per row; d = n sends survival

@@ -164,6 +164,47 @@ class Round13Spec extends SparkSpec {
     assert(got.size == 10) // 5 channels x 2 directions, always present
   }
 
+  // ---- q321 logistic quality distillation ---------------------------
+
+  test("q321: the trained weights replay exactly from a driver-side " +
+      "gradient loop, and the student beats the majority baseline") {
+    val rows = graft.sources.Tables.documents(spark, dir)
+      .select($"text", $"n_chars").as[(String, Long)].collect()
+      .map { case (text, nChars) =>
+        val toks = text.split(" ", -1)
+        val y = if (toks.distinct.length * 20 > toks.length * 11) 1 else 0
+        val xs = Array(1,
+          if (toks.length < 30) 1 else 0, if (toks.length < 45) 1 else 0,
+          if (toks.length < 60) 1 else 0, if (toks.length < 80) 1 else 0,
+          if (toks.length < 100) 1 else 0,
+          if (nChars < 300) 1 else 0, if (nChars < 600) 1 else 0)
+        (y, xs)
+      }
+    val k = 8
+    val n = rows.length.toLong
+    var w = Array.fill(k)(0L)
+    for (_ <- 1 to 5) {
+      val g = Array.fill(k)(0L)
+      rows.foreach { case (y, xs) =>
+        val z9 = (0 until k).map(i => xs(i) * w(i)).sum
+        val zD = z9.toDouble / 1e9
+        val p = 0.5 + zD / (2.0 * (1.0 + math.abs(zD)))
+        val d9 = math.floor((p - y.toDouble) * 1e9 + 0.5).toLong
+        (0 until k).foreach(i => g(i) += xs(i) * d9)
+      }
+      w = (0 until k).map(i => w(i) - g(i) / n).toArray
+    }
+    val got = graft.operators.Features.logisticQualityDistill(spark, dir)
+      .select($"feature_idx", $"w9", $"train_acc")
+      .as[(Int, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).toSeq == w.toSeq,
+      s"weights ${got.map(_._2).toSeq} != replay ${w.toSeq}")
+    val majority = math.max(rows.count(_._1 == 1), rows.count(_._1 == 0))
+      .toDouble / n
+    assert(got.head._3 > majority + 0.05,
+      s"acc ${got.head._3} does not beat majority $majority")
+  }
+
   // ---- q313 Kaplan–Meier ------------------------------------------
 
   test("q313: survival is non-increasing, in (0,1], and consistent " +
