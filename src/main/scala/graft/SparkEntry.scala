@@ -429,6 +429,10 @@ object SparkEntry {
       ((s, d) => streaming.StreamingEwma.cusumMonitor(s, d)),
     "q321_quality_distill" ->
       ((s, d) => Features.logisticQualityDistill(s, d)),
+    "q322_distill_calibration" ->
+      ((s, d) => Features.distillCalibration(s, d)),
+    "q323_fuzzy_names_banded" ->
+      (Relational.fuzzyNamePairsBanded _),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

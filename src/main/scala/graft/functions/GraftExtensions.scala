@@ -48,6 +48,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-pinned semantics)"),
       (exprs: Seq[Expression]) => JaroWinklerSimilarity(exprs(0), exprs(1))))
     ext.injectFunction((
+      FunctionIdentifier("lev_bounded"),
+      info("lev_bounded",
+        "lev_bounded(a, b, k) - banded Levenshtein: exact distance if <= k, else k+1"),
+      (exprs: Seq[Expression]) => BoundedLevenshteinExpr(
+        exprs(0), exprs(1), exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"lev_bounded bound must be an int literal, got $other")
+        })))
+    ext.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count",
         "sorted_intersect_count(a, b) - merge-walk overlap count of two sorted arrays"),

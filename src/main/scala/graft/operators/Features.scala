@@ -369,6 +369,25 @@ object Features {
       steps: Int = 5): DataFrame = {
     import spark.implicits._
     val feats = LogRegFeatures
+    val (x, w9, n) = trainDistill(spark, dir, steps)
+    val acc = x.select(
+      sum(when((z9Col(w9) > 0).cast("int") === col("y"), 1L)
+        .otherwise(0L)).as("correct")).collect()(0).getLong(0)
+    val wDf = feats.zipWithIndex.map { case ((name, _), i) =>
+      (i, name, w9(i)) }.toDF("feature_idx", "feature", "w9")
+    wDf.select(col("feature_idx"), col("feature"), col("w9"),
+        (col("w9").cast("double") / lit(1.0e9)).as("weight"))
+      .withColumn("train_n", lit(n))
+      .withColumn("train_acc",
+        Portable.val6(lit(acc.toDouble) / lit(n.toDouble)))
+      .orderBy("feature_idx")
+  }
+
+  /** The q321/q322 training core: design matrix + 5 exact gradient
+    * steps; returns (design frame, final nano-weights, n). */
+  private def trainDistill(spark: SparkSession, dir: String,
+      steps: Int): (DataFrame, Array[Long], Long) = {
+    val feats = LogRegFeatures
     val k = feats.size
     val teacher =
       (size(array_distinct(split(col("text"), " "))) * 20
@@ -380,16 +399,8 @@ object Features {
       .localCheckpoint() // the design matrix: scanned once per step
     val n = x.count()
     var w9 = Array.fill(k)(0L)
-    def z9Col = feats.indices
-      .map(i => col(s"x$i") * lit(w9(i))).reduce(_ + _)
-    def d9Col = {
-      val zD = z9Col.cast("double") / lit(1.0e9)
-      val p = lit(0.5) + zD / (lit(2.0) * (lit(1.0) + abs(zD)))
-      floor((p - col("y").cast("double")) * lit(1.0e9) + lit(0.5))
-        .cast("long")
-    }
     for (_ <- 1 to steps) {
-      val g = x.withColumn("d9", d9Col)
+      val g = x.withColumn("d9", d9Col(w9))
         .agg(sum(col("x0") * col("d9")).as("g0"),
           feats.indices.tail.map(i =>
             sum(col(s"x$i") * col("d9")).as(s"g$i")): _*)
@@ -397,16 +408,67 @@ object Features {
       // JVM long division truncates toward zero — same as DuckDB `//`
       w9 = feats.indices.map(i => w9(i) - g.getLong(i) / n).toArray
     }
-    val acc = x.select(
-      sum(when((z9Col > 0).cast("int") === col("y"), 1L).otherwise(0L))
-        .as("correct")).collect()(0).getLong(0)
-    val wDf = feats.zipWithIndex.map { case ((name, _), i) =>
-      (i, name, w9(i)) }.toDF("feature_idx", "feature", "w9")
-    wDf.select(col("feature_idx"), col("feature"), col("w9"),
-        (col("w9").cast("double") / lit(1.0e9)).as("weight"))
-      .withColumn("train_n", lit(n))
-      .withColumn("train_acc",
-        Portable.val6(lit(acc.toDouble) / lit(n.toDouble)))
-      .orderBy("feature_idx")
+    (x, w9, n)
+  }
+
+  private def z9Col(w9: Array[Long]): org.apache.spark.sql.Column =
+    LogRegFeatures.indices
+      .map(i => col(s"x$i") * lit(w9(i))).reduce(_ + _)
+
+  /** The fast-sigmoid probability tree over integer weights. */
+  private def pCol(w9: Array[Long]): org.apache.spark.sql.Column = {
+    val zD = z9Col(w9).cast("double") / lit(1.0e9)
+    lit(0.5) + zD / (lit(2.0) * (lit(1.0) + abs(zD)))
+  }
+
+  private def d9Col(w9: Array[Long]): org.apache.spark.sql.Column =
+    floor((pCol(w9) - col("y").cast("double")) * lit(1.0e9) + lit(0.5))
+      .cast("long")
+
+  /** q322 — CALIBRATION card for the q321 distilled classifier: the
+    * reliability diagram (10 confidence bins: per bin n, mean
+    * predicted probability, realized rate, |gap|) plus ECE and the
+    * Brier score — the numbers that say whether the student's
+    * probabilities MEAN anything, which a deployment thresholds on.
+    * The q186/q197 evaluation discipline (recall audits for ANN,
+    * MRR/nDCG for retrieval) extended to the trained classifier.
+    *
+    * Exactness: per-doc probability and squared error nano-floor
+    * through fixed trees (the q321 link — algebraic, no
+    * transcendentals); bin aggregates are integer sums; ECE/Brier are
+    * single fixed trees over those exact integers.
+    *
+    * Scale: training is q321's 5·O(n/p); the card is ONE more
+    * map-side-combined pass to the 10-bin grain. */
+  def distillCalibration(spark: SparkSession, dir: String,
+      steps: Int = 5): DataFrame = {
+    val (x, w9, n) = trainDistill(spark, dir, steps)
+    val p = pCol(w9)
+    val p9 = floor(p * lit(1.0e9) + lit(0.5)).cast("long")
+    val bucket = least(floor(p * lit(10.0)).cast("int"), lit(9))
+    val sq = (p - col("y").cast("double"))
+    val sq9 = floor(sq * sq * lit(1.0e9) + lit(0.5)).cast("long")
+    val bins = x.select(bucket.as("bin"), p9.as("p9"),
+        col("y").cast("long").as("y"), sq9.as("sq9"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("p9").as("sp9"),
+        sum("y").as("k"), sum("sq9").as("ssq9"))
+    val conf = col("sp9").cast("double") / col("n").cast("double") /
+      lit(1.0e9)
+    val acc = col("k").cast("double") / col("n").cast("double")
+    val gap9 = floor(abs(acc - conf) * lit(1.0e9) + lit(0.5))
+      .cast("long")
+    val scored = bins.withColumn("c9", gap9 * col("n"))
+    val tot = scored.agg(sum("c9").as("tc9"), sum("ssq9").as("tsq9"))
+    scored.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n"),
+        Portable.val6(conf).as("confidence"),
+        Portable.val6(acc).as("realized"),
+        Portable.val6(abs(acc - conf)).as("gap"),
+        Portable.val6(col("tc9").cast("double") / lit(n.toDouble)
+          / lit(1.0e9)).as("ece"),
+        Portable.val6(col("tsq9").cast("double") / lit(n.toDouble)
+          / lit(1.0e9)).as("brier"))
+      .orderBy("bin")
   }
 }

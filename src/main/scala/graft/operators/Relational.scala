@@ -1131,6 +1131,32 @@ object Relational {
       .orderBy("p_brand", "name_a", "name_b")
   }
 
+  /** q323 — the q83 fuzzy join served by the BANDED Levenshtein
+    * expression ([[graft.functions.BoundedLevenshteinExpr]]): identical
+    * results (`lev_bounded(a,b,k) ≤ k` ⟺ `levenshtein(a,b) ≤ k` — the
+    * oracle states the builtin form), but each candidate pair costs
+    * O(k·min(|a|,|b|)) with a length gate and a band-saturation bail
+    * instead of the builtin's full O(|a|·|b|) matrix — at 100 TB the
+    * blocked-pair population is the dominant cost and k is 1–3, so the
+    * band is the difference between a 2×k-row strip and the whole
+    * matrix per pair. Codegen'd: inlines into the same whole-stage
+    * span as the join residual. */
+  def fuzzyNamePairsBanded(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BoundedLevenshtein.levBounded
+    val names = Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_name")).distinct()
+    val right = names
+      .select(col("p_brand").as("brand_r"), col("p_name").as("name_b"))
+    names.select(col("p_brand"), col("p_name").as("name_a"))
+      .join(right, col("p_brand") === col("brand_r")
+        && col("name_a") < col("name_b"))
+      .select(col("p_brand"), col("name_a"), col("name_b"),
+        levBounded(col("name_a"), col("name_b"), 2).cast("long")
+          .as("edit_dist"))
+      .filter(col("edit_dist") <= 2)
+      .orderBy("p_brand", "name_a", "name_b")
+  }
+
   /** Time-based RANGE window frame (SURVEY §2.5 beyond-ref): trailing
     * 7-day revenue per order priority. Unlike the ROWS frame of q47, a
     * RANGE frame is defined over the VALUE of the order key — days with

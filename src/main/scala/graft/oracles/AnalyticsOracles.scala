@@ -10,6 +10,55 @@ import graft.oracles.OracleDialect._
   */
 object AnalyticsOracles {
 
+  // ---- q321/q322 shared generated-CTE training chain ------------------
+
+  private val DistillFeatSql: Seq[(String, String)] = Seq(
+    "bias" -> "CAST(1 AS INT)",
+    "tok_lt_30" -> "CAST(len(string_split(text, ' ')) < 30 AS INT)",
+    "tok_lt_45" -> "CAST(len(string_split(text, ' ')) < 45 AS INT)",
+    "tok_lt_60" -> "CAST(len(string_split(text, ' ')) < 60 AS INT)",
+    "tok_lt_80" -> "CAST(len(string_split(text, ' ')) < 80 AS INT)",
+    "tok_lt_100" -> "CAST(len(string_split(text, ' ')) < 100 AS INT)",
+    "chars_lt_300" -> "CAST(n_chars < 300 AS INT)",
+    "chars_lt_600" -> "CAST(n_chars < 600 AS INT)")
+
+  private val DistillSteps = 5
+
+  private def distillZ(w: String): String =
+    DistillFeatSql.indices.map(i => s"x$i * $w.w$i").mkString(" + ")
+
+  /** The training-chain CTEs (x, nn, w0, g0..w5) shared by q321 and
+    * q322 — ends with a trailing comma so callers append their own
+    * readout CTEs. */
+  private def distillCtes: String = {
+    val k = DistillFeatSql.size
+    def d9(w: String) = {
+      val zD = s"(CAST(${distillZ(w)} AS DOUBLE) / 1000000000.0)"
+      s"CAST(FLOOR((0.5 + $zD / (2.0 * (1.0 + abs($zD)))" +
+        s" - CAST(y AS DOUBLE))" +
+        s" * 1000000000.0 + 0.5) AS BIGINT)"
+    }
+    val sb = new StringBuilder
+    sb ++= "WITH x AS (SELECT " +
+      "CAST(len(list_distinct(string_split(text, ' '))) * 20" +
+      " > len(string_split(text, ' ')) * 11 AS INT) AS y, "
+    sb ++= DistillFeatSql.zipWithIndex.map { case ((_, f), i) =>
+      s"$f AS x$i" }.mkString(", ")
+    sb ++= " FROM documents),\n"
+    sb ++= "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),\n"
+    sb ++= "w0 AS (SELECT " + (0 until k)
+      .map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ") + "),\n"
+    for (s <- 0 until DistillSteps) {
+      sb ++= s"g$s AS (SELECT " + (0 until k).map(i =>
+        s"CAST(SUM(x$i * ${d9(s"w$s")}) AS BIGINT) AS g$i")
+        .mkString(", ") + s" FROM x CROSS JOIN w$s),\n"
+      sb ++= s"w${s + 1} AS (SELECT " + (0 until k).map(i =>
+        s"w$i - g$i // n AS w$i").mkString(", ") +
+        s" FROM w$s CROSS JOIN g$s CROSS JOIN nn),\n"
+    }
+    sb.toString
+  }
+
   val map: Map[String, String] = Map(
     "q199_skew_advisor" -> {
       def statsFor(k: String) =
@@ -1960,59 +2009,63 @@ object AnalyticsOracles {
     // residuals, truncating-division updates (// truncates toward
     // zero, matching JVM long division), so every step is exact.,
     "q321_quality_distill" -> {
-      val featSql = Seq(
-        "bias" -> "CAST(1 AS INT)",
-        "tok_lt_30" ->
-          "CAST(len(string_split(text, ' ')) < 30 AS INT)",
-        "tok_lt_45" ->
-          "CAST(len(string_split(text, ' ')) < 45 AS INT)",
-        "tok_lt_60" ->
-          "CAST(len(string_split(text, ' ')) < 60 AS INT)",
-        "tok_lt_80" ->
-          "CAST(len(string_split(text, ' ')) < 80 AS INT)",
-        "tok_lt_100" ->
-          "CAST(len(string_split(text, ' ')) < 100 AS INT)",
-        "chars_lt_300" -> "CAST(n_chars < 300 AS INT)",
-        "chars_lt_600" -> "CAST(n_chars < 600 AS INT)")
-      val k = featSql.size
-      val steps = 5
-      def z(w: String) =
-        (0 until k).map(i => s"x$i * $w.w$i").mkString(" + ")
-      def d9(w: String) = {
-        val zD = s"(CAST(${z(w)} AS DOUBLE) / 1000000000.0)"
-        s"CAST(FLOOR((0.5 + $zD / (2.0 * (1.0 + abs($zD)))" +
-          s" - CAST(y AS DOUBLE))" +
-          s" * 1000000000.0 + 0.5) AS BIGINT)"
-      }
-      val sb = new StringBuilder
-      sb ++= "WITH x AS (SELECT " +
-        "CAST(len(list_distinct(string_split(text, ' '))) * 20" +
-        " > len(string_split(text, ' ')) * 11 AS INT) AS y, "
-      sb ++= featSql.zipWithIndex.map { case ((_, f), i) =>
-        s"$f AS x$i" }.mkString(", ")
-      sb ++= " FROM documents),\n"
-      sb ++= "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM x),\n"
-      sb ++= "w0 AS (SELECT " + (0 until k)
-        .map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ") + "),\n"
-      for (s <- 0 until steps) {
-        sb ++= s"g$s AS (SELECT " + (0 until k).map(i =>
-          s"CAST(SUM(x$i * ${d9(s"w$s")}) AS BIGINT) AS g$i")
-          .mkString(", ") + s" FROM x CROSS JOIN w$s),\n"
-        sb ++= s"w${s + 1} AS (SELECT " + (0 until k).map(i =>
-          s"w$i - g$i // n AS w$i").mkString(", ") +
-          s" FROM w$s CROSS JOIN g$s CROSS JOIN nn),\n"
-      }
+      val sb = new StringBuilder(distillCtes)
       sb ++= s"acc AS (SELECT CAST(SUM(CASE WHEN " +
-        s"CAST(${z(s"w$steps")} > 0 AS INT) = y THEN 1 ELSE 0 END)" +
-        s" AS BIGINT) AS correct FROM x CROSS JOIN w$steps),\n"
-      sb ++= "wr AS (" + featSql.zipWithIndex.map { case ((name, _), i) =>
-        s"SELECT CAST($i AS INT) AS feature_idx, '$name' AS feature," +
-          s" w$i AS w9 FROM w$steps" }.mkString(" UNION ALL ") + ")\n"
+        s"CAST(${distillZ(s"w$DistillSteps")} > 0 AS INT) = y" +
+        s" THEN 1 ELSE 0 END)" +
+        s" AS BIGINT) AS correct FROM x CROSS JOIN w$DistillSteps),\n"
+      sb ++= "wr AS (" + DistillFeatSql.zipWithIndex.map {
+        case ((name, _), i) =>
+          s"SELECT CAST($i AS INT) AS feature_idx, '$name' AS feature," +
+            s" w$i AS w9 FROM w$DistillSteps" }
+        .mkString(" UNION ALL ") + ")\n"
       sb ++= "SELECT feature_idx, feature, w9, " +
         "CAST(w9 AS DOUBLE) / 1000000000.0 AS weight, n AS train_n, " +
         s"${val6("CAST(correct AS DOUBLE) / CAST(n AS DOUBLE)")}" +
         " AS train_acc FROM wr CROSS JOIN acc CROSS JOIN nn " +
         "ORDER BY feature_idx NULLS FIRST"
+      sb.toString
+    },
+
+    // q322: the calibration card for the q321 student — the SAME
+    // generated training CTEs, then per-doc probability/Brier terms
+    // nano-floored through the identical algebraic trees, a 10-bin
+    // reliability aggregate, and ECE/Brier as fixed trees over exact
+    // integer bin sums.,
+    "q322_distill_calibration" -> {
+      val p = {
+        val zD = s"(CAST(${distillZ(s"w$DistillSteps")} AS DOUBLE)" +
+          " / 1000000000.0)"
+        s"(0.5 + $zD / (2.0 * (1.0 + abs($zD))))"
+      }
+      val sb = new StringBuilder(distillCtes)
+      sb ++= "sc AS (SELECT " +
+        s"LEAST(CAST(FLOOR($p * 10.0) AS INT), 9) AS bin, " +
+        s"CAST(FLOOR($p * 1000000000.0 + 0.5) AS BIGINT) AS p9, " +
+        "CAST(y AS BIGINT) AS y, " +
+        s"CAST(FLOOR(($p - CAST(y AS DOUBLE)) * ($p - CAST(y AS DOUBLE))" +
+        s" * 1000000000.0 + 0.5) AS BIGINT) AS sq9" +
+        s" FROM x CROSS JOIN w$DistillSteps),\n"
+      sb ++= "bins AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n, " +
+        "CAST(SUM(p9) AS BIGINT) AS sp9, CAST(SUM(y) AS BIGINT) AS k, " +
+        "CAST(SUM(sq9) AS BIGINT) AS ssq9 FROM sc GROUP BY 1),\n"
+      val confBins = "(CAST(sp9 AS DOUBLE) / CAST(n AS DOUBLE)" +
+        " / 1000000000.0)"
+      val accBins = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+      sb ++= "scored AS (SELECT *, " +
+        s"CAST(FLOOR(abs($accBins - $confBins) * 1000000000.0 + 0.5)" +
+        " AS BIGINT) * n AS c9 FROM bins),\n"
+      val conf = confBins.replace("CAST(n AS", "CAST(scored.n AS")
+      val acc = accBins.replace("CAST(n AS", "CAST(scored.n AS")
+      sb ++= "tot AS (SELECT CAST(SUM(c9) AS BIGINT) AS tc9, " +
+        "CAST(SUM(ssq9) AS BIGINT) AS tsq9 FROM scored)\n"
+      sb ++= "SELECT bin, scored.n AS n, " +
+        s"${val6(conf)} AS confidence, ${val6(acc)} AS realized, " +
+        s"${val6(s"abs($acc - $conf)")} AS gap, " +
+        s"${val6("CAST(tc9 AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1000000000.0")} AS ece, " +
+        s"${val6("CAST(tsq9 AS DOUBLE) / CAST(nn.n AS DOUBLE) / 1000000000.0")} AS brier " +
+        "FROM scored CROSS JOIN tot CROSS JOIN nn " +
+        "ORDER BY bin NULLS FIRST"
       sb.toString
     },
 

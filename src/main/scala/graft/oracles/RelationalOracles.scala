@@ -727,6 +727,19 @@ object RelationalOracles {
         |ORDER BY a.p_brand ASC NULLS FIRST, name_a ASC NULLS FIRST,
         |  name_b ASC NULLS FIRST""".stripMargin,
 
+    // q323: the banded-Levenshtein serve of the same join — the oracle
+    // states the BUILTIN full-matrix form; lev_bounded(a,b,k) <= k is
+    // exactly levenshtein(a,b) <= k by construction.,
+    "q323_fuzzy_names_banded" ->
+      """WITH names AS (SELECT DISTINCT p_brand, p_name FROM part)
+        |SELECT a.p_brand, a.p_name AS name_a, b.p_name AS name_b,
+        |  levenshtein(a.p_name, b.p_name) AS edit_dist
+        |FROM names a JOIN names b
+        |  ON a.p_brand = b.p_brand AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY a.p_brand ASC NULLS FIRST, name_a ASC NULLS FIRST,
+        |  name_b ASC NULLS FIRST""".stripMargin,
+
     // RANGE frame over an integer epoch-day key: identical frame
     // boundaries in both engines; windowed sum over integer cents.,
     "q84_range_frame" ->

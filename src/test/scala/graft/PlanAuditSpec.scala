@@ -91,8 +91,10 @@ class PlanAuditSpec extends SparkSpec {
                               // (q262's exact shape)
     "q314_bq_knn",            // broadcast ≤10-row query set vs the
                               // code/corpus stream (the q35 class)
-    "q316_bitext_margin")     // both kNN legs are broadcast bounded
+    "q316_bitext_margin",     // both kNN legs are broadcast bounded
                               // query sets (≤30 queries / ≤120 cands)
+    "q322_distill_calibration") // 1-row ECE/Brier totals cross join
+                                // over the 10-bin frame
 
   // reviewed single-partition sites: global scalar finals + windows
   // over aggregate-grain frames (input cardinality is bounded by the
@@ -169,8 +171,10 @@ class PlanAuditSpec extends SparkSpec {
     "q315_ccnet_buckets",     // language-offset prefix window over the
                               // ≤|langs| frame (the rank itself is the
                               // two-phase distributed pass)
-    "q319_did_lift")          // 1-row 2×2-cell final over the 4-row
+    "q319_did_lift",          // 1-row 2×2-cell final over the 4-row
                               // cell aggregate (the q253 class)
+    "q322_distill_calibration") // 10-bin reliability frame + 1-row
+                                // ECE/Brier totals
 
   /** Every node of the plan, descending through AQE wrappers (an
     * AdaptiveSparkPlanExec is a LEAF to `collect` — its initial plan is

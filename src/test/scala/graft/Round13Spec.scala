@@ -205,6 +205,44 @@ class Round13Spec extends SparkSpec {
       s"acc ${got.head._3} does not beat majority $majority")
   }
 
+  // ---- q322 calibration card ----------------------------------------
+
+  test("q322: bins cover the corpus, confidence sits inside its bin, " +
+      "and ECE/Brier replay from the driver-side model") {
+    val nDocs = graft.sources.Tables.documents(spark, dir).count()
+    val rows = graft.operators.Features.distillCalibration(spark, dir)
+      .select($"bin", $"n", $"confidence", $"realized", $"gap",
+        $"ece", $"brier")
+      .as[(Int, Long, Double, Double, Double, Double, Double)].collect()
+    assert(rows.map(_._2).sum == nDocs)
+    rows.foreach { case (bin, _, conf, real, gap, ece, brier) =>
+      assert(bin >= 0 && bin <= 9)
+      assert(conf >= bin / 10.0 - 1e-6 && conf <= (bin + 1) / 10.0 + 1e-6,
+        s"bin $bin confidence $conf outside its bin")
+      assert(real >= 0.0 && real <= 1.0)
+      assert(gap >= 0.0 && gap <= 1.0)
+      assert(ece >= 0.0 && ece <= 1.0 && brier >= 0.0 && brier <= 1.0)
+    }
+    // ECE is the n-weighted mean |gap| — recompute from the bin rows
+    val eceBits = rows.map { case (_, n, conf, real, _, _, _) =>
+      math.floor(math.abs(real - conf) * 1e9 + 0.5).toLong * n }.sum
+    val v6 = math.floor(eceBits.toDouble / nDocs / 1e9 * 1e6 + 0.5) / 1e6
+    // conf/real are val6-rounded in the output; allow one micro-ulp
+    assert(math.abs(rows.head._6 - v6) <= 2e-6,
+      s"ece ${rows.head._6} vs bin-row recompute $v6")
+  }
+
+  // ---- q323 banded fuzzy join ----------------------------------------
+
+  test("q323: the banded serve returns exactly q83's pairs") {
+    val builtin = graft.operators.Relational.fuzzyNamePairs(spark, dir)
+      .collect().toSeq
+    val banded = graft.operators.Relational
+      .fuzzyNamePairsBanded(spark, dir).collect().toSeq
+    assert(banded == builtin)
+    assert(banded.nonEmpty)
+  }
+
   // ---- q313 Kaplan–Meier ------------------------------------------
 
   test("q313: survival is non-increasing, in (0,1], and consistent " +
