@@ -433,6 +433,8 @@ object SparkEntry {
       ((s, d) => Features.distillCalibration(s, d)),
     "q323_fuzzy_names_banded" ->
       (Relational.fuzzyNamePairsBanded _),
+    "q324_conformal_forecast" ->
+      ((s, d) => Analytics.conformalForecast(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

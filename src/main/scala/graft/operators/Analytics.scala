@@ -2294,6 +2294,68 @@ object Analytics {
       .orderBy(keyCol, "direction")
   }
 
+  /** q324 — split-CONFORMAL prediction intervals on the q250 EWMA
+    * forecaster: the distribution-free uncertainty band modern
+    * forecasting stacks publish instead of a bare point forecast
+    * (Vovk et al.; finite-sample coverage ≥ 1−α with NO distributional
+    * assumption). Calibration days (before the stated split) supply
+    * absolute forecast residuals; q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest
+    * residual (α = 0.2, the rank exact integer arithmetic:
+    * k = (4·n_cal + 8) div 5); scoring days get [fc − q̂, fc + q̂] and
+    * the mart reports the EMPIRICAL coverage those bands achieved —
+    * the number that validates the guarantee.
+    *
+    * Exactness: the forecast is the dyadic-weight EWMA lag chain with
+    * an INTEGER-division point estimate (num div den, cents), so
+    * residuals, ranks, q̂, and the coverage predicate are all exact
+    * integers; the only floats are output formatting.
+    *
+    * Scale: one fact shuffle to (channel × day) grain; lag chains,
+    * residual ranks, and coverage run on that calendar-grain frame
+    * (the q250/q262 reviewed window class). */
+  def conformalForecast(spark: SparkSession, dir: String): DataFrame = {
+    val splitDay = "2024-01-22"
+    val window = 8
+    val d = Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(cents2(col("value"))).as("cents"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val terms = (1 to window).map { k =>
+      val wt = 1L << (window - k)
+      (coalesce(lag(col("cents"), k).over(w), lit(0L)) * lit(wt),
+        when(lag(col("cents"), k).over(w).isNotNull, lit(wt))
+          .otherwise(lit(0L)))
+    }
+    val fc = d
+      .withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .filter(col("den") > 0)
+      .withColumn("fc", expr("num div den"))
+      .withColumn("resid", abs(col("cents") - col("fc")))
+      .withColumn("is_cal", col("day") < lit(splitDay).cast("date"))
+    val cal = fc.filter(col("is_cal"))
+      .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+        .orderBy(asc("resid"), asc("day"))))
+      .withColumn("n_cal",
+        count(lit(1)).over(Window.partitionBy("event_type")))
+      .withColumn("k_rank", expr("least((4 * n_cal + 8) div 5, n_cal)"))
+      .filter(col("rn") === col("k_rank"))
+      .select(col("event_type"), col("n_cal"),
+        col("resid").as("qhat_c"))
+    fc.filter(!col("is_cal"))
+      .join(broadcast(cal), Seq("event_type"))
+      .groupBy("event_type")
+      .agg(max("n_cal").as("n_cal"), count(lit(1)).as("n_score"),
+        max("qhat_c").as("qhat_c"),
+        sum(when(col("resid") <= col("qhat_c"), 1L).otherwise(0L))
+          .as("covered"))
+      .select(col("event_type"), col("n_cal"), col("n_score"),
+        (col("qhat_c").cast("double") / lit(100.0)).as("qhat"),
+        val6(col("covered").cast("double") / col("n_score").cast("double"))
+          .as("coverage"))
+      .orderBy("event_type")
+  }
+
   /** q319 — difference-in-differences promo-lift readout: the causal
     * 2×2 every experimentation-literate commerce team publishes when
     * treatment wasn't randomized per-unit — (treat − control) change

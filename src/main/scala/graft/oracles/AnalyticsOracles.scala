@@ -2069,6 +2069,44 @@ object AnalyticsOracles {
       sb.toString
     },
 
+    // q324: split-conformal intervals — integer-division EWMA point
+    // forecast, exact residual ranks, k = (4n+8)//5, coverage exact.,
+    "q324_conformal_forecast" -> {
+      val lags = (1 to 8).map { k =>
+        val wt = 1L << (8 - k)
+        (s"COALESCE(LAG(cents, $k) OVER w, 0) * $wt",
+          s"CASE WHEN LAG(cents, $k) OVER w IS NOT NULL THEN $wt ELSE 0 END")
+      }
+      s"""WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+         |    CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT))
+         |      AS BIGINT) AS cents
+         |  FROM events GROUP BY 1, 2),
+         |t AS (SELECT event_type, day, cents,
+         |    ${lags.map(_._1).mkString(" + ")} AS num,
+         |    ${lags.map(_._2).mkString(" + ")} AS den
+         |  FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |f AS (SELECT event_type, day, cents, num // den AS fc,
+         |    abs(cents - num // den) AS resid,
+         |    day < DATE '2024-01-22' AS is_cal
+         |  FROM t WHERE den > 0),
+         |c AS (SELECT event_type, resid,
+         |    ROW_NUMBER() OVER (PARTITION BY event_type
+         |      ORDER BY resid NULLS FIRST, day NULLS FIRST) AS rn,
+         |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+         |      AS n_cal
+         |  FROM f WHERE is_cal),
+         |q AS (SELECT event_type, n_cal, resid AS qhat_c FROM c
+         |  WHERE rn = LEAST((4 * n_cal + 8) // 5, n_cal))
+         |SELECT f.event_type, MAX(q.n_cal) AS n_cal,
+         |  CAST(COUNT(*) AS BIGINT) AS n_score,
+         |  CAST(MAX(q.qhat_c) AS DOUBLE) / 100.0 AS qhat,
+         |  ${val6("CAST(SUM(CASE WHEN f.resid <= q.qhat_c THEN 1 ELSE 0 END) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)")}
+         |    AS coverage
+         |FROM f JOIN q ON f.event_type = q.event_type
+         |WHERE NOT f.is_cal
+         |GROUP BY 1 ORDER BY f.event_type NULLS FIRST""".stripMargin
+    },
+
     // q313: Kaplan-Meier product-limit survival — q262's endpoint
     // histogram and risk sets verbatim; each factor's ln() nano-floored
     // BEFORE the running sum, exp() once per row; d = n sends survival

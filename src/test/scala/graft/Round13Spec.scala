@@ -243,6 +243,45 @@ class Round13Spec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  // ---- q324 split-conformal intervals --------------------------------
+
+  test("q324: qhat is the replayed k-th smallest calibration residual " +
+      "and coverage replays from the scoring window") {
+    val daily = graft.sources.Tables.events(spark, dir)
+      .groupBy($"event_type", to_date($"ts").as("day"))
+      .agg(sum(graft.util.Portable.cents2($"value")).as("c"))
+      .select($"event_type", $"day".cast("string"), $"c")
+      .as[(String, String, Long)].collect()
+    val split = "2024-01-22"
+    val expected = daily.groupBy(_._1).map { case (t, rows) =>
+      val xs = rows.sortBy(_._2)
+      val fc = xs.indices.flatMap { i =>
+        val terms = (1 to 8).flatMap { k =>
+          if (i - k >= 0) Some((xs(i - k)._3 * (1L << (8 - k)),
+            1L << (8 - k))) else None
+        }
+        val den = terms.map(_._2).sum
+        if (den == 0) None
+        else Some((xs(i)._2,
+          math.abs(xs(i)._3 - terms.map(_._1).sum / den)))
+      }
+      val (cal, score) = fc.partition(_._1 < split)
+      val sorted = cal.map(_._2).sorted
+      val k = math.min((4 * cal.size + 8) / 5, cal.size)
+      val qhat = sorted(k - 1)
+      val covered = score.count(_._2 <= qhat)
+      t -> (cal.size.toLong, score.size.toLong,
+        qhat.toDouble / 100.0,
+        math.floor(covered.toDouble / score.size * 1e6 + 0.5) / 1e6)
+    }
+    val got = Analytics.conformalForecast(spark, dir)
+      .select($"event_type", $"n_cal", $"n_score", $"qhat", $"coverage")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got == expected, s"got $got want $expected")
+    assert(got.size == 5)
+  }
+
   // ---- q313 Kaplan–Meier ------------------------------------------
 
   test("q313: survival is non-increasing, in (0,1], and consistent " +
