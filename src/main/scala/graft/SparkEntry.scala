@@ -435,6 +435,8 @@ object SparkEntry {
       (Relational.fuzzyNamePairsBanded _),
     "q324_conformal_forecast" ->
       ((s, d) => Analytics.conformalForecast(s, d)),
+    "q325_streaming_conformal" ->
+      ((s, d) => streaming.StreamingEwma.conformalMonitor(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

@@ -2313,12 +2313,18 @@ object Analytics {
     * Scale: one fact shuffle to (channel × day) grain; lag chains,
     * residual ranks, and coverage run on that calendar-grain frame
     * (the q250/q262 reviewed window class). */
-  def conformalForecast(spark: SparkSession, dir: String): DataFrame = {
+  def conformalForecast(spark: SparkSession, dir: String): DataFrame =
+    conformalFrom(Tables.events(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(cents2(col("value"))).as("cents")))
+
+  /** The q324/q325 conformal core: `d` carries integer `cents` at
+    * (event_type, day) grain — shared by the batch readout and the
+    * streaming monitor (the drained maintained state must read off the
+    * identical bands). */
+  private[graft] def conformalFrom(d: DataFrame): DataFrame = {
     val splitDay = "2024-01-22"
     val window = 8
-    val d = Tables.events(spark, dir)
-      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
-      .agg(sum(cents2(col("value"))).as("cents"))
     val w = Window.partitionBy("event_type").orderBy("day")
     val terms = (1 to window).map { k =>
       val wt = 1L << (window - k)
@@ -2333,6 +2339,10 @@ object Analytics {
       .withColumn("fc", expr("num div den"))
       .withColumn("resid", abs(col("cents") - col("fc")))
       .withColumn("is_cal", col("day") < lit(splitDay).cast("date"))
+      // feeds both the calibration ranks and the scoring side of the
+      // self-join; the checkpoint also keeps q325's memory-table
+      // lineage from tripping self-join reference resolution
+      .localCheckpoint()
     val cal = fc.filter(col("is_cal"))
       .withColumn("rn", row_number().over(Window.partitionBy("event_type")
         .orderBy(asc("resid"), asc("day"))))

@@ -323,5 +323,10 @@ object StreamingOracles {
         |FROM r WHERE rn = 1
         |ORDER BY event_type NULLS FIRST, direction NULLS FIRST"""
         .stripMargin,
+
+    // q325: the continuous conformal monitor — maintenance must be
+    // invisible, so the oracle is q324's batch readout verbatim.,
+    "q325_streaming_conformal" ->
+      AnalyticsOracles.map("q324_conformal_forecast"),
   )
 }

@@ -98,4 +98,29 @@ object StreamingEwma {
     q.awaitTermination()
     graft.operators.Analytics.cusumFrom(spark.table(name), "event_type")
   }
+
+  /** q325: the CONTINUOUS conformal monitor — q324's distribution-free
+    * bands deployed over streaming-maintained state, completing the
+    * always-on monitor family (EWMA band q251, Holt ramp q305, CUSUM
+    * shift q320, now CALIBRATED uncertainty): the (event_type × day →
+    * cents) state maintained by a streaming keyed aggregation, the
+    * integer-exact conformal readout (lag-chain forecast, residual
+    * ranks, empirical coverage) off the maintained state via the SAME
+    * [[graft.operators.Analytics.conformalFrom]] core. The drained
+    * reading ≡ the batch statistic bit-for-bit — the oracle states the
+    * batch form. */
+  def conformalMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val agg = StreamingFunnel.eventsStream(spark, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(sum(Portable.cents2(col("value"))).as("cents"))
+    val name = "streaming_conformal_sink"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.Analytics.conformalFrom(spark.table(name))
+  }
 }

@@ -282,6 +282,17 @@ class Round13Spec extends SparkSpec {
     assert(got.size == 5)
   }
 
+  // ---- q325 streaming conformal monitor ------------------------------
+
+  test("q325: the drained streaming reading equals the batch " +
+      "conformal readout bit-for-bit") {
+    val expected = Analytics.conformalForecast(spark, dir).collect().toSeq
+    val got = graft.streaming.StreamingEwma.conformalMonitor(spark, dir)
+      .collect().toSeq
+    assert(got == expected)
+    assert(got.size == 5)
+  }
+
   // ---- q313 Kaplan–Meier ------------------------------------------
 
   test("q313: survival is non-increasing, in (0,1], and consistent " +
