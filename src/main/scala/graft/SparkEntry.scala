@@ -437,6 +437,8 @@ object SparkEntry {
       ((s, d) => Analytics.conformalForecast(s, d)),
     "q325_streaming_conformal" ->
       ((s, d) => streaming.StreamingEwma.conformalMonitor(s, d)),
+    "q326_eventgen_topn_pushdown" ->
+      (graft.sources.v2.EventGen.topNPushSummary _),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

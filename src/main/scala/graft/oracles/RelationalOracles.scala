@@ -581,6 +581,22 @@ object RelationalOracles {
          |FROM e GROUP BY 1
          |ORDER BY event_type NULLS FIRST""".stripMargin,
 
+    // q326: top-N pushdown — the top 50 descending ids of the pushed
+    // range are a closed-form sub-range; the oracle regenerates
+    // exactly those rows.,
+    "q326_eventgen_topn_pushdown" ->
+      s"""WITH g AS (SELECT i AS event_id,
+         |    ${h32("CAST(i AS VARCHAR)")} AS h
+         |  FROM range(79950, 80000) t(i))
+         |SELECT event_id,
+         |  TIMESTAMP '2024-01-01 00:00:00'
+         |    + event_id * INTERVAL 1 SECOND AS ts,
+         |  h % 500 AS user_id,
+         |  ['view','cart','purchase','refund','support']
+         |    [CAST((h // 500) % 5 AS INT) + 1] AS event_type,
+         |  CAST(h % 10000 AS DOUBLE) / 100.0 AS value
+         |FROM g ORDER BY event_id DESC""".stripMargin,
+
     // Stream-drain of the DSv2 micro-batch surface must equal batch
     // generation over the full id range (5 admission-controlled
     // triggers x 10k ids).,

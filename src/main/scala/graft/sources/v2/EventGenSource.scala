@@ -6,9 +6,9 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expression, NamedReference, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{AggregateFunc, Aggregation, Count, CountStar, Max, Min, Sum}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsPushDownTopN}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -105,6 +105,25 @@ object EventGen {
       .orderBy("event_type")
   }
 
+  /** q326: ORDER BY event_id DESC LIMIT 50 served by TOP-N PUSHDOWN
+    * (`SupportsPushDownTopN`, composed UNDER the absorbed range
+    * filters): ids are the sort order, so the top-n window collapses
+    * to a closed-form 50-id sub-range — the readers generate 50 rows
+    * instead of 60k, and Spark's TakeOrderedAndProject runs over those
+    * survivors (the partial contract). A bare LIMIT takes the
+    * `SupportsPushDownLimit` path the same way. `Round13Spec` pins the
+    * executed scan's id range and the unpushed-equivalence. */
+  def topNPushSummary(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.format("graft-eventgen")
+      .option("rows", 100000L).option("partitions", 10)
+      .option("users", 500L).load()
+      .filter(col("event_id") >= 20000L && col("event_id") < 80000L)
+      .orderBy(col("event_id").desc)
+      .limit(50)
+  }
+
   /** q74: the SAME connector read as a rate-limited micro-batch stream
     * (5 triggers × 10k ids via admission control), aggregated and
     * drained with AvailableNow. The oracle regenerates the full id
@@ -169,7 +188,8 @@ class EventGenScanBuilder(rows: Long, numPartitions: Int, users: Long,
     startSec: Long, batchRows: Long = 10000L)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit with SupportsPushDownTopN {
 
   private var lo: Long = 0L
   private var hi: Long = rows // exclusive
@@ -177,6 +197,41 @@ class EventGenScanBuilder(rows: Long, numPartitions: Int, users: Long,
   private var required: StructType = EventGen.schema
   private var aggOps: Option[Seq[String]] = None
   private var aggSchema: StructType = EventGen.schema
+  private var pushedShape: Option[String] = None // "limit(n)"/"topN(...)"
+
+  // both default methods collide in Scala's linearization; state the
+  // shared answer once: the source pre-trims, Spark finishes
+  override def isPartiallyPushed(): Boolean = true
+
+  /** LIMIT pushdown: any `n` generated rows satisfy a bare LIMIT, so
+    * the id range shrinks to its first n ids — the readers generate n
+    * rows total instead of the full range. Partial contract: Spark
+    * still applies its own LIMIT on top. */
+  override def pushLimit(limit: Int): Boolean = {
+    hi = math.min(hi, lo + limit)
+    pushedShape = Some(s"limit($limit)")
+    true
+  }
+
+  /** ORDER BY event_id [ASC|DESC] LIMIT n pushdown: ids ARE the
+    * order, so the top-n window is a closed-form sub-range — the
+    * row-transfer win without generating, sorting, or shipping the
+    * rest. Partial contract (`isPartiallyPushed` default true): Spark
+    * keeps its TakeOrderedAndProject over the ≤n survivors. */
+  override def pushTopN(orders: Array[SortOrder], limit: Int): Boolean = {
+    val ok = orders.length == 1 && (orders(0).expression() match {
+      case nr: NamedReference =>
+        nr.fieldNames.length == 1 && nr.fieldNames()(0) == "event_id"
+      case _ => false
+    })
+    if (!ok) return false
+    if (orders(0).direction() == SortDirection.ASCENDING)
+      hi = math.min(hi, lo + limit)
+    else
+      lo = math.max(lo, hi - limit)
+    pushedShape = Some(s"topN(event_id ${orders(0).direction()}, $limit)")
+    true
+  }
 
   /** Absorb event_id range/equality predicates into the generated
     * interval; everything else stays with Spark. An absorbed filter is
@@ -259,14 +314,15 @@ class EventGenScanBuilder(rows: Long, numPartitions: Int, users: Long,
   override def build(): Scan =
     new EventGenScan(lo, math.max(lo, hi), numPartitions, users, startSec,
       if (aggOps.isDefined) aggSchema else required, rows, batchRows,
-      aggOps)
+      aggOps, pushedShape)
 }
 
 case class EventGenPartition(start: Long, end: Long) extends InputPartition
 
 class EventGenScan(lo: Long, hi: Long, numPartitions: Int, users: Long,
     startSec: Long, required: StructType, totalRows: Long,
-    batchRows: Long = 10000L, aggOps: Option[Seq[String]] = None)
+    batchRows: Long = 10000L, aggOps: Option[Seq[String]] = None,
+    pushedShape: Option[String] = None)
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -277,7 +333,8 @@ class EventGenScan(lo: Long, hi: Long, numPartitions: Int, users: Long,
   override def description(): String =
     s"EventGen[range=[$lo,$hi), partitions<=$numPartitions, " +
       s"pruned=${required.fieldNames.mkString(",")}" +
-      aggOps.map(o => s", aggPushed=${o.mkString("+")}").getOrElse("") + "]"
+      aggOps.map(o => s", aggPushed=${o.mkString("+")}").getOrElse("") +
+      pushedShape.map(s => s", pushed=$s").getOrElse("") + "]"
 
   /** Chunk the FULL id space evenly, then intersect each chunk with the
     * pushed range — empty chunks are never scheduled (partition
@@ -299,6 +356,12 @@ class EventGenScan(lo: Long, hi: Long, numPartitions: Int, users: Long,
   /** Exposed for the plan-shape spec: whether this scan serves a
     * pushed aggregation. */
   def aggPushed: Boolean = aggOps.isDefined
+
+  /** Exposed for the plan-shape spec: the pushed limit/topN, if any. */
+  def limitShape: Option[String] = pushedShape
+
+  /** Exposed for the plan-shape spec: the generated id range. */
+  def idRange: (Long, Long) = (lo, hi)
 }
 
 /** Streaming offset = position in the id space (a Kafka-offset

@@ -498,6 +498,37 @@ class Round13Spec extends SparkSpec {
     }
   }
 
+  // ---- q326 DSv2 limit / top-N pushdown ------------------------------
+
+  test("q326: the executed scan's id range collapsed to the top-N " +
+      "window, a bare LIMIT pushes too, and a residual filter falls " +
+      "back with identical rows") {
+    val pushed = graft.sources.v2.EventGen.topNPushSummary(spark, dir)
+    val scans = eventGenScans(pushed)
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.idRange == (79950L, 80000L)),
+      s"got ranges ${scans.map(_.idRange)}")
+    assert(scans.forall(_.limitShape.exists(_.startsWith("topN"))))
+    // bare LIMIT: any n generated rows satisfy it — range shrinks to n
+    val lim = spark.read.format("graft-eventgen")
+      .option("rows", 100000L).option("partitions", 10)
+      .option("users", 500L).load().limit(7)
+    val limScans = eventGenScans(lim)
+    assert(limScans.forall(_.idRange == (0L, 7L)))
+    assert(limScans.forall(_.limitShape.exists(_.startsWith("limit"))))
+    assert(lim.count() == 7)
+    // fallback: a residual filter blocks the pushdown, rows unchanged
+    val fallback = spark.read.format("graft-eventgen")
+      .option("rows", 100000L).option("partitions", 10)
+      .option("users", 500L).load()
+      .filter($"event_id" >= 20000L && $"event_id" < 80000L)
+      .filter(length($"event_type") > 0)
+      .orderBy($"event_id".desc)
+      .limit(50)
+    assert(eventGenScans(fallback).forall(_.limitShape.isEmpty))
+    assert(fallback.collect().toSeq == pushed.collect().toSeq)
+  }
+
   // ---- q315 CCNet perplexity buckets --------------------------------
 
   test("q315: per-language tercile sizes are exact rank thirds and " +
