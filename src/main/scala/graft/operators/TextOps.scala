@@ -2263,6 +2263,10 @@ object TextOps {
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_tokens"), sum("lp9").as("slp9"))
       .withColumn("npt9", expr("(-slp9) div n_tokens"))
+    // stated widths: npt9 ≤ ~3e10 (11 digits; per-token nats < 30),
+    // doc_id < 1e12 (the ScaleGen 100× remap peaks at 10 digits) — an
+    // overflow would reorder the composite and fail the hash gate
+    // loudly, never silently
     val key = concat_ws("|", rpad(col("lang"), 8, " "),
       lpad(col("npt9").cast("string"), 15, "0"),
       lpad(col("doc_id").cast("string"), 12, "0"))
