@@ -439,6 +439,7 @@ object SparkEntry {
       ((s, d) => streaming.StreamingEwma.conformalMonitor(s, d)),
     "q326_eventgen_topn_pushdown" ->
       (graft.sources.v2.EventGen.topNPushSummary _),
+    "q327_bq_ivf_knn" -> ((s, d) => VectorOps.bqIvfKnn(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

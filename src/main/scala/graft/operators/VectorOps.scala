@@ -2554,6 +2554,88 @@ object VectorOps {
       .orderBy("query_id", "rank")
   }
 
+  /** q327 — BQ-over-IVF composed serve: the 1-bit analogue of q177's
+    * IVFADC — q50's coarse quantizer prunes to nProbe buckets, the
+    * q314 sign-code Hamming shortlist ranks INSIDE the surviving
+    * buckets (XOR+POPCNT over d/8-byte codes — the only per-candidate
+    * read), and exact float cosine re-ranks the ≤shortN survivors.
+    * At 100 TB this is the serve that touches ~nProbe/K of the CODES
+    * table (3 TB-equivalent of a 100 TB float corpus) and shortN rows
+    * of floats per query — both prunings compose multiplicatively.
+    *
+    * Shapes: bucket pruning is the q50 equi-join on cid; the Hamming
+    * kernel carries only (id, code); raw vectors are re-joined ONLY
+    * for the shortlist (the q293 refine discipline). */
+  def bqIvfKnn(spark: SparkSession, dir: String,
+      nQueries: Int = 10, k: Int = 5, nCentroids: Int = 16,
+      nProbe: Int = 4, shortN: Int = 32): DataFrame = {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding"))
+    val cents: Array[(Long, Array[Float])] =
+      e.filter(col("vec_id") < nCentroids)
+        .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val bc = spark.sparkContext.broadcast(cents)
+    val assigned = e.as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var bestC = -1L
+          var best = Double.NegativeInfinity
+          var i = 0
+          while (i < cs.length) {
+            val s = cosOf(v, cs(i)._2)
+            if (s > best) { best = s; bestC = cs(i)._1 }
+            i += 1
+          }
+          (id, bestC, bqPack(v))
+        }
+      }.toDF("vec_id", "cid", "code")
+    val probes = e.filter(col("vec_id") < nQueries)
+      .as[(Long, Array[Float])]
+      .flatMap { case (qid, qv) =>
+        bc.value.map { case (cid, cv) => (qid, cid, cosOf(qv, cv)) } }
+      .toDF("query_id", "cid", "pcos")
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(desc("pcos"), asc("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select("query_id", "cid")
+    val qCodes = assigned.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("code").as("qcode"))
+    val ham = probes.join(assigned, Seq("cid"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .join(broadcast(qCodes), Seq("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("qcode"), col("code"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .mapPartitions(_.map { case (qi, ni, qc, nc) =>
+        (qi, ni, bqHamming(qc, nc)) })
+      .toDF("query_id", "neighbor_id", "hamming")
+    val short = ham.withColumn("hrn", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(asc("hamming"), asc("neighbor_id"))))
+      .filter(col("hrn") <= shortN)
+    short
+      .join(broadcast(e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))),
+        Seq("query_id"))
+      .join(e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("nv")), Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), col("hamming"),
+        col("qv"), col("nv"))
+      .as[(Long, Long, Int, Array[Float], Array[Float])]
+      .mapPartitions(_.map { case (qi, ni, h, qv, nv) =>
+        (qi, ni, h, cosOf(qv, nv)) })
+      .toDF("query_id", "neighbor_id", "hamming", "cos")
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(desc("cos"), asc("neighbor_id"))))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
+        col("hamming"),
+        graft.util.Portable.val6(col("cos")).as("cos_sim"))
+      .orderBy("query_id", "rank")
+  }
+
   /** q316 — margin-based BITEXT MINING (Artetxe & Schwenk 2019): the
     * candidate-pair scorer behind every mined parallel corpus
     * (CCMatrix/LASER class). Treating label < 5 as the source side and

@@ -789,6 +789,63 @@ object VectorOracles {
          |FROM rk WHERE rn <= 5
          |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
 
+    // q327: BQ-over-IVF — q50's coarse prune CTEs + q314's sign-code
+    // packing inside the surviving buckets + exact-cosine re-rank of
+    // the 32-deep shortlist.,
+    "q327_bq_ivf_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |c AS (SELECT vec_id AS cid, embedding AS cv FROM e
+         |  WHERE vec_id < 16),
+         |ac AS (
+         |  SELECT e.vec_id, e.embedding, c.cid,
+         |    ${cosCols("e.embedding", "c.cv")} AS ccos
+         |  FROM e CROSS JOIN c),
+         |assign AS (
+         |  SELECT vec_id, embedding, cid,
+         |    list_reduce(list_transform(range(1, 33),
+         |      i -> CASE WHEN embedding[i] >= 0
+         |        THEN CAST(1 AS BIGINT) << (i - 1)
+         |        ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y) AS w0,
+         |    list_reduce(list_transform(range(33, 65),
+         |      i -> CASE WHEN embedding[i] >= 0
+         |        THEN CAST(1 AS BIGINT) << (i - 33)
+         |        ELSE CAST(0 AS BIGINT) END), (x, y) -> x + y) AS w1
+         |  FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY ccos DESC NULLS LAST, cid NULLS FIRST) AS rn
+         |    FROM ac) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv,
+         |    w0 AS q0, w1 AS q1 FROM assign WHERE vec_id < 10),
+         |qc AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.query_id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+         |        ORDER BY ${cosCols("q.qv", "c.cv")} DESC NULLS LAST,
+         |                 c.cid NULLS FIRST) AS rn
+         |    FROM q CROSS JOIN c) WHERE rn <= 4),
+         |h AS (
+         |  SELECT qc.query_id, a.vec_id AS neighbor_id,
+         |    bit_count(xor(q.q0, a.w0)) + bit_count(xor(q.q1, a.w1))
+         |      AS hamming
+         |  FROM qc JOIN assign a USING (cid)
+         |  JOIN q ON q.query_id = qc.query_id
+         |  WHERE a.vec_id <> qc.query_id),
+         |sh AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY hamming NULLS FIRST, neighbor_id NULLS FIRST)
+         |    AS hrn FROM h),
+         |rr AS (SELECT sh.query_id, sh.neighbor_id, sh.hamming,
+         |    ${cosCols("q.qv", "n.embedding")} AS cos
+         |  FROM sh JOIN q ON q.query_id = sh.query_id
+         |  JOIN e n ON n.vec_id = sh.neighbor_id
+         |  WHERE sh.hrn <= 32),
+         |rk AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+         |    ORDER BY cos DESC NULLS LAST, neighbor_id NULLS FIRST)
+         |    AS rn FROM rr)
+         |SELECT query_id, rn AS "rank", neighbor_id, hamming,
+         |  ${val6("cos")} AS cos_sim
+         |FROM rk WHERE rn <= 5
+         |ORDER BY query_id NULLS FIRST, rn NULLS FIRST""".stripMargin,
+
     // q316: margin-based bitext mining — nano-floored cosines, 4-NN
     // neighborhood sums in each direction, the margin ONE fixed IEEE
     // tree over exact integers, micro-floored before ranking.,

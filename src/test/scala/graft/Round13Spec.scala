@@ -529,6 +529,44 @@ class Round13Spec extends SparkSpec {
     assert(fallback.collect().toSeq == pushed.collect().toSeq)
   }
 
+  // ---- q327 BQ-over-IVF composed serve -------------------------------
+
+  test("q327: candidates come only from probed buckets, hamming " +
+      "matches the packed codes, cosines are exact, and recall is " +
+      "within reach of plain BQ's") {
+    val e = graft.sources.Tables.embeddings(spark, dir)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])]
+      .collect().toMap
+    val cents = e.toSeq.filter(_._1 < 16).sortBy(_._1)
+    def bucketOf(v: Array[Float]): Long =
+      cents.map { case (c, cv) => (c, VectorOps.cosOf(v, cv)) }
+        .maxBy { case (c, s) => (s, -c) }._1
+    def probesOf(qv: Array[Float]): Set[Long] =
+      cents.map { case (c, cv) => (c, VectorOps.cosOf(qv, cv)) }
+        .sortBy { case (c, s) => (-s, c) }.take(4).map(_._1).toSet
+    val got = VectorOps.bqIvfKnn(spark, dir)
+      .select($"query_id", $"neighbor_id", $"hamming", $"cos_sim")
+      .as[(Long, Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (qi, ni, h, cs) =>
+      assert(probesOf(e(qi))(bucketOf(e(ni))),
+        s"neighbor $ni of query $qi outside the probed buckets")
+      assert(h == VectorOps.bqHamming(
+        VectorOps.bqPack(e(qi)), VectorOps.bqPack(e(ni))))
+      val exact =
+        math.floor(VectorOps.cosOf(e(qi), e(ni)) * 1e6 + 0.5) / 1e6
+      assert(cs == exact)
+    }
+    // the composed serve prunes buckets, so its recall is bounded by
+    // plain BQ's; both shortlists are 32-deep
+    val bq = VectorOps.bqKnn(spark, dir)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val agree = got.count { case (qi, ni, _, _) => bq(qi)(ni) }
+    assert(agree * 2 >= got.length,
+      s"composed serve agrees with plain BQ on only $agree/${got.length}")
+  }
+
   // ---- q315 CCNet perplexity buckets --------------------------------
 
   test("q315: per-language tercile sizes are exact rank thirds and " +
