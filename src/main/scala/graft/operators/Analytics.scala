@@ -59,11 +59,11 @@ object Analytics {
     * (exact cents). Quartile scores via ntile(4) with the key as
     * tiebreak so tied metric values rank deterministically.
     *
-    * The three windows share one partitioning (none — customer grain is
-    * already the reduced grain, |customers| rows after a single
-    * aggregation of orders); at 100 TB grain the global ntile sorts
-    * would become percentile-sketch cutpoints + a scan-local score
-    * lookup, same output contract. */
+    * The input is the reduced customer grain (|customers| rows after a
+    * single aggregation of orders), and the three quartile scores are
+    * exact at ANY grain: each comes from a two-phase range-partitioned
+    * global rank + closed-form NTILE arithmetic, never a
+    * single-partition window sort (PlanAuditSpec pins the absence). */
   def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(spark, dir).select(
       col("o_custkey"), to_date(col("o_orderdate")).as("day"),
@@ -77,14 +77,25 @@ object Analytics {
       .select(col("o_custkey"),
         datediff(col("anchor"), col("last_day")).as("recency_days"),
         col("frequency"), col("cents"))
-    val rW = Window.orderBy(asc("recency_days"), asc("o_custkey"))
-    val fW = Window.orderBy(desc("frequency"), asc("o_custkey"))
-    val mW = Window.orderBy(desc("cents"), asc("o_custkey"))
-    grain.select(col("o_custkey"), col("recency_days"), col("frequency"),
+    // Three global quartile assignments WITHOUT a single-partition
+    // sort: chain three two-phase range-partitioned ranks (R, then F,
+    // then M — each pass re-range-partitions on its own total key,
+    // carrying the earlier ranks along, so no join-back is needed) and
+    // derive each score with the closed-form NTILE arithmetic
+    // ([[Relational.ntileFromRank]]) — bit-identical to the three
+    // ntile(4) windows this replaced, with every stage fully parallel.
+    val n = grain.count()
+    val r1 = Relational.rankedBy(grain,
+      struct(col("recency_days").as("rd"), col("o_custkey").as("ck")), "_rr")
+    val r2 = Relational.rankedBy(r1,
+      struct((-col("frequency")).as("nf"), col("o_custkey").as("ck")), "_rf")
+    val r3 = Relational.rankedBy(r2,
+      struct((-col("cents")).as("nm"), col("o_custkey").as("ck")), "_rm")
+    r3.select(col("o_custkey"), col("recency_days"), col("frequency"),
         (col("cents").cast("double") / 100.0).as("monetary"),
-        ntile(4).over(rW).as("r_score"),
-        ntile(4).over(fW).as("f_score"),
-        ntile(4).over(mW).as("m_score"))
+        Relational.ntileFromRank(col("_rr"), n, 4).cast("int").as("r_score"),
+        Relational.ntileFromRank(col("_rf"), n, 4).cast("int").as("f_score"),
+        Relational.ntileFromRank(col("_rm"), n, 4).cast("int").as("m_score"))
       .withColumn("segment",
         concat(col("r_score"), col("f_score"), col("m_score")))
       .orderBy("o_custkey")

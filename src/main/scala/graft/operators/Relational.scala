@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
@@ -399,6 +399,35 @@ object Relational {
       .join(broadcast(offsetDf), "_bkt")
       .withColumn(skName, col("_lrn") + col("_off") + lit(base))
       .drop("_bkt", "_lrn", "_off")
+  }
+
+  /** Two-phase global ROW_NUMBER over an arbitrary total-order key
+    * expression (possibly composite, possibly descending — callers
+    * negate numeric components for DESC): materialize the key as a
+    * struct column and run [[denseGlobalRank]]'s range-partitioned
+    * rank over it. No single-partition sort at any grain. */
+  def rankedBy(df: DataFrame, key: Column, rankName: String): DataFrame =
+    denseGlobalRank(df.withColumn("_rkey", key), "_rkey", rankName, 0L)
+      .drop("_rkey")
+
+  /** Closed-form NTILE(k) from the 1-based global rank over `n` total
+    * rows: the first n%k buckets take ⌈n/k⌉ rows, the rest ⌊n/k⌋ —
+    * NTILE's exact contract, derived arithmetically from the rank so
+    * the assignment is bit-identical to `NTILE(k) OVER (ORDER BY …)`
+    * on a total order WITHOUT the single-partition WindowExec that
+    * window plans. Division is double but exact here: the quotient is
+    * ≤ k and the divisor ≥ n/k, so the 0.5-ulp division error (~k·2⁻⁵³)
+    * stays below the 1/divisor gap to the next integer for any
+    * n < 2⁴⁰, k ≤ 10³ (q213's proven discipline, now shared by
+    * q62/q67). Returns a LONG 1..k; callers cast to int to match the
+    * window function's type. */
+  def ntileFromRank(rank: Column, n: Long, k: Int): Column = {
+    val q = n / k; val rem = n % k
+    when(rank <= lit(rem * (q + 1)),
+        ((rank - lit(1L)) / lit((q + 1).toDouble)).cast("long") + 1)
+      .otherwise(lit(rem) +
+        ((rank - lit(rem * (q + 1)) - lit(1L)) / lit(q.toDouble))
+          .cast("long") + 1)
   }
 
   def customerSk(spark: SparkSession, dir: String): DataFrame =
@@ -931,19 +960,31 @@ object Relational {
     * function sees a total order (ntile assignment under ties is
     * otherwise row-order-dependent). percent_rank/cume_dist are exact
     * rational divisions of rank integers — engine-portable doubles.
-    * The window input is the pre-aggregated customer grain, not the
-    * fact table; at 100 TB the global sort is over |customers| rows,
-    * and a percentile_approx sketch replaces it when grain explodes. */
+    *
+    * NO single-partition sort, at any grain: the rank comes from
+    * [[rankedBy]]'s two-phase range-partitioned pass over the total
+    * key (revenue DESC, custkey ASC — the DESC leg negates the
+    * integer cents), and all three window functions are closed-form
+    * arithmetic on that rank — the key is unique, so
+    * rank ≡ row_number, percent_rank = (rank−1)/(n−1), cume_dist =
+    * rank/n, and NTILE is [[ntileFromRank]]. Both engines evaluate
+    * the same IEEE division of the same integers, so the output is
+    * bit-identical to the window-function plan this replaced. */
   def ntileRanks(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(spark, dir)
       .groupBy("o_custkey")
       .agg(sum(cents2(col("o_totalprice"))).as("cents"))
-    val w = Window.orderBy(desc("cents"), asc("o_custkey"))
-    rev.select(col("o_custkey"),
+    val n = rev.count()
+    val ranked = rankedBy(rev,
+      struct((-col("cents")).as("nc"), col("o_custkey").as("ck")), "_rnk")
+    val pctRank =
+      if (n <= 1L) lit(0.0)
+      else (col("_rnk") - lit(1L)).cast("double") / lit((n - 1).toDouble)
+    ranked.select(col("o_custkey"),
         (col("cents").cast("double") / 100.0).as("revenue"),
-        ntile(10).over(w).as("decile"),
-        percent_rank().over(w).as("pct_rank"),
-        cume_dist().over(w).as("cume"))
+        ntileFromRank(col("_rnk"), n, 10).cast("int").as("decile"),
+        pctRank.as("pct_rank"),
+        (col("_rnk").cast("double") / lit(n.toDouble)).as("cume"))
       .orderBy("o_custkey")
   }
 

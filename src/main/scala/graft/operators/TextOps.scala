@@ -1735,17 +1735,10 @@ object TextOps {
       .withColumn("_key", struct(col("dm"), col("doc_id")))
 
     val n = scored.count()
-    val k = stages.toLong
-    val q = n / k; val rem = n % k
     val ranked = Relational.globalRankedPrefixSum(
       scored, "_key", "n_tokens", "rank", "cum_tokens")
-    val r = col("rank")
-    val stage = when(r <= lit(rem * (q + 1)),
-        ((r - lit(1L)) / lit((q + 1).toDouble)).cast("long") + 1)
-      .otherwise(lit(rem) +
-        ((r - lit(rem * (q + 1)) - lit(1L)) / lit(q.toDouble))
-          .cast("long") + 1)
-    ranked.withColumn("stage", stage.cast("int"))
+    ranked.withColumn("stage",
+        Relational.ntileFromRank(col("rank"), n, stages).cast("int"))
       .groupBy("stage", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("n_tokens"),

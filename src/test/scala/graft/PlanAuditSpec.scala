@@ -105,9 +105,10 @@ class PlanAuditSpec extends SparkSpec {
     "q20_dq_metrics", "q39_kpis", "q82_moments", // 1-row scalar finals
     "q47_moving_avg",         // frames over monthly totals
     "q60_gapfill_daily",      // spine bounds: 1-row min/max aggregate
-    "q62_ntile_ranks",        // global quartiles: semantic total order
+    // q62/q67 removed round 9: global ntile/percent_rank/cume_dist now
+    // derive closed-form from the two-phase range-partitioned rank —
+    // any reappearing single-partition exchange is a regression
     "q63_tfidf",              // 1-row corpus doc-count scalar
-    "q67_rfm_segments",       // global RFM quantile thresholds
     "q69_campaign_attr",      // bin spine from a 1-row bounds agg
     "q81_bloom_prune",        // bloom build: 1-row sketch aggregate
     "q94_heavy_hitters",      // candidate-merge final (≤k rows)
