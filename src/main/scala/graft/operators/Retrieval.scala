@@ -123,25 +123,43 @@ object Retrieval {
     * storage trick as the q153 IVF index, applied to text. */
   /** The BM25 scoring core shared by [[bm25]] and [[hardNegatives]]:
     * (query_id, doc_id, s9) with s9 the nano-scaled integer score. */
-  /** The shared BM25 derivations — ONE scan+explode+partial-agg
-    * produces the tf table; everything else derives from it (dl = Σtf
-    * per doc, nd/avgdl from one driver reduction of dl's checkpointed
-    * rows). Shared by [[bm25Scores]] and the PRF re-scorer. */
-  private case class Bm25Parts(tf: DataFrame, dl: DataFrame,
-      nd: Long, avgdl: Double)
+  /** The shared BM25 derivations — the (doc, term, tf, dl) posting
+    * table in ONE map-only pass: every token of a document lives in
+    * its own text cell, so per-doc term counts aggregate IN-ROW (a
+    * per-row hash count) and the doc length rides along as a column —
+    * no token-stream shuffle, and no dl join downstream (the old
+    * explode + groupBy shape shuffled the near-distinct (doc, t)
+    * token stream, the single heaviest exchange in the q182/q244
+    * family). nd/avgdl come from one narrow count/sum over the
+    * documents scan. Token identity with the previous explode(split)
+    * derivation is exact: both split on the literal space keeping
+    * trailing empties ("" → [""]), so tf, dl = Σtf, nd and avgdl are
+    * bit-identical. Shared by [[bm25Scores]] and the PRF re-scorer. */
+  private case class Bm25Parts(tf: DataFrame, nd: Long, avgdl: Double)
 
   private def bm25Parts(spark: SparkSession, dir: String): Bm25Parts = {
+    import spark.implicits._
     val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val toks = text.split(" ", -1)
+        val m = new java.util.HashMap[String, Long]()
+        toks.foreach(t => m.merge(t, 1L, _ + _))
+        val dl = toks.length.toLong
+        val it = m.entrySet().iterator()
+        new Iterator[(Long, String, Long, Long)] {
+          def hasNext = it.hasNext
+          def next() = { val e = it.next(); (id, e.getKey, e.getValue, dl) }
+        }
+      }
+      .toDF("doc_id", "t", "tf", "dl")
       .localCheckpoint()
-    // every doc emits ≥1 tf row (split of "" is [""]), so
-    // count(dl) = nd exactly
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      .localCheckpoint()
-    val statsRow = dl
-      .agg(count(lit(1)).as("nd"), sum("dl").as("ntok")).collect()(0)
-    Bm25Parts(tf, dl, statsRow.getLong(0),
+    val statsRow = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("nd"),
+        sum(size(split(col("text"), " ")).cast("long")).as("ntok"))
+      .collect()(0)
+    Bm25Parts(tf, statsRow.getLong(0),
       statsRow.getLong(1).toDouble / statsRow.getLong(0))
   }
 
@@ -149,7 +167,11 @@ object Retrieval {
     * to the given terms (the scoring join restricts to them anyway, so
     * the broadcast build is query-vocabulary-grain), contributions
     * floor-scale to nano BIGINTs before the per-(query, doc) sum. */
-  private def bm25ScoresFor(p: Bm25Parts, q: DataFrame): DataFrame = {
+  /** UNGROUPED per-(query, doc, term) contributions — the posting-list
+    * read + c9 arithmetic without the final (query, doc) aggregation,
+    * so a caller merging two term sets (the PRF second pass) can sum
+    * BOTH sets' contributions in ONE aggregation instead of two. */
+  private def bm25Contribs(p: Bm25Parts, q: DataFrame): DataFrame = {
     val df = p.tf.join(broadcast(q.select("t").distinct()), "t")
       .groupBy("t").agg(count(lit(1)).as("df"))
     val idf = log(((lit(p.nd) - col("df")).cast("double") + lit(0.5))
@@ -162,11 +184,13 @@ object Retrieval {
       .join(p.tf, "t")
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(df), "t")
-      .join(p.dl, "doc_id")
       .select(col("query_id"), col("doc_id"), c9.as("c9"))
+  }
+
+  private def bm25ScoresFor(p: Bm25Parts, q: DataFrame): DataFrame =
+    bm25Contribs(p, q)
       .groupBy("query_id", "doc_id")
       .agg(sum("c9").as("s9"))
-  }
 
   private[operators] def bm25Scores(spark: SparkSession,
       dir: String): DataFrame = {
@@ -189,29 +213,46 @@ object Retrieval {
     * Scale: both passes are the q182 posting-list shape (broadcast
     * query terms, term-restricted df); the feedback join touches
     * fb × |queries| doc rows. The tf/dl artifacts derive once and
-    * serve both passes. */
+    * serve both passes — and the EXPENSIVE pass-1 frame is shared,
+    * not recomputed: a term's nano-scaled contribution c9 depends
+    * only on (t, doc) — never on which query set asked — and the
+    * expansion is anti-joined against q, so the pass-2 score
+    * decomposes exactly as s9₂(query, doc) = s9₁(query, doc) +
+    * Σ c9 over the expansion terms alone. Pass 2 therefore reads
+    * postings for the ≤ m·|queries| expansion terms only and
+    * integer-sums into the checkpointed pass-1 scores (associativity
+    * of the BIGINT sum keeps the gate bit-identical); the old shape
+    * re-read every original query term's posting list a second
+    * time. */
   def prfBm25(spark: SparkSession, dir: String, k: Int = 5,
       fb: Int = 3, m: Int = 3): DataFrame = {
     val p = bm25Parts(spark, dir)
     val q = p.tf.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("query_id"), col("t"))
-      .localCheckpoint() // both passes + the expansion anti-join read it
+      .localCheckpoint() // pass 1 + the expansion anti-join read it
     val rankW = Window.partitionBy("query_id")
       .orderBy(desc("s9"), asc("doc_id"))
-    val fbDocs = bm25ScoresFor(p, q)
+    val pass1 = bm25ScoresFor(p, q)
+      .localCheckpoint() // feedback ranking AND the pass-2 merge read it
+    val fbDocs = pass1
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= fb)
       .select("query_id", "doc_id")
     val expW = Window.partitionBy("query_id")
       .orderBy(desc("wt"), asc("t"))
-    val expansion = fbDocs.join(p.tf, "doc_id")
+    // fbDocs is fb × |queries| rows and q is query-vocabulary-grain —
+    // both broadcast (post-checkpoint frames have no size stats, so
+    // without the hint the fb×tf join would shuffle the full tf table
+    // on doc_id)
+    val expansion = broadcast(fbDocs).join(p.tf, "doc_id")
       .groupBy("query_id", "t").agg(sum("tf").as("wt"))
-      .join(q, Seq("query_id", "t"), "left_anti")
+      .join(broadcast(q), Seq("query_id", "t"), "left_anti")
       .withColumn("rn", row_number().over(expW))
       .filter(col("rn") <= m)
       .select("query_id", "t")
-    val qx = q.unionByName(expansion).distinct()
-    bm25ScoresFor(p, qx)
+    pass1.unionByName(bm25Contribs(p, expansion)
+        .withColumnRenamed("c9", "s9"))
+      .groupBy("query_id", "doc_id").agg(sum("s9").as("s9"))
       .withColumn("rank", row_number().over(rankW))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"),
