@@ -58,32 +58,71 @@ object BoundedLevenshtein {
     Bridge.column(BoundedLevenshteinExpr(
       Bridge.expression(a), Bridge.expression(b), bound))
 
-  /** Called from both interpreted eval and generated code. UTF-16
-    * char-wise, matching Spark's builtin `levenshtein` (and DuckDB's,
-    * for the ASCII identifiers the fuzzy joins target). */
+  /** Decode a UTF8String's raw bytes into code points (one int per
+    * Unicode character, surrogate-free) without materializing a
+    * java.lang.String — `numChars` gives the exact length, so one
+    * allocation + one linear byte walk per side per call. */
+  private def codePoints(u: UTF8String): Array[Int] = {
+    val out = new Array[Int](u.numChars())
+    val bytes = u.getBytes
+    var i = 0
+    var p = 0
+    while (p < bytes.length) {
+      val len = UTF8String.numBytesForFirstByte(bytes(p))
+      out(i) = len match {
+        case 1 => bytes(p) & 0x7f
+        case 2 => ((bytes(p) & 0x1f) << 6) | (bytes(p + 1) & 0x3f)
+        case 3 => ((bytes(p) & 0x0f) << 12) |
+          ((bytes(p + 1) & 0x3f) << 6) | (bytes(p + 2) & 0x3f)
+        case _ => ((bytes(p) & 0x07) << 18) |
+          ((bytes(p + 1) & 0x3f) << 12) |
+          ((bytes(p + 2) & 0x3f) << 6) | (bytes(p + 3) & 0x3f)
+      }
+      i += 1
+      p += len
+    }
+    out
+  }
+
+  /** Called from both interpreted eval and generated code. CODE-POINT
+    *-wise — matching Spark's builtin `levenshtein` (UTF8String
+    * .levenshteinDistance walks UTF-8 characters) for ALL inputs,
+    * surrogate pairs included, so the identity
+    * `lev_bounded(a, b, k) <= k  ⇔  levenshtein(a, b) <= k` holds
+    * unconditionally against the Spark builtin. (DuckDB's levenshtein
+    * is BYTE-wise — 'é'→2 edits — so the DuckDB oracle identity holds
+    * exactly on ASCII, which is all q323's part names contain; neither
+    * engine's semantics can be matched by the other off-ASCII.)
+    * Per row only the band cells are touched: the
+    * row buffers start at `inf` once, and each row re-infs just the
+    * two FRINGE cells the band exposes as it slides right (cur(j0−1),
+    * read as the insertion source this row, and cur(j1+1), read as
+    * prev(j1) by the next row) — the real cost is O(k·min(n, m)) work
+    * as the band promises, not an O(m) fill per row. */
   def distance(ua: UTF8String, ub: UTF8String, k: Int): Int = {
-    val a = ua.toString
-    val b = ub.toString
-    val n = a.length
-    val m = b.length
     val inf = k + 1
+    val n = ua.numChars()
+    val m = ub.numChars()
     if (math.abs(n - m) > k) return inf
     if (n == 0) return math.min(m, inf)
     if (m == 0) return math.min(n, inf)
+    val a = codePoints(ua)
+    val b = codePoints(ub)
     var prev = new Array[Int](m + 1)
     var cur = new Array[Int](m + 1)
     var j = 0
     while (j <= m) { prev(j) = if (j <= k) j else inf; j += 1 }
+    java.util.Arrays.fill(cur, inf) // once; rows maintain the fringes
     var i = 1
     while (i <= n) {
       val j0 = math.max(1, i - k)
       val j1 = math.min(m, i + k)
-      java.util.Arrays.fill(cur, inf)
       cur(0) = if (i <= k) i else inf
+      if (j0 > 1) cur(j0 - 1) = inf // stale band cell from row i-2
       var rowMin = cur(0)
       j = j0
       while (j <= j1) {
-        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
         var v = prev(j - 1) + cost
         val del = prev(j) + 1
         if (del < v) v = del
@@ -95,6 +134,7 @@ object BoundedLevenshtein {
         j += 1
       }
       if (rowMin >= inf) return inf // band saturated: no way back down
+      if (j1 < m) cur(j1 + 1) = inf // next row reads this as prev(j1+1)
       val t = prev; prev = cur; cur = t
       i += 1
     }

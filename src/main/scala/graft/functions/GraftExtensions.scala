@@ -51,13 +51,44 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lev_bounded"),
       info("lev_bounded",
         "lev_bounded(a, b, k) - banded Levenshtein: exact distance if <= k, else k+1"),
-      (exprs: Seq[Expression]) => BoundedLevenshteinExpr(
-        exprs(0), exprs(1), exprs(2) match {
-          case org.apache.spark.sql.catalyst.expressions
-            .Literal(v: Int, _) => v
+      (exprs: Seq[Expression]) => {
+        // arity first (exprs(i) on a short list would throw an opaque
+        // IndexOutOfBounds instead of an analysis-time message), then
+        // accept ANY foldable integral bound — a bare literal, a cast
+        // (CAST(2 AS INT)), or a bigint literal 2L — by folding it at
+        // plan time; the band width must be a plan-time constant
+        // because it is baked into the generated code.
+        if (exprs.length != 3)
+          throw new IllegalArgumentException(
+            s"lev_bounded(a, b, k) takes exactly 3 arguments, " +
+              s"got ${exprs.length}")
+        import org.apache.spark.sql.types.{ByteType, IntegerType,
+          LongType, ShortType}
+        val isIntegral = (dt: org.apache.spark.sql.types.DataType) =>
+          dt == ByteType || dt == ShortType || dt == IntegerType ||
+            dt == LongType
+        val bound = exprs(2) match {
+          case e if e.foldable && isIntegral(e.dataType) =>
+            e.eval() match {
+              case null => throw new IllegalArgumentException(
+                "lev_bounded bound must not be null")
+              case i: java.lang.Integer => i.intValue()
+              case l: java.lang.Long =>
+                if (l < 0 || l > Int.MaxValue)
+                  throw new IllegalArgumentException(
+                    s"lev_bounded bound out of int range: $l")
+                l.intValue()
+              case s: java.lang.Short => s.intValue()
+              case b: java.lang.Byte => b.intValue()
+              case other => throw new IllegalArgumentException(
+                s"lev_bounded bound folded to unexpected $other")
+            }
           case other => throw new IllegalArgumentException(
-            s"lev_bounded bound must be an int literal, got $other")
-        })))
+            s"lev_bounded bound must be a foldable integral " +
+              s"expression, got $other")
+        }
+        BoundedLevenshteinExpr(exprs(0), exprs(1), bound)
+      }))
     ext.injectFunction((
       FunctionIdentifier("sorted_intersect_count"),
       info("sorted_intersect_count",

@@ -2246,8 +2246,19 @@ object TextOps {
         explode(split(col("text"), " ")).as("t"))
     val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
     val totals = tok.agg(count(lit(1)).as("n"),
-      countDistinct("t").as("v")).collect()(0)
+      countDistinct("t").as("v"),
+      max(length(col("lang"))).as("maxlang")).collect()(0)
     val (n, v) = (totals.getLong(0), totals.getLong(1))
+    // the 8-char rpad below is a WIDTH ASSUMPTION like the npt9/doc_id
+    // digit bounds: two langs sharing an 8-char prefix would interleave
+    // in the global rank and corrupt the tercile split SILENTLY (the
+    // pad truncates, it doesn't overflow) — so the assumption is
+    // enforced here, failing loudly if a fixture ever ships longer
+    // language codes (ISO 639 + script tags peak at 7: "zh_Hant")
+    val maxLangLen = if (totals.isNullAt(2)) 0 else totals.getInt(2)
+    require(maxLangLen <= 8,
+      s"q315 composite rank key pads lang to 8 chars but the corpus " +
+        s"has a $maxLangLen-char language code; widen the rpad")
     val lp9 = floor(
       log((col("c") + 1).cast("double") / lit((n + v).toDouble))
         * lit(1000000000.0) + lit(0.5)).cast("long")
@@ -2259,7 +2270,7 @@ object TextOps {
     // stated widths: npt9 ≤ ~3e10 (11 digits; per-token nats < 30),
     // doc_id < 1e12 (the ScaleGen 100× remap peaks at 10 digits) — an
     // overflow would reorder the composite and fail the hash gate
-    // loudly, never silently
+    // loudly, never silently; lang ≤ 8 chars asserted above
     val key = concat_ws("|", rpad(col("lang"), 8, " "),
       lpad(col("npt9").cast("string"), 15, "0"),
       lpad(col("doc_id").cast("string"), 12, "0"))

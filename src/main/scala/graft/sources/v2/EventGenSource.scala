@@ -303,11 +303,17 @@ class EventGenScanBuilder(rows: Long, numPartitions: Int, users: Long,
     if (ops.exists(_.isEmpty)) return false
     aggOps = Some(ops.flatten.map(_._1))
     // the pushed-scan schema convention (positional): group-by columns
-    // first, then each aggregate in its pushed order
+    // first, then each aggregate in its pushed order. Field names are
+    // POSITION-suffixed: COUNT(*) and COUNT(event_id) both push as the
+    // count_star op, and a query using both would otherwise produce a
+    // readSchema() with duplicate field names — Spark consumes the
+    // schema positionally either way, but name-based schema consumers
+    // break on duplicates (the reader's op dispatch keys on the
+    // unsuffixed aggOps, so emission is unaffected).
     aggSchema = StructType(
       StructField("event_type", StringType, nullable = false) +:
-        ops.flatten.map { case (n, t) =>
-          StructField(n, t, nullable = false) })
+        ops.flatten.zipWithIndex.map { case ((n, t), i) =>
+          StructField(s"${n}_$i", t, nullable = false) })
     true
   }
 

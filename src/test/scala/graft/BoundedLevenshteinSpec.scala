@@ -59,6 +59,44 @@ class BoundedLevenshteinSpec extends AnyFunSuite {
     }
   }
 
+  /** Full matrix over CODE POINTS (what Spark's builtin levenshtein
+    * counts) — the reference for the non-BMP cases where UTF-16
+    * char-wise counting would differ (surrogate pairs count 2). */
+  private def fullCp(a: String, b: String): Int = {
+    val ca = a.codePoints().toArray
+    val cb = b.codePoints().toArray
+    val n = ca.length; val m = cb.length
+    val d = Array.tabulate(n + 1, m + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0 }
+    for (i <- 1 to n; j <- 1 to m) {
+      val cost = if (ca(i - 1) == cb(j - 1)) 0 else 1
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + cost)
+    }
+    d(n)(m)
+  }
+
+  test("code-point semantics: surrogate pairs count as ONE edit, " +
+      "matching Spark's builtin levenshtein for non-BMP input") {
+    val clef = new String(Character.toChars(0x1D11E)) // 𝄞, 4-byte UTF-8
+    val cases = Seq(
+      (s"a${clef}b", "ab"),     // one deletion, not two
+      (s"a${clef}b", s"a${clef}b"),
+      (s"${clef}${clef}", s"${clef}x"),
+      ("héllo", "hello"),       // 2-byte char: one substitution
+      (s"${clef}", ""), ("", s"${clef}"),
+      (s"x${clef}", s"${clef}x"))
+    for ((a, b) <- cases; k <- 0 to 4) {
+      val f = fullCp(a, b)
+      assert(banded(a, b, k) == math.min(f, k + 1),
+        s"a=$a b=$b k=$k fullCp=$f")
+    }
+    // the UTF-16 char-wise count WOULD be different for the clef pair —
+    // assert the kernel did not regress to it
+    assert(banded(s"a${clef}b", "ab", 4) == 1)
+    assert(full(s"a${clef}b", "ab") == 2) // chars: the wrong count
+  }
+
   test("kernel micro-cost: the band touches O(k*min) cells, the full " +
       "matrix O(n*m) — measured on long strings (informational)") {
     val rnd = new scala.util.Random(7)

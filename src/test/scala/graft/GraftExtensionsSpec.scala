@@ -41,4 +41,47 @@ class GraftExtensionsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("lev_bounded: arity is validated and any foldable integral " +
+      "bound is accepted (bare, CAST, bigint literal)") {
+    val saved = SparkSession.getDefaultSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-ext-lev-test")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      def one(sql: String): Int =
+        spark.sql(s"SELECT $sql AS d").collect()(0).getInt(0)
+      assert(one("lev_bounded('kitten', 'sitting', 2)") == 3) // k+1 cap
+      assert(one("lev_bounded('kitten', 'sitting', CAST(3 AS INT))") == 3)
+      assert(one("lev_bounded('kitten', 'sitting', 3L)") == 3)
+      assert(one("lev_bounded('kitten', 'sitting', CAST(3 AS SMALLINT))")
+        == 3)
+      val tooFew = intercept[Exception] {
+        spark.sql("SELECT lev_bounded('a', 'b')").collect()
+      }
+      assert(tooFew.getMessage.contains("3 arguments"),
+        s"wrong arity error: ${tooFew.getMessage}")
+      val nonFoldable = intercept[Exception] {
+        spark.range(1).createOrReplaceTempView("lb_ids")
+        spark.sql(
+          "SELECT lev_bounded('a', 'b', CAST(id AS INT)) FROM lb_ids")
+          .collect()
+      }
+      assert(nonFoldable.getMessage.contains("foldable"),
+        s"wrong bound error: ${nonFoldable.getMessage}")
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      saved.foreach { s =>
+        SparkSession.setDefaultSession(s)
+        SparkSession.setActiveSession(s)
+      }
+    }
+  }
 }
