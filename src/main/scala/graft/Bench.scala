@@ -72,8 +72,24 @@ object Bench {
     System.gc()
     Thread.sleep(1000)
 
+    // In-band contention telemetry: this host has bursty multi-minute
+    // CPU-steal episodes that have repeatedly made full-pass totals
+    // unreadable round-over-round. Each timed sample carries the
+    // /proc/stat steal-tick delta it absorbed, so the artifact itself
+    // separates "slower code" from "noisier host" — no after-the-fact
+    // probe archaeology.
+    val nCpus = Runtime.getRuntime.availableProcessors()
+    def stealSecNow(): Double =
+      try {
+        val line = java.nio.file.Files
+          .readAllLines(java.nio.file.Paths.get("/proc/stat")).get(0)
+        line.trim.split("\\s+")(8).toDouble / 100.0 // USER_HZ ticks
+      } catch { case _: Throwable => 0.0 }
+
+    case class Sample(sec: Double, stealSec: Double)
+
     def timeOne(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
-        : Double = {
+        : Sample = {
       // drive ContextCleaner between queries: the iterative operators
       // (connected components, PageRank, k-means) localCheckpoint per
       // round, and those blocks are only released after a driver GC
@@ -81,34 +97,46 @@ object Bench {
       // earlier queries in the pass bleeds into later ones' timings
       // (measured: q23 2.2 s isolated vs 2.8-3.1 s mid-suite)
       System.gc()
+      val s0 = stealSecNow()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      Sample((System.nanoTime() - t0) / 1e9, stealSecNow() - s0)
     }
 
     // Two full timed passes with a GC break between, the second in
-    // REVERSE order, then per-query min. This host has bursty multi-
-    // minute CPU-steal episodes: consecutive per-query repeats sit
-    // inside the same burst, but a burst that inflates the tail of
-    // pass 1 inflates the HEAD of pass 2, so the min sheds it.
+    // REVERSE order, then per-query min (keeping the WINNING sample's
+    // steal reading). This host has bursty multi-minute CPU-steal
+    // episodes: consecutive per-query repeats sit inside the same
+    // burst, but a burst that inflates the tail of pass 1 inflates the
+    // HEAD of pass 2, so the min sheds it.
+    def better(a: Sample, b: Sample): Sample = if (a.sec <= b.sec) a else b
     val pass1 = benched.map { case (name, fn) => name -> timeOne(fn) }.toMap
     System.gc()
     Thread.sleep(1000)
     val pass2 = benched.reverse.map { case (name, fn) => name -> timeOne(fn) }.toMap
-    val best = scala.collection.mutable.Map.empty[String, Double]
+    val best = scala.collection.mutable.Map.empty[String, Sample]
     benched.foreach { case (name, _) =>
-      best(name) = math.min(pass1(name), pass2(name))
+      best(name) = better(pass1(name), pass2(name))
     }
 
     // Rescue pass: anything still slow after min-of-2 is either genuinely
     // heavy or was unlucky twice — one more sample each settles it.
     val rescueThreshold = 1.5
-    benched.filter { case (name, _) => best(name) > rescueThreshold }
+    benched.filter { case (name, _) => best(name).sec > rescueThreshold }
       .foreach { case (name, fn) =>
-        best(name) = math.min(best(name), timeOne(fn))
+        best(name) = better(best(name), timeOne(fn))
       }
 
-    val results = benched.map { case (name, _) => name -> best(name) }
+    val results = benched.map { case (name, _) => name -> best(name).sec }
+    // a row is CONTENTION-FLAGGED when even its best sample absorbed
+    // > 5% of machine capacity in steal (stealSec is machine-wide
+    // CPU-seconds; elapsed × nCpus is the capacity over the window)
+    val flagged = benched.map(_._1).filter { name =>
+      val s = best(name)
+      s.sec > 0 && s.stealSec / (s.sec * nCpus) > 0.05
+    }.toSet
+    val cleanTotal = results.filterNot { case (n, _) => flagged(n) }
+      .map(_._2).sum
     // ms precision — raw doubles ("0.12345678901234") tripled the line
     // length and the round-3 driver record truncated to 64 of 126
     // queries; sub-ms digits are noise on this host anyway
@@ -134,16 +162,28 @@ object Bench {
       s"""{"n":${omitted.size},"sum":${fmt(omitted.map(_._2).sum)}}"""
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":$qsShort,"omitted_fast":$omittedJson,"sf":"$sfDir"}""")
+    val stealFull = benched
+      .map { case (n, _) => "\"" + n + "\":" + fmt(best(n).stealSec) }
+      .mkString("{", ",", "}")
+    val flaggedJson = flagged.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"clean_total":${fmt(cleanTotal)},"n_flagged":${flagged.size},"queries":$qsShort,"omitted_fast":$omittedJson,"sf":"$sfDir"}""")
     // Targeted probes (any name filter) must NOT clobber the full-pass
     // record — r7 lost full-pass records between sweeps this way. Probe
-    // runs write BENCH_probe_<filter>.json instead.
+    // runs write bench_probes/BENCH_probe_<filter>.json instead (kept
+    // out of the repo root so probes don't accumulate there).
     val outFile =
       if (args.isEmpty) "BENCH_full.json"
-      else s"BENCH_probe_${args.mkString("_").replaceAll("[^A-Za-z0-9_-]", "")}.json"
+      else {
+        java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get("bench_probes"))
+        s"bench_probes/BENCH_probe_${args.mkString("_").replaceAll("[^A-Za-z0-9_-]", "")}.json"
+      }
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsFull,"sf":"$sfDir"}""".stripMargin
-        .getBytes("UTF-8"))
+      (s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""clean_total":${fmt(cleanTotal)},""" +
+        s""""flagged":$flaggedJson,"steal_sec":$stealFull,""" +
+        s""""queries":$qsFull,"sf":"$sfDir"}""").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full record write failed: $e") }
     spark.stop()
   }

@@ -31,8 +31,9 @@ object Bucketing {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
   /** Per-table-name monitor shared with other builders in this JVM
-    * (IvfIndex's two-phase build uses the same serialization). */
-  private[sources] def lockFor(name: String): Object =
+    * (IvfIndex's two-phase build and the maintainer's publish
+    * registration use the same serialization). */
+  private[graft] def lockFor(name: String): Object =
     localLocks.computeIfAbsent(name, _ => new Object)
 
   /** Register `name` as a bucketed table of `df` clustered on `key`.

@@ -121,6 +121,14 @@ object DeltaLog {
     Some(resolved.select(cols.map(col): _*))
   }
 
+  /** Highest committed epoch (or compacted base) under `root` — the
+    * freshness reference a published read artifact stamps itself
+    * against. None when nothing is committed. */
+  def lastEpoch(spark: SparkSession, root: String): Option[Long] = {
+    val (eps, bases) = listCommitted(spark, root)
+    (eps ++ bases).maxOption
+  }
+
   /** Read back exactly one committed epoch's delta — (upserts,
     * deleteKeys if any); None if the epoch is not committed. The
     * epoch must still be live (the newest epoch never compacts, so

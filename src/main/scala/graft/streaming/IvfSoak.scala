@@ -165,6 +165,31 @@ object IvfSoak {
     Thread.sleep(secs * 1000L)
     stop.set(true)
     feeder.join()
+    // CODA EPOCH: one single-tombstone delta — the clean delta-sized
+    // publish data point (touched cids = that vector's nProbe
+    // assignments; publish rewrites only their buckets), reported
+    // separately from the steady-state epochs whose 200-vector deltas
+    // legitimately touch most of the K=16 clusters (the fixed-K cap
+    // regime; at adaptive K the steady state looks like this coda)
+    def publogLines(): Seq[String] = {
+      val p = java.nio.file.Paths.get(s"$root/published/assigned/_publog")
+      if (!java.nio.file.Files.exists(p)) Seq.empty
+      else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .linesIterator.toSeq
+    }
+    val codaId = live.head
+    land1(Seq((codaId, null.asInstanceOf[Array[Float]], true))
+      .toDF("vec_id", "embedding", "deleted"))
+    // files process 1:1 per trigger in landing order, so the coda's
+    // batch id is the last landed file's sequence number — wait for
+    // ITS publog line (any earlier line is just backlog draining)
+    val codaEpoch = fileSeq.get() - 1
+    // the 1 file/s feed outpaces ~4 s batches, so a backlog drains
+    // first; budget generously — the wait is bounded by the queue
+    val deadline = System.nanoTime() + 420L * 1000 * 1000 * 1000
+    while (!publogLines().exists(_.startsWith(s"epoch=$codaEpoch "))
+        && System.nanoTime() < deadline)
+      Thread.sleep(500)
     // stop() interrupts the in-flight batch; DeltaLog's marker-last
     // commits make the abort harmless (no _READY → invisible)
     q.stop()
@@ -183,6 +208,34 @@ object IvfSoak {
     val avgMs = if (nBatches.get() > 0) msSum.get() / nBatches.get() else 0L
     val avgDeltaBytes =
       if (deltaEpochs.nonEmpty) deltaEpochs.values.sum / deltaEpochs.size else 0L
+    // publish-side cost from the artifact's own _publog: the seed line
+    // is the one index-sized write; every epoch line must be
+    // delta-sized (affected buckets only) — the evidence that keeping
+    // the READ artifact fresh costs delta I/O, not index I/O
+    case class Pub(epoch: Long, files: Int, bytes: Long)
+    val pubLines = {
+      val p = java.nio.file.Paths.get(s"$root/published/assigned/_publog")
+      if (!java.nio.file.Files.exists(p)) Seq.empty[Pub]
+      else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        .linesIterator.toSeq.map { l =>
+          val kv = l.split(" ").map(_.split("=", 2))
+            .map(a => a(0) -> a.lift(1).getOrElse("")).toMap
+          Pub(kv("epoch").toLong, kv("files").toInt, kv("bytes").toLong)
+        }
+    }
+    val seedPub = pubLines.find(_.epoch == 0L).map(_.bytes).getOrElse(0L)
+    // the coda is the single-tombstone delta, reported on its own; the
+    // steady-state average excludes it
+    val codaPub = pubLines.find(_.epoch == codaEpoch)
+    val epochPubs = pubLines.filter(p =>
+      p.epoch > 0L && p.epoch != codaEpoch)
+    val avgPubBytes =
+      if (epochPubs.nonEmpty) epochPubs.map(_.bytes).sum / epochPubs.size
+      else 0L
+    val avgPubFiles =
+      if (epochPubs.nonEmpty)
+        epochPubs.map(_.files).sum.toDouble / epochPubs.size
+      else 0.0
     println(
       s"""{"metric":"ivf_soak_vecs_per_sec",""" +
       s""""value":${(rowsAcc.get() / elapsed).round},"unit":"vecs/sec",""" +
@@ -193,7 +246,18 @@ object IvfSoak {
       s""""seed_commit_bytes":${eb.getOrElse(0L, 0L)},""" +
       s""""avg_delta_commit_bytes":$avgDeltaBytes,""" +
       s""""max_delta_commit_bytes":${
-        if (deltaEpochs.nonEmpty) deltaEpochs.values.max else 0L}}""")
+        if (deltaEpochs.nonEmpty) deltaEpochs.values.max else 0L},""" +
+      s""""seed_publish_bytes":$seedPub,""" +
+      s""""avg_epoch_publish_bytes":$avgPubBytes,""" +
+      f""""avg_epoch_publish_files":$avgPubFiles%.1f,""" +
+      s""""coda_tombstone_publish_bytes":${
+        codaPub.map(_.bytes).getOrElse(0L)},""" +
+      s""""coda_tombstone_publish_files":${
+        codaPub.map(_.files).getOrElse(0)},""" +
+      s""""final_index_publish_bytes":${
+        Option(new java.io.File(s"$root/published/assigned").listFiles())
+          .getOrElse(Array.empty[java.io.File])
+          .filter(_.getName.endsWith(".parquet")).map(_.length()).sum}}""")
     spark.stop()
   }
 }

@@ -197,17 +197,62 @@ object StreamingBm25Index {
     * [[Bucketing.ensure]]'s catalog + file-lock discipline amortizes
     * the publish across processes; at 100 TB the rewrite restricts to
     * the epoch's touched terms' buckets (the DeltaLog commits carry
-    * the touched term keys). */
+    * the touched term keys).
+    *
+    * STALENESS CONTRACT: the artifact carries an `_epoch` stamp (the
+    * state log's last committed epoch at publish time). Every serve
+    * goes through here, and a stamp that disagrees with the live log
+    * (a crash between a commit and its publish, or a stale surviving
+    * generation) is read-repaired — table dropped, files rebuilt from
+    * the log, restamped — before anything answers from it. */
   def publishedPostings(spark: SparkSession, dir: String): DataFrame = {
     val root = drainedStateRoot(spark, dir)
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val sig = FixtureStaging.key("bm25pub", s"$dir/documents.parquet")
     val name = s"b_bm25pub_s${sig}_$tag"
-    Bucketing.ensure(spark, name,
+    val logEpoch = DeltaLog
+      .lastEpoch(spark, s"$root/state/postings")
+      .getOrElse(throw new IllegalStateException(
+        s"no committed postings state under $root"))
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+    val stamp = java.nio.file.Paths.get(s"$base/$name/_epoch")
+    def ensure(): Unit = Bucketing.ensure(spark, name,
       DeltaLog.read(spark, s"$root/state/postings",
         Seq("t", "doc_id")).get,
       "t", sweep = Some(("b_bm25pub_s", s"_$tag")))
+    Bucketing.lockFor(name).synchronized {
+      ensure()
+      val stampedEpoch =
+        if (java.nio.file.Files.exists(stamp))
+          Some(new String(java.nio.file.Files.readAllBytes(stamp),
+            "UTF-8").trim.toLong)
+        else None
+      if (!stampedEpoch.contains(logEpoch)) {
+        if (stampedEpoch.isDefined) { // stale: rebuild from the log
+          spark.sql(s"DROP TABLE IF EXISTS $name")
+          org.apache.commons.io.FileUtils.deleteDirectory(
+            new java.io.File(s"$base/$name"))
+          ensure()
+          spark.catalog.refreshTable(name)
+        }
+        java.nio.file.Files.write(stamp,
+          logEpoch.toString.getBytes("UTF-8"))
+      }
+    }
     spark.table(name)
+  }
+
+  /** The epoch the published artifact was stamped at — after
+    * [[publishedPostings]]'s repair, always the state log's last
+    * committed epoch (StreamingBm25ServeSpec pins the equality). */
+  def servedEpoch(spark: SparkSession, dir: String): Long = {
+    publishedPostings(spark, dir)
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val sig = FixtureStaging.key("bm25pub", s"$dir/documents.parquet")
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed"
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$base/b_bm25pub_s${sig}_$tag/_epoch")),
+      "UTF-8").trim.toLong
   }
 
   /** q292: BM25 served from the delete-maintained index — q182's exact

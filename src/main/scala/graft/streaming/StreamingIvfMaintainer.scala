@@ -119,6 +119,112 @@ object StreamingIvfMaintainer {
     snapshots.merge(root, s,
       (old, nw) => if (nw.upTo > old.upTo) nw else old)
 
+  /** Bucket count of the published read artifact — scaled to the
+    * CENTROID count, not the generic table default: the minimum
+    * rewrite for one touched cid is its whole bucket file
+    * (~K/NB clusters), so per-epoch publish I/O is
+    * (|touched buckets|/NB)·index and only stays delta-shaped when
+    * NB ≳ K keeps buckets cluster-grain. Under the adaptive-K policy
+    * (K = √(n/8), q141) an epoch's touched-cid count sits far below
+    * K, so cluster-grain buckets make the rewrite proportional to
+    * the delta's clusters; a fixed small NB would smear every epoch
+    * across the whole artifact. Here K = NCentroids = 16. */
+  private val PubBuckets =
+    math.max(graft.sources.Bucketing.NumBuckets, NCentroids)
+
+  private def pubDir(root: String) = s"$root/published/assigned"
+
+  /** A cid's bucket id under Spark's own bucket-file hash —
+    * `pmod(murmur3(cid), n)` is exactly `HashPartitioning
+    * .partitionIdExpression`, the function `bucketBy` uses to route
+    * rows to bucket files, so files this publish writes and the
+    * bucket-pruned reads Spark plans agree on placement
+    * (AffectedBucketPublishSpec pins the agreement against a real
+    * bucketBy write). */
+  private def bucketOfCid = pmod(hash(col("cid")), lit(PubBuckets))
+
+  /** The epoch stamp of the published artifact (−1 before any
+    * publish): serves read it to prove freshness against
+    * [[graft.sources.DeltaLog.lastEpoch]] of the assigned state log. */
+  def publishedEpoch(root: String): Long = {
+    val p = java.nio.file.Paths.get(s"${pubDir(root)}/_epoch")
+    if (!java.nio.file.Files.exists(p)) -1L
+    else new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+      .trim.toLong
+  }
+
+  /** AFFECTED-BUCKET PUBLISH: rewrite only the per-bucket files named
+    * in `buckets` (None = all, the seed/recovery full publish) from
+    * the resolved assigned state, then stamp the publish epoch. The
+    * write cost is the rewritten buckets' bytes — delta-shaped for an
+    * epoch (the touched cid set hashes to the buckets to rewrite),
+    * index-shaped only at seed — which is what makes the read
+    * artifact affordable to keep fresh per epoch at 100 TB.
+    *
+    * Mechanics: ONE Spark job routes rows to bucket dirs by VALUE
+    * (`partitionBy` on the computed bucket id; `repartition` on it
+    * first so each bucket lands as exactly one cid-sorted file), then
+    * each file moves into the flat `b_<id>.parquet` layout whose name
+    * Spark's bucketed-table reader parses for the bucket id. A
+    * rewritten-to-empty bucket deletes its stale file. Content is
+    * deterministic (sorted rows, fixed codec), so a replayed epoch
+    * republishes identical bytes; untouched buckets' files are not
+    * opened, written, or moved. A `_publog` line per publish records
+    * epoch → rewritten buckets/bytes (the delta-sized-cost evidence). */
+  private def publishBuckets(spark: SparkSession, root: String,
+      resolved: DataFrame, buckets: Option[Set[Int]],
+      epoch: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dir = pubDir(root)
+    Files.createDirectories(Paths.get(dir))
+    if (buckets.forall(_.nonEmpty)) {
+      val withB = resolved.withColumn("_bkt", bucketOfCid)
+      val selected = buckets match {
+        case Some(bs) => withB.filter(col("_bkt").isin(bs.toSeq: _*))
+        case None => withB
+      }
+      val tmp = Files.createTempDirectory("graft-ivfpub").toString
+      selected.repartition(col("_bkt"))
+        .sortWithinPartitions("_bkt", "cid", "vec_id")
+        .write.partitionBy("_bkt").mode("overwrite").parquet(tmp)
+      val dirs = Option(new java.io.File(tmp).listFiles())
+        .getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith("_bkt="))
+      var bytes = 0L
+      val writtenIds = dirs.map { d =>
+        val b = d.getName.stripPrefix("_bkt=").toInt
+        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        // repartition routed the whole bucket to one task → one file
+        require(parts.length == 1,
+          s"bucket $b wrote ${parts.length} files, expected 1")
+        bytes += parts.head.length()
+        Files.move(parts.head.toPath,
+          Paths.get(f"$dir/b_$b%05d.parquet"),
+          StandardCopyOption.REPLACE_EXISTING)
+        b
+      }.toSet
+      // a bucket selected for rewrite but now empty (every row deleted)
+      // must drop its stale file or the read would resurrect the rows
+      buckets.getOrElse((0 until PubBuckets).toSet)
+        .diff(writtenIds).foreach { b =>
+          Files.deleteIfExists(Paths.get(f"$dir/b_$b%05d.parquet")) }
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(tmp))
+      Files.write(Paths.get(s"$dir/_publog"),
+        (s"epoch=$epoch rewrote=${writtenIds.toSeq.sorted.mkString(",")}" +
+          s" files=${writtenIds.size} bytes=$bytes\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    } else {
+      Files.write(Paths.get(s"$dir/_publog"),
+        s"epoch=$epoch rewrote= files=0 bytes=0\n".getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    }
+    Files.write(Paths.get(s"$dir/_epoch"),
+      epoch.toString.getBytes("UTF-8"))
+  }
+
   /** stored + one epoch's committed (upserts, deletes) → the next
     * resolved state: touched keys leave, upserts enter. The touched
     * key set is delta-sized → broadcast, so the fold is ONE map-only
@@ -202,6 +308,8 @@ object StreamingIvfMaintainer {
             comp, None, Seq("vec_id"))))), Duration.Inf)
         advance(root, Snapshot(batchId + 1, centsDf.localCheckpoint(),
           assigned, pairs, comp.localCheckpoint()))
+        // seed publish: the one index-sized write of the artifact's life
+        publishBuckets(spark, root, assigned, None, batchId)
       case Some(centsDf) =>
         import spark.implicits._
         val cents = centsDf.select(col("cid"), col("cv"))
@@ -231,6 +339,20 @@ object StreamingIvfMaintainer {
           folded(rs(3).get, "comp", Seq("vec_id")))), Duration.Inf)
         advance(root,
           Snapshot(batchId + 1, rs.head.get, nf(0), nf(1), nf(2)))
+        // affected-bucket publish: the epoch's committed assigned delta
+        // (deltaAssigned ∪ retiredAssigned keys, read back from the
+        // log — the replay-stable source) names the touched cids;
+        // hashing them names exactly the bucket files to rewrite. The
+        // rewrite reads the folded in-memory snapshot restricted to
+        // those buckets — every untouched bucket's file carries over.
+        val touched = DeltaLog.epochDelta(spark, log("assigned"), batchId)
+          .map { case (dUps, dDels) =>
+            dUps.select(bucketOfCid.as("b"))
+              .unionByName(dDels.map(_.select(bucketOfCid.as("b")))
+                .getOrElse(dUps.select(bucketOfCid.as("b")).limit(0)))
+              .distinct().collect().map(_.getInt(0)).toSet
+          }.getOrElse(Set.empty[Int])
+        publishBuckets(spark, root, nf(0), Some(touched), batchId)
     }
     ()
   }
@@ -319,33 +441,54 @@ object StreamingIvfMaintainer {
     * over ~nProbe²/K of the index plus a per-query top-k window. */
   /** READ-OPTIMIZED PUBLISH of the delete-maintained index — the
     * round-7 review's "unify the two representations" step: the
-    * resolved post-epoch `assigned` state written ONCE as a
-    * cid-bucketed, cid-sorted table in the same
-    * [[graft.sources.Bucketing]] layout the append-only index artifact
-    * (q153/q163) serves from. The DeltaLog state tables remain the
-    * WRITE path (delta-sized commits, crash-safe epoch replay); this
-    * publish is the READ path — the Lucene/RocksDB segment-publish
-    * analog, giving the delete-maintained index q161's plan-time
-    * bucket pruning instead of q237's full-state scan.
+    * resolved post-epoch `assigned` state kept as a cid-bucketed,
+    * cid-sorted table in the same bucket layout the append-only index
+    * artifact (q153/q163) serves from. The DeltaLog state tables
+    * remain the WRITE path (delta-sized commits, crash-safe epoch
+    * replay); this artifact is the READ path — the Lucene/RocksDB
+    * segment-publish analog, giving the delete-maintained index
+    * q161's plan-time bucket pruning instead of q237's full-state
+    * scan.
     *
-    * At 100 TB the publish rewrite is restricted to the epoch's
-    * AFFECTED buckets: the per-epoch DeltaLog commits already carry
-    * the touched cid set (deltaAssigned ∪ retiredAssigned keys), and
-    * hashing those cids to bucket ids names exactly the bucket files
-    * to rewrite — every untouched bucket's files carry over. Here the
-    * drained two-batch state publishes in one write, amortized per
-    * fixture signature across processes by [[Bucketing.ensure]]'s
-    * catalog + file-lock discipline (the end state is deterministic,
-    * so any process publishes identical content). */
+    * The artifact is maintained INCREMENTALLY by [[applyBatch]]: the
+    * seed epoch writes all buckets once, and every CDC epoch rewrites
+    * only the bucket files its committed delta's cid set hashes to
+    * ([[publishBuckets]]) — publish I/O scales with the delta, not
+    * the index (AffectedBucketPublishSpec pins untouched files
+    * byte-identical across an epoch and the publog's delta-sized
+    * cost). This method only REGISTERS the published directory as a
+    * bucketed table (session DDL, no data motion), after proving
+    * freshness: the artifact's `_epoch` stamp must equal the state
+    * log's last committed epoch, and a stale artifact (a crash
+    * between a commit and its publish) is read-repaired by one full
+    * republish before anything serves from it. */
   def publishedIndex(spark: SparkSession, dir: String): DataFrame = {
     val root = drainedStateRoot(spark, dir)
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     val sig = FixtureStaging.key("ivfmpub", s"$dir/embeddings.parquet")
-    val name = s"b_ivfmpub_s${sig}_$tag"
-    graft.sources.Bucketing.ensure(spark, name,
-      DeltaLog.read(spark, s"$root/state/assigned",
-        Seq("vec_id", "cid")).get,
-      "cid", sweep = Some(("b_ivfmpub_s", s"_$tag")))
+    val pid = ProcessHandle.current().pid()
+    val name = s"b_ivfmpub_p${pid}_s${sig}_$tag"
+    graft.sources.Bucketing.lockFor(name).synchronized {
+      val logEpoch = DeltaLog
+        .lastEpoch(spark, s"$root/state/assigned")
+        .getOrElse(throw new IllegalStateException(
+          s"no committed assigned state under $root"))
+      if (publishedEpoch(root) != logEpoch) {
+        publishBuckets(spark, root,
+          DeltaLog.read(spark, s"$root/state/assigned",
+            Seq("vec_id", "cid")).get, None, logEpoch)
+        // the repair rewrote files under a location the session may
+        // have already cached a listing for
+        if (spark.catalog.tableExists(name))
+          spark.catalog.refreshTable(name)
+      }
+      if (!spark.catalog.tableExists(name)) {
+        val schema = spark.read.parquet(pubDir(root)).schema
+        spark.sql(s"CREATE TABLE $name (${schema.toDDL}) " +
+          s"USING PARQUET CLUSTERED BY (cid) SORTED BY (cid) " +
+          s"INTO $PubBuckets BUCKETS LOCATION '${pubDir(root)}'")
+      }
+    }
     spark.table(name)
   }
 
@@ -403,6 +546,17 @@ object StreamingIvfMaintainer {
       .select(col("query_id"), col("rn").as("rank"), col("neighbor_id"),
         graft.util.Portable.val6(col("cos")).as("cos_sim"))
       .orderBy("query_id", "rank")
+  }
+
+  /** The staleness contract a serving tier reads before trusting the
+    * artifact: the epoch the published index was stamped at. After
+    * [[publishedIndex]] (which read-repairs), this ALWAYS equals the
+    * maintainer's last committed epoch — the spec pins the equality,
+    * and q286's serve path goes through publishedIndex so it can
+    * never answer from an artifact older than the log. */
+  def servedEpoch(spark: SparkSession, dir: String): Long = {
+    publishedIndex(spark, dir)
+    publishedEpoch(drainedStateRoot(spark, dir))
   }
 
   def servedKnn(spark: SparkSession, dir: String,

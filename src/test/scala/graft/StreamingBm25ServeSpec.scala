@@ -130,4 +130,26 @@ class StreamingBm25ServeSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty)
   }
+
+  test("staleness contract: the served artifact's epoch stamp equals " +
+      "the state log's last commit, and a stale stamp is read-repaired") {
+    val root = StreamingBm25Index.drainedStateRoot(spark, dir)
+    val logLast = graft.sources.DeltaLog
+      .lastEpoch(spark, s"$root/state/postings").get
+    assert(StreamingBm25Index.servedEpoch(spark, dir) == logLast)
+
+    // regress the stamp (a crash between commit and publish): the next
+    // serve-path access must rebuild the artifact and restamp
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val sig = graft.streaming.FixtureStaging
+      .key("bm25pub", s"$dir/documents.parquet")
+    val stamp = java.nio.file.Paths.get(
+      s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/" +
+        s"b_bm25pub_s${sig}_$tag/_epoch")
+    java.nio.file.Files.write(stamp, "-99".getBytes("UTF-8"))
+    assert(StreamingBm25Index.servedEpoch(spark, dir) == logLast,
+      "stale artifact was served without repair")
+    // the repaired artifact still answers the q292 contract
+    assert(StreamingBm25Index.servedBm25(spark, dir).count() > 0)
+  }
 }
