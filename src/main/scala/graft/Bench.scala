@@ -13,9 +13,14 @@ object Bench {
     // 16 measured fastest end-to-end at sf0.1 on this host (4 and 32
     // both slower: too little overlap vs too much per-stage task churn)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    // decade probes need shuffle fan-out beyond the thread count: at
+    // 1000× a 16-partition shuffle puts ~400M rows in one reducer's
+    // hash table — SPARK_GRAFT_SHUFFLE decouples partition count from
+    // parallelism (defaults stay tied, matching every prior record)
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = graft.util.Sessions.withGraftDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus))
+      .config("spark.sql.shuffle.partitions", shufflePartitions))
       .config("spark.sql.warehouse.dir",
         s"${System.getProperty("java.io.tmpdir")}/graft_warehouse")
       // The testdata tables are SINGLE small parquet files; at the
@@ -62,8 +67,14 @@ object Bench {
         }
       }
 
+    // SPARK_GRAFT_PASSES=1: single timed pass, no warm-up, no rescue —
+    // for decade probes whose per-query runtime is minutes (JIT and
+    // footer costs amortize inside the run; a second pass would double
+    // an hour-long measurement for noise reduction it doesn't need)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt
+
     // warm-up: footer reads, code paths, broadcast machinery
-    benched.foreach { case (_, fn) =>
+    if (passes > 1) benched.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
     }
 
@@ -111,21 +122,24 @@ object Bench {
     // HEAD of pass 2, so the min sheds it.
     def better(a: Sample, b: Sample): Sample = if (a.sec <= b.sec) a else b
     val pass1 = benched.map { case (name, fn) => name -> timeOne(fn) }.toMap
-    System.gc()
-    Thread.sleep(1000)
-    val pass2 = benched.reverse.map { case (name, fn) => name -> timeOne(fn) }.toMap
     val best = scala.collection.mutable.Map.empty[String, Sample]
-    benched.foreach { case (name, _) =>
-      best(name) = better(pass1(name), pass2(name))
-    }
-
-    // Rescue pass: anything still slow after min-of-2 is either genuinely
-    // heavy or was unlucky twice — one more sample each settles it.
-    val rescueThreshold = 1.5
-    benched.filter { case (name, _) => best(name).sec > rescueThreshold }
-      .foreach { case (name, fn) =>
-        best(name) = better(best(name), timeOne(fn))
+    benched.foreach { case (name, _) => best(name) = pass1(name) }
+    if (passes > 1) {
+      System.gc()
+      Thread.sleep(1000)
+      val pass2 = benched.reverse
+        .map { case (name, fn) => name -> timeOne(fn) }.toMap
+      benched.foreach { case (name, _) =>
+        best(name) = better(pass1(name), pass2(name))
       }
+      // Rescue pass: anything still slow after min-of-2 is either
+      // genuinely heavy or was unlucky twice — one more sample settles it.
+      val rescueThreshold = 1.5
+      benched.filter { case (name, _) => best(name).sec > rescueThreshold }
+        .foreach { case (name, fn) =>
+          best(name) = better(best(name), timeOne(fn))
+        }
+    }
 
     val results = benched.map { case (name, _) => name -> best(name).sec }
     // a row is CONTENTION-FLAGGED when even its best sample absorbed

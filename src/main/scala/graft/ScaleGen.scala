@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Self-generated 10× scaling fixture (the round-6 verdict's "measure
@@ -44,6 +44,11 @@ object ScaleGen {
     val out = if (args.length > 1) args(1)
       else s"${System.getProperty("java.io.tmpdir")}/graft_sf1"
     val copies = if (args.length > 2) args(2).toInt else 10
+    // optional table subset (args 4+): a 1000× decade probe only needs
+    // the probed queries' tables — generating the full star at that
+    // scale would burn tens of GB for tables nothing reads
+    val only: Option[Set[String]] =
+      if (args.length > 3) Some(args.drop(3).toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = graft.util.Sessions.withGraftDefaults(SparkSession.builder()
       .master(s"local[$cpus]")
@@ -61,48 +66,60 @@ object ScaleGen {
     val OffEvent = 210000000L
     val OffUser = 10500000L
 
-    def replicate(t: String)(f: (DataFrame, Int) => DataFrame): Unit = {
+    def wanted(t: String): Boolean = only.forall(_.contains(t))
+
+    // The copy index is a COLUMN (cross join with range(copies)), not a
+    // union of per-copy plans: a 1000-copy union is a 1000-branch plan
+    // Catalyst chokes on, while the cross join scales to any copy
+    // count. Transforms receive the copy column `c` and must be pure
+    // column arithmetic — identical values to the per-copy literal
+    // form this replaced (the 10×/100× fixtures regenerate
+    // bit-compatibly; spot-checked by content hash).
+    def replicate(t: String)(f: (DataFrame, Column) => DataFrame): Unit = {
+      if (!wanted(t)) return
       val base = graft.sources.Tables.load(spark, src, t)
-      val all = (0 until copies).map(c => f(base, c)).reduce(_ unionByName _)
+      val all = f(base.crossJoin(
+        spark.range(0, copies).toDF("_copy")), col("_copy"))
+        .drop("_copy")
       all.write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scalegen] $t -> ${copies}x")
     }
 
     // dims: copy once
-    Seq("region", "nation").foreach { t =>
+    Seq("region", "nation").filter(wanted).foreach { t =>
       graft.sources.Tables.load(spark, src, t)
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scalegen] $t -> 1x (dimension)")
     }
 
     replicate("customer") { (d, c) =>
-      d.withColumn("c_custkey", col("c_custkey") + lit(c * OffCust))
+      d.withColumn("c_custkey", col("c_custkey") + c * OffCust)
     }
     replicate("supplier") { (d, c) =>
-      d.withColumn("s_suppkey", col("s_suppkey") + lit(c * OffSupp))
+      d.withColumn("s_suppkey", col("s_suppkey") + c * OffSupp)
     }
     replicate("part") { (d, c) =>
-      d.withColumn("p_partkey", col("p_partkey") + lit(c * OffPart))
+      d.withColumn("p_partkey", col("p_partkey") + c * OffPart)
     }
     replicate("orders") { (d, c) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + lit(c * OffOrder))
-        .withColumn("o_custkey", col("o_custkey") + lit(c * OffCust))
+      d.withColumn("o_orderkey", col("o_orderkey") + c * OffOrder)
+        .withColumn("o_custkey", col("o_custkey") + c * OffCust)
     }
     replicate("lineitem") { (d, c) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(c * OffOrder))
-        .withColumn("l_partkey", col("l_partkey") + lit(c * OffPart))
-        .withColumn("l_suppkey", col("l_suppkey") + lit(c * OffSupp))
+      d.withColumn("l_orderkey", col("l_orderkey") + c * OffOrder)
+        .withColumn("l_partkey", col("l_partkey") + c * OffPart)
+        .withColumn("l_suppkey", col("l_suppkey") + c * OffSupp)
     }
     replicate("events") { (d, c) =>
-      d.withColumn("event_id", col("event_id") + lit(c * OffEvent))
-        .withColumn("user_id", col("user_id") + lit(c * OffUser))
+      d.withColumn("event_id", col("event_id") + c * OffEvent)
+        .withColumn("user_id", col("user_id") + c * OffUser)
     }
     replicate("documents") { (d, c) =>
-      val t =
-        if (c == 0) col("text")
-        else array_join(transform(split(col("text"), " "),
-          x => concat(x, lit(s"_c$c"))), " ")
-      d.withColumn("doc_id", col("doc_id") + lit(c * OffDoc))
+      val suffix = concat(lit("_c"), c.cast("string"))
+      val t = when(c === 0, col("text"))
+        .otherwise(array_join(transform(split(col("text"), " "),
+          x => concat(x, suffix)), " "))
+      d.withColumn("doc_id", col("doc_id") + c * OffDoc)
         .withColumn("text", t)
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
@@ -112,13 +129,13 @@ object ScaleGen {
       // so late copies still share NO near-dup structure with their
       // rotation twins, norms and in-copy pairwise cosines unchanged
       // (cos(-x, -y) = cos(x, y))
-      val r = c % 64
-      val rot =
-        if (r == 0) col("embedding")
-        else concat(slice(col("embedding"), r + 1, 64 - r),
-          slice(col("embedding"), 1, r))
-      val e = if (c < 64) rot else transform(rot, v => -v)
-      d.withColumn("vec_id", col("vec_id") + lit(c * OffVec))
+      val r = (c % 64).cast("int")
+      val rot = when(r === 0, col("embedding"))
+        .otherwise(concat(
+          slice(col("embedding"), r + 1, lit(64) - r),
+          slice(col("embedding"), lit(1), r)))
+      val e = when(c < 64, rot).otherwise(transform(rot, v => -v))
+      d.withColumn("vec_id", col("vec_id") + c * OffVec)
         .withColumn("embedding", e)
     }
     spark.stop()
