@@ -440,6 +440,8 @@ object SparkEntry {
     "q326_eventgen_topn_pushdown" ->
       (graft.sources.v2.EventGen.topNPushSummary _),
     "q327_bq_ivf_knn" -> ((s, d) => VectorOps.bqIvfKnn(s, d)),
+    "q328_segmented_bm25_serve" ->
+      ((s, d) => streaming.SegmentedBm25Index.servedBm25(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

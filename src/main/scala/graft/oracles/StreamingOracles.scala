@@ -140,6 +140,21 @@ object StreamingOracles {
     // corpus from scratch with q182's exact arithmetic; a hash match
     // proves the maintained serving representation (not just df) is
     // invisible to the query layer.,
+    // q328: the SAME serve contract answered from the SEGMENT store
+    // (per-epoch immutable segments + tombstone sidecars, Lucene's
+    // model) — the oracle is identical to q292's from-scratch rebuild,
+    // so a hash match proves segmented ≡ bucketed ≡ batch: the storage
+    // representation is invisible to the query layer.,
+    "q328_segmented_bm25_serve" ->
+      s"""WITH ${bm25CtesFor("WHERE doc_id % 6 = 0 OR doc_id % 7 <> 3")},
+         |r AS (SELECT query_id, doc_id, s9,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY s9 DESC, doc_id) AS rank
+         |  FROM bs)
+         |SELECT query_id, CAST(rank AS INTEGER) AS rank, doc_id,
+         |  CAST(s9 AS DOUBLE) / 1000000000.0 AS score
+         |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+
     "q292_streaming_bm25_serve" ->
       s"""WITH ${bm25CtesFor("WHERE doc_id % 6 = 0 OR doc_id % 7 <> 3")},
          |r AS (SELECT query_id, doc_id, s9,

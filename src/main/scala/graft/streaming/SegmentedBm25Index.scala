@@ -1,0 +1,320 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** SEGMENT-published text index (q328) — the Lucene storage model the
+  * round-9 SCALE.md addendum names as the at-scale answer for text:
+  * where [[StreamingBm25Index]]'s bucketed artifact must REWRITE a
+  * term's bucket file to absorb an epoch (and an epoch of k docs
+  * touches ~k·|doc vocabulary| terms hashing uniformly across every
+  * bucket — the in-place rewrite degenerates to a full rewrite), the
+  * segment store APPENDS one immutable segment per epoch and never
+  * rewrites anything:
+  *
+  *   root/seg<epoch>/postings/  (t, doc_id, tf, seg) — sorted by t, so
+  *                              parquet row-group min/max skip inside
+  *                              each segment under the query-term IN
+  *                              filter (the per-segment analogue of
+  *                              bucket pruning)
+  *   root/seg<epoch>/doclen/    (doc_id, dl)  — BM25's normalizer
+  *   root/seg<epoch>/corpus/    (doc_id, text) — stored fields (the
+  *                              query set re-tokenizes from here)
+  *   root/seg<epoch>/tombs/     (doc_id)      — tombstone SIDECAR: docs
+  *                              this epoch retracts from EARLIER
+  *                              segments
+  *   root/seg<epoch>/meta/      1 row (seg, nd_add, nt_add, nd_del,
+  *                              nt_del) — additive totals, so nd/avgdl
+  *                              is a metadata-grain Σ over segment
+  *                              manifests, never a corpus count
+  *   root/seg<epoch>/_READY     commit marker, written LAST
+  *
+  * A doc's live version is its row in the LATEST segment that mentions
+  * it (upsert or tombstone); a tombstone mention kills it. Serves union
+  * the per-segment posting reads (each pruned to the query terms) and
+  * keep rows whose (doc, seg) is the winning mention — one doc-grain
+  * resolve, no index-sized I/O, no publish step at all: the `_READY`
+  * marker IS the publish, so the commit→publish staleness window the
+  * bucketed artifacts need a stamp + read-repair for (q286/q292)
+  * does not exist in this representation.
+  *
+  * Compaction ([[compact]]) folds all segments into one — resolved
+  * postings/doclen/corpus, empty tombs, totals restated as absolutes —
+  * exactly Lucene's merge. SegmentedBm25Spec pins: an appended epoch
+  * leaves every prior segment file byte-identical; compaction leaves
+  * the serve hash-identical; the serve equals the bucketed q292 serve
+  * row-for-row (two representations, one contract).
+  *
+  * At 100 TB: per-epoch write cost is Θ(epoch delta) by construction
+  * (the segment holds only the batch's rows), read cost is
+  * Σ per-segment pruned posting reads — segment COUNT is the knob, and
+  * compaction bounds it; both are the economics Lucene/ES run in
+  * production. Reference scope: the reference pipeline has no deletes
+  * or serving index at all (/root/reference/README.md:1); this is the
+  * beyond-ref scale surface. */
+object SegmentedBm25Index {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("deleted", BooleanType)))
+
+  def runRoot(dir: String): String = {
+    val key = FixtureStaging.key("bm25seg-state", s"$dir/documents.parquet")
+    val pid = ProcessHandle.current().pid()
+    s"/tmp/graft-bm25seg-run-$key-p$pid"
+  }
+
+  private def segDir(root: String, e: Long) = f"$root/seg$e%010d"
+  private val SegRe = "seg(\\d{10})".r
+
+  /** Committed segment epochs under `root`, ascending (by `_READY`). */
+  def segments(root: String): Seq[Long] = {
+    val f = new java.io.File(root)
+    Option(f.listFiles()).getOrElse(Array.empty).toSeq
+      .flatMap(d => d.getName match {
+        case SegRe(e) if new java.io.File(d, "_READY").exists =>
+          Some(e.toLong)
+        case _ => None
+      }).sorted
+  }
+
+  private def tfOf(docs: DataFrame): DataFrame = docs
+    .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+    .groupBy("t", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** Doc-grain mention resolve over segments `<= upTo`: one row per
+    * doc_id with the winning segment and its dl (null ⇒ tombstoned).
+    * Doc-grain — the only non-posting-grain work a serve does. */
+  private def resolvedDoclen(spark: SparkSession, root: String,
+      upTo: Option[Long] = None): DataFrame = {
+    val segs = segments(root).filter(e => upTo.forall(e <= _))
+    require(segs.nonEmpty, s"no committed segments under $root")
+    val mentions = segs.map { e =>
+      val d = segDir(root, e)
+      spark.read.parquet(s"$d/doclen")
+        .select(col("doc_id"), col("dl"), lit(e).as("seg"))
+        .unionByName(spark.read.parquet(s"$d/tombs")
+          .select(col("doc_id"), lit(null).cast("long").as("dl"),
+            lit(e).as("seg")))
+    }.reduce(_ unionByName _)
+    mentions.groupBy("doc_id")
+      .agg(max_by(col("dl"), col("seg")).as("dl"),
+        max(col("seg")).as("win_seg"))
+  }
+
+  /** Live postings, optionally pruned to `terms` BEFORE the union —
+    * the IN filter pushes into every per-segment parquet scan, where
+    * the t-sorted files row-group-skip (per-segment pruning). */
+  private def livePostings(spark: SparkSession, root: String,
+      terms: Option[Seq[String]]): DataFrame = {
+    val segs = segments(root)
+    val posts = segs.map { e =>
+      val p = spark.read.parquet(s"${segDir(root, e)}/postings")
+      terms.fold(p)(ts => p.filter(col("t").isin(ts: _*)))
+    }.reduce(_ unionByName _)
+    val live = resolvedDoclen(spark, root)
+      .filter(col("dl").isNotNull)
+      .select(col("doc_id"), col("win_seg"))
+    posts.join(live, posts("doc_id") === live("doc_id")
+        && posts("seg") === live("win_seg"))
+      .select(posts("t"), posts("doc_id"), posts("tf"))
+  }
+
+  /** (nd, nt) from the segment manifests — metadata-grain Σ. */
+  private def totals(spark: SparkSession, root: String): (Long, Long) = {
+    val metas = segments(root)
+      .map(e => spark.read.parquet(s"${segDir(root, e)}/meta"))
+      .reduce(_ unionByName _)
+    val r = metas.agg(
+      sum(col("nd_add") - col("nd_del")).as("nd"),
+      sum(col("nt_add") - col("nt_del")).as("nt")).collect()(0)
+    (r.getLong(0), r.getLong(1))
+  }
+
+  // spec access (SegmentedBm25Spec drives synthetic stores directly)
+  private[graft] def resolvedDoclenForSpec(spark: SparkSession,
+      root: String): DataFrame = resolvedDoclen(spark, root)
+  private[graft] def livePostingsForSpec(spark: SparkSession,
+      root: String, terms: Option[Seq[String]]): DataFrame =
+    livePostings(spark, root, terms)
+  private[graft] def totalsForSpec(spark: SparkSession,
+      root: String): (Long, Long) = totals(spark, root)
+
+  /** Append ONE immutable segment for `batch` (idempotent per epoch —
+    * an already-committed segment is a no-op, the foreachBatch replay
+    * discipline). Writes only the batch's rows: Θ(delta) I/O. */
+  def applySegment(spark: SparkSession, root: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val d = segDir(root, batchId)
+    val ready = new java.io.File(d, "_READY")
+    if (ready.exists) return
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(d)) // half-written: rebuild
+    val ups = batch.filter(!col("deleted")).select("doc_id", "text")
+      .localCheckpoint()
+    val tombs = batch.filter(col("deleted")).select("doc_id")
+      .localCheckpoint()
+    val tf = tfOf(ups).withColumn("seg", lit(batchId))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")).localCheckpoint()
+    // retracted token mass: tombstoned + REPLACED docs' dl from the
+    // prior live state (doc-grain; known at append time, recorded in
+    // the manifest so totals stay an additive Σ over manifests)
+    val goneKeys = tombs.unionByName(ups.select("doc_id"))
+    val (ndDel, ntDel) =
+      if (segments(root).isEmpty) (0L, 0L)
+      else {
+        val prior = resolvedDoclen(spark, root, Some(batchId - 1))
+          .filter(col("dl").isNotNull)
+          .join(goneKeys, Seq("doc_id"), "left_semi")
+        val r = prior.agg(count(lit(1)),
+          coalesce(sum("dl"), lit(0L))).collect()(0)
+        (r.getLong(0), r.getLong(1))
+      }
+    val r = dl.agg(count(lit(1)), coalesce(sum("dl"), lit(0L))).collect()(0)
+    val (ndAdd, ntAdd) = (r.getLong(0), r.getLong(1))
+    import spark.implicits._
+    // postings sorted by t inside the segment's files: the query-term
+    // IN filter then skips non-matching row groups (per-segment prune)
+    tf.sortWithinPartitions("t").write.parquet(s"$d/postings")
+    dl.write.parquet(s"$d/doclen")
+    ups.write.parquet(s"$d/corpus")
+    tombs.write.parquet(s"$d/tombs")
+    Seq((batchId, ndAdd, ntAdd, ndDel, ntDel))
+      .toDF("seg", "nd_add", "nt_add", "nd_del", "nt_del")
+      .write.parquet(s"$d/meta")
+    ready.createNewFile(): Unit
+  }
+
+  /** Fold every segment into one (Lucene's merge): resolved postings /
+    * doclen / corpus, no tombstones, totals restated. Serve results are
+    * pinned hash-identical across a compaction; segment count returns
+    * to 1, bounding per-serve segment fan-in. (Sandbox form
+    * materializes then swaps in place; a production store writes the
+    * merged segment beside the live ones and swings a manifest.) */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val segs = segments(root)
+    if (segs.size <= 1) return
+    val last = segs.max
+    val posts = livePostings(spark, root, None)
+      .withColumn("seg", lit(last)).localCheckpoint()
+    val dl = resolvedDoclen(spark, root).filter(col("dl").isNotNull)
+      .select("doc_id", "dl").localCheckpoint()
+    val corpus = resolvedCorpus(spark, root).localCheckpoint()
+    val (nd, nt) = totals(spark, root)
+    segs.foreach(e => org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(segDir(root, e))))
+    val d = segDir(root, last)
+    import spark.implicits._
+    posts.sortWithinPartitions("t").write.parquet(s"$d/postings")
+    dl.write.parquet(s"$d/doclen")
+    corpus.write.parquet(s"$d/corpus")
+    spark.emptyDataset[Long].toDF("doc_id").write.parquet(s"$d/tombs")
+    Seq((last, nd, nt, 0L, 0L))
+      .toDF("seg", "nd_add", "nt_add", "nd_del", "nt_del")
+      .write.parquet(s"$d/meta")
+    new java.io.File(d, "_READY").createNewFile(): Unit
+  }
+
+  /** Live stored fields (latest-mention-wins over segment corpora). */
+  private def resolvedCorpus(spark: SparkSession, root: String): DataFrame = {
+    val segs = segments(root)
+    val mentions = segs.map { e =>
+      spark.read.parquet(s"${segDir(root, e)}/corpus")
+        .select(col("doc_id"), col("text"), lit(e).as("seg"))
+        .unionByName(spark.read
+          .parquet(s"${segDir(root, e)}/tombs")
+          .select(col("doc_id"), lit(null).cast("string").as("text"),
+            lit(e).as("seg")))
+    }.reduce(_ unionByName _)
+    mentions.groupBy("doc_id")
+      .agg(max_by(col("text"), col("seg")).as("text"))
+      .filter(col("text").isNotNull)
+  }
+
+  /** Drain the q292 staged landing into a segment store, once per
+    * process per fixture. */
+  private val drained =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def drainedRoot(spark: SparkSession, dir: String): String =
+    drained.computeIfAbsent(dir, _ => drain(spark, dir))
+
+  private def drain(spark: SparkSession, dir: String): String = {
+    val land = StreamingBm25Index.stagedLanding(spark, dir)
+    val root = runRoot(dir)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    FixtureStaging.deleteOnExit(root)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(root))
+    val q = spark.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(land)
+      .writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySegment(spark, root, batch, batchId)
+      }
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    if (segments(root).isEmpty)
+      throw new IllegalStateException(
+        s"no segments drained from $land under $root")
+    root
+  }
+
+  /** The store's committed frontier — the segment model's freshness
+    * story: max committed segment epoch (the `_READY` marker is the
+    * publish; there is no separate artifact to go stale). */
+  def servedEpoch(spark: SparkSession, dir: String): Long =
+    segments(drainedRoot(spark, dir)).max
+
+  /** q328: BM25 answered from the SEGMENT store — q182/q292's exact
+    * nano-unit scoring (same expression tree, same ranks) over
+    * per-segment pruned posting reads + the doc-grain mention resolve;
+    * df counted from the pruned live rows (a term's full live posting
+    * list survives the union, so the count is the exact corpus df),
+    * nd/avgdl from the segment manifests. Must hash-equal the bucketed
+    * q292 serve AND the from-scratch DuckDB oracle. */
+  def servedBm25(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val root = drainedRoot(spark, dir)
+    val q = resolvedCorpus(spark, root)
+      .filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("t"))
+      .distinct().localCheckpoint()
+    val terms = q.select("t").distinct()
+      .collect().map(_.getString(0)).sorted.toSeq
+    val pruned = livePostings(spark, root, Some(terms)).localCheckpoint()
+    val dl = resolvedDoclen(spark, root).filter(col("dl").isNotNull)
+      .select("doc_id", "dl")
+    val (nd, nt) = totals(spark, root)
+    val avgdl = nt.toDouble / nd
+    val df = pruned.groupBy("t").agg(count(lit(1)).as("df"))
+    val idf = log(((lit(nd) - col("df")).cast("double") + lit(0.5))
+      / (col("df").cast("double") + lit(0.5)) + lit(1.0))
+    val tfn = (col("tf").cast("double") * lit(2.2)) /
+      (col("tf").cast("double") + lit(1.2) *
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(avgdl))))
+    val c9 = floor(idf * tfn * lit(1000000000.0) + lit(0.5)).cast("long")
+    val w = Window.partitionBy("query_id")
+      .orderBy(desc("s9"), asc("doc_id"))
+    broadcast(q)
+      .join(pruned, "t")
+      .filter(col("doc_id") =!= col("query_id"))
+      .join(broadcast(df), "t")
+      .join(dl, "doc_id")
+      .select(col("query_id"), col("doc_id"), c9.as("c9"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c9").as("s9"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        (col("s9").cast("double") / lit(1000000000.0)).as("score"))
+      .orderBy("query_id", "rank")
+  }
+}

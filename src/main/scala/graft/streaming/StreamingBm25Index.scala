@@ -58,7 +58,7 @@ object StreamingBm25Index {
   /** The q236 epoch shape on its own staging key: b0 = prev snapshot
     * (doc_id % 6 ≠ 0), b1 = appends (% 6 = 0) + tombstones for prev
     * keys with doc_id % 7 = 3. */
-  private def stagedLanding(spark: SparkSession, dir: String): String =
+  private[streaming] def stagedLanding(spark: SparkSession, dir: String): String =
     FixtureStaging.stageOnce("bm25stream", s"$dir/documents.parquet",
       "/tmp/graft-bm25stream") { d =>
       import java.nio.file.Files
