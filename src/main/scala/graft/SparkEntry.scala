@@ -442,6 +442,7 @@ object SparkEntry {
     "q327_bq_ivf_knn" -> ((s, d) => VectorOps.bqIvfKnn(s, d)),
     "q328_segmented_bm25_serve" ->
       ((s, d) => streaming.SegmentedBm25Index.servedBm25(s, d)),
+    "q329_nb_distill" -> ((s, d) => Features.naiveBayesDistill(s, d)),
   )
 
   /** DuckDB oracle SQL for every [[queries]] entry, aggregated from

@@ -471,4 +471,103 @@ object Features {
           / lit(1.0e9)).as("brier"))
       .orderBy("bin")
   }
+
+  /** q329 — MULTINOMIAL NAIVE BAYES trained in-engine, distilling the
+    * same lexical-diversity teacher as q321 (TTR > 0.55, exact-integer
+    * form 20·n_types > 11·n_tokens) — but where q321's student sees
+    * eight scan-local thresholds, this student sees the TOKENS: the
+    * generative text classifier every curation stack ships first
+    * (fastText's ancestor), trained in ONE aggregation pass with no
+    * iteration at all.
+    *
+    * Model: class priors nd_c/nd; Laplace-1 token likelihoods
+    * (cnt_tc + 1)/(tok_c + V). Prediction for a doc is the sign of the
+    * integer score z9 = prior9 + Σ_t tf · llr9(t), where llr9(t) is the
+    * per-term log-likelihood-ratio nano-floored through ONE fixed IEEE
+    * tree (the q182/q308 discipline: `ln` appears exactly once per
+    * term, never inside an iterated feedback loop, so engines agree on
+    * the floored integer) and prior9 = ⌊ln(nd₁/nd₀)·1e9⌉. Ties (z9 = 0)
+    * break to class 0 — stated, not incidental.
+    *
+    * Output: the DENSE 2×2 confusion grid (teacher y × student ŷ, the
+    * q275 chi-square dense-grid discipline so a vanished cell cannot
+    * change the row count) with per-cell fractions, plus the model-card
+    * scalars every row carries: train accuracy, vocabulary size, doc
+    * counts, and the two priors.
+    *
+    * Scale: training IS one groupBy over the (t, y) token stream
+    * (vocab-grain result — Heaps-sublinear, the q206 argument);
+    * scoring joins the per-doc tf stream to the vocab-grain llr table
+    * on t (shuffle join — the vocab outgrows a broadcast at corpus
+    * scale) and reduces per doc: two shuffles total, both map-side
+    * combined, no driver state beyond four scalars. The oracle replays
+    * the identical arithmetic as CTEs (same split semantics, same
+    * floors, same tie-break). */
+  def naiveBayesDistill(spark: SparkSession, dir: String): DataFrame =
+    naiveBayesDistillOn(spark, Tables.documents(spark, dir))
+
+  /** q329 core on any (doc_id, text) frame — the fixture corpus's
+    * 31-token vocabulary makes the TTR teacher genuinely unlearnable
+    * from token counts (train_acc ≈ 0.64 < majority — an honest
+    * negative the card REPORTS); Round14Spec pins perfect separation
+    * on a corpus whose classes have disjoint vocabularies. */
+  private[graft] def naiveBayesDistillOn(spark: SparkSession,
+      corpus: DataFrame): DataFrame = {
+    val teacher =
+      (size(array_distinct(split(col("text"), " "))) * 20
+        > size(split(col("text"), " ")) * 11)
+    val docs = corpus
+      .select(col("doc_id"), col("text"), teacher.cast("int").as("y"))
+    val tf = docs
+      .select(col("doc_id"), col("y"),
+        explode(split(col("text"), " ")).as("t"))
+      .groupBy("doc_id", "y", "t").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // consumed by train AND score
+    // class-conditional token counts: vocab-grain (t × 2 classes)
+    val cls = tf.groupBy("t")
+      .agg(sum(when(col("y") === 1, col("tf")).otherwise(0L)).as("c1"),
+        sum(when(col("y") === 0, col("tf")).otherwise(0L)).as("c0"))
+      .localCheckpoint()
+    val tot = cls.agg(sum("c1").as("tok1"), sum("c0").as("tok0"),
+        count(lit(1)).as("v")).collect()(0)
+    val (tok1, tok0, v) =
+      (tot.getLong(0), tot.getLong(1), tot.getLong(2))
+    val nds = docs.groupBy("y").agg(count(lit(1)).as("nd")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val (nd0, nd1) = (nds.getOrElse(0, 0L), nds.getOrElse(1, 0L))
+    require(nd0 > 0 && nd1 > 0, "degenerate teacher: one class is empty")
+    // per-term LLR, nano-floored once: ln((c1+1)/(tok1+V)) − ln((c0+1)/(tok0+V))
+    val llr9 = floor((log((col("c1").cast("double") + lit(1.0))
+        / lit((tok1 + v).toDouble))
+      - log((col("c0").cast("double") + lit(1.0))
+        / lit((tok0 + v).toDouble))) * lit(1.0e9) + lit(0.5))
+      .cast("long")
+    val prior9 = math.floor(
+      math.log(nd1.toDouble / nd0.toDouble) * 1.0e9 + 0.5).toLong
+    val z = tf.join(cls.select(col("t"), llr9.as("llr9")), "t")
+      .groupBy("doc_id", "y")
+      .agg((sum(col("tf") * col("llr9")) + lit(prior9)).as("z9"))
+      .select(col("y"), (col("z9") > 0).cast("int").as("yhat"))
+    val cells = z.groupBy("y", "yhat").agg(count(lit(1)).as("n_docs"))
+    // dense 2×2 grid: a vanished cell must not change the row count
+    val grid = spark.range(0, 2).toDF("y").crossJoin(
+      spark.range(0, 2).toDF("yhat"))
+      .select(col("y").cast("int").as("y"),
+        col("yhat").cast("int").as("yhat"))
+    val n = nd0 + nd1
+    grid.join(cells, Seq("y", "yhat"), "left")
+      .select(col("y"), col("yhat"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
+      .withColumn("frac", Portable.val6(
+        col("n_docs").cast("double") / lit(n.toDouble)))
+      .crossJoin(broadcast(cells.filter(col("y") === col("yhat"))
+        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_correct"))))
+      .withColumn("train_acc", Portable.val6(
+        col("n_correct").cast("double") / lit(n.toDouble)))
+      .drop("n_correct")
+      .withColumn("vocab", lit(v))
+      .withColumn("nd0", lit(nd0)).withColumn("nd1", lit(nd1))
+      .withColumn("prior1", Portable.val6(lit(nd1.toDouble / n)))
+      .orderBy("y", "yhat")
+  }
 }

@@ -2069,6 +2069,60 @@ object AnalyticsOracles {
       sb.toString
     },
 
+    // q329: multinomial naive Bayes distilled from the same TTR
+    // teacher — one training aggregation (class-conditional token
+    // counts), per-term LLR nano-floored ONCE (ln never iterates),
+    // integer per-doc scores, sign prediction with a stated tie-break,
+    // dense 2×2 confusion grid.,
+    "q329_nb_distill" ->
+      s"""WITH docs AS (SELECT doc_id, text,
+         |  CAST(len(list_distinct(string_split(text, ' '))) * 20
+         |    > len(string_split(text, ' ')) * 11 AS INT) AS y
+         |  FROM documents),
+         |tf AS (SELECT doc_id, y, t, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, y, unnest(string_split(text, ' ')) AS t
+         |    FROM docs) GROUP BY 1, 2, 3),
+         |cls AS (SELECT t,
+         |    CAST(SUM(CASE WHEN y = 1 THEN tf ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(SUM(CASE WHEN y = 0 THEN tf ELSE 0 END) AS BIGINT) AS c0
+         |  FROM tf GROUP BY 1),
+         |tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS tok1,
+         |    CAST(SUM(c0) AS BIGINT) AS tok0,
+         |    CAST(COUNT(*) AS BIGINT) AS v FROM cls),
+         |nd AS (SELECT
+         |    CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS nd0,
+         |    CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nd1,
+         |    CAST(COUNT(*) AS BIGINT) AS n FROM docs),
+         |llr AS (SELECT t, CAST(FLOOR(
+         |    (ln((CAST(c1 AS DOUBLE) + 1.0) / CAST(tok1 + v AS DOUBLE))
+         |     - ln((CAST(c0 AS DOUBLE) + 1.0) / CAST(tok0 + v AS DOUBLE)))
+         |    * 1000000000.0 + 0.5) AS BIGINT) AS llr9
+         |  FROM cls CROSS JOIN tot),
+         |z AS (SELECT tf.doc_id, tf.y,
+         |    CAST(SUM(tf.tf * llr.llr9) AS BIGINT)
+         |      + (SELECT CAST(FLOOR(ln(CAST(nd1 AS DOUBLE)
+         |          / CAST(nd0 AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+         |         FROM nd) AS z9
+         |  FROM tf JOIN llr USING (t) GROUP BY 1, 2),
+         |pred AS (SELECT y,
+         |    CASE WHEN z9 > 0 THEN 1 ELSE 0 END AS yhat FROM z),
+         |cells AS (SELECT y, yhat, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM pred GROUP BY 1, 2),
+         |grid AS (SELECT a.y, b.yhat
+         |  FROM (VALUES (0), (1)) a(y) CROSS JOIN (VALUES (0), (1)) b(yhat)),
+         |corr AS (SELECT CAST(COALESCE(SUM(n_docs), 0) AS BIGINT)
+         |    AS n_correct FROM cells WHERE y = yhat)
+         |SELECT CAST(grid.y AS INT) AS y, CAST(grid.yhat AS INT) AS yhat,
+         |  COALESCE(cells.n_docs, 0) AS n_docs,
+         |  ${val6("CAST(COALESCE(cells.n_docs, 0) AS DOUBLE) / CAST(n AS DOUBLE)")} AS frac,
+         |  ${val6("CAST(n_correct AS DOUBLE) / CAST(n AS DOUBLE)")} AS train_acc,
+         |  v AS vocab, nd0, nd1,
+         |  ${val6("CAST(nd1 AS DOUBLE) / CAST(n AS DOUBLE)")} AS prior1
+         |FROM grid LEFT JOIN cells ON grid.y = cells.y
+         |  AND grid.yhat = cells.yhat
+         |CROSS JOIN nd CROSS JOIN tot CROSS JOIN corr
+         |ORDER BY grid.y, grid.yhat""".stripMargin,
+
     // q324: split-conformal intervals — integer-division EWMA point
     // forecast, exact residual ranks, k = (4n+8)//5, coverage exact.,
     "q324_conformal_forecast" -> {
