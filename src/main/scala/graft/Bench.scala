@@ -114,6 +114,23 @@ object Bench {
       Sample((System.nanoTime() - t0) / 1e9, stealSecNow() - s0)
     }
 
+    // Whole-run contention calibration (round-9 finding: the per-query
+    // steal flag is blind to SUSTAINED low-level contention — a +30%
+    // uniform drift produced n_flagged=0). A fixed-work query (q09,
+    // one of the cheapest stable aggregates) is timed at sweep start /
+    // middle / end; if the same work drifts > 20% across the run, the
+    // RUN is flagged as contended and the artifact classifies its own
+    // noise. The calibration query is warmed once first so sample 1
+    // measures the host, not JIT/footer costs.
+    val calibFn = SparkEntry.queries.get("q09_funnel")
+    val calibSamples = scala.collection.mutable.ArrayBuffer.empty[Double]
+    calibFn.foreach { fn =>
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+    }
+    def calibrate(): Unit =
+      calibFn.foreach(fn => calibSamples += timeOne(fn).sec)
+    calibrate() // sweep start
+
     // Two full timed passes with a GC break between, the second in
     // REVERSE order, then per-query min (keeping the WINNING sample's
     // steal reading). This host has bursty multi-minute CPU-steal
@@ -122,6 +139,7 @@ object Bench {
     // HEAD of pass 2, so the min sheds it.
     def better(a: Sample, b: Sample): Sample = if (a.sec <= b.sec) a else b
     val pass1 = benched.map { case (name, fn) => name -> timeOne(fn) }.toMap
+    calibrate() // sweep middle (between passes)
     val best = scala.collection.mutable.Map.empty[String, Sample]
     benched.foreach { case (name, _) => best(name) = pass1(name) }
     if (passes > 1) {
@@ -140,6 +158,21 @@ object Bench {
           best(name) = better(best(name), timeOne(fn))
         }
     }
+
+    calibrate() // sweep end
+    val calibDrift =
+      if (calibSamples.size >= 2 && calibSamples.min > 0)
+        (calibSamples.max - calibSamples.min) / calibSamples.min
+      else 0.0
+    val runFlagged = calibDrift > 0.20
+    def fmtArr(v: Seq[Double]): String = v.map(x =>
+      BigDecimal(x).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString)
+      .mkString("[", ",", "]")
+    val calibJson =
+      s"""{"q":"q09_funnel","samples":${fmtArr(calibSamples.toSeq)},""" +
+        s""""drift":${BigDecimal(calibDrift)
+          .setScale(3, BigDecimal.RoundingMode.HALF_UP)},""" +
+        s""""run_contended":$runFlagged}"""
 
     val results = benched.map { case (name, _) => name -> best(name).sec }
     // a row is CONTENTION-FLAGGED when even its best sample absorbed
@@ -181,7 +214,7 @@ object Bench {
       .mkString("{", ",", "}")
     val flaggedJson = flagged.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"clean_total":${fmt(cleanTotal)},"n_flagged":${flagged.size},"queries":$qsShort,"omitted_fast":$omittedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"clean_total":${fmt(cleanTotal)},"n_flagged":${flagged.size},"calibration":$calibJson,"queries":$qsShort,"omitted_fast":$omittedJson,"sf":"$sfDir"}""")
     // Targeted probes (any name filter) must NOT clobber the full-pass
     // record — r7 lost full-pass records between sweeps this way. Probe
     // runs write bench_probes/BENCH_probe_<filter>.json instead (kept
@@ -196,7 +229,8 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       (s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
         s""""clean_total":${fmt(cleanTotal)},""" +
-        s""""flagged":$flaggedJson,"steal_sec":$stealFull,""" +
+        s""""flagged":$flaggedJson,"calibration":$calibJson,""" +
+        s""""steal_sec":$stealFull,""" +
         s""""queries":$qsFull,"sf":"$sfDir"}""").getBytes("UTF-8"))
     catch { case e: Throwable => System.err.println(s"[bench] full record write failed: $e") }
     spark.stop()

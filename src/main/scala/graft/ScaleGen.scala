@@ -68,6 +68,15 @@ object ScaleGen {
 
     def wanted(t: String): Boolean = only.forall(_.contains(t))
 
+    // rotate(+negate) gives 128 structurally-disjoint embedding copies
+    // (64 rotations × sign); copy 128 would alias copy 0 and near-dup
+    // structure would silently explode cross-copy — refuse, don't lie.
+    // Checked FIRST: failing after the other tables have replicated
+    // would burn the full multi-GB generation before refusing.
+    require(copies <= 128 || !wanted("embeddings"),
+      s"embeddings replication is disjoint only to 128 copies (got " +
+        s"$copies); restrict the table subset or extend the transform")
+
     // The copy index is a COLUMN (cross join with range(copies)), not a
     // union of per-copy plans: a 1000-copy union is a 1000-branch plan
     // Catalyst chokes on, while the cross join scales to any copy
@@ -123,12 +132,6 @@ object ScaleGen {
         .withColumn("text", t)
         .withColumn("n_chars", length(col("text")).cast("long"))
     }
-    // rotate(+negate) gives 128 structurally-disjoint copies (64
-    // rotations × sign); copy 128 would alias copy 0 and near-dup
-    // structure would silently explode cross-copy — refuse, don't lie
-    require(copies <= 128 || !wanted("embeddings"),
-      s"embeddings replication is disjoint only to 128 copies (got " +
-        s"$copies); restrict the table subset or extend the transform")
     replicate("embeddings") { (d, c) =>
       // rotate by c positions (c < 64); past a full rotation (c ≥ 64,
       // the 100× fixture) rotate by c-64 AND negate — cos(-x, x) = -1,

@@ -548,26 +548,33 @@ object Features {
       .groupBy("doc_id", "y")
       .agg((sum(col("tf") * col("llr9")) + lit(prior9)).as("z9"))
       .select(col("y"), (col("z9") > 0).cast("int").as("yhat"))
-    val cells = z.groupBy("y", "yhat").agg(count(lit(1)).as("n_docs"))
-    // dense 2×2 grid: a vanished cell must not change the row count
-    val grid = spark.range(0, 2).toDF("y").crossJoin(
-      spark.range(0, 2).toDF("yhat"))
-      .select(col("y").cast("int").as("y"),
-        col("yhat").cast("int").as("yhat"))
+    // The confusion cells are a ≤4-row aggregate final — collect them
+    // (metadata grain, same class as `tot`/`nds` above) and assemble
+    // the dense 2×2 grid driver-side as literals. The alternative —
+    // crossJoining an in-plan 1-row accuracy aggregate into the grid —
+    // plans a BroadcastNestedLoopJoin + SinglePartition exchange that
+    // PlanAuditSpec would have to sanction; bounded either way, but
+    // four literal rows need no plan at all. All distributed work
+    // (tf → cls → z → cells) happens in the one action below.
+    val cellMap = z.groupBy("y", "yhat").agg(count(lit(1)).as("n_docs"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
     val n = nd0 + nd1
-    grid.join(cells, Seq("y", "yhat"), "left")
-      .select(col("y"), col("yhat"),
-        coalesce(col("n_docs"), lit(0L)).as("n_docs"))
-      .withColumn("frac", Portable.val6(
-        col("n_docs").cast("double") / lit(n.toDouble)))
-      .crossJoin(broadcast(cells.filter(col("y") === col("yhat"))
-        .agg(coalesce(sum("n_docs"), lit(0L)).as("n_correct"))))
-      .withColumn("train_acc", Portable.val6(
-        col("n_correct").cast("double") / lit(n.toDouble)))
-      .drop("n_correct")
-      .withColumn("vocab", lit(v))
-      .withColumn("nd0", lit(nd0)).withColumn("nd1", lit(nd1))
-      .withColumn("prior1", Portable.val6(lit(nd1.toDouble / n)))
-      .orderBy("y", "yhat")
+    val nCorrect = cellMap.getOrElse((0, 0), 0L) +
+      cellMap.getOrElse((1, 1), 0L)
+    // driver-side mirror of Portable.val6 (floor(x·1e6 + 0.5) / 1e6)
+    def v6(x: Double): Double =
+      math.floor(x * 1.0e6 + 0.5).toLong.toDouble / 1.0e6
+    val trainAcc = v6(nCorrect.toDouble / n.toDouble)
+    val prior1 = v6(nd1.toDouble / n.toDouble)
+    // dense 2×2 grid: a vanished cell must not change the row count
+    val rows = for { y <- 0 to 1; yhat <- 0 to 1 } yield {
+      val nDocs = cellMap.getOrElse((y, yhat), 0L)
+      (y, yhat, nDocs, v6(nDocs.toDouble / n.toDouble),
+        trainAcc, v, nd0, nd1, prior1)
+    }
+    import spark.implicits._
+    rows.toDF("y", "yhat", "n_docs", "frac", "train_acc",
+      "vocab", "nd0", "nd1", "prior1")
   }
 }

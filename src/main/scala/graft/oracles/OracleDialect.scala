@@ -15,6 +15,15 @@ object OracleDialect {
 
   // ---- DuckDB oracle SQL ------------------------------------------------
 
+  /** The retrieval family's FIXED query cohort — mirrors
+    * [[graft.operators.Retrieval.QueryCohortBound]]: every 100th doc
+    * within the base corpus id space [0, 10.5M). At the gate fixtures
+    * (sf ≤ 1) the bound is a no-op; on ScaleGen decade fixtures it
+    * pins the workload to copy 0's queries so the corpus scales and
+    * the query set does not. */
+  private[graft] def queryCohort(col: String): String =
+    s"$col % 100 = 0 AND $col < ${graft.operators.Retrieval.QueryCohortBound}"
+
   /** The Wilson 95% tree (q263/q274) as SQL strings — mirrors
     * `Analytics.wilson` expression-for-expression. Returns
     * (phat, lo, hi). */
@@ -128,14 +137,14 @@ object OracleDialect {
          |rdots AS (SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
          |    SUM(a.w * b.w) AS dot
          |  FROM dvec a JOIN dvec b ON a.dim = b.dim
-         |  WHERE a.doc_id % 100 = 0 AND a.doc_id <> b.doc_id
+         |  WHERE ${queryCohort("a.doc_id")} AND a.doc_id <> b.doc_id
          |  GROUP BY 1, 2),
          |rel0 AS (SELECT qn.doc_id AS query_id, cn.doc_id,
          |    CAST(COALESCE(d.dot, 0) AS DOUBLE)
          |      / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))
          |      AS rel
          |  FROM dnorm qn JOIN dnorm cn
-         |    ON qn.doc_id % 100 = 0 AND cn.doc_id <> qn.doc_id
+         |    ON ${queryCohort("qn.doc_id")} AND cn.doc_id <> qn.doc_id
          |  LEFT JOIN rdots d ON d.query_id = qn.doc_id
          |    AND d.doc_id = cn.doc_id
          |  WHERE qn.n2 > 0 AND cn.n2 > 0),
@@ -867,7 +876,7 @@ object OracleDialect {
        |  FROM cvec GROUP BY 1, 2),
        |qtok AS (SELECT doc_id AS query_id,
        |    UNNEST(string_split(text, ' ')) AS tk
-       |  FROM documents WHERE doc_id % 100 = 0),
+       |  FROM documents WHERE ${queryCohort("doc_id")}),
        |qdim AS (SELECT query_id, ${h32("tk")} % 16 AS dim,
        |    CASE WHEN (${h32("tk")} // 16) % 2 = 0 THEN 1 ELSE -1 END AS sg
        |  FROM qtok),
@@ -993,7 +1002,7 @@ object OracleDialect {
        |tot AS (SELECT (SELECT COUNT(*) FROM documents $where) AS nd,
        |               (SELECT COUNT(*) FROM tok) AS nt),
        |q AS (SELECT DISTINCT doc_id AS query_id, t FROM tok
-       |  WHERE doc_id % 100 = 0),
+       |  WHERE ${queryCohort("doc_id")}),
        |c AS (SELECT q.query_id, tf.doc_id,
        |    CAST(FLOOR(
        |      ln((CAST(nd - df AS DOUBLE) + 0.5)

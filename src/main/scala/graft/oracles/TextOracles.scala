@@ -322,7 +322,7 @@ object TextOracles {
          |dots AS (SELECT a.doc_id AS query_id, b.doc_id AS doc_id,
          |    SUM(a.w * b.w) AS dot
          |  FROM dvec a JOIN dvec b ON a.dim = b.dim
-         |  WHERE a.doc_id % 100 = 0 GROUP BY 1, 2),
+         |  WHERE ${OracleDialect.queryCohort("a.doc_id")} GROUP BY 1, 2),
          |pc AS (SELECT p.query_id, p.doc_id, p.s9,
          |    CAST(COALESCE(d.dot, 0) AS DOUBLE)
          |      / (sqrt(CAST(qn.n2 AS DOUBLE)) * sqrt(CAST(cn.n2 AS DOUBLE)))

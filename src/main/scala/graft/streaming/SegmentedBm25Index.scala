@@ -40,12 +40,22 @@ import org.apache.spark.sql.types._
   * bucketed artifacts need a stamp + read-repair for (q286/q292)
   * does not exist in this representation.
   *
-  * Compaction ([[compact]]) folds all segments into one — resolved
+  * Compaction ([[compact]]) folds all live segments into one — resolved
   * postings/doclen/corpus, empty tombs, totals restated as absolutes —
-  * exactly Lucene's merge. SegmentedBm25Spec pins: an appended epoch
-  * leaves every prior segment file byte-identical; compaction leaves
-  * the serve hash-identical; the serve equals the bucketed q292 serve
-  * row-for-row (two representations, one contract).
+  * exactly Lucene's merge, with Lucene's publish order: the merged
+  * segment commits BESIDE the live ones (as `cseg<epoch>`, which
+  * outranks what it folded but never collides with a future batch
+  * epoch) and the folded segments are deleted only after its `_READY`
+  * lands; a crash anywhere leaves a store every read resolves
+  * correctly ([[liveSegs]]). The maintainer loop triggers the fold
+  * automatically past [[MaxLiveSegments]] ([[maybeCompact]]) — the
+  * merge-policy half of the Lucene model — so per-serve segment
+  * fan-in stays bounded under continuous epochs. SegmentedBm25Spec
+  * pins: an appended epoch leaves every prior segment file
+  * byte-identical; compaction (including its crash window) leaves the
+  * serve hash-identical; the policy fires and bounds the count; the
+  * serve equals the bucketed q292 serve row-for-row (two
+  * representations, one contract).
   *
   * At 100 TB: per-epoch write cost is Θ(epoch delta) by construction
   * (the segment holds only the batch's rows), read cost is
@@ -66,19 +76,54 @@ object SegmentedBm25Index {
     s"/tmp/graft-bm25seg-run-$key-p$pid"
   }
 
-  private def segDir(root: String, e: Long) = f"$root/seg$e%010d"
-  private val SegRe = "seg(\\d{10})".r
+  /** A committed segment: plain (one batch epoch) or compacted (the
+    * fold of everything at or below its epoch). `ord = 2·epoch +
+    * compacted` totally orders mentions so that a compacted segment
+    * outranks every segment it folded (same or lower epoch) but is
+    * outranked by any LATER batch epoch — and, because batch epochs
+    * map to even ords, a compacted segment's odd ord can never collide
+    * with a future streaming batchId (the hazard of publishing the
+    * merge at `max + 1` in the batch-epoch namespace: a replayed or
+    * future batch with that id would see `_READY` and silently drop
+    * its data). */
+  private case class Seg(epoch: Long, compacted: Boolean) {
+    def ord: Long = epoch * 2 + (if (compacted) 1 else 0)
+  }
+  private def segDir(root: String, s: Seg) =
+    f"$root/${if (s.compacted) "cseg" else "seg"}${s.epoch}%010d"
+  private def segDir(root: String, e: Long): String =
+    segDir(root, Seg(e, compacted = false))
+  private val SegRe = "(c?)seg(\\d{10})".r
 
-  /** Committed segment epochs under `root`, ascending (by `_READY`). */
-  def segments(root: String): Seq[Long] = {
+  /** Every committed segment under `root` (including ones a crashed
+    * compaction already folded), ascending by ord. */
+  private def committedSegs(root: String): Seq[Seg] = {
     val f = new java.io.File(root)
     Option(f.listFiles()).getOrElse(Array.empty).toSeq
       .flatMap(d => d.getName match {
-        case SegRe(e) if new java.io.File(d, "_READY").exists =>
-          Some(e.toLong)
+        case SegRe(c, e) if new java.io.File(d, "_READY").exists =>
+          Some(Seg(e.toLong, c == "c"))
         case _ => None
-      }).sorted
+      }).sortBy(_.ord)
   }
+
+  /** LIVE segments: committed minus anything a committed compacted
+    * segment has folded (ord below the newest compacted segment's).
+    * Folded leftovers exist only in the crash window between a
+    * compaction's `_READY` and its cleanup — excluding them here makes
+    * every read correct through that window (the merged segment
+    * restates their entire state); [[compact]] physically sweeps them
+    * on its next run. */
+  private def liveSegs(root: String): Seq[Seg] = {
+    val all = committedSegs(root)
+    all.flatMap(s => Option.when(s.compacted)(s.ord)).maxOption
+      .fold(all)(m => all.filter(_.ord >= m))
+  }
+
+  /** Live segment epochs under `root`, ascending. Epochs are unique
+    * among live segments: a compacted segment shares its epoch only
+    * with segments it folded, which [[liveSegs]] excludes. */
+  def segments(root: String): Seq[Long] = liveSegs(root).map(_.epoch)
 
   private def tfOf(docs: DataFrame): DataFrame = docs
     .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
@@ -89,15 +134,15 @@ object SegmentedBm25Index {
     * Doc-grain — the only non-posting-grain work a serve does. */
   private def resolvedDoclen(spark: SparkSession, root: String,
       upTo: Option[Long] = None): DataFrame = {
-    val segs = segments(root).filter(e => upTo.forall(e <= _))
+    val segs = liveSegs(root).filter(s => upTo.forall(s.epoch <= _))
     require(segs.nonEmpty, s"no committed segments under $root")
-    val mentions = segs.map { e =>
-      val d = segDir(root, e)
+    val mentions = segs.map { s =>
+      val d = segDir(root, s)
       spark.read.parquet(s"$d/doclen")
-        .select(col("doc_id"), col("dl"), lit(e).as("seg"))
+        .select(col("doc_id"), col("dl"), lit(s.epoch).as("seg"))
         .unionByName(spark.read.parquet(s"$d/tombs")
           .select(col("doc_id"), lit(null).cast("long").as("dl"),
-            lit(e).as("seg")))
+            lit(s.epoch).as("seg")))
     }.reduce(_ unionByName _)
     mentions.groupBy("doc_id")
       .agg(max_by(col("dl"), col("seg")).as("dl"),
@@ -109,9 +154,9 @@ object SegmentedBm25Index {
     * the t-sorted files row-group-skip (per-segment pruning). */
   private def livePostings(spark: SparkSession, root: String,
       terms: Option[Seq[String]]): DataFrame = {
-    val segs = segments(root)
-    val posts = segs.map { e =>
-      val p = spark.read.parquet(s"${segDir(root, e)}/postings")
+    val segs = liveSegs(root)
+    val posts = segs.map { s =>
+      val p = spark.read.parquet(s"${segDir(root, s)}/postings")
       terms.fold(p)(ts => p.filter(col("t").isin(ts: _*)))
     }.reduce(_ unionByName _)
     val live = resolvedDoclen(spark, root)
@@ -124,8 +169,8 @@ object SegmentedBm25Index {
 
   /** (nd, nt) from the segment manifests — metadata-grain Σ. */
   private def totals(spark: SparkSession, root: String): (Long, Long) = {
-    val metas = segments(root)
-      .map(e => spark.read.parquet(s"${segDir(root, e)}/meta"))
+    val metas = liveSegs(root)
+      .map(s => spark.read.parquet(s"${segDir(root, s)}/meta"))
       .reduce(_ unionByName _)
     val r = metas.agg(
       sum(col("nd_add") - col("nd_del")).as("nd"),
@@ -152,9 +197,19 @@ object SegmentedBm25Index {
     if (ready.exists) return
     org.apache.commons.io.FileUtils
       .deleteDirectory(new java.io.File(d)) // half-written: rebuild
-    val ups = batch.filter(!col("deleted")).select("doc_id", "text")
+    // Within-batch conflict rule (the public per-batch API allows a
+    // batch to mention a doc_id more than once): ONE mention per
+    // doc_id survives — a tombstone beats any upsert (retract wins
+    // over replace inside one epoch), and duplicate upserts resolve
+    // to the lexicographically greatest text. Without this, two
+    // equal-seg mentions would make max_by(dl, seg) nondeterministic
+    // and duplicate live postings would survive the resolve.
+    val one = batch.groupBy("doc_id").agg(
+      max(col("deleted").cast("int")).as("del"),
+      max(when(!col("deleted"), col("text"))).as("text"))
+    val ups = one.filter(col("del") === 0).select("doc_id", "text")
       .localCheckpoint()
-    val tombs = batch.filter(col("deleted")).select("doc_id")
+    val tombs = one.filter(col("del") === 1).select("doc_id")
       .localCheckpoint()
     val tf = tfOf(ups).withColumn("seg", lit(batchId))
     val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl")).localCheckpoint()
@@ -187,25 +242,51 @@ object SegmentedBm25Index {
     ready.createNewFile(): Unit
   }
 
-  /** Fold every segment into one (Lucene's merge): resolved postings /
-    * doclen / corpus, no tombstones, totals restated. Serve results are
-    * pinned hash-identical across a compaction; segment count returns
-    * to 1, bounding per-serve segment fan-in. (Sandbox form
-    * materializes then swaps in place; a production store writes the
-    * merged segment beside the live ones and swings a manifest.) */
-  def compact(spark: SparkSession, root: String): Unit = {
-    val segs = segments(root)
+  /** Fold every live segment into one (Lucene's merge): resolved
+    * postings / doclen / corpus, no tombstones, totals restated as
+    * absolutes. Serve results are pinned hash-identical across a
+    * compaction; segment count returns to 1, bounding per-serve
+    * segment fan-in.
+    *
+    * Crash-safe publish order: the merged segment is written BESIDE
+    * the live ones as `cseg<maxEpoch>` (odd ord — outranks everything
+    * it folded, is outranked by any later batch epoch, and can never
+    * collide with a future streaming batchId), its `_READY` lands,
+    * and only THEN are the folded segments deleted. A crash at any
+    * point leaves a correct store: before `_READY`, the live segments
+    * are untouched and the half-written merge is swept on the next
+    * run; after `_READY`, [[liveSegs]] already excludes the folded
+    * segments from every read (so no double-counted totals and no
+    * tombstone-history resurrection), and the leftover directories
+    * are swept here on the next call.
+    *
+    * `failBeforeCleanup` is a test hook that simulates exactly that
+    * post-`_READY` crash. */
+  def compact(spark: SparkSession, root: String,
+      failBeforeCleanup: Boolean = false): Unit = {
+    // sweep: folded leftovers from a prior post-_READY crash, plus any
+    // half-written (no _READY) merge target
+    committedSegs(root).filter(_.compacted).map(_.ord).maxOption
+      .foreach { m =>
+        committedSegs(root).filter(_.ord < m).foreach(s =>
+          org.apache.commons.io.FileUtils
+            .deleteDirectory(new java.io.File(segDir(root, s))))
+      }
+    val segs = liveSegs(root)
     if (segs.size <= 1) return
-    val last = segs.max
+    // size > 1 ⇒ the max-ord live segment is a plain batch segment (a
+    // compacted one is live-max only when it folded everything), so
+    // cseg<last> cannot itself be committed yet
+    val last = segs.map(_.epoch).max
+    val d = segDir(root, Seg(last, compacted = true))
+    org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(d)) // half-written merge: rebuild
     val posts = livePostings(spark, root, None)
       .withColumn("seg", lit(last)).localCheckpoint()
     val dl = resolvedDoclen(spark, root).filter(col("dl").isNotNull)
       .select("doc_id", "dl").localCheckpoint()
     val corpus = resolvedCorpus(spark, root).localCheckpoint()
     val (nd, nt) = totals(spark, root)
-    segs.foreach(e => org.apache.commons.io.FileUtils
-      .deleteDirectory(new java.io.File(segDir(root, e))))
-    val d = segDir(root, last)
     import spark.implicits._
     posts.sortWithinPartitions("t").write.parquet(s"$d/postings")
     dl.write.parquet(s"$d/doclen")
@@ -214,19 +295,36 @@ object SegmentedBm25Index {
     Seq((last, nd, nt, 0L, 0L))
       .toDF("seg", "nd_add", "nt_add", "nd_del", "nt_del")
       .write.parquet(s"$d/meta")
-    new java.io.File(d, "_READY").createNewFile(): Unit
+    new java.io.File(d, "_READY").createNewFile()
+    if (failBeforeCleanup) return // simulated crash: _READY down, folded
+                                  // segments still on disk
+    segs.foreach(s => org.apache.commons.io.FileUtils
+      .deleteDirectory(new java.io.File(segDir(root, s))))
   }
+
+  /** Auto-compaction policy (the maintainer-loop trigger): serve cost
+    * grows with live segment count, so the drain folds the store
+    * whenever the count exceeds this — Lucene's merge-policy role in
+    * its simplest correct form. The bound makes per-serve fan-in
+    * ≤ maxSegments + 1 under continuous epochs while per-epoch write
+    * cost stays Θ(delta) between folds. */
+  val MaxLiveSegments = 8
+
+  def maybeCompact(spark: SparkSession, root: String,
+      maxSegments: Int = MaxLiveSegments): Unit =
+    if (liveSegs(root).size > maxSegments) compact(spark, root)
 
   /** Live stored fields (latest-mention-wins over segment corpora). */
   private def resolvedCorpus(spark: SparkSession, root: String): DataFrame = {
-    val segs = segments(root)
-    val mentions = segs.map { e =>
-      spark.read.parquet(s"${segDir(root, e)}/corpus")
-        .select(col("doc_id"), col("text"), lit(e).as("seg"))
+    val segs = liveSegs(root)
+    val mentions = segs.map { s =>
+      val d = segDir(root, s)
+      spark.read.parquet(s"$d/corpus")
+        .select(col("doc_id"), col("text"), lit(s.epoch).as("seg"))
         .unionByName(spark.read
-          .parquet(s"${segDir(root, e)}/tombs")
+          .parquet(s"$d/tombs")
           .select(col("doc_id"), lit(null).cast("string").as("text"),
-            lit(e).as("seg")))
+            lit(s.epoch).as("seg")))
     }.reduce(_ unionByName _)
     mentions.groupBy("doc_id")
       .agg(max_by(col("text"), col("seg")).as("text"))
@@ -255,6 +353,10 @@ object SegmentedBm25Index {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applySegment(spark, root, batch, batchId)
+        // the maintainer loop owns the merge policy: fold whenever the
+        // live segment count exceeds the bound, so serve fan-in stays
+        // bounded under continuous epochs
+        maybeCompact(spark, root)
       }
       .option("checkpointLocation", s"$root/ckpt")
       .trigger(Trigger.AvailableNow())

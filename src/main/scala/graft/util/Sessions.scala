@@ -25,5 +25,14 @@ object Sessions {
     // co-partitioned on a subset of the join keys is exactly what a
     // bucketed layout provides (IvfIndexSpec pins the plan)
     .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    // compress serialized RDD blocks (localCheckpoint storage + spill):
+    // the iterative operators (triangles, components, PageRank)
+    // localCheckpoint fact-grain frames per round, and at the 1000×
+    // decade probe the UNcompressed blocks overran the host's one
+    // local disk (q204 third-decade DNF, BASELINE.md round 9 — 65+ GB
+    // of checkpoint blocks vs ~3-5× smaller compressed). LZ4 costs a
+    // few % CPU on the paths that rehydrate blocks; a 1000-executor
+    // deployment would run with this on for the same reason.
+    .config("spark.rdd.compress", "true")
     .config("spark.ui.enabled", "false")
 }
