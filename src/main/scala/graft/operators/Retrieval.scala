@@ -40,7 +40,7 @@ object Retrieval {
     * bound and the cohort is the classic `% 100` rule unchanged. */
   val QueryCohortBound = 10500000L
 
-  private def inQueryCohort(c: org.apache.spark.sql.Column) =
+  private[graft] def inQueryCohort(c: org.apache.spark.sql.Column) =
     c % 100 === 0 && c < QueryCohortBound
 
   /** Signed-count feature hashing of a whitespace-tokenized text into

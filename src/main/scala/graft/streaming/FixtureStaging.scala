@@ -63,6 +63,38 @@ object FixtureStaging {
     })
   }
 
+  /** Symlink a parquet fixture into `into` for the file-stream source:
+    * a single fixture FILE links as `name`; a Spark DIRECTORY write
+    * links each part file (name-prefixed so two fixtures staged into
+    * one landing stay distinct). The single-file-only form silently
+    * produced an EMPTY stream on ScaleGen fixtures (directory writes):
+    * the source does not follow a symlinked directory, so every
+    * streaming monitor read zero rows at 10× while its batch twin
+    * read the fixture fine. */
+  def linkParquet(into: java.nio.file.Path, name: String,
+      fixture: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val src = Paths.get(fixture)
+    if (Files.isDirectory(src))
+      Files.list(src).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .foreach(p => Files.createSymbolicLink(
+          into.resolve(s"$name-${p.getFileName}"), p))
+    else Files.createSymbolicLink(into.resolve(name), src)
+  }
+
+  /** Stage a symlink landing dir over parquet fixtures (each
+    * (linkName, fixturePath)), content-sig-keyed via [[stageOnce]] so
+    * regenerating a fixture in place yields a NEW landing — the
+    * path-only keys the call sites used before this existed kept
+    * dangling part-file links across regenerations. */
+  def linkLanding(tag: String, prefix: String,
+      fixtures: (String, String)*): String =
+    stageOnce(tag, fixtures.head._2, prefix) { d =>
+      fixtures.foreach { case (name, path) => linkParquet(d, name, path) }
+    }
+
   /** Best-effort removal of a scratch dir when the JVM exits. */
   def deleteOnExit(path: String): Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() =>

@@ -385,7 +385,7 @@ object SegmentedBm25Index {
     import org.apache.spark.sql.expressions.Window
     val root = drainedRoot(spark, dir)
     val q = resolvedCorpus(spark, root)
-      .filter(col("doc_id") % 100 === 0)
+      .filter(graft.operators.Retrieval.inQueryCohort(col("doc_id")))
       .select(col("doc_id").as("query_id"),
         explode(split(col("text"), " ")).as("t"))
       .distinct().localCheckpoint()

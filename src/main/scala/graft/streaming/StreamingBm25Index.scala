@@ -273,7 +273,8 @@ object StreamingBm25Index {
     val avgdl = tot.getAs[Long]("nt").toDouble / nd
     val corpus = DeltaLog.read(spark, s"$root/state/corpus",
       Seq("doc_id")).get
-    val q = corpus.filter(col("doc_id") % 100 === 0)
+    val q = corpus
+      .filter(graft.operators.Retrieval.inQueryCohort(col("doc_id")))
       .select(col("doc_id").as("query_id"),
         explode(split(col("text"), " ")).as("t"))
       .distinct().localCheckpoint()

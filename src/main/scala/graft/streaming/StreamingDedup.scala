@@ -24,20 +24,10 @@ object StreamingDedup {
 
   /** Stage a landing dir with the events file TWICE (simulated
     * at-least-once redelivery of the whole topic). */
-  private def dupDir(dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val key = java.util.UUID.nameUUIDFromBytes(("dup:" + dir).getBytes)
-      .toString.take(8)
-    val d = Paths.get(s"/tmp/graft-stream-dup-$key")
-    if (!Files.exists(d)) {
-      Files.createDirectories(d)
-      Files.createSymbolicLink(d.resolve("events_a.parquet"),
-        Paths.get(s"$dir/events.parquet"))
-      Files.createSymbolicLink(d.resolve("events_b.parquet"),
-        Paths.get(s"$dir/events.parquet"))
-    }
-    d.toString
-  }
+  private def dupDir(dir: String): String =
+    FixtureStaging.linkLanding("dup", "/tmp/graft-stream-dup",
+      "events_a.parquet" -> s"$dir/events.parquet",
+      "events_b.parquet" -> s"$dir/events.parquet")
 
   /** Per-type counts after exactly-once dedup of a doubled stream. */
   def dedupedCounts(spark: SparkSession, dir: String): DataFrame = {
@@ -90,10 +80,10 @@ object StreamingDedup {
       org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
     if (!Files.exists(ready)) {
       Files.createDirectories(d)
-      Files.createSymbolicLink(d.resolve("documents_a.parquet"),
-        Paths.get(s"$dir/documents.parquet"))
-      Files.createSymbolicLink(d.resolve("documents_b.parquet"),
-        Paths.get(s"$dir/documents.parquet"))
+      FixtureStaging.linkParquet(d, "documents_a.parquet",
+        s"$dir/documents.parquet")
+      FixtureStaging.linkParquet(d, "documents_b.parquet",
+        s"$dir/documents.parquet")
       Files.createFile(ready)
     }
     d.toString

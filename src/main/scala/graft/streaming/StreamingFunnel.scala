@@ -78,20 +78,13 @@ object StreamingFunnel {
       .coalesce(1).write.mode("overwrite").parquet(outDir)
   }
 
-  /** Spark's file-stream source wants a directory to watch; the testdata
-    * table is a single parquet file, so stage a per-source-dir symlink
-    * directory (what a production deployment's landing folder is). */
-  private def stageDir(dir: String): String = {
-    import java.nio.file.{Files, Paths}
-    val key = java.util.UUID.nameUUIDFromBytes(dir.getBytes).toString.take(8)
-    val d = Paths.get(s"/tmp/graft-stream-$key")
-    if (!Files.exists(d)) {
-      Files.createDirectories(d)
-      Files.createSymbolicLink(d.resolve("events.parquet"),
-        Paths.get(s"$dir/events.parquet"))
-    }
-    d.toString
-  }
+  /** Spark's file-stream source wants a directory to watch; stage a
+    * per-fixture symlink landing (what a production deployment's
+    * landing folder is). Handles single-file AND directory fixtures
+    * and is content-sig-keyed — see [[FixtureStaging.linkLanding]]. */
+  private def stageDir(dir: String): String =
+    FixtureStaging.linkLanding("events-stream", "/tmp/graft-stream",
+      "events.parquet" -> s"$dir/events.parquet")
 
   def eventsStream(spark: SparkSession, dir: String): DataFrame =
     eventsStreamFrom(spark, stageDir(dir), s"$dir/events.parquet")
@@ -249,8 +242,8 @@ object StreamingFunnel {
       org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
     if (!Files.exists(ready)) {
       Files.createDirectories(d)
-      Files.createSymbolicLink(d.resolve("events.parquet"),
-        Paths.get(s"$dir/events.parquet"))
+      FixtureStaging.linkParquet(d, "events.parquet",
+        s"$dir/events.parquet")
       // sentinel: one far-future row, in the fixture's physical ts form
       val maxUs = maxEventUs(spark, s"$dir/events.parquet")
       val tmp = Files.createTempDirectory("graft-sentinel").toString

@@ -78,8 +78,8 @@ object StreamingJoin {
     }
     if (!Files.exists(ready)) {
       Files.createDirectories(d)
-      Files.createSymbolicLink(d.resolve("events.parquet"),
-        Paths.get(s"$dir/events.parquet"))
+      FixtureStaging.linkParquet(d, "events.parquet",
+        s"$dir/events.parquet")
       val maxUs = StreamingFunnel.maxEventUs(spark, s"$dir/events.parquet")
       val thirtyDaysUs = 30L * 24 * 3600 * 1000000L
       val hourUs = 3600L * 1000000L
