@@ -139,45 +139,90 @@ object Retrieval {
     * storage trick as the q153 IVF index, applied to text. */
   /** The BM25 scoring core shared by [[bm25]] and [[hardNegatives]]:
     * (query_id, doc_id, s9) with s9 the nano-scaled integer score. */
-  /** The shared BM25 derivations — the (doc, term, tf, dl) posting
-    * table in ONE map-only pass: every token of a document lives in
-    * its own text cell, so per-doc term counts aggregate IN-ROW (a
-    * per-row hash count) and the doc length rides along as a column —
-    * no token-stream shuffle, and no dl join downstream (the old
-    * explode + groupBy shape shuffled the near-distinct (doc, t)
-    * token stream, the single heaviest exchange in the q182/q244
-    * family). nd/avgdl come from one narrow count/sum over the
-    * documents scan. Token identity with the previous explode(split)
-    * derivation is exact: both split on the literal space keeping
-    * trailing empties ("" → [""]), so tf, dl = Σtf, nd and avgdl are
-    * bit-identical. Shared by [[bm25Scores]] and the PRF re-scorer. */
-  private case class Bm25Parts(tf: DataFrame, nd: Long, avgdl: Double)
+  /** Corpus stats in one narrow scan: nd, avgdl, and the EXACT query
+    * cohort count (riding the same aggregation — zero extra jobs; an
+    * id-density guess overestimates nq by the copy count on a ScaleGen
+    * fixture, which round 10 measured as a broadcast→shuffle plan
+    * cliff between decades on a 12k-row query set). */
+  private case class Bm25Stats(nd: Long, avgdl: Double, nq: Long)
 
-  private def bm25Parts(spark: SparkSession, dir: String): Bm25Parts = {
+  private def bm25Stats(spark: SparkSession, dir: String): Bm25Stats = {
+    val r = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("nd"),
+        sum(size(split(col("text"), " ")).cast("long")).as("ntok"),
+        sum(when(inQueryCohort(col("doc_id")), 1L).otherwise(0L))
+          .as("nq"))
+      .collect()(0)
+    Bm25Stats(r.getLong(0), r.getLong(1).toDouble / r.getLong(0),
+      r.getLong(2))
+  }
+
+  /** The (doc, term, tf, dl) posting stream in ONE map-only pass:
+    * every token of a document lives in its own text cell, so per-doc
+    * term counts aggregate IN-ROW (a per-row hash count) and the doc
+    * length rides along as a column — no token-stream shuffle, no dl
+    * join downstream. `keepT`/`keepDoc` prune IN-KERNEL, which is the
+    * whole scale story: with the query vocabulary pushed into the
+    * kernel, only query-term postings ever materialize — the
+    * inverted-index read the q182 scaladoc promises — where the
+    * previous shape localCheckpointed the FULL corpus-sized tf table
+    * and crossed the storage-memory cliff one decade up (round-10
+    * probe: the checkpoint, not the scoring, dominated 1000×). dl is
+    * always the full document length regardless of pruning; token
+    * identity with explode(split) is exact (both keep trailing
+    * empties). */
+  private def postingsOf(spark: SparkSession, dir: String,
+      keepT: Option[Set[String]] = None,
+      keepDoc: Option[Set[Long]] = None): DataFrame = {
     import spark.implicits._
-    val tf = Tables.documents(spark, dir)
+    val base = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
-      .as[(Long, String)]
+    // doc restriction pushes to the parquet scan (metadata-sized id
+    // sets only: the PRF feedback docs)
+    val scoped = keepDoc.fold(base)(ids =>
+      base.filter(col("doc_id").isInCollection(ids.toSeq)))
+    scoped.as[(Long, String)]
       .flatMap { case (id, text) =>
         val toks = text.split(" ", -1)
         val m = new java.util.HashMap[String, Long]()
         toks.foreach(t => m.merge(t, 1L, _ + _))
         val dl = toks.length.toLong
         val it = m.entrySet().iterator()
-        new Iterator[(Long, String, Long, Long)] {
+        val all = new Iterator[(Long, String, Long, Long)] {
           def hasNext = it.hasNext
           def next() = { val e = it.next(); (id, e.getKey, e.getValue, dl) }
         }
+        keepT.fold(all: Iterator[(Long, String, Long, Long)])(ks =>
+          all.filter(r => ks.contains(r._2)))
       }
       .toDF("doc_id", "t", "tf", "dl")
-      .localCheckpoint()
-    val statsRow = Tables.documents(spark, dir)
-      .agg(count(lit(1)).as("nd"),
-        sum(size(split(col("text"), " ")).cast("long")).as("ntok"))
-      .collect()(0)
-    Bm25Parts(tf, statsRow.getLong(0),
-      statsRow.getLong(1).toDouble / statsRow.getLong(0))
   }
+
+  /** The (query_id, t) distinct term set, re-tokenized from ONLY the
+    * cohort documents — the pushed cohort filter keeps this scan
+    * workload-sized at any corpus scale. Identical to restricting the
+    * full posting table to cohort docs (both derive distinct terms
+    * per doc from the same split). */
+  private def cohortQuery(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .filter(inQueryCohort(col("doc_id")))
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("t"))
+      .distinct()
+
+  /** Postings for scoring `q`, plus whether the query side is small
+    * enough to broadcast. Small workload (the benchmark cohort at any
+    * corpus scale): collect the query vocabulary (metadata-grain —
+    * the q328 serve's exact pattern) and materialize ONLY its
+    * postings. Oversized workload: stream the full posting pass and
+    * shuffle-join (no driver-side vocabulary, no broadcast build). */
+  private def postingsForQuery(spark: SparkSession, dir: String,
+      s: Bm25Stats, q: DataFrame): (DataFrame, Boolean) =
+    if (s.nq.toDouble * s.avgdl <= 4e6) {
+      val terms = q.select("t").distinct()
+        .collect().map(_.getString(0)).toSet
+      (postingsOf(spark, dir, keepT = Some(terms)), true)
+    } else (postingsOf(spark, dir), false)
 
   /** Score one (query_id, t) term set against the corpus: df restricts
     * to the given terms (the scoring join restricts to them anyway, so
@@ -187,45 +232,36 @@ object Retrieval {
     * read + c9 arithmetic without the final (query, doc) aggregation,
     * so a caller merging two term sets (the PRF second pass) can sum
     * BOTH sets' contributions in ONE aggregation instead of two. */
-  private def bm25Contribs(p: Bm25Parts, q: DataFrame): DataFrame = {
-    // Broadcast the (query_id, t) set only while its estimated size is
-    // executor-safe; above that, fall back to shuffle hash joins. The
-    // fixed cohort bounds |queries| ≤ 105k, but a long-document corpus
-    // can still push the term-pair set past a sane broadcast (the
-    // round-9 finding: a corpus-proportional broadcast build is a
-    // genuine scale hazard independent of the workload). The estimate
-    // is metadata-grain — cohort docs × avg doc length, both already
-    // collected — so the decision costs no extra job.
-    val estQRows =
-      (math.min(p.nd, QueryCohortBound) / 100).toDouble * p.avgdl
-    def maybeBroadcast(d: DataFrame): DataFrame =
-      if (estQRows <= 4e6) broadcast(d) else d
-    val df = p.tf.join(maybeBroadcast(q.select("t").distinct()), "t")
+  private def bm25Contribs(s: Bm25Stats, posts: DataFrame, q: DataFrame,
+      bcast: Boolean): DataFrame = {
+    // a corpus-proportional broadcast build is a genuine scale hazard
+    // (round-9 finding): the query side broadcasts only on the
+    // small-workload path, where it is vocabulary-pruned by
+    // construction; the oversized path shuffle-joins
+    def mb(d: DataFrame): DataFrame = if (bcast) broadcast(d) else d
+    val df = posts.join(mb(q.select("t").distinct()), "t")
       .groupBy("t").agg(count(lit(1)).as("df"))
-    val idf = log(((lit(p.nd) - col("df")).cast("double") + lit(0.5))
+    val idf = log(((lit(s.nd) - col("df")).cast("double") + lit(0.5))
       / (col("df").cast("double") + lit(0.5)) + lit(1.0))
     val tfn = (col("tf").cast("double") * lit(2.2)) /
       (col("tf").cast("double") + lit(1.2) *
-        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(p.avgdl))))
+        (lit(0.25) + lit(0.75) * (col("dl").cast("double") / lit(s.avgdl))))
     val c9 = floor(idf * tfn * lit(1000000000.0) + lit(0.5)).cast("long")
-    maybeBroadcast(q)
-      .join(p.tf, "t")
+    mb(q)
+      .join(posts, "t")
       .filter(col("doc_id") =!= col("query_id"))
-      .join(maybeBroadcast(df), "t")
+      .join(mb(df), "t")
       .select(col("query_id"), col("doc_id"), c9.as("c9"))
   }
 
-  private def bm25ScoresFor(p: Bm25Parts, q: DataFrame): DataFrame =
-    bm25Contribs(p, q)
-      .groupBy("query_id", "doc_id")
-      .agg(sum("c9").as("s9"))
-
   private[operators] def bm25Scores(spark: SparkSession,
       dir: String): DataFrame = {
-    val p = bm25Parts(spark, dir)
-    val q = p.tf.filter(inQueryCohort(col("doc_id")))
-      .select(col("doc_id").as("query_id"), col("t"))
-    bm25ScoresFor(p, q)
+    val s = bm25Stats(spark, dir)
+    val q = cohortQuery(spark, dir).localCheckpoint()
+    val (posts, bcast) = postingsForQuery(spark, dir, s, q)
+    bm25Contribs(s, posts, q, bcast)
+      .groupBy("query_id", "doc_id")
+      .agg(sum("c9").as("s9"))
   }
 
   /** q244: pseudo-relevance feedback (RM3-lite) query expansion — the
@@ -238,47 +274,60 @@ object Retrieval {
     * terms — what "expand the query before the second pass" means in
     * every production search stack.
     *
-    * Scale: both passes are the q182 posting-list shape (broadcast
-    * query terms, term-restricted df); the feedback join touches
-    * fb × |queries| doc rows. The tf/dl artifacts derive once and
-    * serve both passes — and the EXPENSIVE pass-1 frame is shared,
-    * not recomputed: a term's nano-scaled contribution c9 depends
-    * only on (t, doc) — never on which query set asked — and the
-    * expansion is anti-joined against q, so the pass-2 score
-    * decomposes exactly as s9₂(query, doc) = s9₁(query, doc) +
-    * Σ c9 over the expansion terms alone. Pass 2 therefore reads
-    * postings for the ≤ m·|queries| expansion terms only and
+    * Scale: both passes are the q182 pruned posting-list shape (the
+    * kernel materializes only the pass's term set); the feedback join
+    * touches fb × |queries| doc rows, and the feedback docs' full
+    * term streams come from a doc-id-restricted kernel pass
+    * (metadata-sized id set). The expansion is anti-joined against q,
+    * so the pass-2 score decomposes exactly as s9₂(query, doc) =
+    * s9₁(query, doc) + Σ c9 over the expansion terms alone: pass 2
+    * reads postings for the ≤ m·|queries| expansion terms only and
     * integer-sums into the checkpointed pass-1 scores (associativity
-    * of the BIGINT sum keeps the gate bit-identical); the old shape
-    * re-read every original query term's posting list a second
-    * time. */
+    * of the BIGINT sum keeps the gate bit-identical). */
   def prfBm25(spark: SparkSession, dir: String, k: Int = 5,
       fb: Int = 3, m: Int = 3): DataFrame = {
-    val p = bm25Parts(spark, dir)
-    val q = p.tf.filter(inQueryCohort(col("doc_id")))
-      .select(col("doc_id").as("query_id"), col("t"))
+    val s = bm25Stats(spark, dir)
+    val q = cohortQuery(spark, dir)
       .localCheckpoint() // pass 1 + the expansion anti-join read it
+    val small = s.nq.toDouble * s.avgdl <= 4e6
+    val (posts1, bcast) = postingsForQuery(spark, dir, s, q)
     val rankW = Window.partitionBy("query_id")
       .orderBy(desc("s9"), asc("doc_id"))
-    val pass1 = bm25ScoresFor(p, q)
+    val pass1 = bm25Contribs(s, posts1, q, bcast)
+      .groupBy("query_id", "doc_id").agg(sum("c9").as("s9"))
       .localCheckpoint() // feedback ranking AND the pass-2 merge read it
     val fbDocs = pass1
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= fb)
       .select("query_id", "doc_id")
+      .localCheckpoint() // read for the id set AND the expansion join
+    // feedback docs need their FULL term streams (expansion terms are
+    // by definition outside the query vocabulary): a second kernel
+    // pass restricted IN-SCAN to the fb × |queries| feedback ids —
+    // metadata-sized, never the corpus
+    val fbTf =
+      if (small) {
+        val ids = fbDocs.select("doc_id").distinct()
+          .collect().map(_.getLong(0)).toSet
+        postingsOf(spark, dir, keepDoc = Some(ids))
+      } else posts1
     val expW = Window.partitionBy("query_id")
       .orderBy(desc("wt"), asc("t"))
-    // fbDocs is fb × |queries| rows and q is query-vocabulary-grain —
-    // both broadcast (post-checkpoint frames have no size stats, so
-    // without the hint the fb×tf join would shuffle the full tf table
-    // on doc_id)
-    val expansion = broadcast(fbDocs).join(p.tf, "doc_id")
+    val expansion = broadcast(fbDocs).join(fbTf, "doc_id")
       .groupBy("query_id", "t").agg(sum("tf").as("wt"))
       .join(broadcast(q), Seq("query_id", "t"), "left_anti")
       .withColumn("rn", row_number().over(expW))
       .filter(col("rn") <= m)
       .select("query_id", "t")
-    pass1.unionByName(bm25Contribs(p, expansion)
+      .localCheckpoint() // read for the term set AND as pass-2 queries
+    // pass 2 reads postings for the ≤ m·|queries| expansion terms only
+    val posts2 =
+      if (small) {
+        val expTerms = expansion.select("t").distinct()
+          .collect().map(_.getString(0)).toSet
+        postingsOf(spark, dir, keepT = Some(expTerms))
+      } else posts1
+    pass1.unionByName(bm25Contribs(s, posts2, expansion, bcast)
         .withColumnRenamed("c9", "s9"))
       .groupBy("query_id", "doc_id").agg(sum("s9").as("s9"))
       .withColumn("rank", row_number().over(rankW))
