@@ -381,9 +381,15 @@ object SegmentedBm25Index {
     * list survives the union, so the count is the exact corpus df),
     * nd/avgdl from the segment manifests. Must hash-equal the bucketed
     * q292 serve AND the from-scratch DuckDB oracle. */
-  def servedBm25(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  def servedBm25(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    servedBm25At(spark, drainedRoot(spark, dir), k)
+
+  /** The serve against an explicit store root — shared by the q328
+    * gate (drained fixture store) and the soak harness (its own
+    * continuously-maintained store). */
+  def servedBm25At(spark: SparkSession, root: String,
+      k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val root = drainedRoot(spark, dir)
     val q = resolvedCorpus(spark, root)
       .filter(graft.operators.Retrieval.inQueryCohort(col("doc_id")))
       .select(col("doc_id").as("query_id"),
