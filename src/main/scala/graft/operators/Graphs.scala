@@ -169,6 +169,18 @@ object Graphs {
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
     dedupClustersBy(spark, dir, components)
 
+  /** [[dedupClusters]] resolved through [[componentsAuto]] — the variant
+    * every COMPOSITION (curation verdicts, dedup weights, release
+    * manifest) calls: identical output by construction (componentsAuto
+    * IS components' min-label semantics, driver-closed only below its
+    * edge bound), but a delta/cluster-sized pair graph closes in 2 jobs
+    * instead of O(diameter) distributed rounds. q65/q104 deliberately
+    * keep the always-distributed algorithms — they gate the algorithms
+    * themselves. */
+  private[graft] def dedupClustersAuto(spark: SparkSession,
+      dir: String): DataFrame =
+    dedupClustersBy(spark, dir, componentsAuto(_, _, _))
+
   /** q104: identical contract, resolved with [[componentsStar]] — the
     * diameter-independent algorithm behind the same hash gate as q65
     * (the oracle is the identical recursive-CTE closure). */
@@ -216,7 +228,11 @@ object Graphs {
     */
   def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
     val pairs = TextOps.minhashNearDups(spark, dir).select("ida", "idb")
-    val comp = components(pairs, "ida", "idb")
+    // componentsAuto: identical min-label closure, driver-closed below
+    // its edge bound (near-dup pair graphs are cluster-sized, not
+    // corpus-sized), distributed above it — q165's identity is the
+    // split POLICY, not the closure algorithm (that's q65/q104)
+    val comp = componentsAuto(pairs, "ida", "idb")
       .withColumnRenamed("id", "doc_id")
     leakageSafeSplitFromComp(spark, dir, comp)
   }
@@ -373,8 +389,19 @@ object Graphs {
     * contamination. Cost: the pair list the dedup pass already built +
     * two id-keyed joins + a ≤|splits|²-row reduce. */
   def splitIntegrity(spark: SparkSession, dir: String): DataFrame = {
+    // ONE pair derivation feeds both the audited pair list and the
+    // split assignment: the previous shape called leakageSafeSplit,
+    // which re-ran the whole LSH band join + exact-Jaccard + closure a
+    // second time inside the same query (measured r10: 5.3 s at sf0.1,
+    // ~2x the single-pass cost). localCheckpoint pins the pair list for
+    // its two consumers; output is identical — the split still derives
+    // from the same closure over the same pairs.
     val pairs = TextOps.minhashNearDups(spark, dir).select("ida", "idb")
-    val sp = leakageSafeSplit(spark, dir).select("doc_id", "split")
+      .localCheckpoint()
+    val comp = componentsAuto(pairs, "ida", "idb")
+      .withColumnRenamed("id", "doc_id")
+    val sp = leakageSafeSplitFromComp(spark, dir, comp)
+      .select("doc_id", "split")
     pairs
       .join(sp.select(col("doc_id").as("ida"), col("split").as("sa")),
         "ida")
@@ -430,9 +457,14 @@ object Graphs {
       .distinct()
       .localCheckpoint() // 3 consumers: degrees, wedges, closure
 
+    // vertex-grain (the part dimension); checkpointed because THREE
+    // consumers read it (both orientation broadcast builds + the final
+    // report join) and the aliased projections defeat exchange reuse —
+    // uncheckpointed, the edge-endpoint shuffle ran 3× (guide §2.4)
     val deg = edges.select(col("u").as("id"))
       .unionAll(edges.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
 
     // orient low-(deg,id) → high-(deg,id); struct comparison is
     // lexicographic, so ties on degree break deterministically on id.
@@ -476,12 +508,22 @@ object Graphs {
       .filter(size(col("common")) > 0)
 
     // per-vertex counts: the edge endpoints each see ALL |common|
-    // triangles of their edge; each common neighbor sees one
+    // triangles of their edge; each common neighbor sees one. ONE
+    // explode over the concatenated contribution array — the previous
+    // two-branch union executed the closure join (the array-intersect
+    // pass over every edge) once PER BRANCH, since only exchanges are
+    // reused across union arms, not the compute above them (guide §2.4:
+    // don't compute things twice). Same contributions, same sum.
     val perVertex = closed
-      .select(explode(array(col("src"), col("dst"))).as("id"),
-        size(col("common")).cast("long").as("w"))
-      .unionByName(closed
-        .select(explode(col("common")).as("id"), lit(1L).as("w")))
+      .select(explode(concat(
+        array(
+          struct(col("src").as("id"),
+            size(col("common")).cast("long").as("w")),
+          struct(col("dst").as("id"),
+            size(col("common")).cast("long").as("w"))),
+        transform(col("common"),
+          c => struct(c.as("id"), lit(1L).as("w"))))).as("e"))
+      .select(col("e.id").as("id"), col("e.w").as("w"))
       .groupBy("id").agg(sum("w").as("tri"))
 
     deg.join(perVertex, Seq("id"), "left")
@@ -603,14 +645,28 @@ object Graphs {
       .localCheckpoint()
     var alive = edges.select(col("src").as("id")).distinct()
     var degs = alive.select(col("id").as("src"), lit(0L).as("deg"))
-    for (_ <- 1 to rounds) {
+    // Early fixpoint exit: the alive set only SHRINKS, so an unchanged
+    // count proves an unchanged set, and a peel round over the same
+    // alive set recomputes the same degs — rounds past the fixpoint are
+    // identical no-ops (the spec's round-R == round-R-1 assertion is
+    // exactly this). The measured deepest cascade on the gated SFs is 6
+    // rounds; running the full 10 spent ~40% of q288's time recomputing
+    // the fixpoint (guide §1.2: don't compute things you throw away).
+    // The count is one cheap job over the just-checkpointed id set.
+    var aliveCount = -1L
+    var r = 0
+    while (r < rounds && {
       degs = edges
         .join(alive.select(col("id").as("src")), "src")
         .join(alive.select(col("id").as("dst")), "dst")
         .groupBy("src").agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k)
       alive = degs.select(col("src").as("id")).localCheckpoint()
-    }
+      val n = alive.count()
+      val changed = n != aliveCount
+      aliveCount = n
+      changed
+    }) r += 1
     degs
       .select(col("src").as("part_id"), col("deg").as("core_degree"))
       .orderBy("part_id")

@@ -280,7 +280,9 @@ object IncrementalCuration {
         "incremental curation: affected subgraph is not edge-closed " +
           "(an edge has exactly one affected endpoint) — the pair " +
           "source broke the closure invariant")
-    val subComp = Graphs.components(subEdges, "ida", "idb")
+    // delta-sized affected subgraph — componentsAuto (identical
+    // min-label closure) avoids O(diameter) distributed rounds here
+    val subComp = Graphs.componentsAuto(subEdges, "ida", "idb")
       .withColumnRenamed("id", "doc_id")
 
     val curIds = cur.select("doc_id")

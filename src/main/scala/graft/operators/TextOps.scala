@@ -922,7 +922,9 @@ object TextOps {
     * benchmark material. */
   def curationVerdicts(spark: SparkSession, dir: String): DataFrame =
     curationVerdictsWithDed(spark, dir,
-      Graphs.dedupClusters(spark, dir)
+      // the auto-closure variant (identical output): inside a
+      // composition the closure is a stage, not the gated algorithm
+      Graphs.dedupClustersAuto(spark, dir)
         .select(col("doc_id"), col("is_canonical").as("dedup_ok")))
 
   /** [[curationVerdicts]] with the dedup verdict precomputed — lets
@@ -1029,7 +1031,9 @@ object TextOps {
     * (components are tiny by construction) — no new global state. */
   def qualityCanonical(spark: SparkSession, dir: String): DataFrame = {
     val pairs = minhashNearDups(spark, dir).select("ida", "idb")
-    val comp = Graphs.components(pairs, "ida", "idb")
+    // componentsAuto: identical closure, driver-closed below its edge
+    // bound (near-dup pair lists are cluster-sized), distributed above
+    val comp = Graphs.componentsAuto(pairs, "ida", "idb")
       .withColumnRenamed("id", "doc_id")
     val qual = Tables.documents(spark, dir)
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
@@ -1538,7 +1542,9 @@ object TextOps {
     // a few rows per duplicate cluster — so neither consumer re-runs
     // the band join + CC. Measured: q200 9.1 s → ~6 s at sf0.1.
     val pairs = minhashNearDups(spark, dir).select("ida", "idb")
-    val comp = Graphs.components(pairs, "ida", "idb")
+    // componentsAuto (r10): same shared-closure contract, 2 jobs
+    // instead of O(diameter) rounds on the cluster-sized pair graph
+    val comp = Graphs.componentsAuto(pairs, "ida", "idb")
       .withColumnRenamed("id", "doc_id")
       .localCheckpoint()
     val ded = Graphs.dedupClustersFromComp(spark, dir, comp)
@@ -1673,7 +1679,7 @@ object TextOps {
     * Scale: rides the q65 closure the dedup pass already ran; the scan
     * side is one map + source-grain reduce. */
   def dedupWeights(spark: SparkSession, dir: String): DataFrame = {
-    val clusters = Graphs.dedupClusters(spark, dir)
+    val clusters = Graphs.dedupClustersAuto(spark, dir)
       .select(col("doc_id"), col("cluster_size"))
     val d = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"),

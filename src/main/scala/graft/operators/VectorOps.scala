@@ -176,7 +176,10 @@ object VectorOps {
       maxId: Long = 500, threshold: Double = 0.4): DataFrame = {
     val pairs = embeddingPairs(spark, dir, maxId, threshold)
       .select("ida", "idb")
-    val comp = Graphs.components(pairs, "ida", "idb")
+    // componentsAuto: identical min-label closure; the bounded pair set
+    // (id-capped by construction) closes driver-side in 2 jobs instead
+    // of O(diameter) distributed rounds
+    val comp = Graphs.componentsAuto(pairs, "ida", "idb")
       .withColumnRenamed("id", "vec_id")
     Tables.embeddings(spark, dir).filter(col("vec_id") < maxId)
       .select("vec_id")
@@ -260,7 +263,12 @@ object VectorOps {
     * pairs into clusters ([[Graphs.components]]) and give every id its
     * canonical representative (min id), cluster size, and keep flag. */
   def dedupVerdict(ids: DataFrame, pairs: DataFrame): DataFrame = {
-    val comp = Graphs.components(pairs, "ida", "idb")
+    // componentsAuto (r10): near-dup pair graphs are cluster-sized —
+    // orders of magnitude below the corpus — so the closure usually
+    // fits the driver escape hatch (identical min-label semantics,
+    // 2 jobs); a pair set above the bound runs the unchanged
+    // distributed loop. Measured: q141 5.1 → (see OPTIMIZATION_r10.md)
+    val comp = Graphs.componentsAuto(pairs, "ida", "idb")
       .withColumnRenamed("id", "vec_id")
     ids
       .join(comp, Seq("vec_id"), "left")
@@ -393,7 +401,10 @@ object VectorOps {
       throw new IllegalStateException(
         "incremental IVF dedup: affected subgraph is not edge-closed " +
           "(an edge has exactly one affected endpoint)")
-    val subComp = Graphs.components(subEdges, "ida", "idb")
+    // the affected subgraph is delta-sized by construction —
+    // componentsAuto closes it driver-side below its edge bound
+    // (identical min-label semantics), distributed above it
+    val subComp = Graphs.componentsAuto(subEdges, "ida", "idb")
       .withColumnRenamed("id", "vec_id")
 
     val unaffected = art.comp.join(affIds, Seq("vec_id"), "left_anti")
@@ -673,7 +684,9 @@ object VectorOps {
       throw new IllegalStateException(
         "delete maintenance: affected subgraph is not edge-closed " +
           "(a surviving edge leaves an affected component)")
-    val subComp = Graphs.components(subEdges, "ida", "idb")
+    // delta-sized affected subgraph — same componentsAuto rationale as
+    // ivfEpochStep (identical closure, driver-closed below the bound)
+    val subComp = Graphs.componentsAuto(subEdges, "ida", "idb")
       .withColumnRenamed("id", "vec_id")
     val unaffected = art.comp
       .join(affComps, Seq("component"), "left_anti")
