@@ -90,9 +90,16 @@ object Scd2 {
     val history = dim.filter(!col("is_current"))
     val src = staging.select(k, attrs: _*).withColumn("__h", rowHash(cfg))
 
-    // staging ⟕ current on the business key: classify each source row
+    // staging ⟕ current on the business key: classify each source row.
+    // Checkpointed (r10): `classified` feeds THREE consumers (changed →
+    // insertRows + changedKeys, fresh → insertRows) across SEPARATE
+    // driver actions (the SK rank's range-sampling job, its checkpoint
+    // write, and the final union) — exchange reuse only dedups within
+    // one job, so the staging⋈current join (which itself re-executes
+    // the full `dim` lineage through `current`) ran up to 4×.
     val curKeyed = current.select(col(k).as("__ck"), col("__h").as("__ch"))
     val classified = src.join(curKeyed, col(k) === col("__ck"), "left")
+      .localCheckpoint()
     val changed = classified.filter(col("__ck").isNotNull && col("__h") =!= col("__ch"))
     val fresh = classified.filter(col("__ck").isNull)
 
