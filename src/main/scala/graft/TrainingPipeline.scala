@@ -66,8 +66,14 @@ object TrainingPipeline {
     // (shard, source) — a pack never spans a shard directory, so a
     // trainer worker reading its one directory sees only complete
     // packs; written in the trainer's layout (one dir per shard) ────
-    val sharded = mixed.join(TextOps.shuffleShardOn(mixed, nShards),
-      "doc_id")
+    // the shard assignment feeds TWO consumers (the pack derivation and
+    // the final write join), and uncheckpointed the two-phase global
+    // rank (two shuffles + md5 keys) re-executes once per consumer
+    // (r11, guide §2.4). Narrow grain: (doc_id, shard, pos) — the
+    // text-bearing `sharded` rows themselves stay lazy, each consumer
+    // re-reads the cheap parquet layer instead of materializing text.
+    val shardAsg = TextOps.shuffleShardOn(mixed, nShards).localCheckpoint()
+    val sharded = mixed.join(shardAsg, "doc_id")
     val packs = TextOps.packDocumentsOn(sharded, packBudget,
         shardCols = Seq("shard", "source"))
       .select("doc_id", "n_tokens", "pack_id")

@@ -90,7 +90,13 @@ object Graphs {
         while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      e.as[(Long, Long)].collect().foreach { case (a, b) =>
+      // fail loudly on a null endpoint (a bare Dataset[(Long, Long)]
+      // decode NPEs without context); corpus pair graphs are non-null
+      // by construction, so this guards refactors, not data
+      e.as[(java.lang.Long, java.lang.Long)].collect().foreach { case (a0, b0) =>
+        require(a0 != null && b0 != null,
+          "componentsAuto: null edge endpoint in driver-closure path")
+        val a = a0.longValue; val b = b0.longValue
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val ra = find(a); val rb = find(b)
         // min-union: larger root hangs under smaller, so a component's
@@ -577,6 +583,13 @@ object Graphs {
       .select("src", "dst")
       .localCheckpoint()
     val w = Window.partitionBy("src").orderBy(desc("c"), asc("label"))
+    // No per-round checkpoint (r11): each round's labels frame has
+    // exactly ONE consumer (the next round's adoption join), so nothing
+    // replays — the k=3 fixed rounds nest into one lazily-planned DAG
+    // executed by a single action instead of one eager checkpoint job
+    // per round (guide §1.2: fewer sequential driver actions). The
+    // convergence-checked loops (components/kCore) keep their per-round
+    // checkpoints — their counts force an action anyway.
     var labels = nodes.withColumn("label", col("id"))
     for (_ <- 1 to rounds) {
       val adopted = edges
@@ -589,7 +602,6 @@ object Graphs {
         .join(adopted, Seq("id"), "left")
         .select(col("id"),
           coalesce(col("label"), col("id")).as("label"))
-        .localCheckpoint()
     }
     labels
       .withColumn("community_size",

@@ -117,6 +117,15 @@ object PrefixJoin {
       // the verify stage is exact.
       .filter(col("pos") <=
         col("m") - ceil(lit(threshold) * col("m") - lit(1e-9)) + 1)
+    // Pair-level PPJoin accumulation (the r11 tightening, same lemma as
+    // similarityJoinOf's): the distinct() this replaces kept a pair if
+    // ANY shared occurrence passed the first-token bound; aggregating
+    // the occurrences gives the strictly tighter
+    //   |A∩B| ≤ cnt + min(mA − max(pA), mB − max(pB))
+    // (cnt shared join tokens all rank ≤ the LAST one w, and every
+    // intersection token ranked ≤ rank(w) is itself a join token
+    // because positions are rank-monotone within a doc) — same shuffle
+    // as the distinct, fewer pairs reach the exact verify.
     val cand = prefixA.as("a")
       .join(ranked.as("b"),
         col("a.tok") === col("b.tok")
@@ -125,8 +134,14 @@ object PrefixJoin {
           && lit(1) + least(col("a.m") - col("a.pos"),
                col("b.m") - col("b.pos"))
              >= lit(threshold) * col("a.m") - lit(1e-9))
-      .select(col("a.doc_id").as("eval_id"), col("b.doc_id").as("doc_id"))
-      .distinct()
+      .groupBy(col("a.doc_id").as("eval_id"), col("b.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("a.pos")).as("mpa"), max(col("b.pos")).as("mpb"),
+        max(col("a.m")).as("cma"), max(col("b.m")).as("cmb"))
+      .filter(col("cnt") + least(col("cma") - col("mpa"),
+          col("cmb") - col("mpb"))
+        >= lit(threshold) * col("cma") - lit(1e-9))
+      .select(col("eval_id"), col("doc_id"))
 
     val sets = docs.select(col("doc_id"),
       sort_array(col("toks")).as("toks"), size(col("toks")).as("m"))
@@ -196,8 +211,28 @@ object PrefixJoin {
           && lit(1) + least(col("a.m") - col("a.pos"),
                col("b.m") - col("b.pos"))
              >= alphaF * (col("a.m") + col("b.m")) - lit(1e-9))
-      .select(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
-      .distinct()
+      // pair-level PPJoin accumulation (r11): the occurrence bound above
+      // keeps a pair if its FIRST shared prefix token could still reach
+      // α; aggregating all shared occurrences tightens that to
+      //   |a∩b| ≤ cnt + min(ma − max(pa), mb − max(pb)),
+      // valid because (i) the cnt shared prefix tokens all rank ≤ the
+      // last one w, (ii) any intersection token ranked ≤ rank(w) has
+      // positions ≤ w's on both sides (positions are rank-monotone
+      // within a doc), hence sits in both prefixes and is already one
+      // of the cnt, and (iii) intersection tokens ranked > rank(w)
+      // number at most min(ma − pa(w), mb − pb(w)). Same groupBy
+      // shuffle the distinct() paid; strictly fewer pairs pay the
+      // exact-verify intersection (guide §2.3/§3.2 — shrink the join
+      // input before the expensive stage). No false negatives: the
+      // bound over-approximates |a∩b| and keeps the 1e-9 slack.
+      .groupBy(col("a.doc_id").as("ida"), col("b.doc_id").as("idb"))
+      .agg(count(lit(1)).as("cnt"),
+        max(col("a.pos")).as("mpa"), max(col("b.pos")).as("mpb"),
+        max(col("a.m")).as("cma"), max(col("b.m")).as("cmb"))
+      .filter(col("cnt") + least(col("cma") - col("mpa"),
+          col("cmb") - col("mpb"))
+        >= alphaF * (col("cma") + col("cmb")) - lit(1e-9))
+      .select(col("ida"), col("idb"))
 
     // exact verify: same arithmetic shape as the oracle —
     // c / (ma + mb − c) in doubles, 6-decimal portable rounding. The

@@ -173,10 +173,14 @@ object Retrieval {
     * empties). */
   private def postingsOf(spark: SparkSession, dir: String,
       keepT: Option[Set[String]] = None,
-      keepDoc: Option[Set[Long]] = None): DataFrame = {
+      keepDoc: Option[Set[Long]] = None,
+      docFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
-    val base = Tables.documents(spark, dir)
+    val base0 = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"))
+    // predicate-based doc restriction (pushes to the scan): the
+    // post-delete corpora (q234) score only surviving documents
+    val base = docFilter.fold(base0)(base0.filter)
     // doc restriction pushes to the parquet scan (metadata-sized id
     // sets only: the PRF feedback docs)
     val scoped = keepDoc.fold(base)(ids =>
@@ -210,19 +214,46 @@ object Retrieval {
         explode(split(col("text"), " ")).as("t"))
       .distinct()
 
-  /** Postings for scoring `q`, plus whether the query side is small
-    * enough to broadcast. Small workload (the benchmark cohort at any
-    * corpus scale): collect the query vocabulary (metadata-grain —
-    * the q328 serve's exact pattern) and materialize ONLY its
-    * postings. Oversized workload: stream the full posting pass and
-    * shuffle-join (no driver-side vocabulary, no broadcast build). */
-  private def postingsForQuery(spark: SparkSession, dir: String,
-      s: Bm25Stats, q: DataFrame): (DataFrame, Boolean) =
-    if (s.nq.toDouble * s.avgdl <= 4e6) {
-      val terms = q.select("t").distinct()
-        .collect().map(_.getString(0)).toSet
-      (postingsOf(spark, dir, keepT = Some(terms)), true)
-    } else (postingsOf(spark, dir), false)
+  /** The query side + its postings with the smallness decision applied
+    * once (r11 driver-action fusion — guide §1.2, fewer sequential
+    * metadata round-trips per query):
+    *
+    * Small workload (the benchmark cohort at any corpus scale): ONE
+    * collect returns the whole workload-sized (query_id, t) cohort —
+    * the identical payload `broadcast(q)` ships to every executor
+    * anyway — so the term vocabulary derives driver-side (the separate
+    * `terms` collect is gone), `q` becomes a LocalTableScan (broadcast
+    * builds stop re-running the cohort scan + checkpoint), and the
+    * PRUNED posting kernel localCheckpoints so the df aggregate and
+    * the scoring join read ONE corpus pass instead of two (the pruned
+    * table is workload-sized — never the round-9 full-corpus-tf
+    * cliff). Net per scorer call: 2 driver actions (collect + posting
+    * checkpoint) replacing 2 (checkpoint + collect) PLUS one full
+    * corpus kernel pass and two cohort-scan broadcast builds.
+    *
+    * Oversized workload: stream the full posting pass and shuffle-join
+    * exactly as before (no driver-side vocabulary, no broadcast). */
+  private[operators] case class QueryCtx(q: DataFrame, posts: DataFrame,
+      bcast: Boolean)
+
+  /** Workload-size bound under which the query side broadcasts and the
+    * posting kernel prunes to the collected vocabulary; tests inject a
+    * limit of 0 to force the oversized shuffle path on tiny fixtures. */
+  private[operators] val SmallWorkloadLimit = 4e6
+
+  private[operators] def queryCtx(spark: SparkSession, dir: String,
+      s: Bm25Stats, smallLimit: Double = SmallWorkloadLimit): QueryCtx =
+    if (s.nq.toDouble * s.avgdl <= smallLimit) {
+      import spark.implicits._
+      val rows = cohortQuery(spark, dir).as[(Long, String)].collect()
+      val terms = rows.iterator.map(_._2).toSet
+      val qLocal = spark.createDataset(rows.toIndexedSeq)
+        .toDF("query_id", "t")
+      QueryCtx(qLocal,
+        postingsOf(spark, dir, keepT = Some(terms)).localCheckpoint(),
+        bcast = true)
+    } else QueryCtx(cohortQuery(spark, dir).localCheckpoint(),
+      postingsOf(spark, dir), bcast = false)
 
   /** Score one (query_id, t) term set against the corpus: df restricts
     * to the given terms (the scoring join restricts to them anyway, so
@@ -239,8 +270,13 @@ object Retrieval {
     // small-workload path, where it is vocabulary-pruned by
     // construction; the oversized path shuffle-joins
     def mb(d: DataFrame): DataFrame = if (bcast) broadcast(d) else d
-    val df = posts.join(mb(q.select("t").distinct()), "t")
-      .groupBy("t").agg(count(lit(1)).as("df"))
+    // small path: posts are already kernel-pruned to exactly q's term
+    // vocabulary (queryCtx), so the semi-restricting join is an
+    // identity — df is a plain count over the checkpointed postings
+    val df =
+      if (bcast) posts.groupBy("t").agg(count(lit(1)).as("df"))
+      else posts.join(q.select("t").distinct(), "t")
+        .groupBy("t").agg(count(lit(1)).as("df"))
     val idf = log(((lit(s.nd) - col("df")).cast("double") + lit(0.5))
       / (col("df").cast("double") + lit(0.5)) + lit(1.0))
     val tfn = (col("tf").cast("double") * lit(2.2)) /
@@ -255,11 +291,16 @@ object Retrieval {
   }
 
   private[operators] def bm25Scores(spark: SparkSession,
-      dir: String): DataFrame = {
+      dir: String): DataFrame = bm25ScoresAt(spark, dir, SmallWorkloadLimit)
+
+  /** [[bm25Scores]] with an injectable smallness limit — the test hook
+    * that pins small-path ≡ big-path on the gate fixtures (a limit of 0
+    * forces the oversized shuffle plan on any corpus). */
+  private[graft] def bm25ScoresAt(spark: SparkSession, dir: String,
+      smallLimit: Double): DataFrame = {
     val s = bm25Stats(spark, dir)
-    val q = cohortQuery(spark, dir).localCheckpoint()
-    val (posts, bcast) = postingsForQuery(spark, dir, s, q)
-    bm25Contribs(s, posts, q, bcast)
+    val ctx = queryCtx(spark, dir, s, smallLimit)
+    bm25Contribs(s, ctx.posts, ctx.q, ctx.bcast)
       .groupBy("query_id", "doc_id")
       .agg(sum("c9").as("s9"))
   }
@@ -286,48 +327,57 @@ object Retrieval {
     * of the BIGINT sum keeps the gate bit-identical). */
   def prfBm25(spark: SparkSession, dir: String, k: Int = 5,
       fb: Int = 3, m: Int = 3): DataFrame = {
+    import spark.implicits._
     val s = bm25Stats(spark, dir)
-    val q = cohortQuery(spark, dir)
-      .localCheckpoint() // pass 1 + the expansion anti-join read it
     val small = s.nq.toDouble * s.avgdl <= 4e6
-    val (posts1, bcast) = postingsForQuery(spark, dir, s, q)
+    val ctx = queryCtx(spark, dir, s)
+    val (q, posts1) = (ctx.q, ctx.posts)
     val rankW = Window.partitionBy("query_id")
       .orderBy(desc("s9"), asc("doc_id"))
-    val pass1 = bm25Contribs(s, posts1, q, bcast)
+    val pass1 = bm25Contribs(s, posts1, q, ctx.bcast)
       .groupBy("query_id", "doc_id").agg(sum("c9").as("s9"))
       .localCheckpoint() // feedback ranking AND the pass-2 merge read it
-    val fbDocs = pass1
+    // fb × |queries| rows — bounded tiny at ANY scale (fb is a
+    // constant, the cohort is fixed), so ONE collect replaces the
+    // r10 checkpoint-then-collect pair: the id set derives driver-side
+    // and the expansion join broadcasts a LocalTableScan (r11 fusion)
+    val fbRows = pass1
       .withColumn("rn", row_number().over(rankW))
       .filter(col("rn") <= fb)
       .select("query_id", "doc_id")
-      .localCheckpoint() // read for the id set AND the expansion join
+      .as[(Long, Long)].collect()
+    val fbDocs = spark.createDataset(fbRows.toIndexedSeq)
+      .toDF("query_id", "doc_id")
     // feedback docs need their FULL term streams (expansion terms are
     // by definition outside the query vocabulary): a second kernel
     // pass restricted IN-SCAN to the fb × |queries| feedback ids —
     // metadata-sized, never the corpus
     val fbTf =
-      if (small) {
-        val ids = fbDocs.select("doc_id").distinct()
-          .collect().map(_.getLong(0)).toSet
-        postingsOf(spark, dir, keepDoc = Some(ids))
-      } else posts1
+      if (small) postingsOf(spark, dir,
+        keepDoc = Some(fbRows.iterator.map(_._2).toSet))
+      else posts1
     val expW = Window.partitionBy("query_id")
       .orderBy(desc("wt"), asc("t"))
-    val expansion = broadcast(fbDocs).join(fbTf, "doc_id")
+    // ≤ m × |queries| rows — same bounded-tiny argument as fbRows:
+    // one collect yields the term set AND the pass-2 query frame
+    val expRows = broadcast(fbDocs).join(fbTf, "doc_id")
       .groupBy("query_id", "t").agg(sum("tf").as("wt"))
       .join(broadcast(q), Seq("query_id", "t"), "left_anti")
       .withColumn("rn", row_number().over(expW))
       .filter(col("rn") <= m)
       .select("query_id", "t")
-      .localCheckpoint() // read for the term set AND as pass-2 queries
-    // pass 2 reads postings for the ≤ m·|queries| expansion terms only
+      .as[(Long, String)].collect()
+    val expansion = spark.createDataset(expRows.toIndexedSeq)
+      .toDF("query_id", "t")
+    // pass 2 reads postings for the ≤ m·|queries| expansion terms only;
+    // checkpointed so the pass-2 df aggregate and scoring join share
+    // one kernel pass (same as queryCtx's posts)
     val posts2 =
-      if (small) {
-        val expTerms = expansion.select("t").distinct()
-          .collect().map(_.getString(0)).toSet
-        postingsOf(spark, dir, keepT = Some(expTerms))
-      } else posts1
-    pass1.unionByName(bm25Contribs(s, posts2, expansion, bcast)
+      if (small) postingsOf(spark, dir,
+          keepT = Some(expRows.iterator.map(_._2).toSet))
+        .localCheckpoint()
+      else posts1
+    pass1.unionByName(bm25Contribs(s, posts2, expansion, ctx.bcast)
         .withColumnRenamed("c9", "s9"))
       .groupBy("query_id", "doc_id").agg(sum("s9").as("s9"))
       .withColumn("rank", row_number().over(rankW))
@@ -525,20 +575,37 @@ object Retrieval {
     * the postings. */
   def bm25AfterDeletes(spark: SparkSession, dir: String,
       k: Int = 5): DataFrame = {
-    val surv = Tables.documents(spark, dir)
-      .filter(col("doc_id") % 7 =!= 3)
-    val tf = surv
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      .localCheckpoint()
-    val statsRow = dl
-      .agg(count(lit(1)).as("nd"), sum("dl").as("ntok")).collect()(0)
+    import spark.implicits._
+    // r11 rebuild onto the q182 pruned-kernel shape: the previous form
+    // localCheckpointed a CORPUS-grain (doc, term, tf) table plus a
+    // doc-grain dl table — exactly the full-tf materialization whose
+    // storage cliff the round-10 q182 rebuild removed — and then joined
+    // dl back per posting. Now: one narrow stats scan, one collected
+    // cohort (the workload-sized payload the broadcast shipped anyway),
+    // and ONE checkpointed kernel pass that materializes only
+    // query-term postings over the surviving documents, dl riding
+    // in-row. Scores are bit-identical: same tokens (split keeps
+    // trailing empties on both forms), tf from the in-row hash count ==
+    // the exploded groupBy count, dl == Σ tf == token count.
+    val survP = col("doc_id") % 7 =!= 3
+    val statsRow = Tables.documents(spark, dir).filter(survP)
+      .agg(count(lit(1)).as("nd"),
+        sum(size(split(col("text"), " ")).cast("long")).as("ntok"))
+      .collect()(0)
     val totals = statsRow.getLong(0)
     val avgdl = statsRow.getLong(1).toDouble / totals
-    val q = tf.filter(inQueryCohort(col("doc_id")))
-      .select(col("doc_id").as("query_id"), col("t"))
+    // surviving cohort docs' distinct (query_id, t): a tombstoned query
+    // document stops being a query — its terms left the postings
+    val qRows = Tables.documents(spark, dir)
+      .filter(survP && inQueryCohort(col("doc_id")))
+      .select(col("doc_id").as("query_id"),
+        explode(split(col("text"), " ")).as("t"))
+      .distinct()
+      .as[(Long, String)].collect()
+    val q = spark.createDataset(qRows.toIndexedSeq).toDF("query_id", "t")
+    val posts = postingsOf(spark, dir,
+      keepT = Some(qRows.iterator.map(_._2).toSet),
+      docFilter = Some(survP)).localCheckpoint()
     // df: READ from the maintained artifact, not recomputed — the gate
     // rides on q232's subtraction being exact
     val df = TextOps.postingStatsWithDeletes(spark, dir)
@@ -553,10 +620,9 @@ object Retrieval {
     val w = Window.partitionBy("query_id")
       .orderBy(desc("s9"), asc("doc_id"))
     broadcast(q)
-      .join(tf, "t")
+      .join(posts, "t")
       .filter(col("doc_id") =!= col("query_id"))
       .join(broadcast(df), "t")
-      .join(dl, "doc_id")
       .select(col("query_id"), col("doc_id"), c9.as("c9"))
       .groupBy("query_id", "doc_id")
       .agg(sum("c9").as("s9"))

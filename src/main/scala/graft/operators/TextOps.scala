@@ -328,11 +328,21 @@ object TextOps {
     * filter input for [[minhashNearDupsOn]]. */
   private[operators] def minhashCandidatePairsOn(docs: DataFrame,
       maxBucket: Long = VectorOps.DefaultMaxBucket): DataFrame = {
-    // candidate generation touches ONLY (doc_id, band, h1, h2) longs —
-    // a collect_list of shingle arrays is GC-heavy and a join carrying
-    // them pays wide shuffles; the typed signature kernel is cheap
-    // enough to evaluate per consumer instead
-    def banded = bandsOf(signaturesOn(docs).toDF())
+    // ONE signature kernel pass (r11): the plan references the
+    // signature frame up to 6× (bucket census + capped join + both
+    // self-join sides + both exact-verify sides), and the per-consumer
+    // re-evaluation this replaces ran the shingling + 8-seed MinHash
+    // kernel once per reference — aliased projections defeat exchange
+    // reuse exactly as in q204's deg subtree (guide §2.4: don't compute
+    // things twice). The localCheckpoint materializes (doc_id, shs, mh)
+    // once; candidate generation still SHUFFLES only the (doc_id, band,
+    // h1, h2) longs (the wide shs column is pruned below every
+    // exchange), and the verify side reads the same blocks. Scale: the
+    // materialized volume is the corpus shingle set — the same payload
+    // the verify joins already move — and the same discipline as
+    // PrefixJoin's docs checkpoint.
+    val sig = signaturesOn(docs).toDF().localCheckpoint()
+    def banded = bandsOf(sig)
     // skew guard (VectorOps.withBucketCap): a pathological corpus where
     // every document shares one band signature would make one bucket ≈
     // the corpus and the band join quadratic; sub-splitting bounds pair
@@ -350,9 +360,9 @@ object TextOps {
         && col("ida") < col("idb"))
       .select("ida", "idb").distinct()
 
-    // exact Jaccard only for candidates, in a typed kernel
-    exactJaccard(cand,
-      signaturesOn(docs).toDF().select(col("doc_id"), col("shs")))
+    // exact Jaccard only for candidates, in a typed kernel — reading
+    // the one checkpointed signature frame, not a fresh kernel pass
+    exactJaccard(cand, sig.select(col("doc_id"), col("shs")))
   }
 
   /** q192: corpus redundancy profile — the near-dup statistics swept
@@ -1549,7 +1559,13 @@ object TextOps {
       .localCheckpoint()
     val ded = Graphs.dedupClustersFromComp(spark, dir, comp)
       .select(col("doc_id"), col("is_canonical").as("dedup_ok"))
-    val v = curationVerdictsWithDed(spark, dir, ded)
+    // the verdict table feeds TWO separate driver actions (`eligible`'s
+    // checkpoint and the final job's `scored` aggregate) — without this
+    // the whole verdict chain (lang/quality/repetition/decontamination
+    // joins) re-executes once per consumer (r11, guide §1.2; the q216
+    // pattern). doc_id + 6 booleans: narrower than any one stage's own
+    // shuffle at every scale.
+    val v = curationVerdictsWithDed(spark, dir, ded).localCheckpoint()
     val tomb = graft.sources.DeltaLog.stagedTombstones(spark, "docdel",
       s"$dir/documents.parquet", docs.select(col("doc_id")),
       col("doc_id") % 7 === 3, "doc_id")
