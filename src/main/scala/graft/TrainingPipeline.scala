@@ -38,8 +38,10 @@ object TrainingPipeline {
       nShards: Int = 8, packBudget: Int = 256): Result = {
     val docs = graft.sources.Tables.documents(spark, dir)
 
-    // ── curation verdicts (the q145 composition) ───────────────────
-    TextOps.curationVerdicts(spark, dir)
+    // ── curation verdicts (the q145 composition; unordered — row
+    // order inside a parquet layer is not part of any contract, and a
+    // sorted write pays a range exchange + sort, r11) ────────────────
+    TextOps.curationVerdictsUnordered(spark, dir)
       .write.mode("overwrite").parquet(s"$outDir/curation_verdicts")
     val verdicts = spark.read.parquet(s"$outDir/curation_verdicts")
 

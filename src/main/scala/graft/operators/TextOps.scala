@@ -931,6 +931,15 @@ object TextOps {
     * doc is dropped by the dedup verdict, which is exactly right: it IS
     * benchmark material. */
   def curationVerdicts(spark: SparkSession, dir: String): DataFrame =
+    curationVerdictsUnordered(spark, dir).orderBy("doc_id")
+
+  /** [[curationVerdicts]] without the output sort — the form every
+    * COMPOSITION consumes (q146's aggregate, q154's layer write):
+    * the doc_id order is q145's OUTPUT contract, not part of the
+    * verdict semantics, and a sorted write/checkpoint pays a range
+    * exchange + sort the consumer immediately discards (r11). */
+  private[graft] def curationVerdictsUnordered(spark: SparkSession,
+      dir: String): DataFrame =
     curationVerdictsWithDed(spark, dir,
       // the auto-closure variant (identical output): inside a
       // composition the closure is a stage, not the gated algorithm
@@ -963,7 +972,10 @@ object TextOps {
         col("rep_ok"), col("decon_ok"), col("dedup_ok"))
       .withColumn("keep", col("lang_ok") && col("quality_ok")
         && col("rep_ok") && col("decon_ok") && col("dedup_ok"))
-      .orderBy("doc_id")
+    // no output sort here: callers that publish the q145 contract add
+    // orderBy("doc_id") themselves; compositions (q146/q154/q200)
+    // aggregate, write, or checkpoint this frame and a sort would be
+    // pure discarded work (r11)
   }
 
   /** Deterministic language-balanced resampling — the mixture-weighting
@@ -1102,7 +1114,7 @@ object TextOps {
     * funnel mart the curation dashboard reads. One aggregation pass
     * (six conditional sums), then a stack to rows; grain = stages. */
   def curationFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val v = curationVerdicts(spark, dir)
+    val v = curationVerdictsUnordered(spark, dir)
     def surv(c: Column) = sum(c.cast("long"))
     val l = col("lang_ok"); val q = col("quality_ok"); val r = col("rep_ok")
     val d = col("decon_ok"); val dd = col("dedup_ok")
