@@ -758,21 +758,31 @@ object Retrieval {
     // arithmetic verbatim over the same pools)
     val lexW = Window.partitionBy("query_id")
       .orderBy(desc("s9"), asc("doc_id"))
-    val lexPool = bm25Scores(spark, dir)
+    val lexPool0 = bm25Scores(spark, dir)
       .withColumn("lex_rank",
         row_number().over(lexW).cast("long"))
       .filter(col("lex_rank") <= pool)
       .select("query_id", "doc_id", "lex_rank")
-      .localCheckpoint()
     val denseW = Window.partitionBy("query_id")
       .orderBy(desc("ds"), asc("doc_id"))
-    val densePool = chunkScores(spark, dir)
+    val densePool0 = chunkScores(spark, dir)
       .groupBy("query_id", "doc_id").agg(max("score").as("ds"))
       .withColumn("dense_rank",
         row_number().over(denseW).cast("long"))
       .filter(col("dense_rank") <= pool)
       .select("query_id", "doc_id", "dense_rank")
-      .localCheckpoint()
+    // the two pool materializations are INDEPENDENT jobs — overlap
+    // them (guide §2.6: actions are only sequential because the driver
+    // calls them sequentially); frames were built above on this thread,
+    // only the checkpoint actions run concurrently
+    val (lexPool, densePool) = {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val lf = Future(lexPool0.localCheckpoint())
+      val df = Future(densePool0.localCheckpoint())
+      (Await.result(lf, Duration.Inf), Await.result(df, Duration.Inf))
+    }
     val lex5 = lexPool.filter(col("lex_rank") <= k)
       .select("query_id", "doc_id")
     val dense5 = densePool.filter(col("dense_rank") <= k)

@@ -390,13 +390,18 @@ object SegmentedBm25Index {
   def servedBm25At(spark: SparkSession, root: String,
       k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val q = resolvedCorpus(spark, root)
+    import spark.implicits._
+    // ONE collect returns the workload-sized cohort term table (the
+    // payload broadcast(q) ships anyway); the pruning vocabulary
+    // derives driver-side and q re-enters as a LocalTableScan — the
+    // r11 retrieval fusion (Retrieval.queryCtx), applied to the serve
+    val qRows = resolvedCorpus(spark, root)
       .filter(graft.operators.Retrieval.inQueryCohort(col("doc_id")))
       .select(col("doc_id").as("query_id"),
         explode(split(col("text"), " ")).as("t"))
-      .distinct().localCheckpoint()
-    val terms = q.select("t").distinct()
-      .collect().map(_.getString(0)).sorted.toSeq
+      .distinct().as[(Long, String)].collect()
+    val q = spark.createDataset(qRows.toIndexedSeq).toDF("query_id", "t")
+    val terms = qRows.iterator.map(_._2).toSeq.distinct.sorted
     val pruned = livePostings(spark, root, Some(terms)).localCheckpoint()
     val dl = resolvedDoclen(spark, root).filter(col("dl").isNotNull)
       .select("doc_id", "dl")
