@@ -394,7 +394,10 @@ object Analytics {
         b: DataFrame, kb: String): (String, Long, Long, Long, Long) = {
       // one aggregate job per side (count + exact NDV ride the same
       // pass) instead of four sequential count/distinct jobs — 15
-      // driver actions → 9 for the three audits (r10, guide §1.2)
+      // driver actions → 9 for the three audits (r10, guide §1.2).
+      // Contract: keys must be NON-NULL (countDistinct excludes NULLs
+      // where the pre-r10 select(key).distinct().count() counted NULL
+      // as one value) — true for every TPC-H join key audited here.
       def stats(df: DataFrame, key: String): (Long, Long) = {
         val r = df.agg(count(lit(1)), countDistinct(col(key))).head()
         (r.getLong(0), r.getLong(1))

@@ -97,6 +97,11 @@ object Scd2 {
     // write, and the final union) — exchange reuse only dedups within
     // one job, so the staging⋈current join (which itself re-executes
     // the full `dim` lineage through `current`) ran up to 4×.
+    // NOTE: the checkpoint makes merge() EAGER (dim/staging lineage
+    // executes at call time) and pins executor storage blocks until
+    // GC; callers that build long multi-merge chains lazily should
+    // checkpoint to the cluster store instead (the components()
+    // deployment swap documented on Graphs.components).
     val curKeyed = current.select(col(k).as("__ck"), col("__h").as("__ch"))
     val classified = src.join(curKeyed, col(k) === col("__ck"), "left")
       .localCheckpoint()
